@@ -1,0 +1,223 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Catalog-tracked statistics, maintained after every write / partition
+  * change — the role of `CatalogStatistics` upkeep in the reference
+  * (/root/reference/.../internal/CatalogUtil.scala:13-26). `sizeInBytes`
+  * feeds broadcast-vs-shuffle planning at scale.
+  */
+case class TableStats(sizeInBytes: Long, numRows: Option[Long])
+
+/** One Hive-style partition: values keyed by partition column name (all
+  * values path-string-encoded), plus an optional custom location —
+  * mirroring `TablePartitionSpec` + per-partition locations in the
+  * reference (/root/reference/.../V2Table.scala:80-86).
+  */
+case class PartitionMeta(spec: Map[String, String], location: Option[String])
+
+/** Persistent table descriptor. `schemaJson` is the Spark `StructType`
+  * JSON (data columns first, partition columns trailing — the file-source
+  * convention the reference also follows,
+  * /root/reference/.../V2Table.scala:37-38).
+  */
+case class TableMeta(
+    name: String,
+    schemaJson: String,
+    provider: String,
+    partitionColumns: Seq[String],
+    location: String,
+    external: Boolean,
+    properties: Map[String, String],
+    stats: Option[TableStats],
+    partitions: Seq[PartitionMeta]) {
+
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def partitionSchema: StructType =
+    StructType(partitionColumns.map(c => schema(schema.fieldIndex(c))))
+  def dataSchema: StructType =
+    StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+  def isPartitioned: Boolean = partitionColumns.nonEmpty
+}
+
+/** Filesystem-backed metadata store: the in-process replacement for the
+  * reference's Hive Metastore RPCs (/root/reference/.../V2ExternalCatalog.scala:74-92).
+  *
+  * Layout under the warehouse root:
+  * {{{
+  *   <warehouse>/<db>/_namespace.json      namespace properties
+  *   <warehouse>/<db>/_meta/<table>.json   table descriptor
+  *   <warehouse>/<db>/<table>/             managed table data
+  * }}}
+  *
+  * All writes go through tmp-file + rename so a crashed writer never
+  * leaves a torn descriptor. Uses the Hadoop `FileSystem` API so the same
+  * store works on HDFS/object stores on a real cluster, not just local fs.
+  */
+class MetaStore(val warehouse: Path, conf: Configuration) extends Serializable {
+  import MetaStore._
+
+  @transient private lazy val fs: FileSystem = warehouse.getFileSystem(conf)
+
+  def namespaceDir(db: String): Path = new Path(warehouse, db)
+  private def nsFile(db: String): Path = new Path(namespaceDir(db), "_namespace.json")
+  private def metaDir(db: String): Path = new Path(namespaceDir(db), "_meta")
+  def tableMetaFile(db: String, table: String): Path =
+    new Path(metaDir(db), s"$table.json")
+  def defaultTableDir(db: String, table: String): Path =
+    new Path(namespaceDir(db), table)
+
+  // --- namespaces ------------------------------------------------------
+  def namespaceExists(db: String): Boolean = fs.exists(nsFile(db))
+
+  def createNamespace(db: String, props: Map[String, String]): Unit = {
+    fs.mkdirs(metaDir(db))
+    writeAtomic(nsFile(db), JsonMethods.compact(JsonMethods.render(mapToJson(props))))
+  }
+
+  def loadNamespace(db: String): Map[String, String] =
+    jsonToMap(JsonMethods.parse(readFully(nsFile(db))))
+
+  def alterNamespace(db: String, props: Map[String, String]): Unit =
+    writeAtomic(nsFile(db), JsonMethods.compact(JsonMethods.render(mapToJson(props))))
+
+  def listNamespaces(): Seq[String] =
+    if (!fs.exists(warehouse)) Nil
+    else fs.listStatus(warehouse).toSeq
+      .filter(s => s.isDirectory && fs.exists(nsFile(s.getPath.getName)))
+      .map(_.getPath.getName).sorted
+
+  def dropNamespace(db: String): Unit =
+    fs.delete(namespaceDir(db), true)
+
+  def namespaceIsEmpty(db: String): Boolean = listTables(db).isEmpty
+
+  // --- tables ----------------------------------------------------------
+  def tableExists(db: String, table: String): Boolean =
+    fs.exists(tableMetaFile(db, table))
+
+  def listTables(db: String): Seq[String] = {
+    val dir = metaDir(db)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+  }
+
+  def saveTable(db: String, meta: TableMeta): Unit = {
+    fs.mkdirs(metaDir(db))
+    writeAtomic(tableMetaFile(db, meta.name), toJson(meta))
+  }
+
+  def loadTable(db: String, table: String): TableMeta =
+    fromJson(readFully(tableMetaFile(db, table)))
+
+  def dropTable(db: String, table: String, deleteData: Boolean): Unit = {
+    val meta = loadTable(db, table)
+    fs.delete(tableMetaFile(db, table), false)
+    if (deleteData && !meta.external) fs.delete(new Path(meta.location), true)
+  }
+
+  def renameTable(fromDb: String, from: String, toDb: String, to: String): Unit = {
+    val meta = loadTable(fromDb, from)
+    val newLocation =
+      if (meta.external) meta.location
+      else {
+        val dst = defaultTableDir(toDb, to)
+        if (fs.exists(new Path(meta.location))) {
+          fs.mkdirs(dst.getParent)
+          fs.rename(new Path(meta.location), dst)
+        }
+        dst.toString
+      }
+    saveTable(toDb, meta.copy(name = to, location = newLocation))
+    fs.delete(tableMetaFile(fromDb, from), false)
+  }
+
+  // --- io helpers ------------------------------------------------------
+  private def readFully(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeAtomic(p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+}
+
+object MetaStore {
+  private def mapToJson(m: Map[String, String]): JValue =
+    JObject(m.toSeq.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }.toList)
+
+  private def jsonToMap(j: JValue): Map[String, String] = j match {
+    case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+    case _ => Map.empty
+  }
+
+  def toJson(m: TableMeta): String = {
+    val stats: JValue = m.stats match {
+      case Some(s) => JObject(List(
+        "sizeInBytes" -> JLong(s.sizeInBytes),
+        "numRows" -> s.numRows.map(JLong(_): JValue).getOrElse(JNull)))
+      case None => JNull
+    }
+    val parts: JValue = JArray(m.partitions.map { p =>
+      JObject(List(
+        "spec" -> mapToJson(p.spec),
+        "location" -> p.location.map(JString(_): JValue).getOrElse(JNull)))
+    }.toList)
+    val root = JObject(List(
+      "name" -> JString(m.name),
+      "schemaJson" -> JString(m.schemaJson),
+      "provider" -> JString(m.provider),
+      "partitionColumns" -> JArray(m.partitionColumns.map(JString(_): JValue).toList),
+      "location" -> JString(m.location),
+      "external" -> JBool(m.external),
+      "properties" -> mapToJson(m.properties),
+      "stats" -> stats,
+      "partitions" -> parts))
+    JsonMethods.pretty(JsonMethods.render(root))
+  }
+
+  def fromJson(s: String): TableMeta = {
+    val j = JsonMethods.parse(s)
+    def str(name: String): String = (j \ name) match {
+      case JString(v) => v
+      case other => sys.error(s"bad meta field $name: $other")
+    }
+    val stats = (j \ "stats") match {
+      case JObject(fields) =>
+        val m = fields.toMap
+        val size = m.get("sizeInBytes").collect { case JLong(v) => v; case JInt(v) => v.toLong }.getOrElse(0L)
+        val rows = m.get("numRows").collect { case JLong(v) => v; case JInt(v) => v.toLong }
+        Some(TableStats(size, rows))
+      case _ => None
+    }
+    val parts = (j \ "partitions") match {
+      case JArray(items) => items.map { it =>
+        val loc = (it \ "location") match { case JString(v) => Some(v); case _ => None }
+        PartitionMeta(jsonToMap(it \ "spec"), loc)
+      }
+      case _ => Nil
+    }
+    val partCols = (j \ "partitionColumns") match {
+      case JArray(items) => items.collect { case JString(v) => v }
+      case _ => Nil
+    }
+    TableMeta(str("name"), str("schemaJson"), str("provider"), partCols,
+      str("location"), (j \ "external") == JBool(true), jsonToMap(j \ "properties"),
+      stats, parts)
+  }
+}
