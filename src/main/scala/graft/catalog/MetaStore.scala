@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -38,10 +38,18 @@ case class TableMeta(
     partitions: Seq[PartitionMeta]) {
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-  def partitionSchema: StructType =
-    StructType(partitionColumns.map(c => schema(schema.fieldIndex(c))))
-  def dataSchema: StructType =
-    StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+  /** Case-insensitive partition-column resolution: Spark resolves
+    * identifiers case-insensitively by default, so a stored 'DT' must find
+    * schema field 'dt'. */
+  private def resolveField(c: String): org.apache.spark.sql.types.StructField =
+    schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column $c not found in schema ${schema.fieldNames.mkString(",")}"))
+  def partitionSchema: StructType = StructType(partitionColumns.map(resolveField))
+  def dataSchema: StructType = {
+    val partNames = partitionColumns.map(resolveField(_).name).toSet
+    StructType(schema.filterNot(f => partNames.contains(f.name)))
+  }
   def isPartitioned: Boolean = partitionColumns.nonEmpty
 }
 
@@ -55,14 +63,18 @@ case class TableMeta(
   *   <warehouse>/<db>/<table>/             managed table data
   * }}}
   *
-  * All writes go through tmp-file + rename so a crashed writer never
-  * leaves a torn descriptor. Uses the Hadoop `FileSystem` API so the same
-  * store works on HDFS/object stores on a real cluster, not just local fs.
+  * All writes go through tmp-file + atomic `FileContext.rename(OVERWRITE)`
+  * so a crashed writer never leaves a torn (or missing) descriptor. Uses
+  * the Hadoop `FileSystem` API so the same store works on HDFS/object
+  * stores on a real cluster, not just local fs. Driver-only by design —
+  * executors never see this class (scans carry only paths + schemas), so
+  * it is deliberately NOT Serializable.
   */
-class MetaStore(val warehouse: Path, conf: Configuration) extends Serializable {
+class MetaStore(val warehouse: Path, conf: Configuration) {
   import MetaStore._
 
-  @transient private lazy val fs: FileSystem = warehouse.getFileSystem(conf)
+  private lazy val fs: FileSystem = warehouse.getFileSystem(conf)
+  private lazy val fc: FileContext = FileContext.getFileContext(warehouse.toUri, conf)
 
   def namespaceDir(db: String): Path = new Path(warehouse, db)
   private def nsFile(db: String): Path = new Path(namespaceDir(db), "_namespace.json")
@@ -123,14 +135,22 @@ class MetaStore(val warehouse: Path, conf: Configuration) extends Serializable {
   }
 
   def renameTable(fromDb: String, from: String, toDb: String, to: String): Unit = {
+    if (tableExists(toDb, to))
+      throw new IllegalStateException(s"rename target $toDb.$to already exists")
     val meta = loadTable(fromDb, from)
     val newLocation =
       if (meta.external) meta.location
       else {
         val dst = defaultTableDir(toDb, to)
+        // Fail fast on an existing destination dir: Hadoop rename would
+        // either return false or nest src inside dst — both data-loss bugs.
+        if (fs.exists(dst))
+          throw new IllegalStateException(s"rename target dir $dst already exists")
         if (fs.exists(new Path(meta.location))) {
           fs.mkdirs(dst.getParent)
-          fs.rename(new Path(meta.location), dst)
+          if (!fs.rename(new Path(meta.location), dst))
+            throw new IllegalStateException(
+              s"filesystem rename ${meta.location} -> $dst failed")
         }
         dst.toString
       }
@@ -152,8 +172,10 @@ class MetaStore(val warehouse: Path, conf: Configuration) extends Serializable {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    // FileContext.rename(OVERWRITE) is the atomic-replace primitive —
+    // unlike delete-then-FileSystem.rename there is no window where the
+    // descriptor is missing, and failures raise instead of returning false.
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 }
 
