@@ -1,0 +1,70 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.connector.expressions.Transform
+
+import graft.catalog.GraftCatalog
+
+/** Session wiring for the graft catalog: registers
+  * `spark.sql.catalog.graft` and creates EXTERNAL tables over the
+  * driver-generated parquet fixtures (FIXTURES.md "registration pattern"),
+  * so every query resolves `graft.tpch.<table>` through the DSv2 path —
+  * catalog → GraftTable → ParquetScanBuilder — instead of raw
+  * `spark.read.parquet`.
+  *
+  * Registration is idempotent and cached per (session, sfDir); switching
+  * scale factors re-registers the tables at the new locations.
+  */
+object GraftBootstrap {
+  val CatalogName = "graft"
+  val Namespace = "tpch"
+
+  @volatile private var current: Set[(SparkSession, String)] = Set.empty
+
+  /** Dynamic confs every session needs for these fixtures (naive
+    * timestamps + int64-ns `events.ts`, see Tables's scaladoc). */
+  def setSessionConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+  }
+
+  def warehouseDir(spark: SparkSession): String =
+    sys.props("java.io.tmpdir") + "/graft-warehouse-" +
+      spark.sparkContext.applicationId
+
+  def ensure(spark: SparkSession, sfDir: String): Unit = {
+    if (current.contains((spark, sfDir))) return
+    synchronized {
+      if (current.contains((spark, sfDir))) return
+      setSessionConfs(spark)
+      spark.conf.set(s"spark.sql.catalog.$CatalogName", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$CatalogName.warehouse", warehouseDir(spark))
+      val catalog = spark.sessionState.catalogManager
+        .catalog(CatalogName).asInstanceOf[GraftCatalog]
+      val ns = Array(Namespace)
+      if (!catalog.namespaceExists(ns)) {
+        catalog.createNamespace(ns, Map.empty[String, String].asJava)
+      }
+      Tables.all.foreach { name =>
+        val ident = Identifier.of(ns, name)
+        val location = s"$sfDir/$name.parquet"
+        val stale = catalog.tableExists(ident) &&
+          catalog.loadTable(ident).properties().get(TableCatalog.PROP_LOCATION) != location
+        if (stale) catalog.dropTable(ident)
+        if (stale || !catalog.tableExists(ident)) {
+          val schema = spark.read.parquet(location).schema
+          catalog.createTable(ident, schema, Array.empty[Transform],
+            Map(
+              TableCatalog.PROP_PROVIDER -> "parquet",
+              TableCatalog.PROP_LOCATION -> location).asJava)
+        }
+      }
+      // Registering for a new sfDir invalidates any other sfDir mapping for
+      // the same session (the identifiers now resolve to the new data).
+      current = current.filterNot(_._1 == spark) + ((spark, sfDir))
+    }
+  }
+}

@@ -7,6 +7,12 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md /
   * FIXTURES.md): TPC-H-ish star schema + `events` + LLM-pipeline tables.
   *
+  * Every load resolves `graft.tpch.<name>` through the DSv2 catalog
+  * ([[GraftBootstrap]] registers the fixtures as EXTERNAL tables), so the
+  * whole query inventory exercises the engine path: GraftCatalog →
+  * GraftTable.newScanBuilder → ParquetScanBuilder → vectorized columnar
+  * scan with pushdown/pruning.
+  *
   * Timestamp normalization: the files store naive (no-UTC-adjust)
   * timestamps — `timestamp[ms]` for the TPC-H dates and `timestamp[ns]`
   * for `events.ts`. Spark has no nanosecond timestamp, so we read nanos
@@ -26,10 +32,8 @@ object Tables {
   val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Dynamic SQL confs; set here so any caller-provided session works.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    GraftBootstrap.ensure(spark, sfDir)
+    val raw = spark.table(s"${GraftBootstrap.CatalogName}.${GraftBootstrap.Namespace}.$name")
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       f.dataType match {
         case LongType if name == "events" && f.name == "ts" =>
@@ -43,8 +47,18 @@ object Tables {
     }
   }
 
+  @volatile private var viewsFor: Set[(SparkSession, String)] = Set.empty
+
   /** Register every table as a temp view so SQL-form queries (GROUPING
-    * SETS, correlated subqueries, CTEs) can run over the same data. */
-  def registerViews(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    * SETS, correlated subqueries, CTEs) can run over the same data.
+    * Cached per (session, sfDir) — re-registering ten tables per query
+    * call was round 3's q12/q22/q23 overhead. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    if (viewsFor.contains((spark, sfDir))) return
+    synchronized {
+      if (viewsFor.contains((spark, sfDir))) return
+      all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+      viewsFor = viewsFor.filterNot(_._1 == spark) + ((spark, sfDir))
+    }
+  }
 }

@@ -1,0 +1,243 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{IdentityTransform, Transform}
+import org.apache.spark.sql.execution.datasources.FileStatusCache
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The product: a DataSource V2 `TableCatalog with SupportsNamespaces`
+  * registered under `spark.sql.catalog.<name>`, backed by the filesystem
+  * [[MetaStore]] instead of a Hive Metastore — the in-process analogue of
+  * the reference's multi-cluster HMS catalog
+  * (/root/reference/.../V2ExternalCatalog.scala:31,55-83).
+  *
+  * Semantics preserved from the reference:
+  *  - single-part namespaces only (V2ExternalCatalog.scala:94-104);
+  *  - EXTERNAL iff a `location` is supplied at create
+  *    (V2ExternalCatalog.scala:181);
+  *  - only identity partition transforms (InternalSqlBridge.scala:25-38 —
+  *    the reference additionally maps buckets but then refuses to write
+  *    them, so we reject them at create instead);
+  *  - reserved namespace properties protected from ALTER
+  *    (V2ExternalCatalog.scala:287-300);
+  *  - dropNamespace refuses a non-empty namespace unless cascade.
+  *
+  * Everything is driver-side metadata work; executors never see this
+  * class. Scale posture: one descriptor file per table, partition list
+  * embedded — listing/pruning never touches the data files.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftCatalog._
+
+  private var catalogName: String = _
+  private var store: MetaStore = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.warehouse"))
+    store = new MetaStore(new Path(warehouse),
+      spark.sessionState.newHadoopConf())
+  }
+
+  override def name(): String = catalogName
+
+  /** Exposed for [[GraftTable]] / tests; throws if initialize was skipped. */
+  private[graft] def metaStore: MetaStore = {
+    require(store != null, s"catalog $catalogName not initialized")
+    store
+  }
+
+  // --- tables ------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val db = asSingle(namespace)
+    if (!store.namespaceExists(db)) throw new NoSuchNamespaceException(namespace)
+    store.listTables(db).map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val db = asSingle(ident.namespace)
+    if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
+    new GraftTable(this, db, store.loadTable(db, ident.name))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    store.tableExists(asSingle(ident.namespace), ident.name)
+
+  override def invalidateTable(ident: Identifier): Unit =
+    FileStatusCache.getOrCreate(spark).invalidateAll()
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val db = asSingle(ident.namespace)
+    if (!store.namespaceExists(db)) throw new NoSuchNamespaceException(ident.namespace)
+    if (store.tableExists(db, ident.name)) throw new TableAlreadyExistsException(ident)
+
+    val partitionColumns = partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other: only identity partitioning " +
+          "is supported (reference also limits itself to identity + bucket, " +
+          "and refuses to write bucketed tables)")
+    }.toSeq
+    partitionColumns.foreach { c =>
+      require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"partition column $c not present in schema")
+    }
+
+    val props = properties.asScala.toMap
+    val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, "parquet").toLowerCase
+    require(Set("parquet", "csv", "json").contains(provider),
+      s"unsupported provider $provider (parquet, csv, json)")
+    val explicitLocation = props.get(TableCatalog.PROP_LOCATION)
+    // EXTERNAL iff location supplied — the reference's rule
+    // (V2ExternalCatalog.scala:181): managed data lives (and dies) under
+    // the warehouse; external data is only referenced.
+    val external = explicitLocation.isDefined ||
+      props.get(TableCatalog.PROP_EXTERNAL).contains("true")
+    val location = explicitLocation.getOrElse(
+      store.defaultTableDir(db, ident.name).toString)
+
+    val meta = TableMeta(
+      name = ident.name,
+      schemaJson = schema.json,
+      provider = provider,
+      partitionColumns = partitionColumns,
+      location = location,
+      external = external,
+      properties = props -- ReservedTableProps,
+      stats = None,
+      partitions = Nil)
+    store.saveTable(db, meta)
+    // Pre-create the managed dir so a scan before the first insert sees an
+    // empty table instead of a missing-path error.
+    if (!external) store.namespaceDir(db).getFileSystem(
+      spark.sessionState.newHadoopConf()).mkdirs(new Path(location))
+    new GraftTable(this, db, meta)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val db = asSingle(ident.namespace)
+    if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
+    val meta = store.loadTable(db, ident.name)
+    val newProps = org.apache.spark.sql.graft.GraftSqlBridge.applyPropertiesChanges(
+      meta.properties ++ Map(TableCatalog.PROP_PROVIDER -> meta.provider),
+      changes.toSeq) -- ReservedTableProps
+    val newSchema = org.apache.spark.sql.graft.GraftSqlBridge.applySchemaChanges(
+      meta.schema, changes.toSeq, Some(meta.provider), "ALTER TABLE")
+    meta.partitionColumns.foreach { c =>
+      require(newSchema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"cannot drop partition column $c")
+    }
+    val updated = meta.copy(schemaJson = newSchema.json, properties = newProps)
+    store.saveTable(db, updated)
+    new GraftTable(this, db, updated)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val db = asSingle(ident.namespace)
+    if (!store.tableExists(db, ident.name)) false
+    else {
+      store.dropTable(db, ident.name, deleteData = true)
+      invalidateTable(ident)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val fromDb = asSingle(oldIdent.namespace)
+    val toDb = asSingle(newIdent.namespace)
+    if (!store.tableExists(fromDb, oldIdent.name)) throw new NoSuchTableException(oldIdent)
+    if (store.tableExists(toDb, newIdent.name)) throw new TableAlreadyExistsException(newIdent)
+    if (!store.namespaceExists(toDb)) throw new NoSuchNamespaceException(newIdent.namespace)
+    store.renameTable(fromDb, oldIdent.name, toDb, newIdent.name)
+  }
+
+  // --- namespaces --------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    store.listNamespaces().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (store.namespaceExists(asSingle(namespace))) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && store.namespaceExists(namespace.head)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val db = asSingle(namespace)
+    if (!store.namespaceExists(db)) throw new NoSuchNamespaceException(namespace)
+    (store.loadNamespace(db) +
+      (SupportsNamespaces.PROP_LOCATION -> store.namespaceDir(db).toString)).asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    val db = asSingle(namespace)
+    if (store.namespaceExists(db)) throw new NamespaceAlreadyExistsException(namespace)
+    store.createNamespace(db, metadata.asScala.toMap -- ReservedNamespaceProps)
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit = {
+    val db = asSingle(namespace)
+    if (!store.namespaceExists(db)) throw new NoSuchNamespaceException(namespace)
+    val updated = changes.foldLeft(store.loadNamespace(db)) {
+      case (props, set: NamespaceChange.SetProperty) =>
+        checkNotReserved(set.property); props + (set.property -> set.value)
+      case (props, rm: NamespaceChange.RemoveProperty) =>
+        checkNotReserved(rm.property); props - rm.property
+      case (_, other) =>
+        throw new UnsupportedOperationException(s"namespace change $other")
+    }
+    store.alterNamespace(db, updated)
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val db = asSingle(namespace)
+    if (!store.namespaceExists(db)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && !store.namespaceIsEmpty(db))
+      throw new NonEmptyNamespaceException(namespace)
+    store.dropNamespace(db)
+    true
+  }
+
+  // --- helpers -----------------------------------------------------------
+
+  /** Single-part namespaces only — same rule as the reference
+    * (ImplicitSqlHelper.scala:24-31). */
+  private def asSingle(namespace: Array[String]): String = namespace match {
+    case Array(db) => db
+    case _ => throw new NoSuchNamespaceException(namespace)
+  }
+
+  private def checkNotReserved(prop: String): Unit =
+    require(!ReservedNamespaceProps.contains(prop), s"reserved namespace property: $prop")
+}
+
+object GraftCatalog {
+  /** Properties managed by the catalog itself, never stored verbatim. */
+  val ReservedTableProps: Set[String] = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL)
+  val ReservedNamespaceProps: Set[String] = Set(
+    SupportsNamespaces.PROP_LOCATION, SupportsNamespaces.PROP_OWNER)
+}

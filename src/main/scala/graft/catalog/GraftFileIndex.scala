@@ -1,0 +1,119 @@
+package graft.catalog
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory, PartitionPath, PartitioningAwareFileIndex, PartitionSpec}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalog-pruned file index: partition predicates are evaluated against
+  * the catalog-tracked partition list BEFORE any filesystem listing, so a
+  * query touching 3 of 10,000 partitions lists 3 directories — the
+  * reference's `ExternalCatalogFileIndex` pattern
+  * (/root/reference/.../ExternalCatalogFileIndex.scala:41-76), with the
+  * HMS `listPartitionsByFilter` RPC replaced by an in-process predicate
+  * over [[PartitionMeta]] rows.
+  *
+  * At 100 TB the difference is the whole game: a full `InMemoryFileIndex`
+  * over the table root must list every partition directory up front
+  * (NameNode-heavy, O(partitions)), while this index defers listing until
+  * after pruning (O(matching partitions)).
+  */
+class GraftFileIndex(
+    sparkSession: SparkSession,
+    meta: TableMeta,
+    fileStatusCache: FileStatusCache)
+  extends PartitioningAwareFileIndex(sparkSession, Map.empty, Some(meta.schema), fileStatusCache) {
+
+  private val timeZoneId = sparkSession.sessionState.conf.sessionLocalTimeZone
+  private val tablePath = new Path(meta.location)
+
+  override def rootPaths: Seq[Path] = Seq(tablePath)
+
+  override def refresh(): Unit = fileStatusCache.invalidateAll()
+
+  override def partitionSchema: StructType = meta.partitionSchema
+
+  /** Catalog partition list → typed rows (string spec values cast with the
+    * session timezone, as the reference casts at V2Table.scala:111-112). */
+  override def partitionSpec(): PartitionSpec = {
+    val ps = meta.partitionSchema
+    val paths = meta.partitions.map { p =>
+      val row = InternalRow.fromSeq(ps.map { f =>
+        p.spec.get(f.name).orElse(
+            p.spec.find(_._1.equalsIgnoreCase(f.name)).map(_._2)) match {
+          case Some(v) =>
+            Cast(Literal(UTF8String.fromString(v), StringType), f.dataType,
+              Some(timeZoneId)).eval(null)
+          case None => null
+        }
+      })
+      PartitionPath(row, new Path(partitionLocation(p)))
+    }
+    PartitionSpec(ps, paths)
+  }
+
+  private def partitionLocation(p: PartitionMeta): String =
+    p.location.getOrElse(
+      meta.partitionColumns.foldLeft(tablePath) { (dir, col) =>
+        new Path(dir, org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(col, p.spec.getOrElse(col,
+            p.spec.find(_._1.equalsIgnoreCase(col)).map(_._2).getOrElse(null))))
+      }.toString)
+
+  /** Prune first, list after — only surviving partition dirs hit the
+    * filesystem. */
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    filterPartitions(partitionFilters).listFiles(Nil, dataFilters)
+
+  override def inputFiles: Array[String] = filterPartitions(Nil).inputFiles
+
+  override def allFiles(): Seq[FileStatus] = filterPartitions(Nil).allFiles()
+
+  /** Catalog stats drive the scan's `sizeInBytes` (and therefore
+    * broadcast-vs-shuffle join selection) without touching the FS — the
+    * role of `CatalogStatistics` in the reference (V2Table.scala:56). */
+  override def sizeInBytes: Long =
+    meta.stats.map(_.sizeInBytes)
+      .orElse(Some(meta.partitions.map(_.sizeInBytes).sum).filter(_ > 0))
+      .getOrElse(super.sizeInBytes)
+
+  def filterPartitions(filters: Seq[Expression]): InMemoryFileIndex = {
+    val spec = partitionSpec()
+    val pruned =
+      if (filters.isEmpty) spec
+      else {
+        val ps = spec.partitionColumns
+        val bound = filters.reduce(And).transform {
+          case a: AttributeReference =>
+            val idx = ps.indexWhere(f =>
+              sparkSession.sessionState.conf.resolver(f.name, a.name))
+            require(idx >= 0, s"partition filter column ${a.name} not in $ps")
+            BoundReference(idx, ps(idx).dataType, nullable = true)
+        }
+        val predicate = Predicate.createInterpreted(bound)
+        predicate.initialize(0)
+        PartitionSpec(ps, spec.partitions.filter(p => predicate.eval(p.values)))
+      }
+    new InMemoryFileIndex(sparkSession,
+      rootPathsSpecified = pruned.partitions.map(_.path),
+      parameters = Map.empty,
+      userSpecifiedSchema = Some(pruned.partitionColumns),
+      fileStatusCache = fileStatusCache,
+      userSpecifiedPartitionSpec = Some(pruned))
+  }
+
+  // Leaf-level listing is fully delegated to the pruned InMemoryFileIndex
+  // above; these PartitioningAwareFileIndex internals are never reached.
+  override protected def leafFiles: mutable.LinkedHashMap[Path, FileStatus] =
+    throw new UnsupportedOperationException("delegated to pruned InMemoryFileIndex")
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    throw new UnsupportedOperationException("delegated to pruned InMemoryFileIndex")
+}

@@ -1,0 +1,202 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchPartitionException, PartitionsAlreadyExistException}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.csv.CSVScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.json.JsonScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.write.GraftWriteBuilder
+
+/** A catalog table: `SupportsRead` + `SupportsWrite` +
+  * `SupportsAtomicPartitionManagement` over parquet/csv/json files — the
+  * role of the reference's `V2Table`
+  * (/root/reference/.../V2Table.scala:31,45-47), with the Hive-SerDe scan
+  * machinery replaced by Spark's built-in columnar file scans (the
+  * reference itself delegates CSV/JSON exactly this way,
+  * V2Table.scala:63-64).
+  *
+  * Scan dispatch (R11): partitioned tables get the catalog-pruned
+  * [[GraftFileIndex]]; unpartitioned tables a plain `InMemoryFileIndex`
+  * over the location — mirroring V2Table.scala:51-68. Parquet scans are
+  * vectorized/columnar with predicate pushdown + column pruning for free.
+  */
+class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
+  extends Table
+  with SupportsRead
+  with SupportsWrite
+  with SupportsAtomicPartitionManagement {
+
+  private def spark: SparkSession = SparkSession.active
+  private def store: MetaStore = catalog.metaStore
+
+  override def name(): String = s"${catalog.name}.$db.${meta.name}"
+
+  override def schema(): StructType = meta.schema
+
+  override def partitioning(): Array[Transform] =
+    meta.partitionColumns.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] = {
+    val base = meta.properties ++ Map(
+      TableCatalog.PROP_PROVIDER -> meta.provider,
+      TableCatalog.PROP_LOCATION -> meta.location) ++
+      (if (meta.external) Map(TableCatalog.PROP_EXTERNAL -> "true") else Map.empty)
+    base.asJava
+  }
+
+  /** Reference capability set (V2Table.scala:45-47). */
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
+    TableCapability.BATCH_READ,
+    TableCapability.BATCH_WRITE,
+    TableCapability.TRUNCATE,
+    TableCapability.OVERWRITE_BY_FILTER,
+    TableCapability.OVERWRITE_DYNAMIC)
+
+  // --- read --------------------------------------------------------------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val cache = FileStatusCache.getOrCreate(spark)
+    val index: PartitioningAwareFileIndex =
+      if (meta.isPartitioned && meta.partitions.nonEmpty)
+        new GraftFileIndex(spark, meta, cache)
+      else
+        new InMemoryFileIndex(spark, Seq(new Path(meta.location)),
+          meta.properties, Some(meta.schema), cache)
+    // Table properties (e.g. csv header/delimiter) flow into the scan as
+    // read options, caller options win.
+    val opts = new CaseInsensitiveStringMap(
+      (meta.properties ++ options.asScala).asJava)
+    meta.provider match {
+      case "parquet" => ParquetScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
+      case "csv" => CSVScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
+      case "json" => JsonScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
+      case other => throw new IllegalStateException(s"unsupported provider $other")
+    }
+  }
+
+  // --- write -------------------------------------------------------------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(spark, store, db, meta, info)
+
+  // --- partition management (R18, V2Table.scala:80-113) -------------------
+
+  override def partitionSchema(): StructType = meta.partitionSchema
+
+  private def specOf(ident: InternalRow): Map[String, String] = {
+    val ps = meta.partitionSchema
+    ps.fields.zipWithIndex.map { case (f, i) =>
+      val v = Cast(Literal(ident.get(i, f.dataType), f.dataType), StringType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      f.name -> (if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                 else v.asInstanceOf[UTF8String].toString)
+    }.toMap
+  }
+
+  private def fresh: TableMeta = store.loadTable(db, meta.name)
+
+  override def createPartitions(
+      idents: Array[InternalRow],
+      properties: Array[util.Map[String, String]]): Unit = {
+    val current = fresh
+    val specs = idents.map(specOf)
+    val dupIdents = idents.zip(specs)
+      .filter { case (_, s) => current.partitions.exists(_.spec == s) }.map(_._1)
+    if (dupIdents.nonEmpty) throw new PartitionsAlreadyExistException(
+      name(), dupIdents.toSeq, meta.partitionSchema)
+    val added = specs.zip(properties).map { case (spec, props) =>
+      val loc = Option(props.get(TableCatalog.PROP_LOCATION))
+      val dir = loc.map(new Path(_)).getOrElse(defaultPartitionDir(current, spec))
+      dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
+      PartitionMeta(spec, loc, 0L)
+    }
+    store.saveTable(db, current.copy(partitions = current.partitions ++ added))
+  }
+
+  override def dropPartitions(idents: Array[InternalRow]): Boolean = {
+    val current = fresh
+    val specs = idents.map(specOf).toSet
+    val (dropped, kept) = current.partitions.partition(p => specs.contains(p.spec))
+    if (dropped.size < specs.size) return false
+    // Managed tables own their data; EXTERNAL tables retain it — the
+    // reference's rule (V2Table.scala:92-98).
+    if (!current.external) {
+      val fs = new Path(current.location).getFileSystem(spark.sessionState.newHadoopConf())
+      dropped.foreach { p =>
+        fs.delete(p.location.map(new Path(_)).getOrElse(defaultPartitionDir(current, p.spec)), true)
+      }
+    }
+    val remaining = kept
+    store.saveTable(db, current.copy(
+      partitions = remaining,
+      stats = Some(TableStats(remaining.map(_.sizeInBytes).sum, None))))
+    FileStatusCache.getOrCreate(spark).invalidateAll()
+    true
+  }
+
+  override def replacePartitionMetadata(
+      ident: InternalRow, properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("replacePartitionMetadata not supported")
+
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
+    val spec = specOf(ident)
+    val current = fresh
+    current.partitions.find(_.spec == spec) match {
+      case Some(p) => Map(
+        TableCatalog.PROP_LOCATION ->
+          p.location.getOrElse(defaultPartitionDir(current, spec).toString)).asJava
+      case None => throw new NoSuchPartitionException(db, meta.name, spec)
+    }
+  }
+
+  /** Prefix-spec filter with typed values cast back with the session
+    * timezone (V2Table.scala:108-113). */
+  override def listPartitionIdentifiers(
+      names: Array[String], ident: InternalRow): Array[InternalRow] = {
+    val ps = meta.partitionSchema
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val wanted = names.zipWithIndex.map { case (n, i) =>
+      val fi = ps.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+      require(fi >= 0, s"$n is not a partition column of ${name()}")
+      val v = Cast(Literal(ident.get(i, ps(fi).dataType), ps(fi).dataType),
+        StringType, Some(tz)).eval(null)
+      ps(fi).name -> (if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                      else v.asInstanceOf[UTF8String].toString)
+    }.toMap
+    fresh.partitions
+      .filter(p => wanted.forall { case (k, v) => p.spec.get(k).contains(v) })
+      .map { p =>
+        InternalRow.fromSeq(ps.map { f =>
+          val raw = p.spec.getOrElse(f.name, null)
+          if (raw == null || raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+          else Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
+            Some(tz)).eval(null)
+        })
+      }.toArray
+  }
+
+  private def defaultPartitionDir(current: TableMeta, spec: Map[String, String]): Path =
+    current.partitionColumns.foldLeft(new Path(current.location)) { (dir, col) =>
+      new Path(dir, ExternalCatalogUtils.getPartitionPathString(col,
+        spec.getOrElse(col, spec.find(_._1.equalsIgnoreCase(col)).map(_._2)
+          .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))))
+    }
+}

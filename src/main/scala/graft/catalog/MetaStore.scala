@@ -17,9 +17,17 @@ case class TableStats(sizeInBytes: Long, numRows: Option[Long])
 /** One Hive-style partition: values keyed by partition column name (all
   * values path-string-encoded), plus an optional custom location —
   * mirroring `TablePartitionSpec` + per-partition locations in the
-  * reference (/root/reference/.../V2Table.scala:80-86).
+  * reference (/root/reference/.../V2Table.scala:80-86). `sizeInBytes` is
+  * maintained per partition so table stats update incrementally after a
+  * write (sum of partition sizes — the SPARK-21079 approach the reference
+  * uses in CatalogUtil.scala:13-26) instead of re-scanning the whole
+  * table, which matters when the table is 100 TB and a write touches one
+  * partition.
   */
-case class PartitionMeta(spec: Map[String, String], location: Option[String])
+case class PartitionMeta(
+    spec: Map[String, String],
+    location: Option[String],
+    sizeInBytes: Long = 0L)
 
 /** Persistent table descriptor. `schemaJson` is the Spark `StructType`
   * JSON (data columns first, partition columns trailing — the file-source
@@ -198,7 +206,8 @@ object MetaStore {
     val parts: JValue = JArray(m.partitions.map { p =>
       JObject(List(
         "spec" -> mapToJson(p.spec),
-        "location" -> p.location.map(JString(_): JValue).getOrElse(JNull)))
+        "location" -> p.location.map(JString(_): JValue).getOrElse(JNull),
+        "sizeInBytes" -> JLong(p.sizeInBytes)))
     }.toList)
     val root = JObject(List(
       "name" -> JString(m.name),
@@ -230,7 +239,12 @@ object MetaStore {
     val parts = (j \ "partitions") match {
       case JArray(items) => items.map { it =>
         val loc = (it \ "location") match { case JString(v) => Some(v); case _ => None }
-        PartitionMeta(jsonToMap(it \ "spec"), loc)
+        val size = (it \ "sizeInBytes") match {
+          case JLong(v) => v
+          case JInt(v) => v.toLong
+          case _ => 0L
+        }
+        PartitionMeta(jsonToMap(it \ "spec"), loc, size)
       }
       case _ => Nil
     }

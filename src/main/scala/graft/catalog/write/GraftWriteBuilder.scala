@@ -1,0 +1,307 @@
+package graft.catalog.write
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.Job
+import org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
+
+import org.apache.spark.internal.io.FileCommitProtocol
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.{FileFormat, FileStatusCache, WriteJobDescription, WriteTaskResult}
+import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
+import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileBatchWrite
+import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe, EqualTo, Filter}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.catalog.{MetaStore, PartitionMeta, TableMeta, TableStats}
+
+/** Write modes, resolved from the `WriteBuilder` mixin calls the Catalyst
+  * write plans make (AppendData / OverwriteByExpression /
+  * OverwritePartitionsDynamic). */
+private[write] sealed trait WriteMode
+private[write] case object Append extends WriteMode
+private[write] case object Truncate extends WriteMode
+private[write] case class StaticOverwrite(spec: Map[String, String]) extends WriteMode
+private[write] case object DynamicOverwrite extends WriteMode
+
+/** Write builder (R14-R16): append, truncate, static-partition overwrite
+  * (filter unwrap semantics of the reference,
+  * /root/reference/.../HiveFileFormatWriteBuilder.scala:179-206, incl. the
+  * `AlwaysTrue` truncate case) and dynamic partition overwrite.
+  *
+  * File IO is delegated to Spark's own per-task writer machinery
+  * (`FileWriterFactory` → `SingleDirectoryDataWriter` /
+  * `DynamicPartitionDataSingleWriter` via [[FileBatchWrite]]) — the same
+  * delegation the reference does through `FileBatchWrite`
+  * (HiveFileBatchWrite.scala:18). Dynamic overwrite rides the commit
+  * protocol's staging-dir mode (partition dirs are replaced atomically at
+  * job commit), which is exactly Spark's own dynamic-overwrite
+  * implementation and therefore correct under task retries at cluster
+  * scale.
+  */
+class GraftWriteBuilder(
+    spark: SparkSession,
+    store: MetaStore,
+    db: String,
+    meta: TableMeta,
+    info: LogicalWriteInfo)
+  extends WriteBuilder
+  with SupportsTruncate
+  with SupportsOverwrite
+  with SupportsDynamicOverwrite {
+
+  private var mode: WriteMode = Append
+
+  override def truncate(): WriteBuilder = { mode = Truncate; this }
+
+  /** Unwrap the delete predicate into a static partition spec — only
+    * `And`/`EqualTo`/`EqualNullSafe` over partition columns qualify, with
+    * `AlwaysTrue` meaning full truncate (the reference's exact rule,
+    * HiveFileFormatWriteBuilder.scala:181-200). */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.sameElements(Array(AlwaysTrue))) {
+      mode = Truncate
+    } else {
+      def unwrap(f: Filter): Seq[(String, String)] = f match {
+        case And(l, r) => unwrap(l) ++ unwrap(r)
+        case EqualTo(col, v) => Seq(col -> String.valueOf(v))
+        case EqualNullSafe(col, v) => Seq(col -> String.valueOf(v))
+        case _: AlwaysTrue => Seq.empty
+        case other => throw new UnsupportedOperationException(
+          s"overwrite supports only static partition predicates, got: $other")
+      }
+      val spec = filters.flatMap(unwrap).toMap
+      spec.keys.foreach { c =>
+        require(meta.partitionColumns.exists(_.equalsIgnoreCase(c)),
+          s"overwrite filter column $c is not a partition column of ${meta.name}")
+      }
+      mode = StaticOverwrite(spec)
+    }
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(meta.isPartitioned,
+      s"dynamic overwrite requires a partitioned table: ${meta.name}")
+    mode = DynamicOverwrite
+    this
+  }
+
+  override def build(): Write = new GraftWrite(spark, store, db, meta, info, mode)
+}
+
+/** The physical write: required clustering/ordering by partition columns
+  * (so each task writes few, large files per partition — the property
+  * that keeps a 100 TB write from producing millions of tiny files), then
+  * a [[FileBatchWrite]] delegate wrapped in the two-phase commit. */
+class GraftWrite(
+    spark: SparkSession,
+    store: MetaStore,
+    db: String,
+    meta: TableMeta,
+    info: LogicalWriteInfo,
+    mode: WriteMode)
+  extends Write with RequiresDistributionAndOrdering {
+
+  private val partCols = meta.partitionColumns
+
+  override def requiredDistribution(): Distribution =
+    if (partCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(partCols.map(c =>
+      Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] =
+    partCols.map(c =>
+      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+
+  override def toBatch: BatchWrite = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val conf = spark.sessionState.conf
+    val schema = info.schema()
+    val fs = new Path(meta.location).getFileSystem(hadoopConf)
+
+    // Schema validation (R14/R15): duplicate columns + the per-format type
+    // gate (CSV rejects nested types, JSON/parquet accept them) — the
+    // reference's DataSource.validateSchema pattern
+    // (CsvProviderFileWriteBuilder.scala:46-52, JsonProviderFileWriteBuilder.scala:46-57).
+    val names = schema.fieldNames.map(_.toLowerCase)
+    require(names.distinct.length == names.length,
+      s"duplicate column names in write schema: ${schema.fieldNames.mkString(",")}")
+    val format: FileFormat = meta.provider match {
+      case "parquet" => new ParquetFileFormat
+      case "csv" => new CSVFileFormat
+      case "json" => new JsonFileFormat
+      case other => throw new IllegalStateException(s"unsupported provider $other")
+    }
+    val partSet = partCols.map(_.toLowerCase).toSet
+    val dataFields = schema.fields.filterNot(f => partSet.contains(f.name.toLowerCase))
+    dataFields.foreach { f =>
+      require(format.supportDataType(f.dataType),
+        s"${meta.provider} does not support column ${f.name} of type ${f.dataType.sql}")
+    }
+
+    // Pre-write deletes for truncate / static overwrite — same upfront
+    // semantics as Spark's own InsertIntoHadoopFsRelation and the
+    // reference (HiveFileFormatWriteBuilder.scala:105-110).
+    mode match {
+      case Truncate =>
+        if (fs.exists(new Path(meta.location))) {
+          fs.listStatus(new Path(meta.location)).foreach(s => fs.delete(s.getPath, true))
+        }
+      case StaticOverwrite(spec) =>
+        staticMatchDirs(meta, spec).foreach(d => fs.delete(d, true))
+      case _ =>
+    }
+
+    val job = Job.getInstance(hadoopConf)
+    job.setOutputKeyClass(classOf[Void])
+    job.setOutputValueClass(classOf[InternalRow])
+    FileOutputFormat.setOutputPath(job, new Path(meta.location))
+
+    val committer = FileCommitProtocol.instantiate(
+      conf.fileCommitProtocolClass,
+      jobId = UUID.randomUUID().toString,
+      outputPath = meta.location,
+      dynamicPartitionOverwrite = mode == DynamicOverwrite)
+
+    val factory = format.prepareWrite(spark, job,
+      meta.properties ++ info.options.asScala, DataTypeUtils.fromAttributes(
+        DataTypeUtils.toAttributes(schema)
+          .filterNot(a => partSet.contains(a.name.toLowerCase))))
+
+    val allAttrs = DataTypeUtils.toAttributes(schema)
+    val dataAttrs = allAttrs.filterNot(a => partSet.contains(a.name.toLowerCase))
+    val partAttrs = partCols.map(c => allAttrs.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      throw new IllegalArgumentException(s"partition column $c missing from write schema")))
+
+    val description = new WriteJobDescription(
+      UUID.randomUUID().toString,
+      new SerializableConfiguration(job.getConfiguration),
+      factory,
+      allAttrs,
+      dataAttrs,
+      partAttrs,
+      None,
+      meta.location,
+      Map.empty,
+      conf.maxRecordsPerFile,
+      conf.sessionLocalTimeZone,
+      Seq.empty)
+
+    committer.setupJob(job)
+    new GraftBatchWrite(new FileBatchWrite(job, description, committer),
+      spark, store, db, meta, mode)
+  }
+
+  private def staticMatchDirs(current: TableMeta, spec: Map[String, String]): Seq[Path] = {
+    val tracked = current.partitions
+      .filter(p => spec.forall { case (k, v) =>
+        p.spec.exists { case (pk, pv) => pk.equalsIgnoreCase(k) && pv == v } })
+      .map(p => p.location.map(new Path(_)).getOrElse(
+        GraftBatchWrite.partitionDir(current, p.spec)))
+    // Also the literal dir for a full spec, covering files written outside
+    // catalog tracking.
+    val literal =
+      if (spec.size == current.partitionColumns.size)
+        Seq(GraftBatchWrite.partitionDir(current,
+          current.partitionColumns.map(c => c ->
+            spec.find(_._1.equalsIgnoreCase(c)).map(_._2).get).toMap))
+      else Seq.empty
+    (tracked ++ literal).distinct
+  }
+}
+
+/** Two-phase commit (R17): filesystem commit first (task files published
+  * or staged partition dirs swapped in), then the catalog commit — new
+  * partitions diffed from the tasks' `WriteTaskResult.updatedPartitions`
+  * (never a full listing — the reference's partition-diff at
+  * HiveFileBatchWrite.scala:36-43), per-partition sizes and table stats
+  * updated incrementally (R19, CatalogUtil.scala:13-26). */
+class GraftBatchWrite(
+    inner: FileBatchWrite,
+    spark: SparkSession,
+    store: MetaStore,
+    db: String,
+    meta: TableMeta,
+    mode: WriteMode)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    inner.createBatchWriterFactory(info)
+
+  /** No commit coordinator, as in the reference (HiveFileBatchWrite.scala:25):
+    * the commit protocol's task-attempt paths already make commits safe. */
+  override def useCommitCoordinator(): Boolean = false
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    inner.commit(messages)
+
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fs = new Path(meta.location).getFileSystem(hadoopConf)
+    def sizeOf(p: Path): Long =
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+
+    val current = store.loadTable(db, meta.name)
+    val updated =
+      if (current.partitionColumns.isEmpty) {
+        current.copy(stats =
+          Some(TableStats(sizeOf(new Path(current.location)), None)))
+      } else {
+        val writtenSpecs = messages.toSeq
+          .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
+          .flatten.distinct
+          .map(GraftBatchWrite.parseFragment(current, _))
+        val written = writtenSpecs.map { spec =>
+          val dir = GraftBatchWrite.partitionDir(current, spec)
+          PartitionMeta(spec, None, sizeOf(dir))
+        }
+        val base = mode match {
+          case Truncate => Nil
+          case StaticOverwrite(spec) => current.partitions.filterNot(p =>
+            spec.forall { case (k, v) =>
+              p.spec.exists { case (pk, pv) => pk.equalsIgnoreCase(k) && pv == v } })
+          case _ => current.partitions
+        }
+        val merged = base.filterNot(p => written.exists(_.spec == p.spec)) ++ written
+        current.copy(
+          partitions = merged,
+          stats = Some(TableStats(merged.map(_.sizeInBytes).sum, None)))
+      }
+    store.saveTable(db, updated)
+    FileStatusCache.getOrCreate(spark).invalidateAll()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    inner.abort(messages)
+}
+
+object GraftBatchWrite {
+  /** `col=v/col2=v2` path fragment → spec, unescaping Hive path encoding,
+    * normalizing column case against the declared partition columns. */
+  def parseFragment(meta: TableMeta, fragment: String): Map[String, String] =
+    fragment.split("/").filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      val col = meta.partitionColumns.find(_.equalsIgnoreCase(
+        ExternalCatalogUtils.unescapePathName(k))).getOrElse(
+        ExternalCatalogUtils.unescapePathName(k))
+      col -> ExternalCatalogUtils.unescapePathName(v)
+    }.toMap
+
+  def partitionDir(meta: TableMeta, spec: Map[String, String]): Path =
+    meta.partitionColumns.foldLeft(new Path(meta.location)) { (dir, col) =>
+      new Path(dir, ExternalCatalogUtils.getPartitionPathString(col,
+        spec.getOrElse(col, spec.find(_._1.equalsIgnoreCase(col)).map(_._2)
+          .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))))
+    }
+}
