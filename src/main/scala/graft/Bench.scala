@@ -1,5 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness (SURVEY.md §6): runs the full declared inventory at
+  * `SPARK_GRAFT_SF_DIR`, prints one JSON line.
+  *
+  * Measurement validity (round-3 verdict, "What's wrong" #2):
+  *  - every query executes through the `noop` sink, which consumes every
+  *    row of the final physical plan — sorts, projections and limits all
+  *    run, unlike `count()` which lets Catalyst prune unreferenced
+  *    columns and drop top-level orderings;
+  *  - one full warm-up pass first, so JIT/codegen compilation and the
+  *    shared FileStatusCache don't land on whichever query happens to run
+  *    first;
+  *  - failures propagate: a broken query aborts the bench with a nonzero
+  *    exit instead of being recorded as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +23,25 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def execute(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(execute) // warm-up pass (unmeasured)
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      execute(name)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

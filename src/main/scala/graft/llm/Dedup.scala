@@ -1,0 +1,187 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextOps._
+
+/** Document deduplication operators (SURVEY.md §7.1): exact, n-gram
+  * Jaccard, MinHash-LSH, SimHash. All are reusable DataFrame → DataFrame
+  * functions (not queries) — [[LlmQueries]] wraps them into the declared
+  * inventory.
+  *
+  * 100 TB posture, per operator:
+  *  - exact: one shuffle on a 64-hex-char hash key (never on the full
+  *    text); map-side partial aggregation collapses most groups before
+  *    the exchange.
+  *  - n-gram Jaccard: inverted-index self-join on the *shingle* key —
+  *    never an all-pairs cross join. Cost is Σ df(s)² over shingles, so
+  *    ultra-common shingles are the skew risk; `maxShingleDf` caps them
+  *    (stopword trigrams carry no dedup signal). AQE skew-join handles
+  *    the residual imbalance.
+  *  - MinHash-LSH: the standard banding scheme — signatures shrink every
+  *    doc to k longs, candidates come from equality joins on band keys
+  *    (shuffle on band hash), and only candidates get exact verification.
+  *    This is the O(n·near-dups) scale path; the Jaccard join above is
+  *    the exactness baseline.
+  *  - SimHash: 64-bit fingerprints, candidates via the 4×16-bit block
+  *    pigeonhole trick (hamming ≤ 3 ⇒ at least one identical block ⇒
+  *    equality-join on block values — no pairwise hamming scan).
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content hash: one row per distinct
+    * content, keeping the smallest id. sha2-256 over the normalized text
+    * makes the group key fixed-width — the shuffle carries 64-char keys,
+    * not document bodies. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        sha2(normText(col(textCol)), 256).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact near-duplicate pairs by word-n-gram Jaccard ≥ tau, via
+    * inverted-index join (shingle → docs) — the exactness baseline the
+    * approximate operators below are verified against. */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.8, maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(tokens(col(textCol)), n)).as("s"))
+    val pruned = maxShingleDf match {
+      case Some(cap) =>
+        // Drop shingles present in more than `cap` docs: at corpus scale a
+        // stopword trigram can appear in millions of docs and its df²
+        // join blow-up dominates the stage, while contributing nothing to
+        // near-dup detection. (Changes semantics slightly — off by
+        // default so the oracle-gated query stays exact.)
+        val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        sh.join(df.filter(col("df") <= cap), "s").select("doc_id", "s")
+      case None => sh
+    }
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("c")))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"),
+        (round(col("jaccard") * 10000) / 10000).as("jaccard"))
+  }
+
+  /** Fixed pseudo-random odd multipliers/offsets for the MinHash
+    * permutation family h_i(x) = a_i·x + b_i over Z/2^64 (wraparound
+    * multiply-shift hashing). Seeded so signatures are stable across
+    * runs and executors. */
+  private def perms(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signatures: k permutation-minima per doc over the shingle
+    * set. One aggregation — k `min` columns — per doc; signature size is
+    * k longs regardless of doc length. */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(tokens(col(textCol)), n)).as("s"))
+    val base = xxhash64(col("s"))
+    val mins = perms(k).zipWithIndex.map { case ((a, b), i) =>
+      min(base * a + b).as(s"h$i")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs: banding (bands × rowsPerBand = k)
+    * proposes candidates, then every candidate pair is verified with the
+    * *exact* Jaccard over the shingle sets — so the output is a subset of
+    * [[ngramJaccardPairs]] (identical with probability
+    * 1-(1-tau^r)^b per true pair ≈ 1-8e-8 at the defaults), and the same
+    * SQL oracle gates both.
+    *
+    * The doc → shingle-set join for verification touches only candidate
+    * ids — at scale the candidate set is O(near-dup pairs), not O(n²).
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.8, bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    val bandKeys = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      hash(rows :+ lit(b): _*)
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+
+    val sets = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), n)).as("s"))
+      .groupBy("doc_id").agg(collect_set("s").as("set"))
+    cands
+      .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("inter", size(array_intersect(col("s1.set"), col("s2.set"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("s1.set")) + size(col("s2.set")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"),
+        (round(col("jaccard") * 10000) / 10000).as("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprints: per token-hash bit, sum +w/−w over the
+    * doc's token multiset; bit j of the fingerprint is the sign. Exact
+    * duplicates always collide; near-duplicates land within small
+    * hamming distance. Hash-function-dependent by nature, so gated by
+    * property tests rather than a SQL oracle. */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
+    val h = xxhash64(col("t"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, col("w"))
+        .otherwise(-col("w"))).as(s"b$j")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fingerprint = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce[Column](_ + _)
+    sums.select(col("doc_id"), fingerprint.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming,
+    * candidates via the block pigeonhole: split the 64-bit fingerprint
+    * into 4 blocks of 16; any pair within hamming ≤ 3 shares at least one
+    * exact block, so an equality join on (block index, block value)
+    * finds all of them without a pairwise scan. */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(docs, idCol, textCol)
+    val blocks = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("block", "v")))
+    blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.block") === col("y.block") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftBootstrap, Tables}
+import graft.functions.GraftFunctions
+import graft.operators.RelationalQueries.r2
+
+/** Queries that exercise the engine surface itself — the write path
+  * (Q24, SURVEY.md §2.3) and the declared UDF surface (q25/q26) — rather
+  * than Spark's relational operators.
+  */
+object EngineQueries {
+
+  // ---------------------------------------------------------------- Q24
+  /** Write round-trip through the DSv2 write path (R14–R17): CTAS a
+    * managed table partitioned by o_orderpriority → INSERT OVERWRITE one
+    * static partition with adjusted rows → read back ordered.
+    *
+    * Exercises: createTable with an identity transform, append write with
+    * required clustering on the partition column, overwrite-by-filter
+    * unwrap (`EqualTo` → static partition spec,
+    * /root/reference/.../HiveFileFormatWriteBuilder.scala:190-200), the
+    * two-phase FS+catalog commit, partition registration from
+    * `WriteTaskResult.updatedPartitions`, and the catalog-pruned read.
+    *
+    * Scale posture: the write shuffles by partition value before writing
+    * (RequiresDistributionAndOrdering), so each partition is written by
+    * few tasks as few large files; the overwrite deletes exactly one
+    * partition directory, never rewrites the table.
+    */
+  def q24_write_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q24_orders"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val orders = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+    orders.writeTo(tgt).partitionedBy($"o_orderpriority").create()
+    val adjusted = orders
+      .filter($"o_orderpriority" === "1-URGENT")
+      .withColumn("o_totalprice", r2($"o_totalprice" * 0.5))
+    adjusted.writeTo(tgt).overwrite($"o_orderpriority" === lit("1-URGENT"))
+    spark.table(tgt)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- Q25
+  /** UDAF: weighted mean of extendedprice by quantity per returnflag via
+    * the registered `Aggregator` (exact-integer-cents accumulation — see
+    * [[GraftFunctions.WeightedMean]] for why that makes the result
+    * bit-stable under any partitioning). */
+  def q25_udaf_weighted_mean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val wm = udaf(new GraftFunctions.WeightedMean)
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(wm($"l_extendedprice", $"l_quantity").as("w_mean_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- Q26
+  /** Scalar UDF: normalize document text. A UDF is deliberately the
+    * *only* non-codegen expression in the whole inventory — everything
+    * else uses built-ins (SURVEY §7.3 decision table); this query exists
+    * to cover the declared UDF surface. */
+  def q26_udf_normalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val normalize = udf(GraftFunctions.normalizeText _)
+    Tables(spark, dir, "documents")
+      .select($"doc_id", normalize($"text").as("norm_text"),
+        length(normalize($"text")).cast("long").as("norm_len"))
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_write_roundtrip" -> (q24_write_roundtrip _),
+    "q25_udaf_weighted_mean" -> (q25_udaf_weighted_mean _),
+    "q26_udf_normalize" -> (q26_udf_normalize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // The final table state is derivable from the source: untouched
+    // partitions keep their rows, the overwritten partition carries the
+    // adjusted price.
+    "q24_write_roundtrip" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |       THEN round((o_totalprice * 0.5) * 100) / 100
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Exact integer-cents weighted mean — identical arithmetic to the
+    // Aggregator: every intermediate is an integer exactly representable
+    // in a double, so accumulation order is irrelevant in both engines.
+    "q25_udaf_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  round(sum(round(l_extendedprice * 100) * l_quantity) / sum(l_quantity)) / 100
+        |    AS w_mean_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q26_udf_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       '\s+', ' ', 'g')) AS norm_text,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       '\s+', ' ', 'g'))) AS norm_len
+        | FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
