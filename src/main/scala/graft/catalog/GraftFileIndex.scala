@@ -33,6 +33,14 @@ class GraftFileIndex(
   private val timeZoneId = sparkSession.sessionState.conf.sessionLocalTimeZone
   private val tablePath = new Path(meta.location)
 
+  /** Spec paths must be FS-qualified (`file:/…`, `hdfs://nn/…`): the
+    * delegated listing groups leaf files under *qualified* directory
+    * paths, and an unqualified spec path never equals its qualified twin —
+    * every partition would silently list as empty. */
+  private def qualify(p: Path): Path =
+    p.getFileSystem(sparkSession.sessionState.newHadoopConf())
+      .makeQualified(p)
+
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
   override def refresh(): Unit = fileStatusCache.invalidateAll()
@@ -53,7 +61,7 @@ class GraftFileIndex(
           case None => null
         }
       })
-      PartitionPath(row, new Path(partitionLocation(p)))
+      PartitionPath(row, qualify(new Path(partitionLocation(p))))
     }
     PartitionSpec(ps, paths)
   }
