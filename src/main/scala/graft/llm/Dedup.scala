@@ -75,27 +75,19 @@ object Dedup {
         (round(col("jaccard") * 10000) / 10000).as("jaccard"))
   }
 
-  /** Fixed pseudo-random odd multipliers/offsets for the MinHash
-    * permutation family h_i(x) = a_i·x + b_i over Z/2^64 (wraparound
-    * multiply-shift hashing). Seeded so signatures are stable across
-    * runs and executors. */
-  private def perms(k: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
-  }
-
   /** MinHash signatures: k permutation-minima per doc over the shingle
-    * set. One aggregation — k `min` columns — per doc; signature size is
-    * k longs regardless of doc length. */
+    * set. The i-th hash function is `xxhash64(i, shingle)` — salting the
+    * 64-bit hash with the function index gives k independent functions
+    * without the wraparound multiply-shift arithmetic (which ANSI mode,
+    * Spark 4's default, rejects as long overflow). One aggregation — k
+    * `min` columns — per doc; signature size is k longs regardless of
+    * doc length. */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingles(tokens(col(textCol)), n)).as("s"))
-    val base = xxhash64(col("s"))
-    val mins = perms(k).zipWithIndex.map { case ((a, b), i) =>
-      min(base * a + b).as(s"h$i")
-    }
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
