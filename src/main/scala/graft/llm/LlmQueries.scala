@@ -55,12 +55,35 @@ object LlmQueries {
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("d1"), col("d2"))
 
+  // ---------------------------------------------------------------- q31
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors — the
+    * ANN exactness baseline: one corpus pass, query side broadcast by
+    * construction (fixed probe count, not SF-scaled). */
+  def q31_ann_cosine_topk(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Similarity.normalized(Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+    Similarity.cosineTopK(norm, norm.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** The LSH-bucketed scale path for the same probes: candidates from
+    * 8×4-bit sign-random-projection collisions, exact re-rank of
+    * candidates only. Approximate ⇒ rows-only gated; recall vs q31 is
+    * asserted in SimilaritySpec. */
+  def q32_ann_lsh_topk(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Similarity.normalized(Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+    Similarity.lshCosineTopK(norm, norm.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
     "q29_dedup_minhash_lsh" -> (q29_dedup_minhash_lsh _),
     "q30_dedup_simhash" -> (q30_dedup_simhash _),
+    "q31_ann_cosine_topk" -> (q31_ann_cosine_topk _),
+    "q32_ann_lsh_topk" -> (q32_ann_lsh_topk _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -100,6 +123,22 @@ object LlmQueries {
           | FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
       "q28_dedup_jaccard" -> (shingleCtes + "\n" + jaccardSelect),
       "q29_dedup_minhash_lsh" -> (shingleCtes + "\n" + jaccardSelect),
+      // Same left-to-right double summation as Similarity.dot — the two
+      // engines produce bit-identical sims, so ranks and rounded scores
+      // hash-match.
+      "q31_ann_cosine_topk" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+          | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+          | sims AS (
+          |  SELECT q_id, c.vec_id AS n_id,
+          |         list_sum([qv[i] * c.v[i] for i in range(1, len(qv)+1)]) / (qn * c.nrm) AS sim
+          |  FROM q, n c WHERE c.vec_id != q_id)
+          | SELECT q_id, n_id, rank, round(sim * 10000) / 10000 AS sim4 FROM (
+          |  SELECT q_id, n_id, sim,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+          |  FROM sims)
+          | WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     )
   }
 }

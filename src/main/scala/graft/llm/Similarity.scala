@@ -1,0 +1,103 @@
+package graft.llm
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §7.1):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * sign-random-projection LSH variant as the scale path.
+  *
+  * All arithmetic is double-precision higher-order-function composition
+  * (`zip_with` + `aggregate` — codegen'd, no UDFs) with a left-to-right
+  * summation order that DuckDB's list comprehension + `list_sum`
+  * reproduces bit-for-bit, so the exact variant is hash-gateable.
+  *
+  * 100 TB posture:
+  *  - brute force: the query set is a fixed small constant (top-k for a
+  *    handful of probes), so it broadcasts by construction — the corpus
+  *    is scanned exactly once with no shuffle; the only exchange is the
+  *    per-query top-k (WindowGroupLimit keeps ≤ k rows per query per map
+  *    task before the shuffle). This hint is NOT the round-3 antipattern:
+  *    the broadcast side's cardinality is query-count, not SF-scaled.
+  *  - LSH: corpus is bucketed once (`tables` codes per vector, an
+  *    equality-join key); queries probe only their own buckets, so the
+  *    exact re-rank touches the candidate set, not the corpus. Recall is
+  *    tunable via (tables × bits); [[graft.SimilaritySpec]] measures it
+  *    against the brute-force baseline.
+  */
+object Similarity {
+
+  /** Left-to-right dot product — the summation order contract shared
+    * with the DuckDB oracle. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Project (id, vector) to doubles and attach the L2 norm. */
+  def normalized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+
+  /** Exact cosine top-k of `corpus` for each row of `queries` (both in
+    * [[normalized]] layout). Output: (q_id, n_id, rank, sim4). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val sims = corpus.select(col("vec_id").as("n_id"), col("v"), col("nrm"))
+      .join(q, col("n_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        (round(col("sim") * 10000) / 10000).as("sim4"))
+  }
+
+  /** Seeded ±1 hyperplanes: `tables` hash tables of `bits` planes each.
+    * Fixed seed ⇒ identical buckets on every executor and every run. */
+  private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Seq[Double]]] = {
+    val rnd = new Random(42)
+    Array.fill(tables, bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Attach per-table LSH bucket codes: bit b of table t's code is the
+    * sign of the projection onto plane (t,b). Rows: (vec_id, v, nrm,
+    * table, code) — one per (vector, table), ready for an equality join. */
+  def lshBucketed(norm: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
+    val ps = planes(tables, bits, dim)
+    val codes = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        when(dot(col("v"), typedlit(ps(t)(b))) >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce[Column](_ + _)
+    }
+    norm.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array(codes: _*)).as(Seq("table", "code")))
+  }
+
+  /** Approximate cosine top-k: candidates from LSH bucket collisions in
+    * any table, exact re-rank of candidates only. Same output shape as
+    * [[cosineTopK]]; recall < 1 by design (property-gated, not
+    * hash-gated). */
+  def lshCosineTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val c = lshBucketed(corpus, tables, bits, dim)
+      .select(col("vec_id").as("n_id"), col("v"), col("nrm"), col("table"), col("code"))
+    val q = broadcast(lshBucketed(queries, tables, bits, dim)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("table"), col("code")))
+    val cands = c.join(q, Seq("table", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("qn"), col("n_id"), col("v"), col("nrm"))
+      .dropDuplicates("q_id", "n_id")
+    val sims = cands.withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        (round(col("sim") * 10000) / 10000).as("sim4"))
+  }
+}
