@@ -76,6 +76,41 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q33
+  /** Language-ID confusion matrix: stopword-marker heuristic prediction
+    * vs the fixture's ground-truth `lang` label. */
+  def q33_lang_id(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLangId(docs(spark, dir), "text")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  // ---------------------------------------------------------------- q34
+  /** Per-doc quality features + composite score. */
+  def q34_text_quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQuality(docs(spark, dir), "text")
+      .select(col("doc_id"), col("n_tokens"), col("avg_tok_len"),
+        col("punct_ratio"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q35
+  /** Per-language token-count rollup (whitespace + BPE-ish subtokens). */
+  def q35_token_counts(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withTokenCounts(docs(spark, dir), "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("sum_ws_tokens"),
+        sum(col("n_subtokens")).as("sum_subtokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  // ---------------------------------------------------------------- q36
+  /** Per-doc polynomial rolling-hash fingerprint. */
+  def q36_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withFingerprint(docs(spark, dir), "text")
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> (q27_dedup_exact _),
@@ -84,6 +119,10 @@ object LlmQueries {
     "q30_dedup_simhash" -> (q30_dedup_simhash _),
     "q31_ann_cosine_topk" -> (q31_ann_cosine_topk _),
     "q32_ann_lsh_topk" -> (q32_ann_lsh_topk _),
+    "q33_lang_id" -> (q33_lang_id _),
+    "q34_text_quality" -> (q34_text_quality _),
+    "q35_token_counts" -> (q35_token_counts _),
+    "q36_fingerprint" -> (q36_fingerprint _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -139,6 +178,65 @@ object LlmQueries {
           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
           |  FROM sims)
           | WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      "q33_lang_id" ->
+        """WITH t AS (
+          |  SELECT lang,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents),
+          | s AS (
+          |  SELECT lang,
+          |    len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS s_en,
+          |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+          |    len(list_filter(toks, x -> list_contains(['el','los','las','y','es','una'], x))) AS s_es,
+          |    len(list_filter(toks, x -> list_contains(['le','les','et','est','une','dans'], x))) AS s_fr,
+          |    len(list_filter(toks, x -> list_contains(['的','是','在','了'], x))) AS s_zh
+          |  FROM t),
+          | p AS (
+          |  SELECT lang,
+          |    CASE
+          |      WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          |      WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          |      WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+          |      WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+          |      ELSE 'und' END AS pred_lang
+          |  FROM s)
+          | SELECT lang, pred_lang, count(*) AS cnt FROM p
+          | GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+      "q34_text_quality" ->
+        """WITH t AS (
+          |  SELECT doc_id, lower(text) AS low,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents)
+          | SELECT doc_id,
+          |  len(toks) AS n_tokens,
+          |  round((CAST(list_sum([len(x) for x in toks]) AS DOUBLE) / len(toks)) * 10000) / 10000
+          |    AS avg_tok_len,
+          |  round((1.0 - CAST(length(low) - length(regexp_replace(low, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          |               / length(low)) * 10000) / 10000 AS punct_ratio,
+          |  round((CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+          |         / len(toks)) * 10000) / 10000 AS stop_ratio,
+          |  round((least(1.0, len(toks) / 100.0)
+          |         * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+          |                  / len(toks))) * 10000) / 10000 AS quality
+          | FROM t ORDER BY doc_id""".stripMargin,
+      "q35_token_counts" ->
+        """WITH t AS (
+          |  SELECT lang,
+          |    len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_ws_tokens,
+          |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
+          |    length(text) AS n_chars
+          |  FROM documents)
+          | SELECT lang, count(*) AS n_docs, sum(n_ws_tokens) AS sum_ws_tokens,
+          |  sum(n_subtokens) AS sum_subtokens, sum(n_chars) AS sum_chars
+          | FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+      "q36_fingerprint" ->
+        """SELECT doc_id,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    [CAST(ascii(c) AS BIGINT)
+          |     for c in string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '')]),
+          |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+          | FROM documents ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextOps._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md
+  * §7.1): language ID, quality scoring, token counting, document
+  * fingerprinting. Pure built-in-function composition — codegen'd,
+  * shuffle-free (row-local projections), and every expression has a
+  * verbatim DuckDB mirror so the queries stay hash-gated.
+  *
+  * 100 TB posture: all four are embarrassingly parallel map work; cost
+  * is one scan. Only the corpus-level rollups (e.g. q35's per-language
+  * aggregate) shuffle, and those carry one row per group per partition
+  * after map-side combine.
+  */
+object TextAnalysis {
+
+  /** Stopword marker profiles for the n-gram language heuristic. Order =
+    * deterministic tiebreak priority. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "在", "了"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(markers), t))).cast("long")
+
+  /** Per-doc predicted language: argmax of marker-occurrence counts with
+    * the LangProfiles priority as tiebreak; 'und' when no marker hits. */
+  def withLangId(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = LangProfiles.foldLeft(docs) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang", markerCount(toks, markers))
+    }
+    val langs = LangProfiles.map(_._1)
+    val pred = langs.foldRight(lit("und"): Column) { (l, els) =>
+      val beats = langs.filter(_ != l)
+        .map(m => col(s"score_$l") >= col(s"score_$m"))
+        .reduce(_ && _)
+      when(col(s"score_$l") > 0 && beats, lit(l)).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  private def r4(c: Column): Column = round(c * 10000) / 10000
+
+  /** Per-doc quality features: token count, mean token length,
+    * punctuation ratio, stopword ratio, and a composite score. No
+    * transcendentals — products/divisions of identical doubles are
+    * bit-stable across engines. */
+  def withQuality(docs: DataFrame, textCol: String): DataFrame = {
+    val low = lower(col(textCol))
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val tokLenSum = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x).cast("double")
+    val nStop = size(filter(toks,
+      t => array_contains(typedlit(LangProfiles.toMap.apply("en")), t))).cast("double")
+    val punct = (length(low) - length(regexp_replace(low, "[a-z0-9 ]", ""))).cast("double")
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_tok_len", r4(tokLenSum / nTok))
+      .withColumn("punct_ratio", r4(lit(1.0) - punct / length(low).cast("double")))
+      .withColumn("stop_ratio", r4(nStop / nTok))
+      .withColumn("quality",
+        r4(least(lit(1.0), nTok / 100.0) * (lit(1.0) - nStop / nTok)))
+  }
+
+  /** Whitespace-token and BPE-ish subtoken counts ([a-z]+ | [0-9]+ |
+    * single non-alnum runs over the lowercased text). */
+  def withTokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_ws_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("n_subtokens",
+        size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long"))
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+
+  /** Polynomial rolling hash of the normalized text's character codes:
+    * h ← (h·31 + code) mod 1e9+7. The modulus keeps every intermediate
+    * < 2^35, so ANSI-mode long arithmetic never overflows, and the same
+    * fold runs in DuckDB's list_reduce. */
+  def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("fingerprint",
+      aggregate(
+        transform(
+          // drop the trailing "" Java's split-by-empty-regex appends
+          filter(split(normText(col(textCol)), ""), c => c =!= ""),
+          c => ascii(c).cast("long")),
+        lit(0L),
+        (h, c) => (h * 31 + c) % 1000000007L))
+}
