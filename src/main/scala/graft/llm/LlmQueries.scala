@@ -111,6 +111,24 @@ object LlmQueries {
       .select(col("doc_id"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q37
+  /** Multimodal pipeline: documents → opaque binary payloads + typed
+    * metadata → partition-local fake decode ([[Multimodal]]) → per-format
+    * feature rollup. Payload bytes never shuffle; only the extracted
+    * integer features do. */
+  def q37_multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaTable(docs(spark, dir))
+    Multimodal.extractFeatures(media)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("checksum")).as("checksum_sum"),
+        sum(col("n_frames")).as("sum_frames"),
+        (round(sum(col("level_sum")).cast("double") / sum(col("n_bytes")) * 10000) / 10000)
+          .as("mean_level"))
+      .orderBy(col("format"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> (q27_dedup_exact _),
@@ -123,6 +141,7 @@ object LlmQueries {
     "q34_text_quality" -> (q34_text_quality _),
     "q35_token_counts" -> (q35_token_counts _),
     "q36_fingerprint" -> (q36_fingerprint _),
+    "q37_multimodal" -> (q37_multimodal _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -237,6 +256,25 @@ object LlmQueries {
           |     for c in string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '')]),
           |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
           | FROM documents ORDER BY doc_id""".stripMargin,
+      // Payloads are UTF-8 bytes of pure-ASCII text, so byte values equal
+      // character codes and the fake decode mirrors exactly.
+      "q37_multimodal" ->
+        """WITH m AS (
+          |  SELECT doc_id,
+          |    CASE CAST(substr(source, 4) AS INT) % 4
+          |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
+          |      ELSE 'mp4' END AS format,
+          |    length(text) AS n_bytes,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+          |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
+          |    length(text) // 16 AS n_frames,
+          |    list_sum([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]) AS level_sum
+          |  FROM documents)
+          | SELECT format, count(*) AS n_media, sum(n_bytes) AS sum_bytes,
+          |  sum(checksum) AS checksum_sum, sum(n_frames) AS sum_frames,
+          |  round((CAST(sum(level_sum) AS DOUBLE) / sum(n_bytes)) * 10000) / 10000 AS mean_level
+          | FROM m GROUP BY format ORDER BY format""".stripMargin,
     )
   }
 }
