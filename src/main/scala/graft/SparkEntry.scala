@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llm.LlmQueries
 import graft.operators.{EngineQueries, EventWindowQueries, RelationalQueries}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +21,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventWindowQueries.queries ++
-      EngineQueries.queries ++ LlmQueries.queries
+      EngineQueries.queries ++ LlmQueries.queries ++ EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventWindowQueries.oracles ++
-      EngineQueries.oracles ++ LlmQueries.oracles
+      EngineQueries.oracles ++ LlmQueries.oracles ++ EventStreams.oracles
 }

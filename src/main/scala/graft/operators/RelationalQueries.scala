@@ -33,7 +33,7 @@ object RelationalQueries {
     * differs between the engines: Spark rounds the exact decimal expansion
     * of the double (42.714999999999996 → 42.71) while DuckDB multiplies
     * first (ties land exactly on .5 → 42.72). */
-  private[operators] def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c * 100) / 100
 
   /** Cross-engine deterministic 2-decimal average. Naive `round(avg(x), 2)`
@@ -42,7 +42,7 @@ object RelationalQueries {
     * decides the rounding. Going through integer cents —
     * `round(round(sum*100)/count)/100` — every step is a correctly-rounded
     * IEEE op on identical inputs, so both engines agree bit-for-bit. */
-  private[operators] def r2avg(sum: org.apache.spark.sql.Column,
+  private[graft] def r2avg(sum: org.apache.spark.sql.Column,
       cnt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(round(sum * 100) / cnt) / 100
 

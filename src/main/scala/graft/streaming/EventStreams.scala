@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.time.LocalDateTime
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.RelationalQueries.r2
+
+/** One event row in the typed streaming source (ts is naive —
+  * TIMESTAMP_NTZ — matching the fixture normalization in [[Tables]]). */
+case class Event(event_id: Long, ts: LocalDateTime, event_type: String, value: Double)
+
+/** Structured Streaming execution of the event-window inventory
+  * (SURVEY.md §2.3 S1/S5): the SAME windowed-aggregation expressions as
+  * the batch forms in EventWindowQueries, driven through a real
+  * `StreamingQuery` over a deterministic MemoryStream replay.
+  *
+  * Replay is the streaming analogue of the DuckDB gate: batch
+  * membership and watermark progression are fully determined by the
+  * fixture data (no wall-clock, no timers), so results are
+  * hash-comparable run-to-run and — for s05 — against a DuckDB oracle
+  * that models the late-drop rule in plain SQL.
+  *
+  * Scale posture: a production deployment replaces MemoryStream with
+  * `readStream` over the table directory; the aggregation state is
+  * partitioned by (window, event_type) group keys exactly as in batch,
+  * and the 10-minute watermark bounds state: windows older than
+  * `watermark - window size` are evicted every trigger. The driver-side
+  * `collect` here exists only to stage the deterministic replay.
+  */
+object EventStreams {
+
+  private val runId = new AtomicInteger(0)
+
+  private def collectEvents(spark: SparkSession, dir: String): Seq[Event] = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .select($"event_id", $"ts", $"event_type", $"value").as[Event]
+      .collect().toSeq
+  }
+
+  /** Feed `batches` one microbatch at a time through `transform` into a
+    * memory sink; returns the sink table after the query stops. */
+  private def replay(
+      spark: SparkSession,
+      batches: Seq[Seq[Event]],
+      transform: DataFrame => DataFrame,
+      mode: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val query = transform(src.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try batches.foreach { b => src.addData(b); query.processAllAvailable() }
+    finally query.stop()
+    spark.table(name)
+  }
+
+  /** The S1 aggregation, shared verbatim between s01b and s05. The
+    * output window start is presented as TIMESTAMP_NTZ either way (under
+    * the UTC session an instant↔naive cast preserves the wall time). */
+  private def tumblingAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  // --------------------------------------------------------------- s01b
+  /** S1 through a real StreamingQuery (complete mode, single replay
+    * batch): must produce byte-identical rows to the batch form — same
+    * DuckDB oracle as s01. */
+  def s01b_tumbling_stream(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, Seq(collectEvents(spark, dir)), tumblingAgg, "complete")
+      .orderBy(col("window_start"), col("event_type"))
+
+  // ---------------------------------------------------------------- s05
+  /** S5 watermark/late-data: rows with `event_id % 20 == 0` older than
+    * `max(ts) - 3h` are withheld from batch 1 and delivered late in
+    * batch 2. After batch 1 the watermark sits at `max(ts) - 10min`;
+    * every late row's window closed hours earlier, so ALL of them are
+    * dropped — the final answer aggregates batch 1 only, which is
+    * exactly what the DuckDB oracle states in SQL. A far-future sentinel
+    * batch advances the watermark so append mode flushes every real
+    * window; the sentinel's own (never-finalized) window is excluded. */
+  def s05_watermark_late(spark: SparkSession, dir: String): DataFrame = {
+    val events = collectEvents(spark, dir)
+    val maxTs = events.map(_.ts).max(Ordering.fromLessThan[LocalDateTime](_.isBefore(_)))
+    val cutoff = maxTs.minusHours(3)
+    val (late, onTime) = events.partition(e =>
+      e.event_id % 20 == 0 && !e.ts.isAfter(cutoff))
+    val sentinel = Event(-1L, maxTs.plusDays(1), "zzz_flush", 0.0)
+    // Watermarks demand an instant-typed event time (TIMESTAMP, not
+    // NTZ); under the UTC session the cast is wall-time preserving.
+    replay(spark, Seq(onTime, late, Seq(sentinel)),
+      df => tumblingAgg(df.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")), "append")
+      .filter(col("event_type") =!= "zzz_flush")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01b_tumbling_stream" -> (s01b_tumbling_stream _),
+    "s05_watermark_late" -> (s05_watermark_late _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Identical to s01's oracle: streaming must converge to the batch
+    // answer.
+    "s01b_tumbling_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The late-drop rule in SQL: late rows never reach the aggregate.
+    "s05_watermark_late" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        | SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events, mx
+        | WHERE NOT (event_id % 20 = 0 AND ts <= m - INTERVAL 3 HOUR)
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}
