@@ -1,0 +1,77 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.{StructField, StructType, LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MetaStore persistence semantics: atomic descriptor writes, checked
+  * renames, namespace guards — the invariants hardened in round 3 that
+  * never had a test. Driver-side only; no SparkSession needed. */
+class MetaStoreSpec extends AnyFunSuite {
+
+  private def freshStore(): MetaStore = {
+    val dir = Files.createTempDirectory("graft-metastore-spec").toString
+    new MetaStore(new Path(dir), new Configuration())
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("p", StringType)))
+
+  private def meta(name: String, partCols: Seq[String] = Nil): TableMeta =
+    TableMeta(name = name, schemaJson = schema.json, provider = "parquet",
+      partitionColumns = partCols, location = s"/tmp/unused/$name",
+      external = true, properties = Map("k" -> "v"), stats = None, partitions = Nil)
+
+  test("save/load round-trip preserves schema, partitions, props, stats") {
+    val s = freshStore()
+    s.createNamespace("db", Map("owner" -> "me"))
+    val m = meta("t", partCols = Seq("p")).copy(
+      stats = Some(TableStats(123L, Some(7L))),
+      partitions = Seq(PartitionMeta(Map("p" -> "a"), None, 55L)))
+    s.saveTable("db", m)
+    val back = s.loadTable("db", "t")
+    assert(back.schema === schema)
+    assert(back.partitionColumns === Seq("p"))
+    assert(back.properties === Map("k" -> "v"))
+    assert(back.stats.contains(TableStats(123L, Some(7L))))
+    assert(back.partitions === Seq(PartitionMeta(Map("p" -> "a"), None, 55L)))
+  }
+
+  test("saveTable overwrite is atomic: reload sees old-or-new, never absent") {
+    val s = freshStore()
+    s.createNamespace("db", Map.empty)
+    s.saveTable("db", meta("t"))
+    s.saveTable("db", meta("t").copy(properties = Map("k" -> "v2")))
+    assert(s.loadTable("db", "t").properties === Map("k" -> "v2"))
+  }
+
+  test("renameTable refuses an existing destination") {
+    val s = freshStore()
+    s.createNamespace("db", Map.empty)
+    s.saveTable("db", meta("a"))
+    s.saveTable("db", meta("b"))
+    intercept[Exception](s.renameTable("db", "a", "db", "b"))
+    // both originals intact
+    assert(s.listTables("db").toSet === Set("a", "b"))
+  }
+
+  test("partition schema resolution is case-insensitive") {
+    val m = meta("t", partCols = Seq("P"))
+    assert(m.partitionSchema.fieldNames.toSeq === Seq("p"))
+    assert(m.dataSchema.fieldNames.toSeq === Seq("id"))
+  }
+
+  test("namespace emptiness drives the catalog's non-cascade drop guard") {
+    val s = freshStore()
+    s.createNamespace("db", Map.empty)
+    assert(s.namespaceExists("db"))
+    assert(s.namespaceIsEmpty("db"))
+    s.saveTable("db", meta("t"))
+    assert(!s.namespaceIsEmpty("db"))
+    s.dropTable("db", "t", deleteData = false)
+    assert(s.namespaceIsEmpty("db"))
+  }
+}

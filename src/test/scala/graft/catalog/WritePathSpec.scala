@@ -1,0 +1,84 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftBootstrap, SparkFixture, Tables}
+
+/** DSv2 write-path semantics (R14–R17): append, truncate, static and
+  * dynamic partition overwrite, and the catalog commit that follows. */
+class WritePathSpec extends AnyFunSuite with SparkFixture {
+
+  private val ns = s"${GraftBootstrap.CatalogName}.wtest"
+
+  private def freshTable(name: String): String = {
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    val t = s"$ns.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    t
+  }
+
+  test("append accumulates rows; truncate overwrite replaces them") {
+    import spark.implicits._
+    val t = freshTable("t_append")
+    val src = Tables(spark, sf0001, "nation").select($"n_nationkey", $"n_name")
+    src.writeTo(t).create()
+    assert(spark.table(t).count() === 25)
+    src.writeTo(t).append()
+    assert(spark.table(t).count() === 50)
+    src.filter($"n_nationkey" < 5).writeTo(t).overwrite(lit(true)) // truncate
+    assert(spark.table(t).count() === 5)
+  }
+
+  test("static partition overwrite rewrites only the matching partition") {
+    import spark.implicits._
+    val t = freshTable("t_static")
+    val src = Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_orderpriority").limit(1000).cache()
+    src.writeTo(t).partitionedBy($"o_orderpriority").create()
+    val before = spark.table(t).groupBy($"o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // overwrite one partition with a single synthetic row
+    Seq((-1L, "1-URGENT")).toDF("o_orderkey", "o_orderpriority")
+      .writeTo(t).overwrite($"o_orderpriority" === "1-URGENT")
+    val after = spark.table(t).groupBy($"o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("1-URGENT") === 1L)
+    (before.keySet - "1-URGENT").foreach(k => assert(after(k) === before(k)))
+  }
+
+  test("dynamic partition overwrite touches only partitions present in the input") {
+    import spark.implicits._
+    val t = freshTable("t_dyn")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "p")
+      .writeTo(t).partitionedBy($"p").create()
+    Seq((10L, "a"), (11L, "a")).toDF("id", "p").writeTo(t).overwritePartitions()
+    val rows = spark.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((10L, "a"), (11L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("commit registers partitions and size stats in the catalog") {
+    import spark.implicits._
+    val t = freshTable("t_commit")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "p").writeTo(t).partitionedBy($"p").create()
+    val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("wtest", "t_commit")
+    assert(meta.partitions.map(_.spec).toSet ===
+      Set(Map("p" -> "x"), Map("p" -> "y")))
+    assert(meta.stats.exists(_.sizeInBytes > 0))
+    assert(meta.partitions.forall(_.sizeInBytes > 0))
+  }
+
+  test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {
+    import spark.implicits._
+    val t = freshTable("t_ddl")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "p").writeTo(t).partitionedBy($"p").create()
+    assert(spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).sorted
+      === Array("p=x", "p=y"))
+    spark.sql(s"ALTER TABLE $t DROP PARTITION (p = 'x')")
+    assert(spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)) === Array("p=y"))
+    assert(spark.table(t).collect().map(_.getLong(0)) === Array(2L))
+  }
+}

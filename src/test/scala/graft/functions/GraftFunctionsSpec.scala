@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Golden-result gates for the declared UDF surface (SURVEY.md §2.3
+  * last paragraph). */
+class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
+
+  test("normalizeText golden cases") {
+    assert(GraftFunctions.normalizeText("  Hello,  WORLD!! 42 ") === "hello world 42")
+    assert(GraftFunctions.normalizeText("a\tb\nc") === "a b c")
+    assert(GraftFunctions.normalizeText("@#$%") === "")
+    assert(GraftFunctions.normalizeText(null) === null)
+  }
+
+  test("WeightedMean: golden value, merge order irrelevant, zero-weight NaN") {
+    import spark.implicits._
+    val wm = udaf(new GraftFunctions.WeightedMean)
+    // (10.00 w2, 20.00 w1, 1.00 w1) -> (1000*2 + 2000 + 100)/4 = 1025 c -> 10.25
+    val df = Seq((10.0, 2.0), (20.0, 1.0), (1.0, 1.0)).toDF("v", "w")
+    val single = df.coalesce(1).agg(wm($"v", $"w")).head.getDouble(0)
+    val sharded = df.repartition(3).agg(wm($"v", $"w")).head.getDouble(0)
+    assert(single === 10.25)
+    assert(sharded === 10.25)
+    val empty = Seq((5.0, 0.0)).toDF("v", "w").agg(wm($"v", $"w")).head.getDouble(0)
+    assert(empty.isNaN)
+  }
+
+  test("SQL registration exposes both functions") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((3.0, 1.0)).toDF("v", "w").createOrReplaceTempView("t_gf")
+    val r = spark.sql(
+      "SELECT graft_normalize_text(' A b ') AS n, graft_weighted_mean(v, w) AS m FROM t_gf")
+      .head
+    assert(r.getString(0) === "a b")
+    assert(r.getDouble(1) === 3.0)
+  }
+}

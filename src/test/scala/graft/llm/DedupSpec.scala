@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Semantics of the dedup operator family (SURVEY.md §7.1), on the
+  * fixtures and on adversarial in-memory corpora. */
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  private def fixtureDocs = graft.Tables(spark, sf0001, "documents")
+
+  test("exact dedup groups identical content regardless of case/whitespace") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "HELLO  WORLD "),
+      (4L, "something else")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 3L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("shingles of short docs are empty, not descending-sequence garbage") {
+    import spark.implicits._
+    val docs = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("s")).collect()
+    assert(sh.find(_.getLong(0) == 1L).get.getSeq[String](1).isEmpty)
+    assert(sh.find(_.getLong(0) == 2L).get.getSeq[String](1) === Seq("a b c", "b c d"))
+  }
+
+  test("minhash-LSH pairs equal the exact Jaccard pairs on the fixture") {
+    val exact = Dedup.ngramJaccardPairs(fixtureDocs, "doc_id", "text", n = 3, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val lsh = Dedup.minhashLshPairs(fixtureDocs, "doc_id", "text",
+      n = 3, tau = 0.8, bands = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(exact.nonEmpty, "fixture should contain injected near-duplicates")
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical docs collide at hamming 0; pairs respect the cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster for wide dependencies"),
+      (2L, "spark shuffles data across the cluster for wide dependencies"),
+      (3L, "an entirely different document about database query optimizers and planning"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getInt(2) == 0), s"identical docs must collide: ${pairs.mkString(",")}")
+    assert(pairs.forall(_.getInt(2) <= 3))
+  }
+
+  test("jaccard maxShingleDf cap drops ubiquitous shingles from the join") {
+    import spark.implicits._
+    // 'x y z' appears in every doc; with cap=2 it cannot generate pairs.
+    val docs = Seq(
+      (1L, "x y z a b c"), (2L, "x y z a b c"), (3L, "x y z q w e")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.9)
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.9,
+      maxShingleDf = Some(2))
+    assert(uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+    // capped drops 'x y z'-family shingles shared by all three docs but the
+    // (1,2) pair still meets tau through its unique shingles
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+  }
+}

