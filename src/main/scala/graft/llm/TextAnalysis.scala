@@ -33,8 +33,11 @@ object TextAnalysis {
   /** Per-doc predicted language: argmax of marker-occurrence counts with
     * the LangProfiles priority as tiebreak; 'und' when no marker hits. */
   def withLangId(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = LangProfiles.foldLeft(docs) { case (df, (lang, markers)) =>
+    // Materialize the token array once: each markerCount's lambda would
+    // otherwise re-run the tokenize pipeline (no CSE inside lambdas).
+    val toks = col("__toks")
+    val tokenized = docs.withColumn("__toks", tokens(col(textCol)))
+    val scored = LangProfiles.foldLeft(tokenized) { case (df, (lang, markers)) =>
       df.withColumn(s"score_$lang", markerCount(toks, markers))
     }
     val langs = LangProfiles.map(_._1)
@@ -44,7 +47,7 @@ object TextAnalysis {
         .reduce(_ && _)
       when(col(s"score_$l") > 0 && beats, lit(l)).otherwise(els)
     }
-    scored.withColumn("pred_lang", pred)
+    scored.withColumn("pred_lang", pred).drop("__toks")
   }
 
   private def r4(c: Column): Column = round(c * 10000) / 10000
@@ -55,7 +58,7 @@ object TextAnalysis {
     * bit-stable across engines. */
   def withQuality(docs: DataFrame, textCol: String): DataFrame = {
     val low = lower(col(textCol))
-    val toks = tokens(col(textCol))
+    val toks = col("__toks") // materialized below — see withLangId
     val nTok = size(toks).cast("double")
     val tokLenSum = aggregate(transform(toks, t => length(t).cast("long")),
       lit(0L), (a, x) => a + x).cast("double")
@@ -63,12 +66,14 @@ object TextAnalysis {
       t => array_contains(typedlit(LangProfiles.toMap.apply("en")), t))).cast("double")
     val punct = (length(low) - length(regexp_replace(low, "[a-z0-9 ]", ""))).cast("double")
     docs
+      .withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("avg_tok_len", r4(tokLenSum / nTok))
       .withColumn("punct_ratio", r4(lit(1.0) - punct / length(low).cast("double")))
       .withColumn("stop_ratio", r4(nStop / nTok))
       .withColumn("quality",
         r4(least(lit(1.0), nTok / 100.0) * (lit(1.0) - nStop / nTok)))
+      .drop("__toks")
   }
 
   /** Whitespace-token and BPE-ish subtoken counts ([a-z]+ | [0-9]+ |
