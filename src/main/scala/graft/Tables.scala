@@ -31,9 +31,19 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
 
+  /** SPARK_GRAFT_RAW=1 bypasses the catalog (plain spark.read.parquet
+    * over the same files) — the baseline side of BASELINE.md's
+    * engine-vs-baseline measurement. Default: the DSv2 catalog path. */
+  private val rawMode = sys.env.get("SPARK_GRAFT_RAW").contains("1")
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    GraftBootstrap.ensure(spark, sfDir)
-    val raw = spark.table(s"${GraftBootstrap.CatalogName}.${GraftBootstrap.Namespace}.$name")
+    val raw = if (rawMode) {
+      GraftBootstrap.setSessionConfs(spark)
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    } else {
+      GraftBootstrap.ensure(spark, sfDir)
+      spark.table(s"${GraftBootstrap.CatalogName}.${GraftBootstrap.Namespace}.$name")
+    }
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       f.dataType match {
         case LongType if name == "events" && f.name == "ts" =>

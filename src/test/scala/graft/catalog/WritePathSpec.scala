@@ -71,6 +71,18 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(meta.partitions.forall(_.sizeInBytes > 0))
   }
 
+  test("csv and json providers round-trip through the catalog write/read path") {
+    import spark.implicits._
+    for (provider <- Seq("csv", "json")) {
+      val t = freshTable(s"t_$provider")
+      spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING) USING $provider")
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name").writeTo(t).append()
+      val back = spark.table(t).orderBy($"id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(back.toSeq === Seq((1L, "alpha"), (2L, "beta")), s"provider=$provider")
+    }
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {
     import spark.implicits._
     val t = freshTable("t_ddl")
