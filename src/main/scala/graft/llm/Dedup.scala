@@ -181,6 +181,24 @@ object Dedup {
     verifyPairsExact(cands, shingleRows(docs, idCol, textCol, n), tau)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (d1 < d2) pairs with
+    * cosine ≥ minCos, computed exactly (the all-pairs exactness
+    * baseline; [[Similarity.lshCosineTopK]]'s bucketing is the
+    * corresponding scale path — at corpus scale you generate candidates
+    * from LSH collisions and verify with this same exact cosine). The
+    * dot's left-to-right summation keeps the score bit-identical to the
+    * DuckDB oracle. */
+  def embeddingNearDupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val n = Similarity.normalized(vecs, idCol, vecCol)
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        (round(col("cos") * 10000) / 10000).as("cos4"))
+  }
+
   /** 64-bit SimHash fingerprints: per token-hash bit, sum +w/−w over the
     * doc's token multiset; bit j of the fingerprint is the sign. Exact
     * duplicates always collide; near-duplicates land within small

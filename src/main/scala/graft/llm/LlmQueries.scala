@@ -55,6 +55,14 @@ object LlmQueries {
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("d1"), col("d2"))
 
+  // ---------------------------------------------------------------- q38
+  /** Embedding-cosine near-dup pairs at cosine ≥ 0.45 — the exact
+    * all-pairs baseline of the embedding dedup family. */
+  def q38_dedup_embedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", minCos = 0.45)
+      .orderBy(col("d1"), col("d2"))
+
   // ---------------------------------------------------------------- q31
   /** Brute-force cosine top-5 neighbors for the first 10 vectors — the
     * ANN exactness baseline: one corpus pass, query side broadcast by
@@ -142,6 +150,7 @@ object LlmQueries {
     "q35_token_counts" -> (q35_token_counts _),
     "q36_fingerprint" -> (q36_fingerprint _),
     "q37_multimodal" -> (q37_multimodal _),
+    "q38_dedup_embedding" -> (q38_dedup_embedding _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -197,6 +206,15 @@ object LlmQueries {
           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
           |  FROM sims)
           | WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      "q38_dedup_embedding" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+          | p AS (
+          |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+          |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm) AS c
+          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+          | SELECT d1, d2, round(c * 10000) / 10000 AS cos4 FROM p
+          | WHERE c >= 0.45 ORDER BY d1, d2""".stripMargin,
       "q33_lang_id" ->
         """WITH t AS (
           |  SELECT lang,

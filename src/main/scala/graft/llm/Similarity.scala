@@ -32,7 +32,7 @@ object Similarity {
 
   /** Left-to-right dot product — the summation order contract shared
     * with the DuckDB oracle. */
-  private def dot(a: Column, b: Column): Column =
+  private[llm] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Project (id, vector) to doubles and attach the L2 norm. */
