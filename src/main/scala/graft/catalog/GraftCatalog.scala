@@ -40,14 +40,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var store: MetaStore = _
+  private var defaultProvider: String = "parquet"
 
   private def spark: SparkSession = SparkSession.active
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    val warehouse = Option(options.get("warehouse")).getOrElse(
-      throw new IllegalArgumentException(
-        s"catalog $name requires option spark.sql.catalog.$name.warehouse"))
+    val warehouse = GraftConf.Warehouse.get(options, name)
+    defaultProvider = GraftConf.DefaultProvider.get(options, name)
     store = new MetaStore(new Path(warehouse),
       spark.sessionState.newHadoopConf())
   }
@@ -103,7 +103,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
 
     val props = properties.asScala.toMap
-    val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, "parquet").toLowerCase
+    val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, defaultProvider).toLowerCase
     require(Set("parquet", "csv", "json").contains(provider),
       s"unsupported provider $provider (parquet, csv, json)")
     val explicitLocation = props.get(TableCatalog.PROP_LOCATION)

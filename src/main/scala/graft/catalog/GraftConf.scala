@@ -1,0 +1,46 @@
+package graft.catalog
+
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Typed catalog configuration (R20) — the reference's `V2SqlConf`
+  * idea (/root/reference/.../V2SqlConf.scala:10-90: declared entries,
+  * defaults, `checkValues` validation) without the per-catalog-type
+  * registry indirection it needs for multi-HMS setups.
+  *
+  * Every option under `spark.sql.catalog.<name>.*` that the catalog
+  * honors is declared here, so a typo'd or out-of-range option fails
+  * `initialize` with the entry's documentation instead of being
+  * silently ignored. */
+object GraftConf {
+
+  final case class Entry[T](
+      key: String,
+      default: Option[T],
+      parse: String => T,
+      valid: T => Boolean,
+      doc: String) {
+
+    def get(options: CaseInsensitiveStringMap, catalog: String): T = {
+      val raw = Option(options.get(key))
+      val value = raw.map { s =>
+        try parse(s)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"catalog $catalog: invalid value '$s' for option $key ($doc)", e) }
+      }.orElse(default).getOrElse(throw new IllegalArgumentException(
+        s"catalog $catalog requires option spark.sql.catalog.$catalog.$key ($doc)"))
+      require(valid(value),
+        s"catalog $catalog: value '$value' out of range for option $key ($doc)")
+      value
+    }
+  }
+
+  /** Root directory of the filesystem warehouse (required). */
+  val Warehouse: Entry[String] = Entry("warehouse", None, identity,
+    (_: String).nonEmpty, "filesystem warehouse root for managed tables")
+
+  /** Provider used when CREATE TABLE omits USING. */
+  val DefaultProvider: Entry[String] = Entry("defaultProvider",
+    Some("parquet"), _.toLowerCase,
+    Set("parquet", "csv", "json").contains(_: String),
+    "table provider when USING is omitted: parquet, csv or json")
+}

@@ -1,0 +1,29 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Typed catalog option parsing (R20): defaults, validation, and
+  * fail-fast messages naming the option. */
+class GraftConfSpec extends AnyFunSuite {
+
+  private def opts(kv: (String, String)*) =
+    new CaseInsensitiveStringMap(kv.toMap.asJava)
+
+  test("warehouse is required and case-insensitive") {
+    val e = intercept[IllegalArgumentException](
+      GraftConf.Warehouse.get(opts(), "c"))
+    assert(e.getMessage.contains("spark.sql.catalog.c.warehouse"))
+    assert(GraftConf.Warehouse.get(opts("WAREHOUSE" -> "/w"), "c") === "/w")
+  }
+
+  test("defaultProvider defaults to parquet, normalizes case, rejects unknown") {
+    assert(GraftConf.DefaultProvider.get(opts(), "c") === "parquet")
+    assert(GraftConf.DefaultProvider.get(opts("defaultProvider" -> "CSV"), "c") === "csv")
+    val e = intercept[IllegalArgumentException](
+      GraftConf.DefaultProvider.get(opts("defaultProvider" -> "orc"), "c"))
+    assert(e.getMessage.contains("defaultProvider"))
+  }
+}
