@@ -80,12 +80,19 @@ object Dedup {
         sh.join(dfreq.filter(col("df") <= cap), "s").select("doc_id", "s")
       case None => sh
     }
-    // Global frequency order (ties broken by shingle value) → per-doc
-    // prefix of the (1-tau)|A|+1 rarest shingles.
-    val dfreq = pruned.groupBy("s").agg(count(lit(1)).as("df"))
-    val ranked = pruned.join(dfreq, "s")
+    // Candidate generation runs on xxhash64(shingle): the join/shuffle
+    // keys are fixed 8 bytes instead of ~20-char strings. Exactness is
+    // unaffected — the prefix lemma only needs SOME consistent total
+    // order (here (df, hash)), a collision can only merge two shingles
+    // (adding candidates, never losing one), and verification below
+    // still compares the real shingle strings.
+    val hashed = pruned.select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // Global frequency order (ties broken by hash) → per-doc prefix of
+    // the (1-tau)|A|+1 rarest shingles.
+    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = hashed.join(dfreq, "h")
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
     // Prefix length n−⌈τ·n⌉+1. The 1e-9 guard makes float error err
     // toward a LONGER prefix (more candidates, still exact) — a bare
@@ -94,10 +101,10 @@ object Dedup {
     val prefix = ranked
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1)
-      .select("doc_id", "s")
+      .select("doc_id", "h")
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     // Length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| (for |A| ≤ |B|), so

@@ -31,15 +31,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Left-to-right dot product — the summation order contract shared
-    * with the DuckDB oracle. */
-  private[llm] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * with the DuckDB oracle. Backed by the codegen'd [[graft.functions.ArrayDot]]
+    * (the `zip_with`+`aggregate` HOF form is bit-identical but ~25 µs/row
+    * slower — see ArrayDot's scaladoc). */
+  private[llm] def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
+    column(graft.functions.ArrayDot(expression(a), expression(b)))
+  }
 
   /** Project (id, vector) to doubles and attach the L2 norm. */
   def normalized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
     vecs.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact cosine top-k of `corpus` for each row of `queries` (both in
     * [[normalized]] layout). Output: (q_id, n_id, rank, sim4). */

@@ -1,5 +1,8 @@
 package org.apache.spark.sql.graft
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.connector.catalog.{CatalogV2Util, TableChange}
 import org.apache.spark.sql.types.StructType
 
@@ -21,4 +24,11 @@ object GraftSqlBridge {
       provider: Option[String],
       statementType: String): StructType =
     CatalogV2Util.applySchemaChanges(schema, changes, provider, statementType)
+
+  /** Wrap a raw Catalyst expression as a user-facing Column (the
+    * constructor is private[sql] in Spark 4). */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The inverse: unwrap a Column's Catalyst expression. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
