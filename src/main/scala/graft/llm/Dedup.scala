@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.TextOps._
@@ -88,20 +87,26 @@ object Dedup {
     // still compares the real shingle strings.
     val hashed = pruned.select(col("doc_id"), xxhash64(col("s")).as("h"))
     // Global frequency order (ties broken by hash) → per-doc prefix of
-    // the (1-tau)|A|+1 rarest shingles.
-    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
-    val ranked = hashed.join(dfreq, "h")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // the (1-tau)|A|+1 rarest shingles. The per-doc ordering runs as one
+    // aggregation (collect → sort_array → slice) instead of two window
+    // passes — a doc's shingle list is small and bounded by its token
+    // count, so the in-memory sort is cheap and saves a full
+    // sort-per-partition stage.
+    //
     // Prefix length n−⌈τ·n⌉+1. The 1e-9 guard makes float error err
     // toward a LONGER prefix (more candidates, still exact) — a bare
     // ceil(0.8*10)=ceil(8.000000000000002)=9 would shorten it and
     // silently drop qualifying pairs.
-    val prefix = ranked
-      .filter(col("rk") <=
-        col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1)
-      .select("doc_id", "h")
+    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = hashed.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
+      .select(col("doc_id"),
+        explode(slice(col("sorted"), lit(1),
+          (col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1).cast("int")))
+          .as("e"))
+      .select(col("doc_id"), col("e.h").as("h"))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

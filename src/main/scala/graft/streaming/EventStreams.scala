@@ -54,10 +54,21 @@ object EventStreams {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val query = transform(src.toDF()).writeStream
-      .format("memory").queryName(name).outputMode(mode).start()
-    try batches.foreach { b => src.addData(b); query.processAllAvailable() }
-    finally query.stop()
+    // The state store commits one delta file per shuffle partition per
+    // microbatch — at the session's 32 partitions a 3-batch replay pays
+    // ~100 state commits of mostly-empty files. 8 partitions is plenty
+    // for the replay volume; restored afterwards so batch queries keep
+    // the session setting. (A production readStream sizes this to the
+    // real key cardinality instead.)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      val query = transform(src.toDF()).writeStream
+        .format("memory").queryName(name).outputMode(mode).start()
+      try batches.foreach { b => src.addData(b); query.processAllAvailable() }
+      finally query.stop()
+    } finally spark.conf.set(partKey, prev)
     spark.table(name)
   }
 
