@@ -81,6 +81,34 @@ object EventStreams {
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  // --------------------------------------------------------------- s01c
+  /** S1 through the FILE stream source (`readStream.parquet` over the
+    * events fixture — the production shape, where MemoryStream replay is
+    * the test shape). The raw int64-nanos `ts` is normalized inside the
+    * streaming plan exactly as [[Tables]] does for batch. Same oracle as
+    * s01. */
+  def s01c_tumbling_file_stream(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.setSessionConfs(spark)
+    // The file source wants a directory to list; the fixture dir holds
+    // one parquet per table, so glob-filter down to the events file.
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts",
+        expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz"))
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      val query = tumblingAgg(src).writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try query.processAllAvailable()
+      finally query.stop()
+    } finally spark.conf.set(partKey, prev)
+    spark.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+
   // --------------------------------------------------------------- s01b
   /** S1 through a real StreamingQuery (complete mode, single replay
     * batch): must produce byte-identical rows to the batch form — same
@@ -117,6 +145,7 @@ object EventStreams {
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01b_tumbling_stream" -> (s01b_tumbling_stream _),
+    "s01c_tumbling_file_stream" -> (s01c_tumbling_file_stream _),
     "s05_watermark_late" -> (s05_watermark_late _),
   )
 
@@ -124,6 +153,10 @@ object EventStreams {
     // Identical to s01's oracle: streaming must converge to the batch
     // answer.
     "s01b_tumbling_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s01c_tumbling_file_stream" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round((sum(value)) * 100) / 100 AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
