@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.ArrayDot
+
+/** Session extension (`spark.sql.extensions=graft.GraftExtensions`):
+  * registers the engine's custom expressions with the SQL function
+  * registry so pure-SQL users get them without touching the Scala API.
+  * This is the declarative path; [[graft.functions.GraftFunctions.register]]
+  * installs the same functions imperatively on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.arrayDotDescriptor)
+}
+
+object GraftExtensions {
+  /** (identifier, info, builder) triple for `graft_array_dot`. */
+  val arrayDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_array_dot"),
+    new ExpressionInfo(
+      classOf[ArrayDot].getCanonicalName,
+      null,
+      "graft_array_dot",
+      "graft_array_dot(a, b) - dot product of two array<double> columns, " +
+        "summed left-to-right over the shorter length (codegen'd).",
+      ""),
+    { args =>
+      require(args.length == 2,
+        s"graft_array_dot expects 2 arguments, got ${args.length}")
+      ArrayDot(args.head, args(1))
+    })
+}

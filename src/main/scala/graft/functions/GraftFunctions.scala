@@ -57,13 +57,17 @@ object GraftFunctions {
 
   @volatile private var registeredFor: Set[SparkSession] = Set.empty
 
-  /** Idempotently register the UDF surface on a session. */
+  /** Idempotently register the UDF surface on a session — including the
+    * custom expressions [[graft.GraftExtensions]] would install
+    * declaratively via `spark.sql.extensions`. */
   def register(spark: SparkSession): Unit = {
     if (registeredFor.contains(spark)) return
     synchronized {
       if (registeredFor.contains(spark)) return
       spark.udf.register("graft_normalize_text", normalizeText _)
       spark.udf.register("graft_weighted_mean", udaf(new WeightedMean))
+      val (ident, info, builder) = graft.GraftExtensions.arrayDotDescriptor
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
       registeredFor += spark
     }
   }

@@ -39,4 +39,17 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getString(0) === "a b")
     assert(r.getDouble(1) === 3.0)
   }
+
+  test("graft_array_dot is callable from SQL and matches manual arithmetic") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d").head
+    assert(r.getDouble(0) === 32.0)
+    // shorter-length contract + null propagation
+    val edge = spark.sql(
+      "SELECT graft_array_dot(array(2.0d, 3.0d), array(10.0d)) AS s, " +
+        "graft_array_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS n").head
+    assert(edge.getDouble(0) === 20.0)
+    assert(edge.isNullAt(1))
+  }
 }
