@@ -36,6 +36,11 @@ object Tables {
     * engine-vs-baseline measurement. Default: the DSv2 catalog path. */
   private val rawMode = sys.env.get("SPARK_GRAFT_RAW").contains("1")
 
+  /** int64-nanos → µs-truncated naive timestamp — exactly DuckDB's
+    * ns→µs read (shared by the batch loader and the streaming source). */
+  private[graft] def nanosToNtz(colName: String): org.apache.spark.sql.Column =
+    expr(s"timestamp_micros($colName DIV 1000)").cast(TimestampNTZType)
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = if (rawMode) {
       GraftBootstrap.setSessionConfs(spark)
@@ -47,9 +52,7 @@ object Tables {
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       f.dataType match {
         case LongType if name == "events" && f.name == "ts" =>
-          // nanos → micros (floor), matching DuckDB's ns→µs truncation
-          df.withColumn(f.name,
-            expr(s"timestamp_micros(${f.name} DIV 1000)").cast(TimestampNTZType))
+          df.withColumn(f.name, nanosToNtz(f.name))
         case TimestampType =>
           df.withColumn(f.name, col(f.name).cast(TimestampNTZType))
         case _ => df

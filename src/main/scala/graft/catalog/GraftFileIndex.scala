@@ -36,10 +36,12 @@ class GraftFileIndex(
   /** Spec paths must be FS-qualified (`file:/…`, `hdfs://nn/…`): the
     * delegated listing groups leaf files under *qualified* directory
     * paths, and an unqualified spec path never equals its qualified twin —
-    * every partition would silently list as empty. */
+    * every partition would silently list as empty. Uses the index's
+    * inherited lifetime Hadoop conf — building a fresh conf per partition
+    * would put O(partitions) full-conf copies on the scan-planning hot
+    * path. */
   private def qualify(p: Path): Path =
-    p.getFileSystem(sparkSession.sessionState.newHadoopConf())
-      .makeQualified(p)
+    p.getFileSystem(hadoopConf).makeQualified(p)
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 

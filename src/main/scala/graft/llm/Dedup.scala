@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.llm.TextOps._
+import graft.operators.RelationalQueries.r4
 
 /** Document deduplication operators (SURVEY.md §7.1): exact, n-gram
   * Jaccard, MinHash-LSH, SimHash. All are reusable DataFrame → DataFrame
@@ -144,7 +145,7 @@ object Dedup {
         (size(col("s1.set")) + size(col("s2.set")) - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("d1"), col("d2"),
-        (round(col("jaccard") * 10000) / 10000).as("jaccard"))
+        (r4(col("jaccard"))).as("jaccard"))
   }
 
   /** MinHash signatures: k permutation-minima per doc over the shingle
@@ -157,8 +158,12 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32): DataFrame = {
+    // Hash the variable-length shingle ONCE, then derive the k functions
+    // by salting the fixed 8-byte hash — k× cheaper per row than
+    // re-hashing the string per function, same independence.
     val sh = shingleRows(docs, idCol, textCol, n)
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -208,7 +213,7 @@ object Dedup {
         Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= minCos)
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        (round(col("cos") * 10000) / 10000).as("cos4"))
+        (r4(col("cos"))).as("cos4"))
   }
 
   /** 64-bit SimHash fingerprints: per token-hash bit, sum +w/−w over the

@@ -249,8 +249,10 @@ object LlmQueries {
           |  len(toks) AS n_tokens,
           |  round((CAST(list_sum([len(x) for x in toks]) AS DOUBLE) / len(toks)) * 10000) / 10000
           |    AS avg_tok_len,
-          |  round((1.0 - CAST(length(low) - length(regexp_replace(low, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-          |               / length(low)) * 10000) / 10000 AS punct_ratio,
+          |  CASE WHEN length(low) > 0
+          |    THEN round((1.0 - CAST(length(low) - length(regexp_replace(low, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          |               / length(low)) * 10000) / 10000
+          |    ELSE 0.0 END AS punct_ratio,
           |  round((CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
           |         / len(toks)) * 10000) / 10000 AS stop_ratio,
           |  round((least(1.0, len(toks) / 100.0)

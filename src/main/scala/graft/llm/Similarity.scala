@@ -5,6 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.RelationalQueries.r4
 
 /** Similarity search over an embedding column (SURVEY.md §7.1):
   * brute-force cosine top-k as the exactness baseline, and a
@@ -56,7 +57,7 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"),
-        (round(col("sim") * 10000) / 10000).as("sim4"))
+        (r4(col("sim"))).as("sim4"))
   }
 
   /** Seeded ±1 hyperplanes: `tables` hash tables of `bits` planes each.
@@ -101,6 +102,6 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"),
-        (round(col("sim") * 10000) / 10000).as("sim4"))
+        (r4(col("sim"))).as("sim4"))
   }
 }

@@ -50,7 +50,7 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred).drop("__toks")
   }
 
-  private def r4(c: Column): Column = round(c * 10000) / 10000
+  import graft.operators.RelationalQueries.r4
 
   /** Per-doc quality features: token count, mean token length,
     * punctuation ratio, stopword ratio, and a composite score. No
@@ -69,7 +69,12 @@ object TextAnalysis {
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("avg_tok_len", r4(tokLenSum / nTok))
-      .withColumn("punct_ratio", r4(lit(1.0) - punct / length(low).cast("double")))
+      // Empty text ⇒ length 0 ⇒ ANSI DIVIDE_BY_ZERO without the guard
+      // (the fixture has no empty docs, but real corpora do). The q34
+      // oracle carries the identical CASE.
+      .withColumn("punct_ratio",
+        when(length(low) > 0,
+          r4(lit(1.0) - punct / length(low).cast("double"))).otherwise(0.0))
       .withColumn("stop_ratio", r4(nStop / nTok))
       .withColumn("quality",
         r4(least(lit(1.0), nTok / 100.0) * (lit(1.0) - nStop / nTok)))

@@ -46,6 +46,12 @@ object RelationalQueries {
       cnt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(round(sum * 100) / cnt) / 100
 
+  /** 4-decimal variant of [[r2]] — the shared cross-engine rounding
+    * contract for similarity/quality scores (one definition so the
+    * DuckDB-parity IEEE pipeline can't silently diverge per call site). */
+  private[graft] def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 10000) / 10000
+
   // ---------------------------------------------------------------- Q1
   /** Scan + filter + project. Both predicates push down to the parquet
     * scan (timestamp + double comparisons are parquet-filter eligible). */

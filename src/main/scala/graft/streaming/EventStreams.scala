@@ -43,8 +43,36 @@ object EventStreams {
       .collect().toSeq
   }
 
-  /** Feed `batches` one microbatch at a time through `transform` into a
-    * memory sink; returns the sink table after the query stops. */
+  /** Run one streaming DataFrame into a memory sink, let `feed` drive
+    * it, then return the MATERIALIZED result and drop the sink table —
+    * the memory sink holds the full output, so leaving one uniquely-named
+    * table per call would leak a result copy per invocation.
+    *
+    * State-store note: one delta file is committed per shuffle partition
+    * per microbatch — at the session's 32 partitions a 3-batch replay
+    * pays ~100 mostly-empty state commits, so replays run at 8 (restored
+    * afterwards). A production readStream sizes this to the real key
+    * cardinality instead. */
+  private def runToMemory(
+      spark: SparkSession, streaming: DataFrame, mode: String)(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      val query = streaming.writeStream
+        .format("memory").queryName(name).outputMode(mode).start()
+      try feed(query)
+      finally query.stop()
+    } finally spark.conf.set(partKey, prev)
+    val sink = spark.table(name)
+    val out = spark.createDataFrame(sink.collectAsList(), sink.schema)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** Feed `batches` one microbatch at a time through `transform`. */
   private def replay(
       spark: SparkSession,
       batches: Seq[Seq[Event]],
@@ -53,23 +81,9 @@ object EventStreams {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    // The state store commits one delta file per shuffle partition per
-    // microbatch — at the session's 32 partitions a 3-batch replay pays
-    // ~100 state commits of mostly-empty files. 8 partitions is plenty
-    // for the replay volume; restored afterwards so batch queries keep
-    // the session setting. (A production readStream sizes this to the
-    // real key cardinality instead.)
-    val partKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
-    try {
-      val query = transform(src.toDF()).writeStream
-        .format("memory").queryName(name).outputMode(mode).start()
-      try batches.foreach { b => src.addData(b); query.processAllAvailable() }
-      finally query.stop()
-    } finally spark.conf.set(partKey, prev)
-    spark.table(name)
+    runToMemory(spark, transform(src.toDF()), mode) { query =>
+      batches.foreach { b => src.addData(b); query.processAllAvailable() }
+    }
   }
 
   /** The S1 aggregation, shared verbatim between s01b and s05. The
@@ -94,19 +108,9 @@ object EventStreams {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts",
-        expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz"))
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    val partKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
-    try {
-      val query = tumblingAgg(src).writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try query.processAllAvailable()
-      finally query.stop()
-    } finally spark.conf.set(partKey, prev)
-    spark.table(name).orderBy(col("window_start"), col("event_type"))
+      .withColumn("ts", Tables.nanosToNtz("ts"))
+    runToMemory(spark, tumblingAgg(src), "complete")(_.processAllAvailable())
+      .orderBy(col("window_start"), col("event_type"))
   }
 
   // --------------------------------------------------------------- s01b

@@ -46,9 +46,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect lsh).size.toDouble / exact.size
     assert(recall >= 0.4, s"LSH recall $recall collapsed — bucketing broken?")
-    // pruning: candidate sets must be strictly smaller than all-pairs
-    val nCands = Similarity.lshBucketed(norm, 8, 4, 64)
-      .select(col("vec_id"), col("table"), col("code")).distinct().count()
-    assert(nCands > 0)
+    // pruning: bucket-collision candidate pairs must be a strict subset
+    // of all (query, corpus) pairs — if every vector landed in one
+    // bucket, LSH degenerated to the cross join it exists to avoid
+    val c = Similarity.lshBucketed(norm, 8, 4, 64)
+      .select(col("vec_id").as("n_id"), col("table"), col("code"))
+    val q = Similarity.lshBucketed(norm.filter(col("vec_id") < 10), 8, 4, 64)
+      .select(col("vec_id").as("q_id"), col("table"), col("code"))
+    val nCandPairs = c.join(q, Seq("table", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id").distinct().count()
+    val allPairs = 10L * (norm.count() - 1)
+    assert(nCandPairs > 0)
+    assert(nCandPairs < allPairs,
+      s"LSH candidates $nCandPairs did not prune all-pairs $allPairs")
   }
 }
