@@ -15,11 +15,12 @@ import graft.operators.RelationalQueries.r4
   *  - exact: one shuffle on a 64-hex-char hash key (never on the full
   *    text); map-side partial aggregation collapses most groups before
   *    the exchange.
-  *  - n-gram Jaccard: inverted-index self-join on the *shingle* key —
-  *    never an all-pairs cross join. Cost is Σ df(s)² over shingles, so
-  *    ultra-common shingles are the skew risk; `maxShingleDf` caps them
-  *    (stopword trigrams carry no dedup signal). AQE skew-join handles
-  *    the residual imbalance.
+  *  - n-gram Jaccard: PPJoin-style prefix-filtered inverted-index join —
+  *    never an all-pairs cross join, and the self-join only touches each
+  *    doc's (1−τ)|A|+1 rarest shingles, so the Σ df² blow-up of common
+  *    shingles (stopword trigrams) never enters the candidate stage.
+  *    `maxShingleDf` additionally caps pathological shingles; AQE
+  *    skew-join handles residual imbalance.
   *  - MinHash-LSH: the standard banding scheme — signatures shrink every
   *    doc to k longs, candidates come from equality joins on band keys
   *    (shuffle on band hash), and only candidates get exact verification.

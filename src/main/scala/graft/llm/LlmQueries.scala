@@ -49,8 +49,8 @@ object LlmQueries {
   // ---------------------------------------------------------------- q30
   /** SimHash near-dup pairs (hamming ≤ 3) via the 4×16-bit block
     * pigeonhole join. Fingerprints depend on Spark's xxhash64, which
-    * DuckDB cannot reproduce — rows-only gated here; the recall property
-    * vs q28 is asserted in DedupSpec. */
+    * DuckDB cannot reproduce — rows-only gated here; the collision and
+    * hamming-cap properties are asserted in DedupSpec. */
   def q30_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("d1"), col("d2"))
