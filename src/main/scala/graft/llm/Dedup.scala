@@ -245,11 +245,24 @@ object Dedup {
     * finds all of them without a pairwise scan. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, numBlocks: Int = 4): DataFrame = {
+    // Pigeonhole completeness needs hamming ≤ numBlocks−1. Block width
+    // also sets the scale knee: candidates cluster on (block, value)
+    // with ~n/2^width docs per value, so the join cost is
+    // Σ df² ≈ numBlocks · n²/2^width. 4×16-bit blocks are fine to
+    // ~10^7 docs; a 10^9-doc corpus wants fewer/wider blocks plus a
+    // second-stage split (multi-index hashing) — widen `numBlocks`
+    // DOWN (e.g. 2×32-bit for hamming ≤ 1 per stage) before the
+    // equality join melts.
+    require(maxHamming <= numBlocks - 1,
+      s"hamming cap $maxHamming needs at least ${maxHamming + 1} blocks (pigeonhole)")
+    require(64 % numBlocks == 0, s"numBlocks $numBlocks must divide 64")
+    val width = 64 / numBlocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val fp = simhashFingerprints(docs, idCol, textCol)
     val blocks = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until numBlocks).map(b =>
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("block", "v")))
     blocks.as("x")
       .join(blocks.as("y"),

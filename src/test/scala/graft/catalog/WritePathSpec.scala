@@ -58,6 +58,20 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(rows === Set((10L, "a"), (11L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("catalog-pruned partitioned read lists files (regression: spec paths must be FS-qualified)") {
+    import spark.implicits._
+    // Round 6's worst bug: unqualified /tmp/... spec paths never matched
+    // the qualified file:/tmp/... leaf dirs, so every catalog-tracked
+    // partition read back EMPTY. Guard the whole class of path-identity
+    // mistakes in GraftFileIndex.
+    val t = freshTable("t_qualify")
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "p")
+      .writeTo(t).partitionedBy($"p").create()
+    assert(spark.table(t).count() === 3)
+    val one = spark.table(t).filter($"p" === "y")
+    assert(one.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("commit registers partitions and size stats in the catalog") {
     import spark.implicits._
     val t = freshTable("t_commit")
