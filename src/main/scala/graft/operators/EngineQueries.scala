@@ -78,11 +78,29 @@ object EngineQueries {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- Q39
+  /** CSV provider round-trip (R15): CTAS nation into a managed CSV table
+    * through the catalog write path, read back through the CSV scan.
+    * Values must survive the text round-trip exactly — the oracle reads
+    * the original parquet. */
+  def q39_csv_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q39_nation_csv"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "nation")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .writeTo(tgt).using("csv").create()
+    spark.table(tgt).orderBy($"n_nationkey")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
     "q25_udaf_weighted_mean" -> (q25_udaf_weighted_mean _),
     "q26_udf_normalize" -> (q26_udf_normalize _),
+    "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,6 +122,9 @@ object EngineQueries {
         |  round(sum(round(l_extendedprice * 100) * l_quantity) / sum(l_quantity)) / 100
         |    AS w_mean_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        | ORDER BY n_nationkey""".stripMargin,
     "q26_udf_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

@@ -70,6 +70,10 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).count() === 3)
     val one = spark.table(t).filter($"p" === "y")
     assert(one.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // and the partition predicate must prune at plan time, not post-scan
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("= y"),
+      s"expected partition filter in plan:\n$plan")
   }
 
   test("commit registers partitions and size stats in the catalog") {
