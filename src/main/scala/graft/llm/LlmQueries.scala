@@ -84,6 +84,17 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q40
+  /** The IVF scale path for the same probes: nearest-centroid bucketing
+    * (16 lists), 4-probe search, exact re-rank of probed buckets only.
+    * Approximate ⇒ rows-only gated; recall vs q31 asserted in
+    * SimilaritySpec. */
+  def q40_ann_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Similarity.normalized(Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+    Similarity.ivfCosineTopK(norm, norm.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- q33
   /** Language-ID confusion matrix: stopword-marker heuristic prediction
     * vs the fixture's ground-truth `lang` label. */
@@ -151,6 +162,7 @@ object LlmQueries {
     "q36_fingerprint" -> (q36_fingerprint _),
     "q37_multimodal" -> (q37_multimodal _),
     "q38_dedup_embedding" -> (q38_dedup_embedding _),
+    "q40_ann_ivf_topk" -> (q40_ann_ivf_topk _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed

@@ -81,6 +81,48 @@ object Similarity {
       posexplode(array(codes: _*)).as(Seq("table", "code")))
   }
 
+  /** IVF-style partitioned index: assign every vector to its nearest of
+    * `nlist` deterministic centroids (the corpus rows with the `nlist`
+    * smallest ids — a stand-in for trained k-means centroids, which
+    * would arrive as a small driver-side table in production). Queries
+    * probe the `nprobe` nearest centroid buckets and re-rank exactly.
+    *
+    * Scale path: the corpus is scanned once for assignment (an
+    * `nlist`-way argmin of codegen'd dots per row — `nlist` is a small
+    * constant, the centroid table broadcasts by construction); probing
+    * touches ~`nprobe/nlist` of the corpus per query via an equality
+    * join on the bucket id, never the whole corpus. */
+  def ivfCosineTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("c_tmp"), col("v").as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // argmin over nlist centroids as one codegen'd expression chain
+    def nearest(vec: Column, n: Int): Column = {
+      val sims = cents.map { case (cid, cv) =>
+        struct(dot(vec, typedlit(cv)).as("s"), lit(cid).as("cid"))
+      }
+      // top-n centroid ids by similarity (descending), deterministic
+      slice(reverse(array_sort(array(sims: _*))), 1, n)("cid")
+    }
+    val bucketed = corpus.withColumn("bucket",
+      nearest(col("v"), 1).getItem(0))
+    val probed = queries
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(nearest(col("v"), nprobe)).as("bucket"))
+    val sims = bucketed
+      .select(col("vec_id").as("n_id"), col("v"), col("nrm"), col("bucket"))
+      .join(probed, "bucket")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), r4(col("sim")).as("sim4"))
+  }
+
   /** Approximate cosine top-k: candidates from LSH bucket collisions in
     * any table, exact re-rank of candidates only. Same output shape as
     * [[cosineTopK]]; recall < 1 by design (property-gated, not

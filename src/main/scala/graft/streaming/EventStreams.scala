@@ -12,7 +12,12 @@ import graft.operators.RelationalQueries.r2
 
 /** One event row in the typed streaming source (ts is naive —
   * TIMESTAMP_NTZ — matching the fixture normalization in [[Tables]]). */
-case class Event(event_id: Long, ts: LocalDateTime, event_type: String, value: Double)
+case class Event(
+    event_id: Long, ts: LocalDateTime, user_id: Long,
+    event_type: String, value: Double)
+
+/** One emission of the stateful throttle (s06). */
+case class Emitted(user_id: Long, event_id: Long, ts: LocalDateTime)
 
 /** Structured Streaming execution of the event-window inventory
   * (SURVEY.md §2.3 S1/S5): the SAME windowed-aggregation expressions as
@@ -39,9 +44,12 @@ object EventStreams {
   private def collectEvents(spark: SparkSession, dir: String): Seq[Event] = {
     import spark.implicits._
     Tables(spark, dir, "events")
-      .select($"event_id", $"ts", $"event_type", $"value").as[Event]
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
       .collect().toSeq
   }
+
+  private[streaming] def micros(ts: LocalDateTime): Long =
+    ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ts.getNano / 1000L
 
   /** Run one streaming DataFrame into a memory sink, let `feed` drive
     * it, then return the MATERIALIZED result and drop the sink table —
@@ -136,7 +144,7 @@ object EventStreams {
     val cutoff = maxTs.minusHours(3)
     val (late, onTime) = events.partition(e =>
       e.event_id % 20 == 0 && !e.ts.isAfter(cutoff))
-    val sentinel = Event(-1L, maxTs.plusDays(1), "zzz_flush", 0.0)
+    val sentinel = Event(-1L, maxTs.plusDays(1), -1L, "zzz_flush", 0.0)
     // Watermarks demand an instant-typed event time (TIMESTAMP, not
     // NTZ); under the UTC session the cast is wall-time preserving.
     replay(spark, Seq(onTime, late, Seq(sentinel)),
@@ -146,11 +154,84 @@ object EventStreams {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // ---------------------------------------------------------------- s06
+  /** Custom state machine via `flatMapGroupsWithState` (the §2.2
+    * streaming surface the built-in operators can't express): a greedy
+    * per-user throttle that emits an event only if ≥ 10 minutes have
+    * passed since the user's previously EMITTED event. The kept set
+    * depends on which earlier rows were kept — a recursive chain no
+    * window function states — so the per-group state (last emitted
+    * timestamp) is the operator.
+    *
+    * Replay splits the corpus into 3 ts-ordered microbatches; state
+    * carries each user's chain across batch boundaries, so the result is
+    * identical to a single global greedy pass (asserted against an
+    * in-memory reference in EventStreamsSpec). Rows-only gated — the
+    * chain is not expressible in DuckDB's non-recursive SQL.
+    *
+    * Scale posture: state is one long per user, partitioned by the group
+    * key; at 10^9 users that's shards of an ~8 GB state store spread
+    * across executors, with `GroupStateTimeout` available for eviction
+    * in an unbounded-key production deployment. */
+  def s06_stateful_throttle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sorted = collectEvents(spark, dir)
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val batchSize = math.max(1, (sorted.size + 2) / 3)
+    val batches = sorted.grouped(batchSize).toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val throttled = src.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Emitted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user, events, state) =>
+          val inOrder = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[Emitted]
+          inOrder.foreach { e =>
+            val t = micros(e.ts)
+            if (last == Long.MinValue || t - last >= 10L * 60 * 1000000) {
+              out += Emitted(user, e.event_id, e.ts)
+              last = t
+            }
+          }
+          state.update(last)
+          out.result().iterator
+      }
+    runToMemory(spark, throttled.toDF(), "append") { query =>
+      batches.foreach { b => src.addData(b); query.processAllAvailable() }
+    }.orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Driver-side reference for s06 — one global greedy pass (used by the
+    * spec to gate the streaming result). */
+  private[streaming] def throttleReference(events: Seq[Event]): Seq[Emitted] =
+    events.sortBy(e => (micros(e.ts), e.event_id))
+      .groupBy(_.user_id).toSeq
+      .flatMap { case (user, evs) =>
+        var last = Long.MinValue
+        evs.flatMap { e =>
+          val t = micros(e.ts)
+          if (last == Long.MinValue || t - last >= 10L * 60 * 1000000) {
+            last = t; Some(Emitted(user, e.event_id, e.ts))
+          } else None
+        }
+      }
+      .sortBy(e => (e.user_id, micros(e.ts), e.event_id))
+
+  /** Public variant of [[collectEvents]] for the spec. */
+  private[streaming] def eventsFor(spark: SparkSession, dir: String): Seq[Event] =
+    collectEvents(spark, dir)
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01b_tumbling_stream" -> (s01b_tumbling_stream _),
     "s01c_tumbling_file_stream" -> (s01c_tumbling_file_stream _),
     "s05_watermark_late" -> (s05_watermark_late _),
+    "s06_stateful_throttle" -> (s06_stateful_throttle _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -38,6 +38,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(res.head.getDouble(3) === 1.0)
   }
 
+  test("IVF path prunes to probed buckets yet keeps recall on the exact top-5") {
+    val queries = norm.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(norm, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(norm, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall collapsed — bucketing broken?")
+    // 4 of 16 probed lists ⇒ candidate pool ≈ 25% of corpus per query
+    assert(ivf.size <= exact.size)
+  }
+
   test("LSH path prunes the corpus yet keeps recall on the exact top-5") {
     val queries = norm.filter(col("vec_id") < 10)
     val exact = Similarity.cosineTopK(norm, queries, k = 5).collect()

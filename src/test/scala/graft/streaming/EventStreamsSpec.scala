@@ -18,6 +18,17 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("stateful throttle equals the single-pass greedy reference across batch boundaries") {
+    val streamed = EventStreams.s06_stateful_throttle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val reference = EventStreams.throttleReference(
+      EventStreams.eventsFor(spark, sf0001))
+      .map(e => (e.user_id, e.event_id))
+    assert(streamed === reference)
+    assert(streamed.size < EventStreams.eventsFor(spark, sf0001).size,
+      "throttle emitted everything — state had no effect")
+  }
+
   test("watermark drops the late batch: result is batch-1-only, not the full corpus") {
     val late = rows(EventStreams.s05_watermark_late(spark, sf0001))
     val full = rows(EventWindowQueries.s01_tumbling_window(spark, sf0001))
