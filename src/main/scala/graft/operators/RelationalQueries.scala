@@ -400,6 +400,28 @@ object RelationalQueries {
     """)
   }
 
+  // ---------------------------------------------------------------- Q41
+  /** Ordered-statistics aggregates: exact interpolated percentiles (the
+    * ObjectHashAggregate/SortAggregate path — every other aggregate in
+    * the inventory is hash-aggregable; percentile buffers the group).
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the linear
+    * interpolation definition; r2 absorbs last-bit differences.
+    *
+    * Scale note: exact percentiles buffer each group's values — fine for
+    * a handful of groups, wrong for high-cardinality keys at 100 TB,
+    * where `approx_percentile` (q09b's sketch analogue) is the tool. */
+  def q41_percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        r2(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
+        r2(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"),
+        r2(min($"l_extendedprice")).as("min_price"),
+        r2(max($"l_extendedprice")).as("max_price"))
+      .orderBy($"l_returnflag")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter" -> (q01_scan_filter _),
@@ -427,6 +449,7 @@ object RelationalQueries {
     "q21_json" -> (q21_json _),
     "q22_correlated_subquery" -> (q22_correlated_subquery _),
     "q23_cte_subquery" -> (q23_cte_subquery _),
+    "q41_percentiles" -> (q41_percentiles _),
   )
 
   /** DuckDB-dialect oracle SQL, column-name and type aligned with the
@@ -564,6 +587,13 @@ object RelationalQueries {
         |  (SELECT round((max(o_totalprice)) * 100) / 100 FROM orders
         |    WHERE o_custkey = c_custkey) AS max_price
         | FROM customer ORDER BY c_custkey""".stripMargin,
+    "q41_percentiles" ->
+      """SELECT l_returnflag,
+        |  round((quantile_cont(l_extendedprice, 0.5)) * 100) / 100 AS median_price,
+        |  round((quantile_cont(l_extendedprice, 0.95)) * 100) / 100 AS p95_price,
+        |  round((min(l_extendedprice)) * 100) / 100 AS min_price,
+        |  round((max(l_extendedprice)) * 100) / 100 AS max_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q23_cte_subquery" ->
       """WITH rev AS (
         |  SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
