@@ -99,12 +99,17 @@ object Similarity {
       .select(col("vec_id").as("c_tmp"), col("v").as("cv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    // argmin over nlist centroids as one codegen'd expression chain
+    // Rank centroids by dot/|centroid| — with |v| constant per row this
+    // is cosine order. A bare dot would let centroid NORM (not
+    // direction) dominate assignment: a 2×-norm centroid wins every
+    // vector up to ~60° off a competitor's direction, collapsing the
+    // pruning claim below. |c| is a driver-side constant per centroid.
     def nearest(vec: Column, n: Int): Column = {
       val sims = cents.map { case (cid, cv) =>
-        struct(dot(vec, typedlit(cv)).as("s"), lit(cid).as("cid"))
+        val cnorm = math.sqrt(cv.map(x => x * x).sum)
+        struct((dot(vec, typedlit(cv)) / cnorm).as("s"), lit(cid).as("cid"))
       }
-      // top-n centroid ids by similarity (descending), deterministic
+      // top-n centroid ids by cosine (descending), deterministic
       slice(reverse(array_sort(array(sims: _*))), 1, n)("cid")
     }
     val bucketed = corpus.withColumn("bucket",
@@ -112,15 +117,28 @@ object Similarity {
     val probed = queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(nearest(col("v"), nprobe)).as("bucket"))
-    val sims = bucketed
+    val cands = bucketed
       .select(col("vec_id").as("n_id"), col("v"), col("nrm"), col("bucket"))
       .join(probed, "bucket")
       .filter(col("n_id") =!= col("q_id"))
+    val sims = cands
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), r4(col("sim")).as("sim4"))
+  }
+
+  /** Candidate-pair count of the IVF join before top-k — the pruning
+    * observable SimilaritySpec gates (a degenerate single-bucket
+    * assignment would offer every (query, corpus) pair). */
+  private[llm] def ivfCandidatePairs(
+      corpus: DataFrame, queries: DataFrame, nlist: Int, nprobe: Int): Long = {
+    // k=0 would filter everything; reuse the full pipeline's candidate
+    // stage by ranking with an impossible cap and counting pre-top-k
+    // pairs via a large k instead.
+    ivfCosineTopK(corpus, queries, k = Int.MaxValue, nlist, nprobe)
+      .select("q_id", "n_id").distinct().count()
   }
 
   /** Approximate cosine top-k: candidates from LSH bucket collisions in

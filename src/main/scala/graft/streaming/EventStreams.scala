@@ -174,36 +174,34 @@ object EventStreams {
     * across executors, with `GroupStateTimeout` available for eviction
     * in an unbounded-key production deployment. */
   def s06_stateful_throttle(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val sorted = collectEvents(spark, dir)
       .sortBy(e => (micros(e.ts), e.event_id))
     val batchSize = math.max(1, (sorted.size + 2) / 3)
     val batches = sorted.grouped(batchSize).toSeq
 
-    implicit val sqlCtx = spark.sqlContext
-    val src = MemoryStream[Event]
-    val throttled = src.toDS()
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, Emitted](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (user, events, state) =>
-          val inOrder = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var last = state.getOption.getOrElse(Long.MinValue)
-          val out = Seq.newBuilder[Emitted]
-          inOrder.foreach { e =>
-            val t = micros(e.ts)
-            if (last == Long.MinValue || t - last >= 10L * 60 * 1000000) {
-              out += Emitted(user, e.event_id, e.ts)
-              last = t
+    replay(spark, batches, { df =>
+      import df.sparkSession.implicits._
+      df.as[Event]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Long, Emitted](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (user, events, state) =>
+            val inOrder = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var last = state.getOption.getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[Emitted]
+            inOrder.foreach { e =>
+              val t = micros(e.ts)
+              if (last == Long.MinValue || t - last >= 10L * 60 * 1000000) {
+                out += Emitted(user, e.event_id, e.ts)
+                last = t
+              }
             }
-          }
-          state.update(last)
-          out.result().iterator
-      }
-    runToMemory(spark, throttled.toDF(), "append") { query =>
-      batches.foreach { b => src.addData(b); query.processAllAvailable() }
-    }.orderBy(col("user_id"), col("ts"), col("event_id"))
+            state.update(last)
+            out.result().iterator
+        }
+        .toDF()
+    }, "append").orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
   /** Driver-side reference for s06 — one global greedy pass (used by the

@@ -46,8 +46,12 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.2, s"IVF recall $recall collapsed — bucketing broken?")
-    // 4 of 16 probed lists ⇒ candidate pool ≈ 25% of corpus per query
-    assert(ivf.size <= exact.size)
+    // pruning: the probed-bucket join must offer strictly fewer candidate
+    // pairs than all-pairs (degenerate one-bucket assignment would not)
+    val nCandPairs = Similarity.ivfCandidatePairs(norm, queries, nlist = 16, nprobe = 4)
+    assert(nCandPairs > 0)
+    assert(nCandPairs < 10L * (norm.count() - 1),
+      s"IVF candidates $nCandPairs did not prune all-pairs")
   }
 
   test("LSH path prunes the corpus yet keeps recall on the exact top-5") {
