@@ -11,10 +11,10 @@ import graft.operators.RelationalQueries.r4
   * brute-force cosine top-k as the exactness baseline, and a
   * sign-random-projection LSH variant as the scale path.
   *
-  * All arithmetic is double-precision higher-order-function composition
-  * (`zip_with` + `aggregate` — codegen'd, no UDFs) with a left-to-right
-  * summation order that DuckDB's list comprehension + `list_sum`
-  * reproduces bit-for-bit, so the exact variant is hash-gateable.
+  * All arithmetic runs through the codegen'd [[graft.functions.ArrayDot]]
+  * expression (double precision, left-to-right summation) whose order
+  * DuckDB's list comprehension + `list_sum` reproduces bit-for-bit, so
+  * the exact variant is hash-gateable.
   *
   * 100 TB posture:
   *  - brute force: the query set is a fixed small constant (top-k for a
