@@ -44,6 +44,23 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     assert(!spark.table(t).schema.fieldNames.contains("score"))
   }
 
+  test("ADD COLUMN over existing data: old files read back with nulls in the new column") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = freshTable("t_evolve")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "p").writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    val rows = spark.table(t).orderBy($"id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.forall(_.isNullAt(2)), "pre-evolution rows must read null for the new column")
+    // new writes carry the column; both generations coexist in one scan
+    Seq((3L, 0.5, "z")).toDF("id", "score", "p").writeTo(t).append()
+    val all = spark.table(t).orderBy($"id").collect()
+    assert(all.length === 3)
+    assert(all.last.getDouble(2) === 0.5)
+    assert(spark.table(t).filter(col("score").isNull).count() === 2)
+  }
+
   test("dropping a partition column is refused") {
     val t = freshTable("t_guard")
     intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN p"))
