@@ -89,23 +89,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!store.namespaceExists(db)) throw new NoSuchNamespaceException(ident.namespace)
     if (store.tableExists(db, ident.name)) throw new TableAlreadyExistsException(ident)
 
+    // Normalize partition columns to the SCHEMA's exact casing: the
+    // physical writer names directories after write-schema attributes and
+    // partition specs are keyed by schema fields, so storing the
+    // PARTITIONED BY spelling verbatim (e.g. `dt` vs schema `Dt`) would
+    // split one logical partition across two dir names / spec keys.
     val partitionColumns = partitions.map {
       case t if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
+        val declared = t.references.head.fieldNames.mkString(".")
+        schema.fields.find(_.name.equalsIgnoreCase(declared)).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $declared not present in schema")).name
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform $other: only identity partitioning " +
           "is supported (reference also limits itself to identity + bucket, " +
           "and refuses to write bucketed tables)")
     }.toSeq
-    partitionColumns.foreach { c =>
-      require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
-        s"partition column $c not present in schema")
-    }
 
     val props = properties.asScala.toMap
     val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, defaultProvider).toLowerCase
-    require(Set("parquet", "csv", "json").contains(provider),
-      s"unsupported provider $provider (parquet, csv, json)")
+    require(GraftConf.SupportedProviders.contains(provider),
+      s"unsupported provider $provider (${GraftConf.SupportedProviders.mkString(", ")})")
     val explicitLocation = props.get(TableCatalog.PROP_LOCATION)
     // EXTERNAL iff location supplied — the reference's rule
     // (V2ExternalCatalog.scala:181): managed data lives (and dies) under
@@ -137,6 +141,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val db = asSingle(ident.namespace)
     if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
     val meta = store.loadTable(db, ident.name)
+    // Reserved properties (location/provider/external) are structural —
+    // applying then stripping them would turn e.g. ALTER TABLE ... SET
+    // LOCATION into a silent success that changes nothing.
+    changes.foreach {
+      case s: TableChange.SetProperty if ReservedTableProps.contains(s.property) =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE cannot change reserved property '${s.property}'")
+      case r: TableChange.RemoveProperty if ReservedTableProps.contains(r.property) =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE cannot remove reserved property '${r.property}'")
+      case _ =>
+    }
     val newProps = org.apache.spark.sql.graft.GraftSqlBridge.applyPropertiesChanges(
       meta.properties ++ Map(TableCatalog.PROP_PROVIDER -> meta.provider),
       changes.toSeq) -- ReservedTableProps
@@ -168,6 +184,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (store.tableExists(toDb, newIdent.name)) throw new TableAlreadyExistsException(newIdent)
     if (!store.namespaceExists(toDb)) throw new NoSuchNamespaceException(newIdent.namespace)
     store.renameTable(fromDb, oldIdent.name, toDb, newIdent.name)
+    // the managed data dir may have physically moved — cached listings
+    // for the old path would serve a future table created there
+    invalidateTable(oldIdent)
   }
 
   // --- namespaces --------------------------------------------------------
@@ -238,6 +257,12 @@ object GraftCatalog {
   /** Properties managed by the catalog itself, never stored verbatim. */
   val ReservedTableProps: Set[String] = Set(
     TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL)
+
+  /** Stored table properties that are metadata, NOT format options —
+    * forwarding e.g. a table COMMENT as the CSV `comment` option (a
+    * single-char line-comment marker) would break every read of the
+    * table. */
+  val NonOptionProps: Set[String] = Set("comment", "owner")
   val ReservedNamespaceProps: Set[String] = Set(
     SupportsNamespaces.PROP_LOCATION, SupportsNamespaces.PROP_OWNER)
 }

@@ -38,9 +38,14 @@ object GraftConf {
   val Warehouse: Entry[String] = Entry("warehouse", None, identity,
     (_: String).nonEmpty, "filesystem warehouse root for managed tables")
 
+  /** The one provider list — create-time validation, the default-provider
+    * option and the scan/write dispatchers all reference it, so adding a
+    * format is a single edit. */
+  val SupportedProviders: Set[String] = Set("parquet", "csv", "json")
+
   /** Provider used when CREATE TABLE omits USING. */
   val DefaultProvider: Entry[String] = Entry("defaultProvider",
     Some("parquet"), _.toLowerCase,
-    Set("parquet", "csv", "json").contains(_: String),
+    SupportedProviders.contains(_: String),
     "table provider when USING is omitted: parquet, csv or json")
 }

@@ -57,6 +57,11 @@ class GraftFileIndex(
       val row = InternalRow.fromSeq(ps.map { f =>
         p.spec.get(f.name).orElse(
             p.spec.find(_._1.equalsIgnoreCase(f.name)).map(_._2)) match {
+          // the Hive default-partition marker IS the null encoding —
+          // surfacing it as a literal string would leak the marker into
+          // query results
+          case Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME) => null
           case Some(v) =>
             Cast(Literal(UTF8String.fromString(v), StringType), f.dataType,
               Some(timeZoneId)).eval(null)
@@ -70,11 +75,7 @@ class GraftFileIndex(
 
   private def partitionLocation(p: PartitionMeta): String =
     p.location.getOrElse(
-      meta.partitionColumns.foldLeft(tablePath) { (dir, col) =>
-        new Path(dir, org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(col, p.spec.getOrElse(col,
-            p.spec.find(_._1.equalsIgnoreCase(col)).map(_._2).getOrElse(null))))
-      }.toString)
+      graft.catalog.write.GraftBatchWrite.partitionDir(meta, p.spec).toString)
 
   /** Prune first, list after — only surviving partition dirs hit the
     * filesystem. */

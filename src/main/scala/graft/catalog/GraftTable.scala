@@ -74,16 +74,23 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val cache = FileStatusCache.getOrCreate(spark)
+    // Partitioned tables ALWAYS scan through the catalog-tracked index —
+    // including when the partition list is empty: a plain
+    // InMemoryFileIndex over the (empty) table dir would infer an empty
+    // partition schema and the plan could not resolve the declared
+    // partition columns (SELECT * before the first insert would fail
+    // instead of returning zero rows).
     val index: PartitioningAwareFileIndex =
-      if (meta.isPartitioned && meta.partitions.nonEmpty)
+      if (meta.isPartitioned)
         new GraftFileIndex(spark, meta, cache)
       else
         new InMemoryFileIndex(spark, Seq(new Path(meta.location)),
           meta.properties, Some(meta.schema), cache)
     // Table properties (e.g. csv header/delimiter) flow into the scan as
-    // read options, caller options win.
+    // read options, caller options win; pure-metadata properties
+    // (comment/owner) are NOT options and must not reach the format.
     val opts = new CaseInsensitiveStringMap(
-      (meta.properties ++ options.asScala).asJava)
+      ((meta.properties -- GraftCatalog.NonOptionProps) ++ options.asScala).asJava)
     meta.provider match {
       case "parquet" => ParquetScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
       case "csv" => CSVScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
@@ -194,9 +201,5 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   }
 
   private def defaultPartitionDir(current: TableMeta, spec: Map[String, String]): Path =
-    current.partitionColumns.foldLeft(new Path(current.location)) { (dir, col) =>
-      new Path(dir, ExternalCatalogUtils.getPartitionPathString(col,
-        spec.getOrElse(col, spec.find(_._1.equalsIgnoreCase(col)).map(_._2)
-          .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))))
-    }
+    graft.catalog.write.GraftBatchWrite.partitionDir(current, spec)
 }

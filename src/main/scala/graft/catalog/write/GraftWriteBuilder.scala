@@ -73,10 +73,28 @@ class GraftWriteBuilder(
     if (filters.isEmpty || filters.sameElements(Array(AlwaysTrue))) {
       mode = Truncate
     } else {
+      // Values must be encoded EXACTLY like stored partition specs:
+      // Cast-to-string with the session timezone, null →
+      // __HIVE_DEFAULT_PARTITION__. String.valueOf would yield "null"
+      // and Timestamp.toString's ".0" suffix — neither matches a spec or
+      // a directory name, so the pre-delete would silently miss and the
+      // "overwritten" partition would keep its old files.
+      def encode(v: Any): String =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else {
+          val lit = org.apache.spark.sql.catalyst.expressions.Literal(v)
+          val tz = spark.sessionState.conf.sessionLocalTimeZone
+          String.valueOf(org.apache.spark.sql.catalyst.expressions.Cast(
+            lit, org.apache.spark.sql.types.StringType, Some(tz)).eval(null))
+        }
       def unwrap(f: Filter): Seq[(String, String)] = f match {
         case And(l, r) => unwrap(l) ++ unwrap(r)
-        case EqualTo(col, v) => Seq(col -> String.valueOf(v))
-        case EqualNullSafe(col, v) => Seq(col -> String.valueOf(v))
+        case EqualTo(col, v) => Seq(col -> encode(v))
+        case EqualNullSafe(col, v) => Seq(col -> encode(v))
+        // Catalyst simplifies `col <=> null` to IsNull before it reaches
+        // the builder — it IS the static null-partition predicate
+        case org.apache.spark.sql.sources.IsNull(col) =>
+          Seq(col -> ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
         case _: AlwaysTrue => Seq.empty
         case other => throw new UnsupportedOperationException(
           s"overwrite supports only static partition predicates, got: $other")
@@ -159,6 +177,13 @@ class GraftWrite(
         if (fs.exists(new Path(meta.location))) {
           fs.listStatus(new Path(meta.location)).foreach(s => fs.delete(s.getPath, true))
         }
+        // tracked partitions with a custom LOCATION live outside the
+        // table dir — truncate owns their data too
+        meta.partitions.flatMap(_.location).foreach { l =>
+          val p = new Path(l)
+          val pfs = p.getFileSystem(hadoopConf)
+          if (pfs.exists(p)) pfs.listStatus(p).foreach(s => pfs.delete(s.getPath, true))
+        }
       case StaticOverwrite(spec) =>
         staticMatchDirs(meta, spec).foreach(d => fs.delete(d, true))
       case _ =>
@@ -176,7 +201,8 @@ class GraftWrite(
       dynamicPartitionOverwrite = mode == DynamicOverwrite)
 
     val factory = format.prepareWrite(spark, job,
-      meta.properties ++ info.options.asScala, DataTypeUtils.fromAttributes(
+      (meta.properties -- graft.catalog.GraftCatalog.NonOptionProps) ++
+        info.options.asScala, DataTypeUtils.fromAttributes(
         DataTypeUtils.toAttributes(schema)
           .filterNot(a => partSet.contains(a.name.toLowerCase))))
 
@@ -194,7 +220,12 @@ class GraftWrite(
       partAttrs,
       None,
       meta.location,
-      Map.empty,
+      // partitions registered with an explicit LOCATION receive their
+      // files there, not under the table-relative default dir — without
+      // this the write silently orphans the custom-location data
+      meta.partitions.collect {
+        case p if p.location.isDefined => p.spec -> p.location.get
+      }.toMap,
       conf.maxRecordsPerFile,
       conf.sessionLocalTimeZone,
       Seq.empty)
@@ -262,10 +293,22 @@ class GraftBatchWrite(
           .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
           .flatten.distinct
           .map(GraftBatchWrite.parseFragment(current, _))
-        val written = writtenSpecs.map { spec =>
-          val dir = GraftBatchWrite.partitionDir(current, spec)
-          PartitionMeta(spec, None, sizeOf(dir))
-        }
+        // One getContentSummary per written partition — a recursive
+        // listing RPC each. Serially that is minutes of driver dead time
+        // on a thousand-partition backfill, so size them concurrently
+        // (bounded by the FS client; results are order-independent).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val written = Await.result(
+          Future.traverse(writtenSpecs) { spec => Future {
+            // a pre-registered custom LOCATION survives the write (the
+            // files just landed there via customPartitionLocations)
+            val loc = current.partitions.find(_.spec == spec).flatMap(_.location)
+            val dir = loc.map(new Path(_))
+              .getOrElse(GraftBatchWrite.partitionDir(current, spec))
+            PartitionMeta(spec, loc, sizeOf(dir))
+          } }, Duration.Inf)
         val base = mode match {
           case Truncate => Nil
           case StaticOverwrite(spec) => current.partitions.filterNot(p =>

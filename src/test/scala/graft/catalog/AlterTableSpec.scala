@@ -61,6 +61,13 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).filter(col("score").isNull).count() === 2)
   }
 
+  test("SET LOCATION is refused, not silently ignored") {
+    val t = freshTable("t_loc")
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t SET LOCATION '/somewhere/else'"))
+    assert(e.getMessage.contains("location"))
+  }
+
   test("dropping a partition column is refused") {
     val t = freshTable("t_guard")
     intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN p"))

@@ -101,6 +101,65 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("partition column declared with different case than the schema still round-trips") {
+    import spark.implicits._
+    val t = freshTable("t_case")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, Dt STRING) USING parquet PARTITIONED BY (dt)")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "Dt").writeTo(t).append()
+    assert(spark.table(t).count() === 2)
+    assert(spark.table(t).filter($"Dt" === "a").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).sorted
+    assert(parts.length === 2, s"expected 2 partitions, got ${parts.mkString(",")}")
+  }
+
+  test("static overwrite of the null partition replaces it (Hive default-partition encoding)") {
+    import spark.implicits._
+    val t = freshTable("t_nullpart")
+    Seq((1L, Some("x")), (2L, None), (3L, None))
+      .toDF("id", "p").writeTo(t).partitionedBy($"p").create()
+    Seq((9L, None: Option[String])).toDF("id", "p")
+      .writeTo(t).overwrite($"p" <=> lit(null))
+    val rows = spark.table(t).collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows === Set((1L, Some("x")), (9L, None)),
+      s"null partition not replaced: $rows")
+  }
+
+  test("SELECT * from a partitioned table before any insert returns zero rows, not an error") {
+    val t = freshTable("t_empty")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) USING parquet PARTITIONED BY (p)")
+    val rows = spark.sql(s"SELECT id, p FROM $t").collect()
+    assert(rows.isEmpty)
+  }
+
+  test("a table COMMENT does not leak into format options (csv 'comment' collision)") {
+    import spark.implicits._
+    val t = freshTable("t_comment")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING) USING csv COMMENT 'staging table'")
+    Seq((1L, "alpha")).toDF("id", "name").writeTo(t).append()
+    assert(spark.table(t).collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("ADD PARTITION with a custom LOCATION receives writes there and stays readable") {
+    import spark.implicits._
+    val t = freshTable("t_custloc")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) USING parquet PARTITIONED BY (p)")
+    val custom = java.nio.file.Files.createTempDirectory("graft-custom-part").toString
+    spark.sql(s"ALTER TABLE $t ADD PARTITION (p = 'x') LOCATION '$custom'")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "p").writeTo(t).append()
+    // rows in the custom-location partition are visible
+    assert(spark.table(t).filter($"p" === "x").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // and the files physically landed under the custom dir
+    val files = new java.io.File(custom).listFiles()
+    assert(files != null && files.exists(_.getName.endsWith(".parquet")),
+      s"no parquet files under custom location $custom")
+    // catalog still tracks the custom location after the write commit
+    val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+    val part = cat.metaStore.loadTable("wtest", "t_custloc")
+      .partitions.find(_.spec == Map("p" -> "x")).get
+    assert(part.location.contains(custom))
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {
     import spark.implicits._
     val t = freshTable("t_ddl")
