@@ -278,8 +278,10 @@ object LlmQueries {
           |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
           |    length(text) AS n_chars
           |  FROM documents)
-          | SELECT lang, count(*) AS n_docs, sum(n_ws_tokens) AS sum_ws_tokens,
-          |  sum(n_subtokens) AS sum_subtokens, sum(n_chars) AS sum_chars
+          | SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_ws_tokens) AS BIGINT) AS sum_ws_tokens,
+          |  CAST(sum(n_subtokens) AS BIGINT) AS sum_subtokens,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
           | FROM t GROUP BY lang ORDER BY lang""".stripMargin,
       "q36_fingerprint" ->
         """SELECT doc_id,
@@ -288,25 +290,31 @@ object LlmQueries {
           |     for c in string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '')]),
           |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
           | FROM documents ORDER BY doc_id""".stripMargin,
-      // Payloads are UTF-8 bytes of pure-ASCII text, so byte values equal
-      // character codes and the fake decode mirrors exactly.
+      // Byte-based: iterate the UTF-8 payload bytes via hex pairs so the
+      // oracle matches the binary-side fold regardless of text encoding.
       "q37_multimodal" ->
         """WITH m AS (
           |  SELECT doc_id,
           |    CASE CAST(substr(source, 4) AS INT) % 4
           |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
           |      ELSE 'mp4' END AS format,
-          |    length(text) AS n_bytes,
-          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+          |    [CAST('0x' || substr(hex(encode(text)), 2*i+1, 2) AS BIGINT)
+          |     for i in range(octet_length(encode(text)))] AS bytes
+          |  FROM documents),
+          | f AS (
+          |  SELECT format,
+          |    len(bytes) AS n_bytes,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
           |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
-          |    length(text) // 16 AS n_frames,
-          |    list_sum([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]) AS level_sum
-          |  FROM documents)
-          | SELECT format, count(*) AS n_media, sum(n_bytes) AS sum_bytes,
-          |  sum(checksum) AS checksum_sum, sum(n_frames) AS sum_frames,
+          |    len(bytes) // 16 AS n_frames,
+          |    list_sum(bytes) AS level_sum
+          |  FROM m)
+          | SELECT format, count(*) AS n_media,
+          |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+          |  CAST(sum(checksum) AS BIGINT) AS checksum_sum,
+          |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
           |  round((CAST(sum(level_sum) AS DOUBLE) / sum(n_bytes)) * 10000) / 10000 AS mean_level
-          | FROM m GROUP BY format ORDER BY format""".stripMargin,
+          | FROM f GROUP BY format ORDER BY format""".stripMargin,
     )
   }
 }

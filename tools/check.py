@@ -28,17 +28,31 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.sql(sql).fetchall()
-            exp_cols = [d[0] for d in con.sql(sql).description]
+            exp_rel = con.sql(sql)
+            exp = exp_rel.fetchall()
+            exp_cols = list(exp_rel.columns)
+            exp_types = [str(t) for t in exp_rel.types]
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got = got_rel.fetchall()
-            got_cols = [d[0] for d in got_rel.description]
+            got_cols = list(got_rel.columns)
+            got_types = [str(t) for t in got_rel.types]
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
         if sorted(exp_cols) != sorted(got_cols):
             print(f"FAIL {name}: columns exp={sorted(exp_cols)} got={sorted(got_cols)}")
+            n_fail += 1
+            continue
+        # dtype gate: a HUGEINT oracle vs a BIGINT parquet hashes
+        # differently on the driver even when every value matches.
+        tmis = [(c, et, gt)
+                for c, et, gt in zip(sorted(exp_cols),
+                                     [exp_types[exp_cols.index(c)] for c in sorted(exp_cols)],
+                                     [got_types[got_cols.index(c)] for c in sorted(got_cols)])
+                if et != gt]
+        if tmis:
+            print(f"FAIL {name}: dtypes differ (col, oracle, spark): {tmis}")
             n_fail += 1
             continue
         # reorder both to sorted-column order
