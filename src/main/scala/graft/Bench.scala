@@ -34,11 +34,18 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(execute) // warm-up pass (unmeasured)
-    val results = names.map { name =>
+    // Min-of-2 measured passes per query: BASELINE.md documents min-of-2
+    // as the jitter-robust statistic for this shared sandbox, where an
+    // identical binary varies up to 1.6x run-to-run on a single pass.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val best = collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()
       execute(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
+    val results = names.map(n => n -> best(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

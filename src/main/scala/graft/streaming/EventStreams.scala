@@ -58,7 +58,7 @@ object EventStreams {
     *
     * State-store note: one delta file is committed per shuffle partition
     * per microbatch — at the session's 32 partitions a 3-batch replay
-    * pays ~100 mostly-empty state commits, so replays run at 8 (restored
+    * pays ~100 mostly-empty state commits, so replays run at 4 (restored
     * afterwards). A production readStream sizes this to the real key
     * cardinality instead. */
   private def runToMemory(
@@ -67,7 +67,7 @@ object EventStreams {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val partKey = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
+    spark.conf.set(partKey, "4")
     try {
       val query = streaming.writeStream
         .format("memory").queryName(name).outputMode(mode).start()
@@ -136,8 +136,11 @@ object EventStreams {
     * every late row's window closed hours earlier, so ALL of them are
     * dropped — the final answer aggregates batch 1 only, which is
     * exactly what the DuckDB oracle states in SQL. A far-future sentinel
-    * batch advances the watermark so append mode flushes every real
-    * window; the sentinel's own (never-finalized) window is excluded. */
+    * rides along in the late batch: the input-filter watermark for that
+    * batch was already fixed by batch 1 (so the late rows still drop),
+    * while the sentinel advances the watermark afterwards so append mode
+    * flushes every real window in the trailing no-data microbatch; the
+    * sentinel's own (never-finalized) window is excluded. */
   def s05_watermark_late(spark: SparkSession, dir: String): DataFrame = {
     val events = collectEvents(spark, dir)
     val maxTs = events.map(_.ts).max(Ordering.fromLessThan[LocalDateTime](_.isBefore(_)))
@@ -147,7 +150,7 @@ object EventStreams {
     val sentinel = Event(-1L, maxTs.plusDays(1), -1L, "zzz_flush", 0.0)
     // Watermarks demand an instant-typed event time (TIMESTAMP, not
     // NTZ); under the UTC session the cast is wall-time preserving.
-    replay(spark, Seq(onTime, late, Seq(sentinel)),
+    replay(spark, Seq(onTime, late :+ sentinel),
       df => tumblingAgg(df.withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "10 minutes")), "append")
       .filter(col("event_type") =!= "zzz_flush")
@@ -166,8 +169,8 @@ object EventStreams {
     * Replay splits the corpus into 3 ts-ordered microbatches; state
     * carries each user's chain across batch boundaries, so the result is
     * identical to a single global greedy pass (asserted against an
-    * in-memory reference in EventStreamsSpec). Rows-only gated — the
-    * chain is not expressible in DuckDB's non-recursive SQL.
+    * in-memory reference in EventStreamsSpec, and hash-gated against a
+    * DuckDB `WITH RECURSIVE` oracle that walks the same per-user chain).
     *
     * Scale posture: state is one long per user, partitioned by the group
     * key; at 10^9 users that's shards of an ~8 GB state store spread
@@ -251,5 +254,26 @@ object EventStreams {
         | FROM events, mx
         | WHERE NOT (event_id % 20 = 0 AND ts <= m - INTERVAL 3 HOUR)
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The greedy per-user chain in SQL: each event joins its per-user
+    // successor, carrying the last EMITTED timestamp forward — the same
+    // recursion flatMapGroupsWithState runs as managed state.
+    "s06_stateful_throttle" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        | ), chain AS (
+        |  SELECT user_id, rn, ts AS last_ts, event_id, ts, TRUE AS emitted
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    CASE WHEN e.ts >= c.last_ts + INTERVAL 10 MINUTE THEN e.ts
+        |         ELSE c.last_ts END,
+        |    e.event_id, e.ts,
+        |    e.ts >= c.last_ts + INTERVAL 10 MINUTE
+        |  FROM chain c JOIN e ON e.user_id = c.user_id AND e.rn = c.rn + 1
+        | )
+        | SELECT user_id, event_id, ts FROM chain WHERE emitted
+        | ORDER BY user_id, ts, event_id""".stripMargin,
   )
 }
