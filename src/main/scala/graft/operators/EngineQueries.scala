@@ -95,9 +95,40 @@ object EngineQueries {
     spark.table(tgt).orderBy($"n_nationkey")
   }
 
+  // ---------------------------------------------------------------- Q42
+  /** JSON provider round-trip (R15) with NESTED columns: CTAS nation
+    * into a managed JSON table carrying a struct and a map column —
+    * exercising the JSON writer's recursive type gate
+    * (/root/reference/.../JsonProviderFileWriteBuilder.scala:21-57),
+    * which admits nested types where the CSV gate (q39) rejects them.
+    * The read-back flattens the nested values so the oracle states them
+    * in plain SQL over the source parquet; longs survive because the
+    * JSON scan uses the catalog-declared schema, not inference. */
+  def q42_json_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q42_nation_json"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "nation")
+      .select($"n_nationkey",
+        struct($"n_name".as("name"), $"n_regionkey".as("regionkey")).as("info"),
+        map(lit("len"), length($"n_name").cast("long"),
+            lit("region"), $"n_regionkey".cast("long")).as("attrs"))
+      .writeTo(tgt).using("json").create()
+    spark.table(tgt)
+      .select($"n_nationkey",
+        $"info.name".as("name"),
+        $"info.regionkey".as("regionkey"),
+        element_at($"attrs", "len").as("name_len"),
+        element_at($"attrs", "region").as("attr_region"))
+      .orderBy($"n_nationkey")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
+    "q42_json_roundtrip" -> (q42_json_roundtrip _),
     "q25_udaf_weighted_mean" -> (q25_udaf_weighted_mean _),
     "q26_udf_normalize" -> (q26_udf_normalize _),
     "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
@@ -125,6 +156,13 @@ object EngineQueries {
     "q39_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         | ORDER BY n_nationkey""".stripMargin,
+    // Nested values flattened after the read-back: if the struct/map did
+    // not survive the JSON write, these columns would not match.
+    "q42_json_roundtrip" ->
+      """SELECT n_nationkey, n_name AS name, n_regionkey AS regionkey,
+        |  CAST(length(n_name) AS BIGINT) AS name_len,
+        |  CAST(n_regionkey AS BIGINT) AS attr_region
+        | FROM nation ORDER BY n_nationkey""".stripMargin,
     "q26_udf_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
