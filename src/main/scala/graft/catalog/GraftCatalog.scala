@@ -41,6 +41,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var store: MetaStore = _
   private var defaultProvider: String = "parquet"
+  private var autoSizeUpdateEnabled: Boolean = true
 
   private def spark: SparkSession = SparkSession.active
 
@@ -48,9 +49,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
     val warehouse = GraftConf.Warehouse.get(options, name)
     defaultProvider = GraftConf.DefaultProvider.get(options, name)
+    autoSizeUpdateEnabled = GraftConf.AutoSizeUpdate.get(options, name)
     store = new MetaStore(new Path(warehouse),
       spark.sessionState.newHadoopConf())
   }
+
+  /** R19 toggle (reference `autoSizeUpdateEnabled`, CatalogUtil.scala:31-48):
+    * when off, write commits invalidate stats instead of recomputing them. */
+  private[graft] def autoSizeUpdate: Boolean = autoSizeUpdateEnabled
 
   override def name(): String = catalogName
 
@@ -94,17 +100,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // partition specs are keyed by schema fields, so storing the
     // PARTITIONED BY spelling verbatim (e.g. `dt` vs schema `Dt`) would
     // split one logical partition across two dir names / spec keys.
-    val partitionColumns = partitions.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        val declared = t.references.head.fieldNames.mkString(".")
-        schema.fields.find(_.name.equalsIgnoreCase(declared)).getOrElse(
-          throw new IllegalArgumentException(
-            s"partition column $declared not present in schema")).name
-      case other => throw new UnsupportedOperationException(
-        s"unsupported partition transform $other: only identity partitioning " +
-          "is supported (reference also limits itself to identity + bucket, " +
-          "and refuses to write bucketed tables)")
-    }.toSeq
+    // CLUSTERED BY is RECOGNIZED and recorded in table metadata, but
+    // writes to bucketed tables are refused at the write builder — the
+    // reference's exact posture (InternalSqlBridge.scala:25-38 maps the
+    // bucket into metadata; HiveFileFormatWriteBuilder.scala:124-136
+    // refuses the write).
+    val bucketSpec: Option[(Int, Seq[String])] = partitions.collectFirst {
+      case b if b.name == "bucket" =>
+        val cols = b.references.map { r =>
+          val declared = r.fieldNames.mkString(".")
+          schema.fields.find(_.name.equalsIgnoreCase(declared)).getOrElse(
+            throw new IllegalArgumentException(
+              s"bucket column $declared not present in schema")).name
+        }
+        val n = b.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform $b carries no bucket count"))
+        (n, cols.toSeq)
+    }
+    val partitionColumns = partitions
+      .filterNot(_.name == "bucket")
+      .map {
+        case t if t.name == "identity" && t.references.length == 1 =>
+          val declared = t.references.head.fieldNames.mkString(".")
+          schema.fields.find(_.name.equalsIgnoreCase(declared)).getOrElse(
+            throw new IllegalArgumentException(
+              s"partition column $declared not present in schema")).name
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform $other: only identity partitioning " +
+            "and bucket clustering are supported (matching the reference, " +
+            "which also refuses to write bucketed tables)")
+      }.toSeq
 
     val props = properties.asScala.toMap
     val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, defaultProvider).toLowerCase
@@ -126,7 +154,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitionColumns = partitionColumns,
       location = location,
       external = external,
-      properties = props -- ReservedTableProps,
+      properties = (props -- ReservedTableProps) ++
+        bucketSpec.map { case (n, cols) => Map(
+          BucketCountProp -> n.toString,
+          BucketColumnsProp -> cols.mkString(","))
+        }.getOrElse(Map.empty),
       stats = None,
       partitions = Nil)
     store.saveTable(db, meta)
@@ -254,15 +286,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object GraftCatalog {
+  /** Bucket spec recorded from a `CLUSTERED BY ... INTO n BUCKETS`
+    * transform. Catalog-managed: settable only via the create transform,
+    * guarded against ALTER, never forwarded as a format option. */
+  val BucketCountProp: String = "graft.bucket.count"
+  val BucketColumnsProp: String = "graft.bucket.columns"
+
   /** Properties managed by the catalog itself, never stored verbatim. */
   val ReservedTableProps: Set[String] = Set(
-    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL)
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+    BucketCountProp, BucketColumnsProp)
 
   /** Stored table properties that are metadata, NOT format options —
     * forwarding e.g. a table COMMENT as the CSV `comment` option (a
     * single-char line-comment marker) would break every read of the
     * table. */
-  val NonOptionProps: Set[String] = Set("comment", "owner")
+  val NonOptionProps: Set[String] = Set("comment", "owner",
+    BucketCountProp, BucketColumnsProp)
   val ReservedNamespaceProps: Set[String] = Set(
     SupportsNamespaces.PROP_LOCATION, SupportsNamespaces.PROP_OWNER)
 }

@@ -48,4 +48,19 @@ object GraftConf {
     Some("parquet"), _.toLowerCase,
     SupportedProviders.contains(_: String),
     "table provider when USING is omitted: parquet, csv or json")
+
+  /** Maintain table/partition sizes on every write commit. When false a
+    * commit still registers written partitions but skips the
+    * per-partition `getContentSummary` listing pass and CLEARS table
+    * stats (invalidate-don't-recompute — the reference's
+    * `autoSizeUpdateEnabled` fallback, CatalogUtil.scala:31-48). An
+    * operator writing a 100 TB table may prefer that a commit not pay a
+    * recursive-listing RPC per touched partition. */
+  val AutoSizeUpdate: Entry[Boolean] = Entry("autoSizeUpdate",
+    Some(true), s => s.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(s"not a boolean: $other")
+    }, (_: Boolean) => true,
+    "maintain table/partition size stats on write commit (true/false)")
 }

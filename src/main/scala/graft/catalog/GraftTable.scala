@@ -51,8 +51,17 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
 
   override def schema(): StructType = meta.schema
 
-  override def partitioning(): Array[Transform] =
-    meta.partitionColumns.map(Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = {
+    val idents = meta.partitionColumns.map(Expressions.identity(_): Transform)
+    // A recorded CLUSTERED BY spec surfaces in DESCRIBE / SHOW CREATE
+    // exactly as declared (reference parity: buckets live in table
+    // metadata even though writes refuse them).
+    val bucket = for {
+      n <- meta.properties.get(GraftCatalog.BucketCountProp)
+      cols <- meta.properties.get(GraftCatalog.BucketColumnsProp)
+    } yield Expressions.bucket(n.toInt, cols.split(","): _*): Transform
+    (idents ++ bucket).toArray
+  }
 
   override def properties(): util.Map[String, String] = {
     val base = meta.properties ++ Map(
@@ -102,7 +111,7 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   // --- write -------------------------------------------------------------
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(spark, store, db, meta, info)
+    new GraftWriteBuilder(spark, store, db, meta, info, catalog.autoSizeUpdate)
 
   // --- partition management (R18, V2Table.scala:80-113) -------------------
 

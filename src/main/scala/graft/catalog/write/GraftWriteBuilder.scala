@@ -55,7 +55,8 @@ class GraftWriteBuilder(
     store: MetaStore,
     db: String,
     meta: TableMeta,
-    info: LogicalWriteInfo)
+    info: LogicalWriteInfo,
+    autoSizeUpdate: Boolean = true)
   extends WriteBuilder
   with SupportsTruncate
   with SupportsOverwrite
@@ -116,7 +117,22 @@ class GraftWriteBuilder(
     this
   }
 
-  override def build(): Write = new GraftWrite(spark, store, db, meta, info, mode)
+  override def build(): Write = {
+    // Buckets are recorded at create but unwritable — the reference's
+    // posture (HiveFileFormatWriteBuilder.scala:124-136): a correct
+    // bucketed write needs hash-clustered files Spark's file writers
+    // don't produce through this path, and silently writing unbucketed
+    // data under a bucketed declaration would corrupt every downstream
+    // bucket-join assumption.
+    if (meta.properties.contains(graft.catalog.GraftCatalog.BucketCountProp)) {
+      throw new UnsupportedOperationException(
+        s"table ${meta.name} is bucketed (CLUSTERED BY " +
+          s"${meta.properties(graft.catalog.GraftCatalog.BucketColumnsProp)} INTO " +
+          s"${meta.properties(graft.catalog.GraftCatalog.BucketCountProp)} BUCKETS); " +
+          "writes to bucketed tables are not supported")
+    }
+    new GraftWrite(spark, store, db, meta, info, mode, autoSizeUpdate)
+  }
 }
 
 /** The physical write: required clustering/ordering by partition columns
@@ -129,7 +145,8 @@ class GraftWrite(
     db: String,
     meta: TableMeta,
     info: LogicalWriteInfo,
-    mode: WriteMode)
+    mode: WriteMode,
+    autoSizeUpdate: Boolean = true)
   extends Write with RequiresDistributionAndOrdering {
 
   private val partCols = meta.partitionColumns
@@ -232,7 +249,7 @@ class GraftWrite(
 
     committer.setupJob(job)
     new GraftBatchWrite(new FileBatchWrite(job, description, committer),
-      spark, store, db, meta, mode)
+      spark, store, db, meta, mode, autoSizeUpdate)
   }
 
   private def staticMatchDirs(current: TableMeta, spec: Map[String, String]): Seq[Path] = {
@@ -265,7 +282,8 @@ class GraftBatchWrite(
     store: MetaStore,
     db: String,
     meta: TableMeta,
-    mode: WriteMode)
+    mode: WriteMode,
+    autoSizeUpdate: Boolean = true)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -286,8 +304,13 @@ class GraftBatchWrite(
     val current = store.loadTable(db, meta.name)
     val updated =
       if (current.partitionColumns.isEmpty) {
+        // autoSizeUpdate=false: invalidate-don't-recompute (reference
+        // CatalogUtil.scala:31-48) — clear stats so the planner falls
+        // back to listing-based sizing instead of trusting stale numbers,
+        // and skip the getContentSummary pass entirely.
         current.copy(stats =
-          Some(TableStats(sizeOf(new Path(current.location)), None)))
+          if (autoSizeUpdate) Some(TableStats(sizeOf(new Path(current.location)), None))
+          else None)
       } else {
         val writtenSpecs = messages.toSeq
           .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
@@ -297,6 +320,8 @@ class GraftBatchWrite(
         // listing RPC each. Serially that is minutes of driver dead time
         // on a thousand-partition backfill, so size them concurrently
         // (bounded by the FS client; results are order-independent).
+        // With autoSizeUpdate off, partitions are still REGISTERED (that
+        // is correctness, not stats) but unsized, and table stats clear.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
@@ -307,7 +332,7 @@ class GraftBatchWrite(
             val loc = current.partitions.find(_.spec == spec).flatMap(_.location)
             val dir = loc.map(new Path(_))
               .getOrElse(GraftBatchWrite.partitionDir(current, spec))
-            PartitionMeta(spec, loc, sizeOf(dir))
+            PartitionMeta(spec, loc, if (autoSizeUpdate) sizeOf(dir) else 0L)
           } }, Duration.Inf)
         val base = mode match {
           case Truncate => Nil
@@ -319,7 +344,9 @@ class GraftBatchWrite(
         val merged = base.filterNot(p => written.exists(_.spec == p.spec)) ++ written
         current.copy(
           partitions = merged,
-          stats = Some(TableStats(merged.map(_.sizeInBytes).sum, None)))
+          stats =
+            if (autoSizeUpdate) Some(TableStats(merged.map(_.sizeInBytes).sum, None))
+            else None)
       }
     store.saveTable(db, updated)
     FileStatusCache.getOrCreate(spark).invalidateAll()

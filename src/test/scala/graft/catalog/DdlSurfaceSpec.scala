@@ -42,4 +42,38 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
     assert(noNs.getMessage.contains("SCHEMA_NOT_FOUND") ||
       noNs.getMessage.toLowerCase.contains("not found"))
   }
+
+  test("CLUSTERED BY is recorded in table metadata; bucketed writes are refused") {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ddl")
+    val t = s"$cat.ddl.t_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // create succeeds (reference parity: the bucket is MAPPED into
+    // metadata, not rejected at the catalog)
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING) USING parquet " +
+      "CLUSTERED BY (id) INTO 4 BUCKETS")
+    val graftCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val meta = graftCat.metaStore.loadTable("ddl", "t_bucketed")
+    assert(meta.properties.get(GraftCatalog.BucketCountProp).contains("4"))
+    assert(meta.properties.get(GraftCatalog.BucketColumnsProp).contains("id"))
+    // the bucket surfaces through partitioning() (DESCRIBE / SHOW CREATE)
+    val parts = graftCat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ddl"), "t_bucketed"))
+      .partitioning.map(_.toString)
+    assert(parts.exists(_.contains("bucket")), s"partitioning: ${parts.mkString(",")}")
+    // scans of the (empty) bucketed table work
+    assert(spark.table(t).count() === 0)
+    // but any write is refused with a message naming the bucket spec
+    val e = intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "name").writeTo(t).append()
+    }
+    assert(e.getMessage.contains("bucketed"), s"got: ${e.getMessage}")
+    // and the recorded spec is ALTER-proof like other reserved props
+    val alter = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bucket.count'='8')"))
+    assert(alter.getMessage.toLowerCase.contains("reserved") ||
+      alter.getMessage.contains("graft.bucket.count"))
+  }
 }

@@ -26,4 +26,13 @@ class GraftConfSpec extends AnyFunSuite {
       GraftConf.DefaultProvider.get(opts("defaultProvider" -> "orc"), "c"))
     assert(e.getMessage.contains("defaultProvider"))
   }
+
+  test("autoSizeUpdate defaults true, parses booleans, rejects garbage") {
+    assert(GraftConf.AutoSizeUpdate.get(opts(), "c") === true)
+    assert(GraftConf.AutoSizeUpdate.get(opts("autoSizeUpdate" -> "FALSE"), "c") === false)
+    assert(GraftConf.AutoSizeUpdate.get(opts("autoSizeUpdate" -> "true"), "c") === true)
+    val e = intercept[IllegalArgumentException](
+      GraftConf.AutoSizeUpdate.get(opts("autoSizeUpdate" -> "yes"), "c"))
+    assert(e.getMessage.contains("autoSizeUpdate"))
+  }
 }

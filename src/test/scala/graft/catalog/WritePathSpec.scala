@@ -160,6 +160,66 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(part.location.contains(custom))
   }
 
+  test("a failed write aborts cleanly: prior data, partitions, stats and files untouched") {
+    import spark.implicits._
+    val t = freshTable("t_abort")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "p").writeTo(t).partitionedBy($"p").create()
+    val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+    val before = cat.metaStore.loadTable("wtest", "t_abort")
+
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else Seq(f.getPath)
+    val root = new java.io.File(
+      new org.apache.hadoop.fs.Path(before.location).toUri.getPath)
+    val filesBefore = walk(root).toSet
+
+    // a row that throws mid-task forces task failure -> job abort ->
+    // GraftBatchWrite.abort -> committer.abortJob
+    val poison = udf { id: Long =>
+      if (id == 3L) throw new RuntimeException("poisoned row"); id
+    }
+    val bad = Seq((3L, "x"), (4L, "z")).toDF("id", "p")
+      .withColumn("id", poison($"id"))
+    intercept[Exception] { bad.writeTo(t).append() }
+
+    // data: only the original rows remain
+    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // catalog: descriptor byte-identical (no partition 'z', stats unchanged)
+    val after = cat.metaStore.loadTable("wtest", "t_abort")
+    assert(after.partitions.map(_.spec).toSet === before.partitions.map(_.spec).toSet)
+    assert(after.stats === before.stats)
+    // filesystem: no staged/task files survive the abort
+    val filesAfter = walk(root).toSet
+    assert(filesAfter === filesBefore,
+      s"stray files after abort: ${(filesAfter -- filesBefore).mkString(",")}")
+    assert(!filesAfter.exists(_.contains("_temporary")))
+  }
+
+  test("autoSizeUpdate=false: commit registers partitions but invalidates stats") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-nostats-wh").toString
+    spark.conf.set("spark.sql.catalog.nostats", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.nostats.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.nostats.autoSizeUpdate", "false")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS nostats.db")
+    spark.sql("DROP TABLE IF EXISTS nostats.db.t")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "p")
+      .writeTo("nostats.db.t").partitionedBy($"p").create()
+    val cat = spark.sessionState.catalogManager.catalog("nostats")
+      .asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("db", "t")
+    // partition REGISTRATION is correctness and still happens...
+    assert(meta.partitions.map(_.spec).toSet ===
+      Set(Map("p" -> "x"), Map("p" -> "y")))
+    // ...but stats are absent-not-stale: no getContentSummary pass ran
+    assert(meta.stats.isEmpty, s"stats should be invalidated, got ${meta.stats}")
+    assert(meta.partitions.forall(_.sizeInBytes === 0L))
+    // the table stays fully readable without stats
+    assert(spark.table("nostats.db.t").count() === 2)
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {
     import spark.implicits._
     val t = freshTable("t_ddl")
