@@ -38,6 +38,7 @@ object Bench {
     // as the jitter-robust statistic for this shared sandbox, where an
     // identical binary varies up to 1.6x run-to-run on a single pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val best = collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()

@@ -24,9 +24,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - single-part namespaces only (V2ExternalCatalog.scala:94-104);
   *  - EXTERNAL iff a `location` is supplied at create
   *    (V2ExternalCatalog.scala:181);
-  *  - only identity partition transforms (InternalSqlBridge.scala:25-38 —
-  *    the reference additionally maps buckets but then refuses to write
-  *    them, so we reject them at create instead);
+  *  - identity partition transforms, plus CLUSTERED BY buckets recorded
+  *    in metadata but refused at write (InternalSqlBridge.scala:25-38
+  *    maps the bucket; HiveFileFormatWriteBuilder.scala:124-136 refuses
+  *    the write — the same split of responsibilities here);
   *  - reserved namespace properties protected from ALTER
   *    (V2ExternalCatalog.scala:287-300);
   *  - dropNamespace refuses a non-empty namespace unless cascade.
@@ -109,9 +110,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case b if b.name == "bucket" =>
         val cols = b.references.map { r =>
           val declared = r.fieldNames.mkString(".")
-          schema.fields.find(_.name.equalsIgnoreCase(declared)).getOrElse(
+          val resolved = schema.fields.find(_.name.equalsIgnoreCase(declared)).getOrElse(
             throw new IllegalArgumentException(
               s"bucket column $declared not present in schema")).name
+          // the recorded spec is comma-joined in a property value
+          require(!resolved.contains(","),
+            s"bucket column name may not contain a comma: $resolved")
+          resolved
         }
         val n = b.arguments.collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
@@ -128,6 +133,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           schema.fields.find(_.name.equalsIgnoreCase(declared)).getOrElse(
             throw new IllegalArgumentException(
               s"partition column $declared not present in schema")).name
+        case sb if sb.name == "sorted_bucket" =>
+          throw new UnsupportedOperationException(
+            "CLUSTERED BY ... SORTED BY is not supported: plain bucket " +
+              "clustering is recorded in table metadata (with writes " +
+              "refused), but sorted buckets are not")
         case other => throw new UnsupportedOperationException(
           s"unsupported partition transform $other: only identity partitioning " +
             "and bucket clustering are supported (matching the reference, " +
@@ -187,7 +197,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val newProps = org.apache.spark.sql.graft.GraftSqlBridge.applyPropertiesChanges(
       meta.properties ++ Map(TableCatalog.PROP_PROVIDER -> meta.provider),
-      changes.toSeq) -- ReservedTableProps
+      changes.toSeq) -- ReservedTableProps ++
+      // the bucket spec is reserved (ALTER-proof) but lives ONLY in
+      // meta.properties — stripping reserved props must not erase it, or
+      // any successful ALTER would silently disarm the bucketed-write
+      // refusal in GraftWriteBuilder.build()
+      meta.properties.filter(kv =>
+        kv._1 == BucketCountProp || kv._1 == BucketColumnsProp)
     val newSchema = org.apache.spark.sql.graft.GraftSqlBridge.applySchemaChanges(
       meta.schema, changes.toSeq, Some(meta.provider), "ALTER TABLE")
     meta.partitionColumns.foreach { c =>

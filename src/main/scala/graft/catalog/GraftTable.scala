@@ -163,7 +163,13 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     val remaining = kept
     store.saveTable(db, current.copy(
       partitions = remaining,
-      stats = Some(TableStats(remaining.map(_.sizeInBytes).sum, None))))
+      // honor the R19 toggle here too: with autoSizeUpdate off the
+      // recorded sizes are 0-byte placeholders — summing them would
+      // present authoritative near-zero stats for a non-empty table
+      stats =
+        if (catalog.autoSizeUpdate)
+          Some(TableStats(remaining.map(_.sizeInBytes).sum, None))
+        else None))
     FileStatusCache.getOrCreate(spark).invalidateAll()
     true
   }

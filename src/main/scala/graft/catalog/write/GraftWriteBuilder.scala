@@ -325,15 +325,6 @@ class GraftBatchWrite(
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val written = Await.result(
-          Future.traverse(writtenSpecs) { spec => Future {
-            // a pre-registered custom LOCATION survives the write (the
-            // files just landed there via customPartitionLocations)
-            val loc = current.partitions.find(_.spec == spec).flatMap(_.location)
-            val dir = loc.map(new Path(_))
-              .getOrElse(GraftBatchWrite.partitionDir(current, spec))
-            PartitionMeta(spec, loc, if (autoSizeUpdate) sizeOf(dir) else 0L)
-          } }, Duration.Inf)
         val base = mode match {
           case Truncate => Nil
           case StaticOverwrite(spec) => current.partitions.filterNot(p =>
@@ -341,6 +332,24 @@ class GraftBatchWrite(
               p.spec.exists { case (pk, pv) => pk.equalsIgnoreCase(k) && pv == v } })
           case _ => current.partitions
         }
+        // A sizing commit also re-sizes partitions carrying a 0-byte
+        // placeholder (left by an autoSizeUpdate=off commit or a bare
+        // ADD PARTITION) — otherwise a later stats sum would present
+        // those stale zeros as an authoritative near-empty table.
+        val staleSpecs =
+          if (autoSizeUpdate)
+            base.filter(p => p.sizeInBytes == 0L && !writtenSpecs.contains(p.spec))
+              .map(_.spec)
+          else Nil
+        val written = Await.result(
+          Future.traverse(writtenSpecs ++ staleSpecs) { spec => Future {
+            // a pre-registered custom LOCATION survives the write (the
+            // files just landed there via customPartitionLocations)
+            val loc = current.partitions.find(_.spec == spec).flatMap(_.location)
+            val dir = loc.map(new Path(_))
+              .getOrElse(GraftBatchWrite.partitionDir(current, spec))
+            PartitionMeta(spec, loc, if (autoSizeUpdate) sizeOf(dir) else 0L)
+          } }, Duration.Inf)
         val merged = base.filterNot(p => written.exists(_.spec == p.spec)) ++ written
         current.copy(
           partitions = merged,

@@ -75,5 +75,21 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bucket.count'='8')"))
     assert(alter.getMessage.toLowerCase.contains("reserved") ||
       alter.getMessage.contains("graft.bucket.count"))
+    // an UNRELATED successful ALTER must not strip the bucket spec
+    // (regression: reserved-prop stripping would silently disarm the
+    // bucketed-write refusal)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('note'='x')")
+    val meta2 = graftCat.metaStore.loadTable("ddl", "t_bucketed")
+    assert(meta2.properties.get(GraftCatalog.BucketCountProp).contains("4"))
+    assert(meta2.properties.get("note").contains("x"))
+    val e2 = intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "name").writeTo(t).append()
+    }
+    assert(e2.getMessage.contains("bucketed"))
+    // SORTED BY gets a clear refusal, not a contradictory message
+    val sb = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.ddl.t_sorted (a INT, b INT) USING parquet " +
+        "CLUSTERED BY (a) SORTED BY (b) INTO 4 BUCKETS"))
+    assert(sb.getMessage.contains("SORTED BY"), s"got: ${sb.getMessage}")
   }
 }

@@ -218,6 +218,20 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(meta.partitions.forall(_.sizeInBytes === 0L))
     // the table stays fully readable without stats
     assert(spark.table("nostats.db.t").count() === 2)
+
+    // a later SIZING commit (same warehouse through a sizing-enabled
+    // catalog) must repair the 0-byte placeholders, not sum them into
+    // authoritative near-zero stats
+    spark.conf.set("spark.sql.catalog.restats", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.restats.warehouse", wh)
+    Seq((3L, "z")).toDF("id", "p").writeTo("restats.db.t").append()
+    val resized = spark.sessionState.catalogManager.catalog("restats")
+      .asInstanceOf[GraftCatalog].metaStore.loadTable("db", "t")
+    assert(resized.partitions.size === 3)
+    assert(resized.partitions.forall(_.sizeInBytes > 0L),
+      s"stale zero sizes must be re-sized: ${resized.partitions}")
+    assert(resized.stats.exists(_.sizeInBytes ===
+      resized.partitions.map(_.sizeInBytes).sum))
   }
 
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {

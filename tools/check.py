@@ -46,11 +46,8 @@ def main():
             continue
         # dtype gate: a HUGEINT oracle vs a BIGINT parquet hashes
         # differently on the driver even when every value matches.
-        tmis = [(c, et, gt)
-                for c, et, gt in zip(sorted(exp_cols),
-                                     [exp_types[exp_cols.index(c)] for c in sorted(exp_cols)],
-                                     [got_types[got_cols.index(c)] for c in sorted(got_cols)])
-                if et != gt]
+        et, gt = dict(zip(exp_cols, exp_types)), dict(zip(got_cols, got_types))
+        tmis = [(c, et[c], gt[c]) for c in sorted(exp_cols) if et[c] != gt[c]]
         if tmis:
             print(f"FAIL {name}: dtypes differ (col, oracle, spark): {tmis}")
             n_fail += 1
