@@ -106,6 +106,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // reference's exact posture (InternalSqlBridge.scala:25-38 maps the
     // bucket into metadata; HiveFileFormatWriteBuilder.scala:124-136
     // refuses the write).
+    require(partitions.count(_.name == "bucket") <= 1,
+      "at most one bucket transform is supported (a second CLUSTERED BY " +
+        "spec would be silently misrecorded)")
     val bucketSpec: Option[(Int, Seq[String])] = partitions.collectFirst {
       case b if b.name == "bucket" =>
         val cols = b.references.map { r =>
@@ -145,6 +148,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }.toSeq
 
     val props = properties.asScala.toMap
+    // the bucket spec is declared via CLUSTERED BY, never via properties
+    // — silently dropping a user-supplied graft.bucket.* would mirror the
+    // ALTER guard's failure mode, so refuse loudly like ALTER does
+    Seq(BucketCountProp, BucketColumnsProp).filter(props.contains).foreach { k =>
+      throw new UnsupportedOperationException(
+        s"table property '$k' is reserved: declare buckets via " +
+          "CLUSTERED BY (...) INTO n BUCKETS")
+    }
     val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, defaultProvider).toLowerCase
     require(GraftConf.SupportedProviders.contains(provider),
       s"unsupported provider $provider (${GraftConf.SupportedProviders.mkString(", ")})")

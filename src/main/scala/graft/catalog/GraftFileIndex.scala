@@ -93,7 +93,13 @@ class GraftFileIndex(
     * role of `CatalogStatistics` in the reference (V2Table.scala:56). */
   override def sizeInBytes: Long =
     meta.stats.map(_.sizeInBytes)
-      .orElse(Some(meta.partitions.map(_.sizeInBytes).sum).filter(_ > 0))
+      .orElse(
+        // the partition-sum fallback is only trustworthy when EVERY
+        // partition has a real size — one Unsized placeholder would make
+        // the sum a silent underestimate and invite a wrong broadcast
+        Some(meta.partitions)
+          .filter(ps => ps.nonEmpty && ps.forall(_.isSized))
+          .map(_.map(_.sizeInBytes).sum).filter(_ > 0))
       .getOrElse(super.sizeInBytes)
 
   def filterPartitions(filters: Seq[Expression]): InMemoryFileIndex = {

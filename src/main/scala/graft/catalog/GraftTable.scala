@@ -64,7 +64,12 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   }
 
   override def properties(): util.Map[String, String] = {
-    val base = meta.properties ++ Map(
+    // graft.bucket.* is internal storage for the CLUSTERED BY spec; its
+    // user-visible surface is partitioning() (DESCRIBE / SHOW CREATE
+    // TABLE emit the bucket transform), so exposing the raw props here
+    // would only invite a TBLPROPERTIES round-trip that CREATE refuses.
+    val base = (meta.properties --
+      Seq(GraftCatalog.BucketCountProp, GraftCatalog.BucketColumnsProp)) ++ Map(
       TableCatalog.PROP_PROVIDER -> meta.provider,
       TableCatalog.PROP_LOCATION -> meta.location) ++
       (if (meta.external) Map(TableCatalog.PROP_EXTERNAL -> "true") else Map.empty)
@@ -142,7 +147,9 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
       val loc = Option(props.get(TableCatalog.PROP_LOCATION))
       val dir = loc.map(new Path(_)).getOrElse(defaultPartitionDir(current, spec))
       dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
-      PartitionMeta(spec, loc, 0L)
+      // Unsized, not 0: a LOCATION may point at existing data, and the
+      // next sizing commit repairs the placeholder exactly once.
+      PartitionMeta(spec, loc, PartitionMeta.Unsized)
     }
     store.saveTable(db, current.copy(partitions = current.partitions ++ added))
   }
@@ -163,11 +170,11 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     val remaining = kept
     store.saveTable(db, current.copy(
       partitions = remaining,
-      // honor the R19 toggle here too: with autoSizeUpdate off the
-      // recorded sizes are 0-byte placeholders — summing them would
-      // present authoritative near-zero stats for a non-empty table
+      // honor the R19 toggle here too, and never sum a partition that
+      // still carries the Unsized placeholder — either would present
+      // authoritative near-zero stats for a non-empty table
       stats =
-        if (catalog.autoSizeUpdate)
+        if (catalog.autoSizeUpdate && remaining.forall(_.isSized))
           Some(TableStats(remaining.map(_.sizeInBytes).sum, None))
         else None))
     FileStatusCache.getOrCreate(spark).invalidateAll()

@@ -27,7 +27,19 @@ case class TableStats(sizeInBytes: Long, numRows: Option[Long])
 case class PartitionMeta(
     spec: Map[String, String],
     location: Option[String],
-    sizeInBytes: Long = 0L)
+    sizeInBytes: Long = 0L) {
+  /** False while the partition awaits its first sizing pass —
+    * [[PartitionMeta.Unsized]] is distinct from a genuinely empty
+    * (0-byte) partition, so sizing commits repair each placeholder
+    * exactly once and stats sums never mix in placeholder values. */
+  def isSized: Boolean = sizeInBytes >= 0L
+}
+
+object PartitionMeta {
+  /** Sentinel for "never sized" (bare ADD PARTITION, or a commit through
+    * an `autoSizeUpdate=false` catalog). */
+  val Unsized: Long = -1L
+}
 
 /** Persistent table descriptor. `schemaJson` is the Spark `StructType`
   * JSON (data columns first, partition columns trailing — the file-source

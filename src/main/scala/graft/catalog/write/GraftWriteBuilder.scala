@@ -332,13 +332,14 @@ class GraftBatchWrite(
               p.spec.exists { case (pk, pv) => pk.equalsIgnoreCase(k) && pv == v } })
           case _ => current.partitions
         }
-        // A sizing commit also re-sizes partitions carrying a 0-byte
-        // placeholder (left by an autoSizeUpdate=off commit or a bare
-        // ADD PARTITION) — otherwise a later stats sum would present
-        // those stale zeros as an authoritative near-empty table.
+        // A sizing commit also repairs partitions still carrying the
+        // Unsized placeholder (left by an autoSizeUpdate=off commit or a
+        // bare ADD PARTITION) — exactly once each: after repair a
+        // genuinely empty partition records 0 (sized), so it is never
+        // re-listed on later commits.
         val staleSpecs =
           if (autoSizeUpdate)
-            base.filter(p => p.sizeInBytes == 0L && !writtenSpecs.contains(p.spec))
+            base.filter(p => !p.isSized && !writtenSpecs.contains(p.spec))
               .map(_.spec)
           else Nil
         val written = Await.result(
@@ -348,13 +349,15 @@ class GraftBatchWrite(
             val loc = current.partitions.find(_.spec == spec).flatMap(_.location)
             val dir = loc.map(new Path(_))
               .getOrElse(GraftBatchWrite.partitionDir(current, spec))
-            PartitionMeta(spec, loc, if (autoSizeUpdate) sizeOf(dir) else 0L)
+            PartitionMeta(spec, loc,
+              if (autoSizeUpdate) sizeOf(dir) else PartitionMeta.Unsized)
           } }, Duration.Inf)
         val merged = base.filterNot(p => written.exists(_.spec == p.spec)) ++ written
         current.copy(
           partitions = merged,
           stats =
-            if (autoSizeUpdate) Some(TableStats(merged.map(_.sizeInBytes).sum, None))
+            if (autoSizeUpdate && merged.forall(_.isSized))
+              Some(TableStats(merged.map(_.sizeInBytes).sum, None))
             else None)
       }
     store.saveTable(db, updated)

@@ -215,19 +215,25 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       Set(Map("p" -> "x"), Map("p" -> "y")))
     // ...but stats are absent-not-stale: no getContentSummary pass ran
     assert(meta.stats.isEmpty, s"stats should be invalidated, got ${meta.stats}")
-    assert(meta.partitions.forall(_.sizeInBytes === 0L))
+    assert(meta.partitions.forall(!_.isSized),
+      "partitions must carry the Unsized sentinel, not a fake 0")
     // the table stays fully readable without stats
     assert(spark.table("nostats.db.t").count() === 2)
 
+    // DROP PARTITION through the non-sizing catalog must not resurrect
+    // stats from placeholder sizes
+    spark.sql("ALTER TABLE nostats.db.t DROP PARTITION (p = 'y')")
+    assert(cat.metaStore.loadTable("db", "t").stats.isEmpty)
+
     // a later SIZING commit (same warehouse through a sizing-enabled
-    // catalog) must repair the 0-byte placeholders, not sum them into
-    // authoritative near-zero stats
+    // catalog) must repair the unsized placeholders — exactly once — not
+    // sum them into authoritative near-zero stats
     spark.conf.set("spark.sql.catalog.restats", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.restats.warehouse", wh)
     Seq((3L, "z")).toDF("id", "p").writeTo("restats.db.t").append()
     val resized = spark.sessionState.catalogManager.catalog("restats")
       .asInstanceOf[GraftCatalog].metaStore.loadTable("db", "t")
-    assert(resized.partitions.size === 3)
+    assert(resized.partitions.size === 2)
     assert(resized.partitions.forall(_.sizeInBytes > 0L),
       s"stale zero sizes must be re-sized: ${resized.partitions}")
     assert(resized.stats.exists(_.sizeInBytes ===
