@@ -193,7 +193,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val db = asSingle(ident.namespace)
     if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
-    val meta = store.loadTable(db, ident.name)
     // Reserved properties (location/provider/external) are structural —
     // applying then stripping them would turn e.g. ALTER TABLE ... SET
     // LOCATION into a silent success that changes nothing.
@@ -206,23 +205,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"ALTER TABLE cannot remove reserved property '${r.property}'")
       case _ =>
     }
-    val newProps = org.apache.spark.sql.graft.GraftSqlBridge.applyPropertiesChanges(
-      meta.properties ++ Map(TableCatalog.PROP_PROVIDER -> meta.provider),
-      changes.toSeq) -- ReservedTableProps ++
-      // the bucket spec is reserved (ALTER-proof) but lives ONLY in
-      // meta.properties — stripping reserved props must not erase it, or
-      // any successful ALTER would silently disarm the bucketed-write
-      // refusal in GraftWriteBuilder.build()
-      meta.properties.filter(kv =>
-        kv._1 == BucketCountProp || kv._1 == BucketColumnsProp)
-    val newSchema = org.apache.spark.sql.graft.GraftSqlBridge.applySchemaChanges(
-      meta.schema, changes.toSeq, Some(meta.provider), "ALTER TABLE")
-    meta.partitionColumns.foreach { c =>
-      require(newSchema.fields.exists(_.name.equalsIgnoreCase(c)),
-        s"cannot drop partition column $c")
+    // atomic read-modify-write: an ALTER racing a write commit must not
+    // clobber the commit's partition registrations (or vice versa)
+    val updated = store.updateTable(db, ident.name) { meta =>
+      val newProps = org.apache.spark.sql.graft.GraftSqlBridge.applyPropertiesChanges(
+        meta.properties ++ Map(TableCatalog.PROP_PROVIDER -> meta.provider),
+        changes.toSeq) -- ReservedTableProps ++
+        // the bucket spec is reserved (ALTER-proof) but lives ONLY in
+        // meta.properties — stripping reserved props must not erase it, or
+        // any successful ALTER would silently disarm the bucketed-write
+        // refusal in GraftWriteBuilder.build()
+        meta.properties.filter(kv =>
+          kv._1 == BucketCountProp || kv._1 == BucketColumnsProp)
+      val newSchema = org.apache.spark.sql.graft.GraftSqlBridge.applySchemaChanges(
+        meta.schema, changes.toSeq, Some(meta.provider), "ALTER TABLE")
+      meta.partitionColumns.foreach { c =>
+        require(newSchema.fields.exists(_.name.equalsIgnoreCase(c)),
+          s"cannot drop partition column $c")
+      }
+      meta.copy(schemaJson = newSchema.json, properties = newProps)
     }
-    val updated = meta.copy(schemaJson = newSchema.json, properties = newProps)
-    store.saveTable(db, updated)
     new GraftTable(this, db, updated)
   }
 

@@ -137,48 +137,56 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   override def createPartitions(
       idents: Array[InternalRow],
       properties: Array[util.Map[String, String]]): Unit = {
-    val current = fresh
     val specs = idents.map(specOf)
-    val dupIdents = idents.zip(specs)
-      .filter { case (_, s) => current.partitions.exists(_.spec == s) }.map(_._1)
-    if (dupIdents.nonEmpty) throw new PartitionsAlreadyExistException(
-      name(), dupIdents.toSeq, meta.partitionSchema)
-    val added = specs.zip(properties).map { case (spec, props) =>
-      val loc = Option(props.get(TableCatalog.PROP_LOCATION))
-      val dir = loc.map(new Path(_)).getOrElse(defaultPartitionDir(current, spec))
-      dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
-      // Unsized, not 0: a LOCATION may point at existing data, and the
-      // next sizing commit repairs the placeholder exactly once.
-      PartitionMeta(spec, loc, PartitionMeta.Unsized)
+    // atomic read-modify-write: a concurrent write commit must not be
+    // able to interleave between the duplicate check and the save
+    store.updateTable(db, meta.name) { current =>
+      val dupIdents = idents.zip(specs)
+        .filter { case (_, s) => current.partitions.exists(_.spec == s) }.map(_._1)
+      if (dupIdents.nonEmpty) throw new PartitionsAlreadyExistException(
+        name(), dupIdents.toSeq, meta.partitionSchema)
+      val added = specs.zip(properties).map { case (spec, props) =>
+        val loc = Option(props.get(TableCatalog.PROP_LOCATION))
+        val dir = loc.map(new Path(_)).getOrElse(defaultPartitionDir(current, spec))
+        dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
+        // Unsized, not 0: a LOCATION may point at existing data, and the
+        // next sizing commit repairs the placeholder exactly once.
+        PartitionMeta(spec, loc, PartitionMeta.Unsized)
+      }
+      current.copy(partitions = current.partitions ++ added)
     }
-    store.saveTable(db, current.copy(partitions = current.partitions ++ added))
   }
 
   override def dropPartitions(idents: Array[InternalRow]): Boolean = {
-    val current = fresh
     val specs = idents.map(specOf).toSet
-    val (dropped, kept) = current.partitions.partition(p => specs.contains(p.spec))
-    if (dropped.size < specs.size) return false
-    // Managed tables own their data; EXTERNAL tables retain it — the
-    // reference's rule (V2Table.scala:92-98).
-    if (!current.external) {
-      val fs = new Path(current.location).getFileSystem(spark.sessionState.newHadoopConf())
-      dropped.foreach { p =>
-        fs.delete(p.location.map(new Path(_)).getOrElse(defaultPartitionDir(current, p.spec)), true)
+    var allFound = true
+    store.updateTable(db, meta.name) { current =>
+      val (dropped, kept) = current.partitions.partition(p => specs.contains(p.spec))
+      if (dropped.size < specs.size) { allFound = false; current }
+      else {
+        // Managed tables own their data; EXTERNAL tables retain it — the
+        // reference's rule (V2Table.scala:92-98).
+        if (!current.external) {
+          val fs = new Path(current.location)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          dropped.foreach { p =>
+            fs.delete(p.location.map(new Path(_))
+              .getOrElse(defaultPartitionDir(current, p.spec)), true)
+          }
+        }
+        current.copy(
+          partitions = kept,
+          // honor the R19 toggle here too, and never sum a partition that
+          // still carries the Unsized placeholder — either would present
+          // authoritative near-zero stats for a non-empty table
+          stats =
+            if (catalog.autoSizeUpdate && kept.forall(_.isSized))
+              Some(TableStats(kept.map(_.sizeInBytes).sum, None))
+            else None)
       }
     }
-    val remaining = kept
-    store.saveTable(db, current.copy(
-      partitions = remaining,
-      // honor the R19 toggle here too, and never sum a partition that
-      // still carries the Unsized placeholder — either would present
-      // authoritative near-zero stats for a non-empty table
-      stats =
-        if (catalog.autoSizeUpdate && remaining.forall(_.isSized))
-          Some(TableStats(remaining.map(_.sizeInBytes).sum, None))
-        else None))
-    FileStatusCache.getOrCreate(spark).invalidateAll()
-    true
+    if (allFound) FileStatusCache.getOrCreate(spark).invalidateAll()
+    allFound
   }
 
   override def replacePartitionMetadata(

@@ -145,6 +145,28 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
     writeAtomic(tableMetaFile(db, meta.name), toJson(meta))
   }
 
+  /** Atomic read-modify-write of one table descriptor. Every mutation
+    * that derives the new descriptor from the current one (write-commit
+    * partition merges, partition DDL, ALTER) must go through here:
+    * unsynchronized load→modify→save would let two concurrent commits to
+    * DIFFERENT partitions of the same table silently drop one commit's
+    * registrations (last-writer-wins). The lock is JVM-global and keyed
+    * by warehouse+table, so independent catalogs over the same warehouse
+    * (a supported setup) serialize too. The reference gets this from the
+    * metastore's transactional RPCs (V2ExternalCatalog delegating to
+    * HMS); in-process, a per-table monitor is the equivalent — a
+    * MULTI-driver deployment would move this to HMS or an FS lease,
+    * which is exactly the component the metastore swap replaces. */
+  def updateTable(db: String, table: String)(f: TableMeta => TableMeta): TableMeta = {
+    val lock = MetaStore.tableLocks.computeIfAbsent(
+      s"${warehouse.toUri}#$db#$table", _ => new Object)
+    lock.synchronized {
+      val updated = f(loadTable(db, table))
+      saveTable(db, updated)
+      updated
+    }
+  }
+
   def loadTable(db: String, table: String): TableMeta =
     fromJson(readFully(tableMetaFile(db, table)))
 
@@ -200,6 +222,11 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
 }
 
 object MetaStore {
+  /** Per-table monitors for [[MetaStore.updateTable]] — JVM-global so
+    * every MetaStore instance over the same warehouse shares them. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def mapToJson(m: Map[String, String]): JValue =
     JObject(m.toSeq.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }.toList)
 

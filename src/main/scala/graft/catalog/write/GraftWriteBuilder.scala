@@ -286,14 +286,36 @@ class GraftBatchWrite(
     autoSizeUpdate: Boolean = true)
   extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  /** Per-table write permit: concurrent append jobs to one table share
+    * the table dir's `_temporary` staging, and the first job's
+    * `commitJob` cleanup deletes the second job's staged files (a
+    * vanilla FileOutputCommitter limitation). Hive serializes this with
+    * table-level insert locks (DbLockManager); in-process, a semaphore
+    * held from writer-factory creation (job start) to commit/abort is
+    * the equivalent. Keyed by table location so renames/multi-catalog
+    * setups over the same data serialize too. */
+  private val writePermit = GraftBatchWrite.writeLocks
+    .computeIfAbsent(meta.location, _ => new java.util.concurrent.Semaphore(1))
+  @volatile private var permitHeld = false
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (!writePermit.tryAcquire(10, java.util.concurrent.TimeUnit.MINUTES)) {
+      throw new IllegalStateException(
+        s"timed out waiting for the write lock on ${meta.name} " +
+          "(another write job has held it for 10+ minutes)")
+    }
+    permitHeld = true
     inner.createBatchWriterFactory(info)
+  }
+
+  private def releasePermit(): Unit =
+    if (permitHeld) { permitHeld = false; writePermit.release() }
 
   /** No commit coordinator, as in the reference (HiveFileBatchWrite.scala:25):
     * the commit protocol's task-attempt paths already make commits safe. */
   override def useCommitCoordinator(): Boolean = false
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit = try {
     inner.commit(messages)
 
     val hadoopConf = spark.sessionState.newHadoopConf()
@@ -301,8 +323,9 @@ class GraftBatchWrite(
     def sizeOf(p: Path): Long =
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
 
-    val current = store.loadTable(db, meta.name)
-    val updated =
+    // Atomic descriptor update: concurrent commits to different
+    // partitions of the same table must both land their registrations.
+    store.updateTable(db, meta.name) { current =>
       if (current.partitionColumns.isEmpty) {
         // autoSizeUpdate=false: invalidate-don't-recompute (reference
         // CatalogUtil.scala:31-48) — clear stats so the planner falls
@@ -360,15 +383,19 @@ class GraftBatchWrite(
               Some(TableStats(merged.map(_.sizeInBytes).sum, None))
             else None)
       }
-    store.saveTable(db, updated)
+    }
     FileStatusCache.getOrCreate(spark).invalidateAll()
-  }
+  } finally releasePermit()
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    inner.abort(messages)
+    try inner.abort(messages) finally releasePermit()
 }
 
 object GraftBatchWrite {
+  /** Per-table-location write permits (see `writePermit`). */
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]()
+
   /** `col=v/col2=v2` path fragment → spec, unescaping Hive path encoding,
     * normalizing column case against the declared partition columns. */
   def parseFragment(meta: TableMeta, fragment: String): Map[String, String] =

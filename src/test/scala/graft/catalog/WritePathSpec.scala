@@ -240,6 +240,31 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       resized.partitions.map(_.sizeInBytes).sum))
   }
 
+  test("concurrent appends to different partitions both register (commit is a critical section)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val t = freshTable("t_concurrent")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) USING parquet PARTITIONED BY (p)")
+    // 8 writers, each to its own partition, racing the read-modify-write
+    // commit. Without the per-table critical section, last-writer-wins
+    // on the descriptor drops other writers' partition registrations.
+    val writes = (0 until 8).map { i => Future {
+      Seq((i.toLong, s"p$i")).toDF("id", "p").writeTo(t).append()
+    } }
+    Await.result(Future.sequence(writes), 120.seconds)
+    val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("wtest", "t_concurrent")
+    assert(meta.partitions.map(_.spec).toSet ===
+      (0 until 8).map(i => Map("p" -> s"p$i")).toSet,
+      s"lost partition registrations: ${meta.partitions.map(_.spec)}")
+    assert(spark.table(t).count() === 8)
+    assert(meta.stats.exists(_.sizeInBytes ===
+      meta.partitions.map(_.sizeInBytes).sum))
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {
     import spark.implicits._
     val t = freshTable("t_ddl")
