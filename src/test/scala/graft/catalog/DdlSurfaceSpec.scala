@@ -91,5 +91,14 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
       s"CREATE TABLE $cat.ddl.t_sorted (a INT, b INT) USING parquet " +
         "CLUSTERED BY (a) SORTED BY (b) INTO 4 BUCKETS"))
     assert(sb.getMessage.contains("SORTED BY"), s"got: ${sb.getMessage}")
+    // SHOW CREATE TABLE surfaces the bucket as a transform (no internal
+    // graft.bucket.* props leak) and its output replays cleanly
+    val stmt = spark.sql(s"SHOW CREATE TABLE $t").collect().head.getString(0)
+    assert(stmt.contains("bucket(4, id)"), s"got: $stmt")
+    assert(!stmt.contains("graft.bucket"), s"internal props leaked: $stmt")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ddl.t_bucketed2")
+    spark.sql(stmt.replace("t_bucketed", "t_bucketed2"))
+    val meta3 = graftCat.metaStore.loadTable("ddl", "t_bucketed2")
+    assert(meta3.properties.get(GraftCatalog.BucketCountProp).contains("4"))
   }
 }
