@@ -148,8 +148,25 @@ object LlmQueries {
       .orderBy(col("format"))
   }
 
+  // ---------------------------------------------------------------- q43
+  /** Text cleaning / PII-style redaction over the corpus. The fixture
+    * text is digit-free, so the query first derives a DETERMINISTIC
+    * dirty variant from fixture columns (a doc_id-keyed email + numeric
+    * ref appended to each text) — both engines build the identical
+    * input, so the gate checks real nonzero redaction counts and the
+    * exact redacted output, not a vacuous all-zeros pass. */
+  def q43_redact(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = docs(spark, dir).withColumn("dirty",
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ref "), (col("doc_id") * 7919 + 13).cast("string")))
+    TextAnalysis.withRedaction(dirty, "dirty")
+      .select(col("doc_id"), col("n_emails"), col("n_nums"), col("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_redact" -> (q43_redact _),
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
     "q29_dedup_minhash_lsh" -> (q29_dedup_minhash_lsh _),
@@ -283,6 +300,23 @@ object LlmQueries {
           |  CAST(sum(n_subtokens) AS BIGINT) AS sum_subtokens,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
           | FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+      // Same deterministic dirty-text derivation, then the identical
+      // redaction chain (emails first, then long digit runs).
+      "q43_redact" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |         || '@example.com ref ' || CAST(doc_id * 7919 + 13 AS VARCHAR) AS dirty
+          |  FROM documents),
+          | e AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+          |    regexp_replace(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS noemail
+          |  FROM d)
+          | SELECT doc_id, n_emails,
+          |  len(regexp_extract_all(noemail, '[0-9]{4,}')) AS n_nums,
+          |  regexp_replace(noemail, '[0-9]{4,}', '<NUM>', 'g') AS redacted
+          | FROM e ORDER BY doc_id""".stripMargin,
       "q36_fingerprint" ->
         """SELECT doc_id,
           |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -91,6 +91,28 @@ object TextAnalysis {
           .cast("long"))
       .withColumn("n_chars", length(col(textCol)).cast("long"))
 
+  /** PII-style scrubbing: redact email addresses then long digit runs
+    * (IDs, phone fragments) to typed placeholders, counting each kind.
+    * Ordering matters and is part of the contract: emails are counted
+    * and replaced FIRST so digits inside an address are never
+    * double-counted as a standalone number. Patterns stay in the regex
+    * subset Java and RE2-style engines share, so the DuckDB oracle runs
+    * the identical expressions. Row-local and codegen'd — at 100 TB this
+    * is a pure map over the corpus, no shuffle. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val LongNumRe = "[0-9]{4,}"
+
+  def withRedaction(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("__noemail",
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
+      .withColumn("n_nums",
+        size(regexp_extract_all(col("__noemail"), lit(LongNumRe), lit(0))).cast("long"))
+      .withColumn("redacted", regexp_replace(col("__noemail"), LongNumRe, "<NUM>"))
+      .drop("__noemail")
+
   /** Polynomial rolling hash of the normalized text's character codes:
     * h ← (h·31 + code) mod 1e9+7. The modulus keeps every intermediate
     * < 2^35, so ANSI-mode long arithmetic never overflows, and the same

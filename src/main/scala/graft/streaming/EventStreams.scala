@@ -207,6 +207,54 @@ object EventStreams {
     }, "append").orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  // ---------------------------------------------------------------- s07
+  /** Stream-stream INTERVAL join — the two-sided-state streaming
+    * operator (§2.2) that neither windowed aggregation nor
+    * `flatMapGroupsWithState` covers: errors join the same user's clicks
+    * from the preceding hour. Both sides carry watermarks and the
+    * join condition carries the time bound, so Spark can evict a click
+    * once `watermark > click_ts + interval` — state stays proportional to
+    * the active window, not the stream. Replay feeds both sides in
+    * ts-ordered lockstep halves; matches spanning the batch boundary
+    * prove the buffered-state path (eviction math: a click old enough to
+    * be evicted after batch 1 is outside every batch-2 error's interval,
+    * so the inner-join result equals the batch join — which is exactly
+    * the DuckDB oracle). */
+  def s07_interval_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = collectEvents(spark, dir)
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val clicks = events.filter(_.event_type == "click")
+    val errors = events.filter(_.event_type == "error")
+    val cSrc = MemoryStream[Event]
+    val eSrc = MemoryStream[Event]
+    // instant-typed event times for the watermarks (UTC session: the
+    // cast preserves wall time), distinct column names per side
+    val c = cSrc.toDF()
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"ts".cast("timestamp").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val e = eSrc.toDF()
+      .select($"event_id".as("error_id"), $"user_id".as("user_id"),
+        $"ts".cast("timestamp").as("error_ts"))
+      .withWatermark("error_ts", "10 minutes")
+    val joined = e.join(c, expr(
+      """user_id = c_user AND
+        |click_ts >= error_ts - INTERVAL 1 HOUR AND
+        |click_ts <= error_ts""".stripMargin))
+      .select($"error_id", $"click_id", $"user_id",
+        $"error_ts".cast("timestamp_ntz").as("error_ts"),
+        $"click_ts".cast("timestamp_ntz").as("click_ts"))
+    def halves(xs: Seq[Event]) = xs.splitAt((xs.size + 1) / 2)
+    val (c1, c2) = halves(clicks)
+    val (e1, e2) = halves(errors)
+    runToMemory(spark, joined, "append") { query =>
+      cSrc.addData(c1); eSrc.addData(e1); query.processAllAvailable()
+      cSrc.addData(c2); eSrc.addData(e2); query.processAllAvailable()
+    }.orderBy($"error_id", $"click_id")
+  }
+
   /** Driver-side reference for s06 — one global greedy pass (used by the
     * spec to gate the streaming result). */
   private[streaming] def throttleReference(events: Seq[Event]): Seq[Emitted] =
@@ -233,6 +281,7 @@ object EventStreams {
     "s01c_tumbling_file_stream" -> (s01c_tumbling_file_stream _),
     "s05_watermark_late" -> (s05_watermark_late _),
     "s06_stateful_throttle" -> (s06_stateful_throttle _),
+    "s07_interval_join" -> (s07_interval_join _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -275,5 +324,14 @@ object EventStreams {
         | )
         | SELECT user_id, event_id, ts FROM chain WHERE emitted
         | ORDER BY user_id, ts, event_id""".stripMargin,
+    // The streaming interval join must converge to the plain batch join.
+    "s07_interval_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+        |  e.ts AS error_ts, c.ts AS click_ts
+        | FROM events e JOIN events c
+        |   ON e.event_type = 'error' AND c.event_type = 'click'
+        |  AND e.user_id = c.user_id
+        |  AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+        | ORDER BY error_id, click_id""".stripMargin,
   )
 }
