@@ -214,12 +214,14 @@ object EventStreams {
     * from the preceding hour. Both sides carry watermarks and the
     * join condition carries the time bound, so Spark can evict a click
     * once `watermark > click_ts + interval` — state stays proportional to
-    * the active window, not the stream. Replay feeds both sides in
-    * ts-ordered lockstep halves; matches spanning the batch boundary
-    * prove the buffered-state path (eviction math: a click old enough to
-    * be evicted after batch 1 is outside every batch-2 error's interval,
-    * so the inner-join result equals the batch join — which is exactly
-    * the DuckDB oracle). */
+    * the active window, not the stream. Replay stages ALL clicks in
+    * batch 1 and ALL errors in batch 2, so EVERY match exercises the
+    * buffered-state path (the click side is pure state when the errors
+    * arrive); the global watermark is the min across sides and the error
+    * side has seen nothing during batch 1, so no click is evicted early
+    * and the inner-join result equals the batch join — exactly the
+    * DuckDB oracle. A production interleaved feed gets the bounded-state
+    * eviction instead; s05 separately proves watermark dropping. */
   def s07_interval_join(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -246,12 +248,9 @@ object EventStreams {
       .select($"error_id", $"click_id", $"user_id",
         $"error_ts".cast("timestamp_ntz").as("error_ts"),
         $"click_ts".cast("timestamp_ntz").as("click_ts"))
-    def halves(xs: Seq[Event]) = xs.splitAt((xs.size + 1) / 2)
-    val (c1, c2) = halves(clicks)
-    val (e1, e2) = halves(errors)
     runToMemory(spark, joined, "append") { query =>
-      cSrc.addData(c1); eSrc.addData(e1); query.processAllAvailable()
-      cSrc.addData(c2); eSrc.addData(e2); query.processAllAvailable()
+      cSrc.addData(clicks); query.processAllAvailable()
+      eSrc.addData(errors); query.processAllAvailable()
     }.orderBy($"error_id", $"click_id")
   }
 

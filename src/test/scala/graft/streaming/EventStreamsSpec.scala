@@ -29,6 +29,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       "throttle emitted everything — state had no effect")
   }
 
+  test("stream-stream interval join equals the batch join across replay batches") {
+    import org.apache.spark.sql.functions._
+    // replay stages all clicks before all errors, so EVERY match below
+    // was produced by joining against buffered click state
+    val joined = rows(EventStreams.s07_interval_join(spark, sf001))
+    assert(joined.nonEmpty, "no matches — the join produced nothing to gate")
+    val events = graft.Tables(spark, sf001, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val batch = errors.join(clicks, expr(
+      "user_id = c_user AND click_ts >= error_ts - INTERVAL 1 HOUR AND click_ts <= error_ts"))
+      .select(col("error_id"), col("click_id"), col("user_id"),
+        col("error_ts"), col("click_ts"))
+      .orderBy(col("error_id"), col("click_id"))
+    assert(joined === rows(batch))
+  }
+
   test("watermark drops the late batch: result is batch-1-only, not the full corpus") {
     val late = rows(EventStreams.s05_watermark_late(spark, sf0001))
     val full = rows(EventWindowQueries.s01_tumbling_window(spark, sf0001))
