@@ -162,6 +162,8 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     var allFound = true
     store.updateTable(db, meta.name) { current =>
       val (dropped, kept) = current.partitions.partition(p => specs.contains(p.spec))
+      // returning `current` unchanged makes updateTable skip the
+      // descriptor rewrite — a missing partition is a read-only outcome
       if (dropped.size < specs.size) { allFound = false; current }
       else {
         // Managed tables own their data; EXTERNAL tables retain it — the

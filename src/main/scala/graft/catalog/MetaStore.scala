@@ -37,7 +37,12 @@ case class PartitionMeta(
 
 object PartitionMeta {
   /** Sentinel for "never sized" (bare ADD PARTITION, or a commit through
-    * an `autoSizeUpdate=false` catalog). */
+    * an `autoSizeUpdate=false` catalog). Descriptors written BEFORE this
+    * sentinel existed encoded "never sized" as 0 and cannot be told
+    * apart from genuinely empty partitions; warehouses here are
+    * ephemeral per-application directories, so no such descriptor
+    * survives an upgrade — a long-lived deployment would bump a
+    * descriptor version and remap 0 → Unsized once at load. */
   val Unsized: Long = -1L
 }
 
@@ -145,38 +150,71 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
     writeAtomic(tableMetaFile(db, meta.name), toJson(meta))
   }
 
+  /** Qualified lock-key prefix: two catalogs pointing at the same
+    * warehouse through different spellings ('/tmp/wh' vs
+    * 'file:///tmp/wh') must share monitors, so the key is built from the
+    * filesystem-qualified URI, not the raw configured string. */
+  private lazy val lockPrefix: String =
+    fs.makeQualified(warehouse).toUri.toString
+
+  private def lockFor(db: String, table: String): Object =
+    MetaStore.tableLocks.computeIfAbsent(
+      s"$lockPrefix#$db#$table", _ => new Object)
+
+  /** Run `body` holding the monitors of every named table, acquired in
+    * sorted key order so multi-table operations (rename) cannot deadlock
+    * against each other. */
+  private def withTableLocks[T](keys: Seq[(String, String)])(body: => T): T = {
+    def loop(locks: List[Object]): T = locks match {
+      case Nil => body
+      case l :: rest => l.synchronized(loop(rest))
+    }
+    loop(keys.map { case (d, t) => s"$lockPrefix#$d#$t" }.sorted
+      .map(k => MetaStore.tableLocks.computeIfAbsent(k, _ => new Object)).toList)
+  }
+
   /** Atomic read-modify-write of one table descriptor. Every mutation
     * that derives the new descriptor from the current one (write-commit
     * partition merges, partition DDL, ALTER) must go through here:
     * unsynchronized load→modify→save would let two concurrent commits to
     * DIFFERENT partitions of the same table silently drop one commit's
     * registrations (last-writer-wins). The lock is JVM-global and keyed
-    * by warehouse+table, so independent catalogs over the same warehouse
-    * (a supported setup) serialize too. The reference gets this from the
-    * metastore's transactional RPCs (V2ExternalCatalog delegating to
-    * HMS); in-process, a per-table monitor is the equivalent — a
-    * MULTI-driver deployment would move this to HMS or an FS lease,
-    * which is exactly the component the metastore swap replaces. */
-  def updateTable(db: String, table: String)(f: TableMeta => TableMeta): TableMeta = {
-    val lock = MetaStore.tableLocks.computeIfAbsent(
-      s"${warehouse.toUri}#$db#$table", _ => new Object)
-    lock.synchronized {
-      val updated = f(loadTable(db, table))
-      saveTable(db, updated)
+    * by the QUALIFIED warehouse URI + table, so independent catalogs
+    * over the same warehouse (a supported setup) serialize too. The
+    * reference gets this from the metastore's transactional RPCs
+    * (V2ExternalCatalog delegating to HMS); in-process, a per-table
+    * monitor is the equivalent — a MULTI-driver deployment would move
+    * this to HMS or an FS lease, which is exactly the component the
+    * metastore swap replaces.
+    *
+    * Returning the input unchanged (`eq`) skips the descriptor rewrite —
+    * a no-op mutation should not churn the file or block readers. */
+  def updateTable(db: String, table: String)(f: TableMeta => TableMeta): TableMeta =
+    lockFor(db, table).synchronized {
+      val current = loadTable(db, table)
+      val updated = f(current)
+      if (!(updated eq current)) saveTable(db, updated)
       updated
     }
-  }
 
   def loadTable(db: String, table: String): TableMeta =
     fromJson(readFully(tableMetaFile(db, table)))
 
-  def dropTable(db: String, table: String, deleteData: Boolean): Unit = {
-    val meta = loadTable(db, table)
-    fs.delete(tableMetaFile(db, table), false)
-    if (deleteData && !meta.external) fs.delete(new Path(meta.location), true)
-  }
+  def dropTable(db: String, table: String, deleteData: Boolean): Unit =
+    // same monitor as updateTable: a drop racing a write commit must not
+    // let the commit resurrect the descriptor after the data is gone
+    // (the commit instead fails loudly on the missing descriptor)
+    lockFor(db, table).synchronized {
+      val meta = loadTable(db, table)
+      fs.delete(tableMetaFile(db, table), false)
+      if (deleteData && !meta.external) fs.delete(new Path(meta.location), true)
+    }
 
-  def renameTable(fromDb: String, from: String, toDb: String, to: String): Unit = {
+  def renameTable(fromDb: String, from: String, toDb: String, to: String): Unit =
+    // both endpoints locked (sorted order — see withTableLocks): a write
+    // commit racing the rename either completes before the data moves or
+    // fails loudly on the missing source descriptor, never resurrects it
+    withTableLocks(Seq((fromDb, from), (toDb, to))) {
     if (tableExists(toDb, to))
       throw new IllegalStateException(s"rename target $toDb.$to already exists")
     val meta = loadTable(fromDb, from)
@@ -198,7 +236,7 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
       }
     saveTable(toDb, meta.copy(name = to, location = newLocation))
     fs.delete(tableMetaFile(fromDb, from), false)
-  }
+    }
 
   // --- io helpers ------------------------------------------------------
   private def readFully(p: Path): String = {

@@ -188,8 +188,11 @@ class GraftWrite(
 
     // Pre-write deletes for truncate / static overwrite — same upfront
     // semantics as Spark's own InsertIntoHadoopFsRelation and the
-    // reference (HiveFileFormatWriteBuilder.scala:105-110).
-    mode match {
+    // reference (HiveFileFormatWriteBuilder.scala:105-110). DEFERRED to
+    // job start under the per-table write permit: running them here (at
+    // planning) would let an overwrite delete a concurrent append's
+    // staged _temporary files while that job still holds the permit.
+    val preWriteDeletes: () => Unit = () => mode match {
       case Truncate =>
         if (fs.exists(new Path(meta.location))) {
           fs.listStatus(new Path(meta.location)).foreach(s => fs.delete(s.getPath, true))
@@ -249,7 +252,7 @@ class GraftWrite(
 
     committer.setupJob(job)
     new GraftBatchWrite(new FileBatchWrite(job, description, committer),
-      spark, store, db, meta, mode, autoSizeUpdate)
+      spark, store, db, meta, mode, autoSizeUpdate, preWriteDeletes)
   }
 
   private def staticMatchDirs(current: TableMeta, spec: Map[String, String]): Seq[Path] = {
@@ -283,7 +286,8 @@ class GraftBatchWrite(
     db: String,
     meta: TableMeta,
     mode: WriteMode,
-    autoSizeUpdate: Boolean = true)
+    autoSizeUpdate: Boolean = true,
+    preWriteDeletes: () => Unit = () => ())
   extends BatchWrite {
 
   /** Per-table write permit: concurrent append jobs to one table share
@@ -299,12 +303,19 @@ class GraftBatchWrite(
   @volatile private var permitHeld = false
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    if (!writePermit.tryAcquire(10, java.util.concurrent.TimeUnit.MINUTES)) {
-      throw new IllegalStateException(
-        s"timed out waiting for the write lock on ${meta.name} " +
-          "(another write job has held it for 10+ minutes)")
+    // guard the (unexpected) repeated call: the semaphore is not
+    // reentrant, so re-acquiring our own permit would self-deadlock
+    if (!permitHeld) {
+      if (!writePermit.tryAcquire(10, java.util.concurrent.TimeUnit.MINUTES)) {
+        throw new IllegalStateException(
+          s"timed out waiting for the write lock on ${meta.name} " +
+            "(another write job has held it for 10+ minutes)")
+      }
+      permitHeld = true
+      // truncate/static-overwrite deletes run HERE, now that no other
+      // job's staged files can be under the table dir
+      preWriteDeletes()
     }
-    permitHeld = true
     inner.createBatchWriterFactory(info)
   }
 
@@ -360,22 +371,29 @@ class GraftBatchWrite(
         // bare ADD PARTITION) — exactly once each: after repair a
         // genuinely empty partition records 0 (sized), so it is never
         // re-listed on later commits.
+        // set-based membership: these passes run inside the per-table
+        // critical section, and Seq scans would be O(base × written) on
+        // the thousand-partition backfill this code budgets for
+        val writtenSpecSet = writtenSpecs.toSet
+        val locBySpec = current.partitions
+          .collect { case p if p.location.isDefined => p.spec -> p.location }.toMap
         val staleSpecs =
           if (autoSizeUpdate)
-            base.filter(p => !p.isSized && !writtenSpecs.contains(p.spec))
+            base.filter(p => !p.isSized && !writtenSpecSet.contains(p.spec))
               .map(_.spec)
           else Nil
         val written = Await.result(
           Future.traverse(writtenSpecs ++ staleSpecs) { spec => Future {
             // a pre-registered custom LOCATION survives the write (the
             // files just landed there via customPartitionLocations)
-            val loc = current.partitions.find(_.spec == spec).flatMap(_.location)
+            val loc = locBySpec.getOrElse(spec, None)
             val dir = loc.map(new Path(_))
               .getOrElse(GraftBatchWrite.partitionDir(current, spec))
             PartitionMeta(spec, loc,
               if (autoSizeUpdate) sizeOf(dir) else PartitionMeta.Unsized)
           } }, Duration.Inf)
-        val merged = base.filterNot(p => written.exists(_.spec == p.spec)) ++ written
+        val mergedSpecSet = written.map(_.spec).toSet
+        val merged = base.filterNot(p => mergedSpecSet.contains(p.spec)) ++ written
         current.copy(
           partitions = merged,
           stats =

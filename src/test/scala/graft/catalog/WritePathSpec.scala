@@ -265,6 +265,29 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       meta.partitions.map(_.sizeInBytes).sum))
   }
 
+  test("truncate-overwrite racing an append yields one of the two serial orders, never corruption") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val t = freshTable("t_race")
+    Seq((0L, "init")).toDF("id", "tag").writeTo(t).create()
+    // the append stages files under _temporary while the overwrite's
+    // pre-delete wants to clear the table dir: without deletes deferred
+    // under the write permit, the overwrite deletes the append's staging
+    // mid-flight (FileNotFound at commit / silently lost rows)
+    val appendRows = (1L to 500L).map(i => (i, "a"))
+    val fa = Future { appendRows.toDF("id", "tag").writeTo(t).append() }
+    val fb = Future { Seq((1000L, "b")).toDF("id", "tag").writeTo(t).overwrite(lit(true)) }
+    Await.result(Future.sequence(Seq(fa, fb)), 120.seconds)
+    val tags = spark.table(t).select($"tag").distinct()
+      .collect().map(_.getString(0)).toSet
+    val n = spark.table(t).count()
+    // append→overwrite: only 'b' remains; overwrite→append: 'b' + all 'a'
+    assert(tags === Set("b") || (tags === Set("a", "b") && n === 501L),
+      s"non-serializable outcome: tags=$tags n=$n")
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {
     import spark.implicits._
     val t = freshTable("t_ddl")
