@@ -422,8 +422,40 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- Q44
+  /** AS-OF join — each error event picks the same user's most recent
+    * prior-or-equal click. Spark has no native ASOF operator; the naive
+    * range join (`c.ts <= e.ts`, argmax per error) explodes to
+    * O(clicks × errors) per user. Composed Spark-first instead: union
+    * both sides, ONE sort-window pass per user carrying
+    * `last(click_id, ignoreNulls)` forward — O(n log n) in the union
+    * size, a single shuffle on user_id, and at 100 TB the window state
+    * per key is one value. Ties are pinned (clicks sort before errors at
+    * equal ts, then by event_id), so the result is deterministic and the
+    * DuckDB oracle states the identical window. */
+  def q44_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = t(spark, dir, "events")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", lit(0).as("kind"),
+        $"event_id".as("click_id"))
+    val errors = events.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id", lit(1).as("kind"),
+        lit(null).cast("long").as("click_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"event_id".as("error_id"), $"user_id",
+        $"ts".as("error_ts"), $"last_click")
+      .orderBy($"error_id")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_asof_join" -> (q44_asof_join _),
     "q01_scan_filter" -> (q01_scan_filter _),
     "q02_agg_tpch1" -> (q02_agg_tpch1 _),
     "q03_join_broadcast" -> (q03_join_broadcast _),
@@ -456,6 +488,23 @@ object RelationalQueries {
     * Spark results above (driver sorts columns by name before hashing —
     * SURVEY.md §2.3 determinism rules). */
   val oracles: Map[String, String] = Map(
+    // Identical union + IGNORE NULLS window; ties pinned by (ts, kind,
+    // event_id) so both engines pick the same click deterministically.
+    "q44_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS kind, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS kind, NULL AS click_id
+        |  FROM events WHERE event_type = 'error'
+        | ), w AS (
+        |  SELECT user_id, ts, event_id, kind,
+        |    last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, kind, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |  FROM u)
+        | SELECT event_id AS error_id, user_id, ts AS error_ts, last_click
+        | FROM w WHERE kind = 1 ORDER BY error_id""".stripMargin,
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         | WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05
