@@ -206,8 +206,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _ =>
     }
     // atomic read-modify-write: an ALTER racing a write commit must not
-    // clobber the commit's partition registrations (or vice versa)
-    val updated = store.updateTable(db, ident.name) { meta =>
+    // clobber the commit's partition registrations (or vice versa). A
+    // DROP TABLE that wins the race between the existence check above
+    // and this load must still surface as the contract's error class,
+    // not a raw FileNotFoundException.
+    val updated = try store.updateTable(db, ident.name) { meta =>
       val newProps = org.apache.spark.sql.graft.GraftSqlBridge.applyPropertiesChanges(
         meta.properties ++ Map(TableCatalog.PROP_PROVIDER -> meta.provider),
         changes.toSeq) -- ReservedTableProps ++
@@ -224,6 +227,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"cannot drop partition column $c")
       }
       meta.copy(schemaJson = newSchema.json, properties = newProps)
+    } catch {
+      case _: java.io.FileNotFoundException => throw new NoSuchTableException(ident)
     }
     new GraftTable(this, db, updated)
   }

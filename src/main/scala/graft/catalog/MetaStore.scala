@@ -157,9 +157,11 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
   private lazy val lockPrefix: String =
     fs.makeQualified(warehouse).toUri.toString
 
+  private def lockKey(db: String, table: String): String =
+    s"$lockPrefix#$db#$table"
+
   private def lockFor(db: String, table: String): Object =
-    MetaStore.tableLocks.computeIfAbsent(
-      s"$lockPrefix#$db#$table", _ => new Object)
+    MetaStore.tableLocks.computeIfAbsent(lockKey(db, table), _ => new Object)
 
   /** Run `body` holding the monitors of every named table, acquired in
     * sorted key order so multi-table operations (rename) cannot deadlock
@@ -169,7 +171,7 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
       case Nil => body
       case l :: rest => l.synchronized(loop(rest))
     }
-    loop(keys.map { case (d, t) => s"$lockPrefix#$d#$t" }.sorted
+    loop(keys.map { case (d, t) => lockKey(d, t) }.sorted
       .map(k => MetaStore.tableLocks.computeIfAbsent(k, _ => new Object)).toList)
   }
 
@@ -261,7 +263,13 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
 
 object MetaStore {
   /** Per-table monitors for [[MetaStore.updateTable]] — JVM-global so
-    * every MetaStore instance over the same warehouse shares them. */
+    * every MetaStore instance over the same warehouse shares them.
+    * Entries are deliberately never removed: a monitor may have waiters
+    * at the moment its table is dropped, and replacing it would let a
+    * waiter and a newcomer hold "the" lock concurrently. The cost is one
+    * small Object per distinct table key per driver lifetime — bounded
+    * and acceptable for a driver-side store; a deployment with millions
+    * of table lifecycles per process would intern keys weakly instead. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

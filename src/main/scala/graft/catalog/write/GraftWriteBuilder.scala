@@ -192,21 +192,31 @@ class GraftWrite(
     // job start under the per-table write permit: running them here (at
     // planning) would let an overwrite delete a concurrent append's
     // staged _temporary files while that job still holds the permit.
-    val preWriteDeletes: () => Unit = () => mode match {
-      case Truncate =>
-        if (fs.exists(new Path(meta.location))) {
-          fs.listStatus(new Path(meta.location)).foreach(s => fs.delete(s.getPath, true))
-        }
-        // tracked partitions with a custom LOCATION live outside the
-        // table dir — truncate owns their data too
-        meta.partitions.flatMap(_.location).foreach { l =>
-          val p = new Path(l)
-          val pfs = p.getFileSystem(hadoopConf)
-          if (pfs.exists(p)) pfs.listStatus(p).foreach(s => pfs.delete(s.getPath, true))
-        }
-      case StaticOverwrite(spec) =>
-        staticMatchDirs(meta, spec).foreach(d => fs.delete(d, true))
-      case _ =>
+    // Delete TARGETS come from a descriptor reloaded at execution time,
+    // so a partition DDL committed between planning and job start (e.g.
+    // ADD PARTITION ... LOCATION) is still owned by the truncate. (The
+    // task-side customPartitionLocations remain a planning-time snapshot
+    // — Spark bakes them into the job description — so partition DDL
+    // racing an IN-FLIGHT append is the one interleaving writers must
+    // still sequence themselves.)
+    val preWriteDeletes: () => Unit = () => {
+      val fresh = store.loadTable(db, meta.name)
+      mode match {
+        case Truncate =>
+          if (fs.exists(new Path(fresh.location))) {
+            fs.listStatus(new Path(fresh.location)).foreach(s => fs.delete(s.getPath, true))
+          }
+          // tracked partitions with a custom LOCATION live outside the
+          // table dir — truncate owns their data too
+          fresh.partitions.flatMap(_.location).foreach { l =>
+            val p = new Path(l)
+            val pfs = p.getFileSystem(hadoopConf)
+            if (pfs.exists(p)) pfs.listStatus(p).foreach(s => pfs.delete(s.getPath, true))
+          }
+        case StaticOverwrite(spec) =>
+          staticMatchDirs(fresh, spec).foreach(d => fs.delete(d, true))
+        case _ =>
+      }
     }
 
     val job = Job.getInstance(hadoopConf)
@@ -298,8 +308,15 @@ class GraftBatchWrite(
     * held from writer-factory creation (job start) to commit/abort is
     * the equivalent. Keyed by table location so renames/multi-catalog
     * setups over the same data serialize too. */
-  private val writePermit = GraftBatchWrite.writeLocks
-    .computeIfAbsent(meta.location, _ => new java.util.concurrent.Semaphore(1))
+  private val writePermit = {
+    // FS-qualified key: '/data/x' and 'file:///data/x' must share one
+    // permit or two spellings of the same dir write unserialized
+    val p = new Path(meta.location)
+    val key = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toUri.toString
+    GraftBatchWrite.writeLocks
+      .computeIfAbsent(key, _ => new java.util.concurrent.Semaphore(1))
+  }
   @volatile private var permitHeld = false
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -312,11 +329,16 @@ class GraftBatchWrite(
             "(another write job has held it for 10+ minutes)")
       }
       permitHeld = true
+    }
+    // Spark invokes this OUTSIDE the try block whose handler calls
+    // abort(), so a throw from here (deletes or the inner factory) would
+    // otherwise leak the permit forever and wedge all writes to the table.
+    try {
       // truncate/static-overwrite deletes run HERE, now that no other
       // job's staged files can be under the table dir
       preWriteDeletes()
-    }
-    inner.createBatchWriterFactory(info)
+      inner.createBatchWriterFactory(info)
+    } catch { case t: Throwable => releasePermit(); throw t }
   }
 
   private def releasePermit(): Unit =
