@@ -125,10 +125,31 @@ object EngineQueries {
       .orderBy($"n_nationkey")
   }
 
+  // ---------------------------------------------------------------- Q45
+  /** Schema evolution through the catalog (R6): CTAS two columns, ALTER
+    * TABLE ADD COLUMN, append rows CARRYING the new column, read the
+    * union — parquet files written before the ALTER lack the column and
+    * must read back as null alongside the new generation. Promotes the
+    * round-6 AlterTableSpec coverage into the oracle-gated inventory. */
+  def q45_schema_evolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q45_nation_evo"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val nation = Tables(spark, dir, "nation")
+    nation.select($"n_nationkey", $"n_name").writeTo(tgt).create()
+    spark.sql(s"ALTER TABLE $tgt ADD COLUMN extra STRING")
+    nation.select(($"n_nationkey" + 100).as("n_nationkey"), $"n_name",
+      $"n_regionkey".cast("string").as("extra")).writeTo(tgt).append()
+    spark.table(tgt).orderBy($"n_nationkey")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
     "q42_json_roundtrip" -> (q42_json_roundtrip _),
+    "q45_schema_evolution" -> (q45_schema_evolution _),
     "q25_udaf_weighted_mean" -> (q25_udaf_weighted_mean _),
     "q26_udf_normalize" -> (q26_udf_normalize _),
     "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
@@ -155,6 +176,14 @@ object EngineQueries {
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q39_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        | ORDER BY n_nationkey""".stripMargin,
+    // The pre-ALTER generation reads the added column as NULL; the
+    // post-ALTER generation carries real values.
+    "q45_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS extra FROM nation
+        | UNION ALL
+        | SELECT n_nationkey + 100, n_name, CAST(n_regionkey AS VARCHAR) AS extra
+        | FROM nation
         | ORDER BY n_nationkey""".stripMargin,
     // Nested values flattened after the read-back: if the struct/map did
     // not survive the JSON write, these columns would not match.
