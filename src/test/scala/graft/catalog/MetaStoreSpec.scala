@@ -74,4 +74,28 @@ class MetaStoreSpec extends AnyFunSuite {
     s.dropTable("db", "t", deleteData = false)
     assert(s.namespaceIsEmpty("db"))
   }
+
+  test("updateTable serializes across stores opened via different spellings of one warehouse") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val dir = Files.createTempDirectory("graft-metastore-lock").toString
+    // same warehouse, two spellings: the lock key must be FS-qualified
+    // or these two stores race load-modify-save and lose updates
+    val a = new MetaStore(new Path(dir), new Configuration())
+    val b = new MetaStore(new Path(s"file://$dir"), new Configuration())
+    a.createNamespace("db", Map.empty)
+    a.saveTable("db", meta("t"))
+    val writers = (0 until 40).map { i => Future {
+      val store = if (i % 2 == 0) a else b
+      store.updateTable("db", "t") { m =>
+        m.copy(partitions = m.partitions :+
+          PartitionMeta(Map("p" -> s"v$i"), None, i.toLong))
+      }
+    } }
+    Await.result(Future.sequence(writers), 60.seconds)
+    val specs = a.loadTable("db", "t").partitions.map(_.spec("p")).toSet
+    assert(specs === (0 until 40).map(i => s"v$i").toSet,
+      s"lost updates across store spellings: ${specs.size}/40 survived")
+  }
 }
