@@ -43,6 +43,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var store: MetaStore = _
   private var defaultProvider: String = "parquet"
   private var autoSizeUpdateEnabled: Boolean = true
+  private var writeLockTimeoutSeconds: Long = 600L
 
   private def spark: SparkSession = SparkSession.active
 
@@ -51,6 +52,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val warehouse = GraftConf.Warehouse.get(options, name)
     defaultProvider = GraftConf.DefaultProvider.get(options, name)
     autoSizeUpdateEnabled = GraftConf.AutoSizeUpdate.get(options, name)
+    writeLockTimeoutSeconds = GraftConf.WriteLockTimeoutSec.get(options, name)
     store = new MetaStore(new Path(warehouse),
       spark.sessionState.newHadoopConf())
   }
@@ -58,6 +60,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** R19 toggle (reference `autoSizeUpdateEnabled`, CatalogUtil.scala:31-48):
     * when off, write commits invalidate stats instead of recomputing them. */
   private[graft] def autoSizeUpdate: Boolean = autoSizeUpdateEnabled
+
+  /** Per-catalog write-permit wait (GraftConf.WriteLockTimeoutSec). */
+  private[graft] def writeLockTimeoutSec: Long = writeLockTimeoutSeconds
 
   override def name(): String = catalogName
 

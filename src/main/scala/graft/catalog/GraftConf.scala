@@ -63,4 +63,15 @@ object GraftConf {
       case other => throw new IllegalArgumentException(s"not a boolean: $other")
     }, (_: Boolean) => true,
     "maintain table/partition size stats on write commit (true/false)")
+
+  /** How long a write job waits for the per-table write permit before
+    * failing. The permit serializes whole write jobs into one table dir
+    * (shared `_temporary` staging — see GraftBatchWrite.writePermit), so
+    * the right ceiling is "longer than the longest legitimate concurrent
+    * write", which at a 100 TB posture is an operator decision, not a
+    * constant: a ten-minute default would fail a waiter behind any
+    * multi-hour backfill. */
+  val WriteLockTimeoutSec: Entry[Long] = Entry("writeLockTimeoutSec",
+    Some(600L), _.toLong, (_: Long) > 0L,
+    "seconds a write waits for the per-table write lock before failing (> 0)")
 }

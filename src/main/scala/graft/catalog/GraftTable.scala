@@ -116,7 +116,8 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   // --- write -------------------------------------------------------------
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(spark, store, db, meta, info, catalog.autoSizeUpdate)
+    new GraftWriteBuilder(spark, store, db, meta, info, catalog.autoSizeUpdate,
+      catalog.writeLockTimeoutSec)
 
   // --- partition management (R18, V2Table.scala:80-113) -------------------
 

@@ -56,7 +56,8 @@ class GraftWriteBuilder(
     db: String,
     meta: TableMeta,
     info: LogicalWriteInfo,
-    autoSizeUpdate: Boolean = true)
+    autoSizeUpdate: Boolean = true,
+    writeLockTimeoutSec: Long = 600L)
   extends WriteBuilder
   with SupportsTruncate
   with SupportsOverwrite
@@ -131,7 +132,8 @@ class GraftWriteBuilder(
           s"${meta.properties(graft.catalog.GraftCatalog.BucketCountProp)} BUCKETS); " +
           "writes to bucketed tables are not supported")
     }
-    new GraftWrite(spark, store, db, meta, info, mode, autoSizeUpdate)
+    new GraftWrite(spark, store, db, meta, info, mode, autoSizeUpdate,
+      writeLockTimeoutSec)
   }
 }
 
@@ -146,7 +148,8 @@ class GraftWrite(
     meta: TableMeta,
     info: LogicalWriteInfo,
     mode: WriteMode,
-    autoSizeUpdate: Boolean = true)
+    autoSizeUpdate: Boolean = true,
+    writeLockTimeoutSec: Long = 600L)
   extends Write with RequiresDistributionAndOrdering {
 
   private val partCols = meta.partitionColumns
@@ -262,7 +265,8 @@ class GraftWrite(
 
     committer.setupJob(job)
     new GraftBatchWrite(new FileBatchWrite(job, description, committer),
-      spark, store, db, meta, mode, autoSizeUpdate, preWriteDeletes)
+      spark, store, db, meta, mode, autoSizeUpdate, preWriteDeletes,
+      writeLockTimeoutSec)
   }
 
   private def staticMatchDirs(current: TableMeta, spec: Map[String, String]): Seq[Path] = {
@@ -297,7 +301,8 @@ class GraftBatchWrite(
     meta: TableMeta,
     mode: WriteMode,
     autoSizeUpdate: Boolean = true,
-    preWriteDeletes: () => Unit = () => ())
+    preWriteDeletes: () => Unit = () => (),
+    writeLockTimeoutSec: Long = 600L)
   extends BatchWrite {
 
   /** Per-table write permit: concurrent append jobs to one table share
@@ -308,27 +313,35 @@ class GraftBatchWrite(
     * held from writer-factory creation (job start) to commit/abort is
     * the equivalent. Keyed by table location so renames/multi-catalog
     * setups over the same data serialize too. */
-  private val writePermit = {
+  private val permitKey = {
     // FS-qualified key: '/data/x' and 'file:///data/x' must share one
     // permit or two spellings of the same dir write unserialized
     val p = new Path(meta.location)
-    val key = p.getFileSystem(spark.sessionState.newHadoopConf())
+    p.getFileSystem(spark.sessionState.newHadoopConf())
       .makeQualified(p).toUri.toString
-    GraftBatchWrite.writeLocks
-      .computeIfAbsent(key, _ => new java.util.concurrent.Semaphore(1))
   }
+  private val writePermit =
+    GraftBatchWrite.writeLocks
+      .computeIfAbsent(permitKey, _ => new java.util.concurrent.Semaphore(1))
   @volatile private var permitHeld = false
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // guard the (unexpected) repeated call: the semaphore is not
     // reentrant, so re-acquiring our own permit would self-deadlock
     if (!permitHeld) {
-      if (!writePermit.tryAcquire(10, java.util.concurrent.TimeUnit.MINUTES)) {
+      if (!writePermit.tryAcquire(writeLockTimeoutSec,
+          java.util.concurrent.TimeUnit.SECONDS)) {
+        val holder = Option(GraftBatchWrite.writeLockHolders.get(permitKey))
+          .map(h => s"; held by $h").getOrElse("")
         throw new IllegalStateException(
-          s"timed out waiting for the write lock on ${meta.name} " +
-            "(another write job has held it for 10+ minutes)")
+          s"timed out after ${writeLockTimeoutSec}s waiting for the write " +
+            s"lock on ${meta.name}$holder — a longer concurrent write is in " +
+            "flight; raise spark.sql.catalog.<name>.writeLockTimeoutSec to wait it out")
       }
       permitHeld = true
+      GraftBatchWrite.writeLockHolders.put(permitKey,
+        s"write job on $db.${meta.name} (mode $mode) since " +
+          java.time.Instant.now())
     }
     // Spark invokes this OUTSIDE the try block whose handler calls
     // abort(), so a throw from here (deletes or the inner factory) would
@@ -342,7 +355,11 @@ class GraftBatchWrite(
   }
 
   private def releasePermit(): Unit =
-    if (permitHeld) { permitHeld = false; writePermit.release() }
+    if (permitHeld) {
+      permitHeld = false
+      GraftBatchWrite.writeLockHolders.remove(permitKey)
+      writePermit.release()
+    }
 
   /** No commit coordinator, as in the reference (HiveFileBatchWrite.scala:25):
     * the commit protocol's task-attempt paths already make commits safe. */
@@ -356,31 +373,55 @@ class GraftBatchWrite(
     def sizeOf(p: Path): Long =
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
 
-    // Atomic descriptor update: concurrent commits to different
-    // partitions of the same table must both land their registrations.
-    store.updateTable(db, meta.name) { current =>
-      if (current.partitionColumns.isEmpty) {
-        // autoSizeUpdate=false: invalidate-don't-recompute (reference
-        // CatalogUtil.scala:31-48) — clear stats so the planner falls
-        // back to listing-based sizing instead of trusting stale numbers,
-        // and skip the getContentSummary pass entirely.
-        current.copy(stats =
-          if (autoSizeUpdate) Some(TableStats(sizeOf(new Path(current.location)), None))
-          else None)
-      } else {
-        val writtenSpecs = messages.toSeq
-          .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
-          .flatten.distinct
-          .map(GraftBatchWrite.parseFragment(current, _))
-        // One getContentSummary per written partition — a recursive
-        // listing RPC each. Serially that is minutes of driver dead time
-        // on a thousand-partition backfill, so size them concurrently
-        // (bounded by the FS client; results are order-independent).
-        // With autoSizeUpdate off, partitions are still REGISTERED (that
-        // is correctness, not stats) but unsized, and table stats clear.
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
+    // The getContentSummary sizing pass runs BEFORE entering
+    // MetaStore.updateTable's per-table monitor: the written dirs are
+    // stable while this job holds the write permit, and a
+    // thousand-partition listing pass (minutes of recursive-listing
+    // RPCs) must not hold the metastore lock — ALTER, partition DDL and
+    // drops on the table would block on it for the duration. Only the
+    // stale-placeholder repair (rare, one-shot) and the merge itself run
+    // under the lock.
+    val snapshot = store.loadTable(db, meta.name)
+    if (snapshot.partitionColumns.isEmpty) {
+      // autoSizeUpdate=false: invalidate-don't-recompute (reference
+      // CatalogUtil.scala:31-48) — clear stats so the planner falls
+      // back to listing-based sizing instead of trusting stale numbers,
+      // and skip the getContentSummary pass entirely.
+      val tableStats =
+        if (autoSizeUpdate) Some(TableStats(sizeOf(new Path(snapshot.location)), None))
+        else None
+      store.updateTable(db, meta.name)(_.copy(stats = tableStats))
+    } else {
+      val writtenSpecs = messages.toSeq
+        .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
+        .flatten.distinct
+        .map(GraftBatchWrite.parseFragment(snapshot, _))
+      // One getContentSummary per written partition — a recursive
+      // listing RPC each. Serially that is minutes of driver dead time
+      // on a thousand-partition backfill, so size them concurrently
+      // (bounded by the FS client; results are order-independent).
+      // With autoSizeUpdate off, partitions are still REGISTERED (that
+      // is correctness, not stats) but unsized, and table stats clear.
+      val snapLocBySpec = snapshot.partitions
+        .collect { case p if p.location.isDefined => p.spec -> p.location }.toMap
+      val written = Await.result(
+        Future.traverse(writtenSpecs) { spec => Future {
+          // a pre-registered custom LOCATION survives the write (the
+          // files just landed there via customPartitionLocations)
+          val loc = snapLocBySpec.getOrElse(spec, None)
+          val dir = loc.map(new Path(_))
+            .getOrElse(GraftBatchWrite.partitionDir(snapshot, spec))
+          PartitionMeta(spec, loc,
+            if (autoSizeUpdate) sizeOf(dir) else PartitionMeta.Unsized)
+        } }, Duration.Inf)
+
+      // Atomic descriptor update: concurrent commits to different
+      // partitions of the same table must both land their registrations.
+      store.updateTable(db, meta.name) { current =>
         val base = mode match {
           case Truncate => Nil
           case StaticOverwrite(spec) => current.partitions.filterNot(p =>
@@ -388,34 +429,43 @@ class GraftBatchWrite(
               p.spec.exists { case (pk, pv) => pk.equalsIgnoreCase(k) && pv == v } })
           case _ => current.partitions
         }
-        // A sizing commit also repairs partitions still carrying the
-        // Unsized placeholder (left by an autoSizeUpdate=off commit or a
-        // bare ADD PARTITION) — exactly once each: after repair a
-        // genuinely empty partition records 0 (sized), so it is never
-        // re-listed on later commits.
         // set-based membership: these passes run inside the per-table
         // critical section, and Seq scans would be O(base × written) on
         // the thousand-partition backfill this code budgets for
         val writtenSpecSet = writtenSpecs.toSet
-        val locBySpec = current.partitions
+        val curLocBySpec = current.partitions
           .collect { case p if p.location.isDefined => p.spec -> p.location }.toMap
+        // Partition DDL that re-pointed a written spec's LOCATION between
+        // the pre-lock snapshot and this critical section invalidates the
+        // pre-computed size — register the partition Unsized at its new
+        // location; the next sizing commit repairs it (one-shot).
+        val writtenAdjusted = written.map { p =>
+          val curLoc = curLocBySpec.getOrElse(p.spec, None)
+          if (curLoc == snapLocBySpec.getOrElse(p.spec, None)) p
+          else PartitionMeta(p.spec, curLoc, PartitionMeta.Unsized)
+        }
+        // A sizing commit also repairs partitions still carrying the
+        // Unsized placeholder (left by an autoSizeUpdate=off commit or a
+        // bare ADD PARTITION) — exactly once each: after repair a
+        // genuinely empty partition records 0 (sized), so it is never
+        // re-listed on later commits. Repair must read the locked state
+        // (it targets partitions this job did not write), so it stays
+        // under the lock — bounded by the one-shot property.
         val staleSpecs =
           if (autoSizeUpdate)
             base.filter(p => !p.isSized && !writtenSpecSet.contains(p.spec))
               .map(_.spec)
           else Nil
-        val written = Await.result(
-          Future.traverse(writtenSpecs ++ staleSpecs) { spec => Future {
-            // a pre-registered custom LOCATION survives the write (the
-            // files just landed there via customPartitionLocations)
-            val loc = locBySpec.getOrElse(spec, None)
+        val repaired = Await.result(
+          Future.traverse(staleSpecs) { spec => Future {
+            val loc = curLocBySpec.getOrElse(spec, None)
             val dir = loc.map(new Path(_))
               .getOrElse(GraftBatchWrite.partitionDir(current, spec))
-            PartitionMeta(spec, loc,
-              if (autoSizeUpdate) sizeOf(dir) else PartitionMeta.Unsized)
+            PartitionMeta(spec, loc, sizeOf(dir))
           } }, Duration.Inf)
-        val mergedSpecSet = written.map(_.spec).toSet
-        val merged = base.filterNot(p => mergedSpecSet.contains(p.spec)) ++ written
+        val merged0 = writtenAdjusted ++ repaired
+        val mergedSpecSet = merged0.map(_.spec).toSet
+        val merged = base.filterNot(p => mergedSpecSet.contains(p.spec)) ++ merged0
         current.copy(
           partitions = merged,
           stats =
@@ -435,6 +485,27 @@ object GraftBatchWrite {
   /** Per-table-location write permits (see `writePermit`). */
   private val writeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]()
+
+  /** Best-effort description of each permit's current holder, so a
+    * timed-out waiter can name what it waited on. Written only by the
+    * holder (after acquire, before release) — purely diagnostic. */
+  private val writeLockHolders =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook: grab/release a location's permit as an external "job"
+    * would, so specs can exercise the waiter-timeout path without a
+    * multi-minute concurrent write. */
+  private[graft] def holdPermitForTest(
+      spark: SparkSession, location: String, holder: String): () => Unit = {
+    val p = new Path(location)
+    val key = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toUri.toString
+    val sem = writeLocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.Semaphore(1))
+    sem.acquire()
+    writeLockHolders.put(key, holder)
+    () => { writeLockHolders.remove(key); sem.release() }
+  }
 
   /** `col=v/col2=v2` path fragment → spec, unescaping Hive path encoding,
     * normalizing column case against the declared partition columns. */

@@ -35,4 +35,15 @@ class GraftConfSpec extends AnyFunSuite {
       GraftConf.AutoSizeUpdate.get(opts("autoSizeUpdate" -> "yes"), "c"))
     assert(e.getMessage.contains("autoSizeUpdate"))
   }
+
+  test("writeLockTimeoutSec defaults to 600, parses, rejects non-positive and garbage") {
+    assert(GraftConf.WriteLockTimeoutSec.get(opts(), "c") === 600L)
+    assert(GraftConf.WriteLockTimeoutSec.get(
+      opts("writeLockTimeoutSec" -> "7200"), "c") === 7200L)
+    intercept[IllegalArgumentException](
+      GraftConf.WriteLockTimeoutSec.get(opts("writeLockTimeoutSec" -> "0"), "c"))
+    val e = intercept[IllegalArgumentException](
+      GraftConf.WriteLockTimeoutSec.get(opts("writeLockTimeoutSec" -> "fast"), "c"))
+    assert(e.getMessage.contains("writeLockTimeoutSec"))
+  }
 }

@@ -288,6 +288,38 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       s"non-serializable outcome: tags=$tags n=$n")
   }
 
+  test("writeLockTimeoutSec: a waiter fails after the configured wait, naming the holder") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-lockto-wh").toString
+    spark.conf.set("spark.sql.catalog.quicklock", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.quicklock.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.quicklock.writeLockTimeoutSec", "1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS quicklock.db")
+    spark.sql("DROP TABLE IF EXISTS quicklock.db.t_lock")
+    Seq((1L, "x")).toDF("id", "p").writeTo("quicklock.db.t_lock").create()
+    val cat = spark.sessionState.catalogManager.catalog("quicklock")
+      .asInstanceOf[GraftCatalog]
+    val loc = cat.metaStore.loadTable("db", "t_lock").location
+    // simulate a long-running concurrent write holding the permit
+    val release = graft.catalog.write.GraftBatchWrite
+      .holdPermitForTest(spark, loc, "simulated multi-hour backfill job")
+    try {
+      val e = intercept[Exception] {
+        Seq((2L, "y")).toDF("id", "p").writeTo("quicklock.db.t_lock").append()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("timed out after 1s"), s"unexpected failure: $msgs")
+      assert(msgs.contains("simulated multi-hour backfill job"),
+        s"error must name the holder: $msgs")
+      assert(msgs.contains("writeLockTimeoutSec"),
+        s"error must point at the tuning knob: $msgs")
+    } finally release()
+    // the permit is back: the same append now succeeds
+    Seq((3L, "z")).toDF("id", "p").writeTo("quicklock.db.t_lock").append()
+    assert(spark.table("quicklock.db.t_lock").count() === 2)
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {
     import spark.implicits._
     val t = freshTable("t_ddl")
