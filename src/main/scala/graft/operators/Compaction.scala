@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** In-place small-file compaction for partitioned catalog tables.
+  *
+  * `compact` rewrites every live partition of `table` with itself via a
+  * dynamic-partition overwrite. The engine's write pipeline does the
+  * rest: `RequiresDistributionAndOrdering` clusters rows by partition
+  * value, so each partition is re-written by one task as few large
+  * files, and the commit protocol's staging mode swaps partition dirs
+  * atomically at job commit.
+  *
+  * Why reading and overwriting the SAME table is safe here (and only
+  * here): dynamic overwrite has no pre-write delete — writer tasks
+  * stage under `_temporary` while reader tasks scan the live partition
+  * dirs, and the swap happens at job commit, strictly after every read
+  * task finished. A truncate/static overwrite would NOT be safe
+  * (its deferred pre-delete runs at job start, deleting the files the
+  * readers are about to scan), which is why unpartitioned tables are
+  * rejected rather than silently routed through truncate.
+  *
+  * 100 TB posture: compaction is a per-partition rewrite — cost scales
+  * with the data actually rewritten, the shuffle key is the partition
+  * value, and running it per freshly-ingested partition (not the whole
+  * table) is the intended maintenance cadence. The per-table write
+  * permit serializes it against concurrent ingest.
+  */
+object Compaction {
+
+  def compact(spark: SparkSession, table: String): Unit = {
+    val parts = table.split("\\.")
+    require(parts.length >= 3, s"compact expects catalog.ns.table, got $table")
+    val cat = spark.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      parts.slice(1, parts.length - 1), parts.last)
+    require(cat.loadTable(ident).partitioning().nonEmpty,
+      s"compact($table): only partitioned tables can be compacted in place " +
+        "(dynamic overwrite is the only self-rewrite with no pre-delete window)")
+    spark.table(table).writeTo(table).overwritePartitions()
+  }
+}

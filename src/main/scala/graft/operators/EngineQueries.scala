@@ -145,9 +145,52 @@ object EngineQueries {
     spark.table(tgt).orderBy($"n_nationkey")
   }
 
+  // ---------------------------------------------------------------- Q49
+  /** Small-file compaction — the table-maintenance operator every
+    * long-lived 100 TB table needs: streaming ingest and per-batch
+    * appends accumulate many small files per partition, and scan cost
+    * degrades with file count (task-per-file scheduling, open/footer
+    * overhead) long before data size grows.
+    *
+    * Build: 6 successive appends fragment each partition into ≥6 files.
+    * Compact: read the table and dynamic-overwrite it WITH ITSELF —
+    * safe under this engine's commit protocol because read tasks scan
+    * the live partition dirs while write tasks stage under `_temporary`,
+    * and dirs are swapped only at job commit after all reads finish;
+    * the per-table write permit serializes it against other writers.
+    * The write's required clustering on the partition column then lands
+    * each partition in ONE task → one large file (file counts asserted
+    * in WritePathSpec; the oracle pins that compaction preserved the
+    * data exactly). */
+  def q49_compaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q49_li_compact"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val src = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_returnflag")
+    // fragmented ingest: one append per l_orderkey stripe
+    val stripes = 6
+    src.filter($"l_orderkey" % stripes === 0)
+      .writeTo(tgt).partitionedBy($"l_returnflag").create()
+    (1 until stripes).foreach { i =>
+      src.filter($"l_orderkey" % stripes === i).writeTo(tgt).append()
+    }
+    Compaction.compact(spark, tgt)
+    spark.table(tgt)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_orderkey" * 131071L + $"l_linenumber").as("key_checksum"),
+        r2(sum($"l_extendedprice")).as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
+    "q49_compaction" -> (q49_compaction _),
     "q42_json_roundtrip" -> (q42_json_roundtrip _),
     "q45_schema_evolution" -> (q45_schema_evolution _),
     "q25_udaf_weighted_mean" -> (q25_udaf_weighted_mean _),
@@ -177,6 +220,14 @@ object EngineQueries {
     "q39_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         | ORDER BY n_nationkey""".stripMargin,
+    // Compaction preserved the data exactly: row counts, an
+    // order-independent key checksum, and the price sum all match the
+    // source. CAST keeps DuckDB's sum(BIGINT)→HUGEINT off the hash.
+    "q49_compaction" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey * 131071 + l_linenumber) AS BIGINT) AS key_checksum,
+        |  round((sum(l_extendedprice)) * 100) / 100 AS sum_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // The pre-ALTER generation reads the added column as NULL; the
     // post-ALTER generation carries real values.
     "q45_schema_evolution" ->

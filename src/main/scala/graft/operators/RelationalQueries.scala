@@ -453,9 +453,92 @@ object RelationalQueries {
       .orderBy($"error_id")
   }
 
+  // ---------------------------------------------------------------- Q46
+  /** Range (band) join — for each error event, count clicks from ANY
+    * user within ±5 minutes. Spark plans a raw `BETWEEN` join with no
+    * equi-key as BroadcastNestedLoopJoin — O(errors × clicks) and a
+    * driver-sized broadcast, both fatal at 100 TB. Binned instead: bucket
+    * both sides into 5-minute bins, explode each error to its 3 candidate
+    * bins (a click within ±5 min is always in the error's bin ±1), hash
+    * equi-join on the bin, then apply the exact band predicate. The
+    * shuffle carries bin keys (dense, uniform — time bins don't skew the
+    * way entity keys do), candidate pairs are O(errors × clicks-per-bin),
+    * and the plan is a plain SortMergeJoin/ShuffledHashJoin that scales
+    * horizontally. LEFT join keeps zero-click errors (count = 0). */
+  def q46_range_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+    // bin width == band width (300 s) keeps the candidate set minimal
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"ts".as("error_ts"))
+      .withColumn("bin", expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', error_ts) DIV 300"))
+      .withColumn("jbin", explode(array($"bin" - 1, $"bin", $"bin" + 1)))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"ts".as("click_ts"))
+      .withColumn("cbin", expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', click_ts) DIV 300"))
+    // each (error, click) candidate meets in exactly one bin (the
+    // click's own), so no post-join dedup is needed
+    errors.join(clicks,
+        $"jbin" === $"cbin" &&
+          $"click_ts" >= $"error_ts" - expr("INTERVAL '5' MINUTE") &&
+          $"click_ts" <= $"error_ts" + expr("INTERVAL '5' MINUTE"),
+        "left_outer")
+      .groupBy($"error_id")
+      .agg(count($"click_id").as("n_nearby_clicks"))
+      .orderBy($"error_id")
+  }
+
+  // ---------------------------------------------------------------- Q47
+  /** Pivot — orderstatus spread into columns per priority. Spark's
+    * `pivot` with an EXPLICIT value list compiles to one two-phase hash
+    * aggregate (PivotFirst) — no extra shuffle over the plain group-by
+    * and no values-discovery pre-query, which is the form that scales
+    * (an implicit pivot first runs a distinct over the pivot column). */
+  def q47_pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(r2(sum($"o_totalprice")))
+      .withColumnRenamed("F", "sum_f")
+      .withColumnRenamed("O", "sum_o")
+      .withColumnRenamed("P", "sum_p")
+      .orderBy($"o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- Q48
+  /** Salted join — the heavy-hitter-key pattern stated as an operator.
+    * When one join key exceeds a single task's memory even after AQE
+    * skew-split (AQE splits by partition, not by key: a single monster
+    * KEY cannot be split), the fix is to salt: the skewed side tags each
+    * row with a deterministic salt in [0, N), the other side replicates
+    * every row N times (once per salt), and the join key becomes
+    * (key, salt) — spreading one key over N tasks at the cost of an N×
+    * replication of the build side. Result is identical to the unsalted
+    * join, which is exactly what the oracle pins. */
+  def q48_salted_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nSalts = 8
+    val li = t(spark, dir, "lineitem")
+      .withColumn("salt",
+        pmod(xxhash64($"l_partkey", $"l_suppkey", $"l_linenumber"), lit(nSalts.toLong)))
+    val ord = t(spark, dir, "orders")
+      .withColumn("salt", explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join" -> (q44_asof_join _),
+    "q46_range_join" -> (q46_range_join _),
+    "q47_pivot" -> (q47_pivot _),
+    "q48_salted_join" -> (q48_salted_join _),
     "q01_scan_filter" -> (q01_scan_filter _),
     "q02_agg_tpch1" -> (q02_agg_tpch1 _),
     "q03_join_broadcast" -> (q03_join_broadcast _),
@@ -505,6 +588,29 @@ object RelationalQueries {
         |  FROM u)
         | SELECT event_id AS error_id, user_id, ts AS error_ts, last_click
         | FROM w WHERE kind = 1 ORDER BY error_id""".stripMargin,
+    // Stated as the naive band join — DuckDB's IEJoin executes it; the
+    // Spark side must produce the identical relation from the binned plan.
+    "q46_range_join" ->
+      """SELECT e.event_id AS error_id, count(c.event_id) AS n_nearby_clicks
+        | FROM events e LEFT JOIN events c
+        |   ON c.event_type = 'click'
+        |  AND c.ts >= e.ts - INTERVAL 5 MINUTE
+        |  AND c.ts <= e.ts + INTERVAL 5 MINUTE
+        | WHERE e.event_type = 'error'
+        | GROUP BY e.event_id ORDER BY error_id""".stripMargin,
+    "q47_pivot" ->
+      """SELECT o_orderpriority,
+        |  round((sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F')) * 100) / 100 AS sum_f,
+        |  round((sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O')) * 100) / 100 AS sum_o,
+        |  round((sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P')) * 100) / 100 AS sum_p
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The oracle is the UNSALTED join — pinning that salting is a pure
+    // execution-strategy change with zero semantic effect.
+    "q48_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         | WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05

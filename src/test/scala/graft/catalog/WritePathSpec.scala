@@ -320,6 +320,51 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("quicklock.db.t_lock").count() === 2)
   }
 
+  test("compaction collapses a fragmented table to one file per partition, preserving data") {
+    import spark.implicits._
+    val t = freshTable("t_compact")
+    // fragmented ingest: 5 appends → ≥5 files per partition value
+    Seq((0L, "x"), (0L, "y")).toDF("id", "p").writeTo(t).partitionedBy($"p").create()
+    (1 to 4).foreach(i => Seq((i.toLong, "x"), (i.toLong, "y")).toDF("id", "p")
+      .writeTo(t).append())
+    val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+    val root = new org.apache.hadoop.fs.Path(
+      cat.metaStore.loadTable("wtest", "t_compact").location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Seq[String] = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet")) b += f
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    assert(before.size >= 10, s"fixture should be fragmented, got ${before.size} files")
+    val rowsBefore = spark.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    graft.operators.Compaction.compact(spark, t)
+
+    val after = dataFiles()
+    assert(after.size === 2, s"expected one file per partition, got: $after")
+    val rowsAfter = spark.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowsAfter === rowsBefore)
+    // catalog stats were refreshed by the overwrite commit
+    val meta = cat.metaStore.loadTable("wtest", "t_compact")
+    assert(meta.partitions.map(_.spec).toSet === Set(Map("p" -> "x"), Map("p" -> "y")))
+    assert(meta.stats.exists(_.sizeInBytes === meta.partitions.map(_.sizeInBytes).sum))
+
+    // unpartitioned tables are rejected (the self-rewrite would race the
+    // truncate pre-delete) — fail loudly instead
+    val u = freshTable("t_compact_flat")
+    Seq((1L, "x")).toDF("id", "p").writeTo(u).create()
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Compaction.compact(spark, u))
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {
     import spark.implicits._
     val t = freshTable("t_ddl")
