@@ -254,6 +254,36 @@ object EventStreams {
     }.orderBy($"error_id", $"click_id")
   }
 
+  // ---------------------------------------------------------------- s08
+  /** Stream-STATIC enrichment join — the third streaming join shape
+    * (§2.2) after windowed aggregation (s01/s05) and stream-stream
+    * (s07): each microbatch of events joins a static dimension table
+    * (customer) read through the catalog, then feeds a windowed
+    * aggregate per nation. Stream-static joins are STATELESS — the
+    * static side is simply re-planned per microbatch (broadcast when
+    * stats say it fits, exactly as in batch), so the only streaming
+    * state is the aggregation's. This is the canonical
+    * training-pipeline shape: enrich an event firehose against slowly-
+    * changing reference data without holding any join state.
+    *
+    * Replay drives two microbatches so the join provably runs per-batch;
+    * complete mode converges to the batch answer, which the DuckDB
+    * oracle states as a plain join + time-bucket aggregate. */
+  def s08_stream_static_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val events = collectEvents(spark, dir)
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val half = math.max(1, (events.size + 1) / 2)
+    replay(spark, events.grouped(half).toSeq, { df =>
+      df.join(cust, df("user_id") === cust("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("c_nationkey"), col("cnt"), col("sum_value"))
+    }, "complete").orderBy(col("window_start"), col("c_nationkey"))
+  }
+
   /** Driver-side reference for s06 — one global greedy pass (used by the
     * spec to gate the streaming result). */
   private[streaming] def throttleReference(events: Seq[Event]): Seq[Emitted] =
@@ -281,6 +311,7 @@ object EventStreams {
     "s05_watermark_late" -> (s05_watermark_late _),
     "s06_stateful_throttle" -> (s06_stateful_throttle _),
     "s07_interval_join" -> (s07_interval_join _),
+    "s08_stream_static_join" -> (s08_stream_static_join _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,6 +354,13 @@ object EventStreams {
         | )
         | SELECT user_id, event_id, ts FROM chain WHERE emitted
         | ORDER BY user_id, ts, event_id""".stripMargin,
+    // Stream-static enrichment must converge to the plain batch
+    // join + time-bucket aggregate.
+    "s08_stream_static_join" ->
+      """SELECT date_trunc('hour', e.ts) AS window_start, c.c_nationkey,
+        |  count(*) AS cnt, round((sum(e.value)) * 100) / 100 AS sum_value
+        | FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The streaming interval join must converge to the plain batch join.
     "s07_interval_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
