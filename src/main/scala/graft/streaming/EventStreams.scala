@@ -284,6 +284,51 @@ object EventStreams {
     }, "complete").orderBy(col("window_start"), col("c_nationkey"))
   }
 
+  // ---------------------------------------------------------------- s09
+  /** Streaming SINK into the catalog — the ingest half of the pipeline
+    * (s01–s08 cover transforms; this covers landing the stream in a
+    * governed table). `foreachBatch` drives the engine's own DSv2 batch
+    * write per microbatch, with the EXACTLY-ONCE recipe: the sink table
+    * is partitioned by `batch_id` and each microbatch STATIC-OVERWRITES
+    * its own partition — a replayed/retried batch replaces its previous
+    * attempt instead of duplicating it (idempotence through the
+    * engine's overwrite-by-filter unwrap, the same path q24 gates).
+    *
+    * Scale posture: per-batch work is one partitioned write job whose
+    * commit registers exactly one partition; state is zero (the
+    * checkpoint's batch id is the only cursor). Batch sizes at 100 TB
+    * come from source admission control (maxFilesPerTrigger etc.), not
+    * from this sink. */
+  def s09_stream_sink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${graft.GraftBootstrap.CatalogName}.tmp.s09_events_sink"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${graft.GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    spark.sql(
+      s"""CREATE TABLE $tgt (
+         |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+         |  event_type STRING, value DOUBLE, batch_id BIGINT)
+         | USING parquet PARTITIONED BY (batch_id)""".stripMargin)
+    val events = collectEvents(spark, dir).sortBy(e => (micros(e.ts), e.event_id))
+    val batches = events.grouped(math.max(1, (events.size + 2) / 3)).toSeq
+    val src = MemoryStream[Event]
+    val query = src.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .writeTo(tgt).overwrite(col("batch_id") === lit(batchId))
+        ()
+      }
+      .start()
+    try batches.foreach { b => src.addData(b); query.processAllAvailable() }
+    finally query.stop()
+    spark.table(tgt)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), r2(sum($"value")).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** Driver-side reference for s06 — one global greedy pass (used by the
     * spec to gate the streaming result). */
   private[streaming] def throttleReference(events: Seq[Event]): Seq[Emitted] =
@@ -312,6 +357,7 @@ object EventStreams {
     "s06_stateful_throttle" -> (s06_stateful_throttle _),
     "s07_interval_join" -> (s07_interval_join _),
     "s08_stream_static_join" -> (s08_stream_static_join _),
+    "s09_stream_sink" -> (s09_stream_sink _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +400,11 @@ object EventStreams {
         | )
         | SELECT user_id, event_id, ts FROM chain WHERE emitted
         | ORDER BY user_id, ts, event_id""".stripMargin,
+    // Every event landed exactly once across the per-batch overwrites.
+    "s09_stream_sink" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Stream-static enrichment must converge to the plain batch
     // join + time-bucket aggregate.
     "s08_stream_static_join" ->

@@ -50,6 +50,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(joined === rows(batch))
   }
 
+  test("stream sink lands every event exactly once, and a replayed batch does not duplicate") {
+    import org.apache.spark.sql.functions._
+    val agg = rows(EventStreams.s09_stream_sink(spark, sf0001))
+    val expected = rows(graft.Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (round(sum(col("value")) * 100) / 100).as("sum_value"))
+      .orderBy(col("event_type")))
+    assert(agg === expected)
+    // Idempotence: replay batch 0's overwrite (the failure-retry case) —
+    // the partition is replaced, not appended, so totals are unchanged.
+    val tgt = s"${graft.GraftBootstrap.CatalogName}.tmp.s09_events_sink"
+    val before = spark.table(tgt).count()
+    // materialize first: a static overwrite pre-deletes its target
+    // partition at job start, so re-feeding it from a live scan of the
+    // same partition would read deleted files
+    val b0 = spark.table(tgt).filter(col("batch_id") === 0)
+      .select("event_id", "ts", "user_id", "event_type", "value", "batch_id")
+    val batch0 = spark.createDataFrame(b0.collectAsList(), b0.schema)
+    batch0.writeTo(tgt).overwrite(col("batch_id") === lit(0L))
+    assert(spark.table(tgt).count() === before,
+      "replaying a batch duplicated its rows — the sink is not idempotent")
+  }
+
   test("watermark drops the late batch: result is batch-1-only, not the full corpus") {
     val late = rows(EventStreams.s05_watermark_late(spark, sf0001))
     val full = rows(EventWindowQueries.s01_tumbling_window(spark, sf0001))
