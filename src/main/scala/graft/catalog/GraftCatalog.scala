@@ -43,7 +43,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var store: MetaStore = _
   private var defaultProvider: String = "parquet"
   private var autoSizeUpdateEnabled: Boolean = true
-  private var writeLockTimeoutSeconds: Long = 600L
+  private var writeLockTimeoutSeconds: Long =
+    GraftConf.WriteLockTimeoutSec.default.get
 
   private def spark: SparkSession = SparkSession.active
 

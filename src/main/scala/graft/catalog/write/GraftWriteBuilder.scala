@@ -57,7 +57,7 @@ class GraftWriteBuilder(
     meta: TableMeta,
     info: LogicalWriteInfo,
     autoSizeUpdate: Boolean = true,
-    writeLockTimeoutSec: Long = 600L)
+    writeLockTimeoutSec: Long = graft.catalog.GraftConf.WriteLockTimeoutSec.default.get)
   extends WriteBuilder
   with SupportsTruncate
   with SupportsOverwrite
@@ -149,7 +149,7 @@ class GraftWrite(
     info: LogicalWriteInfo,
     mode: WriteMode,
     autoSizeUpdate: Boolean = true,
-    writeLockTimeoutSec: Long = 600L)
+    writeLockTimeoutSec: Long = graft.catalog.GraftConf.WriteLockTimeoutSec.default.get)
   extends Write with RequiresDistributionAndOrdering {
 
   private val partCols = meta.partitionColumns
@@ -302,7 +302,7 @@ class GraftBatchWrite(
     mode: WriteMode,
     autoSizeUpdate: Boolean = true,
     preWriteDeletes: () => Unit = () => (),
-    writeLockTimeoutSec: Long = 600L)
+    writeLockTimeoutSec: Long = graft.catalog.GraftConf.WriteLockTimeoutSec.default.get)
   extends BatchWrite {
 
   /** Per-table write permit: concurrent append jobs to one table share
@@ -327,16 +327,21 @@ class GraftBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // guard the (unexpected) repeated call: the semaphore is not
-    // reentrant, so re-acquiring our own permit would self-deadlock
-    if (!permitHeld) {
+    // reentrant, so re-acquiring our own permit would self-deadlock.
+    // A write running INSIDE a maintenance lease on the same thread
+    // (Compaction holds the permit across its plan+execute so the
+    // self-scan's file listing can't race a concurrent append) skips
+    // acquisition — the leaseholder owns the permit and releases it.
+    if (!permitHeld && !GraftBatchWrite.hasLease(permitKey)) {
       if (!writePermit.tryAcquire(writeLockTimeoutSec,
           java.util.concurrent.TimeUnit.SECONDS)) {
         val holder = Option(GraftBatchWrite.writeLockHolders.get(permitKey))
           .map(h => s"; held by $h").getOrElse("")
         throw new IllegalStateException(
           s"timed out after ${writeLockTimeoutSec}s waiting for the write " +
-            s"lock on ${meta.name}$holder — a longer concurrent write is in " +
-            "flight; raise spark.sql.catalog.<name>.writeLockTimeoutSec to wait it out")
+            s"lock on $db.${meta.name}$holder — a longer concurrent write is " +
+            "in flight; raise writeLockTimeoutSec on this table's catalog " +
+            "to wait it out")
       }
       permitHeld = true
       GraftBatchWrite.writeLockHolders.put(permitKey,
@@ -369,9 +374,13 @@ class GraftBatchWrite(
     inner.commit(messages)
 
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val fs = new Path(meta.location).getFileSystem(hadoopConf)
-    def sizeOf(p: Path): Long =
-      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    // per-path FileSystem: a partition registered with a custom LOCATION
+    // may live on a different scheme than the table root, and the
+    // root FS would throw "Wrong FS" on it
+    def sizeOf(p: Path): Long = {
+      val pfs = p.getFileSystem(hadoopConf)
+      if (pfs.exists(p)) pfs.getContentSummary(p).getLength else 0L
+    }
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -435,14 +444,23 @@ class GraftBatchWrite(
         val writtenSpecSet = writtenSpecs.toSet
         val curLocBySpec = current.partitions
           .collect { case p if p.location.isDefined => p.spec -> p.location }.toMap
-        // Partition DDL that re-pointed a written spec's LOCATION between
-        // the pre-lock snapshot and this critical section invalidates the
-        // pre-computed size — register the partition Unsized at its new
-        // location; the next sizing commit repairs it (one-shot).
+        // Partition DDL between the pre-lock snapshot and this critical
+        // section invalidates a pre-computed size: a LOCATION re-point
+        // moved the data, and a DROP PARTITION (spec present in the
+        // snapshot, gone from the locked state) deleted the dir we
+        // sized — registering the stale bytes would put phantom data in
+        // the stats. Either way the partition goes in Unsized at its
+        // current location; the next sizing commit repairs it
+        // (one-shot, recording the dir's actual — possibly 0 — size).
+        val curSpecSet = current.partitions.map(_.spec).toSet
+        val snapSpecSet = snapshot.partitions.map(_.spec).toSet
         val writtenAdjusted = written.map { p =>
           val curLoc = curLocBySpec.getOrElse(p.spec, None)
-          if (curLoc == snapLocBySpec.getOrElse(p.spec, None)) p
-          else PartitionMeta(p.spec, curLoc, PartitionMeta.Unsized)
+          val droppedMeanwhile =
+            snapSpecSet.contains(p.spec) && !curSpecSet.contains(p.spec)
+          if (droppedMeanwhile || curLoc != p.location)
+            PartitionMeta(p.spec, curLoc, PartitionMeta.Unsized)
+          else p
         }
         // A sizing commit also repairs partitions still carrying the
         // Unsized placeholder (left by an autoSizeUpdate=off commit or a
@@ -492,14 +510,51 @@ object GraftBatchWrite {
   private val writeLockHolders =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Locations whose permit is held by a maintenance op on THIS thread
+    * (see [[leaseWritePermit]]). Thread-scoped so a different job's
+    * write to the same table still waits on the semaphore. */
+  private val leases = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private[write] def hasLease(key: String): Boolean = leases.get.contains(key)
+
+  private def qualifiedKey(spark: SparkSession, location: String): String = {
+    val p = new Path(location)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toUri.toString
+  }
+
+  /** Acquire a table location's write permit for a maintenance operation
+    * that must span PLANNING and execution of a write (e.g. compaction's
+    * self-scan: the file listing happens at plan time, before the write
+    * job itself would acquire the permit — without the lease a
+    * concurrent append could commit between listing and overwrite and be
+    * silently erased by the rewrite). Nested writes on the SAME thread
+    * see the lease and skip acquisition; writes from other threads
+    * queue on the semaphore as usual. Returns the release thunk. */
+  private[graft] def leaseWritePermit(
+      spark: SparkSession, location: String, holder: String): () => Unit = {
+    val key = qualifiedKey(spark, location)
+    val sem = writeLocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.Semaphore(1))
+    sem.acquire()
+    writeLockHolders.put(key, holder)
+    leases.set(leases.get + key)
+    () => {
+      leases.set(leases.get - key)
+      writeLockHolders.remove(key)
+      sem.release()
+    }
+  }
+
   /** Test hook: grab/release a location's permit as an external "job"
-    * would, so specs can exercise the waiter-timeout path without a
-    * multi-minute concurrent write. */
+    * would (NO thread lease — the current thread's own writes must
+    * still time out against it), so specs can exercise the
+    * waiter-timeout path without a multi-minute concurrent write. */
   private[graft] def holdPermitForTest(
       spark: SparkSession, location: String, holder: String): () => Unit = {
-    val p = new Path(location)
-    val key = p.getFileSystem(spark.sessionState.newHadoopConf())
-      .makeQualified(p).toUri.toString
+    val key = qualifiedKey(spark, location)
     val sem = writeLocks.computeIfAbsent(key,
       _ => new java.util.concurrent.Semaphore(1))
     sem.acquire()

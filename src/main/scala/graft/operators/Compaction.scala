@@ -20,11 +20,20 @@ import org.apache.spark.sql.SparkSession
   * readers are about to scan), which is why unpartitioned tables are
   * rejected rather than silently routed through truncate.
   *
+  * Concurrency: the whole plan+execute runs under a write-permit LEASE
+  * ([[graft.catalog.write.GraftBatchWrite.leaseWritePermit]]). The
+  * inner write job's own permit acquisition happens only at job start —
+  * AFTER the self-scan's file listing at plan time — so without the
+  * lease a concurrent append could commit between listing and
+  * overwrite and be silently erased by the rewrite. Holding the permit
+  * from before the listing until after the commit closes that window:
+  * concurrent writers either commit first (their files are listed and
+  * rewritten) or queue behind the compaction.
+  *
   * 100 TB posture: compaction is a per-partition rewrite — cost scales
   * with the data actually rewritten, the shuffle key is the partition
   * value, and running it per freshly-ingested partition (not the whole
-  * table) is the intended maintenance cadence. The per-table write
-  * permit serializes it against concurrent ingest.
+  * table) is the intended maintenance cadence.
   */
 object Compaction {
 
@@ -35,9 +44,16 @@ object Compaction {
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       parts.slice(1, parts.length - 1), parts.last)
-    require(cat.loadTable(ident).partitioning().nonEmpty,
+    val tbl = cat.loadTable(ident)
+    require(tbl.partitioning().nonEmpty,
       s"compact($table): only partitioned tables can be compacted in place " +
         "(dynamic overwrite is the only self-rewrite with no pre-delete window)")
-    spark.table(table).writeTo(table).overwritePartitions()
+    val location = tbl.properties.get(
+      org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION)
+    require(location != null, s"compact($table): table reports no location")
+    val release = graft.catalog.write.GraftBatchWrite.leaseWritePermit(
+      spark, location, s"compaction of $table since ${java.time.Instant.now()}")
+    try spark.table(table).writeTo(table).overwritePartitions()
+    finally release()
   }
 }

@@ -365,6 +365,28 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("compaction racing an append never loses the append's rows") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val t = freshTable("t_compact_race")
+    (0 until 4).foreach { i =>
+      val df = Seq((i.toLong, "x"), (i.toLong, "y")).toDF("id", "p")
+      if (i == 0) df.writeTo(t).partitionedBy($"p").create() else df.writeTo(t).append()
+    }
+    // Race compaction against a concurrent append. The compaction lease
+    // spans plan (file listing) through commit, so the append either
+    // lands first (and is rewritten) or queues behind the permit — its
+    // rows must survive either serialization.
+    val fc = Future(graft.operators.Compaction.compact(spark, t))
+    val fa = Future(Seq((100L, "x")).toDF("id", "p").writeTo(t).append())
+    Await.result(Future.sequence(Seq(fc, fa)), 120.seconds)
+    val ids = spark.table(t).filter($"p" === "x").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 1L, 2L, 3L, 100L),
+      s"append rows lost across compaction: $ids")
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {
     import spark.implicits._
     val t = freshTable("t_ddl")
