@@ -202,6 +202,12 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
   def loadTable(db: String, table: String): TableMeta =
     fromJson(readFully(tableMetaFile(db, table)))
 
+  /** Descriptor read under the same monitor as [[updateTable]] — for
+    * callers whose read must not observe a concurrent `writeAtomic`
+    * replace mid-flight (e.g. the write commit's pre-lock snapshot). */
+  def loadTableLocked(db: String, table: String): TableMeta =
+    lockFor(db, table).synchronized(loadTable(db, table))
+
   def dropTable(db: String, table: String, deleteData: Boolean): Unit =
     // same monitor as updateTable: a drop racing a write commit must not
     // let the commit resurrect the descriptor after the data is gone
@@ -244,9 +250,16 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
   private def readFully(p: Path): String = {
     val in = fs.open(p)
     try {
-      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      in.readFully(bytes)
-      new String(bytes, "UTF-8")
+      // read to EOF from the opened stream instead of trusting a
+      // separate getFileStatus length: a concurrent writeAtomic
+      // rename-replace between open and stat would pair the OLD stream
+      // with the NEW length (EOFException or a torn prefix). Streaming
+      // to EOF yields a consistent old-or-new snapshot.
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8")
     } finally in.close()
   }
 

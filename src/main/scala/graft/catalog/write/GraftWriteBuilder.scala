@@ -203,7 +203,7 @@ class GraftWrite(
     // racing an IN-FLIGHT append is the one interleaving writers must
     // still sequence themselves.)
     val preWriteDeletes: () => Unit = () => {
-      val fresh = store.loadTable(db, meta.name)
+      val fresh = store.loadTableLocked(db, meta.name)
       mode match {
         case Truncate =>
           if (fs.exists(new Path(fresh.location))) {
@@ -313,13 +313,10 @@ class GraftBatchWrite(
     * held from writer-factory creation (job start) to commit/abort is
     * the equivalent. Keyed by table location so renames/multi-catalog
     * setups over the same data serialize too. */
-  private val permitKey = {
-    // FS-qualified key: '/data/x' and 'file:///data/x' must share one
-    // permit or two spellings of the same dir write unserialized
-    val p = new Path(meta.location)
-    p.getFileSystem(spark.sessionState.newHadoopConf())
-      .makeQualified(p).toUri.toString
-  }
+  // FS-qualified key ('/data/x' and 'file:///data/x' must share one
+  // permit), derived by the same helper the lease uses — the two
+  // derivations must stay byte-identical or hasLease stops matching
+  private val permitKey = GraftBatchWrite.qualifiedKey(spark, meta.location)
   private val writePermit =
     GraftBatchWrite.writeLocks
       .computeIfAbsent(permitKey, _ => new java.util.concurrent.Semaphore(1))
@@ -394,7 +391,7 @@ class GraftBatchWrite(
     // drops on the table would block on it for the duration. Only the
     // stale-placeholder repair (rare, one-shot) and the merge itself run
     // under the lock.
-    val snapshot = store.loadTable(db, meta.name)
+    val snapshot = store.loadTableLocked(db, meta.name)
     if (snapshot.partitionColumns.isEmpty) {
       // autoSizeUpdate=false: invalidate-don't-recompute (reference
       // CatalogUtil.scala:31-48) — clear stats so the planner falls
@@ -424,8 +421,17 @@ class GraftBatchWrite(
           val loc = snapLocBySpec.getOrElse(spec, None)
           val dir = loc.map(new Path(_))
             .getOrElse(GraftBatchWrite.partitionDir(snapshot, spec))
-          PartitionMeta(spec, loc,
-            if (autoSizeUpdate) sizeOf(dir) else PartitionMeta.Unsized)
+          val size =
+            if (!autoSizeUpdate) PartitionMeta.Unsized
+            else try sizeOf(dir) catch {
+              // this pass runs OUTSIDE the metastore monitor, so
+              // concurrent partition DDL can delete the dir between
+              // exists() and getContentSummary — that must not fail a
+              // commit whose files are already published. Register
+              // Unsized; the next sizing commit repairs it.
+              case _: java.io.FileNotFoundException => PartitionMeta.Unsized
+            }
+          PartitionMeta(spec, loc, size)
         } }, Duration.Inf)
 
       // Atomic descriptor update: concurrent commits to different
@@ -510,16 +516,19 @@ object GraftBatchWrite {
   private val writeLockHolders =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Locations whose permit is held by a maintenance op on THIS thread
-    * (see [[leaseWritePermit]]). Thread-scoped so a different job's
-    * write to the same table still waits on the semaphore. */
-  private val leases = new ThreadLocal[Set[String]] {
-    override def initialValue(): Set[String] = Set.empty
-  }
+  /** Locations whose permit is held by a maintenance-op lease, mapped to
+    * the thread that took the lease (see [[leaseWritePermit]]). An
+    * owner MAP (not a ThreadLocal) so the release thunk works from any
+    * thread without poisoning the acquiring thread's state, while
+    * `hasLease` still answers per-thread: only the leasing thread's own
+    * nested write bypasses the semaphore. */
+  private val leaseOwners =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
 
-  private[write] def hasLease(key: String): Boolean = leases.get.contains(key)
+  private[write] def hasLease(key: String): Boolean =
+    leaseOwners.get(key) eq Thread.currentThread()
 
-  private def qualifiedKey(spark: SparkSession, location: String): String = {
+  private[write] def qualifiedKey(spark: SparkSession, location: String): String = {
     val p = new Path(location)
     p.getFileSystem(spark.sessionState.newHadoopConf())
       .makeQualified(p).toUri.toString
@@ -532,17 +541,27 @@ object GraftBatchWrite {
     * concurrent append could commit between listing and overwrite and be
     * silently erased by the rewrite). Nested writes on the SAME thread
     * see the lease and skip acquisition; writes from other threads
-    * queue on the semaphore as usual. Returns the release thunk. */
+    * queue on the semaphore as usual. Waits at most `timeoutSec` (same
+    * contract and holder-naming as an ordinary write's acquisition).
+    * Returns the release thunk, callable from any thread. */
   private[graft] def leaseWritePermit(
-      spark: SparkSession, location: String, holder: String): () => Unit = {
+      spark: SparkSession, location: String, holder: String,
+      timeoutSec: Long = graft.catalog.GraftConf.WriteLockTimeoutSec.default.get)
+    : () => Unit = {
     val key = qualifiedKey(spark, location)
     val sem = writeLocks.computeIfAbsent(key,
       _ => new java.util.concurrent.Semaphore(1))
-    sem.acquire()
+    if (!sem.tryAcquire(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+      val h = Option(writeLockHolders.get(key)).map(x => s"; held by $x").getOrElse("")
+      throw new IllegalStateException(
+        s"timed out after ${timeoutSec}s waiting for the write lock on " +
+          s"$location$h — raise writeLockTimeoutSec on this table's catalog " +
+          "to wait it out")
+    }
     writeLockHolders.put(key, holder)
-    leases.set(leases.get + key)
+    leaseOwners.put(key, Thread.currentThread())
     () => {
-      leases.set(leases.get - key)
+      leaseOwners.remove(key)
       writeLockHolders.remove(key)
       sem.release()
     }

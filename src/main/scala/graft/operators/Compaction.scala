@@ -51,8 +51,13 @@ object Compaction {
     val location = tbl.properties.get(
       org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION)
     require(location != null, s"compact($table): table reports no location")
+    val timeoutSec = cat match {
+      case g: graft.catalog.GraftCatalog => g.writeLockTimeoutSec
+      case _ => graft.catalog.GraftConf.WriteLockTimeoutSec.default.get
+    }
     val release = graft.catalog.write.GraftBatchWrite.leaseWritePermit(
-      spark, location, s"compaction of $table since ${java.time.Instant.now()}")
+      spark, location, s"compaction of $table since ${java.time.Instant.now()}",
+      timeoutSec)
     try spark.table(table).writeTo(table).overwritePartitions()
     finally release()
   }

@@ -182,7 +182,12 @@ object EngineQueries {
     spark.table(tgt)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
-        sum($"l_orderkey" * 131071L + $"l_linenumber").as("key_checksum"),
+        // per-term mod keeps every summand < 1e9, so the BIGINT sum
+        // stays exact (no ANSI overflow / HUGEINT divergence) up to
+        // ~9e9 rows per group — scale-safe where a bare sum of
+        // key*131071 would overflow around SF 10
+        sum((($"l_orderkey" % 1000003L) * 131071L + $"l_linenumber") % 1000000007L)
+          .as("key_checksum"),
         r2(sum($"l_extendedprice")).as("sum_price"))
       .orderBy($"l_returnflag")
   }
@@ -225,7 +230,8 @@ object EngineQueries {
     // source. CAST keeps DuckDB's sum(BIGINT)→HUGEINT off the hash.
     "q49_compaction" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-        |  CAST(sum(l_orderkey * 131071 + l_linenumber) AS BIGINT) AS key_checksum,
+        |  CAST(sum(((l_orderkey % 1000003) * 131071 + l_linenumber) % 1000000007)
+        |       AS BIGINT) AS key_checksum,
         |  round((sum(l_extendedprice)) * 100) / 100 AS sum_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // The pre-ALTER generation reads the added column as NULL; the
