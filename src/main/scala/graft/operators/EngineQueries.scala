@@ -192,10 +192,64 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- Q50
+  /** Cross-catalog federation join — the reference's DEFINING capability
+    * (V2ExternalCatalog: several independently-configured Hive-cluster
+    * catalogs coexisting in one session, README.md:6-24) re-expressed:
+    * a second `GraftCatalog` with its own warehouse and its own external
+    * tables joins against the primary catalog's tables in ONE Catalyst
+    * plan. Each side resolves through its own catalog → file index →
+    * stats, so join planning (broadcast of the small federated dims
+    * here) works across catalog boundaries exactly as within one. */
+  private def ensureFedCatalog(spark: SparkSession, dir: String): Unit = {
+    val cname = "graft_fed"
+    if (!spark.conf.getOption(s"spark.sql.catalog.$cname").isDefined) {
+      spark.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse",
+        sys.props("java.io.tmpdir") +
+          s"/graft-fed-wh-${spark.sparkContext.applicationId}")
+    }
+    val cat = spark.sessionState.catalogManager.catalog(cname)
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val ns = Array("fed")
+    if (!cat.namespaceExists(ns))
+      cat.createNamespace(ns, java.util.Collections.emptyMap[String, String]())
+    Seq("customer", "nation").foreach { t =>
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(ns, t)
+      val location = s"$dir/$t.parquet"
+      import org.apache.spark.sql.connector.catalog.TableCatalog.{PROP_LOCATION, PROP_PROVIDER}
+      val stale = cat.tableExists(ident) &&
+        cat.loadTable(ident).properties().get(PROP_LOCATION) != location
+      if (stale) cat.dropTable(ident)
+      if (stale || !cat.tableExists(ident)) {
+        val schema = spark.read.parquet(location).schema
+        cat.createTable(ident, schema,
+          Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+          java.util.Map.of(PROP_PROVIDER, "parquet", PROP_LOCATION, location))
+      }
+    }
+  }
+
+  def q50_multi_catalog_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    ensureFedCatalog(spark, dir)
+    val orders = Tables(spark, dir, "orders")
+    val cust = spark.table("graft_fed.fed.customer")
+    val nat = spark.table("graft_fed.fed.nation")
+    orders.join(cust, $"o_custkey" === $"c_custkey")
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"), r2(sum($"o_totalprice")).as("sum_price"))
+      .orderBy($"n_name")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
     "q49_compaction" -> (q49_compaction _),
+    "q50_multi_catalog_join" -> (q50_multi_catalog_join _),
     "q42_json_roundtrip" -> (q42_json_roundtrip _),
     "q45_schema_evolution" -> (q45_schema_evolution _),
     "q25_udaf_weighted_mean" -> (q25_udaf_weighted_mean _),
@@ -225,6 +279,14 @@ object EngineQueries {
     "q39_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         | ORDER BY n_nationkey""".stripMargin,
+    // Both catalogs expose the same fixture data, so the federated join
+    // equals the single-source join.
+    "q50_multi_catalog_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  round((sum(o_totalprice)) * 100) / 100 AS sum_price
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name ORDER BY n_name""".stripMargin,
     // Compaction preserved the data exactly: row counts, an
     // order-independent key checksum, and the price sum all match the
     // source. CAST keeps DuckDB's sum(BIGINT)→HUGEINT off the hash.
