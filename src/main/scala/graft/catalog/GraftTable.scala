@@ -42,6 +42,7 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   extends Table
   with SupportsRead
   with SupportsWrite
+  with SupportsDelete
   with SupportsAtomicPartitionManagement {
 
   private def spark: SparkSession = SparkSession.active
@@ -118,6 +119,80 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(spark, store, db, meta, info, catalog.autoSizeUpdate,
       catalog.writeLockTimeoutSec)
+
+  // --- DELETE FROM (SupportsDelete) ---------------------------------------
+
+  /** Metadata-only DELETE: predicates expressible as a static partition
+    * spec (the same unwrap rule as overwrite-by-filter) are executed as
+    * partition-directory deletes + catalog deregistration — no row-level
+    * rewrite, O(partitions touched) regardless of table size, which is
+    * the only DELETE shape that makes sense for a 100 TB file-backed
+    * table without a row-level transaction log. Row-level predicates
+    * report `canDeleteWhere = false` and fail the statement loudly. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    write.PartitionPredicates.unwrap(spark, meta, filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spec = write.PartitionPredicates.unwrap(spark, meta, filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE on ${name()} supports only static partition predicates, " +
+          s"got: ${filters.mkString(", ")}"))
+    // DELETE removes DATA; an EXTERNAL table's data is not ours to
+    // delete (the DROP TABLE / DROP PARTITION retention rule, applied
+    // consistently)
+    if (meta.external) throw new UnsupportedOperationException(
+      s"DELETE FROM is not supported on EXTERNAL table ${name()}")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    // serialize against in-flight writes: deleting dirs under a running
+    // append would destroy its shared _temporary staging
+    val release = write.GraftBatchWrite.leaseWritePermit(spark, meta.location,
+      s"DELETE FROM ${name()} since ${java.time.Instant.now()}",
+      catalog.writeLockTimeoutSec)
+    try {
+      store.updateTable(db, meta.name) { current =>
+        if (spec.isEmpty) {
+          // whole-table DELETE == truncate
+          val root = new Path(current.location)
+          val fs = root.getFileSystem(hadoopConf)
+          if (fs.exists(root)) fs.listStatus(root).foreach(s => fs.delete(s.getPath, true))
+          current.partitions.flatMap(_.location).foreach { l =>
+            val p = new Path(l)
+            val pfs = p.getFileSystem(hadoopConf)
+            if (pfs.exists(p)) pfs.listStatus(p).foreach(s => pfs.delete(s.getPath, true))
+          }
+          current.copy(partitions = Nil,
+            stats = if (catalog.autoSizeUpdate) Some(TableStats(0L, None)) else None)
+        } else {
+          val (dropped, kept) = current.partitions.partition(p =>
+            spec.forall { case (k, v) =>
+              p.spec.exists { case (pk, pv) => pk.equalsIgnoreCase(k) && pv == v } })
+          dropped.foreach { p =>
+            val d = p.location.map(new Path(_))
+              .getOrElse(defaultPartitionDir(current, p.spec))
+            val dfs = d.getFileSystem(hadoopConf)
+            if (dfs.exists(d)) dfs.delete(d, true)
+          }
+          // the literal dir for a full spec also covers files written
+          // before partition tracking (parity with static overwrite)
+          if (spec.size == current.partitionColumns.size) {
+            val lit = defaultPartitionDir(current,
+              current.partitionColumns.map(c => c ->
+                spec.find(_._1.equalsIgnoreCase(c)).map(_._2).get).toMap)
+            val lfs = lit.getFileSystem(hadoopConf)
+            if (lfs.exists(lit)) lfs.delete(lit, true)
+          }
+          current.copy(partitions = kept,
+            stats =
+              if (catalog.autoSizeUpdate && kept.forall(_.isSized))
+                Some(TableStats(kept.map(_.sizeInBytes).sum, None))
+              else None)
+        }
+      }
+      FileStatusCache.getOrCreate(spark).invalidateAll()
+    } finally release()
+  }
 
   // --- partition management (R18, V2Table.scala:80-113) -------------------
 

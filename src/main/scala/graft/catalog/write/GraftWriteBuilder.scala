@@ -26,6 +26,55 @@ import org.apache.spark.util.SerializableConfiguration
 
 import graft.catalog.{MetaStore, PartitionMeta, TableMeta, TableStats}
 
+/** Shared translation of V1 delete/overwrite filters into a static
+  * partition spec (the reference's unwrap rule,
+  * /root/reference/.../HiveFileFormatWriteBuilder.scala:179-206):
+  * `And`/`EqualTo`/`EqualNullSafe`/`IsNull` over partition columns.
+  * `Some(empty)` = the whole table (AlwaysTrue / no filters);
+  * `None` = not expressible as a static partition spec. Used by both
+  * overwrite-by-filter and `SupportsDelete.deleteWhere`, so the two
+  * surfaces can never drift on predicate semantics. */
+private[graft] object PartitionPredicates {
+  def unwrap(
+      spark: SparkSession,
+      meta: TableMeta,
+      filters: Array[Filter]): Option[Map[String, String]] = {
+    // Values must be encoded EXACTLY like stored partition specs:
+    // Cast-to-string with the session timezone, null →
+    // __HIVE_DEFAULT_PARTITION__. String.valueOf would yield "null"
+    // and Timestamp.toString's ".0" suffix — neither matches a spec or
+    // a directory name, so the delete would silently miss and the
+    // target partition would keep its old files.
+    def encode(v: Any): String =
+      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else {
+        val lit = org.apache.spark.sql.catalyst.expressions.Literal(v)
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        String.valueOf(org.apache.spark.sql.catalyst.expressions.Cast(
+          lit, org.apache.spark.sql.types.StringType, Some(tz)).eval(null))
+      }
+    def un(f: Filter): Option[Seq[(String, String)]] = f match {
+      case And(l, r) => for { a <- un(l); b <- un(r) } yield a ++ b
+      case EqualTo(col, v) => Some(Seq(col -> encode(v)))
+      case EqualNullSafe(col, v) => Some(Seq(col -> encode(v)))
+      // Catalyst simplifies `col <=> null` to IsNull before it reaches
+      // the builder — it IS the static null-partition predicate
+      case org.apache.spark.sql.sources.IsNull(col) =>
+        Some(Seq(col -> ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
+      case _: AlwaysTrue => Some(Seq.empty)
+      case _ => None
+    }
+    val parts = filters.toSeq.map(un)
+    if (parts.exists(_.isEmpty)) None
+    else {
+      val spec = parts.flatMap(_.get).toMap
+      if (spec.keys.forall(c =>
+          meta.partitionColumns.exists(_.equalsIgnoreCase(c)))) Some(spec)
+      else None
+    }
+  }
+}
+
 /** Write modes, resolved from the `WriteBuilder` mixin calls the Catalyst
   * write plans make (AppendData / OverwriteByExpression /
   * OverwritePartitionsDynamic). */
@@ -70,43 +119,15 @@ class GraftWriteBuilder(
   /** Unwrap the delete predicate into a static partition spec — only
     * `And`/`EqualTo`/`EqualNullSafe` over partition columns qualify, with
     * `AlwaysTrue` meaning full truncate (the reference's exact rule,
-    * HiveFileFormatWriteBuilder.scala:181-200). */
+    * HiveFileFormatWriteBuilder.scala:181-200). Shared with
+    * `GraftTable.deleteWhere` via [[PartitionPredicates]]. */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    if (filters.isEmpty || filters.sameElements(Array(AlwaysTrue))) {
-      mode = Truncate
-    } else {
-      // Values must be encoded EXACTLY like stored partition specs:
-      // Cast-to-string with the session timezone, null →
-      // __HIVE_DEFAULT_PARTITION__. String.valueOf would yield "null"
-      // and Timestamp.toString's ".0" suffix — neither matches a spec or
-      // a directory name, so the pre-delete would silently miss and the
-      // "overwritten" partition would keep its old files.
-      def encode(v: Any): String =
-        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-        else {
-          val lit = org.apache.spark.sql.catalyst.expressions.Literal(v)
-          val tz = spark.sessionState.conf.sessionLocalTimeZone
-          String.valueOf(org.apache.spark.sql.catalyst.expressions.Cast(
-            lit, org.apache.spark.sql.types.StringType, Some(tz)).eval(null))
-        }
-      def unwrap(f: Filter): Seq[(String, String)] = f match {
-        case And(l, r) => unwrap(l) ++ unwrap(r)
-        case EqualTo(col, v) => Seq(col -> encode(v))
-        case EqualNullSafe(col, v) => Seq(col -> encode(v))
-        // Catalyst simplifies `col <=> null` to IsNull before it reaches
-        // the builder — it IS the static null-partition predicate
-        case org.apache.spark.sql.sources.IsNull(col) =>
-          Seq(col -> ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-        case _: AlwaysTrue => Seq.empty
-        case other => throw new UnsupportedOperationException(
-          s"overwrite supports only static partition predicates, got: $other")
-      }
-      val spec = filters.flatMap(unwrap).toMap
-      spec.keys.foreach { c =>
-        require(meta.partitionColumns.exists(_.equalsIgnoreCase(c)),
-          s"overwrite filter column $c is not a partition column of ${meta.name}")
-      }
-      mode = StaticOverwrite(spec)
+    PartitionPredicates.unwrap(spark, meta, filters) match {
+      case Some(spec) if spec.isEmpty => mode = Truncate
+      case Some(spec) => mode = StaticOverwrite(spec)
+      case None => throw new UnsupportedOperationException(
+        "overwrite supports only static partition predicates over " +
+          s"partition columns of ${meta.name}, got: ${filters.mkString(", ")}")
     }
     this
   }

@@ -245,9 +245,31 @@ object EngineQueries {
       .orderBy($"n_name")
   }
 
+  // ---------------------------------------------------------------- Q51
+  /** DELETE FROM through `SupportsDelete`: a partition-predicate DELETE
+    * executes as directory deletes + catalog deregistration — no
+    * row-level rewrite, O(partitions touched) whatever the table size.
+    * Exercises the same filter-unwrap rule as static overwrite
+    * (PartitionPredicates) from the second DSv2 entry point. */
+  def q51_delete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q51_orders_del"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .writeTo(tgt).partitionedBy($"o_orderpriority").create()
+    spark.sql(s"DELETE FROM $tgt WHERE o_orderpriority = '1-URGENT'")
+    spark.table(tgt)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
+    "q51_delete" -> (q51_delete _),
     "q49_compaction" -> (q49_compaction _),
     "q50_multi_catalog_join" -> (q50_multi_catalog_join _),
     "q42_json_roundtrip" -> (q42_json_roundtrip _),
@@ -279,6 +301,10 @@ object EngineQueries {
     "q39_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         | ORDER BY n_nationkey""".stripMargin,
+    // The deleted partition's rows are gone; everything else survives.
+    "q51_delete" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        | WHERE o_orderpriority <> '1-URGENT' ORDER BY o_orderkey""".stripMargin,
     // Both catalogs expose the same fixture data, so the federated join
     // equals the single-source join.
     "q50_multi_catalog_join" ->

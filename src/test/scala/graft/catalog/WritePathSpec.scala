@@ -387,6 +387,49 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       s"append rows lost across compaction: $ids")
   }
 
+  test("DELETE FROM: partition predicate deletes dirs + deregisters; row predicates and EXTERNAL refuse") {
+    import spark.implicits._
+    val t = freshTable("t_delete")
+    Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("id", "p")
+      .writeTo(t).partitionedBy($"p").create()
+    spark.sql(s"DELETE FROM $t WHERE p = 'y'")
+    assert(spark.table(t).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("wtest", "t_delete")
+    assert(meta.partitions.map(_.spec) === Seq(Map("p" -> "x")))
+    assert(meta.stats.exists(_.sizeInBytes === meta.partitions.map(_.sizeInBytes).sum))
+
+    // a row-level predicate is not expressible as a partition spec —
+    // canDeleteWhere=false must fail the statement, not silently no-op
+    intercept[Exception](spark.sql(s"DELETE FROM $t WHERE id = 1"))
+    assert(spark.table(t).count() === 1)
+
+    // whole-table DELETE == truncate
+    spark.sql(s"DELETE FROM $t")
+    assert(spark.table(t).count() === 0)
+    assert(cat.metaStore.loadTable("wtest", "t_delete").partitions.isEmpty)
+
+    // a non-partition predicate on the (unpartitioned) external fixture
+    // is refused at canDeleteWhere — before any engine code runs
+    val fixture = s"${GraftBootstrap.CatalogName}.tpch.nation"
+    intercept[Exception](spark.sql(s"DELETE FROM $fixture WHERE n_nationkey = 0"))
+    assert(spark.table(fixture).count() === 25)
+
+    // EXTERNAL data is not ours to delete, even when the predicate
+    // unwraps (whole-table DELETE passes canDeleteWhere) — the guard
+    // must throw before touching any file
+    val extDir = java.nio.file.Files.createTempDirectory("graft-ext-del")
+    Seq(7L).toDF("id").write.parquet(s"$extDir/data")
+    spark.sql(s"CREATE TABLE $ns.t_ext (id BIGINT) USING parquet LOCATION '$extDir/data'")
+    val e = intercept[Exception](spark.sql(s"DELETE FROM $ns.t_ext"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("EXTERNAL"), s"unexpected failure: $msgs")
+    assert(spark.table(s"$ns.t_ext").count() === 1, "external data was touched")
+    spark.sql(s"DROP TABLE $ns.t_ext")
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION round-trip") {
     import spark.implicits._
     val t = freshTable("t_ddl")
