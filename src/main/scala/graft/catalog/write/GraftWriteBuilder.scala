@@ -67,11 +67,42 @@ private[graft] object PartitionPredicates {
     val parts = filters.toSeq.map(un)
     if (parts.exists(_.isEmpty)) None
     else {
-      val spec = parts.flatMap(_.get).toMap
-      if (spec.keys.forall(c =>
+      val pairs = parts.flatMap(_.get)
+      // Conflicting equalities on one column (p='x' AND p='y') select
+      // zero rows — a last-wins toMap would instead target the LAST
+      // value's partition and delete data the predicate never matched.
+      // Catalyst does not fold the contradiction, so refuse it here.
+      val conflicting = pairs.groupBy(_._1.toLowerCase)
+        .exists(_._2.map(_._2).distinct.size > 1)
+      val spec = pairs.toMap
+      if (!conflicting && spec.keys.forall(c =>
           meta.partitionColumns.exists(_.equalsIgnoreCase(c)))) Some(spec)
       else None
     }
+  }
+
+  /** Does a partition's stored spec match a static (possibly partial)
+    * spec? Column names compare case-insensitively, values exactly. */
+  def matches(spec: Map[String, String], pspec: Map[String, String]): Boolean =
+    spec.forall { case (k, v) =>
+      pspec.exists { case (pk, pv) => pk.equalsIgnoreCase(k) && pv == v } }
+
+  /** Directories owned by a static spec: every tracked matching
+    * partition's dir (honoring custom LOCATIONs) plus, for a FULL spec,
+    * the literal table-relative dir — covering files written before
+    * partition tracking. Shared by static-overwrite pre-deletes and
+    * `deleteWhere` so dir targeting cannot drift between the surfaces. */
+  def matchDirs(meta: TableMeta, spec: Map[String, String]): Seq[Path] = {
+    val tracked = meta.partitions.filter(p => matches(spec, p.spec))
+      .map(p => p.location.map(new Path(_))
+        .getOrElse(GraftBatchWrite.partitionDir(meta, p.spec)))
+    val literal =
+      if (spec.size == meta.partitionColumns.size)
+        Seq(GraftBatchWrite.partitionDir(meta,
+          meta.partitionColumns.map(c => c ->
+            spec.find(_._1.equalsIgnoreCase(c)).map(_._2).get).toMap))
+      else Seq.empty
+    (tracked ++ literal).distinct
   }
 }
 
@@ -238,7 +269,11 @@ class GraftWrite(
             if (pfs.exists(p)) pfs.listStatus(p).foreach(s => pfs.delete(s.getPath, true))
           }
         case StaticOverwrite(spec) =>
-          staticMatchDirs(fresh, spec).foreach(d => fs.delete(d, true))
+          // per-path FS: custom-LOCATION partitions may live on a
+          // different scheme than the table root
+          PartitionPredicates.matchDirs(fresh, spec).foreach { d =>
+            d.getFileSystem(hadoopConf).delete(d, true)
+          }
         case _ =>
       }
     }
@@ -290,22 +325,6 @@ class GraftWrite(
       writeLockTimeoutSec)
   }
 
-  private def staticMatchDirs(current: TableMeta, spec: Map[String, String]): Seq[Path] = {
-    val tracked = current.partitions
-      .filter(p => spec.forall { case (k, v) =>
-        p.spec.exists { case (pk, pv) => pk.equalsIgnoreCase(k) && pv == v } })
-      .map(p => p.location.map(new Path(_)).getOrElse(
-        GraftBatchWrite.partitionDir(current, p.spec)))
-    // Also the literal dir for a full spec, covering files written outside
-    // catalog tracking.
-    val literal =
-      if (spec.size == current.partitionColumns.size)
-        Seq(GraftBatchWrite.partitionDir(current,
-          current.partitionColumns.map(c => c ->
-            spec.find(_._1.equalsIgnoreCase(c)).map(_._2).get).toMap))
-      else Seq.empty
-    (tracked ++ literal).distinct
-  }
 }
 
 /** Two-phase commit (R17): filesystem commit first (task files published
@@ -580,9 +599,14 @@ object GraftBatchWrite {
           "to wait it out")
     }
     writeLockHolders.put(key, holder)
-    leaseOwners.put(key, Thread.currentThread())
-    () => {
-      leaseOwners.remove(key)
+    val owner = Thread.currentThread()
+    leaseOwners.put(key, owner)
+    // idempotent: a double invocation (retry wrapper, duplicated finally)
+    // must not release a permit twice — that would raise the semaphore
+    // to 2 and silently break write mutual exclusion for the table
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    () => if (released.compareAndSet(false, true)) {
+      leaseOwners.remove(key, owner)
       writeLockHolders.remove(key)
       sem.release()
     }
