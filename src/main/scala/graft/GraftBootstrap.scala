@@ -29,6 +29,15 @@ object GraftBootstrap {
   def setSessionConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    // Imperative twin of GraftExtensions' optimizer-rule injection, for
+    // sessions built without spark.sql.extensions (a static conf): the
+    // V2TableReference re-resolver that makes MERGE-from-a-temp-view
+    // plannable (see ResolveStrandedTableReferences).
+    val rule = org.apache.spark.sql.graft.ResolveStrandedTableReferences
+    if (!spark.experimental.extraOptimizations.contains(rule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+    }
   }
 
   def warehouseDir(spark: SparkSession): String =

@@ -13,8 +13,11 @@ import graft.functions.ArrayDot
   * installs the same functions imperatively on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotDescriptor)
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graft.ResolveStrandedTableReferences)
+  }
 }
 
 object GraftExtensions {

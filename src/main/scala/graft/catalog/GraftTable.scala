@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.csv.CSVScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.json.JsonScanBuilder
@@ -43,6 +43,7 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   with SupportsRead
   with SupportsWrite
   with SupportsDelete
+  with SupportsRowLevelOperations
   with SupportsAtomicPartitionManagement {
 
   private def spark: SparkSession = SparkSession.active
@@ -192,6 +193,38 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
       }
       FileStatusCache.getOrCreate(spark).invalidateAll()
     } finally release()
+  }
+
+  // --- row-level DML (SupportsRowLevelOperations) --------------------------
+
+  /** UPDATE / MERGE INTO / row-predicate DELETE as group-based
+    * copy-on-write at partition granularity (see
+    * [[graft.catalog.write.GraftRowLevelOperation]]). Partition-predicate
+    * DELETEs still take the metadata-only `SupportsDelete` path — Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` downgrades the rewrite when
+    * `canDeleteWhere` accepts the predicate, so adding this surface makes
+    * row predicates WORK instead of changing what already did. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    // the write-surface guards, applied at analysis so the statement
+    // fails before any rewrite planning
+    if (meta.properties.contains(GraftCatalog.BucketCountProp))
+      throw new UnsupportedOperationException(
+        s"table ${name()} is bucketed (CLUSTERED BY " +
+          s"${meta.properties(GraftCatalog.BucketColumnsProp)}); " +
+          "row-level writes to bucketed tables are not supported")
+    // DELETE removes data outright — not ours to remove on EXTERNAL
+    // tables (the DROP/DROP PARTITION/deleteWhere retention rule).
+    // UPDATE/MERGE stay allowed: like INSERT OVERWRITE, they are
+    // explicit writes OF the external data, not disposal of it.
+    if (info.command == RowLevelOperation.Command.DELETE && meta.external)
+      throw new UnsupportedOperationException(
+        s"DELETE FROM is not supported on EXTERNAL table ${name()}")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new write.GraftRowLevelOperation(spark, store, db, meta,
+          info.command, catalog.autoSizeUpdate, catalog.writeLockTimeoutSec)
+    }
   }
 
   // --- partition management (R18, V2Table.scala:80-113) -------------------

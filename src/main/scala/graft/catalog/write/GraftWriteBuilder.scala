@@ -114,6 +114,48 @@ private[write] case object Append extends WriteMode
 private[write] case object Truncate extends WriteMode
 private[write] case class StaticOverwrite(spec: Map[String, String]) extends WriteMode
 private[write] case object DynamicOverwrite extends WriteMode
+/** Copy-on-write replacement for row-level DML ([[GraftRowLevelOperation]]):
+  * the thunk yields the partition specs the operation's scan read (None =
+  * every partition). Commit appends the replacement files normally, then
+  * deletes each scanned partition's pre-commit files and deregisters
+  * scanned partitions left empty — so scanned groups are replaced while
+  * merge-inserts into unscanned partitions append. `rowSchema` is the
+  * table row schema of the write, kept so the writer factory can strip
+  * the rewrite's `__row_operation` marker column (see [[CowRowFactory]]). */
+private[write] case class CowReplace(
+    scanned: () => Option[Seq[Map[String, String]]],
+    rowSchema: org.apache.spark.sql.types.StructType) extends WriteMode
+
+/** Group-based UPDATE/MERGE `ReplaceData` queries carry a leading
+  * `__row_operation` marker column (int), and Spark strips it via
+  * `ReplaceDataProjections` only when the operation declares metadata
+  * columns — with none declared (`DataWritingSparkTask`), raw query rows
+  * reach the connector writer. This factory wrapper strips the marker
+  * with a single codegen'd projection, so the file writers always see
+  * exactly the table row schema; width-matched rows (group-based DELETE
+  * has no marker) pass through untouched. */
+private[write] class CowRowFactory(
+    inner: DataWriterFactory,
+    rowSchema: org.apache.spark.sql.types.StructType) extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val d = inner.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      private lazy val strip =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          rowSchema.fields.zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(i + 1, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+          }.toIndexedSeq)
+      override def write(r: InternalRow): Unit =
+        if (r.numFields == rowSchema.length + 1) d.write(strip(r)) else d.write(r)
+      override def commit(): WriterCommitMessage = d.commit()
+      override def abort(): Unit = d.abort()
+      override def close(): Unit = d.close()
+      override def currentMetricsValues() = d.currentMetricsValues()
+    }
+  }
+}
 
 /** Write builder (R14-R16): append, truncate, static-partition overwrite
   * (filter unwrap semantics of the reference,
@@ -392,7 +434,11 @@ class GraftBatchWrite(
       // truncate/static-overwrite deletes run HERE, now that no other
       // job's staged files can be under the table dir
       preWriteDeletes()
-      inner.createBatchWriterFactory(info)
+      val factory = inner.createBatchWriterFactory(info)
+      mode match {
+        case CowReplace(_, rowSchema) => new CowRowFactory(factory, rowSchema)
+        case _ => factory
+      }
     } catch { case t: Throwable => releasePermit(); throw t }
   }
 
@@ -407,10 +453,58 @@ class GraftBatchWrite(
     * the commit protocol's task-attempt paths already make commits safe. */
   override def useCommitCoordinator(): Boolean = false
 
+  /** Direct data files of a dir (hidden/underscore names are committer
+    * metadata, never table data). */
+  private def dataFiles(
+      dir: Path, hadoopConf: org.apache.hadoop.conf.Configuration): Seq[Path] = {
+    val dfs = dir.getFileSystem(hadoopConf)
+    if (!dfs.exists(dir)) Nil
+    else dfs.listStatus(dir).toSeq.collect {
+      case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") => s.getPath
+    }
+  }
+
+  /** COW pre-commit snapshot: the scanned partitions (resolved against
+    * the live descriptor) and their current data files — everything the
+    * rewrite must delete once its replacement files are published. */
+  private case class CowSnapshot(
+      scanned: Seq[Map[String, String]],
+      dirs: Seq[(Map[String, String], Path)],
+      oldFiles: Seq[Path])
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = try {
+    // COW: snapshot the scanned groups' files BEFORE the FS commit
+    // publishes replacement files into the same directories — afterwards
+    // old and new files are indistinguishable by listing.
+    val cowSnapshot: Option[CowSnapshot] = mode match {
+      case CowReplace(scannedThunk, _) =>
+        val conf0 = spark.sessionState.newHadoopConf()
+        val fresh = store.loadTableLocked(db, meta.name)
+        if (fresh.partitionColumns.isEmpty) {
+          Some(CowSnapshot(Nil, Nil,
+            dataFiles(new Path(fresh.location), conf0)))
+        } else {
+          val scanned = scannedThunk().getOrElse(fresh.partitions.map(_.spec))
+          val dirs = scanned.map { s =>
+            s -> fresh.partitions.find(_.spec == s).flatMap(_.location)
+              .map(new Path(_))
+              .getOrElse(GraftBatchWrite.partitionDir(fresh, s))
+          }
+          Some(CowSnapshot(scanned, dirs, dirs.flatMap(d => dataFiles(d._2, conf0))))
+        }
+      case _ => None
+    }
+
     inner.commit(messages)
 
     val hadoopConf = spark.sessionState.newHadoopConf()
+
+    // COW: replacements are live — deleting the snapshot completes the
+    // group rewrite. (A reader between the two steps can see old+new
+    // rows; see GraftRowLevelOperation's atomicity note.)
+    cowSnapshot.foreach(_.oldFiles.foreach(f =>
+      f.getFileSystem(hadoopConf).delete(f, false)))
     // per-path FileSystem: a partition registered with a custom LOCATION
     // may live on a different scheme than the table root, and the
     // root FS would throw "Wrong FS" on it
@@ -446,6 +540,21 @@ class GraftBatchWrite(
         .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
         .flatten.distinct
         .map(GraftBatchWrite.parseFragment(snapshot, _))
+      // COW: a scanned partition that received no replacement files lost
+      // every row to the rewrite — remove its now-empty dir and
+      // deregister it below (partitions are never left registered over
+      // empty dirs; DELETE/overwrite behave the same way).
+      val cowEmptied: Set[Map[String, String]] = cowSnapshot match {
+        case Some(cs) =>
+          val writtenSet = writtenSpecs.toSet
+          cs.dirs.collect {
+            case (s, d) if !writtenSet.contains(s) &&
+              dataFiles(d, hadoopConf).isEmpty =>
+              d.getFileSystem(hadoopConf).delete(d, true)
+              s
+          }.toSet
+        case None => Set.empty
+      }
       // One getContentSummary per written partition — a recursive
       // listing RPC each. Serially that is minutes of driver dead time
       // on a thousand-partition backfill, so size them concurrently
@@ -482,6 +591,8 @@ class GraftBatchWrite(
           case StaticOverwrite(spec) => current.partitions.filterNot(p =>
             spec.forall { case (k, v) =>
               p.spec.exists { case (pk, pv) => pk.equalsIgnoreCase(k) && pv == v } })
+          case CowReplace(_, _) =>
+            current.partitions.filterNot(p => cowEmptied.contains(p.spec))
           case _ => current.partitions
         }
         // set-based membership: these passes run inside the per-table

@@ -266,6 +266,92 @@ object EngineQueries {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------- Q52
+  /** MERGE INTO through `SupportsRowLevelOperations` — upsert + delete +
+    * insert in one statement, executed as group-based copy-on-write at
+    * partition granularity ([[graft.catalog.write.GraftRowLevelOperation]]).
+    * Runtime group filtering first finds the partitions containing
+    * matches with a pushed-down scan of the plain table, then only those
+    * partitions are read and rewritten; merge-inserts into unmatched
+    * partitions append without touching existing files. At 100 TB that
+    * is the difference between rewriting the table and rewriting the
+    * handful of partitions the source actually hits. */
+  def q52_merge_upsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q52_orders_merge"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val orders = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+    orders.writeTo(tgt).partitionedBy($"o_orderpriority").create()
+    val src =
+      orders.filter($"o_orderkey" % 100 === 0)
+        .withColumn("o_totalprice", r2($"o_totalprice" * 1.1))
+        .withColumn("op", lit("u"))
+      .unionByName(orders.filter($"o_orderkey" % 100 === 50)
+        .withColumn("op", lit("d")))
+      .unionByName(orders.filter($"o_orderkey" % 100 === 1)
+        .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+        .withColumn("op", lit("i")))
+    src.createOrReplaceTempView("q52_merge_src")
+    spark.sql(
+      s"""MERGE INTO $tgt tgt USING q52_merge_src src
+         |ON tgt.o_orderkey = src.o_orderkey
+         |WHEN MATCHED AND src.op = 'd' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice,
+         |  o_orderpriority) VALUES (src.o_orderkey, src.o_custkey,
+         |  src.o_totalprice, src.o_orderpriority)
+         |""".stripMargin)
+    spark.table(tgt)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- Q53
+  /** UPDATE with a mixed partition + row predicate: the partition half
+    * lets runtime group filtering prune the rewrite to ONE partition,
+    * the row half selects which of its rows change — the other
+    * partitions' files are never read or rewritten (asserted
+    * bit-for-bit in RowLevelSpec). */
+  def q53_update(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q53_orders_upd"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .writeTo(tgt).partitionedBy($"o_orderpriority").create()
+    spark.sql(
+      s"""UPDATE $tgt SET o_totalprice = round(o_totalprice * 0.9 * 100) / 100
+         |WHERE o_orderpriority = '2-HIGH' AND o_custkey % 10 = 3""".stripMargin)
+    spark.table(tgt)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- Q54
+  /** Row-predicate DELETE — the predicate `SupportsDelete` refuses
+    * (q51's metadata-only path handles partition predicates) now
+    * executes as a copy-on-write rewrite of just the partitions holding
+    * matches. Partitions whose every row matches deregister entirely. */
+  def q54_delete_rows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q54_orders_rowdel"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .writeTo(tgt).partitionedBy($"o_orderpriority").create()
+    spark.sql(s"DELETE FROM $tgt WHERE o_custkey % 7 = 3 AND o_totalprice < 150000")
+    spark.table(tgt)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
@@ -277,6 +363,9 @@ object EngineQueries {
     "q25_udaf_weighted_mean" -> (q25_udaf_weighted_mean _),
     "q26_udf_normalize" -> (q26_udf_normalize _),
     "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
+    "q52_merge_upsert" -> (q52_merge_upsert _),
+    "q53_update" -> (q53_update _),
+    "q54_delete_rows" -> (q54_delete_rows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,6 +426,35 @@ object EngineQueries {
         |  CAST(length(n_name) AS BIGINT) AS name_len,
         |  CAST(n_regionkey AS BIGINT) AS attr_region
         | FROM nation ORDER BY n_nationkey""".stripMargin,
+    // Final state is derivable from the source alone: matched update keys
+    // carry the adjusted price, matched delete keys vanish, insert keys
+    // appear offset by 1e8 with their original attributes.
+    "q52_merge_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 100 = 0
+        |       THEN round((o_totalprice * 1.1) * 100) / 100
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        | FROM orders WHERE o_orderkey % 100 <> 50
+        | UNION ALL
+        | SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
+        |        o_orderpriority
+        | FROM orders WHERE o_orderkey % 100 = 1
+        | ORDER BY o_orderkey""".stripMargin,
+    // Identical arithmetic to the UPDATE's SET expression.
+    "q53_update" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderpriority = '2-HIGH' AND o_custkey % 10 = 3
+        |       THEN round(o_totalprice * 0.9 * 100) / 100
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Survivors are the complement of the row predicate.
+    "q54_delete_rows" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        | FROM orders
+        | WHERE NOT (o_custkey % 7 = 3 AND o_totalprice < 150000)
+        | ORDER BY o_orderkey""".stripMargin,
     "q26_udf_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

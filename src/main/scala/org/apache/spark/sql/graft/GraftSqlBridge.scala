@@ -12,6 +12,35 @@ import org.apache.spark.sql.types.StructType
   * (/root/reference/spark-dsv2-common-base/.../InternalSqlBridge.scala:19-77),
   * kept to the minimal surface actually needed.
   */
+/** Optimizer rule: re-resolves `V2TableReference` leaves that survive
+  * analysis. Spark 4.1 stores a temp view created over a DSv2 relation
+  * as a re-resolvable reference (`ViewHelper.prepareTemporaryViewPlan`),
+  * and the analyzer substitutes the live relation on resolution — but
+  * `RewriteMergeIntoTable` copies the PRE-substitution source plan into
+  * `ReplaceData.groupFilterCondition`, which no analyzer rule revisits
+  * (the reference reports itself resolved). The planner then dies with
+  * "No plan for TableReference", taking the runtime group-filter
+  * subquery — which clones the same leaf — down with it. This rule
+  * reloads the referenced table and substitutes the relation, keeping
+  * the reference's output attributes (exprIds) intact, so
+  * `MERGE INTO ... USING <temp view over a catalog table>` works.
+  * Injected declaratively by [[graft.GraftExtensions]] and imperatively
+  * by `GraftBootstrap.ensure` (experimental.extraOptimizations — that
+  * batch still runs before planning, and the rule rewrites subqueries
+  * too, so post-DPP application is equally correct). */
+object ResolveStrandedTableReferences
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.V2TableReference
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case r: V2TableReference =>
+        r.toRelation(r.catalog.loadTable(r.identifier))
+    }
+}
+
 object GraftSqlBridge {
   def applyPropertiesChanges(
       properties: Map[String, String],

@@ -1,0 +1,173 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftBootstrap, SparkFixture}
+
+/** Row-level DML through `SupportsRowLevelOperations`: UPDATE, MERGE
+  * INTO and row-predicate DELETE as group-based copy-on-write at
+  * partition granularity — plus the group-filtering property that makes
+  * it scale: partitions without matches are not rewritten (their files
+  * are bit-for-bit untouched), and partition-predicate DELETEs still
+  * take the metadata-only path. */
+class RowLevelSpec extends AnyFunSuite with SparkFixture {
+
+  private val ns = s"${GraftBootstrap.CatalogName}.rltest"
+
+  private def freshTable(name: String): String = {
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    val t = s"$ns.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    t
+  }
+
+  /** (path → (length, mtime)) for every data file of the table — the
+    * fingerprint an untouched partition must preserve exactly. */
+  private def fileState(t: String): Map[String, (Long, Long)] = {
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable(ns.split("\\.")(1), t.split("\\.").last)
+    val conf = spark.sessionState.newHadoopConf()
+    def files(dir: Path): Seq[(String, (Long, Long))] = {
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.flatMap {
+        case s if s.isDirectory => files(s.getPath)
+        case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".") =>
+          Seq(s.getPath.toString -> (s.getLen, s.getModificationTime))
+        case _ => Nil
+      }
+    }
+    files(new Path(meta.location)).toMap
+  }
+
+  private def seed(t: String): Unit = {
+    import spark.implicits._
+    Seq(
+      (1L, 10.0, "a"), (2L, 20.0, "a"),
+      (3L, 30.0, "b"), (4L, 40.0, "b"),
+      (5L, 50.0, "c")
+    ).toDF("id", "v", "p").writeTo(t).partitionedBy($"p").create()
+  }
+
+  test("UPDATE rewrites matching rows; untouched partitions keep their files") {
+    val t = freshTable("t_update")
+    seed(t)
+    val before = fileState(t)
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE p = 'a' AND id = 1")
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rows === Set(
+      (1L, 11.0, "a"), (2L, 20.0, "a"),
+      (3L, 30.0, "b"), (4L, 40.0, "b"), (5L, 50.0, "c")))
+    val after = fileState(t)
+    // runtime group filtering: only partition a was rewritten — b and c
+    // keep their exact files (same path, length, mtime)
+    val untouchedBefore = before.filterNot(_._1.contains("p=a"))
+    val untouchedAfter = after.filterNot(_._1.contains("p=a"))
+    assert(untouchedAfter === untouchedBefore)
+    assert(after.keySet.filter(_.contains("p=a")) !=
+      before.keySet.filter(_.contains("p=a")))
+  }
+
+  test("row-predicate DELETE removes rows; emptied partitions deregister") {
+    val t = freshTable("t_rowdel")
+    seed(t)
+    val before = fileState(t)
+    // not a partition predicate → copy-on-write path
+    spark.sql(s"DELETE FROM $t WHERE v >= 30 AND v < 50")
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows === Set((1L, "a"), (2L, "a"), (5L, "c")))
+    // partition b lost every row: dir gone, partition deregistered
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("rltest", "t_rowdel")
+    assert(!meta.partitions.exists(_.spec.get("p").contains("b")))
+    // partitions a and c had no matches — untouched files
+    val untouched = (s: Map[String, (Long, Long)]) =>
+      s.filter(kv => kv._1.contains("p=a") || kv._1.contains("p=c"))
+    assert(untouched(fileState(t)) === untouched(before))
+  }
+
+  test("partition-predicate DELETE still takes the metadata-only path") {
+    val t = freshTable("t_metadel")
+    seed(t)
+    val before = fileState(t)
+    spark.sql(s"DELETE FROM $t WHERE p = 'b'")
+    assert(spark.table(t).count() === 3)
+    // metadata-only: a and c files untouched (no rewrite happened at all)
+    val untouched = (s: Map[String, (Long, Long)]) =>
+      s.filterNot(_._1.contains("p=b"))
+    assert(untouched(fileState(t)) === untouched(before))
+  }
+
+  test("MERGE INTO: update + delete + insert in one statement") {
+    import spark.implicits._
+    val t = freshTable("t_merge")
+    seed(t)
+    val before = fileState(t)
+    Seq(
+      (1L, 100.0, "a", "update"),
+      (3L, 0.0, "b", "delete"),
+      (6L, 60.0, "c", "insert"),   // existing partition, no target match
+      (7L, 70.0, "d", "insert")    // brand-new partition
+    ).toDF("id", "v", "p", "op").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $t tgt USING merge_src src ON tgt.id = src.id
+         |WHEN MATCHED AND src.op = 'delete' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (src.id, src.v, src.p)
+         |""".stripMargin)
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rows === Set(
+      (1L, 100.0, "a"), (2L, 20.0, "a"),
+      (4L, 40.0, "b"),
+      (5L, 50.0, "c"), (6L, 60.0, "c"),
+      (7L, 70.0, "d")))
+    // partition d materialized and registered
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("rltest", "t_merge")
+    assert(meta.partitions.exists(_.spec.get("p").contains("d")))
+    // partition c was NOT scanned (no id match) — its pre-existing file
+    // survives and the insert appended beside it
+    val cBefore = before.keySet.filter(_.contains("p=c"))
+    val cAfter = fileState(t).keySet.filter(_.contains("p=c"))
+    assert(cBefore.subsetOf(cAfter) && cAfter.size > cBefore.size)
+  }
+
+  test("UPDATE on an unpartitioned table rewrites the whole table") {
+    import spark.implicits._
+    val t = freshTable("t_update_flat")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").writeTo(t).create()
+    spark.sql(s"UPDATE $t SET v = -v WHERE id = 2")
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((1L, 10.0), (2L, -20.0)))
+  }
+
+  test("DELETE refuses on EXTERNAL tables; UPDATE is allowed") {
+    import spark.implicits._
+    val t = freshTable("t_ext_rl")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext-rl").toString
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    spark.sql(
+      s"CREATE TABLE $t (id BIGINT, v DOUBLE) USING parquet LOCATION '$dir'")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $t WHERE v > 1")
+    }
+    assert(e.getMessage.contains("EXTERNAL"))
+    spark.sql(s"UPDATE $t SET v = v * 10 WHERE id = 1")
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((1L, 10.0), (2L, 2.0)))
+  }
+}

@@ -387,7 +387,7 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       s"append rows lost across compaction: $ids")
   }
 
-  test("DELETE FROM: partition predicate deletes dirs + deregisters; row predicates and EXTERNAL refuse") {
+  test("DELETE FROM: partition predicate deletes dirs + deregisters; row predicates rewrite; EXTERNAL refuses") {
     import spark.implicits._
     val t = freshTable("t_delete")
     Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("id", "p")
@@ -401,17 +401,19 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(meta.stats.exists(_.sizeInBytes === meta.partitions.map(_.sizeInBytes).sum))
 
     // a row-level predicate is not expressible as a partition spec —
-    // canDeleteWhere=false must fail the statement, not silently no-op
-    intercept[Exception](spark.sql(s"DELETE FROM $t WHERE id = 1"))
-    assert(spark.table(t).count() === 1)
+    // canDeleteWhere=false routes it to the copy-on-write path
+    // (SupportsRowLevelOperations, RowLevelSpec) instead of failing
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    assert(spark.table(t).count() === 0)
+    Seq((1L, "x")).toDF("id", "p").writeTo(t).append()
 
     // whole-table DELETE == truncate
     spark.sql(s"DELETE FROM $t")
     assert(spark.table(t).count() === 0)
     assert(cat.metaStore.loadTable("wtest", "t_delete").partitions.isEmpty)
 
-    // a non-partition predicate on the (unpartitioned) external fixture
-    // is refused at canDeleteWhere — before any engine code runs
+    // any DELETE on an external fixture table is refused at analysis
+    // (newRowLevelOperationBuilder) — before any engine code runs
     val fixture = s"${GraftBootstrap.CatalogName}.tpch.nation"
     intercept[Exception](spark.sql(s"DELETE FROM $fixture WHERE n_nationkey = 0"))
     assert(spark.table(fixture).count() === 25)
