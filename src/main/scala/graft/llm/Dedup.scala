@@ -281,4 +281,82 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Duplicate CLUSTERS from near-dup pairs — the step that turns
+    * pairwise dedup output into per-document keep/drop decisions:
+    * connected components by iterative min-label propagation, entirely
+    * in DataFrame joins (each vertex repeatedly adopts the smallest
+    * representative among itself and its neighbors until a fixpoint).
+    *
+    * 100 TB posture: each iteration is one shuffled join + map-side-
+    * combined min aggregation on (id), and the iteration count is the
+    * component DIAMETER, not size — near-dup clusters are shallow
+    * (pairs share a common template), so a handful of passes closes
+    * even huge corpora. The driver sees only the per-iteration change
+    * COUNT (a scalar); labels persist across iterations so the lineage
+    * never re-derives the pair join. For adversarially long chains the
+    * alternating large-star/small-star variant halves the rounds — the
+    * join shape stays identical.
+    *
+    * Output: (doc_id, rep_id, cluster_size) for every document in at
+    * least one pair — `rep_id` is the component's minimum doc id, the
+    * canonical survivor under keep-min dedup. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .persist()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nrep")).as("nbr_rep"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .persist()
+      val changed = next.select(col("id"), col("rep").as("new_rep"))
+        .join(labels, "id")
+        .filter(col("new_rep") =!= col("rep"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(sizes, "rep")
+      .select(col("id").as("doc_id"), col("rep").as("rep_id"), col("cluster_size"))
+    edges.unpersist()
+    out
+  }
+
+  /** Benchmark decontamination — the training-pipeline gate that drops
+    * documents overlapping an evaluation set: count per document the
+    * distinct word-`n`-grams it shares with any probe document. Probe
+    * membership here is the deterministic `doc_id % probeMod == 0`
+    * slice (standing in for an external benchmark corpus).
+    *
+    * 100 TB posture: the probe side of the join is a benchmark suite —
+    * thousands of documents, not billions — so its distinct shingle set
+    * is broadcast and the corpus side never shuffles; each corpus
+    * partition streams its shingles against the in-memory probe set
+    * (in production the probes would compress to a bloom filter the
+    * same way, trading false positives for memory). */
+  def decontaminationHits(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, probeMod: Int = 97): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val probes = sh.filter(col("doc_id") % probeMod === 0)
+      .select(col("s")).distinct()
+    sh.filter(col("doc_id") % probeMod =!= 0)
+      .join(broadcast(probes), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
 }

@@ -164,8 +164,58 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q55
+  /** Duplicate clusters: connected components over the MinHash-LSH
+    * near-dup pairs (q29's scale path feeds it), giving each document
+    * its canonical survivor and cluster size — the per-document verdict
+    * a dedup pipeline actually consumes. Iterations = component
+    * diameter (see [[Dedup.dedupClusters]]). */
+  def q55_dedup_clusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(
+      Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
+        n = 3, tau = 0.8, bands = 16, rowsPerBand = 2))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q56
+  /** Gopher-style repetition quality filters: top-unigram / top-bigram
+    * ownership fractions + pass verdict per document. */
+  def q56_gopher_repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withRepetition(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q57
+  /** Benchmark decontamination: documents sharing any word-8-gram with
+    * the probe slice (doc_id ≡ 0 mod 97), with the shared-gram count.
+    * The probe shingle set broadcasts; the corpus never shuffles. */
+  def q57_decontaminate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminationHits(docs(spark, dir), "doc_id", "text",
+      n = 8, probeMod = 97)
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q58
+  /** Deterministic stratified sampling: top-20 documents per language
+    * ordered by a salted sha256 of the id — a reproducible
+    * uniform-within-stratum sample both engines compute identically
+    * (no RNG; re-runs and retries can't change the sample). One
+    * window per stratum, WindowGroupLimit keeps it top-k, not a full
+    * sort of the corpus. */
+  def q58_stratified_sample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(sha2(concat_ws("|", lit("graft"), col("doc_id").cast("string")), 256),
+        col("doc_id"))
+    docs(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_dedup_clusters" -> (q55_dedup_clusters _),
+    "q56_gopher_repetition" -> (q56_gopher_repetition _),
+    "q57_decontaminate" -> (q57_decontaminate _),
+    "q58_stratified_sample" -> (q58_stratified_sample _),
     "q43_redact" -> (q43_redact _),
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),

@@ -113,6 +113,45 @@ object TextAnalysis {
       .withColumn("redacted", regexp_replace(col("__noemail"), LongNumRe, "<NUM>"))
       .drop("__noemail")
 
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    * the fraction of a document owned by its most frequent unigram and
+    * bigram — the repetition signals that catch boilerplate/template
+    * spam which length/punctuation ratios (q34) miss. Documents pass
+    * when both fractions sit under the configured caps.
+    *
+    * Two shuffles on (doc_id, gram) with map-side combine — at 100 TB
+    * each is a partial-aggregated exchange carrying one row per distinct
+    * gram per partition, never the text. Docs below 2 tokens have no
+    * bigram; their bigram fraction is 0 by convention (the oracle's
+    * LEFT JOIN + COALESCE states the same rule). */
+  def withRepetition(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxUniFrac: Double = 0.2, maxBiFrac: Double = 0.4): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    val words = toks.select(col("doc_id"), explode(col("__toks")).as("w"))
+    val uni = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_uni"))
+    // bigrams via an index transform over the materialized token array
+    // (no CSE inside lambdas — the array is a column already)
+    val bi = toks
+      .select(col("doc_id"), explode(when(size(col("__toks")) >= 2,
+        transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => concat_ws(" ", element_at(col("__toks"), i + 1),
+            element_at(col("__toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"))
+    val uniFrac = col("top_uni").cast("double") / col("n_words").cast("double")
+    val biFrac = coalesce(col("top_bi"), lit(0L)).cast("double") /
+      greatest(col("n_words") - 1, lit(1L)).cast("double")
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        r4(uniFrac).as("top_unigram_frac"),
+        r4(biFrac).as("top_bigram_frac"),
+        (uniFrac <= maxUniFrac && biFrac <= maxBiFrac).as("passes_gopher"))
+  }
+
   /** Polynomial rolling hash of the normalized text's character codes:
     * h ← (h·31 + code) mod 1e9+7. The modulus keeps every intermediate
     * < 2^35, so ANSI-mode long arithmetic never overflows, and the same
