@@ -47,10 +47,24 @@ object Bench {
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
     val results = names.map(n => n -> best(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only a fixed-length tail of stdout (2000 chars,
+    // minus sbt's trailing "[success] ..." line). Full-precision doubles
+    // over a 70+-query inventory push this line past that window and the
+    // clipped head makes it unparseable — so: centisecond precision per
+    // query (ample for a seconds-scale bench) and a numeric sf.
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    def render(decimals: Int): String = {
+      def fmt(v: Double): String =
+        String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    }
+    // Centisecond precision normally; fall back to deciseconds if the
+    // inventory ever grows the line past the window.
+    val line = Seq(render(2), render(1)).find(_.length <= 1900).getOrElse(render(1))
+    println(line)
     spark.stop()
   }
 }
