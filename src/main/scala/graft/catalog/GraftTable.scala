@@ -206,13 +206,13 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     * row predicates WORK instead of changing what already did. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    // the write-surface guards, applied at analysis so the statement
-    // fails before any rewrite planning
-    if (meta.properties.contains(GraftCatalog.BucketCountProp))
-      throw new UnsupportedOperationException(
-        s"table ${name()} is bucketed (CLUSTERED BY " +
-          s"${meta.properties(GraftCatalog.BucketColumnsProp)}); " +
-          "row-level writes to bucketed tables are not supported")
+    // The bucketed-table guard lives in the operation's WRITE build, not
+    // here: Spark plans the row-level rewrite for every conditional
+    // DELETE before OptimizeMetadataOnlyDeleteFromTable can downgrade
+    // it, and a partition-predicate DELETE on a bucketed table is served
+    // by the metadata-only SupportsDelete path (bucket-safe — it only
+    // drops whole partitions), so throwing at analysis would reject
+    // statements no rewrite ever runs for.
     // DELETE removes data outright — not ours to remove on EXTERNAL
     // tables (the DROP/DROP PARTITION/deleteWhere retention rule).
     // UPDATE/MERGE stay allowed: like INSERT OVERWRITE, they are

@@ -69,6 +69,18 @@ class GraftRowLevelOperation(
     * is exactly what `RowLevelOperationTable` guarantees. */
   @volatile private[write] var scannedSpecs: Option[Seq[Map[String, String]]] = None
 
+  /** The exact data files the copy-on-write scan's file index resolved —
+    * the rewrite's read snapshot. The write's commit re-lists the scanned
+    * directories under the write permit and refuses to publish if the
+    * live set differs: a concurrent append (or metadata DELETE) that
+    * committed between the scan's listing and this job taking the permit
+    * would otherwise be silently erased by the post-publish delete of
+    * "old" files. Conflict detection, not locking, because the row-level
+    * plan is built at analysis time and may never execute (EXPLAIN, a
+    * DELETE downgraded to the metadata-only path) — a permit lease taken
+    * that early could leak and wedge every writer on the table. */
+  @volatile private[write] var scannedFiles: Option[Set[String]] = None
+
   override def command(): Command = cmd
 
   override def description(): String = s"GraftCow[$cmd ${db}.${meta.name}]"
@@ -77,9 +89,20 @@ class GraftRowLevelOperation(
     new GraftCowScanBuilder(spark, meta, options, this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
-    override def build(): org.apache.spark.sql.connector.write.Write =
+    override def build(): org.apache.spark.sql.connector.write.Write = {
+      // Enforced here rather than at analysis so a partition-predicate
+      // DELETE that Spark downgrades to the metadata-only SupportsDelete
+      // path (which is bucket-safe: it only drops whole partitions) is
+      // not rejected for a rewrite that never runs.
+      if (meta.properties.contains(graft.catalog.GraftCatalog.BucketCountProp))
+        throw new UnsupportedOperationException(
+          s"table ${db}.${meta.name} is bucketed (CLUSTERED BY " +
+            s"${meta.properties(graft.catalog.GraftCatalog.BucketColumnsProp)}); " +
+            "row-level writes to bucketed tables are not supported")
       new GraftWrite(spark, store, db, meta, info,
-        CowReplace(() => scannedSpecs, info.schema()), autoSizeUpdate, writeLockTimeoutSec)
+        CowReplace(() => scannedSpecs, () => scannedFiles, info.schema(), cmd),
+        autoSizeUpdate, writeLockTimeoutSec)
+    }
   }
 }
 
@@ -110,7 +133,10 @@ private[write] class GraftCowScanBuilder(
     } else {
       // unpartitioned: the whole table is the single group — commit
       // replaces it regardless of scannedSpecs, no runtime filtering
-      GraftCowScan.delegate(spark, meta, options, required, meta.partitions)
+      val (scan, files) =
+        GraftCowScan.delegate(spark, meta, options, required, meta.partitions)
+      op.scannedFiles = Some(files)
+      scan
     }
   }
 }
@@ -133,8 +159,13 @@ private[write] class GraftCowScan(
   extends Scan with SupportsRuntimeV2Filtering {
 
   @volatile private var kept: Seq[PartitionMeta] = meta.partitions
-  @volatile private var current: Scan =
-    GraftCowScan.delegate(spark, meta, options, required, kept)
+  @volatile private var current: Scan = rebuild()
+
+  private def rebuild(): Scan = {
+    val (scan, files) = GraftCowScan.delegate(spark, meta, options, required, kept)
+    op.scannedFiles = Some(files)
+    scan
+  }
 
   override def readSchema(): StructType = current.readSchema()
 
@@ -153,20 +184,22 @@ private[write] class GraftCowScan(
         CowPredicates.eval(spark, meta, p.spec, pred).getOrElse(true)))
     kept = narrowed
     op.scannedSpecs = Some(narrowed.map(_.spec))
-    current = GraftCowScan.delegate(spark, meta, options, required, narrowed)
+    current = rebuild()
   }
 }
 
 private[write] object GraftCowScan {
   /** Provider-dispatched delegate scan over an explicit partition subset
     * (the catalog-pruned `GraftFileIndex` shape of
-    * `GraftTable.newScanBuilder`, restricted to `parts`). */
+    * `GraftTable.newScanBuilder`, restricted to `parts`), plus the
+    * qualified paths of the data files the index resolved — the read
+    * snapshot the write's commit validates against a live listing. */
   def delegate(
       spark: SparkSession,
       meta: TableMeta,
       options: CaseInsensitiveStringMap,
       required: StructType,
-      parts: Seq[PartitionMeta]): Scan = {
+      parts: Seq[PartitionMeta]): (Scan, Set[String]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitioningAwareFileIndex}
     import org.apache.spark.sql.execution.datasources.v2.csv.CSVScanBuilder
@@ -188,7 +221,11 @@ private[write] object GraftCowScan {
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
     builder.pruneColumns(required)
-    builder.build()
+    // Forcing the listing here pins the snapshot the scan will actually
+    // read: the same index instance feeds planInputPartitions, and the
+    // shared FileStatusCache means no second listing cost.
+    val files = index.allFiles().map(_.getPath.toString).toSet
+    (builder.build(), files)
   }
 }
 

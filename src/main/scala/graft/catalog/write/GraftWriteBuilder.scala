@@ -115,16 +115,23 @@ private[write] case object Truncate extends WriteMode
 private[write] case class StaticOverwrite(spec: Map[String, String]) extends WriteMode
 private[write] case object DynamicOverwrite extends WriteMode
 /** Copy-on-write replacement for row-level DML ([[GraftRowLevelOperation]]):
-  * the thunk yields the partition specs the operation's scan read (None =
-  * every partition). Commit appends the replacement files normally, then
-  * deletes each scanned partition's pre-commit files and deregisters
-  * scanned partitions left empty — so scanned groups are replaced while
+  * `scanned` yields the partition specs the operation's scan read (None =
+  * every partition), `scannedFiles` the exact data files its index
+  * resolved — commit refuses to publish if the scanned dirs' live file
+  * set has drifted (a concurrent append/delete committed after the scan
+  * listed). Commit appends the replacement files normally, then deletes
+  * each scanned partition's pre-commit files and deregisters scanned
+  * partitions left empty — so scanned groups are replaced while
   * merge-inserts into unscanned partitions append. `rowSchema` is the
   * table row schema of the write, kept so the writer factory can strip
-  * the rewrite's `__row_operation` marker column (see [[CowRowFactory]]). */
+  * the rewrite's `__row_operation` marker column (see [[CowRowFactory]]);
+  * `command` pins whether that marker must be present. */
 private[write] case class CowReplace(
     scanned: () => Option[Seq[Map[String, String]]],
-    rowSchema: org.apache.spark.sql.types.StructType) extends WriteMode
+    scannedFiles: () => Option[Set[String]],
+    rowSchema: org.apache.spark.sql.types.StructType,
+    command: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends WriteMode
 
 /** Group-based UPDATE/MERGE `ReplaceData` queries carry a leading
   * `__row_operation` marker column (int), and Spark strips it via
@@ -132,14 +139,20 @@ private[write] case class CowReplace(
   * columns — with none declared (`DataWritingSparkTask`), raw query rows
   * reach the connector writer. This factory wrapper strips the marker
   * with a single codegen'd projection, so the file writers always see
-  * exactly the table row schema; width-matched rows (group-based DELETE
-  * has no marker) pass through untouched. */
+  * exactly the table row schema; group-based DELETE rewrites carry no
+  * marker and pass through. `hasMarker` pins which shape THIS command's
+  * rows must have — the row width is asserted against it on every row,
+  * so a Spark upgrade that moves or strips the marker fails loudly
+  * instead of silently writing shifted rows (the width test alone would
+  * misclassify such a change as "no marker" and corrupt every column). */
 private[write] class CowRowFactory(
     inner: DataWriterFactory,
-    rowSchema: org.apache.spark.sql.types.StructType) extends DataWriterFactory {
+    rowSchema: org.apache.spark.sql.types.StructType,
+    hasMarker: Boolean) extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val d = inner.createWriter(partitionId, taskId)
+    val expected = rowSchema.length + (if (hasMarker) 1 else 0)
     new DataWriter[InternalRow] {
       private lazy val strip =
         org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
@@ -147,8 +160,15 @@ private[write] class CowRowFactory(
             org.apache.spark.sql.catalyst.expressions
               .BoundReference(i + 1, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
           }.toIndexedSeq)
-      override def write(r: InternalRow): Unit =
-        if (r.numFields == rowSchema.length + 1) d.write(strip(r)) else d.write(r)
+      override def write(r: InternalRow): Unit = {
+        if (r.numFields != expected)
+          throw new IllegalStateException(
+            s"row-level rewrite row has ${r.numFields} fields, expected " +
+              s"$expected (table width ${rowSchema.length}, marker=" +
+              s"$hasMarker) — Spark's ReplaceData row shape changed; " +
+              "refusing to write a misaligned row")
+        if (hasMarker) d.write(strip(r)) else d.write(r)
+      }
       override def commit(): WriterCommitMessage = d.commit()
       override def abort(): Unit = d.abort()
       override def close(): Unit = d.close()
@@ -436,7 +456,10 @@ class GraftBatchWrite(
       preWriteDeletes()
       val factory = inner.createBatchWriterFactory(info)
       mode match {
-        case CowReplace(_, rowSchema) => new CowRowFactory(factory, rowSchema)
+        case CowReplace(_, _, rowSchema, cmd) =>
+          new CowRowFactory(factory, rowSchema,
+            hasMarker = cmd != org.apache.spark.sql.connector.write
+              .RowLevelOperation.Command.DELETE)
         case _ => factory
       }
     } catch { case t: Throwable => releasePermit(); throw t }
@@ -478,7 +501,7 @@ class GraftBatchWrite(
     // publishes replacement files into the same directories — afterwards
     // old and new files are indistinguishable by listing.
     val cowSnapshot: Option[CowSnapshot] = mode match {
-      case CowReplace(scannedThunk, _) =>
+      case CowReplace(scannedThunk, _, _, _) =>
         val conf0 = spark.sessionState.newHadoopConf()
         val fresh = store.loadTableLocked(db, meta.name)
         if (fresh.partitionColumns.isEmpty) {
@@ -494,6 +517,33 @@ class GraftBatchWrite(
           Some(CowSnapshot(scanned, dirs, dirs.flatMap(d => dataFiles(d._2, conf0))))
         }
       case _ => None
+    }
+
+    // Write-write conflict check, BEFORE publishing: the permit is held
+    // from job start, but the COW scan listed its files at PLAN time —
+    // a write that committed in between is invisible to the rewrite yet
+    // present in the snapshot above, so completing this commit would
+    // delete its rows without having rewritten them. Fail here instead:
+    // inner.abort cleans our staging and the concurrent write survives.
+    for {
+      cs <- cowSnapshot
+      expected <- mode match {
+        case CowReplace(_, filesThunk, _, _) => filesThunk()
+        case _ => None
+      }
+    } {
+      val live = cs.oldFiles.map(_.toString).toSet
+      if (live != expected) {
+        val appeared = live.diff(expected)
+        val vanished = expected.diff(live)
+        throw new IllegalStateException(
+          s"concurrent write detected on $db.${meta.name}: the row-level " +
+            s"rewrite scanned ${expected.size} data files but the scanned " +
+            s"directories now hold ${live.size} " +
+            s"(${appeared.size} new, ${vanished.size} removed) — aborting " +
+            "the rewrite so the concurrent write's data survives; re-run " +
+            "the statement")
+      }
     }
 
     inner.commit(messages)
@@ -591,7 +641,7 @@ class GraftBatchWrite(
           case StaticOverwrite(spec) => current.partitions.filterNot(p =>
             spec.forall { case (k, v) =>
               p.spec.exists { case (pk, pv) => pk.equalsIgnoreCase(k) && pv == v } })
-          case CowReplace(_, _) =>
+          case _: CowReplace =>
             current.partitions.filterNot(p => cowEmptied.contains(p.spec))
           case _ => current.partitions
         }

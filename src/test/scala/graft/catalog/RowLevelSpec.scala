@@ -153,6 +153,69 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     assert(rows === Set((1L, 10.0), (2L, -20.0)))
   }
 
+  test("bucketed table: partition-predicate DELETE is metadata-only; UPDATE refuses") {
+    val t = freshTable("t_bucketed_rl")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE, p STRING) USING parquet " +
+      "PARTITIONED BY (p) CLUSTERED BY (id) INTO 4 BUCKETS")
+    spark.sql(s"ALTER TABLE $t ADD PARTITION (p = 'a')")
+    // Spark plans the row-level rewrite for every conditional DELETE
+    // before the metadata-only downgrade — so this statement must NOT
+    // die on the bucket guard (no rewrite ever runs for it)
+    spark.sql(s"DELETE FROM $t WHERE p = 'a'")
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    assert(cat.metaStore.loadTable("rltest", "t_bucketed_rl").partitions.isEmpty)
+    // a genuine rewrite (UPDATE / row-predicate DELETE) still refuses
+    val eu = intercept[Exception] { spark.sql(s"UPDATE $t SET v = 0 WHERE id = 1") }
+    assert(eu.getMessage.contains("bucketed"), s"got: ${eu.getMessage}")
+    val ed = intercept[Exception] { spark.sql(s"DELETE FROM $t WHERE id = 1") }
+    assert(ed.getMessage.contains("bucketed"), s"got: ${ed.getMessage}")
+  }
+
+  test("COW commit detects a write that landed after the scan listed") {
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationInfo}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val t = freshTable("t_cow_conflict")
+    seed(t)
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val tbl = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("rltest"), "t_cow_conflict"))
+      .asInstanceOf[GraftTable]
+    val op = tbl.newRowLevelOperationBuilder(new RowLevelOperationInfo {
+      override def command(): RowLevelOperation.Command = RowLevelOperation.Command.UPDATE
+      override def options(): CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+    }).build()
+    // plan-time listing: the scan's file index resolves the read snapshot
+    op.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    // a "concurrent append" commits between the listing and job start
+    val meta = cat.metaStore.loadTable("rltest", "t_cow_conflict")
+    val dirA = write.GraftBatchWrite.partitionDir(meta,
+      meta.partitions.find(_.spec.get("p").contains("a")).get.spec)
+    val fs = dirA.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing = fs.listStatus(dirA).filter(_.isFile)
+      .map(_.getPath).find(!_.getName.startsWith("_")).get
+    org.apache.hadoop.fs.FileUtil.copy(fs, existing, fs,
+      new Path(dirA, "part-injected.parquet"), false, fs.getConf)
+    // the rewrite's write job starts and tries to publish
+    val batch = op.newWriteBuilder(new LogicalWriteInfo {
+      override def queryId(): String = java.util.UUID.randomUUID().toString
+      override def schema(): org.apache.spark.sql.types.StructType = meta.schema
+      override def options(): CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+    }).build().toBatch
+    batch.createBatchWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    })
+    val e = intercept[IllegalStateException] {
+      batch.commit(Array.empty)
+    }
+    assert(e.getMessage.contains("concurrent write detected"), s"got: ${e.getMessage}")
+    batch.abort(Array.empty)
+    // the permit was released and the injected data survived
+    spark.sql(s"INSERT INTO $t VALUES (9, 90.0, 'c')")
+    assert(spark.table(t).where("p = 'a'").count() === 4) // 2 seeded + 2 injected
+  }
+
   test("DELETE refuses on EXTERNAL tables; UPDATE is allowed") {
     import spark.implicits._
     val t = freshTable("t_ext_rl")
