@@ -451,6 +451,11 @@ class GraftBatchWrite(
     // abort(), so a throw from here (deletes or the inner factory) would
     // otherwise leak the permit forever and wedge all writes to the table.
     try {
+      // a crashed row-level rewrite may have published replacement files
+      // without completing its old-file deletes — finish (or abandon)
+      // that transaction first, while the permit guarantees no other
+      // writer is mid-flight
+      repairPendingCowDeletes()
       // truncate/static-overwrite deletes run HERE, now that no other
       // job's staged files can be under the table dir
       preWriteDeletes()
@@ -495,6 +500,79 @@ class GraftBatchWrite(
       scanned: Seq[Map[String, String]],
       dirs: Seq[(Map[String, String], Path)],
       oldFiles: Seq[Path])
+
+  /** Durability for the COW delete phase: a crash between the FS commit
+    * (replacement files published) and the old-file delete would
+    * otherwise leave PERMANENT duplicate rows — no process is alive to
+    * finish the delete, and a listing can no longer tell old files from
+    * new. So the delete intent is persisted before publishing:
+    *
+    *  1. `_graft_txn/<id>.pending` (tmp+rename, atomic): the scanned
+    *     dirs and the exact old files to remove;
+    *  2. `inner.commit` publishes the replacement files;
+    *  3. `_graft_txn/<id>.committed` marker (single atomic create);
+    *  4. old files deleted, then both txn files removed.
+    *
+    * [[repairPendingCowDeletes]] runs at the start of every subsequent
+    * write (under the permit): a `.pending` with its marker — or with
+    * unlisted data files in its dirs, which can only be the crashed
+    * rewrite's replacements, since repair runs before any later write
+    * publishes — has its deletes replayed (idempotent: delete-if-exists);
+    * one without either is a pre-publish crash and is abandoned. The
+    * residual window is a crash inside step 3 of a rewrite that produced
+    * ZERO replacement files in every scanned dir (a delete-everything
+    * rewrite): that one re-surfaces the old rows, which is the pre-crash
+    * state — duplicates can no longer outlive the next write. */
+  private def writePendingManifest(
+      cs: CowSnapshot, conf: org.apache.hadoop.conf.Configuration): (Path, Path) = {
+    val txnDir = new Path(meta.location, GraftBatchWrite.TxnDirName)
+    val fs = txnDir.getFileSystem(conf)
+    fs.mkdirs(txnDir)
+    val id = UUID.randomUUID().toString
+    val pending = new Path(txnDir, s"$id.pending")
+    val tmp = new Path(txnDir, s".$id.tmp")
+    val dirs =
+      if (cs.dirs.nonEmpty) cs.dirs.map(_._2) else Seq(new Path(meta.location))
+    val out = fs.create(tmp, false)
+    try {
+      val sb = new StringBuilder
+      dirs.foreach(d => sb.append("D\t").append(d.toString).append('\n'))
+      cs.oldFiles.foreach(f => sb.append("F\t").append(f.toString).append('\n'))
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    if (!fs.rename(tmp, pending))
+      throw new java.io.IOException(s"failed to persist COW delete manifest $pending")
+    (pending, new Path(txnDir, s"$id.committed"))
+  }
+
+  private def repairPendingCowDeletes(): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val txnDir = new Path(meta.location, GraftBatchWrite.TxnDirName)
+    val fs = txnDir.getFileSystem(conf)
+    if (!fs.exists(txnDir)) return
+    fs.listStatus(txnDir).map(_.getPath)
+      .filter(_.getName.endsWith(".pending")).foreach { pm =>
+        val marker = new Path(txnDir,
+          pm.getName.stripSuffix(".pending") + ".committed")
+        val lines = {
+          val in = fs.open(pm)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        }
+        val dirs = lines.collect { case l if l.startsWith("D\t") =>
+          new Path(l.drop(2)) }
+        val files = lines.collect { case l if l.startsWith("F\t") =>
+          new Path(l.drop(2)) }
+        val fileSet = files.map(_.toString).toSet
+        val published = fs.exists(marker) || dirs.exists(d =>
+          dataFiles(d, conf).exists(f => !fileSet.contains(f.toString)))
+        if (published)
+          files.foreach(f => f.getFileSystem(conf).delete(f, false))
+        fs.delete(marker, false)
+        fs.delete(pm, false)
+      }
+    // empty txn dir left behind is harmless (underscore-hidden)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = try {
     // COW: snapshot the scanned groups' files BEFORE the FS commit
@@ -546,15 +624,32 @@ class GraftBatchWrite(
       }
     }
 
+    // persist the delete intent BEFORE publishing (see
+    // writePendingManifest) — a crash after inner.commit is then
+    // repairable instead of leaving permanent duplicates
+    val txnFiles: Option[(Path, Path)] = cowSnapshot.map(cs =>
+      writePendingManifest(cs, spark.sessionState.newHadoopConf()))
+
     inner.commit(messages)
 
     val hadoopConf = spark.sessionState.newHadoopConf()
 
+    // replacements are live: marker first (one atomic create narrows the
+    // unrepairable window to zero-output rewrites), then the deletes
+    txnFiles.foreach { case (_, marker) =>
+      marker.getFileSystem(hadoopConf).create(marker, false).close()
+    }
     // COW: replacements are live — deleting the snapshot completes the
     // group rewrite. (A reader between the two steps can see old+new
     // rows; see GraftRowLevelOperation's atomicity note.)
     cowSnapshot.foreach(_.oldFiles.foreach(f =>
       f.getFileSystem(hadoopConf).delete(f, false)))
+    // the rewrite's delete phase is complete — retire the transaction
+    txnFiles.foreach { case (pending, marker) =>
+      val fs = pending.getFileSystem(hadoopConf)
+      fs.delete(marker, false)
+      fs.delete(pending, false)
+    }
     // per-path FileSystem: a partition registered with a custom LOCATION
     // may live on a different scheme than the table root, and the
     // root FS would throw "Wrong FS" on it
@@ -707,6 +802,10 @@ class GraftBatchWrite(
 }
 
 object GraftBatchWrite {
+  /** Table-root directory holding COW delete-phase transaction files
+    * (underscore-prefixed: invisible to every scan listing). */
+  private[graft] val TxnDirName = "_graft_txn"
+
   /** Per-table-location write permits (see `writePermit`). */
   private val writeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]()

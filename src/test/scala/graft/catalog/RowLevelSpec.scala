@@ -216,6 +216,108 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).where("p = 'a'").count() === 4) // 2 seeded + 2 injected
   }
 
+  private def txnDir(meta: TableMeta): Path =
+    new Path(meta.location, write.GraftBatchWrite.TxnDirName)
+
+  private def writeManifest(
+      meta: TableMeta, dirs: Seq[Path], files: Seq[Path],
+      committed: Boolean): Unit = {
+    val fs = new Path(meta.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(txnDir(meta))
+    val id = java.util.UUID.randomUUID().toString
+    val out = fs.create(new Path(txnDir(meta), s"$id.pending"), false)
+    try out.write(
+      (dirs.map(d => s"D\t$d") ++ files.map(f => s"F\t$f")).mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    if (committed)
+      fs.create(new Path(txnDir(meta), s"$id.committed"), false).close()
+  }
+
+  test("a committed pending-delete manifest is replayed by the next write") {
+    val t = freshTable("t_txn_replay")
+    seed(t)
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("rltest", "t_txn_replay")
+    val fs = new Path(meta.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // crash-after-publish state: a duplicate "old" file the dead rewrite
+    // never got to delete, plus its manifest and commit marker
+    val dirA = write.GraftBatchWrite.partitionDir(meta,
+      meta.partitions.find(_.spec.get("p").contains("a")).get.spec)
+    val orig = fs.listStatus(dirA).map(_.getPath)
+      .find(p => !p.getName.startsWith("_") && !p.getName.startsWith(".")).get
+    val dup = new Path(dirA, "part-crashed-old.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, orig, fs, dup, false, fs.getConf)
+    assert(spark.table(t).where("p = 'a'").count() === 4) // duplicates visible
+    writeManifest(meta, Seq(dirA), Seq(dup), committed = true)
+    // any later write repairs first
+    spark.sql(s"INSERT INTO $t VALUES (9, 90.0, 'b')")
+    assert(!fs.exists(dup), "repair should have completed the crashed delete")
+    assert(spark.table(t).where("p = 'a'").count() === 2)
+    assert(fs.listStatus(txnDir(meta)).isEmpty, "txn files should be retired")
+  }
+
+  test("an uncommitted manifest with no replacement files is abandoned") {
+    val t = freshTable("t_txn_abandon")
+    seed(t)
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("rltest", "t_txn_abandon")
+    val fs = new Path(meta.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // crash-before-publish state: the manifest lists EVERY live file of
+    // the scanned dir (a pre-commit snapshot is a complete listing), no
+    // marker, no replacement files — the data must survive
+    val dirA = write.GraftBatchWrite.partitionDir(meta,
+      meta.partitions.find(_.spec.get("p").contains("a")).get.spec)
+    val live = fs.listStatus(dirA).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    writeManifest(meta, Seq(dirA), live.toSeq, committed = false)
+    spark.sql(s"INSERT INTO $t VALUES (9, 90.0, 'b')")
+    live.foreach(p => assert(fs.exists(p), s"pre-publish crash must not lose $p"))
+    assert(spark.table(t).where("p = 'a'").count() === 2)
+    assert(fs.listStatus(txnDir(meta)).isEmpty, "txn files should be retired")
+  }
+
+  test("marker-less manifest with published replacements is still replayed") {
+    val t = freshTable("t_txn_detect")
+    seed(t)
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("rltest", "t_txn_detect")
+    val fs = new Path(meta.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // crash-between-publish-and-marker: old files listed, replacements
+    // (unlisted files) already in the dir
+    val dirA = write.GraftBatchWrite.partitionDir(meta,
+      meta.partitions.find(_.spec.get("p").contains("a")).get.spec)
+    val old = fs.listStatus(dirA).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    val replacement = new Path(dirA, "part-replacement.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, old.head, fs, replacement, false, fs.getConf)
+    writeManifest(meta, Seq(dirA), old.toSeq, committed = false)
+    spark.sql(s"INSERT INTO $t VALUES (9, 90.0, 'b')")
+    old.foreach(p => assert(!fs.exists(p), s"old file $p should be deleted"))
+    assert(fs.exists(replacement))
+    assert(spark.table(t).where("p = 'a'").count() === 2)
+  }
+
+  test("a completed UPDATE leaves no transaction residue") {
+    val t = freshTable("t_txn_clean")
+    seed(t)
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE id = 1")
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("rltest", "t_txn_clean")
+    val fs = new Path(meta.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val td = txnDir(meta)
+    assert(!fs.exists(td) || fs.listStatus(td).isEmpty)
+  }
+
   test("DELETE refuses on EXTERNAL tables; UPDATE is allowed") {
     import spark.implicits._
     val t = freshTable("t_ext_rl")
