@@ -185,11 +185,13 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q57
   /** Benchmark decontamination: documents sharing any word-8-gram with
-    * the probe slice (doc_id ≡ 0 mod 97), with the shared-gram count.
-    * The probe shingle set broadcasts; the corpus never shuffles. */
+    * the probe slice (doc_id ≡ 0 mod 35 — chosen so the probe slice
+    * intersects the fixture's duplicated documents and the join-match
+    * path produces real hits), with the shared-gram count. The probe
+    * shingle set broadcasts; the corpus never shuffles. */
   def q57_decontaminate(spark: SparkSession, dir: String): DataFrame =
     Dedup.decontaminationHits(docs(spark, dir), "doc_id", "text",
-      n = 8, probeMod = 97)
+      n = 8, probeMod = 35)
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------- q58
@@ -399,6 +401,79 @@ object LlmQueries {
           |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
           |  round((CAST(sum(level_sum) AS DOUBLE) / sum(n_bytes)) * 10000) / 10000 AS mean_level
           | FROM f GROUP BY format ORDER BY format""".stripMargin,
+      // Connected components over the SAME pair set q29 is gated on
+      // (LSH pairs == exact tau>=0.8 Jaccard pairs on the fixture, which
+      // q29's own hash gate proves): reachability closure by recursive
+      // CTE, rep = component minimum — exactly dedupClusters' fixpoint.
+      "q55_dedup_clusters" ->
+        (shingleCtes.replace("WITH toks", "WITH RECURSIVE toks") +
+          """,
+            | pairs AS (
+            |  SELECT d1, d2 FROM (
+            |   SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) AS jac
+            |   FROM common JOIN sizes s1 ON d1 = s1.doc_id
+            |               JOIN sizes s2 ON d2 = s2.doc_id)
+            |  WHERE jac >= 0.8),
+            | edges AS (
+            |  SELECT d1 AS s, d2 AS d FROM pairs
+            |  UNION SELECT d2, d1 FROM pairs),
+            | reach(id, r) AS (
+            |  SELECT s, s FROM edges
+            |  UNION
+            |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+            | labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+            | csizes AS (SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep)
+            | SELECT l.id AS doc_id, l.rep AS rep_id, c.cluster_size
+            | FROM labels l JOIN csizes c USING (rep) ORDER BY doc_id""".stripMargin),
+      "q56_gopher_repetition" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+          |  FROM documents),
+          | w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+          | uc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+          | uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+          |                max(c) AS top_uni FROM uc GROUP BY 1),
+          | bg AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+          |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+          |    ELSE [] END) AS b
+          |  FROM toks),
+          | bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+          | bi AS (SELECT doc_id, max(c) AS top_bi FROM bc GROUP BY 1)
+          | SELECT u.doc_id, u.n_words,
+          |  round(CAST(top_uni AS DOUBLE) / n_words * 10000) / 10000 AS top_unigram_frac,
+          |  round(CAST(coalesce(top_bi, 0) AS DOUBLE)
+          |        / greatest(n_words - 1, 1) * 10000) / 10000 AS top_bigram_frac,
+          |  (CAST(top_uni AS DOUBLE) / n_words <= 0.2
+          |   AND CAST(coalesce(top_bi, 0) AS DOUBLE)
+          |       / greatest(n_words - 1, 1) <= 0.4) AS passes_gopher
+          | FROM uni u LEFT JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "q57_decontaminate" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+          |  FROM documents),
+          | sh AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+          |    THEN list_distinct([list_aggregate(t[i:i+7], 'string_agg', ' ')
+          |                        for i in range(1, len(t) - 6)])
+          |    ELSE [] END) AS s
+          |  FROM toks),
+          | probes AS (SELECT DISTINCT s FROM sh WHERE doc_id % 35 = 0)
+          | SELECT doc_id, count(*) AS n_contaminated_ngrams
+          | FROM sh JOIN probes USING (s)
+          | WHERE doc_id % 35 != 0
+          | GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q58_stratified_sample" ->
+        """WITH r AS (
+          |  SELECT lang, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY sha256('graft|' || CAST(doc_id AS VARCHAR)), doc_id)
+          |      AS BIGINT) AS rk
+          |  FROM documents)
+          | SELECT lang, rk, doc_id FROM r WHERE rk <= 20
+          | ORDER BY lang, rk""".stripMargin,
     )
   }
 }
