@@ -83,12 +83,15 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.8, maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
-    val pruned = maxShingleDf match {
+    // The (doc_id, shingle) rows feed THREE consumers (prefix index, doc
+    // sizes, exact verification); checkpointing materializes the
+    // regex-heavy shingling once instead of re-running it per consumer.
+    val pruned = (maxShingleDf match {
       case Some(cap) =>
         val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
         sh.join(dfreq.filter(col("df") <= cap), "s").select("doc_id", "s")
       case None => sh
-    }
+    }).localCheckpoint()
     // Candidate generation runs on xxhash64(shingle): the join/shuffle
     // keys are fixed 8 bytes instead of ~20-char strings. Exactness is
     // unaffected — the prefix lemma only needs SOME consistent total
@@ -166,14 +169,16 @@ object Dedup {
     * doc length. */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 32): DataFrame = {
+      n: Int = 3, k: Int = 32): DataFrame =
+    signaturesFromShingles(shingleRows(docs, idCol, textCol, n), k)
+
+  private def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
     // Hash the variable-length shingle ONCE, then derive the k functions
     // by salting the fixed 8-byte hash — k× cheaper per row than
     // re-hashing the string per function, same independence.
-    val sh = shingleRows(docs, idCol, textCol, n)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash-LSH near-duplicate pairs: banding (bands × rowsPerBand = k)
@@ -190,7 +195,10 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.8, bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    // One shingling pass serves both the signatures and the exact
+    // verification below (checkpoint truncates to the materialized rows).
+    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
+    val sigs = signaturesFromShingles(sh, k)
     val bandKeys = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       hash(rows :+ lit(b): _*)
@@ -204,7 +212,7 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
 
-    verifyPairsExact(cands, shingleRows(docs, idCol, textCol, n), tau)
+    verifyPairsExact(cands, sh, tau)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (d1 < d2) pairs with
@@ -293,8 +301,9 @@ object Dedup {
     * component DIAMETER, not size — near-dup clusters are shallow
     * (pairs share a common template), so a handful of passes closes
     * even huge corpora. The driver sees only the per-iteration change
-    * COUNT (a scalar); labels persist across iterations so the lineage
-    * never re-derives the pair join. For adversarially long chains the
+    * COUNT (a scalar); labels are checkpointed each iteration so the
+    * lineage (and the optimizer's work) stays flat instead of doubling
+    * per pass. For adversarially long chains the
     * alternating large-star/small-star variant halves the rounds — the
     * join shape stays identical.
     *
@@ -302,38 +311,42 @@ object Dedup {
     * least one pair — `rep_id` is the component's minimum doc id, the
     * canonical survivor under keep-min dedup. */
   def dedupClusters(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+    // Lineage is TRUNCATED at every step (`localCheckpoint`, eager):
+    // iterative DataFrame algorithms otherwise re-analyze a logical plan
+    // that doubles per iteration — by iteration 2 the optimizer was
+    // spending seconds canonicalizing the embedded upstream pipeline
+    // while the actual join moved a few hundred cached rows. With the
+    // cut, each iteration plans against a flat LogicalRDD. (In a
+    // fault-tolerant production run, `checkpoint` to reliable storage
+    // instead: same truncation, survivable executors.)
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     while (!converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("nbr_rep"))
+      // one job per iteration: the checkpoint materializes the join, and
+      // `changed` is then a scan-only count over the checkpointed rows
+      // (old label carried alongside — no second join)
       val next = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("old_rep"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-        .persist()
-      val changed = next.select(col("id"), col("rep").as("new_rep"))
-        .join(labels, "id")
-        .filter(col("new_rep") =!= col("rep"))
-        .count()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint()
+      val changed = next.filter(col("rep") < col("old_rep")).count()
+      labels = next.select(col("id"), col("rep"))
       converged = changed == 0
     }
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(sizes, "rep")
+    labels.join(sizes, "rep")
       .select(col("id").as("doc_id"), col("rep").as("rep_id"), col("cluster_size"))
-    edges.unpersist()
-    out
   }
 
   /** Benchmark decontamination — the training-pipeline gate that drops
