@@ -133,26 +133,42 @@ private[write] case class CowReplace(
     command: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
   extends WriteMode
 
-/** Group-based UPDATE/MERGE `ReplaceData` queries carry a leading
+/** Group-based `ReplaceData` queries may carry a leading
   * `__row_operation` marker column (int), and Spark strips it via
   * `ReplaceDataProjections` only when the operation declares metadata
   * columns — with none declared (`DataWritingSparkTask`), raw query rows
   * reach the connector writer. This factory wrapper strips the marker
   * with a single codegen'd projection, so the file writers always see
-  * exactly the table row schema; group-based DELETE rewrites carry no
-  * marker and pass through. `hasMarker` pins which shape THIS command's
-  * rows must have — the row width is asserted against it on every row,
-  * so a Spark upgrade that moves or strips the marker fails loudly
-  * instead of silently writing shifted rows (the width test alone would
-  * misclassify such a change as "no marker" and corrupt every column). */
+  * exactly the table row schema.
+  *
+  * Which shapes arrive (Spark 4.1.2, verified empirically):
+  *  - UPDATE / MERGE rewrites ALWAYS carry the marker — width is pinned
+  *    to `rowSchema.length + 1` and a marker-less row fails loudly;
+  *  - DELETE rewrites carry it ONLY when the delete condition is not
+  *    filter-translatable (e.g. `c % 7 = 3`): a translatable predicate
+  *    produces bare table rows, a non-translatable one keeps the marker
+  *    column. So DELETE accepts BOTH widths, and when the extra column
+  *    is present field 0 is validated to hold one of
+  *    [[RowDeltaUtils]]'s int operation codes before stripping — a
+  *    Spark upgrade that moves the marker (or widens the row for any
+  *    other reason) fails loudly instead of silently writing shifted
+  *    rows into every column. */
 private[write] class CowRowFactory(
     inner: DataWriterFactory,
     rowSchema: org.apache.spark.sql.types.StructType,
-    hasMarker: Boolean) extends DataWriterFactory {
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    import org.apache.spark.sql.catalyst.util.RowDeltaUtils
     val d = inner.createWriter(partitionId, taskId)
-    val expected = rowSchema.length + (if (hasMarker) 1 else 0)
+    val markerOptional =
+      cmd == org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
+    val bare = rowSchema.length
+    val validOps = Set(
+      RowDeltaUtils.DELETE_OPERATION, RowDeltaUtils.UPDATE_OPERATION,
+      RowDeltaUtils.INSERT_OPERATION, RowDeltaUtils.REINSERT_OPERATION,
+      RowDeltaUtils.WRITE_OPERATION, RowDeltaUtils.WRITE_WITH_METADATA_OPERATION)
     new DataWriter[InternalRow] {
       private lazy val strip =
         org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
@@ -160,14 +176,24 @@ private[write] class CowRowFactory(
             org.apache.spark.sql.catalyst.expressions
               .BoundReference(i + 1, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
           }.toIndexedSeq)
+      private def shapeError(r: InternalRow, detail: String): Nothing =
+        throw new IllegalStateException(
+          s"row-level rewrite ($cmd) row has ${r.numFields} fields, table " +
+            s"width $bare: $detail — Spark's ReplaceData row shape " +
+            "changed; refusing to write a misaligned row")
       override def write(r: InternalRow): Unit = {
-        if (r.numFields != expected)
-          throw new IllegalStateException(
-            s"row-level rewrite row has ${r.numFields} fields, expected " +
-              s"$expected (table width ${rowSchema.length}, marker=" +
-              s"$hasMarker) — Spark's ReplaceData row shape changed; " +
-              "refusing to write a misaligned row")
-        if (hasMarker) d.write(strip(r)) else d.write(r)
+        if (r.numFields == bare + 1) {
+          val op = if (r.isNullAt(0)) Int.MinValue else r.getInt(0)
+          if (!validOps.contains(op))
+            shapeError(r, s"leading field $op is not a __row_operation code")
+          d.write(strip(r))
+        } else if (r.numFields == bare && markerOptional) {
+          d.write(r)
+        } else {
+          shapeError(r,
+            if (markerOptional) s"expected $bare or ${bare + 1}"
+            else s"expected ${bare + 1} (marker is mandatory for $cmd)")
+        }
       }
       override def commit(): WriterCommitMessage = d.commit()
       override def abort(): Unit = d.abort()
@@ -462,9 +488,7 @@ class GraftBatchWrite(
       val factory = inner.createBatchWriterFactory(info)
       mode match {
         case CowReplace(_, _, rowSchema, cmd) =>
-          new CowRowFactory(factory, rowSchema,
-            hasMarker = cmd != org.apache.spark.sql.connector.write
-              .RowLevelOperation.Command.DELETE)
+          new CowRowFactory(factory, rowSchema, cmd)
         case _ => factory
       }
     } catch { case t: Throwable => releasePermit(); throw t }

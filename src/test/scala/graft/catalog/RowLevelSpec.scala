@@ -95,6 +95,21 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     assert(untouched(fileState(t)) === untouched(before))
   }
 
+  test("DELETE with a non-translatable predicate (marker-carrying rewrite)") {
+    // Spark 4.1.2 keeps the __row_operation marker column on a
+    // group-based DELETE whose condition is not filter-translatable
+    // (`id % 2 = 1`), unlike translatable predicates which deliver bare
+    // table rows — the exact shape that crashed q54 in round 10. The
+    // CowRowFactory must accept both.
+    val t = freshTable("t_rowdel_mod")
+    seed(t)
+    spark.sql(s"DELETE FROM $t WHERE id % 2 = 1 AND v < 45")
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    // ids 1 and 3 are odd with v<45; id 5 is odd but v=50 survives
+    assert(rows === Set((2L, 20.0, "a"), (4L, 40.0, "b"), (5L, 50.0, "c")))
+  }
+
   test("partition-predicate DELETE still takes the metadata-only path") {
     val t = freshTable("t_metadel")
     seed(t)
