@@ -13,8 +13,11 @@ import org.apache.spark.sql.SparkSession
   *  - one full warm-up pass first, so JIT/codegen compilation and the
   *    shared FileStatusCache don't land on whichever query happens to run
   *    first;
-  *  - failures propagate: a broken query aborts the bench with a nonzero
-  *    exit instead of being recorded as a fast success.
+  *  - failures are fail-at-end (round-10 lesson: one crashing query
+  *    aborted the whole run and the round lost ALL timings): a broken
+  *    query is excluded from the timed set, listed in the JSON line's
+  *    `"failed"` field, and the process exits nonzero — it is never
+  *    recorded as a fast success, and it costs only its own timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,39 +35,70 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(execute) // warm-up pass (unmeasured)
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    // warm-up pass (unmeasured); a query that fails here is excluded
+    // from the timed passes and reported at the end
+    val broken = collection.mutable.LinkedHashMap.empty[String, String]
+    allNames.foreach { name =>
+      try execute(name)
+      catch { case e: Throwable =>
+        broken(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[bench] $name failed in warm-up: ${broken(name)}")
+      }
+    }
+    val names = allNames.filterNot(broken.contains)
     // Min-of-2 measured passes per query: BASELINE.md documents min-of-2
     // as the jitter-robust statistic for this shared sandbox, where an
     // identical binary varies up to 1.6x run-to-run on a single pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val best = collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to passes; name <- names) {
+    for (_ <- 1 to passes; name <- names if !broken.contains(name)) {
       val t0 = System.nanoTime()
-      execute(name)
-      val sec = (System.nanoTime() - t0) / 1e9
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+      try {
+        execute(name)
+        val sec = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+      } catch { case e: Throwable =>
+        // a query that survives warm-up but breaks on re-execution
+        // (stateful write paths) is just as broken — drop its timing
+        best.remove(name)
+        broken(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[bench] $name failed in measured pass: ${broken(name)}")
+      }
     }
-    val results = names.map(n => n -> best(n))
+    val results = names.filter(best.contains).map(n => n -> best(n))
     // The driver captures only a fixed-length tail of stdout (2000 chars,
     // minus sbt's trailing "[success] ..." line). Full-precision doubles
     // over a 70+-query inventory push this line past that window and the
     // clipped head makes it unparseable — so: centisecond precision per
     // query (ample for a seconds-scale bench) and a numeric sf.
     val total = results.map(_._2).sum
-    val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // anchored: a digit must follow the dot ('sf1.' must not emit the
+    // invalid JSON literal `1.`), and an unrecognizable dir is labeled
+    // with the raw quoted string instead of a silent "sf":0
+    val sfNum = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1))
+      .getOrElse { "\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
     def render(decimals: Int): String = {
       def fmt(v: Double): String =
         String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      val failedField =
+        if (broken.isEmpty) ""
+        else broken.keys.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":$sfNum}"""
     }
     // Centisecond precision normally; fall back to deciseconds if the
     // inventory ever grows the line past the window.
     val line = Seq(render(2), render(1)).find(_.length <= 1900).getOrElse(render(1))
     println(line)
     spark.stop()
+    if (broken.nonEmpty) {
+      System.err.println(s"[bench] ${broken.size} broken: " +
+        broken.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

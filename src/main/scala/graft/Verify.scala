@@ -15,11 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A crashing query must surface as an error entry, never silently
+    // shrink the inventory (round-10 lesson: q54's crash made the round
+    // report 70/70 green instead of 70/71). The sentinel is a parquet
+    // dir the driver can't read plus an `_error` text file with the
+    // message — absence of output can no longer be mistaken for
+    // "not declared".
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}\n" +
+          e.getStackTrace.take(12).mkString("", "\n", "\n")
+        Files.writeString(Paths.get(s"$outDir/${name}._error"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,5 +49,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // summary on stderr; exit 0 regardless — the per-query _error
+    // sentinels carry the failures, and a nonzero exit could make the
+    // driver discard the 70 good results along with the one bad one
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} " +
+          s"failed: ${failed.sorted.mkString(", ")}")
   }
 }

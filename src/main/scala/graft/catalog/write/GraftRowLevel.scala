@@ -43,13 +43,17 @@ import graft.catalog.{MetaStore, PartitionMeta, TableMeta}
   *    up empty. Rows merge-INSERTed into partitions that were NOT
   *    scanned simply append — their pre-existing rows are untouched.
   *
-  * The one non-atomic window (readers can see old+new rows between the
-  * FS commit and the old-file delete, and a crash in between leaves
-  * duplicates) is inherent to a directory-backed table without a
-  * file-level transaction log; the per-table write permit serializes
-  * writers, and the window is bounded by a driver-side delete of the
-  * snapshot list. The reference connector has no row-level DML at all —
-  * this surface is Spark-4-native (reference scope:
+  * Isolation: READERS concurrent with the rewrite can see old+new rows
+  * between the FS commit and the old-file delete — inherent to a
+  * directory-backed table without a file-level transaction log, and the
+  * declared isolation level (see SCALE.md). WRITERS never see that
+  * state: the per-table write permit serializes them, and a crash
+  * anywhere in the window is repaired by the next write's
+  * [[GraftBatchWrite.repairPendingCowDeletes]] — the persisted manifest
+  * plus its `.committed` marker make the statement atomic-to-writers
+  * (rolled forward after the marker, rolled back before it). The
+  * reference connector has no row-level DML at all — this surface is
+  * Spark-4-native (reference scope:
   * /root/reference/.../V2Table.scala:45-47 stops at batch read/write).
   */
 class GraftRowLevelOperation(

@@ -519,11 +519,17 @@ class GraftBatchWrite(
 
   /** COW pre-commit snapshot: the scanned partitions (resolved against
     * the live descriptor) and their current data files — everything the
-    * rewrite must delete once its replacement files are published. */
+    * rewrite must delete once its replacement files are published —
+    * plus the write-TARGET dirs outside the scanned set (merge-inserts
+    * into unscanned or brand-new partitions) with their pre-existing
+    * files, so a rollback can tell the crashed rewrite's replacements
+    * from data that must survive. */
   private case class CowSnapshot(
       scanned: Seq[Map[String, String]],
       dirs: Seq[(Map[String, String], Path)],
-      oldFiles: Seq[Path])
+      oldFiles: Seq[Path],
+      writeDirs: Seq[Path],
+      keepFiles: Seq[Path])
 
   /** Durability for the COW delete phase: a crash between the FS commit
     * (replacement files published) and the old-file delete would
@@ -531,22 +537,32 @@ class GraftBatchWrite(
     * finish the delete, and a listing can no longer tell old files from
     * new. So the delete intent is persisted before publishing:
     *
-    *  1. `_graft_txn/<id>.pending` (tmp+rename, atomic): the scanned
-    *     dirs and the exact old files to remove;
+    *  1. `_graft_txn/<id>.pending` (tmp+rename, atomic): every dir the
+    *     rewrite touches — scanned dirs (`D`) with the exact old files
+    *     to remove (`F`), and unscanned write-target dirs (`W`) with
+    *     their pre-existing files (`K`);
     *  2. `inner.commit` publishes the replacement files;
-    *  3. `_graft_txn/<id>.committed` marker (single atomic create);
+    *  3. `_graft_txn/<id>.committed` marker (single atomic create) —
+    *     THE commit point of the rewrite;
     *  4. old files deleted, then both txn files removed.
     *
     * [[repairPendingCowDeletes]] runs at the start of every subsequent
-    * write (under the permit): a `.pending` with its marker — or with
-    * unlisted data files in its dirs, which can only be the crashed
-    * rewrite's replacements, since repair runs before any later write
-    * publishes — has its deletes replayed (idempotent: delete-if-exists);
-    * one without either is a pre-publish crash and is abandoned. The
-    * residual window is a crash inside step 3 of a rewrite that produced
-    * ZERO replacement files in every scanned dir (a delete-everything
-    * rewrite): that one re-surfaces the old rows, which is the pre-crash
-    * state — duplicates can no longer outlive the next write. */
+    * write (under the permit, so no other writer is mid-flight):
+    *
+    *  - marker present → the rewrite committed: roll FORWARD by
+    *    replaying the `F` deletes (idempotent delete-if-exists);
+    *  - marker absent → the rewrite did NOT commit (crash anywhere up
+    *    to and including step 3's create): roll BACK by deleting every
+    *    data file in the `D`/`W` dirs that is not `F`/`K`-listed. Those
+    *    can only be the crashed rewrite's replacement files — possibly
+    *    a PARTIAL set, since `commitJob` renames task outputs
+    *    sequentially — and the old files are all still present (their
+    *    deletes only ever run after the marker), so the table returns
+    *    to its exact pre-statement state. Rolling forward here instead
+    *    would lose rows whose replacement files were never published.
+    *
+    * Either way the statement is atomic to the NEXT writer: it fully
+    * happened (marker) or never happened (no marker). */
   private def writePendingManifest(
       cs: CowSnapshot, conf: org.apache.hadoop.conf.Configuration): (Path, Path) = {
     val txnDir = new Path(meta.location, GraftBatchWrite.TxnDirName)
@@ -562,6 +578,8 @@ class GraftBatchWrite(
       val sb = new StringBuilder
       dirs.foreach(d => sb.append("D\t").append(d.toString).append('\n'))
       cs.oldFiles.foreach(f => sb.append("F\t").append(f.toString).append('\n'))
+      cs.writeDirs.foreach(d => sb.append("W\t").append(d.toString).append('\n'))
+      cs.keepFiles.foreach(f => sb.append("K\t").append(f.toString).append('\n'))
       out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
     if (!fs.rename(tmp, pending))
@@ -583,15 +601,24 @@ class GraftBatchWrite(
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
         }
-        val dirs = lines.collect { case l if l.startsWith("D\t") =>
-          new Path(l.drop(2)) }
-        val files = lines.collect { case l if l.startsWith("F\t") =>
-          new Path(l.drop(2)) }
-        val fileSet = files.map(_.toString).toSet
-        val published = fs.exists(marker) || dirs.exists(d =>
-          dataFiles(d, conf).exists(f => !fileSet.contains(f.toString)))
-        if (published)
+        def tagged(t: String): Seq[Path] =
+          lines.collect { case l if l.startsWith(t + "\t") => new Path(l.drop(2)) }
+        val files = tagged("F")
+        if (fs.exists(marker)) {
+          // committed: finish the delete phase
           files.foreach(f => f.getFileSystem(conf).delete(f, false))
+        } else {
+          // uncommitted: remove the crashed rewrite's (possibly partial)
+          // replacement files — everything in the touched dirs that the
+          // pre-publish listing didn't record
+          val preexisting =
+            (files ++ tagged("K")).map(_.toString).toSet
+          (tagged("D") ++ tagged("W")).distinct.foreach { d =>
+            dataFiles(d, conf)
+              .filterNot(f => preexisting.contains(f.toString))
+              .foreach(f => f.getFileSystem(conf).delete(f, false))
+          }
+        }
         fs.delete(marker, false)
         fs.delete(pm, false)
       }
@@ -608,7 +635,7 @@ class GraftBatchWrite(
         val fresh = store.loadTableLocked(db, meta.name)
         if (fresh.partitionColumns.isEmpty) {
           Some(CowSnapshot(Nil, Nil,
-            dataFiles(new Path(fresh.location), conf0)))
+            dataFiles(new Path(fresh.location), conf0), Nil, Nil))
         } else {
           val scanned = scannedThunk().getOrElse(fresh.partitions.map(_.spec))
           val dirs = scanned.map { s =>
@@ -616,7 +643,27 @@ class GraftBatchWrite(
               .map(new Path(_))
               .getOrElse(GraftBatchWrite.partitionDir(fresh, s))
           }
-          Some(CowSnapshot(scanned, dirs, dirs.flatMap(d => dataFiles(d._2, conf0))))
+          // Write-target dirs OUTSIDE the scanned set (merge-inserts into
+          // unscanned or brand-new partitions), resolved from the tasks'
+          // commit messages — they exist before inner.commit publishes.
+          // Their current listing is the pre-existing data a rollback
+          // must preserve; anything beyond it is the crashed rewrite's.
+          val scannedSet = scanned.toSet
+          val locBySpec = fresh.partitions
+            .collect { case p if p.location.isDefined => p.spec -> p.location }
+            .toMap
+          val writeDirs = messages.toSeq
+            .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
+            .flatten.distinct
+            .map(GraftBatchWrite.parseFragment(fresh, _))
+            .filterNot(scannedSet.contains)
+            .map { spec =>
+              locBySpec.getOrElse(spec, None).map(new Path(_))
+                .getOrElse(GraftBatchWrite.partitionDir(fresh, spec))
+            }.distinct
+          Some(CowSnapshot(scanned, dirs,
+            dirs.flatMap(d => dataFiles(d._2, conf0)),
+            writeDirs, writeDirs.flatMap(d => dataFiles(d, conf0))))
         }
       case _ => None
     }

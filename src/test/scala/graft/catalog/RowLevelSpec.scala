@@ -236,15 +236,17 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
 
   private def writeManifest(
       meta: TableMeta, dirs: Seq[Path], files: Seq[Path],
-      committed: Boolean): Unit = {
+      committed: Boolean,
+      writeDirs: Seq[Path] = Nil, keepFiles: Seq[Path] = Nil): Unit = {
     val fs = new Path(meta.location)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(txnDir(meta))
     val id = java.util.UUID.randomUUID().toString
     val out = fs.create(new Path(txnDir(meta), s"$id.pending"), false)
     try out.write(
-      (dirs.map(d => s"D\t$d") ++ files.map(f => s"F\t$f")).mkString("", "\n", "\n")
-        .getBytes("UTF-8"))
+      (dirs.map(d => s"D\t$d") ++ files.map(f => s"F\t$f") ++
+        writeDirs.map(d => s"W\t$d") ++ keepFiles.map(f => s"K\t$f"))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (committed)
       fs.create(new Path(txnDir(meta), s"$id.committed"), false).close()
@@ -297,7 +299,7 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     assert(fs.listStatus(txnDir(meta)).isEmpty, "txn files should be retired")
   }
 
-  test("marker-less manifest with published replacements is still replayed") {
+  test("marker-less manifest with published replacements is rolled back") {
     val t = freshTable("t_txn_detect")
     seed(t)
     val cat = spark.sessionState.catalogManager
@@ -306,7 +308,12 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     val fs = new Path(meta.location)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // crash-between-publish-and-marker: old files listed, replacements
-    // (unlisted files) already in the dir
+    // (unlisted files) already in the dir. The marker is the commit
+    // point — without it the repair cannot know whether the replacement
+    // set is COMPLETE (commitJob renames task outputs sequentially), so
+    // it must roll back: delete the replacements, keep every old file.
+    // Rolling forward on a partial set would permanently lose the rows
+    // whose replacement files were never published.
     val dirA = write.GraftBatchWrite.partitionDir(meta,
       meta.partitions.find(_.spec.get("p").contains("a")).get.spec)
     val old = fs.listStatus(dirA).map(_.getPath)
@@ -315,9 +322,46 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     org.apache.hadoop.fs.FileUtil.copy(fs, old.head, fs, replacement, false, fs.getConf)
     writeManifest(meta, Seq(dirA), old.toSeq, committed = false)
     spark.sql(s"INSERT INTO $t VALUES (9, 90.0, 'b')")
-    old.foreach(p => assert(!fs.exists(p), s"old file $p should be deleted"))
-    assert(fs.exists(replacement))
+    old.foreach(p => assert(fs.exists(p), s"old file $p must survive rollback"))
+    assert(!fs.exists(replacement), "crashed rewrite's replacement must be removed")
     assert(spark.table(t).where("p = 'a'").count() === 2)
+    assert(fs.listStatus(txnDir(meta)).isEmpty, "txn files should be retired")
+  }
+
+  test("rollback covers write-target dirs outside the scanned set") {
+    val t = freshTable("t_txn_wdirs")
+    seed(t)
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("rltest", "t_txn_wdirs")
+    val fs = new Path(meta.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a MERGE that scanned partition a but merge-INSERTed into partition
+    // c (unscanned) crashed after publishing: partition a holds a
+    // replacement, partition c holds an inserted file beside its
+    // pre-existing data. Rollback must remove both crashed files while
+    // preserving partition c's K-listed pre-existing file.
+    val dirA = write.GraftBatchWrite.partitionDir(meta,
+      meta.partitions.find(_.spec.get("p").contains("a")).get.spec)
+    val dirC = write.GraftBatchWrite.partitionDir(meta,
+      meta.partitions.find(_.spec.get("p").contains("c")).get.spec)
+    def live(d: Path) = fs.listStatus(d).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    val oldA = live(dirA)
+    val keepC = live(dirC)
+    val replA = new Path(dirA, "part-replacement.parquet")
+    val insC = new Path(dirC, "part-merge-insert.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, oldA.head, fs, replA, false, fs.getConf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, keepC.head, fs, insC, false, fs.getConf)
+    writeManifest(meta, Seq(dirA), oldA.toSeq, committed = false,
+      writeDirs = Seq(dirC), keepFiles = keepC.toSeq)
+    spark.sql(s"INSERT INTO $t VALUES (9, 90.0, 'b')")
+    oldA.foreach(p => assert(fs.exists(p), s"scanned-dir old file $p must survive"))
+    keepC.foreach(p => assert(fs.exists(p), s"pre-existing file $p must survive"))
+    assert(!fs.exists(replA), "replacement in scanned dir must be removed")
+    assert(!fs.exists(insC), "merge-insert in unscanned dir must be removed")
+    assert(spark.table(t).where("p = 'a'").count() === 2)
+    assert(spark.table(t).where("p = 'c'").count() === 1)
   }
 
   test("a completed UPDATE leaves no transaction residue") {

@@ -10,6 +10,7 @@ Spark-written parquet in outDir/<name>/ — columns sorted by name,
 rows compared in result order, exact equality (what a hash would see).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -27,6 +28,12 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        err_sentinel = os.path.join(out_dir, f"{name}._error")
+        if os.path.exists(err_sentinel):
+            first = open(err_sentinel).readline().strip()
+            print(f"ERR  {name}: query crashed in Verify: {first}")
+            n_fail += 1
+            continue
         try:
             exp_rel = con.sql(sql)
             exp = exp_rel.fetchall()
