@@ -310,22 +310,43 @@ object Dedup {
     * Output: (doc_id, rep_id, cluster_size) for every document in at
     * least one pair — `rep_id` is the component's minimum doc id, the
     * canonical survivor under keep-min dedup. */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
-    // Lineage is TRUNCATED at every step (`localCheckpoint`, eager):
-    // iterative DataFrame algorithms otherwise re-analyze a logical plan
-    // that doubles per iteration — by iteration 2 the optimizer was
-    // spending seconds canonicalizing the embedded upstream pipeline
-    // while the actual join moved a few hundred cached rows. With the
-    // cut, each iteration plans against a flat LogicalRDD. (In a
-    // fault-tolerant production run, `checkpoint` to reliable storage
-    // instead: same truncation, survivable executors.)
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+  def dedupClusters(
+      pairs: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
+    // Lineage is TRUNCATED at every step (eager checkpoint): iterative
+    // DataFrame algorithms otherwise re-analyze a logical plan that
+    // doubles per iteration — by iteration 2 the optimizer was spending
+    // seconds canonicalizing the embedded upstream pipeline while the
+    // actual join moved a few hundred cached rows. With the cut, each
+    // iteration plans against a flat LogicalRDD.
+    //
+    // `checkpointDir = None` uses executor-local checkpoints (fastest,
+    // but an executor loss mid-loop restarts the whole computation);
+    // passing a reliable-storage dir switches every truncation to a
+    // durable `checkpoint`, the right call at 100 TB where losing one
+    // of 1000 executors over a multi-iteration CC is routine.
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // Eagerly free a SUPERSEDED iteration's checkpoint storage: without
+    // this, every iteration's blocks stay materialized on executors
+    // until ContextCleaner GC — linear storage growth with iteration
+    // count. Safe because the caller rebinds before releasing, so
+    // nothing references the old checkpoint; a reliable checkpoint
+    // keeps its files (only block-manager copies are dropped).
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+    val edges = cp(pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
-      .localCheckpoint()
+      .distinct())
+    // `current` is always the checkpointed plan itself (the releasable
+    // LogicalRDD); `labels` the (id, rep) view the joins consume.
+    var current = cp(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")))
+    var labels = current
     var converged = false
     while (!converged) {
       val nbrMin = edges
@@ -335,15 +356,17 @@ object Dedup {
       // one job per iteration: the checkpoint materializes the join, and
       // `changed` is then a scan-only count over the checkpointed rows
       // (old label carried alongside — no second join)
-      val next = labels
+      val next = cp(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("rep").as("old_rep"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-        .localCheckpoint()
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep")))
       val changed = next.filter(col("rep") < col("old_rep")).count()
+      release(current)
+      current = next
       labels = next.select(col("id"), col("rep"))
       converged = changed == 0
     }
+    release(edges) // the loop is done with the edge list; labels live on
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
       .select(col("id").as("doc_id"), col("rep").as("rep_id"), col("cluster_size"))

@@ -70,4 +70,43 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((1L, 2L)))
   }
+
+  /** Adversarial CC fixture: a path graph 10–11–12–…–19 has component
+    * diameter 9 — min-label propagation needs multiple passes for the
+    * minimum (10) to reach the far end, unlike the shallow star-shaped
+    * clusters real near-dup output produces. Pins the converged result:
+    * every vertex labels rep=10, size=10, alongside a separate pair and
+    * a singleton-free vertex set (vertices only exist via pairs). */
+  private def pathGraphPairs = {
+    import spark.implicits._
+    ((10L until 19L).map(i => (i, i + 1)) ++ Seq((30L, 31L)))
+      .toDF("d1", "d2")
+  }
+
+  test("dedupClusters closes a long-chain component to its minimum label") {
+    val out = Dedup.dedupClusters(pathGraphPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected =
+      (10L to 19L).map(i => (i, 10L, 10L)).toSet ++
+        Set((30L, 30L, 2L), (31L, 30L, 2L))
+    assert(out === expected)
+  }
+
+  test("dedupClusters with a reliable checkpoint dir produces the same clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val out = Dedup.dedupClusters(pathGraphPairs, checkpointDir = Some(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected =
+        (10L to 19L).map(i => (i, 10L, 10L)).toSet ++
+          Set((30L, 30L, 2L), (31L, 30L, 2L))
+      assert(out === expected)
+      // the durable path really did write checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint must persist files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
