@@ -544,7 +544,15 @@ class GraftBatchWrite(
     *  2. `inner.commit` publishes the replacement files;
     *  3. `_graft_txn/<id>.committed` marker (single atomic create) —
     *     THE commit point of the rewrite;
-    *  4. old files deleted, then both txn files removed.
+    *  4. old files deleted, then the txn files removed — `.pending`
+    *     strictly BEFORE `.committed`. The order is load-bearing: a
+    *     marker-less manifest means "never committed" to repair, so the
+    *     manifest must never outlive its marker — a crash between the
+    *     two cleanup deletes in the other order would present a
+    *     committed rewrite (old files already gone) as uncommitted, and
+    *     rollback would delete the live replacement files. An orphaned
+    *     `.committed` with no `.pending` is inert (repair iterates
+    *     `.pending` files only; txn ids are UUIDs, never reused).
     *
     * [[repairPendingCowDeletes]] runs at the start of every subsequent
     * write (under the permit, so no other writer is mid-flight):
@@ -604,7 +612,16 @@ class GraftBatchWrite(
         def tagged(t: String): Seq[Path] =
           lines.collect { case l if l.startsWith(t + "\t") => new Path(l.drop(2)) }
         val files = tagged("F")
-        if (fs.exists(marker)) {
+        // Defense-in-depth on the rollback decision: an uncommitted
+        // rewrite can NEVER have a missing F file (old-file deletes only
+        // run after the marker, and the conflict check pinned the
+        // listing), so marker-less + any F absent means the manifest is
+        // post-commit residue (e.g. a tampered or partially-cleaned txn
+        // dir). Roll FORWARD there — deleting unlisted files would hit
+        // the live replacements.
+        val committed = fs.exists(marker) ||
+          files.exists(f => !f.getFileSystem(conf).exists(f))
+        if (committed) {
           // committed: finish the delete phase
           files.foreach(f => f.getFileSystem(conf).delete(f, false))
         } else {
@@ -619,8 +636,9 @@ class GraftBatchWrite(
               .foreach(f => f.getFileSystem(conf).delete(f, false))
           }
         }
-        fs.delete(marker, false)
+        // pending BEFORE marker — see writePendingManifest step 4
         fs.delete(pm, false)
+        fs.delete(marker, false)
       }
     // empty txn dir left behind is harmless (underscore-hidden)
   }
@@ -715,11 +733,15 @@ class GraftBatchWrite(
     // rows; see GraftRowLevelOperation's atomicity note.)
     cowSnapshot.foreach(_.oldFiles.foreach(f =>
       f.getFileSystem(hadoopConf).delete(f, false)))
-    // the rewrite's delete phase is complete — retire the transaction
+    // the rewrite's delete phase is complete — retire the transaction:
+    // pending strictly BEFORE marker (a crash in between must leave an
+    // inert orphan marker, never a marker-less manifest that repair
+    // would roll back over the live replacements — see
+    // writePendingManifest step 4)
     txnFiles.foreach { case (pending, marker) =>
       val fs = pending.getFileSystem(hadoopConf)
-      fs.delete(marker, false)
       fs.delete(pending, false)
+      fs.delete(marker, false)
     }
     // per-path FileSystem: a partition registered with a custom LOCATION
     // may live on a different scheme than the table root, and the

@@ -364,6 +364,38 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).where("p = 'c'").count() === 1)
   }
 
+  test("marker-less manifest with missing old files rolls forward, not back") {
+    val t = freshTable("t_txn_residue")
+    seed(t)
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("rltest", "t_txn_residue")
+    val fs = new Path(meta.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // post-commit residue: a rewrite fully committed (old files deleted,
+    // replacements live) but its txn cleanup was interrupted, leaving the
+    // manifest without its marker. An UNCOMMITTED rewrite can never have
+    // a missing F file (old-file deletes only run after the marker), so
+    // repair must recognize this as committed and preserve the unlisted
+    // replacement files — rolling back here would delete the only copy
+    // of the data.
+    val dirA = write.GraftBatchWrite.partitionDir(meta,
+      meta.partitions.find(_.spec.get("p").contains("a")).get.spec)
+    val old = fs.listStatus(dirA).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    // the replacements are the live data; the manifest's F files are gone
+    val replacements = old.map { p =>
+      val r = new Path(dirA, s"part-replacement-${p.getName}")
+      assert(fs.rename(p, r)); r
+    }
+    writeManifest(meta, Seq(dirA), old.toSeq, committed = false)
+    spark.sql(s"INSERT INTO $t VALUES (9, 90.0, 'b')")
+    replacements.foreach(p =>
+      assert(fs.exists(p), s"live replacement $p must survive repair"))
+    assert(spark.table(t).where("p = 'a'").count() === 2)
+    assert(fs.listStatus(txnDir(meta)).isEmpty, "txn files should be retired")
+  }
+
   test("a completed UPDATE leaves no transaction residue") {
     val t = freshTable("t_txn_clean")
     seed(t)
