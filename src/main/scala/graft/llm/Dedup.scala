@@ -160,6 +160,68 @@ object Dedup {
         (r4(col("jaccard"))).as("jaccard"))
   }
 
+  /** Cross-snapshot near-duplicate detection: pairs a NEW-crawl document
+    * with every PREVIOUS-snapshot document whose word-n-gram Jaccard
+    * reaches tau — the incremental-ingest gate that keeps re-crawled
+    * (possibly lightly edited) pages out of the training set without
+    * re-deduplicating the whole corpus.
+    *
+    * Same PPJoin prefix-filter machinery as [[ngramJaccardPairs]], with
+    * the candidate join restricted to NEW × PREV: document frequencies
+    * (the prefix order) come from the union corpus, so the prefix lemma
+    * holds for every cross pair, while intra-slice pairs are never
+    * generated. At 100 TB the previous snapshot's prefix index is a
+    * build-once artifact — each ingest shingles only the new slice and
+    * probes the stored index, so per-ingest cost is O(new batch), not
+    * O(corpus). */
+  def crossSnapshotNearDups(
+      docs: DataFrame, idCol: String, textCol: String, isPrev: Column,
+      n: Int = 3, tau: Double = 0.8): DataFrame = {
+    // One shingling pass (tag carried through) serves prefix index, doc
+    // sizes and exact verification.
+    val sh = docs
+      .select(col(idCol).as("doc_id"), isPrev.as("is_prev"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("is_prev"),
+        explode(shingles(col("toks"), n)).as("s"))
+      .localCheckpoint()
+    val hashed = sh.select(col("doc_id"), col("is_prev"), xxhash64(col("s")).as("h"))
+    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = hashed.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(first("is_prev").as("is_prev"), count(lit(1)).as("n_sh"),
+        sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
+      .select(col("doc_id"), col("is_prev"),
+        explode(slice(col("sorted"), lit(1),
+          (col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1).cast("int")))
+          .as("e"))
+      .select(col("doc_id"), col("is_prev"), col("e.h").as("h"))
+    val cands = prefix.filter(!col("is_prev")).as("a")
+      .join(prefix.filter(col("is_prev")).as("b"), col("a.h") === col("b.h"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("prev_id"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val lengthOk = cands
+      .join(sizes.as("z1"), col("new_id") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("prev_id") === col("z2.doc_id"))
+      .filter(least(col("z1.n_sh"), col("z2.n_sh")).cast("double") >=
+        lit(tau) * greatest(col("z1.n_sh"), col("z2.n_sh")) - 1e-9)
+      .select(col("new_id"), col("prev_id"))
+    val candDocs = lengthOk.select(col("new_id").as("doc_id"))
+      .union(lengthOk.select(col("prev_id"))).distinct()
+    val sets = sh.select("doc_id", "s").join(candDocs, "doc_id")
+      .groupBy("doc_id").agg(collect_set("s").as("set"))
+    lengthOk
+      .join(sets.as("s1"), col("new_id") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("prev_id") === col("s2.doc_id"))
+      .withColumn("inter", size(array_intersect(col("s1.set"), col("s2.set"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("s1.set")) + size(col("s2.set")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("new_id").as("doc_id"), col("prev_id"),
+        r4(col("jaccard")).as("jaccard"))
+  }
+
   /** MinHash signatures: k permutation-minima per doc over the shingle
     * set. The i-th hash function is `xxhash64(i, shingle)` — salting the
     * 64-bit hash with the function index gives k independent functions

@@ -212,12 +212,63 @@ object LlmQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
+  // ---------------------------------------------------------------- q59
+  /** Cross-snapshot near-dedup: documents of the "new crawl" slice
+    * (doc_id ≢ 0 mod 3) whose trigram Jaccard with some "previous
+    * snapshot" document (doc_id ≡ 0 mod 3 — the slice crosses the
+    * fixture's near-dup pairs, so real hits exist) reaches 0.8. The
+    * incremental-ingest gate: only NEW×PREV candidate pairs are ever
+    * generated, so per-ingest cost tracks the new batch, not the corpus. */
+  def q59_cross_snapshot(spark: SparkSession, dir: String): DataFrame =
+    Dedup.crossSnapshotNearDups(docs(spark, dir), "doc_id", "text",
+      isPrev = col("doc_id") % 3 === 0)
+      .orderBy(col("doc_id"), col("prev_id"))
+
+  // ---------------------------------------------------------------- q60
+  /** Per-language token vocabulary: top-20 tokens by frequency (count
+    * desc, token asc — total order). Corpus statistics for tokenizer /
+    * stopword construction; WindowGroupLimit keeps the ranking top-k. */
+  def q60_vocab_topk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(docs(spark, dir), "lang", "text", k = 20)
+      .select(col("lang"), col("rk"), col("tok"), col("cnt"))
+      .orderBy(col("lang"), col("rk"))
+
+  // ---------------------------------------------------------------- q61
+  /** Boilerplate 5-grams: word 5-grams appearing in ≥2 distinct
+    * documents (C4-style repeated-content detection). The doc-frequency
+    * aggregation is the whole cost — one shuffle on the gram. */
+  def q61_boilerplate_ngrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateGrams(docs(spark, dir), "doc_id", "text",
+      n = 5, minDocs = 2)
+      .orderBy(col("doc_freq").desc, col("gram"))
+
+  // ---------------------------------------------------------------- q62
+  /** Percentile-band length filter: keep documents between the 5th and
+    * 95th n_chars percentile WITHIN their source (percent_rank over a
+    * total order — deterministic, no RNG). One window per source; at
+    * 100 TB the scale path is approx-quantile thresholds broadcast back
+    * (noted in SCALE.md) — the exact window form is the gated baseline. */
+  def q62_length_filter(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.operators.RelationalQueries.r4(col("pr")).as("pr4"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_dedup_clusters" -> (q55_dedup_clusters _),
     "q56_gopher_repetition" -> (q56_gopher_repetition _),
     "q57_decontaminate" -> (q57_decontaminate _),
     "q58_stratified_sample" -> (q58_stratified_sample _),
+    "q59_cross_snapshot" -> (q59_cross_snapshot _),
+    "q60_vocab_topk" -> (q60_vocab_topk _),
+    "q61_boilerplate_ngrams" -> (q61_boilerplate_ngrams _),
+    "q62_length_filter" -> (q62_length_filter _),
     "q43_redact" -> (q43_redact _),
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
@@ -474,6 +525,58 @@ object LlmQueries {
           |  FROM documents)
           | SELECT lang, rk, doc_id FROM r WHERE rk <= 20
           | ORDER BY lang, rk""".stripMargin,
+      // Cross pairs only (new slice × prev slice); same trigram shingle
+      // CTEs as q28, same exact-Jaccard definition.
+      "q59_cross_snapshot" ->
+        (shingleCtes.replace(
+          """ common AS (
+            |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+            |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)""".stripMargin,
+          """ common AS (
+            |  SELECT n.doc_id AS doc_id, p.doc_id AS prev_id, count(*) AS c
+            |  FROM sh n JOIN sh p ON n.s = p.s
+            |  WHERE n.doc_id % 3 <> 0 AND p.doc_id % 3 = 0
+            |  GROUP BY 1, 2)""".stripMargin) +
+          """
+            | SELECT doc_id, prev_id, round(jac * 10000) / 10000 AS jaccard FROM (
+            |  SELECT c.doc_id, c.prev_id,
+            |    CAST(c.c AS DOUBLE) / (s1.n_sh + s2.n_sh - c.c) AS jac
+            |  FROM common c JOIN sizes s1 ON c.doc_id = s1.doc_id
+            |                JOIN sizes s2 ON c.prev_id = s2.doc_id)
+            | WHERE jac >= 0.8 ORDER BY doc_id, prev_id""".stripMargin),
+      "q60_vocab_topk" ->
+        """WITH t AS (
+          |  SELECT lang,
+          |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+          |  FROM documents),
+          | c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+          | r AS (SELECT lang, tok, cnt,
+          |   CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS BIGINT) AS rk
+          |  FROM c)
+          | SELECT lang, rk, tok, cnt FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+      "q61_boilerplate_ngrams" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+          |  FROM documents),
+          | sh0 AS (
+          |  SELECT doc_id, CASE WHEN len(t) >= 5
+          |    THEN list_distinct([list_aggregate(t[i:i+4], 'string_agg', ' ')
+          |                        for i in range(1, len(t) - 3)])
+          |    ELSE [] END AS shl
+          |  FROM toks),
+          | sh AS (SELECT doc_id, unnest(shl) AS gram FROM sh0),
+          | df AS (SELECT gram, count(*) AS doc_freq FROM sh GROUP BY gram)
+          | SELECT gram, doc_freq FROM df WHERE doc_freq >= 2
+          | ORDER BY doc_freq DESC, gram""".stripMargin,
+      "q62_length_filter" ->
+        """WITH p AS (
+          |  SELECT source, doc_id, n_chars,
+          |    percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+          |  FROM documents)
+          | SELECT source, doc_id, n_chars, round(pr * 10000) / 10000 AS pr4
+          | FROM p WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY source, doc_id""".stripMargin,
     )
   }
 }

@@ -152,6 +152,39 @@ object TextAnalysis {
         (uniFrac <= maxUniFrac && biFrac <= maxBiFrac).as("passes_gopher"))
   }
 
+  /** Corpus-level per-stratum token vocabulary: the k most frequent
+    * whitespace tokens per value of `byCol`, ranked (count desc, token
+    * asc — a total order, so the ranking is deterministic). The explode
+    * collapses through map-side partial aggregation before the (stratum,
+    * token) shuffle, and the per-stratum ranking plans as
+    * WindowGroupLimit — each partition keeps k rows per stratum, never a
+    * full sort of the token counts. */
+  def vocabTopK(
+      docs: DataFrame, byCol: String, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol)).orderBy(col("cnt").desc, col("tok"))
+    docs.select(col(byCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(byCol, "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Corpus-level boilerplate n-grams (C4-style repeated-content
+    * detection): word n-grams occurring in at least `minDocs` DISTINCT
+    * documents. Shingles are per-doc distinct already, so a plain count
+    * is the document frequency — no count-distinct shuffle. At 100 TB
+    * the aggregation carries one (gram, partial-count) row per partition
+    * after map-side combine; the resulting boilerplate set is orders of
+    * magnitude smaller than the corpus and typically broadcasts back for
+    * the actual strip pass. */
+  def boilerplateGrams(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(explode(shingles(col("toks"), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+
   /** Polynomial rolling hash of the normalized text's character codes:
     * h ← (h·31 + code) mod 1e9+7. The modulus keeps every intermediate
     * < 2^35, so ANSI-mode long arithmetic never overflows, and the same

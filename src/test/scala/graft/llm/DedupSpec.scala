@@ -42,6 +42,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(lsh === exact)
   }
 
+  test("cross-snapshot near-dups: only NEW×PREV pairs, verified exactly") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (3L, base),                       // prev (id % 3 == 0)
+      (4L, base + " phi"),              // new, near-dup of prev 3 → flagged
+      (5L, "completely unrelated words about database query planning"),
+      (7L, base + " chi"),              // new near-dup of NEW 4 — intra-new,
+      (6L, base + " psi")               // prev near-dup of prev 3 — intra-prev
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossSnapshotNearDups(docs, "doc_id", "text",
+      isPrev = col("doc_id") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every output pair crosses the boundary: new on the left, prev right
+    assert(out.forall { case (n, p, _) => n % 3 != 0 && p % 3 == 0 })
+    // doc 4 matches both prev 3 and prev 6; doc 7 likewise; 5 matches none
+    assert(out.map(t => (t._1, t._2)).toSet ===
+      Set((4L, 3L), (4L, 6L), (7L, 3L), (7L, 6L)))
+    assert(out.forall { case (_, _, j) => j >= 0.8 && j <= 1.0 })
+  }
+
   test("simhash: identical docs collide at hamming 0; pairs respect the cap") {
     import spark.implicits._
     val docs = Seq(

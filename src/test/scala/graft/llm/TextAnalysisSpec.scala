@@ -28,4 +28,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(out(2) === ((3L, 0L, 0L, "v2 release 123 of 999")))
     assert(out(3) === ((4L, 0L, 0L, "clean text only")))
   }
+
+  test("vocabTopK ranks by count desc with token-asc tiebreak, keeps k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "b b b a a c"),
+      (2L, "en", "a c d"),
+      (3L, "fr", "x y")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.vocabTopK(docs, "lang", "text", k = 2)
+      .select("lang", "rk", "tok", "cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // en: a=3, b=3 (tie → a first), c=2 cut by k=2; fr: x=1, y=1
+    assert(out === Array(
+      ("en", 1L, "a", 3L), ("en", 2L, "b", 3L),
+      ("fr", 1L, "x", 1L), ("fr", 2L, "y", 1L)))
+  }
+
+  test("boilerplateGrams counts DISTINCT docs (intra-doc repeats once)") {
+    import spark.implicits._
+    val shared = "one two three four five"
+    val docs = Seq(
+      // the shared 5-gram appears TWICE in doc 1 — still df 2, not 3
+      (1L, s"$shared and $shared"),
+      (2L, s"prefix words here $shared"),
+      (3L, "totally different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateGrams(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out(shared) === 2L)
+    // no gram from the unrelated doc crosses the threshold
+    assert(out.keys.forall(_.split(" ").length == 5))
+    assert(!out.keys.exists(_.contains("totally")))
+  }
 }
