@@ -37,12 +37,16 @@ object Bench {
 
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     // warm-up pass (unmeasured); a query that fails here is excluded
-    // from the timed passes and reported at the end
+    // from the timed passes and reported at the end. NonFatal only: an
+    // OOM or other JVM-fatal error must still abort the whole run —
+    // timings taken inside a corrupted heap would be recorded as green.
+    def describe(e: Throwable): String =
+      s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("<no message>")}"
     val broken = collection.mutable.LinkedHashMap.empty[String, String]
     allNames.foreach { name =>
       try execute(name)
-      catch { case e: Throwable =>
-        broken(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      catch { case scala.util.control.NonFatal(e) =>
+        broken(name) = describe(e)
         System.err.println(s"[bench] $name failed in warm-up: ${broken(name)}")
       }
     }
@@ -59,11 +63,11 @@ object Bench {
         execute(name)
         val sec = (System.nanoTime() - t0) / 1e9
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         // a query that survives warm-up but breaks on re-execution
         // (stateful write paths) is just as broken — drop its timing
         best.remove(name)
-        broken(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        broken(name) = describe(e)
         System.err.println(s"[bench] $name failed in measured pass: ${broken(name)}")
       }
     }

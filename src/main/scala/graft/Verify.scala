@@ -23,14 +23,19 @@ object Verify {
     // "not declared".
     var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val sentinel = Paths.get(s"$outDir/${name}._error")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // outDir reuse: a stale sentinel from an earlier failed run must
+        // not keep reporting ERR once the query is green again
+        Files.deleteIfExists(sentinel)
+      } catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val msg = s"${e.getClass.getName}: ${e.getMessage}\n" +
           e.getStackTrace.take(12).mkString("", "\n", "\n")
-        Files.writeString(Paths.get(s"$outDir/${name}._error"), msg)
+        Files.writeString(sentinel, msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

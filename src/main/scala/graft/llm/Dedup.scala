@@ -125,18 +125,24 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // Length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| (for |A| ≤ |B|), so
-    // size-mismatched candidates can be discarded before the expensive
-    // set verification. `sizes` is one row per doc (SF-scaled) — no
-    // broadcast hint; AQE picks the join strategy from runtime sizes.
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val lengthOk = cands
+    verifyPairsExact(lengthFilter(cands, pruned, tau), pruned, tau)
+  }
+
+  /** Length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| (for |A| ≤ |B|), so
+    * size-mismatched candidate pairs can be discarded before the
+    * expensive set verification. `sizes` is one row per doc (SF-scaled)
+    * — no broadcast hint; AQE picks the join strategy from runtime
+    * sizes. The 1e-9 errs toward KEEPING a borderline pair (exactness
+    * is decided by verification, never here). */
+  private def lengthFilter(
+      cands: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cands
       .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
       .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
       .filter(least(col("z1.n_sh"), col("z2.n_sh")).cast("double") >=
         lit(tau) * greatest(col("z1.n_sh"), col("z2.n_sh")) - 1e-9)
       .select(col("d1"), col("d2"))
-    verifyPairsExact(lengthOk, pruned, tau)
   }
 
   /** Exact-Jaccard verification of candidate pairs against the full
@@ -196,30 +202,15 @@ object Dedup {
           (col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1).cast("int")))
           .as("e"))
       .select(col("doc_id"), col("is_prev"), col("e.h").as("h"))
+    // d1 = new doc, d2 = prev doc; the shared length-filter +
+    // exact-verification pipeline is direction-agnostic.
     val cands = prefix.filter(!col("is_prev")).as("a")
       .join(prefix.filter(col("is_prev")).as("b"), col("a.h") === col("b.h"))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("prev_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val lengthOk = cands
-      .join(sizes.as("z1"), col("new_id") === col("z1.doc_id"))
-      .join(sizes.as("z2"), col("prev_id") === col("z2.doc_id"))
-      .filter(least(col("z1.n_sh"), col("z2.n_sh")).cast("double") >=
-        lit(tau) * greatest(col("z1.n_sh"), col("z2.n_sh")) - 1e-9)
-      .select(col("new_id"), col("prev_id"))
-    val candDocs = lengthOk.select(col("new_id").as("doc_id"))
-      .union(lengthOk.select(col("prev_id"))).distinct()
-    val sets = sh.select("doc_id", "s").join(candDocs, "doc_id")
-      .groupBy("doc_id").agg(collect_set("s").as("set"))
-    lengthOk
-      .join(sets.as("s1"), col("new_id") === col("s1.doc_id"))
-      .join(sets.as("s2"), col("prev_id") === col("s2.doc_id"))
-      .withColumn("inter", size(array_intersect(col("s1.set"), col("s2.set"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("s1.set")) + size(col("s2.set")) - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select(col("new_id").as("doc_id"), col("prev_id"),
-        r4(col("jaccard")).as("jaccard"))
+    val shPlain = sh.select("doc_id", "s")
+    verifyPairsExact(lengthFilter(cands, shPlain, tau), shPlain, tau)
+      .select(col("d1").as("doc_id"), col("d2").as("prev_id"), col("jaccard"))
   }
 
   /** MinHash signatures: k permutation-minima per doc over the shingle
@@ -387,18 +378,41 @@ object Dedup {
     // durable `checkpoint`, the right call at 100 TB where losing one
     // of 1000 executors over a multi-iteration CC is routine.
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val sc = spark.sparkContext
+    // setCheckpointDir is session-global state — the caller opts into
+    // owning it by passing a dir.
+    checkpointDir.foreach(sc.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        // Persist before the eager checkpoint: ReliableCheckpointRDD
+        // otherwise RECOMPUTES the plan to write the files (the eager
+        // count is one pass, the file write a second) — with the cache
+        // the write reads blocks, and the cache is dropped immediately
+        // after (the checkpoint files are now the source of truth).
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = df.checkpoint()
+        df.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
     // Eagerly free a SUPERSEDED iteration's checkpoint storage: without
     // this, every iteration's blocks stay materialized on executors
     // until ContextCleaner GC — linear storage growth with iteration
     // count. Safe because the caller rebinds before releasing, so
-    // nothing references the old checkpoint; a reliable checkpoint
-    // keeps its files (only block-manager copies are dropped).
+    // nothing references the old checkpoint. In durable mode the
+    // superseded iteration's checkpoint FILES are deleted too
+    // (best-effort): ContextCleaner only reclaims them under
+    // cleanCheckpoints+GC, which never fires inside the loop, so
+    // reliable-storage usage would otherwise grow linearly with
+    // iteration count.
     def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
+        if (checkpointDir.isDefined) for (dir <- sc.getCheckpointDir) {
+          scala.util.Try {
+            val p = new org.apache.hadoop.fs.Path(dir, s"rdd-${l.rdd.id}")
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+          }
+        }
       case _ =>
     }
     val edges = cp(pairs.select(col("d1").as("src"), col("d2").as("dst"))

@@ -238,8 +238,7 @@ object LlmQueries {
     * documents (C4-style repeated-content detection). The doc-frequency
     * aggregation is the whole cost — one shuffle on the gram. */
   def q61_boilerplate_ngrams(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.boilerplateGrams(docs(spark, dir), "doc_id", "text",
-      n = 5, minDocs = 2)
+    TextAnalysis.boilerplateGrams(docs(spark, dir), "text", n = 5, minDocs = 2)
       .orderBy(col("doc_freq").desc, col("gram"))
 
   // ---------------------------------------------------------------- q62

@@ -178,9 +178,8 @@ object TextAnalysis {
     * magnitude smaller than the corpus and typically broadcasts back for
     * the actual strip pass. */
   def boilerplateGrams(
-      docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Long): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      docs: DataFrame, textCol: String, n: Int, minDocs: Long): DataFrame =
+    docs.select(tokens(col(textCol)).as("toks"))
       .select(explode(shingles(col("toks"), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)

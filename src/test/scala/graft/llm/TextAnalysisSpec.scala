@@ -54,7 +54,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       (2L, s"prefix words here $shared"),
       (3L, "totally different content with no overlap at all")
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.boilerplateGrams(docs, "doc_id", "text", n = 5, minDocs = 2)
+    val out = TextAnalysis.boilerplateGrams(docs, "text", n = 5, minDocs = 2)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(out(shared) === 2L)
     // no gram from the unrelated doc crosses the threshold
