@@ -150,7 +150,14 @@ object Dedup {
     * first): at corpus scale candidates ≪ docs, so the collect_set
     * aggregation touches a sliver of the data. */
   private def verifyPairsExact(
-      cands: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+      cands0: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    // The candidate pipeline (prefix self-join + length filter) appears
+    // THREE times downstream (candDocs twice via the union, the verify
+    // join once) — without a cut the whole subtree re-executes per
+    // appearance (exchange reuse does not span these shapes). The
+    // candidate set is O(near-dup pairs) — tiny — so materializing it
+    // is cheap and collapses the plan to one execution.
+    val cands = cands0.localCheckpoint()
     val candDocs = cands.select(col("d1").as("doc_id"))
       .union(cands.select(col("d2"))).distinct()
     val sets = sh.join(candDocs, "doc_id")
