@@ -415,10 +415,15 @@ object RelationalQueries {
     t(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        r2(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
-        r2(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"),
+        // one percentile aggregate with an array of percentages — the
+        // group's values buffer ONCE, not once per requested quantile
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ps"),
         r2(min($"l_extendedprice")).as("min_price"),
         r2(max($"l_extendedprice")).as("max_price"))
+      .select($"l_returnflag",
+        r2(element_at($"ps", 1)).as("median_price"),
+        r2(element_at($"ps", 2)).as("p95_price"),
+        $"min_price", $"max_price")
       .orderBy($"l_returnflag")
   }
 
