@@ -258,6 +258,23 @@ object LlmQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q63
+  /** TF-IDF keyword extraction: top-5 terms per document by
+    * tf·ln(N/df), ranked on the rounded score with token-asc tiebreak. */
+  def q63_tfidf_topk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(docs(spark, dir), "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"), col("rk"))
+
+  // ---------------------------------------------------------------- q64
+  /** Embedding label-noise detection: squared distance of each vector
+    * to its label's centroid, top-5 farthest per label. Centroids use
+    * integer-quantized per-dim sums (exact, shuffle-order-free), so the
+    * whole query is hash-gateable despite the float input. */
+  def q64_embedding_outliers(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelOutliers(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("label"), col("rk"))
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_dedup_clusters" -> (q55_dedup_clusters _),
@@ -268,6 +285,8 @@ object LlmQueries {
     "q60_vocab_topk" -> (q60_vocab_topk _),
     "q61_boilerplate_ngrams" -> (q61_boilerplate_ngrams _),
     "q62_length_filter" -> (q62_length_filter _),
+    "q63_tfidf_topk" -> (q63_tfidf_topk _),
+    "q64_embedding_outliers" -> (q64_embedding_outliers _),
     "q43_redact" -> (q43_redact _),
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
@@ -576,6 +595,45 @@ object LlmQueries {
           |  FROM documents)
           | SELECT source, doc_id, n_chars, round(pr * 10000) / 10000 AS pr4
           | FROM p WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY source, doc_id""".stripMargin,
+      // DuckDB ln == Spark log (natural); ranking on the rounded score
+      // (see tfidfTopK's scaladoc for why raw-double rank is unsafe).
+      "q63_tfidf_topk" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+          |  FROM documents),
+          | tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+          | df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+          | n AS (SELECT count(*) AS n_docs FROM documents),
+          | s AS (
+          |  SELECT doc_id, tok, tf,
+          |    round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000) / 10000 AS score4
+          |  FROM tf JOIN df USING (tok), n),
+          | r AS (SELECT doc_id, tok, tf, score4,
+          |   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score4 DESC, tok) AS BIGINT) AS rk
+          |  FROM s)
+          | SELECT doc_id, rk, tok, tf, score4 FROM r WHERE rk <= 5
+          | ORDER BY doc_id, rk""".stripMargin,
+      // Integer-quantized centroid sums (exact longs in both engines),
+      // then the same left-to-right squared-distance fold as Spark's
+      // zip_with+aggregate.
+      "q64_embedding_outliers" ->
+        """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          | d AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+          | cpd AS (
+          |  SELECT label, i,
+          |    CAST(sum(CAST(round(x * 10000) AS BIGINT)) AS DOUBLE) / (count(*) * 10000.0) AS c
+          |  FROM d GROUP BY 1, 2),
+          | cent AS (SELECT label, list(c ORDER BY i) AS cv FROM cpd GROUP BY label),
+          | dist AS (
+          |  SELECT e.vec_id, e.label,
+          |    list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v)+1) ]) AS dist
+          |  FROM e JOIN cent USING (label)),
+          | r AS (SELECT vec_id, label, dist,
+          |   CAST(row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS BIGINT) AS rk
+          |  FROM dist)
+          | SELECT label, rk, vec_id, round(dist * 10000) / 10000 AS dist4
+          | FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
     )
   }
 }

@@ -45,6 +45,47 @@ object Similarity {
     vecs.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** Per-label centroid distance + top-k outliers: the label-noise
+    * detector of an embedding-annotated training set. Centroids are
+    * computed with integer-quantized per-dimension sums (round(x·10⁴)
+    * as long) — exact, shuffle-order-free arithmetic, so the result is
+    * bit-identical across engines and partitionings (the repo's
+    * integer-cent accumulator pattern; a float sum's low bits would
+    * depend on reduction order). The squared distance is a row-local
+    * left-to-right fold, mirrored by the oracle's list comprehension.
+    *
+    * 100 TB posture: the per-(label, dim) partial sums combine
+    * map-side, so the centroid shuffle carries labels × dims rows; the
+    * centroid table (one array per label) is constant-size and
+    * broadcasts back; the distance pass is one corpus scan. Output:
+    * (label, rk, vec_id, dist4), the k farthest per label. */
+  def labelOutliers(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val dims = vecs.select(col(labelCol).as("label"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+    val cent = dims.groupBy("label", "i")
+      .agg(sum(round(col("x") * 10000).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (col("s").cast("double") / (col("n") * lit(10000.0))).as("c"))
+    val centArr = cent.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("label"), transform(col("ic"), e => e.getField("c")).as("cv"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id"))
+    vecs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(centArr, "label")
+      .withColumn("dist", aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"),
+        r4(col("dist")).as("dist4"))
+  }
+
   /** Exact cosine top-k of `corpus` for each row of `queries` (both in
     * [[normalized]] layout). Output: (q_id, n_id, rank, sim4). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

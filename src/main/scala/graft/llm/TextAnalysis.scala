@@ -169,6 +169,33 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Per-document TF-IDF top-k terms (keyword extraction for corpus
+    * curation / topic balancing). `score = tf · ln(N/df)`; ranking is
+    * on the ROUNDED score (then token asc) — mathematically-equal
+    * scores from different (tf, df) pairs (e.g. 2·ln(N/a) = ln(N/a²·N⁻¹))
+    * need not be bit-equal across engines, but equal-after-rounding
+    * groups resolve by the token tiebreak identically everywhere.
+    *
+    * 100 TB posture: tf and df are map-side-combined aggregations; the
+    * corpus-size scalar joins as a broadcast literal (no driver
+    * collect); the per-doc ranking plans as WindowGroupLimit. */
+  def tfidfTopK(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score4").desc, col("tok"))
+    tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .withColumn("score4", graft.operators.RelationalQueries.r4(
+        col("tf") * log(col("n_docs").cast("double") / col("df"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("score4"))
+  }
+
   /** Corpus-level boilerplate n-grams (C4-style repeated-content
     * detection): word n-grams occurring in at least `minDocs` DISTINCT
     * documents. Shingles are per-doc distinct already, so a plain count

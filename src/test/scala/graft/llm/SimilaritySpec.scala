@@ -24,6 +24,27 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("labelOutliers: farthest-from-centroid ranks first, exact distances") {
+    import spark.implicits._
+    // label 0: three clustered vectors + one far outlier; label 1: two
+    // symmetric vectors (both equidistant → vec_id tiebreak).
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(0.2f, 0.0f), 0),
+      (3L, Array(0.0f, 0.2f), 0),
+      (4L, Array(10.0f, 10.0f), 0),
+      (5L, Array(1.0f, 0.0f), 1),
+      (6L, Array(-1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(vecs, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // label 0 centroid = (2.55, 2.55); vec 4 is farthest by a mile
+    assert(out(0)._1 === 0 && out(0)._3 === 4L)
+    // label 1 centroid = (0,0): both at distance 1, tiebreak on vec_id
+    assert(out.filter(_._1 == 1).map(_._3).toSeq === Seq(5L, 6L))
+    assert(out.filter(_._1 == 1).forall(_._4 === 1.0))
+  }
+
   test("a vector's nearest neighbor under its own duplicate is itself at sim 1") {
     import spark.implicits._
     // duplicate vec 0 under a fresh id; its top-1 must be vec 0 at sim 1.0

@@ -45,6 +45,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       ("fr", 1L, "x", 1L), ("fr", 2L, "y", 1L)))
   }
 
+  test("tfidfTopK: rare terms outrank common ones; ubiquitous terms score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared rare1 rare1 rare1"),
+      (2L, "shared common rare2"),
+      (3L, "shared common filler")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // doc 1: rare1 (tf 3, df 1) dominates; 'shared' has df 3 = N → 0
+    assert(d1.head._3 === "rare1" && d1.head._4 === 3L)
+    assert(d1.find(_._3 == "shared").get._5 === 0.0)
+    // ranks are contiguous from 1 within each doc
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length))
+    }
+  }
+
   test("boilerplateGrams counts DISTINCT docs (intra-doc repeats once)") {
     import spark.implicits._
     val shared = "one two three four five"
