@@ -265,6 +265,33 @@ object LlmQueries {
     TextAnalysis.tfidfTopK(docs(spark, dir), "doc_id", "text", k = 5)
       .orderBy(col("doc_id"), col("rk"))
 
+  // ---------------------------------------------------------------- q65
+  /** End-to-end corpus curation — the composed training-set gate a
+    * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
+    * (2) exact-dedup keep-min (q27's canonical survivor), (3) benchmark
+    * decontamination (q57's 8-gram overlap vs the probe slice, corpus =
+    * non-probe docs). Output: the surviving (doc_id, lang, quality).
+    *
+    * The near-dup stage (q29 pairs → q55 clusters → drop non-reps)
+    * composes the same way but is kept out of this fixture query so the
+    * bench's dedup tail isn't paid twice; each piece is hash-gated on
+    * its own. */
+  def q65_curate(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(spark, dir).filter(col("doc_id") % 35 =!= 0)
+    val keep = Dedup.exactGroups(corpus, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val qual = TextAnalysis.withQuality(corpus, "text")
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val contaminated =
+      Dedup.decontaminationHits(docs(spark, dir), "doc_id", "text",
+        n = 8, probeMod = 35).select(col("doc_id"))
+    qual
+      .join(keep, "doc_id")
+      .filter(col("quality") >= 0.5)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q64
   /** Embedding label-noise detection: squared distance of each vector
     * to its label's centroid, top-5 farthest per label. Centroids use
@@ -287,6 +314,7 @@ object LlmQueries {
     "q62_length_filter" -> (q62_length_filter _),
     "q63_tfidf_topk" -> (q63_tfidf_topk _),
     "q64_embedding_outliers" -> (q64_embedding_outliers _),
+    "q65_curate" -> (q65_curate _),
     "q43_redact" -> (q43_redact _),
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
@@ -634,6 +662,42 @@ object LlmQueries {
           |  FROM dist)
           | SELECT label, rk, vec_id, round(dist * 10000) / 10000 AS dist4
           | FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
+      // Composition of the q34 quality score, q27 keep-min dedup and
+      // q57 decontamination, all restricted the same way as the Spark
+      // pipeline (corpus = non-probe docs; probes = doc_id % 35 = 0).
+      "q65_curate" ->
+        """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 35 <> 0),
+          | t AS (
+          |  SELECT doc_id, lang,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM corpus),
+          | q AS (
+          |  SELECT doc_id, lang,
+          |    round((least(1.0, len(toks) / 100.0)
+          |           * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+          |                    / len(toks))) * 10000) / 10000 AS quality
+          |  FROM t),
+          | keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM (
+          |   SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+          |   FROM corpus) GROUP BY h),
+          | sh AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(t2) >= 8
+          |    THEN list_distinct([list_aggregate(t2[i:i+7], 'string_agg', ' ')
+          |                        for i in range(1, len(t2) - 6)])
+          |    ELSE [] END) AS s
+          |  FROM (SELECT doc_id,
+          |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t2
+          |        FROM documents)),
+          | probes AS (SELECT DISTINCT s FROM sh WHERE doc_id % 35 = 0),
+          | contaminated AS (
+          |  SELECT DISTINCT sh.doc_id FROM sh JOIN probes USING (s)
+          |  WHERE sh.doc_id % 35 <> 0)
+          | SELECT q.doc_id, q.lang, q.quality
+          | FROM q JOIN keep USING (doc_id)
+          | WHERE q.quality >= 0.5
+          |   AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          | ORDER BY q.doc_id""".stripMargin,
     )
   }
 }

@@ -64,6 +64,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out.forall { case (_, _, j) => j >= 0.8 && j <= 1.0 })
   }
 
+  test("curate pipeline drops low-quality, duplicate and contaminated docs") {
+    // q65's composition on the sf0.001 fixture: every survivor must be
+    // (a) its content group's minimum id, (b) at or above the quality
+    // floor, (c) free of probe 8-gram overlap — and every non-survivor
+    // of the corpus slice must fail at least one of the three.
+    val out = LlmQueries.q65_curate(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 0.5))
+    val survivors = out.map(_._1).toSet
+    assert(survivors.forall(_ % 35 != 0), "probe docs are not corpus members")
+    val contaminated = Dedup.decontaminationHits(
+        fixtureDocs, "doc_id", "text", n = 8, probeMod = 35)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(contaminated).isEmpty,
+      "no contaminated doc may survive curation")
+  }
+
   test("simhash: identical docs collide at hamming 0; pairs respect the cap") {
     import spark.implicits._
     val docs = Seq(
