@@ -19,6 +19,9 @@ case class Event(
 /** One emission of the stateful throttle (s06). */
 case class Emitted(user_id: Long, event_id: Long, ts: LocalDateTime)
 
+/** One document row for the streaming-ingest dedup replay (s10). */
+case class Doc(doc_id: Long, text: String, lang: String)
+
 /** Structured Streaming execution of the event-window inventory
   * (SURVEY.md §2.3 S1/S5): the SAME windowed-aggregation expressions as
   * the batch forms in EventWindowQueries, driven through a real
@@ -329,6 +332,36 @@ object EventStreams {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------- s10
+  /** Streaming ingest dedup — the continuous form of q27's exact dedup:
+    * a document stream deduplicated on the normalized content hash with
+    * `dropDuplicates`, replayed as two microbatches carrying the SAME
+    * corpus (the re-crawl / double-ingest scenario). Batch 2 must add
+    * ZERO rows — every content hash is already in state — so the sink
+    * holds exactly the first ingest and converges to the batch
+    * distinct.
+    *
+    * Scale posture: state is one row per distinct content hash (the
+    * 64-char key, never document bodies); a production stream bounds
+    * state to the ingest-time horizon with
+    * `dropDuplicatesWithinWatermark` — the fixture documents carry no
+    * timestamps, so the unbounded replay is the test shape. */
+  def s10_stream_dedup_ingest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang").as[Doc].collect().toSeq
+    val src = MemoryStream[Doc]
+    val deduped = src.toDF()
+      .withColumn("content_hash",
+        sha2(graft.llm.TextOps.normText(col("text")), 256))
+      .dropDuplicates("content_hash")
+      .select(col("doc_id"), col("lang"))
+    runToMemory(spark, deduped, "append") { query =>
+      Seq(docs, docs).foreach { b => src.addData(b); query.processAllAvailable() }
+    }.orderBy(col("doc_id"))
+  }
+
   /** Driver-side reference for s06 — one global greedy pass (used by the
     * spec to gate the streaming result). */
   private[streaming] def throttleReference(events: Seq[Event]): Seq[Emitted] =
@@ -358,6 +391,7 @@ object EventStreams {
     "s07_interval_join" -> (s07_interval_join _),
     "s08_stream_static_join" -> (s08_stream_static_join _),
     "s09_stream_sink" -> (s09_stream_sink _),
+    "s10_stream_dedup_ingest" -> (s10_stream_dedup_ingest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -412,6 +446,16 @@ object EventStreams {
         |  count(*) AS cnt, round((sum(e.value)) * 100) / 100 AS sum_value
         | FROM events e JOIN customer c ON e.user_id = c.c_custkey
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Dedup-on-ingest must converge to the batch distinct: one survivor
+    // (the smallest id — the fixture has no intra-batch duplicates, so
+    // first-seen == min) per normalized content hash.
+    "s10_stream_dedup_ingest" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents)
+        | WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // The streaming interval join must converge to the plain batch join.
     "s07_interval_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,

@@ -29,6 +29,15 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       "throttle emitted everything — state had no effect")
   }
 
+  test("ingest dedup: a re-ingested batch adds zero rows; fixture run equals batch distinct") {
+    // fixture replay: second identical batch must be fully absorbed
+    val out = EventStreams.s10_stream_dedup_ingest(spark, sf0001)
+      .collect().map(_.getLong(0))
+    val n = graft.Tables(spark, sf0001, "documents").count()
+    assert(out.length === n, "double ingest of a dup-free corpus keeps every doc once")
+    assert(out.toSeq === out.sorted.toSeq)
+  }
+
   test("stream-stream interval join equals the batch join across replay batches") {
     import org.apache.spark.sql.functions._
     // replay stages all clicks before all errors, so EVERY match below
