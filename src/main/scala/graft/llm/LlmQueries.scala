@@ -265,6 +265,28 @@ object LlmQueries {
     TextAnalysis.tfidfTopK(docs(spark, dir), "doc_id", "text", k = 5)
       .orderBy(col("doc_id"), col("rk"))
 
+  // ---------------------------------------------------------------- q66
+  /** Deterministic data-mixing sampler: downsample every language
+    * stratum to the SMALLEST stratum's size (a uniform target mix) by
+    * the same salted-sha256 order q58 uses — reproducible across runs,
+    * retries and engines, no RNG. The scalar target joins as a 1-row
+    * broadcast; the per-stratum ranking plans as WindowGroupLimit. At
+    * 100 TB the target vector generalizes to arbitrary mixture weights
+    * (rows-per-stratum computed from the same counts aggregate). */
+  def q66_mix_sample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val target = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("target"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(sha2(concat_ws("|", lit("graft"), col("doc_id").cast("string")), 256),
+        col("doc_id"))
+    d.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(target))
+      .filter(col("rk") <= col("target"))
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   // ---------------------------------------------------------------- q65
   /** End-to-end corpus curation — the composed training-set gate a
     * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
@@ -315,6 +337,7 @@ object LlmQueries {
     "q63_tfidf_topk" -> (q63_tfidf_topk _),
     "q64_embedding_outliers" -> (q64_embedding_outliers _),
     "q65_curate" -> (q65_curate _),
+    "q66_mix_sample" -> (q66_mix_sample _),
     "q43_redact" -> (q43_redact _),
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
@@ -698,6 +721,20 @@ object LlmQueries {
           | WHERE q.quality >= 0.5
           |   AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
           | ORDER BY q.doc_id""".stripMargin,
+      // q58's salted order with the uniform-mix target: every stratum
+      // cut to the smallest stratum's size.
+      "q66_mix_sample" ->
+        """WITH n AS (
+          |  SELECT min(cnt) AS target FROM (
+          |   SELECT count(*) AS cnt FROM documents GROUP BY lang)),
+          | r AS (
+          |  SELECT lang, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY sha256('graft|' || CAST(doc_id AS VARCHAR)), doc_id)
+          |      AS BIGINT) AS rk
+          |  FROM documents)
+          | SELECT lang, rk, doc_id FROM r, n WHERE rk <= target
+          | ORDER BY lang, rk""".stripMargin,
     )
   }
 }

@@ -64,6 +64,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("mix sampler cuts every stratum to the smallest stratum's size") {
+    val out = LlmQueries.q66_mix_sample(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byLang = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val counts = graft.Tables(spark, sf0001, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = counts.values.min
+    assert(byLang.keySet === counts.keySet, "every stratum is represented")
+    byLang.foreach { case (lang, rks) =>
+      assert(rks === (1L to target), s"$lang must hold ranks 1..$target")
+    }
+  }
+
   test("boilerplateGrams counts DISTINCT docs (intra-doc repeats once)") {
     import spark.implicits._
     val shared = "one two three four five"
