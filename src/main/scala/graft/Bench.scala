@@ -98,10 +98,12 @@ object Bench {
     // Centisecond precision normally; deciseconds when the inventory
     // grows the line past the window; as a last resort keep deciseconds
     // but shorten keys to the unique qNN/sNN prefix ("q61" for
-    // "q61_boilerplate_ngrams") — a 78-query full-name line already
-    // sits within ~60 chars of the 1900 cap.
+    // "q61_boilerplate_ngrams"). The cap is 1800 — 100 under the
+    // driver's window — so the rendering can't flip between variants
+    // when one timing gains a digit (the 80-query full-name line
+    // measured exactly 1899: one char of headroom is not stability).
     val line = Seq(render(2), render(1), render(1, shortKeys = true))
-      .find(_.length <= 1900).getOrElse(render(1, shortKeys = true))
+      .find(_.length <= 1800).getOrElse(render(1, shortKeys = true))
     println(line)
     spark.stop()
     if (broken.nonEmpty) {
