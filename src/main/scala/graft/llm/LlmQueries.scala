@@ -201,15 +201,21 @@ object LlmQueries {
     * (no RNG; re-runs and retries can't change the sample). One
     * window per stratum, WindowGroupLimit keeps it top-k, not a full
     * sort of the corpus. */
-  def q58_stratified_sample(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-      .orderBy(sha2(concat_ws("|", lit("graft"), col("doc_id").cast("string")), 256),
-        col("doc_id"))
-    docs(spark, dir)
-      .withColumn("rk", row_number().over(w).cast("long"))
+  def q58_stratified_sample(spark: SparkSession, dir: String): DataFrame =
+    saltedStratumRank(docs(spark, dir))
       .filter(col("rk") <= 20)
       .select(col("lang"), col("rk"), col("doc_id"))
       .orderBy(col("lang"), col("rk"))
+
+  /** Shared salted per-stratum ranking (q58, q66): the salt string, the
+    * sha256 order and the doc_id tiebreak are the cross-engine
+    * determinism contract both DuckDB oracles state verbatim — one
+    * definition site so they cannot drift apart. */
+  private def saltedStratumRank(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(sha2(concat_ws("|", lit("graft"), col("doc_id").cast("string")), 256),
+        col("doc_id"))
+    d.withColumn("rk", row_number().over(w).cast("long"))
   }
 
   // ---------------------------------------------------------------- q59
@@ -277,10 +283,7 @@ object LlmQueries {
     val d = docs(spark, dir)
     val target = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
       .agg(min(col("cnt")).as("target"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-      .orderBy(sha2(concat_ws("|", lit("graft"), col("doc_id").cast("string")), 256),
-        col("doc_id"))
-    d.withColumn("rk", row_number().over(w).cast("long"))
+    saltedStratumRank(d)
       .crossJoin(broadcast(target))
       .filter(col("rk") <= col("target"))
       .select(col("lang"), col("rk"), col("doc_id"))

@@ -29,13 +29,17 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       "throttle emitted everything — state had no effect")
   }
 
-  test("ingest dedup: a re-ingested batch adds zero rows; fixture run equals batch distinct") {
-    // fixture replay: second identical batch must be fully absorbed
+  test("ingest dedup: a re-ingested batch adds zero rows; counts equal batch distinct") {
+    import org.apache.spark.sql.functions._
+    // two identical ingests: every (lang, hash) key survives exactly once
     val out = EventStreams.s10_stream_dedup_ingest(spark, sf0001)
-      .collect().map(_.getLong(0))
-    val n = graft.Tables(spark, sf0001, "documents").count()
-    assert(out.length === n, "double ingest of a dup-free corpus keeps every doc once")
-    assert(out.toSeq === out.sorted.toSeq)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = graft.Tables(spark, sf0001, "documents")
+      .groupBy(col("lang"))
+      .agg(countDistinct(sha2(graft.llm.TextOps.normText(col("text")), 256))
+        .as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === expected)
   }
 
   test("stream-stream interval join equals the batch join across replay batches") {
