@@ -102,8 +102,17 @@ object Bench {
     // driver's window — so the rendering can't flip between variants
     // when one timing gains a digit (the 80-query full-name line
     // measured exactly 1899: one char of headroom is not stability).
-    val line = Seq(render(2), render(1), render(1, shortKeys = true))
-      .find(_.length <= 1800).getOrElse(render(1, shortKeys = true))
+    // Shortening is only sound while prefixes are unique — a collision
+    // would silently merge two timings under one JSON key — so the
+    // short-key variant is offered only when every prefix is distinct
+    // (full names, even past the cap, beat corrupt JSON).
+    val shortable = {
+      val all = (names ++ broken.keys).distinct
+      all.map(_.split("_").head).distinct.size == all.size
+    }
+    val variants = Seq(render(2), render(1)) ++
+      (if (shortable) Seq(render(1, shortKeys = true)) else Nil)
+    val line = variants.find(_.length <= 1800).getOrElse(variants.last)
     println(line)
     spark.stop()
     if (broken.nonEmpty) {

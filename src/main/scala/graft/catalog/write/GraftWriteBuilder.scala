@@ -615,12 +615,18 @@ class GraftBatchWrite(
         // Defense-in-depth on the rollback decision: an uncommitted
         // rewrite can NEVER have a missing F file (old-file deletes only
         // run after the marker, and the conflict check pinned the
-        // listing), so marker-less + any F absent means the manifest is
-        // post-commit residue (e.g. a tampered or partially-cleaned txn
-        // dir). Roll FORWARD there — deleting unlisted files would hit
-        // the live replacements.
+        // listing), so marker-less + ALL F files absent means the
+        // manifest is post-commit residue (the legacy cleanup-order
+        // crash deleted every F, then died before removing the pending
+        // file). Roll FORWARD only there. A PARTIALLY-missing F set is
+        // ambiguous — e.g. one externally-lost old file on a genuinely
+        // uncommitted txn — and rolling forward would delete the
+        // remaining originals while the replacement set may be partial;
+        // rollback is the smaller blast radius, so it stays the default
+        // for any mixed state.
         val committed = fs.exists(marker) ||
-          files.exists(f => !f.getFileSystem(conf).exists(f))
+          (files.nonEmpty &&
+            files.forall(f => !f.getFileSystem(conf).exists(f)))
         if (committed) {
           // committed: finish the delete phase
           files.foreach(f => f.getFileSystem(conf).delete(f, false))

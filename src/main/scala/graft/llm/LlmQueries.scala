@@ -63,6 +63,20 @@ object LlmQueries {
       Tables(spark, dir, "embeddings"), "vec_id", "embedding", minCos = 0.45)
       .orderBy(col("d1"), col("d2"))
 
+  // --------------------------------------------------------------- q38b
+  /** The same pairs through SRP-LSH candidate generation with exact
+    * cosine verification — the scale path of the embedding dedup family
+    * (q29's banding pattern applied to q38). The seeded planes make the
+    * bucketing deterministic and the designed per-pair miss bound at
+    * the 0.45 threshold is ≈ 7·10⁻⁷ (b = 2, t = 26 — see
+    * [[Dedup.embeddingNearDupPairsLsh]] for the bound AND the honest
+    * fixture-scale pruning statement), so the same SQL oracle gates
+    * both forms. */
+  def q38b_dedup_embedding_lsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairsLsh(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", minCos = 0.45)
+      .orderBy(col("d1"), col("d2"))
+
   // ---------------------------------------------------------------- q31
   /** Brute-force cosine top-5 neighbors for the first 10 vectors — the
     * ANN exactness baseline: one corpus pass, query side broadcast by
@@ -264,6 +278,38 @@ object LlmQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  // --------------------------------------------------------------- q62b
+  /** The 100 TB form of q62: per-source `approx_percentile` thresholds
+    * (ONE aggregation pass with map-side-combined quantile sketches —
+    * rank error ≤ n/accuracy) joined back as a broadcast into a plain
+    * scan filter. No per-source window, no per-stratum total sort: the
+    * dominant source's slice never funnels into a single task, which is
+    * exactly the scale-killer the exact q62 baseline carries.
+    *
+    * Sketch thresholds are engine-specific (DuckDB's approx_quantile is
+    * a different sketch), so this is rows-only gated; the rank-error
+    * guarantee vs q62's exact band is property-gated in PlanShapeSpec.
+    * Band semantics differ from q62 at the boundary BY DESIGN:
+    * thresholds keep every doc whose n_chars ties the boundary value,
+    * while percent_rank's doc_id tiebreak can split a tied group. */
+  def q62b_length_filter_approx(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.join(broadcast(approxLengthThresholds(d)), "source")
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Per-source (lo, hi) = approx 5th/95th n_chars percentiles — the
+    * broadcastable threshold table q62b filters against (one row per
+    * source). Exposed for the spec's rank-error gate. */
+  private[graft] def approxLengthThresholds(
+      d: DataFrame, accuracy: Int = 10000): DataFrame =
+    d.groupBy(col("source"))
+      .agg(percentile_approx(col("n_chars"),
+        array(lit(0.05), lit(0.95)), lit(accuracy)).as("band"))
+      .select(col("source"), col("band")(0).as("lo"), col("band")(1).as("hi"))
+
   // ---------------------------------------------------------------- q63
   /** TF-IDF keyword extraction: top-5 terms per document by
     * tf·ln(N/df), ranked on the rounded score with token-asc tiebreak. */
@@ -275,17 +321,26 @@ object LlmQueries {
   /** Deterministic data-mixing sampler: downsample every language
     * stratum to the SMALLEST stratum's size (a uniform target mix) by
     * the same salted-sha256 order q58 uses — reproducible across runs,
-    * retries and engines, no RNG. The scalar target joins as a 1-row
-    * broadcast; the per-stratum ranking plans as WindowGroupLimit. At
-    * 100 TB the target vector generalizes to arbitrary mixture weights
-    * (rows-per-stratum computed from the same counts aggregate). */
+    * retries and engines, no RNG.
+    *
+    * The target is ONE scalar (the min stratum count), so it is
+    * resolved on the driver — a single-row aggregate fetch, legitimate
+    * at any corpus size — which makes the rank limit FOLDABLE: the
+    * filter sits directly above the window and InferWindowGroupLimit
+    * rewrites the ranking to per-partition top-k (asserted in
+    * PlanShapeSpec). The previous cross-join-a-1-row-target form was
+    * value-identical but planned a FULL sort of every stratum: a
+    * column-valued limit defeats the rewrite, and at 100 TB the
+    * dominant language's slice would sort in one task. At 100 TB the
+    * target vector generalizes to arbitrary mixture weights: compute
+    * rows-per-stratum from the same counts aggregate (a handful of
+    * scalars), then rank-filter each stratum against its literal. */
   def q66_mix_sample(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val target = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-      .agg(min(col("cnt")).as("target"))
+    val target: Long = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("target")).head().getLong(0)
     saltedStratumRank(d)
-      .crossJoin(broadcast(target))
-      .filter(col("rk") <= col("target"))
+      .filter(col("rk") <= lit(target))
       .select(col("lang"), col("rk"), col("doc_id"))
       .orderBy(col("lang"), col("rk"))
   }
@@ -337,6 +392,7 @@ object LlmQueries {
     "q60_vocab_topk" -> (q60_vocab_topk _),
     "q61_boilerplate_ngrams" -> (q61_boilerplate_ngrams _),
     "q62_length_filter" -> (q62_length_filter _),
+    "q62b_length_filter_approx" -> (q62b_length_filter_approx _),
     "q63_tfidf_topk" -> (q63_tfidf_topk _),
     "q64_embedding_outliers" -> (q64_embedding_outliers _),
     "q65_curate" -> (q65_curate _),
@@ -354,6 +410,7 @@ object LlmQueries {
     "q36_fingerprint" -> (q36_fingerprint _),
     "q37_multimodal" -> (q37_multimodal _),
     "q38_dedup_embedding" -> (q38_dedup_embedding _),
+    "q38b_dedup_embedding_lsh" -> (q38b_dedup_embedding_lsh _),
     "q40_ann_ivf_topk" -> (q40_ann_ivf_topk _),
   )
 
@@ -381,6 +438,17 @@ object LlmQueries {
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)""".stripMargin
+    // Shared by q38 (all-pairs) and q38b (LSH candidates + exact
+    // verify): both compute the identical exact-cosine pair set.
+    val embeddingPairsSql =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        | p AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        | SELECT d1, d2, round(c * 10000) / 10000 AS cos4 FROM p
+        | WHERE c >= 0.45 ORDER BY d1, d2""".stripMargin
     val jaccardSelect =
       """ SELECT d1, d2, round(jac * 10000) / 10000 AS jaccard FROM (
         |  SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) AS jac
@@ -410,15 +478,11 @@ object LlmQueries {
           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
           |  FROM sims)
           | WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-      "q38_dedup_embedding" ->
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
-          | p AS (
-          |  SELECT a.vec_id AS d1, b.vec_id AS d2,
-          |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm) AS c
-          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-          | SELECT d1, d2, round(c * 10000) / 10000 AS cos4 FROM p
-          | WHERE c >= 0.45 ORDER BY d1, d2""".stripMargin,
+      "q38_dedup_embedding" -> embeddingPairsSql,
+      // The LSH form verifies candidates with the SAME exact cosine, so
+      // the all-pairs oracle gates it too (designed miss ≈ 7e-7/pair,
+      // deterministic under the seeded planes).
+      "q38b_dedup_embedding_lsh" -> embeddingPairsSql,
       "q33_lang_id" ->
         """WITH t AS (
           |  SELECT lang,

@@ -122,11 +122,64 @@ object Similarity {
       posexplode(array(codes: _*)).as(Seq("table", "code")))
   }
 
+  /** Top-`n` centroid ids of `vec` by cosine, descending — the shared
+    * assignment expression of Lloyd training and IVF search. Ranking is
+    * by dot/|centroid|: with |vec| constant per row this is cosine
+    * order, while a bare dot would let centroid NORM (not direction)
+    * dominate assignment — a 2×-norm centroid wins every vector up to
+    * ~60° off a competitor's direction, collapsing IVF's pruning. |c|
+    * is a driver-side constant per centroid. */
+  private def nearestCentroids(
+      cents: Array[(Long, Seq[Double])], vec: Column, n: Int): Column = {
+    val sims = cents.map { case (cid, cv) =>
+      val cnorm = math.sqrt(cv.map(x => x * x).sum)
+      struct((dot(vec, typedlit(cv)) / cnorm).as("s"), lit(cid).as("cid"))
+    }
+    // top-n centroid ids by cosine (descending), tie-broken by cid
+    slice(reverse(array_sort(array(sims: _*))), 1, n)("cid")
+  }
+
+  /** Spherical k-means centroids: deterministic seeds (the `nlist`
+    * smallest-id corpus vectors) refined by `iters` Lloyd iterations
+    * run as DataFrame jobs — assign every vector to its nearest
+    * centroid, recompute each centroid as its bucket's per-dimension
+    * mean. Sums are integer-quantized longs (the repo's exact
+    * accumulator pattern), so assignments and centroids are
+    * bit-identical across runs and partitionings; an emptied cluster
+    * keeps its previous centroid. Each iteration moves only
+    * `nlist × dim` scalars to the driver — constant-size traffic, the
+    * production shape for a trained coarse quantizer (FAISS trains IVF
+    * centroids on a sample the same way). */
+  private[llm] def lloydCentroids(
+      corpus: DataFrame, nlist: Int, iters: Int): Array[(Long, Seq[Double])] = {
+    var cents = corpus.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    for (_ <- 0 until iters) {
+      val dims = corpus
+        .withColumn("bucket", nearestCentroids(cents, col("v"), 1).getItem(0))
+        .select(col("bucket"), posexplode(col("v")).as(Seq("i", "x")))
+      val refined = dims.groupBy("bucket", "i")
+        .agg(sum(round(col("x") * 10000).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("bucket"), col("i"),
+          (col("s").cast("double") / (col("n") * lit(10000.0))).as("c"))
+        .groupBy("bucket")
+        .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("ic"))
+        .select(col("bucket"), transform(col("ic"), e => e.getField("c")).as("cv"))
+        .collect() // ≤ nlist rows per iteration — constant-size
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      cents = cents.map { case (cid, cv) => (cid, refined.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
   /** IVF-style partitioned index: assign every vector to its nearest of
-    * `nlist` deterministic centroids (the corpus rows with the `nlist`
-    * smallest ids — a stand-in for trained k-means centroids, which
-    * would arrive as a small driver-side table in production). Queries
-    * probe the `nprobe` nearest centroid buckets and re-rank exactly.
+    * `nlist` centroids ([[lloydCentroids]] — deterministically seeded,
+    * Lloyd-refined k-means, arriving as a small driver-side table as in
+    * production). Queries probe the `nprobe` nearest centroid buckets
+    * and re-rank exactly.
     *
     * Scale path: the corpus is scanned once for assignment (an
     * `nlist`-way argmin of codegen'd dots per row — `nlist` is a small
@@ -135,24 +188,9 @@ object Similarity {
     * join on the bucket id, never the whole corpus. */
   def ivfCosineTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id").as("c_tmp"), col("v").as("cv"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    // Rank centroids by dot/|centroid| — with |v| constant per row this
-    // is cosine order. A bare dot would let centroid NORM (not
-    // direction) dominate assignment: a 2×-norm centroid wins every
-    // vector up to ~60° off a competitor's direction, collapsing the
-    // pruning claim below. |c| is a driver-side constant per centroid.
-    def nearest(vec: Column, n: Int): Column = {
-      val sims = cents.map { case (cid, cv) =>
-        val cnorm = math.sqrt(cv.map(x => x * x).sum)
-        struct((dot(vec, typedlit(cv)) / cnorm).as("s"), lit(cid).as("cid"))
-      }
-      // top-n centroid ids by cosine (descending), deterministic
-      slice(reverse(array_sort(array(sims: _*))), 1, n)("cid")
-    }
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val cents = lloydCentroids(corpus, nlist, iters)
+    def nearest(vec: Column, n: Int): Column = nearestCentroids(cents, vec, n)
     val bucketed = corpus.withColumn("bucket",
       nearest(col("v"), 1).getItem(0))
     val probed = queries

@@ -3,6 +3,7 @@ package graft.streaming
 import java.time.LocalDateTime
 import java.util.concurrent.atomic.AtomicInteger
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -360,7 +361,12 @@ object EventStreams {
     val docs = Tables(spark, dir, "documents")
       .select($"doc_id", $"text", $"lang").as[Doc].collect().toSeq
     val src = MemoryStream[Doc]
+    // Null text would hash to NULL and survive dropDuplicates as its own
+    // key, but the oracle's count(DISTINCT ...) ignores NULLs — filter
+    // null text on BOTH sides (oracle has the matching WHERE) so the
+    // gate can't diverge on a null-bearing fixture.
     val deduped = src.toDF()
+      .filter(col("text").isNotNull)
       .withColumn("content_hash",
         sha2(graft.llm.TextOps.normText(col("text")), 256))
       .dropDuplicates("lang", "content_hash")
@@ -369,6 +375,51 @@ object EventStreams {
       Seq(docs, docs).foreach { b => src.addData(b); query.processAllAvailable() }
     }.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
       .orderBy(col("lang"))
+  }
+
+  // --------------------------------------------------------------- s10b
+  /** s10 through the FILE stream source — the production ingestion
+    * shape (s01c's pattern): `readStream.parquet` over a two-generation
+    * directory, where generation 2 is the re-crawl landing the SAME
+    * corpus as new part files after the stream has consumed generation
+    * 1. No MemoryStream, no driver-side row staging — generations are
+    * written by distributed jobs and discovered by the source's file
+    * listing. `dropDuplicates` must add zero rows for generation 2;
+    * the gated projection is the survivor-independent per-language
+    * distinct-key count (same oracle as s10).
+    *
+    * Scale posture: state is one row per distinct (lang, 64-char hash);
+    * a production ingest bounds it with `dropDuplicatesWithinWatermark`
+    * over the ingest-time horizon. The file source itself scales by
+    * listing only NEW files per microbatch (`maxFilesPerTrigger`
+    * throttles backfill). */
+  def s10b_stream_dedup_files(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.setSessionConfs(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s10b_")
+    val tmpPath = tmp.toString
+    try {
+      val docsDf = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      docsDf.write.mode("append").parquet(tmpPath) // generation 1
+      val src = spark.readStream.schema(docsDf.schema).parquet(tmpPath)
+      val deduped = src
+        .filter(col("text").isNotNull) // match the oracle's NULL handling
+        .withColumn("content_hash",
+          sha2(graft.llm.TextOps.normText(col("text")), 256))
+        .dropDuplicates("lang", "content_hash")
+        .select(col("doc_id"), col("lang"))
+      runToMemory(spark, deduped, "append") { query =>
+        query.processAllAvailable()
+        docsDf.write.mode("append").parquet(tmpPath) // generation 2: re-crawl
+        query.processAllAvailable()
+      }.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("lang"))
+    } finally {
+      // repeated Verify/Bench invocations must not accumulate temp copies
+      val fs = new Path(tmpPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(tmpPath), true)
+    }
   }
 
   /** Driver-side reference for s06 — one global greedy pass (used by the
@@ -401,6 +452,7 @@ object EventStreams {
     "s08_stream_static_join" -> (s08_stream_static_join _),
     "s09_stream_sink" -> (s09_stream_sink _),
     "s10_stream_dedup_ingest" -> (s10_stream_dedup_ingest _),
+    "s10b_stream_dedup_files" -> (s10b_stream_dedup_files _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -462,7 +514,16 @@ object EventStreams {
       """SELECT lang,
         |  count(DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
         |    AS n_unique
-        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+        | FROM documents WHERE text IS NOT NULL
+        | GROUP BY lang ORDER BY lang""".stripMargin,
+    // The file-source form converges to the same batch distinct-key
+    // count — generation 2 re-delivers the identical corpus.
+    "s10b_stream_dedup_files" ->
+      """SELECT lang,
+        |  count(DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |    AS n_unique
+        | FROM documents WHERE text IS NOT NULL
+        | GROUP BY lang ORDER BY lang""".stripMargin,
     // The streaming interval join must converge to the plain batch join.
     "s07_interval_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.LlmQueries
+import graft.operators.RelationalQueries
+
+/** Pins the plan shapes the query docstrings claim. Round 11 proved a
+  * docstring can assert an optimization that structurally cannot fire
+  * (q66's rank limit was a cross-joined column, not a literal, so
+  * InferWindowGroupLimit never matched and every stratum sorted in one
+  * task). These assertions make the claims self-verifying: a regression
+  * in any pinned shape fails the suite, not just a 100 TB run. */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertContains(name: String, df: DataFrame, token: String): Unit = {
+    val p = plan(df)
+    assert(p.contains(token), s"$name: expected '$token' in physical plan:\n$p")
+  }
+
+  test("literal-capped rankings plan as WindowGroupLimit (q58/q60/q63/q64/q66)") {
+    Seq(
+      "q58" -> LlmQueries.q58_stratified_sample(spark, sf0001),
+      "q60" -> LlmQueries.q60_vocab_topk(spark, sf0001),
+      "q63" -> LlmQueries.q63_tfidf_topk(spark, sf0001),
+      "q64" -> LlmQueries.q64_embedding_outliers(spark, sf0001),
+      "q66" -> LlmQueries.q66_mix_sample(spark, sf0001)
+    ).foreach { case (n, df) => assertContains(n, df, "WindowGroupLimit") }
+  }
+
+  test("q57's probe side broadcasts — the corpus never shuffles for the join") {
+    assertContains("q57",
+      LlmQueries.q57_decontaminate(spark, sf0001), "BroadcastExchange")
+  }
+
+  test("q31's query side broadcasts — one corpus scan, no corpus shuffle") {
+    assertContains("q31",
+      LlmQueries.q31_ann_cosine_topk(spark, sf0001), "BroadcastExchange")
+  }
+
+  test("q01's predicates push down to the parquet scan") {
+    val p = plan(RelationalQueries.q01_scan_filter(spark, sf0001))
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(l_discount"),
+      s"q01: expected the l_discount predicate pushed into the scan:\n$p")
+  }
+}

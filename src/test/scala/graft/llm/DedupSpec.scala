@@ -42,6 +42,19 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(lsh === exact)
   }
 
+  test("SRP-LSH embedding near-dup pairs equal the exact all-pairs baseline") {
+    // Deterministic under the seeded planes: the designed per-pair miss
+    // bound at cos 0.45 is ~7e-7 (b=2, t=26), and this fixture draw has
+    // zero misses — the same parity contract q29 holds against q28.
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", minCos = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", minCos = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(exact.nonEmpty, "fixture should contain qualifying pairs")
+    assert(lsh === exact)
+  }
+
   test("cross-snapshot near-dups: only NEW×PREV pairs, verified exactly") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
@@ -145,6 +158,17 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "reliable checkpoint must persist files")
+      // O(1) reliable storage in iterations: the release path deletes a
+      // superseded iteration's rdd-* checkpoint dir inside the loop —
+      // the diameter-9 chain runs ~10 iterations, so without deletion
+      // ~11 dirs would remain. At exit only the live labels checkpoint
+      // (and at most one in-flight peer) may survive.
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs <= 2,
+        s"superseded checkpoints must be deleted in-loop; found $rddDirs rdd-* dirs")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

@@ -75,6 +75,44 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"IVF candidates $nCandPairs did not prune all-pairs")
   }
 
+  test("Lloyd-trained IVF separates a clustered corpus: recall holds, centroids align") {
+    import spark.implicits._
+    // 4 tight clusters around orthogonal axes in 8-dim; cluster = id % 4
+    // so the nlist seed rows (smallest ids) start one per cluster and
+    // Lloyd must TIGHTEN them onto the true cluster directions.
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(dim)(j =>
+        (if (j == c) 1.0 else 0.0) + 0.15 * rnd.nextGaussian())
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val corpus = Similarity.normalized(vecs, "vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val exact = Similarity.cosineTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(corpus, queries, k = 5,
+      nlist = 4, nprobe = 1, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // single-probe search over trained lists: near-perfect on a corpus
+    // that actually clusters (the honest IVF claim — far above the 0.2
+    // floor the uniform fixture gates)
+    assert(recall >= 0.9, s"trained-IVF recall $recall on a clustered corpus")
+    // and the training demonstrably aligned each centroid to its axis:
+    // a noisy single-member seed sits ~0.15/coord off; the bucket mean
+    // cancels noise. Require near-perfect alignment after 3 iterations.
+    val cents = Similarity.lloydCentroids(corpus, nlist = 4, iters = 3)
+    assert(cents.length === 4)
+    cents.foreach { case (cid, cv) =>
+      val axis = (cid % 4).toInt
+      val nrm = math.sqrt(cv.map(x => x * x).sum)
+      val cos = cv(axis) / nrm
+      assert(cos >= 0.97, s"centroid $cid drifted off axis $axis: cos=$cos")
+    }
+  }
+
   test("LSH path prunes the corpus yet keeps recall on the exact top-5") {
     val queries = norm.filter(col("vec_id") < 10)
     val exact = Similarity.cosineTopK(norm, queries, k = 5).collect()

@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture
@@ -93,5 +94,59 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // no gram from the unrelated doc crosses the threshold
     assert(out.keys.forall(_.split(" ").length == 5))
     assert(!out.keys.exists(_.contains("totally")))
+  }
+
+  test("q62b approx thresholds honor the sketch's rank-error bound per source") {
+    // percentile_approx at accuracy a guarantees the returned value's
+    // rank is within n/a of the target rank; at the fixture's n per
+    // source that's ≲ 1 rank. Assert the bound directly per source.
+    val d = graft.Tables(spark, sf0001, "documents")
+      .select(col("source"), col("n_chars").cast("long").as("n_chars"))
+    val thr = LlmQueries.approxLengthThresholds(d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bySource = d.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).sorted }
+    assert(thr.keySet === bySource.keySet)
+    for ((src, vals) <- bySource; (lo, hi) = thr(src)) {
+      val n = vals.length
+      val tol = n.toDouble / 10000 + 1 // sketch bound + tie slack
+      def rankBoundsOk(v: Long, p: Double): Boolean = {
+        val below = vals.count(_ < v)
+        val atOrBelow = vals.count(_ <= v)
+        below <= p * n + tol && atOrBelow >= p * n - tol
+      }
+      assert(rankBoundsOk(lo, 0.05), s"$src: lo=$lo violates the 5% rank bound")
+      assert(rankBoundsOk(hi, 0.95), s"$src: hi=$hi violates the 95% rank bound")
+    }
+  }
+
+  test("q62b band differs from the exact q62 band only at boundary values") {
+    val exact = LlmQueries.q62_length_filter(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val approx = LlmQueries.q62b_length_filter_approx(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(approx.nonEmpty)
+    val thr = LlmQueries.approxLengthThresholds(
+        graft.Tables(spark, sf0001, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("n_chars")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val eByS = exact.groupBy(_._1)
+    val aByS = approx.groupBy(_._1)
+    for (src <- eByS.keySet ++ aByS.keySet) {
+      val e = eByS.getOrElse(src, Array.empty)
+      val a = aByS.getOrElse(src, Array.empty)
+      val eIds = e.map(_._2).toSet
+      val aIds = a.map(_._2).toSet
+      // legitimate divergence: thresholds keep a whole tied boundary
+      // group, percent_rank's doc_id tiebreak can split it
+      val boundary = Set(e.map(_._3).min, e.map(_._3).max,
+        thr(src)._1, thr(src)._2)
+      val diff = (e ++ a).filter(t =>
+        (eIds contains t._2) != (aIds contains t._2))
+      assert(diff.forall(t => boundary.contains(t._3)),
+        s"$src: non-boundary divergence ${diff.filterNot(t => boundary.contains(t._3)).take(5).mkString(",")}")
+    }
   }
 }

@@ -42,6 +42,21 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(out === expected)
   }
 
+  test("file-stream ingest dedup equals batch distinct and never stages rows on the driver") {
+    import org.apache.spark.sql.functions._
+    // the production shape: generation 2 lands as new part files and
+    // must add zero rows to the deduped state
+    val out = EventStreams.s10b_stream_dedup_files(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = graft.Tables(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+      .groupBy(col("lang"))
+      .agg(countDistinct(sha2(graft.llm.TextOps.normText(col("text")), 256))
+        .as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+  }
+
   test("stream-stream interval join equals the batch join across replay batches") {
     import org.apache.spark.sql.functions._
     // replay stages all clicks before all errors, so EVERY match below
