@@ -623,7 +623,14 @@ class GraftBatchWrite(
         // uncommitted txn — and rolling forward would delete the
         // remaining originals while the replacement set may be partial;
         // rollback is the smaller blast radius, so it stays the default
-        // for any mixed state.
+        // for any mixed state. An EMPTY F list (rewrite of an empty
+        // table) always takes rollback: current-code crashes can only
+        // leave marker-less manifests pre-commit (pending is deleted
+        // before the marker), where rollback correctly sweeps partial
+        // replacements; the one adverse case — legacy-writer residue of
+        // a committed empty-table rewrite — loses that single write but
+        // returns the table to its pre-write (empty) state rather than
+        // exposing partial files as committed data.
         val committed = fs.exists(marker) ||
           (files.nonEmpty &&
             files.forall(f => !f.getFileSystem(conf).exists(f)))

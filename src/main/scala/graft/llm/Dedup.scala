@@ -324,12 +324,18 @@ object Dedup {
   def embeddingNearDupPairsLsh(
       vecs: DataFrame, idCol: String, vecCol: String, minCos: Double,
       tables: Int = 26, bits: Int = 2, dim: Int = 64): DataFrame = {
-    val n = Similarity.normalized(vecs, idCol, vecCol)
+    // Materialize both shared inputs once (the minhashLshPairs pattern,
+    // `Dedup.scala` shingle checkpoint): `n` feeds the code projection
+    // plus BOTH verify joins, and `coded` feeds both sides of the
+    // candidate self-join — without the cut each side re-evaluates the
+    // tables × bits codegen'd plane dots and re-scans the corpus.
+    val n = Similarity.normalized(vecs, idCol, vecCol).localCheckpoint()
     // Candidate stage carries only (vec_id, table, code) — never the
     // vectors, which re-join by id at the verify stage (candidate-sized
     // traffic, not corpus × tables).
     val coded = Similarity.lshBucketed(n, tables, bits, dim)
       .select(col("vec_id"), col("table"), col("code"))
+      .localCheckpoint()
     val cands = coded.as("x").join(coded.as("y"),
         col("x.table") === col("y.table") && col("x.code") === col("y.code") &&
           col("x.vec_id") < col("y.vec_id"))

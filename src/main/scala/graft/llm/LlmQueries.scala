@@ -288,7 +288,7 @@ object LlmQueries {
     *
     * Sketch thresholds are engine-specific (DuckDB's approx_quantile is
     * a different sketch), so this is rows-only gated; the rank-error
-    * guarantee vs q62's exact band is property-gated in PlanShapeSpec.
+    * guarantee vs q62's exact band is property-gated in TextAnalysisSpec.
     * Band semantics differ from q62 at the boundary BY DESIGN:
     * thresholds keep every doc whose n_chars ties the boundary value,
     * while percent_rank's doc_id tiebreak can split a tied group. */
@@ -337,8 +337,11 @@ object LlmQueries {
     * scalars), then rank-filter each stratum against its literal. */
   def q66_mix_sample(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val target: Long = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-      .agg(min(col("cnt")).as("target")).head().getLong(0)
+    // min over zero groups is a single NULL row — an empty corpus means
+    // an empty sample (target 0), not an NPE
+    val minRow = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("target")).head()
+    val target: Long = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
     saltedStratumRank(d)
       .filter(col("rk") <= lit(target))
       .select(col("lang"), col("rk"), col("doc_id"))

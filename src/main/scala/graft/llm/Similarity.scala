@@ -62,16 +62,9 @@ object Similarity {
   def labelOutliers(
       vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
       k: Int): DataFrame = {
-    val dims = vecs.select(col(labelCol).as("label"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
-    val cent = dims.groupBy("label", "i")
-      .agg(sum(round(col("x") * 10000).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("i"),
-        (col("s").cast("double") / (col("n") * lit(10000.0))).as("c"))
-    val centArr = cent.groupBy("label")
-      .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("ic"))
-      .select(col("label"), transform(col("ic"), e => e.getField("c")).as("cv"))
+    val centArr = quantizedCentroids(
+      vecs.select(col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v")))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("dist").desc, col("vec_id"))
     vecs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
@@ -84,6 +77,27 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("label"), col("rk"), col("vec_id"),
         r4(col("dist")).as("dist4"))
+  }
+
+  /** Per-group centroid arrays from (label, v) rows via the repo's
+    * integer-cent accumulator pattern: per-(label, dim) sums of
+    * round(x·10⁴) as long — exact, shuffle-order-free arithmetic, so
+    * the centroids are bit-identical across runs, partitionings and
+    * engines (a float sum's low bits would depend on reduction order).
+    * ONE definition site for the determinism contract shared by
+    * [[labelOutliers]] (q64's oracle restates it in SQL) and
+    * [[lloydCentroids]]. Output: (label, cv). */
+  private def quantizedCentroids(labeled: DataFrame): DataFrame = {
+    val dims = labeled.select(col("label"),
+      posexplode(col("v")).as(Seq("i", "x")))
+    dims.groupBy("label", "i")
+      .agg(sum(round(col("x") * 10000).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (col("s").cast("double") / (col("n") * lit(10000.0))).as("c"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("label"), transform(col("ic"), e => e.getField("c")).as("cv"))
   }
 
   /** Exact cosine top-k of `corpus` for each row of `queries` (both in
@@ -157,17 +171,9 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
     for (_ <- 0 until iters) {
-      val dims = corpus
-        .withColumn("bucket", nearestCentroids(cents, col("v"), 1).getItem(0))
-        .select(col("bucket"), posexplode(col("v")).as(Seq("i", "x")))
-      val refined = dims.groupBy("bucket", "i")
-        .agg(sum(round(col("x") * 10000).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .select(col("bucket"), col("i"),
-          (col("s").cast("double") / (col("n") * lit(10000.0))).as("c"))
-        .groupBy("bucket")
-        .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("ic"))
-        .select(col("bucket"), transform(col("ic"), e => e.getField("c")).as("cv"))
+      val refined = quantizedCentroids(corpus
+        .withColumn("label", nearestCentroids(cents, col("v"), 1).getItem(0))
+        .select(col("label"), col("v")))
         .collect() // ≤ nlist rows per iteration — constant-size
         .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
       cents = cents.map { case (cid, cv) => (cid, refined.getOrElse(cid, cv)) }

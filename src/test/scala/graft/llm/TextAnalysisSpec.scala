@@ -137,6 +137,8 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     for (src <- eByS.keySet ++ aByS.keySet) {
       val e = eByS.getOrElse(src, Array.empty)
       val a = aByS.getOrElse(src, Array.empty)
+      assert(e.nonEmpty,
+        s"$src: exact band empty — fixture too small for the comparison")
       val eIds = e.map(_._2).toSet
       val aIds = a.map(_._2).toSet
       // legitimate divergence: thresholds keep a whole tied boundary
