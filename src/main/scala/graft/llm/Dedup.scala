@@ -323,13 +323,23 @@ object Dedup {
     * that tuning. */
   def embeddingNearDupPairsLsh(
       vecs: DataFrame, idCol: String, vecCol: String, minCos: Double,
-      tables: Int = 26, bits: Int = 2, dim: Int = 64): DataFrame = {
+      tables: Int = 26, bits: Int = 2): DataFrame = {
     // Materialize both shared inputs once (the minhashLshPairs pattern,
     // `Dedup.scala` shingle checkpoint): `n` feeds the code projection
     // plus BOTH verify joins, and `coded` feeds both sides of the
     // candidate self-join — without the cut each side re-evaluates the
     // tables × bits codegen'd plane dots and re-scans the corpus.
     val n = Similarity.normalized(vecs, idCol, vecCol).localCheckpoint()
+    // The hyperplane dimensionality is DERIVED from the data, never
+    // assumed: ArrayDot dots the min of the two lengths, so a silently
+    // truncated projection would degrade per-bit agreement below the
+    // designed miss bound instead of failing. One first-row fetch.
+    val dimRow = n.select(size(col("v")).as("d")).limit(1).collect()
+    if (dimRow.isEmpty)
+      return n.sparkSession.emptyDataFrame
+        .select(lit(0L).as("d1"), lit(0L).as("d2"), lit(0.0).as("cos4"))
+        .limit(0)
+    val dim = dimRow(0).getInt(0)
     // Candidate stage carries only (vec_id, table, code) — never the
     // vectors, which re-join by id at the verify stage (candidate-sized
     // traffic, not corpus × tables).

@@ -289,6 +289,13 @@ object LlmQueries {
     * Sketch thresholds are engine-specific (DuckDB's approx_quantile is
     * a different sketch), so this is rows-only gated; the rank-error
     * guarantee vs q62's exact band is property-gated in TextAnalysisSpec.
+    * The thresholds are also only REPLAY-deterministic, not
+    * partitioning-deterministic: once a source exceeds the sketch's
+    * compression threshold (~accuracy rows), QuantileSummaries merge
+    * order can shift lo/hi by a rank within the error band — the
+    * correct semantics for an approximate operator (every answer
+    * honors the bound; the property gate asserts exactly that), which
+    * is why the exact q62 stays the hash-gated form.
     * Band semantics differ from q62 at the boundary BY DESIGN:
     * thresholds keep every doc whose n_chars ties the boundary value,
     * while percent_rank's doc_id tiebreak can split a tied group. */

@@ -162,8 +162,10 @@ object Similarity {
     * bit-identical across runs and partitionings; an emptied cluster
     * keeps its previous centroid. Each iteration moves only
     * `nlist × dim` scalars to the driver — constant-size traffic, the
-    * production shape for a trained coarse quantizer (FAISS trains IVF
-    * centroids on a sample the same way). */
+    * production shape for a trained coarse quantizer. At corpus scale
+    * the training input would be a bounded SAMPLE (the FAISS approach,
+    * which trains its quantizer on a subset), not every vector; the
+    * callers pass the full fixture corpus because it is small. */
   private[llm] def lloydCentroids(
       corpus: DataFrame, nlist: Int, iters: Int): Array[(Long, Seq[Double])] = {
     var cents = corpus.orderBy(col("vec_id")).limit(nlist)
@@ -195,9 +197,13 @@ object Similarity {
   def ivfCosineTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val cents = lloydCentroids(corpus, nlist, iters)
+    // One materialization serves the seed fetch, every Lloyd iteration
+    // and the bucketing pass — without it each consumer re-evaluates
+    // the scan+cast+norm lineage (iters + 2 extra corpus scans).
+    val c = corpus.localCheckpoint()
+    val cents = lloydCentroids(c, nlist, iters)
     def nearest(vec: Column, n: Int): Column = nearestCentroids(cents, vec, n)
-    val bucketed = corpus.withColumn("bucket",
+    val bucketed = c.withColumn("bucket",
       nearest(col("v"), 1).getItem(0))
     val probed = queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),

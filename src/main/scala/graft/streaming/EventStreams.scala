@@ -355,23 +355,36 @@ object EventStreams {
     * the ingest-time horizon with `dropDuplicatesWithinWatermark` — the
     * fixture documents carry no timestamps, so the unbounded replay is
     * the test shape. */
+  /** The shared s10/s10b dedup contract — ONE definition site (the
+    * embeddingPairsSql pattern) so the two gates cannot drift: filter
+    * null text (a NULL hash would survive `dropDuplicates` as its own
+    * key while the oracle's count(DISTINCT) ignores it — the matching
+    * WHERE is in [[ingestDedupOracle]]), hash the normalized content,
+    * keep one row per (lang, content_hash). */
+  private def ingestDedup(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("content_hash",
+        sha2(graft.llm.TextOps.normText(col("text")), 256))
+      .dropDuplicates("lang", "content_hash")
+      .select(col("doc_id"), col("lang"))
+
+  /** Batch-SQL statement of [[ingestDedup]]'s converged state —
+    * survivor-independent (per-language distinct-key counts), shared
+    * verbatim by the s10 and s10b gates. */
+  private val ingestDedupOracle: String =
+    """SELECT lang,
+      |  count(DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+      |    AS n_unique
+      | FROM documents WHERE text IS NOT NULL
+      | GROUP BY lang ORDER BY lang""".stripMargin
+
   def s10_stream_dedup_ingest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables(spark, dir, "documents")
       .select($"doc_id", $"text", $"lang").as[Doc].collect().toSeq
     val src = MemoryStream[Doc]
-    // Null text would hash to NULL and survive dropDuplicates as its own
-    // key, but the oracle's count(DISTINCT ...) ignores NULLs — filter
-    // null text on BOTH sides (oracle has the matching WHERE) so the
-    // gate can't diverge on a null-bearing fixture.
-    val deduped = src.toDF()
-      .filter(col("text").isNotNull)
-      .withColumn("content_hash",
-        sha2(graft.llm.TextOps.normText(col("text")), 256))
-      .dropDuplicates("lang", "content_hash")
-      .select(col("doc_id"), col("lang"))
-    runToMemory(spark, deduped, "append") { query =>
+    runToMemory(spark, ingestDedup(src.toDF()), "append") { query =>
       Seq(docs, docs).foreach { b => src.addData(b); query.processAllAvailable() }
     }.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
       .orderBy(col("lang"))
@@ -402,13 +415,7 @@ object EventStreams {
         .select(col("doc_id"), col("text"), col("lang"))
       docsDf.write.mode("append").parquet(tmpPath) // generation 1
       val src = spark.readStream.schema(docsDf.schema).parquet(tmpPath)
-      val deduped = src
-        .filter(col("text").isNotNull) // match the oracle's NULL handling
-        .withColumn("content_hash",
-          sha2(graft.llm.TextOps.normText(col("text")), 256))
-        .dropDuplicates("lang", "content_hash")
-        .select(col("doc_id"), col("lang"))
-      runToMemory(spark, deduped, "append") { query =>
+      runToMemory(spark, ingestDedup(src), "append") { query =>
         query.processAllAvailable()
         docsDf.write.mode("append").parquet(tmpPath) // generation 2: re-crawl
         query.processAllAvailable()
@@ -509,21 +516,11 @@ object EventStreams {
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Dedup-on-ingest must converge to the batch distinct-key count —
     // survivor-independent, since WHICH duplicate survives streaming
-    // dedup is arrival-order-dependent.
-    "s10_stream_dedup_ingest" ->
-      """SELECT lang,
-        |  count(DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
-        |    AS n_unique
-        | FROM documents WHERE text IS NOT NULL
-        | GROUP BY lang ORDER BY lang""".stripMargin,
-    // The file-source form converges to the same batch distinct-key
-    // count — generation 2 re-delivers the identical corpus.
-    "s10b_stream_dedup_files" ->
-      """SELECT lang,
-        |  count(DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
-        |    AS n_unique
-        | FROM documents WHERE text IS NOT NULL
-        | GROUP BY lang ORDER BY lang""".stripMargin,
+    // dedup is arrival-order-dependent. The file-source form (s10b)
+    // converges to the same count — generation 2 re-delivers the
+    // identical corpus.
+    "s10_stream_dedup_ingest" -> ingestDedupOracle,
+    "s10b_stream_dedup_files" -> ingestDedupOracle,
     // The streaming interval join must converge to the plain batch join.
     "s07_interval_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
