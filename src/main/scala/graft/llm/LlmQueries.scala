@@ -355,6 +355,43 @@ object LlmQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
+  // --------------------------------------------------------------- q66b
+  /** Weighted data-mixing sampler — the arbitrary-mixture generalization
+    * q66's scaladoc promises: per-language sampling fractions (a stated
+    * training-mix recipe) resolve to per-stratum row targets from the
+    * counts aggregate. The targets are a handful of scalars, fetched on
+    * the driver like q66's, and the cut is TWO filters over the shared
+    * salted ranking: `rk <= max(target)` with a foldable literal — so
+    * InferWindowGroupLimit still prunes every stratum before any full
+    * sort (asserted in PlanShapeSpec) — then the exact per-stratum
+    * refinement against a CASE of literals. Deterministic across runs,
+    * retries and engines: the DuckDB oracle states the same weights and
+    * both sides compute ceil(cnt·w) on IEEE doubles from identical
+    * integer inputs. */
+  def q66b_mix_weighted(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val targets = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) ->
+        math.ceil(r.getLong(1) * mixWeights.getOrElse(r.getString(0), 0.30)).toLong)
+      .toMap
+    val ranked = saltedStratumRank(d)
+    if (targets.isEmpty) return ranked.filter(lit(false))
+      .select(col("lang"), col("rk"), col("doc_id"))
+    val perLang = targets.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    ranked
+      .filter(col("rk") <= lit(targets.values.max)) // foldable → WindowGroupLimit
+      .filter(col("rk") <= perLang)                 // exact per-stratum refinement
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** The stated mix recipe (downweight the dominant language, keep the
+    * rest) — mirrored verbatim by the q66b oracle's CASE. */
+  private val mixWeights: Map[String, Double] =
+    Map("en" -> 0.20, "de" -> 0.50, "es" -> 0.40, "fr" -> 0.40, "zh" -> 0.40)
+
   // ---------------------------------------------------------------- q65
   /** End-to-end corpus curation — the composed training-set gate a
     * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
@@ -407,6 +444,7 @@ object LlmQueries {
     "q64_embedding_outliers" -> (q64_embedding_outliers _),
     "q65_curate" -> (q65_curate _),
     "q66_mix_sample" -> (q66_mix_sample _),
+    "q66b_mix_weighted" -> (q66b_mix_weighted _),
     "q43_redact" -> (q43_redact _),
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
@@ -811,6 +849,22 @@ object LlmQueries {
           |      AS BIGINT) AS rk
           |  FROM documents)
           | SELECT lang, rk, doc_id FROM r, n WHERE rk <= target
+          | ORDER BY lang, rk""".stripMargin,
+      // Same salted ranking, weighted targets: ceil(cnt · w) with the
+      // mixWeights recipe stated as a CASE — both engines compute the
+      // product on IEEE doubles from identical integer counts.
+      "q66b_mix_weighted" ->
+        """WITH r AS (
+          |  SELECT lang, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY sha256('graft|' || CAST(doc_id AS VARCHAR)), doc_id)
+          |      AS BIGINT) AS rk,
+          |    count(*) OVER (PARTITION BY lang) AS cnt
+          |  FROM documents)
+          | SELECT lang, rk, doc_id FROM r
+          | WHERE rk <= ceil(cnt * CASE lang
+          |   WHEN 'en' THEN 0.20 WHEN 'de' THEN 0.50 WHEN 'es' THEN 0.40
+          |   WHEN 'fr' THEN 0.40 WHEN 'zh' THEN 0.40 ELSE 0.30 END)
           | ORDER BY lang, rk""".stripMargin,
     )
   }

@@ -238,7 +238,15 @@ object Similarity {
     * hash-gated). */
   def lshCosineTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+      tables: Int = 8, bits: Int = 4): DataFrame = {
+    // Derived, never assumed (the q38b rule): ArrayDot dots the min of
+    // the two lengths, so a stale dim constant would silently truncate
+    // the projections and degrade recall instead of failing.
+    val dimRow = corpus.select(size(col("v")).as("d")).limit(1).collect()
+    if (dimRow.isEmpty) return corpus
+      .select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
+        lit(0L).as("rank"), lit(0.0).as("sim4")).limit(0)
+    val dim = dimRow(0).getInt(0)
     val c = lshBucketed(corpus, tables, bits, dim)
       .select(col("vec_id").as("n_id"), col("v"), col("nrm"), col("table"), col("code"))
     val q = broadcast(lshBucketed(queries, tables, bits, dim)

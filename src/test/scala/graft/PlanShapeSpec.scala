@@ -22,14 +22,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains(token), s"$name: expected '$token' in physical plan:\n$p")
   }
 
-  test("literal-capped rankings plan as WindowGroupLimit (q58/q60/q63/q64/q66)") {
+  test("literal-capped rankings plan as WindowGroupLimit (q13/q58/q60/q63/q64/q66/q66b)") {
     Seq(
       "q58" -> LlmQueries.q58_stratified_sample(spark, sf0001),
       "q60" -> LlmQueries.q60_vocab_topk(spark, sf0001),
       "q63" -> LlmQueries.q63_tfidf_topk(spark, sf0001),
       "q64" -> LlmQueries.q64_embedding_outliers(spark, sf0001),
-      "q66" -> LlmQueries.q66_mix_sample(spark, sf0001)
+      "q66" -> LlmQueries.q66_mix_sample(spark, sf0001),
+      "q66b" -> LlmQueries.q66b_mix_weighted(spark, sf0001),
+      "q13" -> RelationalQueries.q13_window_rank(spark, sf0001)
     ).foreach { case (n, df) => assertContains(n, df, "WindowGroupLimit") }
+  }
+
+  test("q16's top-k plans as TakeOrderedAndProject, not a global sort") {
+    assertContains("q16",
+      RelationalQueries.q16_topk(spark, sf0001), "TakeOrderedAndProject")
+  }
+
+  test("grouping-set aggregates plan ONE Expand — a single input pass (q10/q11/q12)") {
+    Seq(
+      "q10" -> RelationalQueries.q10_rollup(spark, sf0001),
+      "q11" -> RelationalQueries.q11_cube(spark, sf0001),
+      "q12" -> RelationalQueries.q12_grouping_sets(spark, sf0001)
+    ).foreach { case (n, df) =>
+      val p = plan(df)
+      val hits = "Expand".r.findAllIn(p).size
+      assert(hits === 1, s"$n: expected exactly one Expand node, found $hits in:\n$p")
+    }
   }
 
   test("q57's probe side broadcasts — the corpus never shuffles for the join") {

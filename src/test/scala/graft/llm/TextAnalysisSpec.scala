@@ -79,6 +79,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("weighted mix sampler keeps ceil(cnt·w) contiguous ranks per stratum") {
+    val out = LlmQueries.q66b_mix_weighted(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byLang = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val counts = graft.Tables(spark, sf0001, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = Map("en" -> 0.20, "de" -> 0.50, "es" -> 0.40,
+      "fr" -> 0.40, "zh" -> 0.40)
+    assert(byLang.keySet === counts.keySet, "every stratum is represented")
+    byLang.foreach { case (lang, rks) =>
+      val target = math.ceil(counts(lang) * weights(lang)).toLong
+      assert(rks === (1L to target), s"$lang must hold ranks 1..$target")
+    }
+    // the recipe actually reweights: en's keep-fraction is strictly
+    // below the others' despite being the largest stratum
+    val fracs = byLang.map { case (l, rks) => l -> rks.size.toDouble / counts(l) }
+    assert(fracs("en") < fracs.filterNot(_._1 == "en").values.min)
+  }
+
   test("boilerplateGrams counts DISTINCT docs (intra-doc repeats once)") {
     import spark.implicits._
     val shared = "one two three four five"
