@@ -61,6 +61,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       LlmQueries.q31_ann_cosine_topk(spark, sf0001), "BroadcastExchange")
   }
 
+  test("q38b's candidate stage joins on (table, code) — never a cross product") {
+    // The all-pairs q38 legitimately plans a non-equi join; the LSH
+    // scale path exists to avoid exactly that, so its plan must contain
+    // no cross/nested-loop join anywhere (candidates AND verify legs).
+    val p = plan(LlmQueries.q38b_dedup_embedding_lsh(spark, sf0001))
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
+      assert(!p.contains(bad), s"q38b: found $bad in physical plan:\n$p")
+    }
+  }
+
   test("q01's predicates push down to the parquet scan") {
     val p = plan(RelationalQueries.q01_scan_filter(spark, sf0001))
     assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(l_discount"),
