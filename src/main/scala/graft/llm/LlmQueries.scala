@@ -392,6 +392,62 @@ object LlmQueries {
   private val mixWeights: Map[String, Double] =
     Map("en" -> 0.20, "de" -> 0.50, "es" -> 0.40, "fr" -> 0.40, "zh" -> 0.40)
 
+  // ---------------------------------------------------------------- q67
+  /** Sequence packing / shard assignment — the "concatenate then chunk"
+    * step of training-batch construction: stream documents in a
+    * deterministic salted order, accumulate whitespace-token counts,
+    * and assign each document the shard whose token range contains its
+    * START offset (`(cum − n_tok) div budget` — a doc may straddle a
+    * boundary, exactly like real sequence packing; a doc longer than
+    * the budget spans shards, leaving legitimate gaps in the numbering).
+    *
+    * Scale design (the q62 lesson applied up front): the running sum is
+    * windowed over (lang, bucket) SUB-strata, where the bucket is the
+    * first hex nibble of the same salted sha256 the ordering uses — a
+    * fixed 16-way fan-out, so no language ever funnels its whole slice
+    * into one task's sort; each sub-stratum packs independently and the
+    * boundary waste is at most one partial shard per bucket. Widening
+    * the nibble (two hex chars → 256 buckets) is the only knob a bigger
+    * corpus needs. Integer token counts → exact running sums → the
+    * whole assignment is hash-gateable cross-engine. */
+  def q67_pack_shards(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 500L // tokens per shard (a knob; small so fixtures pack multiple shards)
+    val salted = sha2(concat_ws("|", lit("graft"), col("doc_id").cast("string")), 256)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("bucket")).orderBy(col("ord"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(graft.llm.TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        salted.as("ord"))
+      .withColumn("bucket", substring(col("ord"), 1, 1))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("lang"), col("bucket"), col("doc_id"), col("n_tok"),
+        expr(s"(cum - n_tok) div $budget").as("shard"))
+      .orderBy(col("lang"), col("bucket"), col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q68
+  /** Leakage-safe train/val/test split: the split decision hashes the
+    * NORMALIZED CONTENT, not the doc id, so every member of an
+    * exact-duplicate group lands in the same split by construction —
+    * the splitter that cannot leak a training document into eval
+    * through a re-crawled copy. ~80/10/10 by the first byte of the
+    * content sha256, compared as the fixed-width hex pair itself
+    * (lexicographic = numeric for fixed-width lowercase hex, and both
+    * engines compare ASCII identically — no hex→int conversion to
+    * disagree on): 'cd' and 'e6' cut 205/25/26 of the 256 values.
+    *
+    * Scale posture: a pure row-local projection — no shuffle, no
+    * groupBy, no join; the co-location guarantee is algebraic (equal
+    * content ⇒ equal hash ⇒ equal split), so unlike a
+    * group-then-assign design it costs nothing at 100 TB and
+    * composes with any downstream partitioning. */
+  def q68_leakage_safe_split(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.splitOf(col("text")).as("split"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q65
   /** End-to-end corpus curation — the composed training-set gate a
     * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
@@ -445,6 +501,8 @@ object LlmQueries {
     "q65_curate" -> (q65_curate _),
     "q66_mix_sample" -> (q66_mix_sample _),
     "q66b_mix_weighted" -> (q66b_mix_weighted _),
+    "q67_pack_shards" -> (q67_pack_shards _),
+    "q68_leakage_safe_split" -> (q68_leakage_safe_split _),
     "q43_redact" -> (q43_redact _),
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
@@ -866,6 +924,31 @@ object LlmQueries {
           |   WHEN 'en' THEN 0.20 WHEN 'de' THEN 0.50 WHEN 'es' THEN 0.40
           |   WHEN 'fr' THEN 0.40 WHEN 'zh' THEN 0.40 ELSE 0.30 END)
           | ORDER BY lang, rk""".stripMargin,
+      // Integer running sums over the identical (ord, doc_id) order —
+      // exact longs, so shard assignment hash-matches. `//` is DuckDB's
+      // integer division, mirroring Spark's `div`.
+      "q67_pack_shards" ->
+        """WITH t AS (
+          |  SELECT lang, doc_id,
+          |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok,
+          |    sha256('graft|' || CAST(doc_id AS VARCHAR)) AS ord
+          |  FROM documents),
+          | c AS (
+          |  SELECT lang, substr(ord, 1, 1) AS bucket, doc_id, n_tok,
+          |    sum(n_tok) OVER (PARTITION BY lang, substr(ord, 1, 1)
+          |      ORDER BY ord, doc_id) AS cum
+          |  FROM t)
+          | SELECT lang, bucket, doc_id, n_tok,
+          |   CAST((cum - n_tok) // 500 AS BIGINT) AS shard
+          | FROM c ORDER BY lang, bucket, doc_id""".stripMargin,
+      // Fixed-width lowercase hex compares identically (ASCII) in both
+      // engines — the split is the hash prefix itself.
+      "q68_leakage_safe_split" ->
+        """SELECT doc_id, lang,
+          |  CASE WHEN substr(sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 2) < 'cd' THEN 'train'
+          |       WHEN substr(sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 2) < 'e6' THEN 'val'
+          |       ELSE 'test' END AS split
+          | FROM documents ORDER BY doc_id""".stripMargin,
     )
   }
 }

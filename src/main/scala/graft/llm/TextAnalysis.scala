@@ -102,6 +102,18 @@ object TextAnalysis {
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val LongNumRe = "[0-9]{4,}"
 
+  /** Leakage-safe split column (q68): the decision hashes the
+    * NORMALIZED CONTENT, so equal-content rows land in the same split
+    * algebraically — no group-then-assign shuffle. The first sha256
+    * byte is compared as its fixed-width lowercase hex pair
+    * (lexicographic = numeric; ASCII-identical across engines):
+    * 'cd'/'e6' cut ~80/10/10 (205/25/26 of 256). Row-local, zero
+    * shuffle at any scale. */
+  def splitOf(textCol: Column): Column = {
+    val hex2 = substring(sha2(normText(textCol), 256), 1, 2)
+    when(hex2 < "cd", "train").when(hex2 < "e6", "val").otherwise("test")
+  }
+
   def withRedaction(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("n_emails",

@@ -99,6 +99,54 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(fracs("en") < fracs.filterNot(_._1 == "en").values.min)
   }
 
+  test("pack shards: shard is the start-offset chunk under the salted order") {
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = LlmQueries.q67_pack_shards(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // independent driver-side replay of the greedy fold
+    out.groupBy(t => (t._1, t._2)).foreach { case ((_, bucket), rows) =>
+      val ordered = rows.sortBy(t => (sha(s"graft|${t._3}"), t._3))
+      var cum = 0L
+      ordered.foreach { case (_, b, docId, nTok, shard) =>
+        assert(b === sha(s"graft|$docId").substring(0, 1),
+          s"doc $docId bucketed by the wrong hash nibble")
+        assert(shard === cum / 500,
+          s"doc $docId: shard $shard != start-offset chunk ${cum / 500}")
+        cum += nTok
+      }
+      assert(bucket === ordered.head._2)
+    }
+    // the 16-way fan-out is real: multiple buckets per language
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).distinct.length > 4))
+  }
+
+  test("leakage-safe split co-locates exact duplicates, incl. case/whitespace variants") {
+    import spark.implicits._
+    // the fixture has no EXACT dup groups (only near-dups), so the
+    // co-location guarantee is driven by an adversarial corpus: four
+    // normalization-equivalent variants of one document must all land
+    // in the same split as each other
+    val docs = Seq(
+      (1L, "The Quick   Brown Fox"), (2L, "the quick brown fox"),
+      (3L, " THE  QUICK BROWN  FOX "), (4L, "the\tquick\nbrown fox"),
+      (5L, "a completely different document")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.splitOf(col("text")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(out(1L), out(2L), out(3L), out(4L)).size === 1,
+      s"normalization-equal docs straddled splits: $out")
+    // and the 80/10/10 recipe is roughly honored on the fixture
+    val dist = LlmQueries.q68_leakage_safe_split(spark, sf0001)
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = dist.values.sum.toDouble
+    assert(dist.keySet === Set("train", "val", "test"))
+    assert(dist("train") / total > 0.7 && dist("train") / total < 0.9)
+  }
+
   test("boilerplateGrams counts DISTINCT docs (intra-doc repeats once)") {
     import spark.implicits._
     val shared = "one two three four five"
