@@ -330,16 +330,10 @@ object Dedup {
     // candidate self-join — without the cut each side re-evaluates the
     // tables × bits codegen'd plane dots and re-scans the corpus.
     val n = Similarity.normalized(vecs, idCol, vecCol).localCheckpoint()
-    // The hyperplane dimensionality is DERIVED from the data, never
-    // assumed: ArrayDot dots the min of the two lengths, so a silently
-    // truncated projection would degrade per-bit agreement below the
-    // designed miss bound instead of failing. One first-row fetch.
-    val dimRow = n.select(size(col("v")).as("d")).limit(1).collect()
-    if (dimRow.isEmpty)
+    val dim = Similarity.derivedDim(n).getOrElse(
       return n.sparkSession.emptyDataFrame
         .select(lit(0L).as("d1"), lit(0L).as("d2"), lit(0.0).as("cos4"))
-        .limit(0)
-    val dim = dimRow(0).getInt(0)
+        .limit(0))
     // Candidate stage carries only (vec_id, table, code) — never the
     // vectors, which re-join by id at the verify stage (candidate-sized
     // traffic, not corpus × tables).

@@ -365,20 +365,30 @@ object LlmQueries {
     * InferWindowGroupLimit still prunes every stratum before any full
     * sort (asserted in PlanShapeSpec) — then the exact per-stratum
     * refinement against a CASE of literals. Deterministic across runs,
-    * retries and engines: the DuckDB oracle states the same weights and
-    * both sides compute ceil(cnt·w) on IEEE doubles from identical
-    * integer inputs. */
+    * retries and engines: the DuckDB oracle states the same weights,
+    * and the driver computes ceil(cnt·w) in EXACT decimal arithmetic
+    * (BigDecimal) — matching DuckDB, which parses 0.20 as DECIMAL, not
+    * DOUBLE. A double-path ceil would diverge for weights like 0.07
+    * (100 × 0.07 = 7.000000000000001 as doubles → ceil 8, vs the exact
+    * 7), so exactness here is a correctness requirement, not polish. */
   def q66b_mix_weighted(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val targets = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt")).collect()
-      .map(r => r.getString(0) ->
-        math.ceil(r.getLong(1) * mixWeights.getOrElse(r.getString(0), 0.30)).toLong)
+      .map { r =>
+        val w = mixWeights.getOrElse(r.getString(0), BigDecimal("0.30"))
+        r.getString(0) ->
+          (BigDecimal(r.getLong(1)) * w)
+            .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+      }
       .toMap
     val ranked = saltedStratumRank(d)
     if (targets.isEmpty) return ranked.filter(lit(false))
       .select(col("lang"), col("rk"), col("doc_id"))
+    // null-safe equality: a NULL-lang stratum still appears in `targets`
+    // (keyed by null) and must match its rows — plain === never matches
+    // NULL, which would silently drop the stratum the oracle keeps.
     val perLang = targets.foldLeft(lit(0L)) { case (acc, (l, t)) =>
-      when(col("lang") === l, lit(t)).otherwise(acc)
+      when(col("lang") <=> lit(l), lit(t)).otherwise(acc)
     }
     ranked
       .filter(col("rk") <= lit(targets.values.max)) // foldable → WindowGroupLimit
@@ -388,9 +398,13 @@ object LlmQueries {
   }
 
   /** The stated mix recipe (downweight the dominant language, keep the
-    * rest) — mirrored verbatim by the q66b oracle's CASE. */
-  private val mixWeights: Map[String, Double] =
-    Map("en" -> 0.20, "de" -> 0.50, "es" -> 0.40, "fr" -> 0.40, "zh" -> 0.40)
+    * rest) — mirrored verbatim by the q66b oracle's CASE. BigDecimal so
+    * the driver-side ceil(cnt·w) is exact decimal arithmetic like
+    * DuckDB's (see q66b's scaladoc for the double-path divergence). */
+  private val mixWeights: Map[String, BigDecimal] =
+    Map("en" -> BigDecimal("0.20"), "de" -> BigDecimal("0.50"),
+      "es" -> BigDecimal("0.40"), "fr" -> BigDecimal("0.40"),
+      "zh" -> BigDecimal("0.40"))
 
   // ---------------------------------------------------------------- q67
   /** Sequence packing / shard assignment — the "concatenate then chunk"
@@ -909,8 +923,8 @@ object LlmQueries {
           | SELECT lang, rk, doc_id FROM r, n WHERE rk <= target
           | ORDER BY lang, rk""".stripMargin,
       // Same salted ranking, weighted targets: ceil(cnt · w) with the
-      // mixWeights recipe stated as a CASE — both engines compute the
-      // product on IEEE doubles from identical integer counts.
+      // mixWeights recipe stated as a CASE. DuckDB parses the weights
+      // as DECIMAL (exact), matching the driver's BigDecimal targets.
       "q66b_mix_weighted" ->
         """WITH r AS (
           |  SELECT lang, doc_id,

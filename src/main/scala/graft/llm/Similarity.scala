@@ -115,6 +115,16 @@ object Similarity {
         (r4(col("sim"))).as("sim4"))
   }
 
+  /** Vector dimensionality of a [[normalized]]-layout frame, derived
+    * from its first row — None for an empty frame. Derived, never
+    * assumed: ArrayDot dots the min of the two lengths, so a stale dim
+    * constant would silently truncate hyperplane projections (degrading
+    * LSH recall / the q38b miss bound) instead of failing. Shared by
+    * [[lshCosineTopK]] and [[graft.llm.Dedup.embeddingNearDupPairsLsh]]. */
+  private[llm] def derivedDim(norm: DataFrame): Option[Int] =
+    norm.select(size(col("v")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+
   /** Seeded ±1 hyperplanes: `tables` hash tables of `bits` planes each.
     * Fixed seed ⇒ identical buckets on every executor and every run. */
   private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Seq[Double]]] = {
@@ -239,14 +249,9 @@ object Similarity {
   def lshCosineTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, bits: Int = 4): DataFrame = {
-    // Derived, never assumed (the q38b rule): ArrayDot dots the min of
-    // the two lengths, so a stale dim constant would silently truncate
-    // the projections and degrade recall instead of failing.
-    val dimRow = corpus.select(size(col("v")).as("d")).limit(1).collect()
-    if (dimRow.isEmpty) return corpus
+    val dim = derivedDim(corpus).getOrElse(return corpus
       .select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
-        lit(0L).as("rank"), lit(0.0).as("sim4")).limit(0)
-    val dim = dimRow(0).getInt(0)
+        lit(0L).as("rank"), lit(0.0).as("sim4")).limit(0))
     val c = lshBucketed(corpus, tables, bits, dim)
       .select(col("vec_id").as("n_id"), col("v"), col("nrm"), col("table"), col("code"))
     val q = broadcast(lshBucketed(queries, tables, bits, dim)

@@ -86,11 +86,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     val counts = graft.Tables(spark, sf0001, "documents")
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val weights = Map("en" -> 0.20, "de" -> 0.50, "es" -> 0.40,
-      "fr" -> 0.40, "zh" -> 0.40)
+    // exact decimal ceil — the operator's contract (a double-path ceil
+    // diverges for weights like 0.07; see q66b's scaladoc)
+    val weights = Map("en" -> BigDecimal("0.20"), "de" -> BigDecimal("0.50"),
+      "es" -> BigDecimal("0.40"), "fr" -> BigDecimal("0.40"),
+      "zh" -> BigDecimal("0.40"))
     assert(byLang.keySet === counts.keySet, "every stratum is represented")
     byLang.foreach { case (lang, rks) =>
-      val target = math.ceil(counts(lang) * weights(lang)).toLong
+      val target = (BigDecimal(counts(lang)) * weights(lang))
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
       assert(rks === (1L to target), s"$lang must hold ranks 1..$target")
     }
     // the recipe actually reweights: en's keep-fraction is strictly
