@@ -361,10 +361,13 @@ object EventStreams {
     * key while the oracle's count(DISTINCT) ignores it — the matching
     * WHERE is in [[ingestDedupOracle]]), hash the normalized content,
     * keep one row per (lang, content_hash). */
-  private def ingestDedup(docs: DataFrame): DataFrame =
+  private def hashedDocs(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .withColumn("content_hash",
         sha2(graft.llm.TextOps.normText(col("text")), 256))
+
+  private def ingestDedup(docs: DataFrame): DataFrame =
+    hashedDocs(docs)
       .dropDuplicates("lang", "content_hash")
       .select(col("doc_id"), col("lang"))
 
@@ -385,6 +388,36 @@ object EventStreams {
       .select($"doc_id", $"text", $"lang").as[Doc].collect().toSeq
     val src = MemoryStream[Doc]
     runToMemory(spark, ingestDedup(src.toDF()), "append") { query =>
+      Seq(docs, docs).foreach { b => src.addData(b); query.processAllAvailable() }
+    }.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("lang"))
+  }
+
+  // --------------------------------------------------------------- s10c
+  /** s10 with BOUNDED state — the `dropDuplicatesWithinWatermark` shape
+    * SCALE.md names as the production default: state for a key is
+    * dropped once the watermark passes its horizon, so a year-long
+    * ingest holds state for the re-delivery window, not forever. The
+    * fixture documents carry no timestamps, so ingest times are
+    * synthesized deterministically (epoch + doc_id mod 3600 seconds —
+    * the whole corpus spans under an hour) and the horizon (2 hours)
+    * covers the replay's re-delivery gap: every batch-2 duplicate
+    * arrives inside its first occurrence's window and is absorbed, so
+    * the converged state equals exact dedup and the SAME oracle gates
+    * all three s10 forms. */
+  def s10c_stream_dedup_watermarked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang").as[Doc].collect().toSeq
+    val src = MemoryStream[Doc]
+    val deduped = hashedDocs(src.toDF()) // the shared s10 key contract
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600))
+      .withWatermark("ingest_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("lang", "content_hash")
+      .select(col("doc_id"), col("lang"))
+    runToMemory(spark, deduped, "append") { query =>
       Seq(docs, docs).foreach { b => src.addData(b); query.processAllAvailable() }
     }.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
       .orderBy(col("lang"))
@@ -460,6 +493,7 @@ object EventStreams {
     "s09_stream_sink" -> (s09_stream_sink _),
     "s10_stream_dedup_ingest" -> (s10_stream_dedup_ingest _),
     "s10b_stream_dedup_files" -> (s10b_stream_dedup_files _),
+    "s10c_stream_dedup_watermarked" -> (s10c_stream_dedup_watermarked _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -521,6 +555,7 @@ object EventStreams {
     // identical corpus.
     "s10_stream_dedup_ingest" -> ingestDedupOracle,
     "s10b_stream_dedup_files" -> ingestDedupOracle,
+    "s10c_stream_dedup_watermarked" -> ingestDedupOracle,
     // The streaming interval join must converge to the plain batch join.
     "s07_interval_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,

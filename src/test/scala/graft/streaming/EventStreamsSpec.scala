@@ -42,6 +42,19 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(out === expected)
   }
 
+  test("watermarked dedup absorbs the re-delivery within the horizon, equals batch distinct") {
+    import org.apache.spark.sql.functions._
+    val out = EventStreams.s10c_stream_dedup_watermarked(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = graft.Tables(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+      .groupBy(col("lang"))
+      .agg(countDistinct(sha2(graft.llm.TextOps.normText(col("text")), 256))
+        .as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+  }
+
   test("file-stream ingest dedup equals batch distinct and never stages rows on the driver") {
     import org.apache.spark.sql.functions._
     // the production shape: generation 2 lands as new part files and
