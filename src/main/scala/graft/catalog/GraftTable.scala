@@ -44,7 +44,8 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   with SupportsWrite
   with SupportsDelete
   with SupportsRowLevelOperations
-  with SupportsAtomicPartitionManagement {
+  with SupportsAtomicPartitionManagement
+  with org.apache.spark.sql.graft.StreamingV1FallbackTable {
 
   private def spark: SparkSession = SparkSession.active
   private def store: MetaStore = catalog.metaStore
@@ -85,6 +86,38 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     TableCapability.TRUNCATE,
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.OVERWRITE_DYNAMIC)
+
+  // --- streaming read (V2TableWithV1Fallback) -----------------------------
+
+  /** `spark.readStream.table("graft.db.t")` — streaming reads delegate
+    * to Spark's V1 `FileStreamSource` through the analyzer's
+    * `V2TableWithV1Fallback` hook (RelationResolution wraps this
+    * CatalogTable in a streaming UnresolvedCatalogRelation as the
+    * StreamingRelationV2 fallback). This IS the delegation Spark's own
+    * file sources use: DSv2 file scans never implement
+    * `toMicroBatchStream` — `DataStreamReader` routes every
+    * `FileDataSourceV2` to the V1 source — so the battle-tested
+    * file-listing micro-batch engine (new-files-per-trigger,
+    * maxFilesPerTrigger backfill throttle) serves the catalog table
+    * with the catalog's schema and partition columns, instead of the
+    * user hand-feeding `readStream.parquet(path)` the location and a
+    * hand-inferred schema. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      identifier = TableIdentifier(meta.name, Some(db), Some(catalog.name)),
+      tableType =
+        if (meta.external) CatalogTableType.EXTERNAL else CatalogTableType.MANAGED,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(meta.location).toUri),
+        // same option surface as the batch scan: format options (csv
+        // header/delimiter) flow through, pure-metadata props do not
+        properties = meta.properties -- GraftCatalog.NonOptionProps),
+      schema = meta.schema,
+      provider = Some(meta.provider),
+      partitionColumnNames = meta.partitionColumns)
+  }
 
   // --- read --------------------------------------------------------------
 

@@ -364,7 +364,8 @@ object LlmQueries {
     * salted ranking: `rk <= max(target)` with a foldable literal — so
     * InferWindowGroupLimit still prunes every stratum before any full
     * sort (asserted in PlanShapeSpec) — then the exact per-stratum
-    * refinement against a CASE of literals. Deterministic across runs,
+    * refinement via a broadcast join against the target map (constant
+    * plan size in strata count). Deterministic across runs,
     * retries and engines: the DuckDB oracle states the same weights,
     * and the driver computes ceil(cnt·w) in EXACT decimal arithmetic
     * (BigDecimal) — matching DuckDB, which parses 0.20 as DECIMAL, not
@@ -384,15 +385,20 @@ object LlmQueries {
     val ranked = saltedStratumRank(d)
     if (targets.isEmpty) return ranked.filter(lit(false))
       .select(col("lang"), col("rk"), col("doc_id"))
-    // null-safe equality: a NULL-lang stratum still appears in `targets`
-    // (keyed by null) and must match its rows — plain === never matches
-    // NULL, which would silently drop the stratum the oracle keeps.
-    val perLang = targets.foldLeft(lit(0L)) { case (acc, (l, t)) =>
-      when(col("lang") <=> lit(l), lit(t)).otherwise(acc)
-    }
+    // Per-stratum refinement as a BROADCAST JOIN against the target map
+    // rather than a `when`-chain of literals: a CASE is linear in strata
+    // (fine for 5 languages, a codegen blowup at 10⁴ sources), while the
+    // join keeps the plan constant-size at any stratum count and ships
+    // the targets once per executor. Null-safe join key: a NULL-lang
+    // stratum still appears in `targets` (keyed by null) and must match
+    // its rows — plain === never matches NULL, which would silently
+    // drop the stratum the oracle keeps.
+    import spark.implicits._
+    val targetsDf = targets.toSeq.toDF("t_lang", "t_target")
     ranked
       .filter(col("rk") <= lit(targets.values.max)) // foldable → WindowGroupLimit
-      .filter(col("rk") <= perLang)                 // exact per-stratum refinement
+      .join(broadcast(targetsDf), col("lang") <=> col("t_lang"))
+      .filter(col("rk") <= col("t_target"))         // exact per-stratum refinement
       .select(col("lang"), col("rk"), col("doc_id"))
       .orderBy(col("lang"), col("rk"))
   }
@@ -416,29 +422,40 @@ object LlmQueries {
     * the budget spans shards, leaving legitimate gaps in the numbering).
     *
     * Scale design (the q62 lesson applied up front): the running sum is
-    * windowed over (lang, bucket) SUB-strata, where the bucket is the
-    * first hex nibble of the same salted sha256 the ordering uses — a
-    * fixed 16-way fan-out, so no language ever funnels its whole slice
-    * into one task's sort; each sub-stratum packs independently and the
-    * boundary waste is at most one partial shard per bucket. Widening
-    * the nibble (two hex chars → 256 buckets) is the only knob a bigger
-    * corpus needs. Integer token counts → exact running sums → the
-    * whole assignment is hash-gateable cross-engine. */
-  def q67_pack_shards(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 500L // tokens per shard (a knob; small so fixtures pack multiple shards)
+    * windowed over (lang, bucket) SUB-strata, where the bucket is a
+    * `bucketHexChars`-wide prefix of the same salted sha256 the
+    * ordering uses. The default (2 hex chars → 256 buckets/lang) keeps
+    * every sub-stratum sort at ~corpus/(langs·256) rows; per-task input
+    * at a given corpus size is corpus_bytes/(langs·16^bucketHexChars),
+    * so the width is THE fan-out knob: 3 chars → 4096-way for a
+    * 100 TB-dominant language (task-size math in SCALE.md §q67). Each
+    * sub-stratum packs independently; boundary waste is at most one
+    * partial shard per bucket. Integer token counts → exact running
+    * sums → the whole assignment is hash-gateable cross-engine. NULL
+    * text is filtered (mirrored in the oracle): Spark's
+    * `size(split(NULL))` is -1 while DuckDB's `len` is NULL, the same
+    * cross-engine drift class the s10 hashedDocs contract guards. */
+  def packShards(docsDf: DataFrame, budget: Long = 500L,
+                 bucketHexChars: Int = 2): DataFrame = {
+    require(bucketHexChars >= 1 && bucketHexChars <= 8, "bucketHexChars in [1,8]")
+    require(budget > 0, "budget must be positive")
     val salted = sha2(concat_ws("|", lit("graft"), col("doc_id").cast("string")), 256)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("bucket")).orderBy(col("ord"), col("doc_id"))
-    docs(spark, dir)
+    docsDf
+      .filter(col("text").isNotNull)
       .select(col("lang"), col("doc_id"),
         size(graft.llm.TextOps.tokens(col("text"))).cast("long").as("n_tok"),
         salted.as("ord"))
-      .withColumn("bucket", substring(col("ord"), 1, 1))
+      .withColumn("bucket", substring(col("ord"), 1, bucketHexChars))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .select(col("lang"), col("bucket"), col("doc_id"), col("n_tok"),
         expr(s"(cum - n_tok) div $budget").as("shard"))
-      .orderBy(col("lang"), col("bucket"), col("doc_id"))
   }
+
+  def q67_pack_shards(spark: SparkSession, dir: String): DataFrame =
+    packShards(docs(spark, dir))
+      .orderBy(col("lang"), col("bucket"), col("doc_id"))
 
   // ---------------------------------------------------------------- q68
   /** Leakage-safe train/val/test split: the split decision hashes the
@@ -946,10 +963,10 @@ object LlmQueries {
           |  SELECT lang, doc_id,
           |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok,
           |    sha256('graft|' || CAST(doc_id AS VARCHAR)) AS ord
-          |  FROM documents),
+          |  FROM documents WHERE text IS NOT NULL),
           | c AS (
-          |  SELECT lang, substr(ord, 1, 1) AS bucket, doc_id, n_tok,
-          |    sum(n_tok) OVER (PARTITION BY lang, substr(ord, 1, 1)
+          |  SELECT lang, substr(ord, 1, 2) AS bucket, doc_id, n_tok,
+          |    sum(n_tok) OVER (PARTITION BY lang, substr(ord, 1, 2)
           |      ORDER BY ord, doc_id) AS cum
           |  FROM t)
           | SELECT lang, bucket, doc_id, n_tok,

@@ -133,6 +133,32 @@ object EventStreams {
     replay(spark, Seq(collectEvents(spark, dir)), tumblingAgg, "complete")
       .orderBy(col("window_start"), col("event_type"))
 
+  // --------------------------------------------------------------- s01d
+  /** S1 through the CATALOG identifier — `spark.readStream.table(...)`,
+    * the first thing a real streaming user tries: no hand-fed path, no
+    * hand-inferred schema; the stream gets both from the catalog via
+    * [[graft.catalog.GraftTable.v1Table]]'s `V2TableWithV1Fallback`
+    * delegation to Spark's FileStreamSource (the same V1 micro-batch
+    * engine `readStream.parquet` uses — DSv2 file scans never stream).
+    * The events fixture is first landed in a MANAGED graft table
+    * through the catalog write path (its directory location is what a
+    * real table has; the raw fixture is a single parquet FILE, which
+    * the file stream's basePath contract rejects), then streamed back
+    * by identifier. Same oracle as s01/s01b/s01c. */
+  def s01d_tumbling_catalog_stream(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${graft.GraftBootstrap.CatalogName}.tmp.s01d_events"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${graft.GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .writeTo(tgt).create()
+    val src = spark.readStream.table(tgt)
+    runToMemory(spark, tumblingAgg(src), "complete")(_.processAllAvailable())
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- s05
   /** S5 watermark/late-data: rows with `event_id % 20 == 0` older than
     * `max(ts) - 3h` are withheld from batch 1 and delivered late in
@@ -405,19 +431,32 @@ object EventStreams {
     * arrives inside its first occurrence's window and is absorbed, so
     * the converged state equals exact dedup and the SAME oracle gates
     * all three s10 forms. */
+  /** The bounded-state ingest-dedup OPERATOR (library form; s10c's gated
+    * query applies the fixture defaults): hash the normalized content
+    * per the shared s10 key contract, then expire dedup state once the
+    * watermark on `tsCol` passes `horizon` — re-deliveries inside the
+    * horizon are absorbed, state is O(keys seen within the horizon),
+    * not O(corpus). The horizon is the deployment's re-delivery bound
+    * (an at-least-once bus re-sends within minutes; a re-crawl within
+    * days) — a knob, not a constant. */
+  def dedupWithinHorizon(docsStream: DataFrame, tsCol: String = "ingest_ts",
+                         horizon: String = "2 hours"): DataFrame =
+    hashedDocs(docsStream)
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("lang", "content_hash")
+      .select(col("doc_id"), col("lang"))
+
   def s10c_stream_dedup_watermarked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables(spark, dir, "documents")
       .select($"doc_id", $"text", $"lang").as[Doc].collect().toSeq
     val src = MemoryStream[Doc]
-    val deduped = hashedDocs(src.toDF()) // the shared s10 key contract
-      .withColumn("ingest_ts",
-        timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600))
-      .withWatermark("ingest_ts", "2 hours")
-      .dropDuplicatesWithinWatermark("lang", "content_hash")
-      .select(col("doc_id"), col("lang"))
-    runToMemory(spark, deduped, "append") { query =>
+    // fixture docs carry no timestamps: synthesize deterministic ingest
+    // times spanning <1h, inside the default 2h horizon
+    val stamped = src.toDF().withColumn("ingest_ts",
+      timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600))
+    runToMemory(spark, dedupWithinHorizon(stamped), "append") { query =>
       Seq(docs, docs).foreach { b => src.addData(b); query.processAllAvailable() }
     }.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
       .orderBy(col("lang"))
@@ -486,6 +525,7 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01b_tumbling_stream" -> (s01b_tumbling_stream _),
     "s01c_tumbling_file_stream" -> (s01c_tumbling_file_stream _),
+    "s01d_tumbling_catalog_stream" -> (s01d_tumbling_catalog_stream _),
     "s05_watermark_late" -> (s05_watermark_late _),
     "s06_stateful_throttle" -> (s06_stateful_throttle _),
     "s07_interval_join" -> (s07_interval_join _),
@@ -504,6 +544,10 @@ object EventStreams {
         |  count(*) AS cnt, round((sum(value)) * 100) / 100 AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s01c_tumbling_file_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s01d_tumbling_catalog_stream" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round((sum(value)) * 100) / 100 AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -41,6 +41,15 @@ object ResolveStrandedTableReferences
     }
 }
 
+/** Re-export of the `private[sql]` streaming-fallback hook: a V2 table
+  * extending this is given to the analyzer's RelationResolution, which
+  * wraps `v1Table` in a streaming UnresolvedCatalogRelation so
+  * `spark.readStream.table(...)` runs through Spark's V1
+  * FileStreamSource (the only file micro-batch engine — DSv2 file scans
+  * never implement `toMicroBatchStream`). */
+trait StreamingV1FallbackTable
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 object GraftSqlBridge {
   def applyPropertiesChanges(
       properties: Map[String, String],

@@ -33,6 +33,24 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
     assert(desc.map(_._1).contains("# Partition Information"))
   }
 
+  test("every catalog table advertises the streaming V1 fallback with catalog metadata") {
+    GraftBootstrap.ensure(spark, sf0001)
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array(GraftBootstrap.Namespace), "events")
+    val table = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog].loadTable(ident)
+    // the analyzer's streaming hook: RelationResolution only builds the
+    // StreamingRelationV2 v1 fallback for V2TableWithV1Fallback tables
+    // (re-exported as the public StreamingV1FallbackTable bridge trait)
+    assert(table.isInstanceOf[org.apache.spark.sql.graft.StreamingV1FallbackTable])
+    val v1 = table.asInstanceOf[
+      org.apache.spark.sql.graft.StreamingV1FallbackTable].v1Table
+    assert(v1.provider === Some("parquet"))
+    assert(v1.schema === table.asInstanceOf[GraftTable].meta.schema)
+    assert(v1.location.toString.endsWith("events.parquet"))
+    assert(v1.identifier.catalog === Some(cat))
+  }
+
   test("missing objects raise the standard error classes") {
     GraftBootstrap.ensure(spark, sf0001)
     val noTable = intercept[Exception](spark.table(s"$cat.${GraftBootstrap.Namespace}.nope"))

@@ -115,16 +115,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       val ordered = rows.sortBy(t => (sha(s"graft|${t._3}"), t._3))
       var cum = 0L
       ordered.foreach { case (_, b, docId, nTok, shard) =>
-        assert(b === sha(s"graft|$docId").substring(0, 1),
-          s"doc $docId bucketed by the wrong hash nibble")
+        assert(b === sha(s"graft|$docId").substring(0, 2),
+          s"doc $docId bucketed by the wrong hash prefix")
         assert(shard === cum / 500,
           s"doc $docId: shard $shard != start-offset chunk ${cum / 500}")
         cum += nTok
       }
       assert(bucket === ordered.head._2)
     }
-    // the 16-way fan-out is real: multiple buckets per language
-    assert(out.groupBy(_._1).forall(_._2.map(_._2).distinct.length > 4))
+    // the 256-way fan-out is real: many buckets per language, and the
+    // width knob actually changes the plan's partitioning key
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).distinct.length > 16))
+    val narrow = LlmQueries.packShards(
+        graft.Tables(spark, sf0001, "documents"), bucketHexChars = 1)
+      .select(col("bucket")).distinct().collect().map(_.getString(0))
+    assert(narrow.forall(_.length == 1) && narrow.length <= 16)
   }
 
   test("leakage-safe split co-locates exact duplicates, incl. case/whitespace variants") {

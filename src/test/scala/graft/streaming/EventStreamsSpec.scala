@@ -18,6 +18,12 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("readStream.table through the graft catalog converges to the batch answer") {
+    val streamed = rows(EventStreams.s01d_tumbling_catalog_stream(spark, sf0001))
+    val batch = rows(EventWindowQueries.s01_tumbling_window(spark, sf0001))
+    assert(streamed === batch)
+  }
+
   test("stateful throttle equals the single-pass greedy reference across batch boundaries") {
     val streamed = EventStreams.s06_stateful_throttle(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
