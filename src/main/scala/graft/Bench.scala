@@ -84,14 +84,18 @@ object Bench {
     val sfNum = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
       .getOrElse { "\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
-    def render(decimals: Int, shortKeys: Boolean = false): String = {
+    def render(decimals: Int, shortKeys: Boolean = false,
+               dropQueries: Boolean = false): String = {
       def fmt(v: Double): String =
         String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
       def key(k: String): String = if (shortKeys) k.split("_").head else k
-      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
+      val qs =
+        if (dropQueries) "{}" // total-only: parseable beats clipped
+        else results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
       val failedField =
         if (broken.isEmpty) ""
+        else if (dropQueries) s""","failed_count":${broken.size}"""
         else broken.keys.map("\"" + key(_) + "\"").mkString(""","failed":[""", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":$sfNum}"""
     }
@@ -110,8 +114,13 @@ object Bench {
       val all = (names ++ broken.keys).distinct
       all.map(_.split("_").head).distinct.size == all.size
     }
+    // Final fallback (prefix collision AND full names past the cap):
+    // drop per-query keys entirely — a total-only line the driver can
+    // still parse beats a full line its 2000-char stdout window clips
+    // into unparseable JSON.
     val variants = Seq(render(2), render(1)) ++
-      (if (shortable) Seq(render(1, shortKeys = true)) else Nil)
+      (if (shortable) Seq(render(1, shortKeys = true)) else Nil) ++
+      Seq(render(1, dropQueries = true))
     val line = variants.find(_.length <= 1800).getOrElse(variants.last)
     println(line)
     spark.stop()

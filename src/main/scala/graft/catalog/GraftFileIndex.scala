@@ -81,8 +81,10 @@ class GraftFileIndex(
     * filesystem. */
   override def listFiles(
       partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    GraftFileIndex.recordListFilters(partitionFilters)
     filterPartitions(partitionFilters).listFiles(Nil, dataFilters)
+  }
 
   override def inputFiles: Array[String] = filterPartitions(Nil).inputFiles
 
@@ -133,4 +135,19 @@ class GraftFileIndex(
     throw new UnsupportedOperationException("delegated to pruned InMemoryFileIndex")
   override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
     throw new UnsupportedOperationException("delegated to pruned InMemoryFileIndex")
+}
+
+/** Test observability: the partition filters most recently handed to any
+  * [[GraftFileIndex.listFiles]] call — how PlanShapeSpec PROVES dynamic
+  * partition pruning reaches the catalog index at runtime (a plan-string
+  * `dynamicpruning` subquery shows intent; this shows arrival). Appends
+  * only, driver-side only; not part of the query path. */
+object GraftFileIndex {
+  @volatile private var listFilterLog: List[Seq[Expression]] = Nil
+  private[graft] def recordListFilters(filters: Seq[Expression]): Unit =
+    synchronized { listFilterLog = filters :: listFilterLog }
+  private[graft] def resetListFilterLog(): Unit =
+    synchronized { listFilterLog = Nil }
+  private[graft] def recordedListFilters: List[Seq[Expression]] =
+    listFilterLog
 }

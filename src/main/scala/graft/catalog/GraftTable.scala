@@ -140,12 +140,21 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     // (comment/owner) are NOT options and must not reach the format.
     val opts = new CaseInsensitiveStringMap(
       ((meta.properties -- GraftCatalog.NonOptionProps) ++ options.asScala).asJava)
-    meta.provider match {
+    val builder = meta.provider match {
       case "parquet" => ParquetScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
       case "csv" => CSVScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
       case "json" => JsonScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
+    // Partitioned tables scan through the runtime-filtering wrapper:
+    // Spark 4.1's FileScan drops SupportsRuntimeV2Filtering entirely
+    // (DPP is a V1-HadoopFsRelation-only feature upstream), so without
+    // this a partition-key join would scan every partition — see
+    // GraftScanBuilder's scaladoc. Unpartitioned tables keep the stock
+    // builder: nothing to runtime-prune.
+    if (meta.isPartitioned)
+      new org.apache.spark.sql.graft.GraftScanBuilder(builder, meta.partitionColumns)
+    else builder
   }
 
   // --- write -------------------------------------------------------------

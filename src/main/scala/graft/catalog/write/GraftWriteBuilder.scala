@@ -619,39 +619,55 @@ class GraftBatchWrite(
         // manifest is post-commit residue (the legacy cleanup-order
         // crash deleted every F, then died before removing the pending
         // file). Roll FORWARD only there. A PARTIALLY-missing F set is
-        // ambiguous — e.g. one externally-lost old file on a genuinely
-        // uncommitted txn — and rolling forward would delete the
-        // remaining originals while the replacement set may be partial;
-        // rollback is the smaller blast radius, so it stays the default
-        // for any mixed state. An EMPTY F list (rewrite of an empty
-        // table) always takes rollback: current-code crashes can only
-        // leave marker-less manifests pre-commit (pending is deleted
-        // before the marker), where rollback correctly sweeps partial
+        // AMBIGUOUS: under current code it can only mean an externally
+        // lost old file on an uncommitted txn (→ rollback would be
+        // right), but as legacy crash-mid-F-delete residue of a
+        // COMMITTED rewrite a rollback would delete the committed
+        // replacements while some originals are already gone — combined
+        // loss in the opposite direction. Neither direction is provably
+        // safe, so the repair REFUSES: it logs and leaves the pending
+        // manifest for operator resolution (writes keep working; the
+        // manifest is retried on every subsequent repair pass and
+        // resolves itself if the missing F reappears or the rest
+        // vanish). An EMPTY F list (rewrite of an empty table) always
+        // takes rollback: current-code crashes can only leave
+        // marker-less manifests pre-commit (pending is deleted before
+        // the marker), where rollback correctly sweeps partial
         // replacements; the one adverse case — legacy-writer residue of
         // a committed empty-table rewrite — loses that single write but
         // returns the table to its pre-write (empty) state rather than
         // exposing partial files as committed data.
+        val missingF = files.count(f => !f.getFileSystem(conf).exists(f))
         val committed = fs.exists(marker) ||
-          (files.nonEmpty &&
-            files.forall(f => !f.getFileSystem(conf).exists(f)))
-        if (committed) {
-          // committed: finish the delete phase
-          files.foreach(f => f.getFileSystem(conf).delete(f, false))
+          (files.nonEmpty && missingF == files.size)
+        if (!committed && missingF > 0 && missingF < files.size) {
+          // ambiguous: leave THIS manifest in place, repair the others
+          org.slf4j.LoggerFactory.getLogger(classOf[GraftBatchWrite]).warn(
+            s"COW repair: manifest $pm is marker-less with $missingF of " +
+              s"${files.size} old files missing — ambiguous crash state " +
+              "(uncommitted txn with externally-lost originals, or legacy " +
+              "committed-rewrite residue). Refusing to auto-repair; " +
+              "resolve manually or restore the missing files.")
         } else {
-          // uncommitted: remove the crashed rewrite's (possibly partial)
-          // replacement files — everything in the touched dirs that the
-          // pre-publish listing didn't record
-          val preexisting =
-            (files ++ tagged("K")).map(_.toString).toSet
-          (tagged("D") ++ tagged("W")).distinct.foreach { d =>
-            dataFiles(d, conf)
-              .filterNot(f => preexisting.contains(f.toString))
-              .foreach(f => f.getFileSystem(conf).delete(f, false))
+          if (committed) {
+            // committed: finish the delete phase
+            files.foreach(f => f.getFileSystem(conf).delete(f, false))
+          } else {
+            // uncommitted: remove the crashed rewrite's (possibly
+            // partial) replacement files — everything in the touched
+            // dirs that the pre-publish listing didn't record
+            val preexisting =
+              (files ++ tagged("K")).map(_.toString).toSet
+            (tagged("D") ++ tagged("W")).distinct.foreach { d =>
+              dataFiles(d, conf)
+                .filterNot(f => preexisting.contains(f.toString))
+                .foreach(f => f.getFileSystem(conf).delete(f, false))
+            }
           }
+          // pending BEFORE marker — see writePendingManifest step 4
+          fs.delete(pm, false)
+          fs.delete(marker, false)
         }
-        // pending BEFORE marker — see writePendingManifest step 4
-        fs.delete(pm, false)
-        fs.delete(marker, false)
       }
     // empty txn dir left behind is harmless (underscore-hidden)
   }

@@ -321,6 +321,25 @@ object Dedup {
     * n^(1+ρ) with ρ = ln p₁ / ln p₂ — sub-quadratic, with a crossover
     * far above this fixture's n. Parameters are exposed for exactly
     * that tuning. */
+  /** The SRP-LSH candidate stage of [[embeddingNearDupPairsLsh]],
+    * exposed so the pruning claim is TESTABLE (DedupSpec's
+    * production-regime property asserts candidate count ≪ n(n−1)/2 at
+    * cos ≥ 0.9 with wide bits). Carries only (vec_id, table, code) —
+    * never the vectors, which re-join by id at the verify stage
+    * (candidate-sized traffic, not corpus × tables). `n` is the
+    * normalized corpus ([[Similarity.normalized]]). */
+  def embeddingLshCandidates(
+      n: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
+    val coded = Similarity.lshBucketed(n, tables, bits, dim)
+      .select(col("vec_id"), col("table"), col("code"))
+      .localCheckpoint()
+    coded.as("x").join(coded.as("y"),
+        col("x.table") === col("y.table") && col("x.code") === col("y.code") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+      .distinct()
+  }
+
   def embeddingNearDupPairsLsh(
       vecs: DataFrame, idCol: String, vecCol: String, minCos: Double,
       tables: Int = 26, bits: Int = 2): DataFrame = {
@@ -334,17 +353,7 @@ object Dedup {
       return n.sparkSession.emptyDataFrame
         .select(lit(0L).as("d1"), lit(0L).as("d2"), lit(0.0).as("cos4"))
         .limit(0))
-    // Candidate stage carries only (vec_id, table, code) — never the
-    // vectors, which re-join by id at the verify stage (candidate-sized
-    // traffic, not corpus × tables).
-    val coded = Similarity.lshBucketed(n, tables, bits, dim)
-      .select(col("vec_id"), col("table"), col("code"))
-      .localCheckpoint()
-    val cands = coded.as("x").join(coded.as("y"),
-        col("x.table") === col("y.table") && col("x.code") === col("y.code") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
-      .distinct()
+    val cands = embeddingLshCandidates(n, tables, bits, dim)
     cands
       .join(n.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1")), "d1")
       .join(n.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2")), "d2")

@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.connector.catalog.{CatalogV2Util, TableChange}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** The one private-API bridge file (SURVEY §7.3 / R21): re-exports the
   * `private[sql]` `CatalogV2Util` helpers for ALTER TABLE semantics —
@@ -49,6 +50,131 @@ object ResolveStrandedTableReferences
   * never implement `toMicroBatchStream`). */
 trait StreamingV1FallbackTable
   extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
+/** Dynamic-partition-pruning bridge for the delegated file scans.
+  *
+  * Spark 4.1's `FileScan` implements NEITHER `SupportsRuntimeFiltering`
+  * nor `SupportsRuntimeV2Filtering` — runtime filtering for file tables
+  * lives exclusively in the V1 `HadoopFsRelation` path, which Spark's
+  * own session-catalog tables reach through `FallBackFileSourceV2`. A
+  * DSv2 catalog that delegates to `ParquetScanBuilder` therefore gets
+  * NO DPP: a fact⋈dim join on the partition column scans every
+  * partition. At 100 TB that is the difference between reading one
+  * partition and reading the table, so this wrapper restores the
+  * surface: it forwards every pushdown to the stock builder and wraps
+  * the built [[FileScan]] in a scan that accepts the planner's runtime
+  * `IN`/`=` predicates on partition columns, rebuilding the inner scan
+  * with the extra partition filters (which [[graft.catalog
+  * .GraftFileIndex]] then prunes against the catalog partition list
+  * before any file listing).
+  *
+  * Unknown predicate shapes are IGNORED, never mistranslated — runtime
+  * filters are an optimization; dropping one costs I/O, not rows. */
+class GraftScanBuilder(
+    inner: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder,
+    partitionCols: Seq[String])
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.read.{Scan, SupportsPushDownAggregates}
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  import org.apache.spark.sql.execution.datasources.v2.FileScan
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    inner.pushFilters(filters)
+  override def pushedFilters: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+  override def pushAggregation(aggregation: Aggregation): Boolean = inner match {
+    case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+    case _ => false
+  }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    inner match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
+      case _ => false
+    }
+  override def build(): Scan =
+    new GraftFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
+}
+
+class GraftFileScan(
+    initial: org.apache.spark.sql.execution.datasources.v2.FileScan,
+    partitionCols: Seq[String])
+  extends org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.internal.connector.SupportsMetadata {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
+  import org.apache.spark.sql.connector.expressions.{FieldReference, LiteralValue, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.connector.read.{Batch, Statistics}
+  import org.apache.spark.sql.execution.datasources.v2.FileScan
+
+  // the planner calls filter() once before toBatch; rebuilt-on-filter so
+  // FileScan.partitions (a lazy listing) is computed on the final filters
+  @volatile private var current: FileScan = initial
+
+  override def readSchema(): StructType = current.readSchema()
+  override def toBatch: Batch = current.toBatch
+  override def description(): String = current.description()
+  override def getMetaData(): Map[String, String] = current.getMetaData()
+  override def estimateStatistics(): Statistics = current.estimateStatistics()
+
+  override def filterAttributes(): Array[NamedReference] =
+    partitionCols.map(FieldReference(_)).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(toPartitionFilter)
+    if (exprs.nonEmpty) current = withPartitionFilters(current, exprs)
+  }
+
+  private def partitionField(ref: NamedReference) : Option[StructField] =
+    ref.fieldNames match {
+      case Array(n) => initial.fileIndex.partitionSchema.fields
+        .find(f => SQLConf.get.resolver(f.name, n))
+      case _ => None
+    }
+
+  /** The planner's runtime filters arrive as `IN`/`=` over LiteralValues
+    * (`DataSourceV2Strategy.translateRuntimeFilterV2`); values are
+    * catalyst-internal, so `Literal(v, dt)` is the exact inverse. */
+  private def toPartitionFilter(
+      p: Predicate): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    def attr(f: StructField) = AttributeReference(f.name, f.dataType)()
+    (p.name, p.children) match {
+      case ("IN", Array(r: NamedReference, vs @ _*))
+          if vs.forall(_.isInstanceOf[LiteralValue[_]]) =>
+        partitionField(r).map(f => In(attr(f),
+          vs.map { case lv: LiteralValue[_] => Literal(lv.value, lv.dataType) }))
+      case ("=", Array(r: NamedReference, lv: LiteralValue[_])) =>
+        partitionField(r).map(f => EqualTo(attr(f), Literal(lv.value, lv.dataType)))
+      case _ => None
+    }
+  }
+
+  private def withPartitionFilters(
+      s: FileScan,
+      extra: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): FileScan =
+    s match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.copy(partitionFilters = p.partitionFilters ++ extra)
+      case c: org.apache.spark.sql.execution.datasources.v2.csv.CSVScan =>
+        c.copy(partitionFilters = c.partitionFilters ++ extra)
+      case j: org.apache.spark.sql.execution.datasources.v2.json.JsonScan =>
+        j.copy(partitionFilters = j.partitionFilters ++ extra)
+      case other => other // unknown format: skip pruning, stay correct
+    }
+
+  // scan equality drives exchange/scan reuse; delegate to the wrapped scan
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftFileScan => current == g.current
+    case _ => false
+  }
+  override def hashCode(): Int = current.hashCode()
+}
 
 object GraftSqlBridge {
   def applyPropertiesChanges(

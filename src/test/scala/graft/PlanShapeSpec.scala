@@ -76,4 +76,77 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(l_discount"),
       s"q01: expected the l_discount predicate pushed into the scan:\n$p")
   }
+
+  test("dedup candidate stages are equality joins — no cross product anywhere (q28/q29/q59/q67)") {
+    // Each of these exists to AVOID all-pairs; a planner regression to a
+    // nested-loop/cartesian join would still return correct rows at
+    // fixture scale while being O(n²) at 100 TB — exactly the class of
+    // defect hash gates can't see.
+    Seq(
+      "q28" -> LlmQueries.q28_dedup_jaccard(spark, sf0001),
+      "q29" -> LlmQueries.q29_dedup_minhash_lsh(spark, sf0001),
+      "q59" -> LlmQueries.q59_cross_snapshot(spark, sf0001),
+      "q67" -> LlmQueries.q67_pack_shards(spark, sf0001)
+    ).foreach { case (n, df) =>
+      val p = plan(df)
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
+        assert(!p.contains(bad), s"$n: found $bad in physical plan:\n$p")
+      }
+    }
+  }
+
+  test("q62b's threshold pass is one aggregation, never a per-source window sort") {
+    // The whole point of the approx path: thresholds come from a single
+    // partial-aggregable pass (approx_percentile), broadcast back — a
+    // Window here would mean the exact q62 shape snuck back in.
+    val p = plan(LlmQueries.q62b_length_filter_approx(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"q62b: expected no window operator in the approx path:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate") ||
+      p.contains("ObjectHashAggregate"),
+      s"q62b: expected an aggregation computing the thresholds:\n$p")
+  }
+
+  test("DPP: a join on the partition column runtime-prunes the catalog file index") {
+    import org.apache.spark.sql.functions._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    val t = s"$cat.planshape.dpp_orders"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .writeTo(t).partitionedBy(col("o_orderpriority")).create()
+    // dim with a non-foldable filter on the join key: the classic DPP
+    // shape — fact.partition_col = dim.key AND dim.tag pruned at runtime.
+    // The dim must be FILE-backed: an in-memory Seq dim gets its filter
+    // constant-folded into the LocalRelation, and PartitionPruning
+    // requires a live selective predicate on the filtering side.
+    import spark.implicits._
+    val dimT = s"$cat.planshape.dpp_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $dimT")
+    Seq(("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop"),
+      ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")).toDF("prio", "tag")
+      .writeTo(dimT).create()
+    val joined = spark.table(t)
+      .join(spark.table(dimT).filter(col("tag") === "keep"),
+        col("o_orderpriority") === col("prio"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+    graft.catalog.GraftFileIndex.resetListFilterLog()
+    val rows = joined.collect()
+    assert(rows.length === 1 && rows(0).getString(0) === "1-URGENT")
+    // intent: the scan carries a dynamicpruning runtime filter
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"DPP subquery missing from the graft scan plan:\n$p")
+    // arrival: GraftFileIndex.listFiles actually received a partition
+    // filter naming the partition column — delegation kept
+    // SupportsRuntimeFiltering intact end-to-end
+    val got = graft.catalog.GraftFileIndex.recordedListFilters
+    assert(got.exists(_.exists(_.references.exists(
+        _.name.equalsIgnoreCase("o_orderpriority")))),
+      s"listFiles never saw a partition filter; recorded: $got")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS $dimT")
+  }
 }

@@ -299,6 +299,43 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     assert(fs.listStatus(txnDir(meta)).isEmpty, "txn files should be retired")
   }
 
+  test("marker-less manifest with a PARTIALLY-missing old set is left for the operator") {
+    val t = freshTable("t_txn_ambiguous")
+    seed(t)
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val meta = cat.metaStore.loadTable("rltest", "t_txn_ambiguous")
+    val fs = new Path(meta.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the ambiguous state: no marker, SOME listed old files gone — as
+    // legacy committed-rewrite residue a rollback deletes committed
+    // replacements; as an uncommitted txn a roll-forward deletes live
+    // originals. The repair must refuse: touch nothing, keep the
+    // manifest, and let subsequent writes proceed.
+    val dirA = write.GraftBatchWrite.partitionDir(meta,
+      meta.partitions.find(_.spec.get("p").contains("a")).get.spec)
+    val live = fs.listStatus(dirA).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    val phantom = new Path(dirA, "part-already-deleted.parquet") // listed, absent
+    val unlisted = new Path(dirA, "part-maybe-replacement.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, live.head, fs, unlisted, false, fs.getConf)
+    writeManifest(meta, Seq(dirA), live.toSeq :+ phantom, committed = false)
+    spark.sql(s"INSERT INTO $t VALUES (9, 90.0, 'b')") // triggers repair, must succeed
+    live.foreach(p => assert(fs.exists(p), s"ambiguous repair must not touch $p"))
+    assert(fs.exists(unlisted), "possible committed replacement must survive")
+    assert(fs.listStatus(txnDir(meta)).map(_.getPath.getName)
+      .exists(_.endsWith(".pending")), "ambiguous manifest must be kept")
+    // the refused manifest does not block later writes
+    spark.sql(s"INSERT INTO $t VALUES (10, 100.0, 'b')")
+    assert(spark.table(t).where("p = 'b'").count() >= 4)
+    // operator resolution: restoring the missing file makes the state
+    // unambiguous again (all F present → plain rollback retires it)
+    org.apache.hadoop.fs.FileUtil.copy(fs, live.head, fs, phantom, false, fs.getConf)
+    spark.sql(s"INSERT INTO $t VALUES (11, 110.0, 'b')")
+    assert(!fs.listStatus(txnDir(meta)).map(_.getPath.getName)
+      .exists(_.endsWith(".pending")), "restored state should auto-resolve")
+  }
+
   test("marker-less manifest with published replacements is rolled back") {
     val t = freshTable("t_txn_detect")
     seed(t)

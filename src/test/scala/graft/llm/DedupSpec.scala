@@ -55,6 +55,45 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(lsh === exact)
   }
 
+  test("embedding LSH production regime (cos>=0.9, wide bits): prunes all-pairs AND stays complete") {
+    import spark.implicits._
+    // A corpus where near-dups live where they actually live: 150
+    // random 64-dim gaussians (background cosines ~N(0, 1/64)) plus 30
+    // tight perturbations of the first 30 (cos ~0.9995) — unlike the
+    // driver fixture's tau=0.45 regime, here the angular gap is real
+    // and the SRP bits can exploit it. Everything is seeded: corpus,
+    // planes, hence the exact candidate set.
+    val dim = 64
+    val rnd = new scala.util.Random(13)
+    def gauss() = Array.fill(dim)(rnd.nextGaussian())
+    val base = (0L until 150L).map(id => (id, gauss()))
+    val dups = (0L until 30L).map { i =>
+      val noise = gauss()
+      (200L + i, base(i.toInt)._2.zip(noise).map { case (x, e) => x + 0.03 * e })
+    }
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val nAllPairs = 180L * 179L / 2L
+    val exact = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 30, s"fixture sanity: expected the 30 planted near-dups, got ${exact.size}")
+    // completeness claim: at p_bit = 1 - acos(.9995)/pi ~ .990, a
+    // 16-bit table catches a true pair with .86; 8 tables miss with
+    // (1-.86)^8 ~ 2e-7 per pair — and the seeded planes make the
+    // outcome deterministic, so equality (not "probably") is asserted
+    val lsh = Dedup.embeddingNearDupPairsLsh(vecs, "vec_id", "embedding", 0.9,
+      tables = 8, bits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact, "wide-bit LSH lost or invented a near-dup pair")
+    // pruning claim, asserted numerically: background pairs collide in a
+    // 16-bit table with ~2^-16 per table, so candidates ~= true pairs,
+    // orders of magnitude under n(n-1)/2
+    val n = Similarity.normalized(vecs, "vec_id", "embedding").localCheckpoint()
+    val nCands = Dedup.embeddingLshCandidates(n, tables = 8, bits = 16, dim = dim).count()
+    val frac = nCands.toDouble / nAllPairs
+    assert(nCands >= exact.size.toLong, "candidates cannot undercount the found pairs")
+    assert(frac < 0.05, f"candidate fraction $frac%.4f (=$nCands/$nAllPairs) did not prune")
+  }
+
   test("cross-snapshot near-dups: only NEW×PREV pairs, verified exactly") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
