@@ -618,7 +618,14 @@ object LlmQueries {
       "q38_dedup_embedding" -> embeddingPairsSql,
       // The LSH form verifies candidates with the SAME exact cosine, so
       // the all-pairs oracle gates it too (designed miss ≈ 7e-7/pair,
-      // deterministic under the seeded planes).
+      // deterministic under the seeded planes). Fixture-regeneration
+      // caveat: that determinism holds for any FIXED corpus — the gate
+      // was verified zero-miss on the current embeddings fixture, but a
+      // REDRAWN fixture re-rolls the per-pair miss dice; if the
+      // embeddings table is ever regenerated and this hash gate fails
+      // with no code change, that is the designed bound firing, and the
+      // correct response is rows+property gating (the DedupSpec
+      // production-regime test), not a code hunt.
       "q38b_dedup_embedding_lsh" -> embeddingPairsSql,
       "q33_lang_id" ->
         """WITH t AS (
