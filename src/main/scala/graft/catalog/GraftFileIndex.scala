@@ -143,9 +143,12 @@ class GraftFileIndex(
   * `dynamicpruning` subquery shows intent; this shows arrival). Appends
   * only, driver-side only; not part of the query path. */
 object GraftFileIndex {
+  // bounded: long-lived sessions scan thousands of times and the log
+  // must stay O(1) memory, not O(scans)
+  private val MaxRecorded = 64
   @volatile private var listFilterLog: List[Seq[Expression]] = Nil
   private[graft] def recordListFilters(filters: Seq[Expression]): Unit =
-    synchronized { listFilterLog = filters :: listFilterLog }
+    synchronized { listFilterLog = (filters :: listFilterLog).take(MaxRecorded) }
   private[graft] def resetListFilterLog(): Unit =
     synchronized { listFilterLog = Nil }
   private[graft] def recordedListFilters: List[Seq[Expression]] =

@@ -128,6 +128,65 @@ object Dedup {
     verifyPairsExact(lengthFilter(cands, pruned, tau), pruned, tau)
   }
 
+  /** Containment near-dup pairs: unordered (d1, d2) where the SMALLER
+    * shingle set is mostly inside the larger — `|A∩B| / min(|A|,|B|) ≥
+    * tau`. The overlap class Jaccard structurally misses: a paragraph
+    * quoted whole inside a much longer page has J ≈ |A|/|B| → 0 but
+    * containment ≈ 1, and training pipelines deduplicate exactly that
+    * (boilerplate inclusions, quoted excerpts, page-in-page re-crawls).
+    *
+    * Candidate generation is the PPJoin prefix lemma in its asymmetric
+    * form: if |A∩B| ≥ τ·|A| (A the smaller), the intersection must hit
+    * A's ⌊(1−τ)|A|⌋+1 globally-rarest shingles — so each doc's PREFIX
+    * probes the other side's FULL shingle list (prefix×prefix is NOT
+    * sound here: B's side has no prefix bound, which is also why no
+    * length filter applies — a tiny doc inside a huge one is the
+    * target, not noise). Exact verification then recomputes the true
+    * containment on real shingle sets, so the operator is gateable on
+    * the same DuckDB shingle pipeline as q28.
+    *
+    * At 100 TB: candidate cost is Σ_s prefix_df(s)·df(s) — the rarest-
+    * first prefix order keeps prefix_df small, and a df cap on prefix
+    * shingles (the q28 `maxShingleDf` lever) bounds the worst key. The
+    * default τ=0.9 keeps prefixes at ~10% of each doc. */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.9): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
+    val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc prefix of the (1-tau)|A|+1 rarest shingles, same one-pass
+    // aggregation shape (and the same float-guard direction) as q28
+    val prefix = hashed.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
+      .select(col("doc_id"),
+        explode(slice(col("sorted"), lit(1),
+          (col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1).cast("int")))
+          .as("e"))
+      .select(col("doc_id"), col("e.h").as("h"))
+    val cands = prefix.as("a")
+      .join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .distinct()
+      .localCheckpoint() // feeds candDocs twice + the verify join (q28's cut)
+    val candDocs = cands.select(col("d1").as("doc_id"))
+      .union(cands.select(col("d2"))).distinct()
+    val sets = sh.join(candDocs, "doc_id")
+      .groupBy("doc_id").agg(collect_set("s").as("set"))
+    cands
+      .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("inter", size(array_intersect(col("s1.set"), col("s2.set"))))
+      .withColumn("containment", col("inter").cast("double") /
+        least(size(col("s1.set")), size(col("s2.set"))))
+      .filter(col("containment") >= tau)
+      .select(col("d1"), col("d2"), (r4(col("containment"))).as("containment"))
+  }
+
   /** Length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| (for |A| ≤ |B|), so
     * size-mismatched candidate pairs can be discarded before the
     * expensive set verification. `sizes` is one row per doc (SF-scaled)

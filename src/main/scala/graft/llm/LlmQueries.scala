@@ -46,6 +46,15 @@ object LlmQueries {
       n = 3, tau = 0.8, bands = 16, rowsPerBand = 2)
       .orderBy(col("d1"), col("d2"))
 
+  // ---------------------------------------------------------------- q69
+  /** Containment near-dups at |A∩B|/min ≥ 0.9 — the quoted-excerpt /
+    * page-in-page overlap class Jaccard structurally misses (see
+    * [[Dedup.containmentPairs]] for the asymmetric prefix-filter
+    * design). */
+  def q69_dedup_containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(spark, dir), "doc_id", "text", n = 3, tau = 0.9)
+      .orderBy(col("d1"), col("d2"))
+
   // ---------------------------------------------------------------- q30
   /** SimHash near-dup pairs (hamming ≤ 3) via the 4×16-bit block
     * pigeonhole join. Fingerprints depend on Spark's xxhash64, which
@@ -538,6 +547,7 @@ object LlmQueries {
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
     "q29_dedup_minhash_lsh" -> (q29_dedup_minhash_lsh _),
+    "q69_dedup_containment" -> (q69_dedup_containment _),
     "q30_dedup_simhash" -> (q30_dedup_simhash _),
     "q31_ann_cosine_topk" -> (q31_ann_cosine_topk _),
     "q32_ann_lsh_topk" -> (q32_ann_lsh_topk _),
@@ -599,6 +609,17 @@ object LlmQueries {
           | FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
       "q28_dedup_jaccard" -> (shingleCtes + "\n" + jaccardSelect),
       "q29_dedup_minhash_lsh" -> (shingleCtes + "\n" + jaccardSelect),
+      // Same shingle pipeline, asymmetric metric: |A∩B| / min(|A|,|B|).
+      // Exact-int division is IEEE-identical cross-engine; the output
+      // value goes through the shared r4 rounding contract.
+      "q69_dedup_containment" -> (shingleCtes +
+        """
+          | SELECT d1, d2, round(cont * 10000) / 10000 AS containment FROM (
+          |  SELECT d1, d2,
+          |    CAST(c AS DOUBLE) / least(s1.n_sh, s2.n_sh) AS cont
+          |  FROM common JOIN sizes s1 ON d1 = s1.doc_id
+          |              JOIN sizes s2 ON d2 = s2.doc_id)
+          | WHERE cont >= 0.9 ORDER BY d1, d2""".stripMargin),
       // Same left-to-right double summation as Similarity.dot — the two
       // engines produce bit-identical sims, so ranks and rounded scores
       // hash-match.

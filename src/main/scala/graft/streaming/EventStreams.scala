@@ -462,6 +462,51 @@ object EventStreams {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------- s11
+  /** Streaming INTO the catalog — s01d's write-side twin: a file stream
+    * of the events fixture lands in a managed graft table via
+    * `foreachBatch { _.writeTo(tgt).append() }`, each microbatch an
+    * atomic two-phase (FS → catalog) batch commit. foreachBatch is the
+    * idiomatic stream→batch-sink bridge (Spark's own docs route
+    * non-streaming sinks through it), and the graft append path gives
+    * per-batch atomicity: a reader never sees a half-published
+    * microbatch. Across RESTARTS the guarantee is the file sink's
+    * at-least-once — a batch replayed after a crash between FS commit
+    * and checkpoint write would append twice; the idempotent form is
+    * content-keyed dedup downstream (s10's operator) or MERGE on a key
+    * (q52's operator), both in the inventory. Gated on the batch
+    * aggregate of the landed table equaling the events oracle. */
+  def s11_stream_catalog_sink(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${graft.GraftBootstrap.CatalogName}.tmp.s11_events_sink"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${graft.GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    events.limit(0).writeTo(tgt).create() // schema from the catalog, data from the stream
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", Tables.nanosToNtz("ts"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partKey)
+    spark.conf.set(partKey, "4")
+    try {
+      val query = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.writeTo(tgt).append()
+        }
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+    } finally spark.conf.set(partKey, prev)
+    spark.table(tgt)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   // --------------------------------------------------------------- s10b
   /** s10 through the FILE stream source — the production ingestion
     * shape (s01c's pattern): `readStream.parquet` over a two-generation
@@ -534,6 +579,7 @@ object EventStreams {
     "s10_stream_dedup_ingest" -> (s10_stream_dedup_ingest _),
     "s10b_stream_dedup_files" -> (s10b_stream_dedup_files _),
     "s10c_stream_dedup_watermarked" -> (s10c_stream_dedup_watermarked _),
+    "s11_stream_catalog_sink" -> (s11_stream_catalog_sink _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -551,6 +597,12 @@ object EventStreams {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round((sum(value)) * 100) / 100 AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Every streamed event landed in the catalog table exactly once, so
+    // the table's batch aggregate equals the plain events aggregate.
+    "s11_stream_catalog_sink" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // The late-drop rule in SQL: late rows never reach the aggregate.
     "s05_watermark_late" ->
       """WITH mx AS (SELECT max(ts) AS m FROM events)

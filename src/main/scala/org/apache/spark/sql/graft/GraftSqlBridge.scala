@@ -69,7 +69,12 @@ trait StreamingV1FallbackTable
   * before any file listing).
   *
   * Unknown predicate shapes are IGNORED, never mistranslated — runtime
-  * filters are an optimization; dropping one costs I/O, not rows. */
+  * filters are an optimization; dropping one costs I/O, not rows. The
+  * one pushdown NOT forwarded is parquet variant extraction
+  * (`SupportsPushDownVariantExtractions` is sealed inside the parquet
+  * builder): a variant-typed column on a PARTITIONED graft table reads
+  * whole values instead of pushed paths — no inventory query uses
+  * variant, and correctness is unaffected. */
 class GraftScanBuilder(
     inner: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder,
     partitionCols: Seq[String])

@@ -94,6 +94,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(frac < 0.05, f"candidate fraction $frac%.4f (=$nCands/$nAllPairs) did not prune")
   }
 
+  test("containment catches a quoted excerpt that Jaccard misses") {
+    import spark.implicits._
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta"
+    val page = s"intro words here $excerpt and then a very long tail " +
+      "of unrelated content stretching on and on with many extra tokens " +
+      "so the jaccard similarity collapses toward zero for this pair"
+    val docs = Seq(
+      (1L, excerpt), (2L, page),
+      (3L, "completely different text with no shared trigrams at all here")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.map(t => (t._1, t._2)).toSet === Set((1L, 2L)),
+      s"expected exactly the excerpt⊂page pair, got ${cont.toSeq}")
+    assert(cont.head._3 === 1.0, "a fully-quoted excerpt has containment 1")
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8)
+      .collect()
+    assert(jac.isEmpty, "the excerpt pair must be invisible to Jaccard at 0.8")
+  }
+
   test("cross-snapshot near-dups: only NEW×PREV pairs, verified exactly") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +

@@ -18,6 +18,19 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("streaming into the catalog lands every event exactly once (single run)") {
+    import org.apache.spark.sql.functions._
+    val sunk = EventStreams.s11_stream_catalog_sink(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (round(sum(col("value")) * 100) / 100).as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sunk === batch)
+  }
+
   test("readStream.table through the graft catalog converges to the batch answer") {
     val streamed = rows(EventStreams.s01d_tumbling_catalog_stream(spark, sf0001))
     val batch = rows(EventWindowQueries.s01_tumbling_window(spark, sf0001))
