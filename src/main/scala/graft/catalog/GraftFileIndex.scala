@@ -137,20 +137,29 @@ class GraftFileIndex(
     throw new UnsupportedOperationException("delegated to pruned InMemoryFileIndex")
 }
 
-/** Test observability: the partition filters most recently handed to any
-  * [[GraftFileIndex.listFiles]] call — how PlanShapeSpec PROVES dynamic
+/** Test observability: the column names of partition filters handed to
+  * [[GraftFileIndex.listFiles]] — how PlanShapeSpec PROVES dynamic
   * partition pruning reaches the catalog index at runtime (a plan-string
-  * `dynamicpruning` subquery shows intent; this shows arrival). Appends
-  * only, driver-side only; not part of the query path. */
+  * `dynamicpruning` subquery shows intent; this shows arrival).
+  *
+  * OFF by default: production scans pay one volatile read and record
+  * nothing — no lock, no retained Expression trees (a DPP runtime IN
+  * filter at the 10⁴-partition regime would otherwise keep its full
+  * literal list alive after the query ends). The spec flips the flag,
+  * and only referenced column NAMES (plain strings) are kept, bounded. */
 object GraftFileIndex {
   // bounded: long-lived sessions scan thousands of times and the log
   // must stay O(1) memory, not O(scans)
   private val MaxRecorded = 64
-  @volatile private var listFilterLog: List[Seq[Expression]] = Nil
+  @volatile private var recordingEnabled = false
+  @volatile private var listFilterLog: List[Seq[String]] = Nil
   private[graft] def recordListFilters(filters: Seq[Expression]): Unit =
-    synchronized { listFilterLog = (filters :: listFilterLog).take(MaxRecorded) }
+    if (recordingEnabled) synchronized {
+      val names = filters.flatMap(_.references.map(_.name)).distinct
+      listFilterLog = (names :: listFilterLog).take(MaxRecorded)
+    }
   private[graft] def resetListFilterLog(): Unit =
-    synchronized { listFilterLog = Nil }
-  private[graft] def recordedListFilters: List[Seq[Expression]] =
+    synchronized { recordingEnabled = true; listFilterLog = Nil }
+  private[graft] def recordedListFilterColumns: List[Seq[String]] =
     listFilterLog
 }

@@ -105,6 +105,23 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    // FileStreamSource's basePath contract requires a DIRECTORY; an
+    // external table registered on a single file would resolve through
+    // the fallback and then die deep inside the source with a confusing
+    // listing error. Refuse here, at resolution time, with the actual
+    // problem named. One getFileStatus call, paid only on streaming
+    // resolution — the batch path never calls v1Table.
+    val loc = new Path(meta.location)
+    val isDir =
+      try loc.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(loc).isDirectory
+      catch { case _: java.io.FileNotFoundException => true } // empty table: dir not yet created
+    if (!isDir)
+      throw new UnsupportedOperationException(
+        s"streaming read of ${catalog.name}.$db.${meta.name} is not supported: " +
+        s"its location ${meta.location} is a single file, but the file " +
+        "stream source requires a directory. Register the table on the " +
+        "containing directory (or CTAS into a managed table) to stream it.")
     CatalogTable(
       identifier = TableIdentifier(meta.name, Some(db), Some(catalog.name)),
       tableType =

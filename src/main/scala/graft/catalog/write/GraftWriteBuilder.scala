@@ -625,11 +625,18 @@ class GraftBatchWrite(
         // COMMITTED rewrite a rollback would delete the committed
         // replacements while some originals are already gone — combined
         // loss in the opposite direction. Neither direction is provably
-        // safe, so the repair REFUSES: it logs and leaves the pending
-        // manifest for operator resolution (writes keep working; the
-        // manifest is retried on every subsequent repair pass and
-        // resolves itself if the missing F reappears or the rest
-        // vanish). An EMPTY F list (rewrite of an empty table) always
+        // safe to EXECUTE destructively — but doing NOTHING leaves the
+        // unlisted files reader-visible, serving duplicate /
+        // half-rewritten rows on every read until a human acts. So the
+        // repair QUARANTINES: unlisted files move (a rename, reversible)
+        // into the underscore-hidden txn dir, giving readers the exact
+        // pre-statement state under the only interpretation current
+        // code can produce; for legacy committed-rewrite residue an
+        // operator restores them from the quarantine (original paths
+        // are URL-encoded in the quarantined names). The manifest
+        // retires as `.ambiguous` — terminal, so files from LATER
+        // writes can never be mistaken for this rewrite's on a
+        // subsequent pass. An EMPTY F list (rewrite of an empty table) always
         // takes rollback: current-code crashes can only leave
         // marker-less manifests pre-commit (pending is deleted before
         // the marker), where rollback correctly sweeps partial
@@ -641,13 +648,28 @@ class GraftBatchWrite(
         val committed = fs.exists(marker) ||
           (files.nonEmpty && missingF == files.size)
         if (!committed && missingF > 0 && missingF < files.size) {
-          // ambiguous: leave THIS manifest in place, repair the others
+          // ambiguous: quarantine the unlisted files (reversible), then
+          // retire the manifest as .ambiguous for operator review
+          val base = pm.getName.stripSuffix(".pending")
+          val qDir = new Path(txnDir, s"$base.quarantine")
+          fs.mkdirs(qDir)
+          val preexisting = (files ++ tagged("K")).map(_.toString).toSet
+          (tagged("D") ++ tagged("W")).distinct.foreach { d =>
+            dataFiles(d, conf)
+              .filterNot(f => preexisting.contains(f.toString))
+              .foreach { f =>
+                val enc = java.net.URLEncoder.encode(f.toString, "UTF-8")
+                f.getFileSystem(conf).rename(f, new Path(qDir, enc))
+              }
+          }
+          fs.rename(pm, new Path(txnDir, s"$base.ambiguous"))
           org.slf4j.LoggerFactory.getLogger(classOf[GraftBatchWrite]).warn(
-            s"COW repair: manifest $pm is marker-less with $missingF of " +
+            s"COW repair: manifest $pm was marker-less with $missingF of " +
               s"${files.size} old files missing — ambiguous crash state " +
               "(uncommitted txn with externally-lost originals, or legacy " +
-              "committed-rewrite residue). Refusing to auto-repair; " +
-              "resolve manually or restore the missing files.")
+              "committed-rewrite residue). Quarantined the unlisted files " +
+              s"under $qDir (restore by URL-decoding the names) and " +
+              s"retired the manifest as $base.ambiguous.")
         } else {
           if (committed) {
             // committed: finish the delete phase

@@ -99,33 +99,49 @@ object Dedup {
     // (adding candidates, never losing one), and verification below
     // still compares the real shingle strings.
     val hashed = pruned.select(col("doc_id"), xxhash64(col("s")).as("h"))
-    // Global frequency order (ties broken by hash) → per-doc prefix of
-    // the (1-tau)|A|+1 rarest shingles. The per-doc ordering runs as one
-    // aggregation (collect → sort_array → slice) instead of two window
-    // passes — a doc's shingle list is small and bounded by its token
-    // count, so the in-memory sort is cheap and saves a full
-    // sort-per-partition stage.
-    //
-    // Prefix length n−⌈τ·n⌉+1. The 1e-9 guard makes float error err
-    // toward a LONGER prefix (more candidates, still exact) — a bare
-    // ceil(0.8*10)=ceil(8.000000000000002)=9 would shorten it and
-    // silently drop qualifying pairs.
-    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = hashed.join(dfreq, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"),
-        sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
-      .select(col("doc_id"),
-        explode(slice(col("sorted"), lit(1),
-          (col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1).cast("int")))
-          .as("e"))
-      .select(col("doc_id"), col("e.h").as("h"))
+    val prefix = prefixIndex(hashed, tau)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     verifyPairsExact(lengthFilter(cands, pruned, tau), pruned, tau)
+  }
+
+  /** Per-doc PPJoin prefix index over hashed shingles — the one copy of
+    * the prefix construction shared by q28, q59 and q69 (a fix to the
+    * guard or the ordering contract lands here exactly once).
+    *
+    * Global frequency order (ties broken by hash) → per-doc prefix of
+    * the (1−τ)|A|+1 rarest shingles. The per-doc ordering runs as ONE
+    * aggregation (collect → sort_array → slice) instead of two window
+    * passes — a doc's shingle list is small and bounded by its token
+    * count, so the in-memory sort is cheap and saves a full
+    * sort-per-partition stage.
+    *
+    * Prefix length n−⌈τ·n⌉+1. The 1e-9 guard makes float error err
+    * toward a LONGER prefix (more candidates, still exact) — a bare
+    * ceil(0.8*10)=ceil(8.000000000000002)=9 would shorten it and
+    * silently drop qualifying pairs.
+    *
+    * `hashed` is (doc_id, h [, carry…]); `carry` columns (one value per
+    * doc, e.g. q59's is_prev tag) ride through the aggregation via
+    * first(). Returns (doc_id [, carry…], h) prefix rows. */
+  private def prefixIndex(
+      hashed: DataFrame, tau: Double, carry: Seq[String] = Nil): DataFrame = {
+    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
+    val aggs = carry.map(c => first(c).as(c)) ++ Seq(
+      count(lit(1)).as("n_sh"),
+      sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
+    val keep = col("doc_id") +: carry.map(col)
+    hashed.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keep :+
+        explode(slice(col("sorted"), lit(1),
+          (col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1).cast("int")))
+          .as("e"): _*)
+      .select(keep :+ col("e.h").as("h"): _*)
   }
 
   /** Containment near-dup pairs: unordered (d1, d2) where the SMALLER
@@ -151,21 +167,21 @@ object Dedup {
     * default τ=0.9 keeps prefixes at ~10% of each doc. */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tau: Double = 0.9): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
+      n: Int = 3, tau: Double = 0.9,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val raw = shingleRows(docs, idCol, textCol, n)
+    // The df cap named in the scaladoc above, applied exactly as in q28:
+    // shingles above the cap leave the WHOLE pipeline (prefix, probe and
+    // verification sides), so the candidate bound Σ prefix_df(s)·df(s)
+    // is capped on both factors. None (the gated default) is exact.
+    val sh = (maxShingleDf match {
+      case Some(cap) =>
+        val dfreq = raw.groupBy("s").agg(count(lit(1)).as("df"))
+        raw.join(dfreq.filter(col("df") <= cap), "s").select("doc_id", "s")
+      case None => raw
+    }).localCheckpoint()
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
-    // per-doc prefix of the (1-tau)|A|+1 rarest shingles, same one-pass
-    // aggregation shape (and the same float-guard direction) as q28
-    val prefix = hashed.join(dfreq, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"),
-        sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
-      .select(col("doc_id"),
-        explode(slice(col("sorted"), lit(1),
-          (col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1).cast("int")))
-          .as("e"))
-      .select(col("doc_id"), col("e.h").as("h"))
+    val prefix = prefixIndex(hashed, tau)
     val cands = prefix.as("a")
       .join(hashed.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
@@ -258,16 +274,7 @@ object Dedup {
         explode(shingles(col("toks"), n)).as("s"))
       .localCheckpoint()
     val hashed = sh.select(col("doc_id"), col("is_prev"), xxhash64(col("s")).as("h"))
-    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = hashed.join(dfreq, "h")
-      .groupBy("doc_id")
-      .agg(first("is_prev").as("is_prev"), count(lit(1)).as("n_sh"),
-        sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
-      .select(col("doc_id"), col("is_prev"),
-        explode(slice(col("sorted"), lit(1),
-          (col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1).cast("int")))
-          .as("e"))
-      .select(col("doc_id"), col("is_prev"), col("e.h").as("h"))
+    val prefix = prefixIndex(hashed, tau, carry = Seq("is_prev"))
     // d1 = new doc, d2 = prev doc; the shared length-filter +
     // exact-verification pipeline is direction-agnostic.
     val cands = prefix.filter(!col("is_prev")).as("a")

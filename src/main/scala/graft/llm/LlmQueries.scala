@@ -488,6 +488,23 @@ object LlmQueries {
         TextAnalysis.splitOf(col("text")).as("split"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q70
+  /** Context-window chunking: each document → overlapping 64-token
+    * chunks on a 48-token stride (see [[TextAnalysis.chunkDocuments]]).
+    * Pure row-local explode — q68's zero-shuffle scale class. */
+  def q70_chunk_documents(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(docs(spark, dir), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  // ---------------------------------------------------------------- q71
+  /** Corpus-unigram LM quality score per document (see
+    * [[TextAnalysis.unigramLogProb]] for the quantized-sum gate
+    * contract and the vocab-join scale posture). */
+  def q71_unigram_logprob(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q65
   /** End-to-end corpus curation — the composed training-set gate a
     * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
@@ -559,6 +576,8 @@ object LlmQueries {
     "q38_dedup_embedding" -> (q38_dedup_embedding _),
     "q38b_dedup_embedding_lsh" -> (q38b_dedup_embedding_lsh _),
     "q40_ann_ivf_topk" -> (q40_ann_ivf_topk _),
+    "q70_chunk_documents" -> (q70_chunk_documents _),
+    "q71_unigram_logprob" -> (q71_unigram_logprob _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -1008,6 +1027,42 @@ object LlmQueries {
           |       WHEN substr(sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 2) < 'e6' THEN 'val'
           |       ELSE 'test' END AS split
           | FROM documents ORDER BY doc_id""".stripMargin,
+      // Chunk starts at 0, 48, 96, … (generate_series is stop-inclusive,
+      // matching Spark's sequence); all chunk metrics are pure integer
+      // arithmetic + array indexing — no float anywhere.
+      "q70_chunk_documents" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          | s AS (
+          |  SELECT doc_id, toks, len(toks) AS n,
+          |    unnest(generate_series(0, len(toks) - 1, 48)) AS start
+          |  FROM t)
+          | SELECT doc_id,
+          |   CAST(start // 48 AS INT) AS chunk_id,
+          |   CAST(least(64, n - start) AS BIGINT) AS chunk_tokens,
+          |   toks[start + 1] AS first_tok,
+          |   toks[least(start + 64, n)] AS last_tok
+          | FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+      // Per-token log-probs quantized to exact longs BEFORE the per-doc
+      // sum (shuffle-order-free); ln runs on integer-valued doubles in
+      // both engines. round is HALF_UP in both; `/` on integers is
+      // float division in both.
+      "q71_unigram_logprob" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+          |  FROM documents WHERE text IS NOT NULL),
+          | v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+          | tot AS (SELECT count(*) AS total FROM t),
+          | s AS (
+          |  SELECT t.doc_id,
+          |    CAST(round((ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tot.total AS DOUBLE))) * 10000) AS BIGINT) AS lp_q
+          |  FROM t JOIN v USING (tok) CROSS JOIN tot)
+          | SELECT doc_id, count(*) AS n_tokens,
+          |   round(sum(lp_q) / count(*)) / 10000.0 AS avg_logprob
+          | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -227,6 +227,71 @@ object TextAnalysis {
     * h ← (h·31 + code) mod 1e9+7. The modulus keeps every intermediate
     * < 2^35, so ANSI-mode long arithmetic never overflows, and the same
     * fold runs in DuckDB's list_reduce. */
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * step of a training pipeline: every document becomes ⌈n/stride⌉
+    * chunks of `chunkSize` tokens starting at 0, stride, 2·stride, …
+    * (consecutive chunks share `chunkSize − stride` tokens; the final
+    * chunks are shorter where the document runs out). Emits per chunk
+    * the covered token count and the first/last covered token — enough
+    * to reconstruct chunk boundaries without materializing chunk text.
+    *
+    * 100 TB posture: a pure row-local projection + explode — zero
+    * shuffle, no state, output rows ≈ input tokens / stride. The best
+    * possible scale shape (q68's class). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      "stride must be in (0, chunkSize] — a larger stride would drop tokens")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        expr(s"start div $stride").cast("int").as("chunk_id"),
+        least(lit(chunkSize), col("n") - col("start")).cast("long")
+          .as("chunk_tokens"),
+        element_at(col("toks"), col("start") + 1).as("first_tok"),
+        element_at(col("toks"), least(col("start") + lit(chunkSize), col("n")))
+          .as("last_tok"))
+  }
+
+  /** Corpus-unigram log-probability score — the CCNet/Gopher-style LM
+    * quality filter with the LM trained on the corpus itself: p(tok) =
+    * cnt(tok)/total, per-doc score = mean log p over its tokens. Low
+    * (very negative) scores mark gibberish / rare-token soup; high
+    * scores mark common-word boilerplate — both tails are filter
+    * targets.
+    *
+    * Hash-gate contract (the q63 ln discipline, hardened for SUMS): the
+    * per-token log-prob is quantized to an exact LONG at 1e-4 nats
+    * BEFORE the cross-row sum, so the aggregate is shuffle-order-free;
+    * the only float step shared with the oracle is the per-row
+    * ln(integer-valued double), which both engines compute to <1 ulp —
+    * absorbed by the quantization except on (measure-zero) boundary
+    * ties, same accepted class as q63's rank-on-rounded.
+    *
+    * At 100 TB: tokenize once (checkpointed), vocab aggregate with
+    * map-side combine, then a vocab⋈tokens equality join — the vocab is
+    * corpus-bounded (≪ token count) and broadcasts in production; AQE
+    * handles the frequent-token skew here. No driver-side state. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .localCheckpoint() // feeds vocab, total AND scoring: tokenize once
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totalDf = toks.agg(count(lit(1)).as("total"))
+    toks.join(vocab, "tok").crossJoin(broadcast(totalDf))
+      .withColumn("lp_q",
+        round((log(col("cnt").cast("double")) -
+          log(col("total").cast("double"))) * 10000).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_q")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        (round(col("sum_lp") / col("n_tokens")) / 10000.0).as("avg_logprob"))
+  }
+
   def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("fingerprint",
       aggregate(

@@ -69,19 +69,28 @@ object EventStreams {
       spark: SparkSession, streaming: DataFrame, mode: String)(
       feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val partKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(partKey)
-    spark.conf.set(partKey, "4")
-    try {
+    withShufflePartitions(spark, 4) {
       val query = streaming.writeStream
         .format("memory").queryName(name).outputMode(mode).start()
       try feed(query)
       finally query.stop()
-    } finally spark.conf.set(partKey, prev)
+    }
     val sink = spark.table(name)
     val out = spark.createDataFrame(sink.collectAsList(), sink.schema)
     spark.catalog.dropTempView(name)
     out
+  }
+
+  /** Run `body` with shuffle partitions temporarily set to `n`,
+    * restoring the previous value even on failure — the one copy of the
+    * save/set/restore juggling shared by the memory-sink replays and
+    * the foreachBatch sinks (s11). */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(
+      body: => A): A = {
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partKey)
+    spark.conf.set(partKey, n.toString)
+    try body finally spark.conf.set(partKey, prev)
   }
 
   /** Feed `batches` one microbatch at a time through `transform`. */
@@ -489,10 +498,7 @@ object EventStreams {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", Tables.nanosToNtz("ts"))
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-    val partKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(partKey)
-    spark.conf.set(partKey, "4")
-    try {
+    withShufflePartitions(spark, 4) {
       val query = src.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.writeTo(tgt).append()
@@ -500,11 +506,74 @@ object EventStreams {
         .start()
       try query.processAllAvailable()
       finally query.stop()
-    } finally spark.conf.set(partKey, prev)
+    }
     spark.table(tgt)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
       .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- s12
+  /** Streaming MERGE upsert into the catalog — the idempotent form of
+    * s11's append sink (the exactly-once-by-key shape a production
+    * ingest actually runs, because foreachBatch is at-least-once across
+    * restarts): each microbatch MERGEs into the target on `event_id`,
+    * so a replayed or corrected delivery UPDATEs in place instead of
+    * appending a duplicate. Exercised with a two-generation file
+    * stream: generation 1 is the initial load (all inserts); generation
+    * 2 re-delivers every 10th event with a corrected (doubled) value —
+    * the final table must hold each event exactly once, with the last
+    * delivered values.
+    *
+    * At 100 TB: MERGE's per-batch cost is the COW group rewrite of
+    * matched files only (q52's machinery) — partition the target by
+    * event-time date so a correction batch rewrites only the dates it
+    * touches, and size microbatches with `maxFilesPerTrigger`. State is
+    * the target table itself; the stream holds none. */
+  def s12_stream_merge_upsert(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${graft.GraftBootstrap.CatalogName}.tmp.s12_events_upsert"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${graft.GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    events.limit(0).writeTo(tgt).create()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s12_")
+    val tmpPath = tmp.toString
+    try {
+      events.write.mode("append").parquet(tmpPath) // generation 1: initial load
+      val src = spark.readStream.schema(events.schema).parquet(tmpPath)
+      withShufflePartitions(spark, 4) {
+        val query = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.createOrReplaceTempView("s12_merge_src")
+            batch.sparkSession.sql(
+              s"""MERGE INTO $tgt t USING s12_merge_src s
+                 |ON t.event_id = s.event_id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *
+                 |""".stripMargin)
+            ()
+          }
+          .start()
+        try {
+          query.processAllAvailable()
+          // generation 2: corrected re-delivery for every 10th event
+          events.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .write.mode("append").parquet(tmpPath)
+          query.processAllAvailable()
+        } finally query.stop()
+      }
+      spark.table(tgt)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+        .orderBy(col("event_type"))
+    } finally {
+      val fs = new Path(tmpPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(tmpPath), true)
+    }
   }
 
   // --------------------------------------------------------------- s10b
@@ -580,6 +649,7 @@ object EventStreams {
     "s10b_stream_dedup_files" -> (s10b_stream_dedup_files _),
     "s10c_stream_dedup_watermarked" -> (s10c_stream_dedup_watermarked _),
     "s11_stream_catalog_sink" -> (s11_stream_catalog_sink _),
+    "s12_stream_merge_upsert" -> (s12_stream_merge_upsert _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -602,6 +672,12 @@ object EventStreams {
     "s11_stream_catalog_sink" ->
       """SELECT event_type, count(*) AS cnt,
         |  round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Upsert semantics: each event exactly once, every 10th carrying its
+    // corrected (doubled — exact in binary) generation-2 value.
+    "s12_stream_merge_upsert" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round((sum(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END)) * 100) / 100 AS sum_value
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // The late-drop rule in SQL: late rows never reach the aggregate.
     "s05_watermark_late" ->

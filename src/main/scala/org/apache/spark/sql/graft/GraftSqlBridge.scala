@@ -124,6 +124,26 @@ class GraftFileScan(
 
   override def readSchema(): StructType = current.readSchema()
   override def toBatch: Batch = current.toBatch
+
+  /** Decide columnar support WITHOUT enumerating partitions. The
+    * inherited PARTITION_DEFINED makes the planner's
+    * `BatchScanExec.supportsColumnar` iterate `inputPartitions` — a full
+    * UNPRUNED `listFiles(Nil)` during planning, before the runtime
+    * filter exists, defeating the O(matching partitions) listing this
+    * wrapper exists for. All three delegated factories answer columnar
+    * support partition-independently (ParquetPartitionReaderFactory
+    * ignores its argument; CSV/JSON inherit the interface's constant
+    * `false` — verified against the 4.1.2 bytecode), so one factory
+    * probe replaces the enumeration. */
+  // memoized: createReaderFactory broadcasts the hadoop conf per call,
+  // and the answer is filter-independent (same format, same schema)
+  private lazy val columnarMode =
+    if (initial.createReaderFactory().supportColumnarReads(null))
+      org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.SUPPORTED
+    else
+      org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
+  override def columnarSupportMode(): org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+    columnarMode
   override def description(): String = current.description()
   override def getMetaData(): Map[String, String] = current.getMetaData()
   override def estimateStatistics(): Statistics = current.estimateStatistics()

@@ -142,10 +142,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // arrival: GraftFileIndex.listFiles actually received a partition
     // filter naming the partition column — delegation kept
     // SupportsRuntimeFiltering intact end-to-end
-    val got = graft.catalog.GraftFileIndex.recordedListFilters
-    assert(got.exists(_.exists(_.references.exists(
-        _.name.equalsIgnoreCase("o_orderpriority")))),
+    val got = graft.catalog.GraftFileIndex.recordedListFilterColumns
+    assert(got.exists(_.exists(_.equalsIgnoreCase("o_orderpriority"))),
       s"listFiles never saw a partition filter; recorded: $got")
+    // and the pruned listing is the ONLY listing: the planner's columnar
+    // probe must not trigger an unfiltered listFiles(Nil) of every
+    // partition before the runtime filter exists (GraftFileScan answers
+    // columnarSupportMode without enumerating partitions)
+    assert(got.forall(_.nonEmpty),
+      s"an unpruned listing ran alongside DPP; recorded: $got")
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"DROP TABLE IF EXISTS $dimT")
   }

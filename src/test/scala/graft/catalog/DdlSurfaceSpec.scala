@@ -35,20 +35,37 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
 
   test("every catalog table advertises the streaming V1 fallback with catalog metadata") {
     GraftBootstrap.ensure(spark, sf0001)
+    // directory-located table (the streamable case): fallback metadata
+    // carries the catalog's schema, provider and identifier
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ddl")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ddl.stream_ok")
+    spark.sql(s"CREATE TABLE $cat.ddl.stream_ok (id BIGINT, v DOUBLE) USING parquet")
+    val okIdent = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ddl"), "stream_ok")
+    val okTable = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog].loadTable(okIdent)
+    // the analyzer's streaming hook: RelationResolution only builds the
+    // StreamingRelationV2 v1 fallback for V2TableWithV1Fallback tables
+    // (re-exported as the public StreamingV1FallbackTable bridge trait)
+    assert(okTable.isInstanceOf[org.apache.spark.sql.graft.StreamingV1FallbackTable])
+    val v1 = okTable.asInstanceOf[
+      org.apache.spark.sql.graft.StreamingV1FallbackTable].v1Table
+    assert(v1.provider === Some("parquet"))
+    assert(v1.schema === okTable.asInstanceOf[GraftTable].meta.schema)
+    assert(v1.identifier.catalog === Some(cat))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ddl.stream_ok")
+    // single-FILE-located external table (the events fixture): the
+    // fallback must refuse at resolution time with the problem named,
+    // not die inside FileStreamSource with a basePath listing error
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array(GraftBootstrap.Namespace), "events")
     val table = spark.sessionState.catalogManager.catalog(cat)
       .asInstanceOf[GraftCatalog].loadTable(ident)
-    // the analyzer's streaming hook: RelationResolution only builds the
-    // StreamingRelationV2 v1 fallback for V2TableWithV1Fallback tables
-    // (re-exported as the public StreamingV1FallbackTable bridge trait)
     assert(table.isInstanceOf[org.apache.spark.sql.graft.StreamingV1FallbackTable])
-    val v1 = table.asInstanceOf[
-      org.apache.spark.sql.graft.StreamingV1FallbackTable].v1Table
-    assert(v1.provider === Some("parquet"))
-    assert(v1.schema === table.asInstanceOf[GraftTable].meta.schema)
-    assert(v1.location.toString.endsWith("events.parquet"))
-    assert(v1.identifier.catalog === Some(cat))
+    val err = intercept[UnsupportedOperationException](
+      table.asInstanceOf[org.apache.spark.sql.graft.StreamingV1FallbackTable].v1Table)
+    assert(err.getMessage.contains("single file") &&
+      err.getMessage.contains("directory"))
   }
 
   test("missing objects raise the standard error classes") {

@@ -299,7 +299,7 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     assert(fs.listStatus(txnDir(meta)).isEmpty, "txn files should be retired")
   }
 
-  test("marker-less manifest with a PARTIALLY-missing old set is left for the operator") {
+  test("marker-less manifest with a PARTIALLY-missing old set quarantines reversibly") {
     val t = freshTable("t_txn_ambiguous")
     seed(t)
     val cat = spark.sessionState.catalogManager
@@ -308,10 +308,12 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     val fs = new Path(meta.location)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // the ambiguous state: no marker, SOME listed old files gone — as
-    // legacy committed-rewrite residue a rollback deletes committed
-    // replacements; as an uncommitted txn a roll-forward deletes live
-    // originals. The repair must refuse: touch nothing, keep the
-    // manifest, and let subsequent writes proceed.
+    // legacy committed-rewrite residue a destructive rollback would
+    // delete committed replacements; as an uncommitted txn a
+    // roll-forward would delete live originals. The repair must not
+    // DESTROY anything, but it also must not leave the unlisted files
+    // reader-visible (duplicate rows on every read): it quarantines
+    // them into the hidden txn dir and retires the manifest.
     val dirA = write.GraftBatchWrite.partitionDir(meta,
       meta.partitions.find(_.spec.get("p").contains("a")).get.spec)
     val live = fs.listStatus(dirA).map(_.getPath)
@@ -322,18 +324,32 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     writeManifest(meta, Seq(dirA), live.toSeq :+ phantom, committed = false)
     spark.sql(s"INSERT INTO $t VALUES (9, 90.0, 'b')") // triggers repair, must succeed
     live.foreach(p => assert(fs.exists(p), s"ambiguous repair must not touch $p"))
-    assert(fs.exists(unlisted), "possible committed replacement must survive")
-    assert(fs.listStatus(txnDir(meta)).map(_.getPath.getName)
-      .exists(_.endsWith(".pending")), "ambiguous manifest must be kept")
-    // the refused manifest does not block later writes
+    // readers no longer see duplicate rows from the unlisted file
+    assert(!fs.exists(unlisted), "unlisted file must leave the live dir")
+    assert(spark.table(t).where("p = 'a'").count() === 2)
+    // ...but it is preserved, restorably, in the quarantine dir
+    val qFiles = fs.listStatus(txnDir(meta)).map(_.getPath)
+      .filter(_.getName.endsWith(".quarantine"))
+      .flatMap(q => fs.listStatus(q).map(_.getPath))
+    assert(qFiles.length === 1, "quarantine must hold exactly the unlisted file")
+    assert(new Path(java.net.URLDecoder.decode(qFiles.head.getName, "UTF-8"))
+      === fs.makeQualified(unlisted),
+      "quarantined name must decode to the original path")
+    // the manifest retires as .ambiguous — terminal, so later writes'
+    // files can never be swept up by a subsequent repair pass
+    val names = fs.listStatus(txnDir(meta)).map(_.getPath.getName)
+    assert(!names.exists(_.endsWith(".pending")), "pending manifest must retire")
+    assert(names.exists(_.endsWith(".ambiguous")), "record kept for the operator")
+    // the retired manifest does not block later writes, and their files
+    // stay where they land
     spark.sql(s"INSERT INTO $t VALUES (10, 100.0, 'b')")
-    assert(spark.table(t).where("p = 'b'").count() >= 4)
-    // operator resolution: restoring the missing file makes the state
-    // unambiguous again (all F present → plain rollback retires it)
-    org.apache.hadoop.fs.FileUtil.copy(fs, live.head, fs, phantom, false, fs.getConf)
     spark.sql(s"INSERT INTO $t VALUES (11, 110.0, 'b')")
-    assert(!fs.listStatus(txnDir(meta)).map(_.getPath.getName)
-      .exists(_.endsWith(".pending")), "restored state should auto-resolve")
+    assert(spark.table(t).where("p = 'b'").count() >= 4)
+    // operator restore (the legacy-committed interpretation): decode the
+    // quarantined name and rename back — the replacement is live again
+    fs.rename(qFiles.head, unlisted)
+    spark.sql(s"REFRESH TABLE $t") // the rename bypassed Spark's listing cache
+    assert(spark.table(t).where("p = 'a'").count() === 4)
   }
 
   test("marker-less manifest with published replacements is rolled back") {

@@ -228,4 +228,43 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
         s"$src: non-boundary divergence ${diff.filterNot(t => boundary.contains(t._3)).take(5).mkString(",")}")
     }
   }
+
+  test("chunkDocuments: stride windows cover every token; overlap and tail are exact") {
+    import spark.implicits._
+    // 10 tokens, chunkSize 4, stride 3 → starts 0,3,6,9
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.filter(_._1 == 1L) === Array(
+      (1L, 0, 4L, "t0", "t3"),
+      (1L, 1, 4L, "t3", "t6"), // consecutive chunks share chunkSize−stride=1 token
+      (1L, 2, 4L, "t6", "t9"),
+      (1L, 3, 1L, "t9", "t9"))) // short tail, never dropped
+    assert(out.filter(_._1 == 2L) === Array((2L, 0, 1L, "solo", "solo")))
+    // coverage: every token index appears in some [start, start+size) window
+    val covered = out.filter(_._1 == 1L).flatMap(c =>
+      (c._2 * 3) until (c._2 * 3 + c._3.toInt)).toSet
+    assert(covered === (0 until 10).toSet)
+  }
+
+  test("unigramLogProb: uniform corpus scores ln(1/V); rare-token docs score lower") {
+    import spark.implicits._
+    // 4 docs over a 2-token vocab: "a" 6×, "b" 2× — total 8
+    val docs = Seq((1L, "a a"), (2L, "a a"), (3L, "a a"), (4L, "b b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    // mirror the operator's exact form: ln(cnt) − ln(total), not ln(cnt/total)
+    val lnQ = (cnt: Double, total: Double) =>
+      math.round((math.log(cnt) - math.log(total)) * 10000).toDouble / 10000
+    assert(out.take(3).forall { case (_, n, lp) => n == 2L && lp == lnQ(6, 8) })
+    assert(out(3)._3 === lnQ(2, 8))
+    // the common-token docs outscore the rare-token doc
+    assert(out(0)._3 > out(3)._3)
+  }
 }

@@ -37,6 +37,20 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("streaming merge upsert: corrected re-delivery updates in place, never duplicates") {
+    import org.apache.spark.sql.functions._
+    val merged = EventStreams.s12_stream_merge_upsert(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (round(sum(when(col("event_id") % 10 === 0, col("value") * 2)
+          .otherwise(col("value"))) * 100) / 100).as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(merged === batch)
+  }
+
   test("stateful throttle equals the single-pass greedy reference across batch boundaries") {
     val streamed = EventStreams.s06_stateful_throttle(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
