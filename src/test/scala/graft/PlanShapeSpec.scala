@@ -107,6 +107,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q62b: expected an aggregation computing the thresholds:\n$p")
   }
 
+  test("q70 chunking is shuffle-free — a pure row-local projection") {
+    // The operator's whole scale claim: no Exchange anywhere before the
+    // gated query's final presentation sort.
+    val p = plan(graft.llm.TextAnalysis.chunkDocuments(
+      graft.Tables(spark, sf0001, "documents"), "doc_id", "text"))
+    assert(!p.contains("Exchange"),
+      s"q70: expected a shuffle-free plan:\n$p")
+  }
+
+  test("q71's scoring join is an equality join; only the 1-row total broadcasts nested-loop") {
+    // The tokens⋈vocab join must hash/merge on the token key — a
+    // nested-loop regression would be O(tokens·vocab) at scale. The ONE
+    // legitimate BroadcastNestedLoopJoin is the 1-row corpus total
+    // (q63's crossJoin(broadcast(n)) pattern).
+    val p = plan(graft.llm.TextAnalysis.unigramLogProb(
+      graft.Tables(spark, sf0001, "documents"), "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), s"q71: cartesian product:\n$p")
+    assert(p.sliding("BroadcastNestedLoopJoin".length).count(
+        _ == "BroadcastNestedLoopJoin") <= 1,
+      s"q71: more than the one 1-row-total nested-loop join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"q71: expected an equality join on the token key:\n$p")
+  }
+
   test("DPP: a join on the partition column runtime-prunes the catalog file index") {
     import org.apache.spark.sql.functions._
     GraftBootstrap.ensure(spark, sf0001)
