@@ -158,8 +158,13 @@ object GraftFileIndex {
       val names = filters.flatMap(_.references.map(_.name)).distinct
       listFilterLog = (names :: listFilterLog).take(MaxRecorded)
     }
-  private[graft] def resetListFilterLog(): Unit =
+  /** Clear the log and record until `stopRecordingListFilters` — specs
+    * bracket the observed query with the pair so recording never leaks
+    * into (or from) unrelated scans. */
+  private[graft] def startRecordingListFilters(): Unit =
     synchronized { recordingEnabled = true; listFilterLog = Nil }
+  private[graft] def stopRecordingListFilters(): Unit =
+    synchronized { recordingEnabled = false }
   private[graft] def recordedListFilterColumns: List[Seq[String]] =
     listFilterLog
 }

@@ -632,11 +632,11 @@ class GraftBatchWrite(
         // into the underscore-hidden txn dir, giving readers the exact
         // pre-statement state under the only interpretation current
         // code can produce; for legacy committed-rewrite residue an
-        // operator restores them from the quarantine (original paths
-        // are URL-encoded in the quarantined names). The manifest
-        // retires as `.ambiguous` — terminal, so files from LATER
-        // writes can never be mistaken for this rewrite's on a
-        // subsequent pass. An EMPTY F list (rewrite of an empty table) always
+        // operator restores them from the quarantine (each quarantined
+        // file carries a `.origin` sidecar naming its restore path).
+        // The manifest retires as `.ambiguous` — terminal, so files
+        // from LATER writes can never be mistaken for this rewrite's on
+        // a subsequent pass. An EMPTY F list (rewrite of an empty table) always
         // takes rollback: current-code crashes can only leave
         // marker-less manifests pre-commit (pending is deleted before
         // the marker), where rollback correctly sweeps partial
@@ -649,27 +649,60 @@ class GraftBatchWrite(
           (files.nonEmpty && missingF == files.size)
         if (!committed && missingF > 0 && missingF < files.size) {
           // ambiguous: quarantine the unlisted files (reversible), then
-          // retire the manifest as .ambiguous for operator review
+          // retire the manifest as .ambiguous for operator review. The
+          // manifest retires ONLY if every rename succeeded — on any
+          // failure (cross-filesystem partition location, quota, …) the
+          // .pending manifest stays so the next write re-examines the
+          // dirs and retries the remainder (already-moved files are a
+          // no-op on retry). Quarantined names are `<i>_<origName>`
+          // (short, collision-free); each file's original path lives in
+          // a `<name>.origin` sidecar next to it.
+          val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftBatchWrite])
           val base = pm.getName.stripSuffix(".pending")
           val qDir = new Path(txnDir, s"$base.quarantine")
           fs.mkdirs(qDir)
           val preexisting = (files ++ tagged("K")).map(_.toString).toSet
-          (tagged("D") ++ tagged("W")).distinct.foreach { d =>
-            dataFiles(d, conf)
-              .filterNot(f => preexisting.contains(f.toString))
-              .foreach { f =>
-                val enc = java.net.URLEncoder.encode(f.toString, "UTF-8")
-                f.getFileSystem(conf).rename(f, new Path(qDir, enc))
-              }
+          val unlisted = (tagged("D") ++ tagged("W")).distinct
+            .flatMap(d => dataFiles(d, conf))
+            .filterNot(f => preexisting.contains(f.toString))
+          val moved = unlisted.forall { f =>
+            // unique within qDir even across partial-failure retries
+            var i = 0
+            var tgt = new Path(qDir, s"${i}_${f.getName}")
+            while (fs.exists(tgt)) { i += 1; tgt = new Path(qDir, s"${i}_${f.getName}") }
+            val ok =
+              try {
+                // the restore map, one sidecar per file: <name>.origin
+                // holds the original full path (written FIRST — a crash
+                // between the two leaves an inert sidecar, never an
+                // unmapped quarantined file)
+                val o = fs.create(new Path(qDir, s"${tgt.getName}.origin"), true)
+                try o.write(f.toString.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+                finally o.close()
+                f.getFileSystem(conf).rename(f, tgt)
+              } catch { case _: java.io.IOException => false }
+            if (!ok) log.error(
+              s"COW repair: failed to quarantine $f — keeping $pm pending " +
+                "so the next write retries")
+            ok
           }
-          fs.rename(pm, new Path(txnDir, s"$base.ambiguous"))
-          org.slf4j.LoggerFactory.getLogger(classOf[GraftBatchWrite]).warn(
-            s"COW repair: manifest $pm was marker-less with $missingF of " +
-              s"${files.size} old files missing — ambiguous crash state " +
-              "(uncommitted txn with externally-lost originals, or legacy " +
-              "committed-rewrite residue). Quarantined the unlisted files " +
-              s"under $qDir (restore by URL-decoding the names) and " +
-              s"retired the manifest as $base.ambiguous.")
+          if (moved) {
+            val amb = new Path(txnDir, s"$base.ambiguous")
+            val out = fs.create(amb, true)
+            try out.write(lines.mkString("", "\n", "\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            fs.delete(pm, false)
+            log.warn(
+              s"COW repair: manifest $pm was marker-less with $missingF of " +
+                s"${files.size} old files missing — ambiguous crash state " +
+                "(uncommitted txn with externally-lost originals, or legacy " +
+                s"committed-rewrite residue). Quarantined ${unlisted.size} " +
+                s"unlisted files under $qDir (each with a .origin sidecar " +
+                "naming its restore path); manifest retired as " +
+                s"$base.ambiguous.")
+          }
         } else {
           if (committed) {
             // committed: finish the delete phase

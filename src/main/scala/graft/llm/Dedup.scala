@@ -86,12 +86,7 @@ object Dedup {
     // The (doc_id, shingle) rows feed THREE consumers (prefix index, doc
     // sizes, exact verification); checkpointing materializes the
     // regex-heavy shingling once instead of re-running it per consumer.
-    val pruned = (maxShingleDf match {
-      case Some(cap) =>
-        val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        sh.join(dfreq.filter(col("df") <= cap), "s").select("doc_id", "s")
-      case None => sh
-    }).localCheckpoint()
+    val pruned = capShingles(sh, maxShingleDf).localCheckpoint()
     // Candidate generation runs on xxhash64(shingle): the join/shuffle
     // keys are fixed 8 bytes instead of ~20-char strings. Exactness is
     // unaffected — the prefix lemma only needs SOME consistent total
@@ -107,6 +102,17 @@ object Dedup {
       .distinct()
     verifyPairsExact(lengthFilter(cands, pruned, tau), pruned, tau)
   }
+
+  /** The `maxShingleDf` cap, shared by q28 and q69: shingles above the
+    * document-frequency cap leave the whole pipeline (prefix, probe and
+    * verification sides). None (the gated default) is exact. */
+  private def capShingles(sh: DataFrame, maxShingleDf: Option[Int]): DataFrame =
+    maxShingleDf match {
+      case Some(cap) =>
+        val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        sh.join(dfreq.filter(col("df") <= cap), "s").select("doc_id", "s")
+      case None => sh
+    }
 
   /** Per-doc PPJoin prefix index over hashed shingles — the one copy of
     * the prefix construction shared by q28, q59 and q69 (a fix to the
@@ -169,17 +175,11 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.9,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val raw = shingleRows(docs, idCol, textCol, n)
-    // The df cap named in the scaladoc above, applied exactly as in q28:
-    // shingles above the cap leave the WHOLE pipeline (prefix, probe and
-    // verification sides), so the candidate bound Σ prefix_df(s)·df(s)
-    // is capped on both factors. None (the gated default) is exact.
-    val sh = (maxShingleDf match {
-      case Some(cap) =>
-        val dfreq = raw.groupBy("s").agg(count(lit(1)).as("df"))
-        raw.join(dfreq.filter(col("df") <= cap), "s").select("doc_id", "s")
-      case None => raw
-    }).localCheckpoint()
+    // The df cap named in the scaladoc above ([[capShingles]], q28's
+    // lever): capping bounds BOTH factors of the candidate cost
+    // Σ prefix_df(s)·df(s).
+    val sh = capShingles(shingleRows(docs, idCol, textCol, n), maxShingleDf)
+      .localCheckpoint()
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
     val prefix = prefixIndex(hashed, tau)
     val cands = prefix.as("a")

@@ -281,7 +281,10 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .localCheckpoint() // feeds vocab, total AND scoring: tokenize once
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val totalDf = toks.agg(count(lit(1)).as("total"))
+      .localCheckpoint() // feeds the total AND the scoring join
+    // same number as count over toks, derived from the corpus-bounded
+    // vocab instead of a second full pass over every token row
+    val totalDf = vocab.agg(sum("cnt").as("total"))
     toks.join(vocab, "tok").crossJoin(broadcast(totalDf))
       .withColumn("lp_q",
         round((log(col("cnt").cast("double")) -

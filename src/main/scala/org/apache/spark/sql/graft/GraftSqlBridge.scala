@@ -136,12 +136,21 @@ class GraftFileScan(
     * `false` — verified against the 4.1.2 bytecode), so one factory
     * probe replaces the enumeration. */
   // memoized: createReaderFactory broadcasts the hadoop conf per call,
-  // and the answer is filter-independent (same format, same schema)
+  // and the answer is filter-independent (same format, same schema).
+  // The null probe leans on the factories ignoring their partition
+  // argument (true in 4.1.2; verified in bytecode) — if a Spark upgrade
+  // ever reads it, fall back to the stock PARTITION_DEFINED: degraded
+  // to the old full-enumeration listing, never a planning failure.
   private lazy val columnarMode =
-    if (initial.createReaderFactory().supportColumnarReads(null))
-      org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.SUPPORTED
-    else
-      org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
+    try {
+      if (initial.createReaderFactory().supportColumnarReads(null))
+        org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.SUPPORTED
+      else
+        org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
+    } catch {
+      case _: NullPointerException =>
+        org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.PARTITION_DEFINED
+    }
   override def columnarSupportMode(): org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
     columnarMode
   override def description(): String = current.description()

@@ -157,8 +157,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       .join(spark.table(dimT).filter(col("tag") === "keep"),
         col("o_orderpriority") === col("prio"))
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
-    graft.catalog.GraftFileIndex.resetListFilterLog()
-    val rows = joined.collect()
+    graft.catalog.GraftFileIndex.startRecordingListFilters()
+    val rows =
+      try joined.collect()
+      finally graft.catalog.GraftFileIndex.stopRecordingListFilters()
     assert(rows.length === 1 && rows(0).getString(0) === "1-URGENT")
     // intent: the scan carries a dynamicpruning runtime filter
     val p = joined.queryExecution.executedPlan.toString

@@ -327,14 +327,20 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     // readers no longer see duplicate rows from the unlisted file
     assert(!fs.exists(unlisted), "unlisted file must leave the live dir")
     assert(spark.table(t).where("p = 'a'").count() === 2)
-    // ...but it is preserved, restorably, in the quarantine dir
-    val qFiles = fs.listStatus(txnDir(meta)).map(_.getPath)
+    // ...but it is preserved, restorably, in the quarantine dir: the
+    // data file plus a .origin sidecar naming its restore path
+    val qAll = fs.listStatus(txnDir(meta)).map(_.getPath)
       .filter(_.getName.endsWith(".quarantine"))
       .flatMap(q => fs.listStatus(q).map(_.getPath))
+    val (qSidecars, qFiles) = qAll.partition(_.getName.endsWith(".origin"))
     assert(qFiles.length === 1, "quarantine must hold exactly the unlisted file")
-    assert(new Path(java.net.URLDecoder.decode(qFiles.head.getName, "UTF-8"))
-      === fs.makeQualified(unlisted),
-      "quarantined name must decode to the original path")
+    assert(qSidecars.map(_.getName).toSeq === Seq(s"${qFiles.head.getName}.origin"))
+    val origin = {
+      val in = fs.open(qSidecars.head)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(new Path(origin) === fs.makeQualified(unlisted),
+      "the .origin sidecar must name the original path")
     // the manifest retires as .ambiguous — terminal, so later writes'
     // files can never be swept up by a subsequent repair pass
     val names = fs.listStatus(txnDir(meta)).map(_.getPath.getName)
