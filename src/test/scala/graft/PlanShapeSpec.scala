@@ -77,7 +77,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q01: expected the l_discount predicate pushed into the scan:\n$p")
   }
 
-  test("dedup candidate stages are equality joins — no cross product anywhere (q28/q29/q59/q67)") {
+  test("dedup candidate stages are equality joins — no cross product anywhere (q28/q29/q59/q67/q69)") {
     // Each of these exists to AVOID all-pairs; a planner regression to a
     // nested-loop/cartesian join would still return correct rows at
     // fixture scale while being O(n²) at 100 TB — exactly the class of
@@ -86,7 +86,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "q28" -> LlmQueries.q28_dedup_jaccard(spark, sf0001),
       "q29" -> LlmQueries.q29_dedup_minhash_lsh(spark, sf0001),
       "q59" -> LlmQueries.q59_cross_snapshot(spark, sf0001),
-      "q67" -> LlmQueries.q67_pack_shards(spark, sf0001)
+      "q67" -> LlmQueries.q67_pack_shards(spark, sf0001),
+      "q69" -> LlmQueries.q69_dedup_containment(spark, sf0001)
     ).foreach { case (n, df) =>
       val p = plan(df)
       Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>

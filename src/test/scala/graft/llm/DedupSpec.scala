@@ -183,6 +183,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       Set((1L, 2L)))
   }
 
+  test("containment maxShingleDf cap bounds the probe join the same way") {
+    import spark.implicits._
+    // doc 4 is contained in doc 1; 'x y z'-rooted shingles are corpus-wide
+    val docs = Seq(
+      (1L, "x y z a b c d e"), (2L, "x y z q w e r t"),
+      (3L, "x y z m n o p u"), (4L, "a b c d e")).toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.9)
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.9,
+      maxShingleDf = Some(2))
+    // the contained-quote pair survives the cap (its shingles are rare);
+    // the ubiquitous shingles can no longer form candidates on either side
+    assert(uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 4L)))
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 4L)))
+  }
+
   /** Adversarial CC fixture: a path graph 10–11–12–…–19 has component
     * diameter 9 — min-label propagation needs multiple passes for the
     * minimum (10) to reach the far end, unlike the shallow star-shaped
