@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ArrayDot
+import graft.functions.{ArrayDot, ArraySqDist}
 
 /** Session extension (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's custom expressions with the SQL function
@@ -15,6 +15,7 @@ import graft.functions.ArrayDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotDescriptor)
+    ext.injectFunction(GraftExtensions.arraySqDistDescriptor)
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graft.ResolveStrandedTableReferences)
   }
@@ -35,5 +36,22 @@ object GraftExtensions {
       require(args.length == 2,
         s"graft_array_dot expects 2 arguments, got ${args.length}")
       ArrayDot(args.head, args(1))
+    })
+
+  /** (identifier, info, builder) triple for `graft_array_sqdist`. */
+  val arraySqDistDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_array_sqdist"),
+    new ExpressionInfo(
+      classOf[ArraySqDist].getCanonicalName,
+      null,
+      "graft_array_sqdist",
+      "graft_array_sqdist(a, b) - squared Euclidean distance of two " +
+        "array<double> columns, accumulated left-to-right over the " +
+        "shorter length (codegen'd).",
+      ""),
+    { args =>
+      require(args.length == 2,
+        s"graft_array_sqdist expects 2 arguments, got ${args.length}")
+      ArraySqDist(args.head, args(1))
     })
 }

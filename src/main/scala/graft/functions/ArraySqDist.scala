@@ -6,24 +6,23 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
-/** Codegen'd dot product of two `array<double>` columns, summing
-  * left-to-right over the shorter length.
+/** Codegen'd squared Euclidean distance of two `array<double>` columns,
+  * accumulating `(a_i − b_i)²` left-to-right over the shorter length.
   *
-  * This is where the engine drops to a custom Catalyst `Expression`
-  * (SURVEY §7.3 decision table: custom expression only when built-ins
-  * can't express it *efficiently* — [[ArraySqDist]] is its one
-  * sibling): the `zip_with`+`aggregate`
-  * higher-order formulation is semantically identical but evaluates an
-  * interpreted lambda per element and allocates an intermediate array per
-  * row — measured 25 µs/pair on 64-dim vectors, which turns the all-pairs
-  * q38 into minutes at sf0.1. The generated code below is a bare fused
-  * multiply-add loop inside whole-stage codegen.
+  * [[ArrayDot]]'s sibling, for the same reason (SURVEY §7.3: custom
+  * expression only when built-ins can't express it *efficiently*): the
+  * `aggregate(zip_with((a,b) => (a−b)·(a−b)))` higher-order form q64's
+  * label-outlier detector used evaluates an interpreted lambda per
+  * element and allocates the intermediate difference array per row. The
+  * generated loop below fuses subtract-square-accumulate inside
+  * whole-stage codegen.
   *
-  * The summation order (index 0 → n-1) is part of the contract: it keeps
-  * scores bit-identical to the previous HOF form and to the DuckDB
-  * oracle's list-comprehension sum.
+  * Arithmetic contract: per element `diff = a_i − b_i; s += diff · diff`
+  * in index order — the exact operation sequence of the HOF form and of
+  * the DuckDB oracle's list-comprehension sum, so q64's hash gate is
+  * unaffected by the swap.
   */
-case class ArrayDot(left: Expression, right: Expression)
+case class ArraySqDist(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -42,7 +41,11 @@ case class ArrayDot(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
     s
   }
 
@@ -51,19 +54,21 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
          |}
          |${ev.value} = $s;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): ArrayDot =
+      newLeft: Expression, newRight: Expression): ArraySqDist =
     copy(left = newLeft, right = newRight)
 
-  override def prettyName: String = "graft_array_dot"
+  override def prettyName: String = "graft_array_sqdist"
 }

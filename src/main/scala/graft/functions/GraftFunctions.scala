@@ -66,8 +66,11 @@ object GraftFunctions {
       if (registeredFor.contains(spark)) return
       spark.udf.register("graft_normalize_text", normalizeText _)
       spark.udf.register("graft_weighted_mean", udaf(new WeightedMean))
-      val (ident, info, builder) = graft.GraftExtensions.arrayDotDescriptor
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+      Seq(graft.GraftExtensions.arrayDotDescriptor,
+          graft.GraftExtensions.arraySqDistDescriptor)
+        .foreach { case (ident, info, builder) =>
+          spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+        }
       registeredFor += spark
     }
   }

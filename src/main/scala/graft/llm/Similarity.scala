@@ -40,6 +40,15 @@ object Similarity {
     column(graft.functions.ArrayDot(expression(a), expression(b)))
   }
 
+  /** Left-to-right squared Euclidean distance — same contract, backed by
+    * the codegen'd [[graft.functions.ArraySqDist]] (bit-identical to the
+    * HOF `aggregate(zip_with((a,b) => (a−b)·(a−b)))` form it replaced in
+    * q64's outlier pass). */
+  private[llm] def sqDist(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
+    column(graft.functions.ArraySqDist(expression(a), expression(b)))
+  }
+
   /** Project (id, vector) to doubles and attach the L2 norm. */
   def normalized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
     vecs.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
@@ -70,9 +79,7 @@ object Similarity {
     vecs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
         col(vecCol).cast("array<double>").as("v"))
       .join(centArr, "label")
-      .withColumn("dist", aggregate(
-        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dist", sqDist(col("v"), col("cv")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("label"), col("rk"), col("vec_id"),

@@ -52,4 +52,27 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(edge.getDouble(0) === 20.0)
     assert(edge.isNullAt(1))
   }
+
+  test("graft_array_sqdist matches the HOF fold it replaced, bit for bit") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_array_sqdist(array(1.0d, 2.0d, 3.0d), array(4.0d, 6.0d, 3.0d)) AS d").head
+    assert(r.getDouble(0) === 25.0) // 9 + 16 + 0
+    // the replaced form, evaluated on an adversarial irrational-heavy pair:
+    // both must produce the identical double (same op sequence)
+    val probe = spark.sql(
+      """SELECT graft_array_sqdist(a, b) AS fast,
+        |  aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+        |            0.0d, (acc, x) -> acc + x) AS hof
+        |FROM (SELECT array(0.1d, 0.2d, 0.3d, 1e-17d) AS a,
+        |             array(0.3d, 0.1d, 0.7d, 3e-17d) AS b)""".stripMargin).head
+    assert(java.lang.Double.doubleToLongBits(probe.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(probe.getDouble(1)))
+    // shorter-length + null propagation, as graft_array_dot
+    val edge = spark.sql(
+      "SELECT graft_array_sqdist(array(2.0d, 3.0d), array(10.0d)) AS s, " +
+        "graft_array_sqdist(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS n").head
+    assert(edge.getDouble(0) === 64.0)
+    assert(edge.isNullAt(1))
+  }
 }
