@@ -595,6 +595,21 @@ class GraftBatchWrite(
     (pending, new Path(txnDir, s"$id.committed"))
   }
 
+  /** Data files in a pending manifest's D/W dirs that its F/K listing
+    * did not record — the crashed rewrite's replacement files. ONE
+    * definition shared by the rollback and quarantine branches so both
+    * classify the same file identically. */
+  private def unlistedFiles(
+      lines: List[String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[Path] = {
+    def tagged(t: String): Seq[Path] =
+      lines.collect { case l if l.startsWith(t + "\t") => new Path(l.drop(2)) }
+    val preexisting = (tagged("F") ++ tagged("K")).map(_.toString).toSet
+    (tagged("D") ++ tagged("W")).distinct
+      .flatMap(d => dataFiles(d, conf))
+      .filterNot(f => preexisting.contains(f.toString))
+  }
+
   private def repairPendingCowDeletes(): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val txnDir = new Path(meta.location, GraftBatchWrite.TxnDirName)
@@ -661,32 +676,40 @@ class GraftBatchWrite(
           val base = pm.getName.stripSuffix(".pending")
           val qDir = new Path(txnDir, s"$base.quarantine")
           fs.mkdirs(qDir)
-          val preexisting = (files ++ tagged("K")).map(_.toString).toSet
-          val unlisted = (tagged("D") ++ tagged("W")).distinct
-            .flatMap(d => dataFiles(d, conf))
-            .filterNot(f => preexisting.contains(f.toString))
-          val moved = unlisted.forall { f =>
-            // unique within qDir even across partial-failure retries
+          // .map then .forall: every movable file moves THIS pass even
+          // if an earlier one fails — readers lose as many duplicate
+          // sources as possible while the manifest stays pending
+          val unlisted = unlistedFiles(lines, conf)
+          val moved = unlisted.map { f =>
+            // unique within qDir even across partial-failure retries;
+            // the sidecar name is reserved together with the data name
+            // so a quarantined data file literally named `*.origin` can
+            // never be clobbered by another file's sidecar
             var i = 0
-            var tgt = new Path(qDir, s"${i}_${f.getName}")
-            while (fs.exists(tgt)) { i += 1; tgt = new Path(qDir, s"${i}_${f.getName}") }
+            def tgt = new Path(qDir, s"${i}_${f.getName}")
+            def side = new Path(qDir, s"${i}_${f.getName}.origin")
+            while (fs.exists(tgt) || fs.exists(side)) i += 1
             val ok =
               try {
                 // the restore map, one sidecar per file: <name>.origin
                 // holds the original full path (written FIRST — a crash
                 // between the two leaves an inert sidecar, never an
                 // unmapped quarantined file)
-                val o = fs.create(new Path(qDir, s"${tgt.getName}.origin"), true)
+                val o = fs.create(side, false)
                 try o.write(f.toString.getBytes(
                   java.nio.charset.StandardCharsets.UTF_8))
                 finally o.close()
                 f.getFileSystem(conf).rename(f, tgt)
-              } catch { case _: java.io.IOException => false }
+              } catch {
+                // IOException, cross-FS IllegalArgumentException, … —
+                // any failure degrades to keep-pending-and-retry
+                case scala.util.control.NonFatal(_) => false
+              }
             if (!ok) log.error(
               s"COW repair: failed to quarantine $f — keeping $pm pending " +
                 "so the next write retries")
             ok
-          }
+          }.forall(identity)
           if (moved) {
             val amb = new Path(txnDir, s"$base.ambiguous")
             val out = fs.create(amb, true)
@@ -711,13 +734,8 @@ class GraftBatchWrite(
             // uncommitted: remove the crashed rewrite's (possibly
             // partial) replacement files — everything in the touched
             // dirs that the pre-publish listing didn't record
-            val preexisting =
-              (files ++ tagged("K")).map(_.toString).toSet
-            (tagged("D") ++ tagged("W")).distinct.foreach { d =>
-              dataFiles(d, conf)
-                .filterNot(f => preexisting.contains(f.toString))
-                .foreach(f => f.getFileSystem(conf).delete(f, false))
-            }
+            unlistedFiles(lines, conf)
+              .foreach(f => f.getFileSystem(conf).delete(f, false))
           }
           // pending BEFORE marker — see writePendingManifest step 4
           fs.delete(pm, false)

@@ -35,6 +35,15 @@ case class ArraySqDist(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // A null ELEMENT nulls the whole distance — the HOF form's semantics
+  // (zip_with propagates the null through aggregate). Tracked separately
+  // from input-column nullability: a non-null array can contain nulls.
+  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, n1), ArrayType(_, n2)) => n1 || n2
+    case _ => true
+  }
+  override def nullable: Boolean = super.nullable || elementsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -42,6 +51,7 @@ case class ArraySqDist(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       val d = x.getDouble(i) - y.getDouble(i)
       s += d * d
       i += 1
@@ -55,14 +65,20 @@ case class ArraySqDist(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      // containsNull=false skips the per-element branch entirely
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $d = $a.getDouble($i) - $b.getDouble($i);
          |  $s += $d * $d;
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) ${ev.value} = $s;
        """.stripMargin
     })
 

@@ -148,7 +148,9 @@ class GraftFileScan(
       else
         org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
     } catch {
-      case _: NullPointerException =>
+      // any probe failure (NPE, argument validation, …) — never let the
+      // optimization break planning
+      case scala.util.control.NonFatal(_) =>
         org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.PARTITION_DEFINED
     }
   override def columnarSupportMode(): org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =

@@ -75,4 +75,12 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(edge.getDouble(0) === 64.0)
     assert(edge.isNullAt(1))
   }
+
+  test("null ELEMENTS null the result — both expressions match the HOF forms") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_array_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS d, " +
+        "graft_array_sqdist(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS s").head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }
