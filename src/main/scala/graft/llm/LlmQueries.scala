@@ -505,6 +505,14 @@ object LlmQueries {
     TextAnalysis.unigramLogProb(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q72
+  /** Bigram-LM quality score per document — the conditional upgrade of
+    * q71 (see [[TextAnalysis.bigramLogProb]] for the gate contract and
+    * the count-join scale posture). */
+  def q72_bigram_logprob(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q65
   /** End-to-end corpus curation — the composed training-set gate a
     * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
@@ -578,6 +586,7 @@ object LlmQueries {
     "q40_ann_ivf_topk" -> (q40_ann_ivf_topk _),
     "q70_chunk_documents" -> (q70_chunk_documents _),
     "q71_unigram_logprob" -> (q71_unigram_logprob _),
+    "q72_bigram_logprob" -> (q72_bigram_logprob _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -1061,6 +1070,29 @@ object LlmQueries {
           |    CAST(round((ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tot.total AS DOUBLE))) * 10000) AS BIGINT) AS lp_q
           |  FROM t JOIN v USING (tok) CROSS JOIN tot)
           | SELECT doc_id, count(*) AS n_tokens,
+          |   round(sum(lp_q) / count(*)) / 10000.0 AS avg_logprob
+          | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // Adjacent pairs by zipping two parallel unnest slices (DuckDB
+      // expands equal-length SRFs in lockstep); the start-token
+      // denominator is the sum of its bigram counts, exactly as Spark
+      // derives it. Docs with <2 tokens have no pairs and drop out.
+      "q72_bigram_logprob" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          | b AS (
+          |  SELECT doc_id,
+          |    unnest(list_slice(toks, 1, len(toks) - 1)) AS t1,
+          |    unnest(list_slice(toks, 2, len(toks))) AS t2
+          |  FROM t WHERE len(toks) >= 2),
+          | c12 AS (SELECT t1, t2, count(*) AS c12 FROM b GROUP BY 1, 2),
+          | c1 AS (SELECT t1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+          | s AS (
+          |  SELECT b.doc_id,
+          |    CAST(round((ln(CAST(c12.c12 AS DOUBLE)) - ln(CAST(c1.c1 AS DOUBLE))) * 10000) AS BIGINT) AS lp_q
+          |  FROM b JOIN c12 USING (t1, t2) JOIN c1 USING (t1))
+          | SELECT doc_id, count(*) AS n_bigrams,
           |   round(sum(lp_q) / count(*)) / 10000.0 AS avg_logprob
           | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     )

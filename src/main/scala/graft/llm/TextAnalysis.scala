@@ -295,6 +295,47 @@ object TextAnalysis {
         (round(col("sum_lp") / col("n_tokens")) / 10000.0).as("avg_logprob"))
   }
 
+  /** Bigram-LM quality score — [[unigramLogProb]]'s conditional upgrade
+    * (the CCNet/KenLM-style filter family): per-doc mean ln p(t₂|t₁)
+    * under the corpus's own bigram counts, p(t₂|t₁) = c(t₁t₂)/c(t₁·).
+    * Catches wrong-order token soup that unigram statistics score as
+    * fluent (every word common, no pair plausible). Scoring the training
+    * corpus against itself means every observed bigram has c ≥ 1 — MLE
+    * needs no smoothing here (a held-out variant would).
+    *
+    * Same hash-gate contract as q71: per-position log-probs quantize to
+    * exact longs at 1e-4 nats BEFORE the per-doc sum; ln runs on
+    * integer-valued doubles only. Docs with <2 tokens have no bigrams
+    * and drop out (identically in the oracle).
+    *
+    * At 100 TB: the bigram explode is one row per adjacent pair
+    * (≈ corpus tokens); counts aggregate with map-side combine; the
+    * start-token denominator derives from the bigram counts (no second
+    * corpus pass); the scoring join keys on (t₁,t₂) — Zipf-heavy keys
+    * are AQE's skew-join case, and the count table broadcasts when it
+    * fits. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      // Spark array subscripts are 0-based: i = 1..n-1 pairs (i-1, i)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS t1, toks[i] AS t2))")).as("b"))
+      .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+      .localCheckpoint() // feeds counts AND scoring: tokenize/explode once
+    val c12 = bi.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds the denominator AND the scoring join
+    val c1 = c12.groupBy("t1").agg(sum("c12").as("c1"))
+    bi.join(c12, Seq("t1", "t2")).join(c1, Seq("t1"))
+      .withColumn("lp_q",
+        round((log(col("c12").cast("double")) -
+          log(col("c1").cast("double"))) * 10000).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (round(col("sum_lp") / col("n_bigrams")) / 10000.0).as("avg_logprob"))
+  }
+
   def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("fingerprint",
       aggregate(

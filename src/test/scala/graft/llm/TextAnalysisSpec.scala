@@ -267,4 +267,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // the common-token docs outscore the rare-token doc
     assert(out(0)._3 > out(3)._3)
   }
+
+  test("bigramLogProb: wrong-order token soup scores below fluent text; <2-token docs drop") {
+    import spark.implicits._
+    // docs 1-3 and 4-6 repeat fluent orders (giving 'the' and 'cat'
+    // competing continuations); doc 7 uses the same tokens scrambled —
+    // its bigrams are corpus-rare, so every conditional is small:
+    //   fluent:    ln(3/7) + ln(3/4) ≈ -0.57 avg
+    //   scrambled: ln(1/4) + ln(1/7) ≈ -1.67 avg
+    // doc 8 has one token and must not appear.
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "the dog ran"), (5L, "the dog ran"), (6L, "the dog ran"),
+      (7L, "cat the sat"), (8L, "cat")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(out.forall(_._2 == 2L)) // 3 tokens → 2 bigrams each
+    assert(out(0)._3 === out(1)._3 && out(1)._3 === out(2)._3)
+    val lnQ2 = (a: (Double, Double), b: (Double, Double)) =>
+      (math.round((math.log(a._1) - math.log(a._2)) * 10000) +
+        math.round((math.log(b._1) - math.log(b._2)) * 10000))
+    // mirror the operator: round(sum_lp / n) / 1e4
+    val avg = (s: Long) => math.round(s / 2.0) / 10000.0
+    assert(out(0)._3 === avg(lnQ2((3, 7), (3, 4))))   // p(cat|the), p(sat|cat)
+    assert(out(6)._3 === avg(lnQ2((1, 4), (1, 7))))   // p(the|cat), p(sat|the)
+    assert(out(6)._3 < out(0)._3,
+      s"scrambled doc must score below fluent docs: $out")
+  }
 }
