@@ -429,6 +429,56 @@ object Dedup {
       .select(col("d1"), col("d2"), (r4(col("cos"))).as("cos4"))
   }
 
+  /** Cluster-scoped semantic dedup — the SemDeDup shape (Abbas et al.
+    * 2023, arXiv:2303.09540): k-means-cluster the embedding space
+    * ([[Similarity.lloydCentroids]], deterministically seeded), then
+    * look for near-duplicates ONLY within each cluster. Implements the
+    * deterministic min-id rule: vector v is dropped iff some u < v in
+    * the SAME cluster has cos(u, v) ≥ tau; kept vectors are therefore
+    * pairwise < tau within every cluster (if a kept u < v scored ≥ tau,
+    * v could not be kept), and every dropped vector names its smallest
+    * witness as `rep_id` — both invariants are asserted in DedupSpec.
+    * Versus the paper's greedy keep-first scan this single-join rule can
+    * over-drop a chain (v dropped by u, w dropped by v even if
+    * cos(u, w) < tau) — the standard relational relaxation, documented
+    * rather than hidden, and conservative in the safe direction for
+    * training-set curation (never keeps a near-duplicate pair).
+    *
+    * 100 TB posture — the reason SemDeDup exists: the pairwise stage is
+    * an EQUALITY join on the cluster id, so its cost is Σᵢ cᵢ², not n²;
+    * nlist is the knob that bounds cᵢ (n/nlist expected), and a skewed
+    * cluster is re-split by raising nlist or re-clustering that bucket.
+    * Lloyd training moves nlist × dim scalars per iteration (constant);
+    * the centroid table broadcasts inside the assignment expression by
+    * construction. Approximate by cluster-blindness across buckets
+    * (a near-dup pair split across clusters is missed — the designed
+    * trade; the miss rate vs the exact all-pairs baseline is gated in
+    * DedupSpec), hence rows-only at the driver, property-gated here.
+    * Output: one row per vector — (vec_id, cluster, keep, rep_id). */
+  def semDedup(
+      vecs: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nlist: Int = 16, iters: Int = 3): DataFrame = {
+    val norm = Similarity.normalized(vecs, idCol, vecCol).localCheckpoint()
+    val cents = Similarity.lloydCentroids(norm, nlist, iters)
+    // one materialization feeds both sides of the intra-cluster join
+    val clustered = norm.withColumn("cluster",
+      Similarity.nearestCentroids(cents, col("v"), 1).getItem(0))
+      .localCheckpoint()
+    val witnesses = clustered.as("a")
+      .join(clustered.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")) >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("witness"))
+    clustered.select(col("vec_id"), col("cluster"))
+      .join(witnesses, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("witness").isNull.as("keep"),
+        coalesce(col("witness"), col("vec_id")).as("rep_id"))
+  }
+
   /** 64-bit SimHash fingerprints: per token-hash bit, sum +w/−w over the
     * doc's token multiset; bit j of the fingerprint is the sign. Exact
     * duplicates always collide; near-duplicates land within small

@@ -513,6 +513,42 @@ object LlmQueries {
     TextAnalysis.bigramLogProb(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q73
+  /** Boilerplate-segment removal with document reconstruction — the
+    * applied form of q61's frequent-gram REPORT (see
+    * [[TextAnalysis.stripBoilerplate]] for the segmenter contract and
+    * the anti-join scale posture). Deterministic strings + exact counts
+    * ⇒ hash-gated. */
+  def q73_strip_boilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stripBoilerplate(docs(spark, dir), "doc_id", "text",
+      segTokens = 8, minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q74
+  /** Exact cosine 3-NN graph over the whole embedding corpus — the
+    * graph-curation input (see [[Similarity.knnGraph]] for why the
+    * query side must NOT broadcast and which property-gated forms are
+    * its scale path). Bit-identical sims (ArrayDot contract) ⇒ ranks
+    * hash-match cross-engine. */
+  def q74_knn_graph(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(
+      Similarity.normalized(Tables(spark, dir, "embeddings"), "vec_id", "embedding"),
+      k = 3)
+      .orderBy(col("q_id"), col("rank"))
+
+  // ---------------------------------------------------------------- q75
+  /** SemDeDup — cluster-scoped semantic dedup over the embedding space
+    * (see [[Dedup.semDedup]] for the min-id rule and the Σcᵢ² cost
+    * argument). Lloyd's centroids aren't oracle-expressible (q40's
+    * class) ⇒ rows-only at the driver; the keep-set/witness invariants
+    * and the cross-cluster miss rate vs q38's exact baseline are gated
+    * in DedupSpec. */
+  def q75_semdedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+      tau = 0.45, nlist = 16, iters = 3)
+      .orderBy(col("vec_id"))
+
   // ---------------------------------------------------------------- q65
   /** End-to-end corpus curation — the composed training-set gate a
     * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
@@ -587,6 +623,9 @@ object LlmQueries {
     "q70_chunk_documents" -> (q70_chunk_documents _),
     "q71_unigram_logprob" -> (q71_unigram_logprob _),
     "q72_bigram_logprob" -> (q72_bigram_logprob _),
+    "q73_strip_boilerplate" -> (q73_strip_boilerplate _),
+    "q74_knn_graph" -> (q74_knn_graph _),
+    "q75_semdedup" -> (q75_semdedup _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -1095,6 +1134,50 @@ object LlmQueries {
           | SELECT doc_id, count(*) AS n_bigrams,
           |   round(sum(lp_q) / count(*)) / 10000.0 AS avg_logprob
           | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // Same segmentation grid as the Spark side (non-overlapping
+      // 8-token spans of the normalized text; DuckDB list slices are
+      // 1-based inclusive and clamp at the end, matching Spark's
+      // `slice`); zipped unnests give (pos, seg) in lockstep.
+      "q73_strip_boilerplate" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          | seg0 AS (
+          |  SELECT doc_id,
+          |    [array_to_string(toks[(8*i+1):(8*i+8)], ' ')
+          |     for i in range(0, CAST(ceil(len(toks) / 8.0) AS INT))] AS segl
+          |  FROM t),
+          | segs AS (
+          |  SELECT doc_id, unnest(range(len(segl))) AS pos, unnest(segl) AS seg
+          |  FROM seg0),
+          | freq AS (
+          |  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+          | kept AS (
+          |  SELECT doc_id, count(*) AS n_kept,
+          |    string_agg(seg, ' ' ORDER BY pos) AS clean_text
+          |  FROM segs WHERE seg NOT IN (SELECT seg FROM freq)
+          |  GROUP BY doc_id),
+          | tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id)
+          | SELECT tot.doc_id, tot.n_segments,
+          |   coalesce(kept.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+          |   coalesce(kept.clean_text, '') AS clean_text
+          | FROM tot LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+      // q31's scoring SQL with the query set = the whole corpus — the
+      // same left-to-right summation, so sims are bit-identical and the
+      // per-query ranks agree.
+      "q74_knn_graph" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+          | sims AS (
+          |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+          |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm) AS sim
+          |  FROM n a JOIN n b ON a.vec_id != b.vec_id)
+          | SELECT q_id, n_id, rank, round(sim * 10000) / 10000 AS sim4 FROM (
+          |  SELECT q_id, n_id, sim,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+          |  FROM sims)
+          | WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     )
   }
 }

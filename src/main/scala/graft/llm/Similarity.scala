@@ -107,19 +107,51 @@ object Similarity {
       .select(col("label"), transform(col("ic"), e => e.getField("c")).as("cv"))
   }
 
-  /** Exact cosine top-k of `corpus` for each row of `queries` (both in
-    * [[normalized]] layout). Output: (q_id, n_id, rank, sim4). */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(
-      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+  /** Shared scoring + ranking stage of the exact top-k family: join a
+    * (q_id, qv, qn) query side against the corpus on q_id ≠ n_id, score
+    * with the codegen'd cosine, keep the k best per query (row_number →
+    * WindowGroupLimit caps per-task state at k rows per query). The
+    * broadcast decision stays with the CALLER — [[cosineTopK]]'s probe
+    * set broadcasts by construction, [[knnGraph]]'s corpus-sized query
+    * side must not. */
+  private def rankTopK(corpus: DataFrame, querySide: DataFrame, k: Int): DataFrame = {
     val sims = corpus.select(col("vec_id").as("n_id"), col("v"), col("nrm"))
-      .join(q, col("n_id") =!= col("q_id"))
+      .join(querySide, col("n_id") =!= col("q_id"))
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"),
         (r4(col("sim"))).as("sim4"))
+  }
+
+  /** Exact cosine top-k of `corpus` for each row of `queries` (both in
+    * [[normalized]] layout). Output: (q_id, n_id, rank, sim4). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankTopK(corpus, broadcast(queries.select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))), k)
+
+  /** Exact k-nearest-neighbor GRAPH of the corpus against itself — the
+    * input of graph-based curation (SemDeDup cluster seeds, connectivity
+    * stats, label propagation). Distinct from [[cosineTopK]] in its
+    * scale posture: the query side IS the corpus, so it must NOT be
+    * broadcast-hinted (the round-3 antipattern — an SF-scaled broadcast
+    * side); the ≠-condition self-join is inherently all-pairs (q38's
+    * cartesian class — that's what "exact baseline" means here), and
+    * WindowGroupLimit caps per-query state at k before the rank
+    * exchange.
+    *
+    * This exact all-pairs form is the declared exactness BASELINE of
+    * the family (q38's role for near-dup pairs): at 100 TB the kNN
+    * graph composes the same window over [[lshBucketed]] candidates or
+    * [[ivfCosineTopK]]'s probed buckets instead of the full self-join
+    * — both already shipped and property-gated; the baseline is what
+    * their recall is measured AGAINST. Output: (q_id, n_id, rank, sim4)
+    * with one row per (vector, rank ≤ k). */
+  def knnGraph(corpus: DataFrame, k: Int): DataFrame = {
+    val c = corpus.localCheckpoint() // both sides of the self-join
+    rankTopK(c, c.select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), k)
   }
 
   /** Vector dimensionality of a [[normalized]]-layout frame, derived
@@ -160,7 +192,7 @@ object Similarity {
     * dominate assignment — a 2×-norm centroid wins every vector up to
     * ~60° off a competitor's direction, collapsing IVF's pruning. |c|
     * is a driver-side constant per centroid. */
-  private def nearestCentroids(
+  private[llm] def nearestCentroids(
       cents: Array[(Long, Seq[Double])], vec: Column, n: Int): Column = {
     val sims = cents.map { case (cid, cv) =>
       val cnorm = math.sqrt(cv.map(x => x * x).sum)

@@ -223,6 +223,67 @@ object TextAnalysis {
       .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)
 
+  /** Boilerplate-segment REMOVAL with document reconstruction — the
+    * CCNet/RefinedWeb line-dedup filter: segment every document, count
+    * each distinct segment's document frequency across the corpus, drop
+    * segments appearing in ≥ `minDocs` documents (headers, footers,
+    * cookie banners — and here, duplicated-document bodies), and
+    * reconstruct the surviving text in original order. [[boilerplateGrams]]
+    * REPORTS the frequent grams; this operator applies the filter and
+    * hands back cleaned documents.
+    *
+    * Segmenter: fixed non-overlapping `segTokens`-token spans of the
+    * normalized text. On real corpora the natural segmenter is the
+    * newline (CCNet's unit); the fixture corpus is single-line, so the
+    * span segmenter is the honest equivalent — the operator's joins and
+    * aggregates are segmenter-agnostic.
+    *
+    * 100 TB posture: one segment explode (rows ≈ tokens/segTokens); the
+    * doc-frequency aggregate combines map-side on the segment string
+    * (hash the segment first at petabyte scale — the q27 shuffle-key
+    * discipline); the frequent-segment set is the join's build side —
+    * corpus-bounded, usually broadcastable, but NOT hinted here: its
+    * size scales with corpus redundancy, so the planner/AQE decides
+    * (the round-3 broadcast lesson), and the boilerplate-key skew the
+    * anti-join inherits is AQE's skew-join case. Reconstruction is a
+    * per-doc collect_list bounded by the document's own segment count —
+    * row-local class, no cross-doc state.
+    *
+    * Output: one row per non-null-text document — (doc_id, n_segments,
+    * n_kept, clean_text); a fully-boilerplate document survives with
+    * n_kept = 0 and an empty clean_text (the filter's verdict is
+    * auditable, not a silent row drop). */
+  def stripBoilerplate(
+      docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    require(minDocs >= 2, "minDocs < 2 would strip every segment")
+    // One segmentation pass feeds the df count, the keep filter AND the
+    // per-doc totals (the shared-shingle checkpoint pattern).
+    val segs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $segTokens.0) as int) - 1), " +
+          s"i -> array_join(slice(toks, i * $segTokens + 1, $segTokens), ' '))"))
+        .as(Seq("pos", "seg")))
+      .localCheckpoint()
+    val frequent = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("seg")
+    val kept = segs.join(frequent, Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean_text"))
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segments"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Polynomial rolling hash of the normalized text's character codes:
     * h ← (h·31 + code) mod 1e9+7. The modulus keeps every intermediate
     * < 2^35, so ANSI-mode long arithmetic never overflows, and the same

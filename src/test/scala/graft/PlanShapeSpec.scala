@@ -77,7 +77,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q01: expected the l_discount predicate pushed into the scan:\n$p")
   }
 
-  test("dedup candidate stages are equality joins — no cross product anywhere (q28/q29/q59/q67/q69)") {
+  test("dedup candidate stages are equality joins — no cross product anywhere (q28/q29/q59/q67/q69/q73/q75)") {
     // Each of these exists to AVOID all-pairs; a planner regression to a
     // nested-loop/cartesian join would still return correct rows at
     // fixture scale while being O(n²) at 100 TB — exactly the class of
@@ -87,7 +87,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "q29" -> LlmQueries.q29_dedup_minhash_lsh(spark, sf0001),
       "q59" -> LlmQueries.q59_cross_snapshot(spark, sf0001),
       "q67" -> LlmQueries.q67_pack_shards(spark, sf0001),
-      "q69" -> LlmQueries.q69_dedup_containment(spark, sf0001)
+      "q69" -> LlmQueries.q69_dedup_containment(spark, sf0001),
+      // q75's whole reason to exist: the pairwise stage keys on the
+      // cluster id (Σcᵢ², not n²) — a cartesian regression would be
+      // SemDeDup in name only. q73's anti-join keys on the segment.
+      "q73" -> LlmQueries.q73_strip_boilerplate(spark, sf0001),
+      "q75" -> LlmQueries.q75_semdedup(spark, sf0001)
     ).foreach { case (n, df) =>
       val p = plan(df)
       Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>

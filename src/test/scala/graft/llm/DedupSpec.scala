@@ -249,4 +249,45 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("semDedup: kept set pairwise < tau in-cluster; drops name smaller in-cluster witnesses") {
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+    val tau = 0.45
+    val res = Dedup.semDedup(emb, "vec_id", "embedding", tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val vecs = Similarity.normalized(emb, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    def cos(a: Long, b: Long): Double = {
+      val ((va, na), (vb, nb)) = (vecs(a), vecs(b))
+      va.zip(vb).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    // one verdict per vector
+    assert(res.length === vecs.size)
+    val cluster = res.map(t => t._1 -> t._2).toMap
+    val dropped = res.filter(!_._3)
+    assert(dropped.nonEmpty, "fixture's near-dup pairs should cause drops")
+    // every drop names a smaller same-cluster witness at >= tau; every
+    // keep is its own rep
+    res.foreach { case (id, cl, keep, rep) =>
+      if (keep) assert(rep === id)
+      else {
+        assert(rep < id, s"witness $rep must precede $id")
+        assert(cluster(rep) === cl, s"witness $rep not in $id's cluster")
+        assert(cos(rep, id) >= tau, s"witness cos(${rep}, $id) below tau")
+      }
+    }
+    // the SemDeDup invariant: kept vectors are pairwise < tau within
+    // every cluster — equivalently, every intra-cluster exact near-dup
+    // pair (q38's baseline) lost at least one side
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", minCos = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keptIds = res.filter(_._3).map(_._1).toSet
+    val intraPairs = exact.filter { case (a, b) => cluster(a) == cluster(b) }
+    assert(intraPairs.nonEmpty, "fixture near-dups should co-cluster")
+    intraPairs.foreach { case (a, b) =>
+      assert(!(keptIds(a) && keptIds(b)),
+        s"intra-cluster near-dup pair ($a, $b) fully kept")
+    }
+  }
 }

@@ -136,4 +136,21 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(nCandPairs < allPairs,
       s"LSH candidates $nCandPairs did not prune all-pairs $allPairs")
   }
+
+  test("knnGraph equals cosineTopK with the corpus as its own query set") {
+    val sub = norm.filter(col("vec_id") < 60)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val graph = Similarity.knnGraph(sub, k = 3).collect().map(key).sorted
+    val brute = Similarity.cosineTopK(sub, sub, k = 3).collect().map(key).sorted
+    assert(graph.nonEmpty)
+    assert(graph === brute)
+    // every vector gets exactly k neighbors, none of them itself
+    val byQ = graph.groupBy(_._1)
+    assert(byQ.size === sub.count())
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).toSeq.sorted === Seq(1L, 2L, 3L))
+      assert(!rows.exists(_._2 == q), s"vector $q listed itself as a neighbor")
+    }
+  }
 }

@@ -296,4 +296,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(out(6)._3 < out(0)._3,
       s"scrambled doc must score below fluent docs: $out")
   }
+
+  test("stripBoilerplate drops cross-doc segments, keeps intra-doc repeats, rebuilds order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ad banner keep one alpha beta"),
+      (2L, "ad banner keep two gamma delta"),
+      (3L, "ad banner"),          // fully boilerplate → empty survivor
+      (4L, "x y x y"),            // intra-doc repeat is NOT cross-doc frequent
+      (5L, null.asInstanceOf[String])) // null text is excluded, not crashed on
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, "doc_id", "text",
+      segTokens = 2, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === ((3L, 2L, "keep one alpha beta")))
+    assert(out(2L) === ((3L, 2L, "keep two gamma delta")))
+    assert(out(3L) === ((1L, 0L, ""))) // audited verdict, not a row drop
+    assert(out(4L) === ((2L, 2L, "x y x y")))
+  }
 }
