@@ -549,6 +549,15 @@ object LlmQueries {
       tau = 0.45, nlist = 16, iters = 3)
       .orderBy(col("vec_id"))
 
+  // ---------------------------------------------------------------- q76
+  /** Vocabulary-coverage (OOV-rate) quality signal — the
+    * tokenizer-coverage filter (see [[TextAnalysis.oovRate]] for the
+    * distributed-top-k vocab and the fixed-k broadcast posture).
+    * Exact counts + r4 rate ⇒ hash-gated. */
+  def q76_oov_rate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(docs(spark, dir), "doc_id", "text", vocabK = 100)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q65
   /** End-to-end corpus curation — the composed training-set gate a
     * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
@@ -626,6 +635,7 @@ object LlmQueries {
     "q73_strip_boilerplate" -> (q73_strip_boilerplate _),
     "q74_knn_graph" -> (q74_knn_graph _),
     "q75_semdedup" -> (q75_semdedup _),
+    "q76_oov_rate" -> (q76_oov_rate _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -1178,6 +1188,22 @@ object LlmQueries {
           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
           |  FROM sims)
           | WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+      // Vocab = top-100 by (count desc, token asc) — the q60 tiebreak;
+      // n_oov via count(*) − count(matched vocab token) on a left join.
+      "q76_oov_rate" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+          |  FROM documents WHERE text IS NOT NULL),
+          | c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+          | v AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 100),
+          | s AS (
+          |  SELECT t.doc_id, count(*) AS n_tokens,
+          |    CAST(count(*) - count(v.tok) AS BIGINT) AS n_oov
+          |  FROM t LEFT JOIN v USING (tok) GROUP BY t.doc_id)
+          | SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_oov,
+          |   round(CAST(n_oov AS DOUBLE) / n_tokens * 10000) / 10000 AS oov_rate
+          | FROM s ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -181,6 +181,38 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Vocabulary-coverage quality signal: each document's fraction of
+    * tokens falling OUTSIDE the corpus's top-`vocabK` vocabulary — the
+    * fastText/tokenizer-coverage filter: high OOV rate marks gibberish,
+    * encoding damage and wrong-language fragments that length and
+    * stopword statistics miss. Ties at the vocabulary boundary resolve
+    * by (count desc, token asc) — deterministic in both engines.
+    *
+    * 100 TB posture: one token explode (shared by the vocab aggregate
+    * and the coverage join via the checkpoint); the vocab is a
+    * DISTRIBUTED top-k (`orderBy.limit` → TakeOrderedAndProject, q16's
+    * class — never a single-task global rank over the distinct-token
+    * set, which is 10⁷–10⁹ rows on a web corpus); the k-row vocab
+    * broadcasts by construction (fixed k, not SF-scaled — q31's class).
+    * The per-doc aggregate combines map-side. */
+  def oovRate(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabK: Int = 100): DataFrame = {
+    require(vocabK > 0, "vocabK must be positive")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .localCheckpoint() // feeds the vocab AND the coverage join
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabK)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        r4(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** Per-document TF-IDF top-k terms (keyword extraction for corpus
     * curation / topic balancing). `score = tf · ln(N/df)`; ranking is
     * on the ROUNDED score (then token asc) — mathematically-equal

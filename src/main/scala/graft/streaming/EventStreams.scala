@@ -615,6 +615,54 @@ object EventStreams {
     }
   }
 
+  // ---------------------------------------------------------------- s13
+  /** Streaming curation ingest — q65's streamable stages run
+    * CONTINUOUSLY: quality floor (q34's score) then exact content dedup
+    * (s10's keyed state), over a file-source stream with a generation-2
+    * re-crawl that must add zero rows. Gate validity: the quality score
+    * derives from the NORMALIZED token stream only (n_tokens,
+    * stop_ratio — see withQuality), so every exact-duplicate variant of
+    * a document scores identically; whether the filter sees the
+    * eventual dedup survivor or a case/whitespace variant therefore
+    * cannot change the outcome, and the s10-style survivor-independent
+    * projection (per-language distinct-key counts among
+    * quality-passers) stays well-defined under nondeterministic arrival
+    * order. The decontamination stage deliberately stays batch
+    * (q57/q65): it needs the full probe corpus, not per-row state.
+    *
+    * Scale posture: the quality stage is stateless row-local columnar
+    * work; dedup state is one row per distinct SURVIVING key — the
+    * quality floor shrinks state, never grows it — and production
+    * bounds it with [[dedupWithinHorizon]]'s watermark expiry; the file
+    * source lists only new files per trigger. */
+  private def curateStream(docsStream: DataFrame): DataFrame =
+    graft.llm.TextAnalysis.withQuality(hashedDocs(docsStream), "text")
+      .filter(col("quality") >= 0.5)
+      .dropDuplicates("lang", "content_hash")
+      .select(col("doc_id"), col("lang"))
+
+  def s13_stream_curate(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.setSessionConfs(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s13_")
+    val tmpPath = tmp.toString
+    try {
+      val docsDf = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      docsDf.write.mode("append").parquet(tmpPath) // generation 1
+      val src = spark.readStream.schema(docsDf.schema).parquet(tmpPath)
+      runToMemory(spark, curateStream(src), "append") { query =>
+        query.processAllAvailable()
+        docsDf.write.mode("append").parquet(tmpPath) // generation 2: re-crawl
+        query.processAllAvailable()
+      }.groupBy(col("lang")).agg(count(lit(1)).as("n_keep"))
+        .orderBy(col("lang"))
+    } finally {
+      val fs = new Path(tmpPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(tmpPath), true)
+    }
+  }
+
   /** Driver-side reference for s06 — one global greedy pass (used by the
     * spec to gate the streaming result). */
   private[streaming] def throttleReference(events: Seq[Event]): Seq[Emitted] =
@@ -650,6 +698,7 @@ object EventStreams {
     "s10c_stream_dedup_watermarked" -> (s10c_stream_dedup_watermarked _),
     "s11_stream_catalog_sink" -> (s11_stream_catalog_sink _),
     "s12_stream_merge_upsert" -> (s12_stream_merge_upsert _),
+    "s13_stream_curate" -> (s13_stream_curate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -728,6 +777,25 @@ object EventStreams {
     "s10_stream_dedup_ingest" -> ingestDedupOracle,
     "s10b_stream_dedup_files" -> ingestDedupOracle,
     "s10c_stream_dedup_watermarked" -> ingestDedupOracle,
+    // Quality-then-dedup convergence: distinct keys among quality
+    // passers, with the score rounded exactly as the operator rounds it
+    // (r4) so the 0.5 boundary agrees cross-engine. Variant-stability
+    // of the score (normalized tokens only) is what makes this
+    // survivor-independent — see s13's docstring.
+    "s13_stream_curate" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        | q AS (
+        |  SELECT lang, h,
+        |    round((least(1.0, len(toks) / 100.0)
+        |           * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+        |                    / len(toks))) * 10000) / 10000 AS quality
+        |  FROM t)
+        | SELECT lang, count(DISTINCT h) AS n_keep FROM q WHERE quality >= 0.5
+        | GROUP BY lang ORDER BY lang""".stripMargin,
     // The streaming interval join must converge to the plain batch join.
     "s07_interval_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,

@@ -297,6 +297,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       s"scrambled doc must score below fluent docs: $out")
   }
 
+  test("oovRate: in-vocab docs score 0, OOV docs score 1, boundary ties break by token asc") {
+    import spark.implicits._
+    // vocabK=2 over counts: "aa"×4, "bb"×3, then "cc"/"dd"×2 each —
+    // the k=2 vocab is {aa, bb}; with k=3 the cc/dd tie resolves to cc.
+    val docs = Seq(
+      (1L, "aa aa bb cc"),   // 1 OOV of 4
+      (2L, "aa aa bb bb"),   // fully in-vocab
+      (3L, "cc dd cc dd"),   // fully OOV at k=2
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out2 = TextAnalysis.oovRate(docs, "doc_id", "text", vocabK = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out2.keySet === Set(1L, 2L, 3L))
+    assert(out2(1L) === ((4L, 1L, 0.25)))
+    assert(out2(2L) === ((4L, 0L, 0.0)))
+    assert(out2(3L) === ((4L, 4L, 1.0)))
+    val out3 = TextAnalysis.oovRate(docs, "doc_id", "text", vocabK = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out3(3L) === 2L, "k=3 must admit 'cc' (count tie, token asc), leaving dd OOV")
+  }
+
   test("stripBoilerplate drops cross-doc segments, keeps intra-doc repeats, rebuilds order") {
     import spark.implicits._
     val docs = Seq(

@@ -103,6 +103,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(out === expected)
   }
 
+  test("streaming curate: quality floor then dedup converges to the batch answer, non-vacuously") {
+    import org.apache.spark.sql.functions._
+    val out = EventStreams.s13_stream_curate(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val passing = graft.llm.TextAnalysis.withQuality(
+      graft.Tables(spark, sf0001, "documents").filter(col("text").isNotNull), "text")
+      .filter(col("quality") >= 0.5)
+    val expected = passing.groupBy(col("lang"))
+      .agg(countDistinct(sha2(graft.llm.TextOps.normText(col("text")), 256))
+        .as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+    // the floor must actually bite, or this test gates nothing beyond s10
+    val allDistinct = graft.Tables(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+      .select(countDistinct(sha2(graft.llm.TextOps.normText(col("text")), 256)))
+      .collect()(0).getLong(0)
+    assert(out.values.sum < allDistinct,
+      "quality floor filtered nothing — the composition is vacuous")
+  }
+
   test("stream-stream interval join equals the batch join across replay batches") {
     import org.apache.spark.sql.functions._
     // replay stages all clicks before all errors, so EVERY match below
