@@ -30,8 +30,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "q64" -> LlmQueries.q64_embedding_outliers(spark, sf0001),
       "q66" -> LlmQueries.q66_mix_sample(spark, sf0001),
       "q66b" -> LlmQueries.q66b_mix_weighted(spark, sf0001),
-      "q13" -> RelationalQueries.q13_window_rank(spark, sf0001)
+      "q13" -> RelationalQueries.q13_window_rank(spark, sf0001),
+      // q74's per-query top-k: rank <= literal k must group-limit, or a
+      // 100 TB kNN graph sorts whole neighbor lists per vector.
+      "q74" -> LlmQueries.q74_knn_graph(spark, sf0001)
     ).foreach { case (n, df) => assertContains(n, df, "WindowGroupLimit") }
+  }
+
+  test("q76's vocab is a distributed top-k that broadcasts back — never a global rank") {
+    // The docstring's two scale claims, pinned: TakeOrderedAndProject
+    // for the vocab (a Window here would drag the distinct-token set
+    // through one task) and a broadcast of the fixed-k vocab into the
+    // coverage join.
+    val df = LlmQueries.q76_oov_rate(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q76: vocab top-k must plan as TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"q76: the fixed-k vocab must broadcast into the coverage join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q76: cartesian product:\n$p")
   }
 
   test("q16's top-k plans as TakeOrderedAndProject, not a global sort") {

@@ -55,14 +55,13 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(lsh === exact)
   }
 
-  test("embedding LSH production regime (cos>=0.9, wide bits): prunes all-pairs AND stays complete") {
+  /** The production-regime corpus shared by the q38b and q75 tests: 150
+    * random 64-dim gaussians (background cosines ~N(0, 1/64)) plus 30
+    * tight perturbations of the first 30 (cos ~0.9995) — unlike the
+    * driver fixture's tau=0.45 regime, here the angular gap is real.
+    * Fully seeded, so every derived set is deterministic. */
+  private def plantedNearDupCorpus = {
     import spark.implicits._
-    // A corpus where near-dups live where they actually live: 150
-    // random 64-dim gaussians (background cosines ~N(0, 1/64)) plus 30
-    // tight perturbations of the first 30 (cos ~0.9995) — unlike the
-    // driver fixture's tau=0.45 regime, here the angular gap is real
-    // and the SRP bits can exploit it. Everything is seeded: corpus,
-    // planes, hence the exact candidate set.
     val dim = 64
     val rnd = new scala.util.Random(13)
     def gauss() = Array.fill(dim)(rnd.nextGaussian())
@@ -71,7 +70,12 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       val noise = gauss()
       (200L + i, base(i.toInt)._2.zip(noise).map { case (x, e) => x + 0.03 * e })
     }
-    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("embedding LSH production regime (cos>=0.9, wide bits): prunes all-pairs AND stays complete") {
+    val dim = 64
+    val vecs = plantedNearDupCorpus
     val nAllPairs = 180L * 179L / 2L
     val exact = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -288,6 +292,33 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     intraPairs.foreach { case (a, b) =>
       assert(!(keptIds(a) && keptIds(b)),
         s"intra-cluster near-dup pair ($a, $b) fully kept")
+    }
+  }
+
+  test("semDedup production regime (cos>=0.9): planted pairs co-cluster and each loses one side") {
+    // Where near-dups actually live (cos ~0.9995), a near-identical pair
+    // assigns to the SAME Lloyd centroid — the designed cross-cluster
+    // miss does not fire, so recall against the exact baseline is total,
+    // and the min-id rule drops exactly the non-representative side.
+    val vecs = plantedNearDupCorpus
+    val tau = 0.9
+    val res = Dedup.semDedup(vecs, "vec_id", "embedding", tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val cluster = res.map(t => t._1 -> t._2).toMap
+    val keptIds = res.filter(_._3).map(_._1).toSet
+    val exact = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", minCos = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.length >= 30, s"fixture sanity: expected the planted pairs, got ${exact.length}")
+    val intra = exact.count { case (a, b) => cluster(a) == cluster(b) }
+    assert(intra === exact.length,
+      s"only $intra/${exact.length} near-dup pairs co-clustered — recall lost")
+    exact.foreach { case (a, b) =>
+      assert(!(keptIds(a) && keptIds(b)), s"near-dup pair ($a, $b) fully kept")
+    }
+    // no false drops: every dropped vector is a member of some exact pair
+    val inPairs = exact.flatMap(p => Seq(p._1, p._2)).toSet
+    res.filter(!_._3).foreach { case (id, _, _, _) =>
+      assert(inPairs(id), s"dropped $id has no near-duplicate at tau")
     }
   }
 }
