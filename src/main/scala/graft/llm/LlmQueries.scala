@@ -536,6 +536,21 @@ object LlmQueries {
       k = 3)
       .orderBy(col("q_id"), col("rank"))
 
+  // --------------------------------------------------------------- q74b
+  /** The kNN graph through IVF bucketing — q74's SHIPPED scale path
+    * (q38b's pattern applied to the graph: candidates come from the
+    * trained coarse quantizer's probed buckets via an equality join on
+    * the bucket id, exact re-rank touches candidates only — never the
+    * n² self-join). Approximate ⇒ rows-only gated; edge recall vs q74's
+    * exact graph and the candidate-pruning claim are asserted in
+    * SimilaritySpec. */
+  def q74b_knn_graph_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Similarity.normalized(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+    Similarity.ivfCosineTopK(norm, norm, k = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- q75
   /** SemDeDup — cluster-scoped semantic dedup over the embedding space
     * (see [[Dedup.semDedup]] for the min-id rule and the Σcᵢ² cost
@@ -634,6 +649,7 @@ object LlmQueries {
     "q72_bigram_logprob" -> (q72_bigram_logprob _),
     "q73_strip_boilerplate" -> (q73_strip_boilerplate _),
     "q74_knn_graph" -> (q74_knn_graph _),
+    "q74b_knn_graph_ivf" -> (q74b_knn_graph_ivf _),
     "q75_semdedup" -> (q75_semdedup _),
     "q76_oov_rate" -> (q76_oov_rate _),
   )

@@ -32,8 +32,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "q66b" -> LlmQueries.q66b_mix_weighted(spark, sf0001),
       "q13" -> RelationalQueries.q13_window_rank(spark, sf0001),
       // q74's per-query top-k: rank <= literal k must group-limit, or a
-      // 100 TB kNN graph sorts whole neighbor lists per vector.
-      "q74" -> LlmQueries.q74_knn_graph(spark, sf0001)
+      // 100 TB kNN graph sorts whole neighbor lists per vector. q74b
+      // re-ranks IVF candidates through the same literal-capped window.
+      "q74" -> LlmQueries.q74_knn_graph(spark, sf0001),
+      "q74b" -> LlmQueries.q74b_knn_graph_ivf(spark, sf0001)
     ).foreach { case (n, df) => assertContains(n, df, "WindowGroupLimit") }
   }
 
@@ -109,7 +111,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       // cluster id (Σcᵢ², not n²) — a cartesian regression would be
       // SemDeDup in name only. q73's anti-join keys on the segment.
       "q73" -> LlmQueries.q73_strip_boilerplate(spark, sf0001),
-      "q75" -> LlmQueries.q75_semdedup(spark, sf0001)
+      "q75" -> LlmQueries.q75_semdedup(spark, sf0001),
+      // q74b's candidates come from an equality join on the coarse
+      // quantizer's bucket id — the n² self-join it exists to avoid.
+      "q74b" -> LlmQueries.q74b_knn_graph_ivf(spark, sf0001)
     ).foreach { case (n, df) =>
       val p = plan(df)
       Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>

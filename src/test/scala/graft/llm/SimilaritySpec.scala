@@ -137,6 +137,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"LSH candidates $nCandPairs did not prune all-pairs $allPairs")
   }
 
+  test("IVF kNN graph (corpus as queries) keeps edge recall and prunes the self-join") {
+    val exact = Similarity.knnGraph(norm, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(norm, norm, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF kNN-graph edge recall $recall collapsed — bucketing broken?")
+    val n = norm.count()
+    val nCandPairs = Similarity.ivfCandidatePairs(norm, norm, nlist = 16, nprobe = 4)
+    assert(nCandPairs > 0)
+    assert(nCandPairs < n * (n - 1),
+      s"IVF graph candidates $nCandPairs did not prune the $n x ${n - 1} self-join")
+  }
+
   test("knnGraph equals cosineTopK with the corpus as its own query set") {
     val sub = norm.filter(col("vec_id") < 60)
     def key(r: org.apache.spark.sql.Row) =
