@@ -664,4 +664,67 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
+
+  /** [[decontaminationHits]]'s extreme-cardinality scale path — the
+    * bloom filter SCALE.md promises "at the same plan shape": when the
+    * probe suite's distinct n-gram set outgrows an exact broadcast set
+    * (hundreds of benchmarks × long docs), compress it to a bloom
+    * filter and turn the probe JOIN into a codegen'd scalar predicate.
+    * The plan has NO join at all (PlanShapeSpec pins this): the corpus
+    * side is scan → filter → partial agg, the cheapest possible shape,
+    * and the only cross-stage traffic is the `numBits/8`-byte sketch.
+    *
+    * Built on Spark's own runtime-filter machinery
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the
+    * expressions `InjectRuntimeFilter` plants under joins): the sketch
+    * is built DISTRIBUTED with map-side partial merge (each task ORs
+    * its local bloom — order-independent, so the bits are identical
+    * under any partitioning), one sketch row returns to the driver
+    * (the same constant-size pattern as q62b's thresholds), and the
+    * probe is a literal in whole-stage codegen — no UDF, no broadcast
+    * join.
+    *
+    * Exactness: false-positive-only (a bloom never misses a real
+    * probe n-gram), so hits can only be OVER-counted. At the default
+    * sizing (2²³ bits for ≤ 2²⁰ expected probes; the fixture's probe
+    * slice fills ~10⁻³ of that) the designed FP rate is ~10⁻¹³ per
+    * tested shingle — zero expected FPs at fixture scale by a margin
+    * of 10⁸, so q57b is gated on q57's EXACT oracle. Deterministic:
+    * the sketch hashes with Spark's fixed-seed xxhash64, so the gate
+    * outcome is a property of the fixture, not a per-run draw (same
+    * fixture-regeneration caveat as q38b: redrawing `documents` could
+    * in principle — p ≈ 10⁻⁸ — land an FP with no code change).
+    * Production sizes the knobs to the measured probe cardinality
+    * (`numBits ≈ 14 × expected` keeps FP ≈ 10⁻³ per shingle; FP hits
+    * then quarantine docs for exact re-check against the real
+    * benchmark store, never silent drops). */
+  def decontaminationHitsBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, probeMod: Int = 97,
+      expectedProbeNgrams: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val buildAgg = column(new BloomFilterAggregate(
+      expression(xxhash64(col("s"))),
+      Literal(expectedProbeNgrams), Literal(numBits)).toAggregateExpression())
+    // No .distinct() before the build: bloom insertion is idempotent,
+    // so the dedup shuffle the exact path needs buys nothing here —
+    // the build side is scan → partial bloom → merge, zero shuffles.
+    val sketch = sh.filter(col("doc_id") % probeMod === 0)
+      .select(col("s"))
+      .agg(buildAgg.as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val hits =
+      if (sketch == null) lit(false) // empty probe slice ⇒ nothing is contaminated
+      else column(BloomFilterMightContain(
+        Literal.create(sketch, org.apache.spark.sql.types.BinaryType),
+        expression(xxhash64(col("s")))))
+    sh.filter(col("doc_id") % probeMod =!= 0)
+      .filter(hits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
 }

@@ -217,6 +217,20 @@ object LlmQueries {
       n = 8, probeMod = 35)
       .orderBy(col("doc_id"))
 
+  // --------------------------------------------------------------- q57b
+  /** Decontamination through a bloom sketch of the probe n-grams —
+    * q57's extreme-cardinality scale path shipped as code (see
+    * [[Dedup.decontaminationHitsBloom]]): the probe join becomes a
+    * codegen'd scalar predicate, the plan contains NO join (pinned in
+    * PlanShapeSpec), and the only cross-stage traffic is the 1 MiB
+    * sketch. FP-only error at ~10⁻¹³ per shingle under default sizing
+    * ⇒ gated on q57's EXACT oracle (zero expected FPs at fixture
+    * scale by 10⁸; q38b-class fixture-regeneration caveat). */
+  def q57b_decontaminate_bloom(spark: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminationHitsBloom(docs(spark, dir), "doc_id", "text",
+      n = 8, probeMod = 35)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q58
   /** Deterministic stratified sampling: top-20 documents per language
     * ordered by a salted sha256 of the id — a reproducible
@@ -615,6 +629,7 @@ object LlmQueries {
     "q55_dedup_clusters" -> (q55_dedup_clusters _),
     "q56_gopher_repetition" -> (q56_gopher_repetition _),
     "q57_decontaminate" -> (q57_decontaminate _),
+    "q57b_decontaminate_bloom" -> (q57b_decontaminate_bloom _),
     "q58_stratified_sample" -> (q58_stratified_sample _),
     "q59_cross_snapshot" -> (q59_cross_snapshot _),
     "q60_vocab_topk" -> (q60_vocab_topk _),
@@ -678,6 +693,24 @@ object LlmQueries {
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)""".stripMargin
+    // Shared by q57 (broadcast-join) and q57b (bloom-predicate): both
+    // compute the identical per-doc contaminated-8-gram count.
+    val decontaminateSql =
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        | sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        |    THEN list_distinct([list_aggregate(t[i:i+7], 'string_agg', ' ')
+        |                        for i in range(1, len(t) - 6)])
+        |    ELSE [] END) AS s
+        |  FROM toks),
+        | probes AS (SELECT DISTINCT s FROM sh WHERE doc_id % 35 = 0)
+        | SELECT doc_id, count(*) AS n_contaminated_ngrams
+        | FROM sh JOIN probes USING (s)
+        | WHERE doc_id % 35 != 0
+        | GROUP BY 1 ORDER BY 1""".stripMargin
     // Shared by q38 (all-pairs) and q38b (LSH candidates + exact
     // verify): both compute the identical exact-cosine pair set.
     val embeddingPairsSql =
@@ -894,22 +927,14 @@ object LlmQueries {
           |   AND CAST(coalesce(top_bi, 0) AS DOUBLE)
           |       / greatest(n_words - 1, 1) <= 0.4) AS passes_gopher
           | FROM uni u LEFT JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin,
-      "q57_decontaminate" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
-          |  FROM documents),
-          | sh AS (
-          |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
-          |    THEN list_distinct([list_aggregate(t[i:i+7], 'string_agg', ' ')
-          |                        for i in range(1, len(t) - 6)])
-          |    ELSE [] END) AS s
-          |  FROM toks),
-          | probes AS (SELECT DISTINCT s FROM sh WHERE doc_id % 35 = 0)
-          | SELECT doc_id, count(*) AS n_contaminated_ngrams
-          | FROM sh JOIN probes USING (s)
-          | WHERE doc_id % 35 != 0
-          | GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q57_decontaminate" -> decontaminateSql,
+      // The bloom path's error is false-positive-only, and the default
+      // sizing puts expected FPs at fixture scale ~10⁻⁸ — so the exact
+      // oracle gates it too (q38b-class fixture-regeneration caveat: a
+      // redrawn documents table re-rolls the per-shingle FP dice; a
+      // no-code-change gate failure after a fixture redraw is the
+      // designed bound firing, answered by rows+property gating).
+      "q57b_decontaminate_bloom" -> decontaminateSql,
       "q58_stratified_sample" ->
         """WITH r AS (
           |  SELECT lang, doc_id,

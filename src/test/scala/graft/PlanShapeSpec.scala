@@ -123,6 +123,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q57b's probe is a codegen'd bloom predicate — the plan has no join at all") {
+    // The whole point of the bloom path: q57's broadcast join collapses
+    // to a scalar might_contain filter. Any Join node (hash, sort-merge,
+    // nested-loop) means the sketch quietly regressed to a join.
+    val p = plan(LlmQueries.q57b_decontaminate_bloom(spark, sf0001))
+    assert(p.contains("might_contain"),
+      s"q57b: expected the bloom might_contain predicate in the plan:\n$p")
+    assert(!p.contains("Join"), s"q57b: found a join in the bloom path:\n$p")
+  }
+
   test("q62b's threshold pass is one aggregation, never a per-source window sort") {
     // The whole point of the approx path: thresholds come from a single
     // partial-aggregable pass (approx_percentile), broadcast back — a

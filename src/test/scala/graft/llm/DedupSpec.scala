@@ -98,6 +98,34 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(frac < 0.05, f"candidate fraction $frac%.4f (=$nCands/$nAllPairs) did not prune")
   }
 
+  test("bloom decontamination equals the exact broadcast-join path on the fixture") {
+    // FP-only error: the bloom can never MISS a contaminated n-gram, so
+    // any divergence is an over-count. At default sizing (2^23 bits for
+    // the fixture's ~10^3 probe shingles) expected FPs ≈ 10^-8 — this
+    // equality is the deterministic zero-FP verification the q57b hash
+    // gate rests on (same class as q38b's zero-miss check).
+    def key(r: Row) = (r.getLong(0), r.getLong(1))
+    val exact = Dedup.decontaminationHits(fixtureDocs, "doc_id", "text",
+      n = 8, probeMod = 35).collect().map(key).toSet
+    val bloom = Dedup.decontaminationHitsBloom(fixtureDocs, "doc_id", "text",
+      n = 8, probeMod = 35).collect().map(key).toSet
+    assert(exact.nonEmpty, "fixture sanity: probe slice found no hits")
+    assert(bloom === exact,
+      s"bloom path diverged: extra=${(bloom -- exact).take(5)} missing=${(exact -- bloom).take(5)}")
+  }
+
+  test("bloom decontamination on an empty probe slice reports nothing contaminated") {
+    import spark.implicits._
+    // no doc_id ≡ 0 (mod 97): the sketch aggregate returns null and the
+    // operator must degrade to an empty result, not an NPE or all-hits
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val res = Dedup.decontaminationHitsBloom(docs, "doc_id", "text",
+      n = 8, probeMod = 97)
+    assert(res.count() === 0L)
+    assert(res.columns.toSeq === Seq("doc_id", "n_contaminated_ngrams"))
+  }
+
   test("containment catches a quoted excerpt that Jaccard misses") {
     import spark.implicits._
     val excerpt = "alpha beta gamma delta epsilon zeta eta theta"
