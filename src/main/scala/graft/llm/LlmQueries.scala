@@ -587,6 +587,16 @@ object LlmQueries {
     TextAnalysis.oovRate(docs(spark, dir), "doc_id", "text", vocabK = 100)
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q77
+  /** Within-document duplicate-segment fractions — the two Gopher
+    * repetition signals q56's top-n-gram fractions don't cover
+    * (duplicate line fraction + its character-weighted form); see
+    * [[TextAnalysis.dupSegmentStats]]. Exact counts + r4 fractions ⇒
+    * hash-gated. */
+  def q77_dup_segments(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupSegmentStats(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q65
   /** End-to-end corpus curation — the composed training-set gate a
     * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
@@ -667,6 +677,7 @@ object LlmQueries {
     "q74b_knn_graph_ivf" -> (q74b_knn_graph_ivf _),
     "q75_semdedup" -> (q75_semdedup _),
     "q76_oov_rate" -> (q76_oov_rate _),
+    "q77_dup_segments" -> (q77_dup_segments _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -1189,6 +1200,36 @@ object LlmQueries {
       // 8-token spans of the normalized text; DuckDB list slices are
       // 1-based inclusive and clamp at the end, matching Spark's
       // `slice`); zipped unnests give (pos, seg) in lockstep.
+      // q73's exact segmentation (8-token spans of normalized text),
+      // within-doc dup accounting: occurrences beyond a segment's first
+      // are duplicates; char form weights by segment length.
+      "q77_dup_segments" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          | seg0 AS (
+          |  SELECT doc_id,
+          |    [array_to_string(toks[(8*i+1):(8*i+8)], ' ')
+          |     for i in range(0, CAST(ceil(len(toks) / 8.0) AS INT))] AS segl
+          |  FROM t),
+          | segs AS (SELECT doc_id, unnest(segl) AS seg FROM seg0),
+          | per AS (
+          |  SELECT doc_id, seg, count(*) AS c, length(seg) AS l
+          |  FROM segs GROUP BY 1, 2),
+          | d AS (
+          |  SELECT doc_id,
+          |    CAST(sum(c) AS BIGINT) AS n_segments,
+          |    CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+          |    CAST(sum((c - 1) * l) AS DOUBLE) AS dupchars,
+          |    CAST(sum(c * l) AS DOUBLE) AS totchars
+          |  FROM per GROUP BY 1)
+          | SELECT doc_id, n_segments,
+          |   round(CAST(n_dup AS DOUBLE) / n_segments * 10000) / 10000 AS dup_seg_frac,
+          |   round(dupchars / greatest(totchars, 1) * 10000) / 10000 AS dup_char_frac,
+          |   (CAST(n_dup AS DOUBLE) / n_segments <= 0.3
+          |    AND dupchars / greatest(totchars, 1) <= 0.2) AS passes_dup_segments
+          | FROM d ORDER BY doc_id""".stripMargin,
       "q73_strip_boilerplate" ->
         """WITH t AS (
           |  SELECT doc_id,

@@ -316,6 +316,56 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Gopher's WITHIN-document duplicate-segment signals — the two
+    * repetition filters [[withRepetition]]'s top-n-gram fractions do
+    * not cover (Rae et al. 2021, table A1: "duplicate line fraction"
+    * and "duplicate line character fraction"). Same fixed
+    * `segTokens`-token span segmenter as [[stripBoilerplate]] (the
+    * single-line fixture's honest line equivalent; the aggregates are
+    * segmenter-agnostic — real corpora pass a newline segmenter).
+    *
+    * Per document, occurrences of a segment beyond its first are
+    * duplicates:
+    *   dup_seg_frac  = (Σc − #distinct) / Σc
+    *   dup_char_frac = Σ(c−1)·len / Σc·len — char-weighted, so one
+    * long repeated paragraph can't hide behind many short unique
+    * segments (and vice versa: repeated empty/short lines barely move
+    * it).
+    *
+    * 100 TB posture: one segment explode (rows ≈ tokens/segTokens),
+    * then two aggregations keyed on (doc, seg) → doc — both map-side
+    * combined, no joins between documents, per-doc state bounded by
+    * the doc's own distinct-segment count. Nothing shuffles but
+    * (hashable-width key, counts) rows. */
+  def dupSegmentStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 8,
+      maxDupSegFrac: Double = 0.3, maxDupCharFrac: Double = 0.2): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val segs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $segTokens.0) as int) - 1), " +
+          s"i -> array_join(slice(toks, i * $segTokens + 1, $segTokens), ' '))"))
+        .as("seg"))
+    val per = segs.groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"), length(col("seg")).cast("long").as("l"))
+    val d = per.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_segments"),
+      (sum(col("c")) - count(lit(1))).as("n_dup"),
+      sum((col("c") - 1) * col("l")).as("dupchars"),
+      sum(col("c") * col("l")).as("totchars"))
+    val segFrac = col("n_dup").cast("double") / col("n_segments").cast("double")
+    val charFrac = col("dupchars").cast("double") /
+      greatest(col("totchars"), lit(1L)).cast("double")
+    d.select(col("doc_id"), col("n_segments"),
+      r4(segFrac).as("dup_seg_frac"),
+      r4(charFrac).as("dup_char_frac"),
+      (segFrac <= maxDupSegFrac && charFrac <= maxDupCharFrac)
+        .as("passes_dup_segments"))
+  }
+
   /** Polynomial rolling hash of the normalized text's character codes:
     * h ← (h·31 + code) mod 1e9+7. The modulus keeps every intermediate
     * < 2^35, so ANSI-mode long arithmetic never overflows, and the same

@@ -338,4 +338,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) === ((1L, 0L, ""))) // audited verdict, not a row drop
     assert(out(4L) === ((2L, 2L, "x y x y")))
   }
+
+  test("dupSegmentStats: segment and char fractions count repeats; char form weights length") {
+    import spark.implicits._
+    // segTokens=2 → segments are 2-token spans
+    val docs = Seq(
+      (1L, "a b c d e f"),            // 3 distinct segments → 0 dup
+      (2L, "a b a b c d"),            // segs: "a b","a b","c d" → 1 dup of 3
+      // one LONG repeated segment among short unique ones: seg frac is
+      // low (1/4) but char frac is dominated by the repeated long span
+      (3L, "looooooooong span looooooooong span x y z w"),
+      (4L, null.asInstanceOf[String])) // excluded, not crashed on
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupSegmentStats(docs, "doc_id", "text", segTokens = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((3L, 0.0, 0.0, true)))
+    // doc 2: 3 segments, 1 duplicate; chars: "a b"(3)×2 + "c d"(3) → dup 3/9
+    assert(out(2L) === ((3L, 0.3333, 0.3333, false)))
+    // doc 3: 4 segments, 1 duplicate (seg frac 0.25 ≤ 0.3 passes) but
+    // the duplicated span is 17 chars vs "x y"(3)+"z w"(3):
+    // dup 17 / tot (17×2 + 3 + 3) = 0.425 → char gate fails
+    assert(out(3L)._1 === 4L)
+    assert(out(3L)._2 === 0.25)
+    assert(out(3L)._3 === 0.425)
+    assert(!out(3L)._4,
+      "char-weighted gate must catch the long repeated span the count form passes")
+  }
 }
