@@ -151,6 +151,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"IVF graph candidates $nCandPairs did not prune the $n x ${n - 1} self-join")
   }
 
+  test("IVF kNN graph on a clustered corpus: near-perfect edge recall (q74b's production claim)") {
+    import spark.implicits._
+    // Same 4-orthogonal-cluster construction as the trained-IVF search
+    // test: when the corpus actually clusters (the regime where IVF
+    // earns its keep), the GRAPH form must hold the same strong recall
+    // the search form does — the 0.2 floor on the uniform fixture is
+    // the honest degenerate bound, not the operating point.
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(dim)(j =>
+        (if (j == c) 1.0 else 0.0) + 0.15 * rnd.nextGaussian())
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val corpus = Similarity.normalized(vecs, "vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Similarity.knnGraph(corpus, k = 3).collect().map(key).toSet
+    val ivf = Similarity.ivfCosineTopK(corpus, corpus, k = 3,
+      nlist = 4, nprobe = 1, iters = 3).collect().map(key).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered-corpus IVF graph edge recall $recall")
+    // and the candidate stage still pruned: Σcᵢ² ≪ n(n−1) at nprobe=1
+    val n = corpus.count()
+    val cands = Similarity.ivfCandidatePairs(corpus, corpus, nlist = 4, nprobe = 1)
+    assert(cands < n * (n - 1) / 2,
+      s"IVF graph candidates $cands did not prune the $n-vector self-join")
+  }
+
   test("knnGraph equals cosineTopK with the corpus as its own query set") {
     val sub = norm.filter(col("vec_id") < 60)
     def key(r: org.apache.spark.sql.Row) =
