@@ -41,6 +41,19 @@ object Tables {
   private[graft] def nanosToNtz(colName: String): org.apache.spark.sql.Column =
     expr(s"timestamp_micros($colName DIV 1000)").cast(TimestampNTZType)
 
+  /** Normalize a fixture time column to TIMESTAMP_NTZ whatever physical
+    * type the parquet stores — int64 nanos (read as long under
+    * `nanosAsLong`), instant-adjusted µs, or already-naive µs. The
+    * fixture generator has shipped both ns and µs encodings across
+    * rounds; keying on the observed dtype instead of the encoding du
+    * jour keeps batch and streaming readers correct under either. */
+  private[graft] def normalizeTs(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType      => df.withColumn(colName, nanosToNtz(colName))
+      case TimestampType => df.withColumn(colName, col(colName).cast(TimestampNTZType))
+      case _             => df // already TIMESTAMP_NTZ
+    }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = if (rawMode) {
       GraftBootstrap.setSessionConfs(spark)

@@ -119,17 +119,17 @@ object EventStreams {
   // --------------------------------------------------------------- s01c
   /** S1 through the FILE stream source (`readStream.parquet` over the
     * events fixture — the production shape, where MemoryStream replay is
-    * the test shape). The raw int64-nanos `ts` is normalized inside the
-    * streaming plan exactly as [[Tables]] does for batch. Same oracle as
-    * s01. */
+    * the test shape). The raw `ts` is normalized to TIMESTAMP_NTZ inside
+    * the streaming plan exactly as [[Tables]] does for batch, whichever
+    * physical encoding the fixture stores. Same oracle as s01. */
   def s01c_tumbling_file_stream(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftBootstrap.setSessionConfs(spark)
     // The file source wants a directory to list; the fixture dir holds
     // one parquet per table, so glob-filter down to the events file.
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", Tables.nanosToNtz("ts"))
+    val src = Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir), "ts")
     runToMemory(spark, tumblingAgg(src), "complete")(_.processAllAvailable())
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -494,9 +494,9 @@ object EventStreams {
     val events = Tables(spark, dir, "events")
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
     events.limit(0).writeTo(tgt).create() // schema from the catalog, data from the stream
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", Tables.nanosToNtz("ts"))
+    val src = Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir), "ts")
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
     withShufflePartitions(spark, 4) {
       val query = src.writeStream
