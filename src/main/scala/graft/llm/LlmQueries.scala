@@ -118,6 +118,20 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q78
+  /** The product-quantization (ADC) scale path for the same probes: the
+    * MEMORY dimension of the ANN family — 8 sub-space code bytes per
+    * vector vs 256 B float32, scored by per-query table lookups, exact
+    * re-rank of the shortlist only (see [[Similarity.pqCosineTopK]]).
+    * Lloyd codebooks aren't oracle-expressible (q40's class) ⇒ rows-only
+    * gated; recall vs q31 and the zero-quantization-error exactness
+    * property are asserted in SimilaritySpec. */
+  def q78_ann_pq_topk(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Similarity.normalized(Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+    Similarity.pqCosineTopK(norm, norm.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- q33
   /** Language-ID confusion matrix: stopword-marker heuristic prediction
     * vs the fixture's ground-truth `lang` label. */
@@ -435,6 +449,47 @@ object LlmQueries {
       "es" -> BigDecimal("0.40"), "fr" -> BigDecimal("0.40"),
       "zh" -> BigDecimal("0.40"))
 
+  // ---------------------------------------------------------------- q79
+  /** Temperature-smoothed multilingual resampling — the exponent-α
+    * upweighting of low-resource languages (mBERT/XLM-R's exponential
+    * smoothing) at α = 0.5: sampling mass ∝ √n_l instead of n_l, so a
+    * 100×-larger language gets only 10× the slots. The whole mix is
+    * EXACT INTEGER arithmetic: s_l = ⌊√n_l⌋ (floor-sqrt of a count is
+    * exact in both engines — IEEE sqrt is correctly rounded, unlike
+    * pow, whose last-ulp freedom is why α is ½ and not a free double
+    * exponent; other rational α compose from integer k-th roots the
+    * same way), budget T = ⌊N/4⌋, and t_l = ⌈T·s_l / Σs_l⌉ by integer
+    * ceiling division — reproducible cross-engine with no float
+    * knife-edges, hash-gated.
+    *
+    * Plan shape is q66b's: one tiny counts aggregate → driver scalars
+    * (one row per language, the fetch that makes the rank limit
+    * foldable) → shared salted ranking cut by `rk <= max(t_l)` (a
+    * LITERAL → InferWindowGroupLimit prunes every stratum before any
+    * full sort) → exact per-stratum refinement via a broadcast join
+    * against the target map (constant plan size in strata count,
+    * null-safe key). */
+  def q79_mix_temperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1)))
+    val ranked = saltedStratumRank(d)
+    if (counts.isEmpty) return ranked.filter(lit(false))
+      .select(col("lang"), col("rk"), col("doc_id"))
+    val smooth = counts.map { case (l, n) => (l, math.sqrt(n.toDouble).toLong) }
+    val s = smooth.map(_._2).sum // ≥ 1: every present stratum has n ≥ 1
+    val total = counts.map(_._2).sum / 4L
+    val targets = smooth.map { case (l, sl) => (l, (total * sl + s - 1) / s) }
+    import spark.implicits._
+    val targetsDf = targets.toSeq.toDF("t_lang", "t_target")
+    ranked
+      .filter(col("rk") <= lit(targets.map(_._2).max)) // foldable → WindowGroupLimit
+      .join(broadcast(targetsDf), col("lang") <=> col("t_lang"))
+      .filter(col("rk") <= col("t_target"))
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   // ---------------------------------------------------------------- q67
   /** Sequence packing / shard assignment — the "concatenate then chunk"
     * step of training-batch construction: stream documents in a
@@ -651,6 +706,7 @@ object LlmQueries {
     "q65_curate" -> (q65_curate _),
     "q66_mix_sample" -> (q66_mix_sample _),
     "q66b_mix_weighted" -> (q66b_mix_weighted _),
+    "q79_mix_temperature" -> (q79_mix_temperature _),
     "q67_pack_shards" -> (q67_pack_shards _),
     "q68_leakage_safe_split" -> (q68_leakage_safe_split _),
     "q43_redact" -> (q43_redact _),
@@ -669,6 +725,7 @@ object LlmQueries {
     "q38_dedup_embedding" -> (q38_dedup_embedding _),
     "q38b_dedup_embedding_lsh" -> (q38b_dedup_embedding_lsh _),
     "q40_ann_ivf_topk" -> (q40_ann_ivf_topk _),
+    "q78_ann_pq_topk" -> (q78_ann_pq_topk _),
     "q70_chunk_documents" -> (q70_chunk_documents _),
     "q71_unigram_logprob" -> (q71_unigram_logprob _),
     "q72_bigram_logprob" -> (q72_bigram_logprob _),
@@ -1112,6 +1169,31 @@ object LlmQueries {
           |   WHEN 'en' THEN 0.20 WHEN 'de' THEN 0.50 WHEN 'es' THEN 0.40
           |   WHEN 'fr' THEN 0.40 WHEN 'zh' THEN 0.40 ELSE 0.30 END)
           | ORDER BY lang, rk""".stripMargin,
+      // √-smoothed targets in exact integer arithmetic: ⌊√cnt⌋ is exact
+      // (IEEE sqrt is correctly rounded), `//` mirrors the driver's
+      // integer ceiling division — no float knife-edges anywhere.
+      "q79_mix_temperature" ->
+        """WITH counts AS (
+          |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+          | tot AS (
+          |  SELECT CAST(sum(cnt) AS BIGINT) // 4 AS total,
+          |    CAST(sum(CAST(floor(sqrt(cnt)) AS BIGINT)) AS BIGINT) AS s
+          |  FROM counts),
+          | targets AS (
+          |  SELECT c.lang,
+          |    (t.total * CAST(floor(sqrt(c.cnt)) AS BIGINT) + t.s - 1) // t.s
+          |      AS target
+          |  FROM counts c, tot t),
+          | r AS (
+          |  SELECT lang, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY sha256('graft|' || CAST(doc_id AS VARCHAR)), doc_id)
+          |      AS BIGINT) AS rk
+          |  FROM documents)
+          | SELECT r.lang, r.rk, r.doc_id FROM r JOIN targets t
+          |   ON r.lang IS NOT DISTINCT FROM t.lang
+          | WHERE r.rk <= t.target
+          | ORDER BY r.lang, r.rk""".stripMargin,
       // Integer running sums over the identical (ord, doc_id) order —
       // exact longs, so shard assignment hash-matches. `//` is DuckDB's
       // integer division, mirroring Spark's `div`.

@@ -307,4 +307,143 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"),
         (r4(col("sim"))).as("sim4"))
   }
+
+  // ----------------------------------------------------- product quantization
+
+  /** Sub-space boundaries of a product quantizer: `m` contiguous slices
+    * covering `dim` dims, the first `dim % m` slices one dim wider —
+    * (1-based slice start, length) per sub-space. */
+  private def pqSlices(dim: Int, m: Int): Array[(Int, Int)] = {
+    require(m >= 1 && m <= dim, s"pq sub-spaces m=$m must be in [1, dim=$dim]")
+    val base = dim / m
+    val starts = (0 until m).scanLeft(1) { (s, j) =>
+      s + base + (if (j < dim % m) 1 else 0)
+    }
+    (0 until m).map(j => (starts(j), starts(j + 1) - starts(j))).toArray
+  }
+
+  /** Euclidean argmin over a sub-space codebook: the PQ assignment
+    * metric. NOT cosine — sub-vectors are unnormalized fragments of the
+    * full vector, so direction-only assignment would leave magnitude
+    * quantization error unpenalized and the ADC dot estimates would
+    * drift. Ties break to the smaller code id (struct ordering). */
+  private def nearestSubCode(book: Array[Seq[Double]], vec: Column): Column = {
+    val entries = book.zipWithIndex.map { case (cv, cid) =>
+      struct(sqDist(vec, typedlit(cv)).as("d"), lit(cid).as("cid"))
+    }
+    array_sort(array(entries: _*)).getItem(0).getField("cid")
+  }
+
+  /** Product-quantization codebooks: per sub-space, `ksub` centroids
+    * trained by `iters` Euclidean Lloyd iterations over the corpus'
+    * sub-vectors (deterministic seeds = the ksub smallest-id rows;
+    * integer-quantized means via [[quantizedCentroids]] ⇒ bit-identical
+    * codebooks across runs and partitionings; an emptied cluster keeps
+    * its previous centroid). Each iteration moves m × ksub × (dim/m) =
+    * ksub × dim scalars to the driver — constant-size traffic, and at
+    * corpus scale the training input is a bounded sample (the FAISS
+    * convention, as with [[lloydCentroids]]). Returns books(sub)(code). */
+  private[llm] def pqCodebooks(
+      corpus: DataFrame, m: Int, ksub: Int, iters: Int,
+      dim: Int): Array[Array[Seq[Double]]] = {
+    pqSlices(dim, m).map { case (start, len) =>
+      val sub = corpus.select(col("vec_id"), slice(col("v"), start, len).as("v"))
+      var book = sub.orderBy(col("vec_id")).limit(ksub)
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0)).toArray
+      for (_ <- 0 until iters) {
+        val refined = quantizedCentroids(sub
+          .withColumn("label", nearestSubCode(book, col("v")).cast("long"))
+          .select(col("label"), col("v")))
+          .collect() // ≤ ksub rows per iteration — constant-size
+          .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+        book = book.zipWithIndex.map { case (cv, cid) =>
+          refined.getOrElse(cid.toLong, cv)
+        }
+      }
+      book
+    }
+  }
+
+  /** Attach the PQ code array: code(j) = Euclidean-nearest centroid of
+    * sub-space j's slice. One corpus pass, all codegen'd sqDist argmins;
+    * the output row carries (id, code) — m small ints per vector, the
+    * compressed representation the ADC scan reads. */
+  private[llm] def pqEncode(
+      norm: DataFrame, books: Array[Array[Seq[Double]]], dim: Int): DataFrame = {
+    val codes = pqSlices(dim, books.length).zip(books).map { case ((start, len), book) =>
+      nearestSubCode(book, slice(col("v"), start, len))
+    }
+    norm.withColumn("code", array(codes: _*))
+  }
+
+  /** ANN through product quantization with asymmetric distance
+    * computation (ADC) + exact re-rank — the MEMORY-scale path of the
+    * ANN family (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search"). The corpus is encoded once to `m` sub-space
+    * code bytes per vector (m=8, ksub=16 ⇒ 8 B vs 4·dim=256 B float32:
+    * 32×, the regime where a billion-vector index fits executor
+    * memory); each query precomputes one m × ksub table of sub-space
+    * dots (driver-free, a per-query-row columnar expression), and the
+    * scan scores a candidate with m table LOOKUPS instead of dim
+    * multiplies. The approximate top-`rerank` per query (WindowGroupLimit
+    * caps per-task state) re-joins true vectors BY ID for an exact
+    * cosine re-rank to top-k — join traffic is rerank-sized rows of
+    * ids, never the corpus.
+    *
+    * 100 TB posture: queries are a fixed probe set (broadcast by
+    * construction, q31's class); the ADC scan is one pass over the code
+    * column with no shuffle before the per-query top-rerank; codebooks
+    * are m × ksub × (dim/m) driver-side constants. Approximate ⇒
+    * rows-only gated; recall, pruning and the zero-quantization-error
+    * exactness property are SimilaritySpec-gated. */
+  def pqCosineTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      rerankFactor: Int = 4): DataFrame = {
+    val dim = derivedDim(corpus).getOrElse(return corpus
+      .select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
+        lit(0L).as("rank"), lit(0.0).as("sim4")).limit(0))
+    // One materialization serves codebook training, encoding and the
+    // exact re-rank fetch (the ivfCosineTopK discipline).
+    val c = corpus.localCheckpoint()
+    val books = pqCodebooks(c, m, ksub, iters, dim)
+    // ‖x‖ ≈ sqrt(Σ_j ‖c_{j,code_j}‖²): the reconstruction norm, a
+    // per-sub-space lookup against driver-side constants.
+    val sqNorms = books.map(book => book.map(cv => cv.map(x => x * x).sum).toSeq)
+    val normApprox = sqrt((0 until m).map { j =>
+      element_at(typedlit(sqNorms(j)), element_at(col("code"), j + 1) + 1)
+    }.reduce[Column](_ + _))
+    val codes = pqEncode(c, books, dim)
+      .select(col("vec_id").as("n_id"), col("code"),
+        normApprox.as("anrm")) // (id, m codes, approx norm) — no vector
+    // Per-query ADC tables: adc(j)(cid) = <q_slice_j, c_{j,cid}> — one
+    // columnar expression per query ROW, m·ksub doubles; never per pair.
+    val adcTables = array(pqSlices(dim, m).zip(books).map { case ((start, len), book) =>
+      array(book.map(cv => dot(slice(col("qv"), start, len), typedlit(cv))): _*)
+    }: _*)
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("adc", adcTables))
+    val approxDot = (0 until m).map { j =>
+      element_at(element_at(col("adc"), j + 1), element_at(col("code"), j + 1) + 1)
+    }.reduce[Column](_ + _)
+    val scored = codes.join(q.select(col("q_id"), col("qn"), col("adc")),
+        col("n_id") =!= col("q_id"))
+      .withColumn("asim", approxDot / (col("qn") * col("anrm")))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("n_id").asc)
+    val shortlist = scored.withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= k * rerankFactor)
+      .select(col("q_id"), col("n_id"))
+    // Exact re-rank: fetch survivors' true vectors by id, score with the
+    // codegen'd cosine, keep the k best (WindowGroupLimit again).
+    val exact = shortlist
+      .join(c.select(col("vec_id").as("n_id"), col("v"), col("nrm")), "n_id")
+      .join(q.select(col("q_id"), col("qv"), col("qn")), "q_id")
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), r4(col("sim")).as("sim4"))
+  }
 }

@@ -22,7 +22,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains(token), s"$name: expected '$token' in physical plan:\n$p")
   }
 
-  test("literal-capped rankings plan as WindowGroupLimit (q13/q58/q60/q63/q64/q66/q66b)") {
+  test("literal-capped rankings plan as WindowGroupLimit (q13/q58/q60/q63/q64/q66/q66b/q79)") {
     Seq(
       "q58" -> LlmQueries.q58_stratified_sample(spark, sf0001),
       "q60" -> LlmQueries.q60_vocab_topk(spark, sf0001),
@@ -30,12 +30,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "q64" -> LlmQueries.q64_embedding_outliers(spark, sf0001),
       "q66" -> LlmQueries.q66_mix_sample(spark, sf0001),
       "q66b" -> LlmQueries.q66b_mix_weighted(spark, sf0001),
+      // q79's √-smoothed targets cut through the same foldable-literal
+      // rank filter as q66b — a column-valued limit would full-sort the
+      // dominant stratum in one task.
+      "q79" -> LlmQueries.q79_mix_temperature(spark, sf0001),
       "q13" -> RelationalQueries.q13_window_rank(spark, sf0001),
       // q74's per-query top-k: rank <= literal k must group-limit, or a
       // 100 TB kNN graph sorts whole neighbor lists per vector. q74b
       // re-ranks IVF candidates through the same literal-capped window.
       "q74" -> LlmQueries.q74_knn_graph(spark, sf0001),
-      "q74b" -> LlmQueries.q74b_knn_graph_ivf(spark, sf0001)
+      "q74b" -> LlmQueries.q74b_knn_graph_ivf(spark, sf0001),
+      // q78's ADC shortlist and exact re-rank are both literal-capped —
+      // without the group limit the full scored corpus sorts per query.
+      "q78" -> LlmQueries.q78_ann_pq_topk(spark, sf0001)
     ).foreach { case (n, df) => assertContains(n, df, "WindowGroupLimit") }
   }
 

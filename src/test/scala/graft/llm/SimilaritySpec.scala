@@ -180,6 +180,57 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"IVF graph candidates $cands did not prune the $n-vector self-join")
   }
 
+  test("PQ codes are valid and the ADC path keeps recall on the exact top-5") {
+    val queries = norm.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(norm, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqCosineTopK(norm, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall $recall collapsed — codebooks broken?")
+    // the compressed representation really is m small ints per vector
+    val books = Similarity.pqCodebooks(norm, m = 8, ksub = 16, iters = 3, dim = 64)
+    assert(books.length === 8)
+    books.foreach(b => assert(b.length === 16))
+    val codes = Similarity.pqEncode(norm, books, dim = 64)
+      .select(col("code")).collect().map(_.getSeq[Int](0))
+    assert(codes.nonEmpty)
+    codes.foreach { cd =>
+      assert(cd.length === 8)
+      assert(cd.forall(c => c >= 0 && c < 16), s"code out of range: $cd")
+    }
+  }
+
+  test("PQ with zero quantization error reproduces the exact top-k") {
+    import spark.implicits._
+    // A corpus drawn FROM the codebook grid: every sub-vector is one of
+    // ksub distinct values, so Lloyd converges onto the grid points and
+    // reconstruction is exact — ADC scores then equal true dots and the
+    // PQ top-k must match brute force row for row (ranks and sims).
+    val dim = 8; val m = 4; val ksub = 4
+    val rnd = new scala.util.Random(13)
+    val grid = Array.tabulate(ksub)(i => Array.fill(dim / m)(i * 1.0 - 1.5))
+    val vecs = (0L until 120L).map { id =>
+      // ids < ksub are pure grid points (row i = grid(i) in every
+      // sub-space): they are the deterministic Lloyd seeds, so the
+      // codebook starts ON the grid and stays there.
+      val sub =
+        if (id < ksub) Array.fill(m)(grid(id.toInt))
+        else Array.fill(m)(grid(rnd.nextInt(ksub)))
+      (id, Array.tabulate(dim)(j => sub(j / (dim / m))(j % (dim / m)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val corpus = Similarity.normalized(vecs, "vec_id", "embedding")
+      .filter(col("nrm") > 0)
+    val queries = corpus.filter(col("vec_id") < 6)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val brute = Similarity.cosineTopK(corpus, queries, k = 3).collect().map(key).sorted
+    val pq = Similarity.pqCosineTopK(corpus, queries, k = 3,
+      m = m, ksub = ksub, iters = 8).collect().map(key).sorted
+    assert(brute.nonEmpty)
+    assert(pq === brute)
+  }
+
   test("knnGraph equals cosineTopK with the corpus as its own query set") {
     val sub = norm.filter(col("vec_id") < 60)
     def key(r: org.apache.spark.sql.Row) =
