@@ -23,6 +23,28 @@ case class Emitted(user_id: Long, event_id: Long, ts: LocalDateTime)
 /** One document row for the streaming-ingest dedup replay (s10). */
 case class Doc(doc_id: Long, text: String, lang: String)
 
+/** A document row tagged with its ingest generation (s14): `seq` is the
+  * caller's monotone batch tag — it orders re-deliveries after first
+  * deliveries and rides through to the verdict. */
+case class SeqDoc(doc_id: Long, text: String, lang: String, seq: Long)
+
+/** One (LSH band bucket, document) row of the streaming near-dup
+  * operator (s14): the doc's full minhash signature rides along for the
+  * state-side similarity estimate. */
+case class BandDoc(doc_id: Long, lang: String, seq: Long,
+    band: Int, key: Int, sig: Seq[Long])
+
+/** One bucket member in s14's state: id + minhash signature. */
+case class BucketMember(doc_id: Long, sig: Seq[Long])
+
+/** s14's per-bucket state: every document seen in this band bucket, in
+  * arrival order. */
+case class BucketMembers(members: Seq[BucketMember])
+
+/** Per-(bucket, document) verdict emitted by s14's state machine. */
+case class BandVerdict(doc_id: Long, lang: String, seq: Long,
+    dup: Boolean, dup_of: Long)
+
 /** Structured Streaming execution of the event-window inventory
   * (SURVEY.md §2.3 S1/S5): the SAME windowed-aggregation expressions as
   * the batch forms in EventWindowQueries, driven through a real
@@ -663,6 +685,125 @@ object EventStreams {
     }
   }
 
+  // ---------------------------------------------------------------- s14
+  /** Band-bucket rows for the streaming near-dup operator: ROW-LOCAL
+    * minhash signatures (`array_min` over the salted-hash transform of
+    * the doc's own shingle array — no explode, no pre-aggregation, so
+    * the streaming plan has NO stateful stage before the bucket state
+    * machine; the batch form in [[graft.llm.Dedup]] aggregates because
+    * its shingle rows are shared with exact verification), then the
+    * same `hash(bandComponents :+ bandIndex)` banding key q29 uses,
+    * exploded to one row per (band, doc). Docs with no shingles
+    * (< n tokens) are routed around banding — nothing to compare.
+    * Usable on a batch OR streaming frame (the spec's reference runs it
+    * in batch). Expects (doc_id, text, lang, seq). */
+  private[streaming] def bandedDocs(docs: DataFrame, n: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigExpr = array((0 until k).map(i =>
+      array_min(transform(col("hs"), h => xxhash64(lit(i), h)))): _*)
+    val bandKeys = array((0 until bands).map { b =>
+      hash((0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1)) :+ lit(b): _*)
+    }: _*)
+    docs
+      .filter(col("text").isNotNull)
+      // materialize toks/hs before the lambdas that consume them —
+      // Catalyst does no CSE inside lambda bodies (the shingleRows 10×
+      // lesson)
+      .withColumn("toks", graft.llm.TextOps.tokens(col("text")))
+      .withColumn("hs",
+        transform(graft.llm.TextOps.shingles(col("toks"), n), s => xxhash64(s)))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", sigExpr)
+      .select(col("doc_id"), col("lang"), col("seq"),
+        posexplode(bandKeys).as(Seq("band", "key")), col("sig"))
+  }
+
+  /** Streaming cross-batch NEAR-duplicate suppression — q59's
+    * incremental-ingest semantics as a CONTINUOUS operator: a document
+    * is flagged `dup` when any LSH band bucket it hashes into already
+    * holds an earlier document whose minhash-estimated Jaccard reaches
+    * `tau` (or the same doc_id — an exact re-delivery). First
+    * occurrences claim their buckets; state carries bucket membership
+    * across microbatch boundaries, so a near-dup arriving hours after
+    * its original is still caught — the continuous form of the
+    * NEW×PREV restriction.
+    *
+    * Determinism: batches replayed in (seq, doc_id) order give exactly
+    * the sequential one-pass result — each bucket's members accrete in
+    * global order and `find` compares against the EARLIEST match — so
+    * the spec gates streaming-vs-batch-reference EQUALITY, not just
+    * properties. The estimate is minhash agreement (k components ⇒
+    * granularity 1/k); exactness lives in batch q28/q29 — this operator
+    * is the ingest-time gatekeeper in front of them, and its flags
+    * depend on xxhash64, so the driver gate is rows-only (q30's class).
+    *
+    * Scale posture: signatures are row-local columnar work (no shuffle
+    * before the state machine); state is partitioned by the (band, key)
+    * group key across executors and holds bucket members as (id, k
+    * longs) — never text; bucket occupancy is the (bands × rowsPerBand)
+    * knob, and a production deployment adds `GroupStateTimeout` expiry
+    * for a bounded re-delivery horizon (s10c's watermark argument) plus
+    * periodic state compaction to the batch index. The verdict stream
+    * is append-only — sinkable, joinable, auditable (`dup_of` names the
+    * witness). */
+  def streamNearDupVerdicts(docsStream: DataFrame, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2, tau: Double = 0.8): DataFrame = {
+    import docsStream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    bandedDocs(docsStream, n, bands, rowsPerBand).as[BandDoc]
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BucketMembers, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val inOrder = rows.toSeq.sortBy(r => (r.seq, r.doc_id))
+        var members = state.getOption.map(_.members.toVector).getOrElse(Vector.empty)
+        val out = inOrder.map { r =>
+          val redelivery = members.exists(_.doc_id == r.doc_id)
+          lazy val hit = members.find { m =>
+            m.sig.iterator.zip(r.sig.iterator).count { case (a, b) => a == b }
+              .toDouble / r.sig.size >= tau
+          }
+          val verdict =
+            if (redelivery) BandVerdict(r.doc_id, r.lang, r.seq, dup = true, r.doc_id)
+            else hit match {
+              case Some(m) => BandVerdict(r.doc_id, r.lang, r.seq, dup = true, m.doc_id)
+              case None    => BandVerdict(r.doc_id, r.lang, r.seq, dup = false, -1L)
+            }
+          if (!redelivery) members :+= BucketMember(r.doc_id, r.sig)
+          verdict
+        }
+        if (members.nonEmpty) state.update(BucketMembers(members))
+        out.iterator
+      }.toDF()
+  }
+
+  def s14_stream_near_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Two ingest generations split by doc_id: cross-half near-dup pairs
+    // exercise the cross-batch state path.
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang").as[Doc].collect().toSeq
+      .sortBy(_.doc_id)
+    val half = (docs.size + 1) / 2
+    val src = MemoryStream[SeqDoc]
+    val verdicts = runToMemory(spark,
+      streamNearDupVerdicts(src.toDF()), "append") { query =>
+      Seq(docs.take(half), docs.drop(half)).zipWithIndex.foreach { case (b, i) =>
+        src.addData(b.map(d => SeqDoc(d.doc_id, d.text, d.lang, i.toLong)))
+        query.processAllAvailable()
+      }
+    }
+    // Survivors: every ingested doc not flagged in any bucket (docs too
+    // short to band have nothing to compare and are trivially kept).
+    val flagged = verdicts.filter(col("dup")).select(col("doc_id")).distinct()
+    Tables(spark, dir, "documents")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Driver-side reference for s06 — one global greedy pass (used by the
     * spec to gate the streaming result). */
   private[streaming] def throttleReference(events: Seq[Event]): Seq[Emitted] =
@@ -699,6 +840,7 @@ object EventStreams {
     "s11_stream_catalog_sink" -> (s11_stream_catalog_sink _),
     "s12_stream_merge_upsert" -> (s12_stream_merge_upsert _),
     "s13_stream_curate" -> (s13_stream_curate _),
+    "s14_stream_near_dedup" -> (s14_stream_near_dedup _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -51,6 +51,122 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(merged === batch)
   }
 
+  /** Sequential reference of s14's semantics: walk band rows in
+    * (seq, doc_id) order, accrete bucket members, flag a doc when any
+    * of its buckets holds an earlier member at estimate ≥ tau (or the
+    * same id — a re-delivery). Returns the flagged doc_id set. */
+  private def nearDupReference(
+      banded: Seq[(Long, Long, Int, Int, Seq[Long])], tau: Double): Set[Long] = {
+    val members = collection.mutable.Map.empty[(Int, Int), Vector[(Long, Seq[Long])]]
+    val flagged = collection.mutable.Set.empty[Long]
+    banded.sortBy(r => (r._2, r._1)).foreach { case (id, _, band, key, sig) =>
+      val bucket = members.getOrElse((band, key), Vector.empty)
+      val redelivery = bucket.exists(_._1 == id)
+      val hit = bucket.exists { case (_, msig) =>
+        msig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
+          .toDouble / sig.size >= tau
+      }
+      if (redelivery || hit) flagged += id
+      if (!redelivery) members((band, key)) = bucket :+ (id, sig)
+    }
+    flagged.toSet
+  }
+
+  private def seqDocsFor(dir: String): Seq[SeqDoc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang")).as[Doc]
+      .collect().toSeq.sortBy(_.doc_id)
+      .map(d => SeqDoc(d.doc_id, d.text, d.lang, 0L))
+  }
+
+  test("streaming near-dedup equals the sequential reference across batch boundaries, non-vacuously") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = seqDocsFor(sf0001)
+    val half = (docs.size + 1) / 2
+    val batches = Seq(
+      docs.take(half),
+      docs.drop(half).map(_.copy(seq = 1L)))
+    val src = MemoryStream[SeqDoc]
+    val verdicts = streamToMemoryForTest(
+      EventStreams.streamNearDupVerdicts(src.toDF())) { query =>
+      batches.foreach { b => src.addData(b); query.processAllAvailable() }
+    }
+    val streamedFlagged = verdicts.filter(col("dup"))
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    // reference over the SAME banded projection, computed in batch
+    val banded = EventStreams.bandedDocs(
+      batches.flatten.toDF(), n = 3, bands = 16, rowsPerBand = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getInt(4),
+        r.getSeq[Long](5)))
+      .toSeq
+    val expected = nearDupReference(banded, tau = 0.8)
+    assert(streamedFlagged === expected)
+    // non-vacuous: the fixture's near-dup pairs really get suppressed,
+    // and suppression is not a blanket drop
+    assert(streamedFlagged.nonEmpty, "no near-dup was flagged — fixture drifted?")
+    assert(streamedFlagged.size < docs.size / 2,
+      s"${streamedFlagged.size} of ${docs.size} flagged — estimator collapsed")
+    // every flag names a witness that arrived earlier
+    val witnessed = verdicts.filter(col("dup")).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(witnessed.forall { case (d, w) => w <= d },
+      "a dup verdict named a LATER witness")
+  }
+
+  test("streaming near-dedup: an exactly re-delivered batch is fully suppressed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = seqDocsFor(sf0001)
+    val half = (docs.size + 1) / 2
+    val first = docs.take(half)
+    val src = MemoryStream[SeqDoc]
+    val verdicts = streamToMemoryForTest(
+      EventStreams.streamNearDupVerdicts(src.toDF())) { query =>
+      Seq(first,
+        docs.drop(half).map(_.copy(seq = 1L)),
+        first.map(_.copy(seq = 2L))) // generation 3: exact re-delivery
+        .foreach { b => src.addData(b); query.processAllAvailable() }
+    }
+    // every re-delivered doc that banded must be flagged on re-delivery
+    val redelivered = verdicts.filter(col("seq") === 2)
+    val banded3 = redelivered.select(col("doc_id")).distinct().count()
+    assert(banded3 > 0)
+    val keptOnRedelivery = redelivered
+      .groupBy(col("doc_id")).agg(max(col("dup")).as("dup"))
+      .filter(!col("dup")).count()
+    assert(keptOnRedelivery === 0,
+      "an exactly re-delivered document survived the near-dedup gate")
+  }
+
+  /** Local memory-sink runner for ad-hoc streaming frames (the spec
+    * builds its own MemoryStream sources; EventStreams' runToMemory is
+    * private and its gated queries stage their own replays). */
+  private def streamToMemoryForTest(streaming: org.apache.spark.sql.DataFrame)(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+      : org.apache.spark.sql.DataFrame = {
+    val name = s"graft_spec_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val query = streaming.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try feed(query)
+      finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val sink = spark.table(name)
+    val out = spark.createDataFrame(sink.collectAsList(), sink.schema)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   test("stateful throttle equals the single-pass greedy reference across batch boundaries") {
     val streamed = EventStreams.s06_stateful_throttle(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
