@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotDescriptor)
     ext.injectFunction(GraftExtensions.arraySqDistDescriptor)
+    ext.injectFunction(GraftExtensions.minHashSigDescriptor)
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graft.ResolveStrandedTableReferences)
   }
@@ -53,5 +54,27 @@ object GraftExtensions {
       require(args.length == 2,
         s"graft_array_sqdist expects 2 arguments, got ${args.length}")
       ArraySqDist(args.head, args(1))
+    })
+
+  /** (identifier, info, builder) triple for `graft_minhash_sig`. */
+  val minHashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash_sig"),
+    new ExpressionInfo(
+      classOf[graft.functions.MinHashSig].getCanonicalName,
+      null,
+      "graft_minhash_sig",
+      "graft_minhash_sig(hashes, k) - k-component minhash signature of an " +
+        "array<bigint> of shingle hashes; component i is min(xxhash64(i, h)) " +
+        "(codegen'd, one pass; k must be a foldable integer literal).",
+      ""),
+    { args =>
+      require(args.length == 2,
+        s"graft_minhash_sig expects 2 arguments, got ${args.length}")
+      val k = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_sig's k must be an integer literal, got $other")
+      }
+      graft.functions.MinHashSig(args.head, k)
     })
 }

@@ -652,6 +652,26 @@ object LlmQueries {
     TextAnalysis.dupSegmentStats(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q80
+  /** Source-reputation filtering — drop every document whose SOURCE's
+    * mean quality falls below the floor (the domain-level gate of a
+    * RefinedWeb-style pipeline; see [[TextAnalysis.sourceReputationKeep]]
+    * for the exact-integer mean that makes the cut bit-stable).
+    * Exact integer sums + IEEE division ⇒ hash-gated. */
+  def q80_source_reputation(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceReputationKeep(docs(spark, dir), "doc_id", "text", "source")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q81
+  /** Tokenizer induction — the corpus' first 10 BPE merge rules (see
+    * [[TextAnalysis.bpeMerges]] for the bounded-vocabulary iteration
+    * and the fold that IS the greedy merge rule). An iterated global
+    * argmax isn't oracle-SQL-expressible ⇒ rows-only at the driver;
+    * TextAnalysisSpec gates equality with a reference implementation. */
+  def q81_bpe_merges(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(docs(spark, dir), "text", steps = 10)
+      .orderBy(col("step"))
+
   // ---------------------------------------------------------------- q65
   /** End-to-end corpus curation — the composed training-set gate a
     * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
@@ -735,6 +755,8 @@ object LlmQueries {
     "q75_semdedup" -> (q75_semdedup _),
     "q76_oov_rate" -> (q76_oov_rate _),
     "q77_dup_segments" -> (q77_dup_segments _),
+    "q80_source_reputation" -> (q80_source_reputation _),
+    "q81_bpe_merges" -> (q81_bpe_merges _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -1312,6 +1334,30 @@ object LlmQueries {
           |   (CAST(n_dup AS DOUBLE) / n_segments <= 0.3
           |    AND dupchars / greatest(totchars, 1) <= 0.2) AS passes_dup_segments
           | FROM d ORDER BY doc_id""".stripMargin,
+      // q34's quality formula, aggregated per source with the exact
+      // integer-cent accumulator (sum of round(q·10⁴) as BIGINT) so the
+      // floor decision can't drift on float reduction order.
+      "q80_source_reputation" ->
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents),
+          | q AS (
+          |  SELECT doc_id, source,
+          |    round((least(1.0, len(toks) / 100.0)
+          |           * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+          |                    / len(toks))) * 10000) / 10000 AS quality
+          |  FROM t),
+          | rep AS (
+          |  SELECT source,
+          |    CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+          |      / (count(*) * 10000.0) AS src_quality
+          |  FROM q GROUP BY source)
+          | SELECT q.doc_id, q.source,
+          |   round(src_quality * 10000) / 10000 AS src_q4
+          | FROM q JOIN rep ON q.source = rep.source
+          | WHERE src_quality >= 0.5
+          | ORDER BY q.doc_id""".stripMargin,
       "q73_strip_boilerplate" ->
         """WITH t AS (
           |  SELECT doc_id,

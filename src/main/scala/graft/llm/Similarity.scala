@@ -346,23 +346,41 @@ object Similarity {
   private[llm] def pqCodebooks(
       corpus: DataFrame, m: Int, ksub: Int, iters: Int,
       dim: Int): Array[Array[Seq[Double]]] = {
-    pqSlices(dim, m).map { case (start, len) =>
-      val sub = corpus.select(col("vec_id"), slice(col("v"), start, len).as("v"))
-      var book = sub.orderBy(col("vec_id")).limit(ksub)
-        .select(col("v")).collect()
-        .map(_.getSeq[Double](0)).toArray
-      for (_ <- 0 until iters) {
-        val refined = quantizedCentroids(sub
-          .withColumn("label", nearestSubCode(book, col("v")).cast("long"))
-          .select(col("label"), col("v")))
-          .collect() // ≤ ksub rows per iteration — constant-size
-          .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
-        book = book.zipWithIndex.map { case (cv, cid) =>
-          refined.getOrElse(cid.toLong, cv)
+    val slices = pqSlices(dim, m)
+    // Seeds for ALL sub-spaces from ONE ksub-row fetch (slicing on the
+    // driver): a per-sub-space seed job would be m driver round-trips.
+    val seedRows = corpus.orderBy(col("vec_id")).limit(ksub)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var books: Array[Array[Seq[Double]]] = slices.map { case (start, len) =>
+      seedRows.map(v => v.slice(start - 1, start - 1 + len)).toArray
+    }
+    if (seedRows.isEmpty) return books
+    // One exploded (sub, sub-vector) frame drives every iteration: all m
+    // sub-space assignments happen in ONE DataFrame job per Lloyd step
+    // (labels disambiguated as sub·ksub + code), not m separate jobs —
+    // the per-step driver traffic stays m × ksub × (dim/m) scalars, but
+    // the job count drops from m·(iters+1) to iters+1.
+    val subFrame = corpus.select(
+      posexplode(array(slices.map { case (s, l) => slice(col("v"), s, l) }: _*))
+        .as(Seq("sub", "sv")))
+    for (_ <- 0 until iters) {
+      val labelExpr = (0 until m).foldRight(lit(-1L): Column) { (s, els) =>
+        when(col("sub") === s,
+          nearestSubCode(books(s), col("sv")).cast("long") + lit(s.toLong * ksub))
+          .otherwise(els)
+      }
+      val refined = quantizedCentroids(subFrame
+        .withColumn("label", labelExpr)
+        .select(col("label"), col("sv").as("v")))
+        .collect() // ≤ m×ksub rows per iteration — constant-size
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (cv, cid) =>
+          refined.getOrElse(s.toLong * ksub + cid, cv)
         }
       }
-      book
     }
+    books
   }
 
   /** Attach the PQ code array: code(j) = Euclidean-nearest centroid of

@@ -81,6 +81,121 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Source-reputation filter (q80) — the domain-level quality gate of
+    * a RefinedWeb/CCNet-style pipeline: a document survives only if its
+    * SOURCE's mean quality clears `floor`, killing spam domains whole
+    * instead of doc-by-doc. The per-source mean uses the repo's
+    * integer-cent accumulator (sum of round(quality·10⁴) as long —
+    * exact, shuffle-order-free, so the keep/drop decision is
+    * bit-identical across engines and partitionings; a float AVG's low
+    * bits would depend on reduction order exactly at the floor
+    * boundary).
+    *
+    * 100 TB posture: one quality scan (row-local columnar work), one
+    * per-source aggregate with map-side combine (output = one row per
+    * source — ~10⁷ at web scale, deliberately NOT broadcast-hinted: the
+    * planner/AQE decides from runtime size, the round-3 lesson), one
+    * equality join back on the source key; a mega-source skewing the
+    * probe side is AQE's skew case. Output: kept docs with their
+    * source's 4-dp mean. */
+  def sourceReputationKeep(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, floor: Double = 0.5): DataFrame = {
+    val scored = withQuality(
+      docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(textCol).as("text")), "text")
+      .select(col("doc_id"), col("source"), col("quality"))
+    val rep = scored.groupBy(col("source"))
+      .agg(sum(round(col("quality") * 10000).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("source"),
+        (col("s").cast("double") / (col("n") * lit(10000.0))).as("src_quality"))
+    scored
+      .join(rep.filter(col("src_quality") >= floor), "source")
+      .select(col("doc_id"), col("source"), r4(col("src_quality")).as("src_q4"))
+  }
+
+  /** BPE merge induction (q81) — the first `steps` merge rules of a
+    * byte-pair-encoding tokenizer trained on the corpus (Sennrich et
+    * al.): repeatedly find the adjacent symbol pair with the highest
+    * frequency-weighted count and fuse it, greedily left-to-right
+    * within each word. The iteration is driver-coordinated DataFrame
+    * jobs (the Lloyd-training pattern): per step, one adjacent-pair
+    * explode + one counting aggregate with map-side combine + a
+    * 1-row argmax fetch (`orderBy.limit(1)` → TakeOrderedAndProject),
+    * then a row-local fold rewrites each word's symbol array — the
+    * merge applies via `aggregate()`, whose left-to-right
+    * accumulation IS BPE's greedy non-overlapping rule.
+    *
+    * Determinism: word frequencies and pair counts are exact longs;
+    * the vocabulary cut is (freq desc, word asc) and the per-step
+    * argmax tiebreak is (count desc, left asc, right asc) — fully
+    * ordered, so the merge table is reproducible across runs and
+    * partitionings. Not oracle-SQL-expressible (an iterated global
+    * argmax) ⇒ rows-only at the driver; TextAnalysisSpec gates
+    * equality with a reference BPE implementation.
+    *
+    * 100 TB posture: the corpus collapses to a word-frequency table in
+    * ONE token explode + aggregate (map-side combined); everything
+    * after operates on ≤ `maxVocabWords` rows (the standard practice —
+    * real BPE trainers run on a frequency-weighted vocabulary, not the
+    * corpus), each step shuffling pair counts of a bounded table and
+    * moving ONE row to the driver. `localCheckpoint` per step keeps
+    * the lineage flat (q55's iteration discipline). */
+  def bpeMerges(docs: DataFrame, textCol: String, steps: Int = 10,
+      maxVocabWords: Int = 10000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(steps >= 1, "steps must be positive")
+    val pairsOf = when(size(col("sym")) >= 2,
+      transform(sequence(lit(0), size(col("sym")) - 2),
+        i => struct(element_at(col("sym"), i + 1).as("l"),
+          element_at(col("sym"), i + 2).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxVocabWords) // bounded working set: the trainers' convention
+      // split-by-empty-regex keeps a trailing "" under Spark's limit=-1;
+      // strip it (tokens contain no genuinely-empty symbols)
+      .select(array_remove(split(col("w"), ""), "").as("sym"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val best = words
+        .select(col("freq"), explode(pairsOf).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect() // ONE row per step — the argmax fetch
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((step, l, r, l + r, cnt))
+        // greedy left-to-right non-overlapping merge as a row-local fold:
+        // fuse when the accumulator's LAST symbol is `l` and the incoming
+        // one is `r` (after fusing, the last symbol is `l+r`, which can
+        // never equal `l` again — non-overlap falls out of the algebra)
+        // `get` (not element_at): out-of-range yields NULL instead of an
+        // ANSI error, so the condition is safe on the fold's empty start
+        val fold = aggregate(col("sym"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        words = words.select(fold.as("sym"), col("freq")).localCheckpoint()
+        step += 1
+      }
+    }
+    merges.result()
+      .toDF("step", "left", "right", "merged", "weight")
+      .select(col("step").cast("long").as("step"), col("left"),
+        col("right"), col("merged"), col("weight"))
+  }
+
   /** Whitespace-token and BPE-ish subtoken counts ([a-z]+ | [0-9]+ |
     * single non-alnum runs over the lowercased text). */
   def withTokenCounts(docs: DataFrame, textCol: String): DataFrame =

@@ -700,12 +700,24 @@ object EventStreams {
   private[streaming] def bandedDocs(docs: DataFrame, n: Int, bands: Int,
       rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sigExpr = array((0 until k).map(i =>
-      array_min(transform(col("hs"), h => xxhash64(lit(i), h)))): _*)
-    val bandKeys = array((0 until bands).map { b =>
-      hash((0 until rowsPerBand).map(r =>
-        element_at(col("sig"), b * rowsPerBand + r + 1)) :+ lit(b): _*)
-    }: _*)
+    // codegen'd one-pass signature — the HOF form (k array_min·transform
+    // lambdas) was this query's dominant cost; see MinHashSig's scaladoc
+    val sigExpr = {
+      import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
+      column(graft.functions.MinHashSig(expression(col("hs")), k))
+    }
+    // No-shingle docs are dropped through NULLNESS, not a filter:
+    // MinHashSig yields NULL on an empty hash array, the guarded band
+    // keys inherit the null, and non-outer posexplode emits zero rows
+    // for it. An explicit `filter(size(hs) > 0)` here was a measured
+    // 20× regression — predicate pushdown clones the whole
+    // tokenize→shingle→hash chain into a pre-projection Filter (and the
+    // scan's data filters), re-evaluating it per row outside codegen.
+    val bandKeys = when(col("sig").isNotNull,
+      array((0 until bands).map { b =>
+        hash((0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)) :+ lit(b): _*)
+      }: _*))
     docs
       .filter(col("text").isNotNull)
       // materialize toks/hs before the lambdas that consume them —
@@ -714,7 +726,6 @@ object EventStreams {
       .withColumn("toks", graft.llm.TextOps.tokens(col("text")))
       .withColumn("hs",
         transform(graft.llm.TextOps.shingles(col("toks"), n), s => xxhash64(s)))
-      .filter(size(col("hs")) > 0)
       .withColumn("sig", sigExpr)
       .select(col("doc_id"), col("lang"), col("seq"),
         posexplode(bandKeys).as(Seq("band", "key")), col("sig"))

@@ -76,6 +76,30 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(edge.isNullAt(1))
   }
 
+  test("graft_minhash_sig matches the HOF form it replaced, bit for bit") {
+    GraftFunctions.register(spark)
+    // the replaced formulation: k array_min(transform(...)) lambdas —
+    // both must produce the identical signature, including on a null
+    // element (XxHash64 skips the null → the salted seed itself) and on
+    // a single-element array
+    val k = 8
+    val hof = (0 until k).map(i =>
+      s"array_min(transform(hs, h -> xxhash64($i, h)))").mkString("array(", ", ", ")")
+    val probe = spark.sql(
+      s"""SELECT graft_minhash_sig(hs, $k) AS fast, $hof AS hof
+         |FROM (SELECT array(CAST(123 AS BIGINT), CAST(-9876543210 AS BIGINT),
+         |                   CAST(NULL AS BIGINT), CAST(0 AS BIGINT)) AS hs
+         |      UNION ALL SELECT array(CAST(42 AS BIGINT)))""".stripMargin)
+      .collect()
+    probe.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // empty input → null (callers band only docs with shingles)
+    val empty = spark.sql(
+      "SELECT graft_minhash_sig(CAST(array() AS ARRAY<BIGINT>), 4) AS s").head
+    assert(empty.isNullAt(0))
+  }
+
   test("null ELEMENTS null the result — both expressions match the HOF forms") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -30,6 +30,71 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(out(3) === ((4L, 0L, 0L, "clean text only")))
   }
 
+  /** Reference BPE: same vocabulary, same (count desc, left, right)
+    * tiebreak, same greedy left-to-right merge — plain Scala. */
+  private def refBpe(wordFreq: Seq[(String, Long)],
+      steps: Int): Seq[(Long, String, String, String, Long)] = {
+    var words = wordFreq.map { case (w, f) => (w.split("").toVector, f) }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (sym, f) =>
+        sym.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _         =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((step.toLong, l, r, l + r, c))
+        words = words.map { case (sym, f) =>
+          var acc = Vector.empty[String]
+          sym.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r) acc = acc.init :+ (l + r)
+            else acc :+= x
+          }
+          (acc, f)
+        }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  test("bpeMerges equals the reference trainer, including the lexicographic tiebreak") {
+    import spark.implicits._
+    // 'low'×5, 'lower'×2, 'newest'×3 (the Sennrich toy corpus family)
+    // plus a deliberate tie: 'ab'×2 vs 'cd'×2 — (a,b) must win on order.
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest"),
+      (4L, "ab ab cd cd")).toDF("doc_id", "text")
+    val wordFreq = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 3L,
+      "ab" -> 2L, "cd" -> 2L)
+    val got = TextAnalysis.bpeMerges(docs, "text", steps = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    val want = refBpe(wordFreq, steps = 6)
+    assert(got === want)
+    // and the fused pair really chains: some later merge must consume an
+    // earlier merged symbol (BPE's whole point)
+    val mergedSymbols = got.map(_._4).toSet
+    assert(got.exists(m => mergedSymbols.contains(m._2) || mergedSymbols.contains(m._3)),
+      s"no merge consumed an earlier merge's output: $got")
+  }
+
+  test("bpeMerges exhausts gracefully when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, "text", steps = 3).collect()
+    assert(got.isEmpty)
+  }
+
   test("vocabTopK ranks by count desc with token-asc tiebreak, keeps k") {
     import spark.implicits._
     val docs = Seq(

@@ -92,8 +92,16 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       docs.take(half),
       docs.drop(half).map(_.copy(seq = 1L)))
     val src = MemoryStream[SeqDoc]
-    val verdicts = streamToMemoryForTest(
-      EventStreams.streamNearDupVerdicts(src.toDF())) { query =>
+    val streaming = EventStreams.streamNearDupVerdicts(src.toDF())
+    // the scale claim pinned: row-local signatures mean the bucket state
+    // machine is the ONLY stateful stage — no aggregation anywhere in
+    // the streaming plan
+    val lp = streaming.queryExecution.analyzed.toString
+    assert("FlatMapGroupsWithState".r.findAllIn(lp).size === 1,
+      s"s14: expected exactly one stateful operator:\n$lp")
+    assert(!lp.contains("Aggregate"),
+      s"s14: signature computation regressed to an aggregation:\n$lp")
+    val verdicts = streamToMemoryForTest(streaming) { query =>
       batches.foreach { b => src.addData(b); query.processAllAvailable() }
     }
     val streamedFlagged = verdicts.filter(col("dup"))
