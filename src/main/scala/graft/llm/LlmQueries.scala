@@ -672,6 +672,15 @@ object LlmQueries {
     TextAnalysis.bpeMerges(docs(spark, dir), "text", steps = 10)
       .orderBy(col("step"))
 
+  // ---------------------------------------------------------------- q82
+  /** Trained quality classifier — closed-form multinomial Naive Bayes
+    * on weak source-reputation labels (the GPT-3/CCNet recipe; see
+    * [[TextAnalysis.nbQualityScores]] for the quantize-before-sum
+    * exactness contract). Hash-gated. */
+  def q82_nb_quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.nbQualityScores(docs(spark, dir), "doc_id", "text", "source")
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q65
   /** End-to-end corpus curation — the composed training-set gate a
     * pipeline user actually runs: (1) quality floor (q34's score ≥ 0.5),
@@ -757,6 +766,7 @@ object LlmQueries {
     "q77_dup_segments" -> (q77_dup_segments _),
     "q80_source_reputation" -> (q80_source_reputation _),
     "q81_bpe_merges" -> (q81_bpe_merges _),
+    "q82_nb_quality" -> (q82_nb_quality _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -1358,6 +1368,56 @@ object LlmQueries {
           | FROM q JOIN rep ON q.source = rep.source
           | WHERE src_quality >= 0.5
           | ORDER BY q.doc_id""".stripMargin,
+      // NB classifier on q80's weak labels: token log-odds quantized to
+      // exact longs (q71's contract) before the per-doc sum; the ln
+      // inputs are IEEE-exact divisions of integer scalars.
+      "q82_nb_quality" ->
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents),
+          | q AS (
+          |  SELECT doc_id, source,
+          |    round((least(1.0, len(toks) / 100.0)
+          |           * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+          |                    / len(toks))) * 10000) / 10000 AS quality
+          |  FROM t),
+          | rep AS (
+          |  SELECT source,
+          |    CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+          |      / (count(*) * 10000.0) AS src_quality
+          |  FROM q GROUP BY source),
+          | lab AS (
+          |  SELECT t.doc_id,
+          |    CASE WHEN rep.src_quality >= 0.5 THEN 1 ELSE 0 END AS lab, t.toks
+          |  FROM t JOIN rep ON t.source = rep.source),
+          | tok AS (SELECT doc_id, lab, unnest(toks) AS tok FROM lab),
+          | ctl AS (
+          |  SELECT tok,
+          |    sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS c1,
+          |    sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS c0
+          |  FROM tok GROUP BY tok),
+          | tots AS (
+          |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
+          |    count(*) AS v FROM ctl),
+          | d AS (
+          |  SELECT sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS d1,
+          |    sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS d0 FROM lab),
+          | w AS (
+          |  SELECT tok,
+          |    CAST(round((ln(CAST(c1 + 1 AS DOUBLE) / (tots.n1 + tots.v))
+          |              - ln(CAST(c0 + 1 AS DOUBLE) / (tots.n0 + tots.v)))
+          |         * 1000000) AS BIGINT) AS wq
+          |  FROM ctl, tots),
+          | sq AS (
+          |  SELECT tok.doc_id,
+          |    sum(w.wq) + (SELECT CAST(round(ln(CAST(d1 AS DOUBLE) / d0)
+          |                 * 1000000) AS BIGINT) FROM d) AS s
+          |  FROM tok JOIN w USING (tok) GROUP BY tok.doc_id)
+          | SELECT doc_id,
+          |   round((CAST(s AS DOUBLE) / 1000000) * 10000) / 10000 AS score4,
+          |   s > 0 AS predicted
+          | FROM sq ORDER BY doc_id""".stripMargin,
       "q73_strip_boilerplate" ->
         """WITH t AS (
           |  SELECT doc_id,

@@ -104,14 +104,84 @@ object TextAnalysis {
       docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
         col(textCol).as("text")), "text")
       .select(col("doc_id"), col("source"), col("quality"))
-    val rep = scored.groupBy(col("source"))
+    scored
+      .join(sourceReputation(scored).filter(col("src_quality") >= floor), "source")
+      .select(col("doc_id"), col("source"), r4(col("src_quality")).as("src_q4"))
+  }
+
+  /** Per-source mean quality from (source, quality) rows — the exact
+    * integer-cent accumulator shared by q80's filter and q82's weak
+    * labels. Output: (source, src_quality). */
+  private def sourceReputation(scored: DataFrame): DataFrame =
+    scored.groupBy(col("source"))
       .agg(sum(round(col("quality") * 10000).cast("long")).as("s"),
         count(lit(1)).as("n"))
       .select(col("source"),
         (col("s").cast("double") / (col("n") * lit(10000.0))).as("src_quality"))
-    scored
-      .join(rep.filter(col("src_quality") >= floor), "source")
-      .select(col("doc_id"), col("source"), r4(col("src_quality")).as("src_q4"))
+
+  /** Naive-Bayes quality classifier (q82) — the pipeline's trained
+    * quality gate (the GPT-3/CCNet recipe: train a cheap linear
+    * classifier on weak labels, score everything): weak labels come
+    * from SOURCE reputation (q80's floor), the model is multinomial NB
+    * with Laplace smoothing trained IN CLOSED FORM — one token-count
+    * aggregate, no gradient iterations — and the score is the per-doc
+    * sum of token log-odds plus the class prior.
+    *
+    * Cross-engine exactness (q71's contract): every log-odds quantizes
+    * to an exact long (round(w·10⁶)) BEFORE the per-doc sum, so the
+    * aggregate is shuffle-order-free; the ln inputs are IEEE-exact
+    * divisions of driver-resolved integer scalars. Hash-gated.
+    *
+    * 100 TB posture: one explode serves training counts and scoring
+    * (localCheckpoint); the (token, class) count table is vocab-sized
+    * and its join back to the token stream is equality-keyed (Zipf
+    * skew is AQE's case; the planner may broadcast it when it fits);
+    * the per-doc sum combines map-side. Driver traffic is five scalars
+    * (class totals, vocab size, doc counts). Degenerate weak labels
+    * (a single class) have no defined log-odds — the operator refuses
+    * with a clear error rather than emitting NaN scores. */
+  def nbQualityScores(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, floor: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      col(textCol).as("text"))
+    val scored = withQuality(base, "text")
+      .select(col("doc_id"), col("source"), col("quality"))
+    val labeled = base
+      .join(sourceReputation(scored), "source")
+      // the oracle's CASE verbatim: a NULL reputation labels 0, never NULL
+      .withColumn("lab", when(col("src_quality") >= floor, 1).otherwise(0))
+      .select(col("doc_id"), col("lab"), col("text"))
+    // one tokenization pass serves the count aggregate AND the scoring
+    // join (checkpoint: the explode would otherwise re-run per consumer)
+    val toks = labeled
+      .select(col("doc_id"), col("lab"), explode(tokens(col("text"))).as("tok"))
+      .localCheckpoint()
+    val ctl = toks.groupBy(col("tok"))
+      .agg(sum(when(col("lab") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("lab") === 0, 1L).otherwise(0L)).as("c0"))
+      .localCheckpoint() // totals fetch + weights join share it
+    val tot = ctl.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+      count(lit(1)).as("v")).head() // three scalars
+    if (tot.isNullAt(0)) return labeled.limit(0)
+      .select(col("doc_id"), lit(0.0).as("score4"), lit(false).as("predicted"))
+    val (n1, n0, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val d = labeled.groupBy(col("lab")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap // two scalars
+    val (d1, d0) = (d.getOrElse(1, 0L), d.getOrElse(0, 0L))
+    require(d1 > 0 && d0 > 0,
+      s"nbQualityScores needs both weak-label classes non-empty, got pos=$d1 neg=$d0 " +
+        s"(floor=$floor splits no sources — adjust the floor)")
+    val bq = math.round(math.log(d1.toDouble / d0) * 1e6)
+    val w = ctl.select(col("tok"),
+      round((log((col("c1") + 1).cast("double") / lit((n1 + v).toDouble))
+        - log((col("c0") + 1).cast("double") / lit((n0 + v).toDouble))) * 1e6)
+        .cast("long").as("wq"))
+    toks.join(w, "tok")
+      .groupBy(col("doc_id"))
+      .agg((sum(col("wq")) + lit(bq)).as("sq"))
+      .select(col("doc_id"),
+        r4(col("sq").cast("double") / 1000000.0).as("score4"),
+        (col("sq") > 0).as("predicted"))
   }
 
   /** BPE merge induction (q81) — the first `steps` merge rules of a

@@ -88,6 +88,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       s"no merge consumed an earlier merge's output: $got")
   }
 
+  test("NB quality classifier separates its weak labels, non-vacuously") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val scores = TextAnalysis.nbQualityScores(docs, "doc_id", "text", "source")
+    // recover the weak labels the trainer used
+    val scored = TextAnalysis.withQuality(
+      docs.select(col("doc_id"), col("source"), col("text")), "text")
+      .groupBy(col("source"))
+      .agg((sum(round(col("quality") * 10000).cast("long")).cast("double") /
+        (count(lit(1)) * 10000.0)).as("src_quality"))
+    val joined = docs.select(col("doc_id"), col("source"))
+      .join(scored, "source")
+      .withColumn("lab", col("src_quality") >= 0.5)
+      .join(scores, "doc_id")
+      .select(col("lab"), col("predicted"), col("score4"))
+      .collect()
+    assert(joined.nonEmpty)
+    val pos = joined.filter(_.getBoolean(0)).map(_.getDouble(2))
+    val neg = joined.filterNot(_.getBoolean(0)).map(_.getDouble(2))
+    assert(pos.nonEmpty && neg.nonEmpty, "weak labels degenerate — fixture drifted?")
+    // trained on these labels, the classifier must at least order the
+    // class means correctly and beat coin-flip agreement
+    assert(pos.sum / pos.size > neg.sum / neg.size,
+      "positive-source docs do not outscore negative-source docs")
+    val agree = joined.count(r => r.getBoolean(0) == r.getBoolean(1)).toDouble / joined.size
+    assert(agree > 0.6, s"classifier agrees with its own training labels only $agree")
+  }
+
   test("bpeMerges exhausts gracefully when no pairs remain") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
