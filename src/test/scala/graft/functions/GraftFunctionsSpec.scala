@@ -100,6 +100,39 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(empty.isNullAt(0))
   }
 
+  test("graft_minhash_sig's GENERATED code runs and matches interpreted eval") {
+    // The HOF-parity probe above computes hs in the same projection as
+    // the signature — any lambda in a Project forces the WHOLE project
+    // interpreted, so doGenCode never runs there. Here the input is a
+    // plain attribute: the project whole-stage-compiles and the
+    // generated loop must agree with nullSafeEval.
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // a parquet round-trip defeats ConvertToLocalRelation's eager
+    // (interpreted) evaluation of deterministic exprs over local rows
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_probe_").toString
+    try {
+      Seq(Seq(123L, -9876543210L, 0L), Seq(42L)).toDF("hs")
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).createOrReplaceTempView("mh_codegen_probe")
+      val q = spark.sql("SELECT graft_minhash_sig(hs, 8) AS s FROM mh_codegen_probe")
+      // the `*(n)` prefix is the plan-string marker for WholeStageCodegen
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+          l.contains("Project") && l.trim.startsWith("*(")),
+        s"probe Project fell out of codegen — the generated path is untested:\n$plan")
+      val viaCodegen = q.collect().map(_.getSeq[Long](0))
+      val hof = (0 until 8).map(i =>
+        s"array_min(transform(hs, h -> xxhash64($i, h)))").mkString("array(", ", ", ")")
+      val viaHof = spark.sql(s"SELECT $hof AS s FROM mh_codegen_probe")
+        .collect().map(_.getSeq[Long](0))
+      assert(viaCodegen.toSeq === viaHof.toSeq)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("null ELEMENTS null the result — both expressions match the HOF forms") {
     GraftFunctions.register(spark)
     val r = spark.sql(
