@@ -41,6 +41,17 @@ case class BucketMember(doc_id: Long, sig: Seq[Long])
   * arrival order. */
 case class BucketMembers(members: Seq[BucketMember])
 
+/** s14b's banded row: s14's [[BandDoc]] plus the WATERMARKED ingest
+  * time the expiry clock runs on (carried as the timestamp itself —
+  * the watermark metadata rides the attribute, and the event-time
+  * timeout checker requires it present below the state machine). */
+case class BandDocT(doc_id: Long, lang: String, seq: Long,
+    band: Int, key: Int, sig: Seq[Long], event_ts: java.sql.Timestamp)
+
+/** s14b's per-bucket state: members plus the newest ingest time seen —
+  * the base of the bucket's expiry timeout. */
+case class BucketMembersT(members: Seq[BucketMember], maxTsMs: Long)
+
 /** Per-(bucket, document) verdict emitted by s14's state machine. */
 case class BandVerdict(doc_id: Long, lang: String, seq: Long,
     dup: Boolean, dup_of: Long)
@@ -698,7 +709,7 @@ object EventStreams {
     * Usable on a batch OR streaming frame (the spec's reference runs it
     * in batch). Expects (doc_id, text, lang, seq). */
   private[streaming] def bandedDocs(docs: DataFrame, n: Int, bands: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, carryTs: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
     // codegen'd one-pass signature — the HOF form (k array_min·transform
     // lambdas) was this query's dominant cost; see MinHashSig's scaladoc
@@ -727,8 +738,9 @@ object EventStreams {
       .withColumn("hs",
         transform(graft.llm.TextOps.shingles(col("toks"), n), s => xxhash64(s)))
       .withColumn("sig", sigExpr)
-      .select(col("doc_id"), col("lang"), col("seq"),
-        posexplode(bandKeys).as(Seq("band", "key")), col("sig"))
+      .select(Seq(col("doc_id"), col("lang"), col("seq"),
+        posexplode(bandKeys).as(Seq("band", "key")), col("sig")) ++
+        (if (carryTs) Seq(col("event_ts")) else Nil): _*)
   }
 
   /** Streaming cross-batch NEAR-duplicate suppression — q59's
@@ -787,6 +799,89 @@ object EventStreams {
         if (members.nonEmpty) state.update(BucketMembers(members))
         out.iterator
       }.toDF()
+  }
+
+  /** s14 with BOUNDED state — the `GroupStateTimeout` expiry the s14
+    * scaladoc names as the production posture, as code (s10c's
+    * argument applied to the bucket state machine): each bucket arms an
+    * EVENT-TIME timeout at (newest member's ingest time + horizon);
+    * once the watermark passes it, the bucket's members are dropped —
+    * state is O(buckets touched within the horizon), not O(corpus).
+    * The horizon is the deployment's re-delivery/duplication window
+    * (an at-least-once bus re-sends within minutes; a re-crawl within
+    * days): a near-dup arriving INSIDE it is suppressed exactly as
+    * s14; one arriving after expiry is admitted — the declared
+    * trade-off of bounding state, proven both ways in
+    * EventStreamsSpec. Expects (doc_id, text, lang, seq, `tsCol`). */
+  def streamNearDupVerdictsExpiring(docsStream: DataFrame, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2, tau: Double = 0.8,
+      tsCol: String = "ingest_ts", horizonMs: Long = 2L * 3600 * 1000): DataFrame = {
+    import docsStream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stamped = docsStream
+      .withWatermark(tsCol, s"$horizonMs milliseconds")
+      // alias keeps the watermark metadata on the carried attribute
+      .withColumn("event_ts", col(tsCol))
+    bandedDocs(stamped, n, bands, rowsPerBand, carryTs = true).as[BandDocT]
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BucketMembersT, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) { (_, rows, state) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val inOrder = rows.toSeq.sortBy(r => (r.seq, r.doc_id))
+          val prev = state.getOption
+          var members = prev.map(_.members.toVector).getOrElse(Vector.empty)
+          var maxTs = prev.map(_.maxTsMs).getOrElse(Long.MinValue)
+          val out = inOrder.map { r =>
+            val redelivery = members.exists(_.doc_id == r.doc_id)
+            lazy val hit = members.find { m =>
+              m.sig.iterator.zip(r.sig.iterator).count { case (a, b) => a == b }
+                .toDouble / r.sig.size >= tau
+            }
+            val verdict =
+              if (redelivery) BandVerdict(r.doc_id, r.lang, r.seq, dup = true, r.doc_id)
+              else hit match {
+                case Some(m) => BandVerdict(r.doc_id, r.lang, r.seq, dup = true, m.doc_id)
+                case None    => BandVerdict(r.doc_id, r.lang, r.seq, dup = false, -1L)
+              }
+            if (!redelivery) members :+= BucketMember(r.doc_id, r.sig)
+            maxTs = math.max(maxTs, r.event_ts.getTime)
+            verdict
+          }
+          state.update(BucketMembersT(members, maxTs))
+          state.setTimeoutTimestamp(maxTs + horizonMs)
+          out.iterator
+        }
+      }.toDF()
+  }
+
+  def s14b_stream_near_dedup_expiring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // s10c's stamping: deterministic ingest times spanning <1h, inside
+    // the default 2h horizon — so nothing expires during the replay and
+    // the bounded-state form must converge to s14's answer (asserted in
+    // EventStreamsSpec; the expiry path itself is proven there with a
+    // watermark pushed past the horizon).
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang").as[Doc].collect().toSeq
+      .sortBy(_.doc_id)
+    val half = (docs.size + 1) / 2
+    val src = MemoryStream[SeqDoc]
+    val stamped = streamNearDupVerdictsExpiring(
+      src.toDF().withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600)))
+    val verdicts = runToMemory(spark, stamped, "append") { query =>
+      Seq(docs.take(half), docs.drop(half)).zipWithIndex.foreach { case (b, i) =>
+        src.addData(b.map(d => SeqDoc(d.doc_id, d.text, d.lang, i.toLong)))
+        query.processAllAvailable()
+      }
+    }
+    val flagged = verdicts.filter(col("dup")).select(col("doc_id")).distinct()
+    Tables(spark, dir, "documents")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
   }
 
   def s14_stream_near_dedup(spark: SparkSession, dir: String): DataFrame = {
@@ -852,6 +947,7 @@ object EventStreams {
     "s12_stream_merge_upsert" -> (s12_stream_merge_upsert _),
     "s13_stream_curate" -> (s13_stream_curate _),
     "s14_stream_near_dedup" -> (s14_stream_near_dedup _),
+    "s14b_stream_near_dedup_expiring" -> (s14b_stream_near_dedup_expiring _),
   )
 
   val oracles: Map[String, String] = Map(
