@@ -54,6 +54,29 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup keeping the RICHEST variant (q83): the same normalized
+    * content key as [[exactGroups]], but the survivor is the variant
+    * with the most RAW characters, id-ascending on ties — exact-dup
+    * groups differ only in case/whitespace, and a re-crawl often
+    * truncates or strips formatting, so "first id" (q27) and "best
+    * rendering" are different answers; CCNet-style pipelines want the
+    * latter. ONE aggregate with map-side combine — `max_by` over the
+    * total (n_raw_chars, −doc_id) order — never a per-group window
+    * sort; deterministic because the order is total (ids are unique).
+    * NULL text is filtered (a null hash would form its own group with
+    * null lengths — the s10 hashedDocs contract). */
+  def exactKeepRichest(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        sha2(normText(col(textCol)), 256).as("content_hash"),
+        length(col(textCol)).cast("long").as("n_raw_chars"))
+      .groupBy("content_hash")
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("n_raw_chars"), -col("doc_id"))).as("keep_id"),
+        max(col("n_raw_chars")).as("n_raw_chars"),
+        count(lit(1)).as("n_copies"))
+
   /** Exact near-duplicate pairs by word-n-gram Jaccard ≥ tau, via a
     * PPJoin-style prefix-filtered inverted-index join.
     *

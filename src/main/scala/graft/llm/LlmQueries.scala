@@ -28,6 +28,15 @@ object LlmQueries {
     Dedup.exactGroups(docs(spark, dir), "doc_id", "text")
       .orderBy(col("content_hash"))
 
+  // ---------------------------------------------------------------- q83
+  /** Exact dedup keeping the richest raw variant per content group —
+    * q27's policy flipped from "first id" to "best rendering" (see
+    * [[Dedup.exactKeepRichest]]). One map-side-combined aggregate ⇒
+    * hash-gated. */
+  def q83_dedup_keep_richest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepRichest(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
   // ---------------------------------------------------------------- q28
   /** Near-duplicate pairs by exact word-trigram Jaccard ≥ 0.8 via the
     * inverted-index shingle join (never all-pairs). */
@@ -740,6 +749,7 @@ object LlmQueries {
     "q68_leakage_safe_split" -> (q68_leakage_safe_split _),
     "q43_redact" -> (q43_redact _),
     "q27_dedup_exact" -> (q27_dedup_exact _),
+    "q83_dedup_keep_richest" -> (q83_dedup_keep_richest _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
     "q29_dedup_minhash_lsh" -> (q29_dedup_minhash_lsh _),
     "q69_dedup_containment" -> (q69_dedup_containment _),
@@ -833,6 +843,24 @@ object LlmQueries {
         """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
           |  min(doc_id) AS keep_id, count(*) AS n_copies
           | FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+      // The oracle states the richest-variant rule as a window (DuckDB's
+      // arg_max takes no composite key); the Spark side is ONE max_by
+      // aggregate over the same total (n_raw_chars DESC, doc_id ASC)
+      // order — values must coincide exactly.
+      "q83_dedup_keep_richest" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+          |    CAST(length(text) AS BIGINT) AS n_raw_chars
+          |  FROM documents WHERE text IS NOT NULL),
+          | r AS (
+          |  SELECT content_hash, doc_id, n_raw_chars,
+          |    row_number() OVER (PARTITION BY content_hash
+          |      ORDER BY n_raw_chars DESC, doc_id) AS rk,
+          |    count(*) OVER (PARTITION BY content_hash) AS n_copies
+          |  FROM h)
+          | SELECT content_hash, doc_id AS keep_id, n_raw_chars, n_copies
+          | FROM r WHERE rk = 1 ORDER BY content_hash""".stripMargin,
       "q28_dedup_jaccard" -> (shingleCtes + "\n" + jaccardSelect),
       "q29_dedup_minhash_lsh" -> (shingleCtes + "\n" + jaccardSelect),
       // Same shingle pipeline, asymmetric metric: |A∩B| / min(|A|,|B|).

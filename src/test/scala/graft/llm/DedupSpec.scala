@@ -23,6 +23,31 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(dup.getAs[Long]("keep_id") === 1L)
   }
 
+  test("richest-variant dedup keeps the longest raw rendering, id tiebreak") {
+    import spark.implicits._
+    val docs = Seq(
+      // one content group, three renderings: #2 is richest (most raw
+      // chars); #1 arrives first but must NOT win
+      (1L, "hello world"), (2L, "Hello   World  "), (3L, "HELLO WORLD"),
+      // a tie group: identical raw lengths → smaller id wins
+      (4L, "aa bb"), (5L, "AA BB"),
+      (6L, "something else")).toDF("doc_id", "text")
+    val out = Dedup.exactKeepRichest(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_raw_chars"),
+        r.getAs[Long]("n_copies")))
+    assert(out.length === 3)
+    assert(out.contains((2L, 15L, 3L)), s"richest variant lost: ${out.toSeq}")
+    assert(out.contains((4L, 5L, 2L)), s"tie must break to the smaller id: ${out.toSeq}")
+    assert(out.contains((6L, 14L, 1L)))
+    // same partition of the corpus as q27's policy — only the survivor
+    // rule differs
+    val q27 = Dedup.exactGroups(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[String]("content_hash"), r.getAs[Long]("n_copies"))).toSet
+    val q83 = Dedup.exactKeepRichest(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[String]("content_hash"), r.getAs[Long]("n_copies"))).toSet
+    assert(q27 === q83)
+  }
+
   test("shingles of short docs are empty, not descending-sequence garbage") {
     import spark.implicits._
     val docs = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
