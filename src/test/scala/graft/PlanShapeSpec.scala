@@ -130,6 +130,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q83's richest-variant dedup is one aggregate — the window lives only in the oracle") {
+    // The operator's whole scale claim: max_by combines map-side; a
+    // Window regression would full-sort every content group.
+    val p = plan(LlmQueries.q83_dedup_keep_richest(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"q83: expected no window operator (that's the oracle's form):\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate") ||
+      p.contains("ObjectHashAggregate"),
+      s"q83: expected the max_by aggregate:\n$p")
+  }
+
+  test("q80/q82's reputation and scoring joins are equality joins — never a cross product") {
+    // q80 joins docs back to the per-source reputation on the source
+    // key; q82 additionally joins the token stream to the vocab-sized
+    // weight table on the token key. Both are the operators' scale
+    // claims (AQE-skew equality joins), so a nested-loop/cartesian
+    // regression is the O(n·m) failure class the hash gate can't see.
+    Seq(
+      "q80" -> LlmQueries.q80_source_reputation(spark, sf0001),
+      "q82" -> LlmQueries.q82_nb_quality(spark, sf0001)
+    ).foreach { case (n, df) =>
+      val p = plan(df)
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
+        assert(!p.contains(bad), s"$n: found $bad in physical plan:\n$p")
+      }
+    }
+  }
+
   test("q57b's probe is a codegen'd bloom predicate — the plan has no join at all") {
     // The whole point of the bloom path: q57's broadcast join collapses
     // to a scalar might_contain filter. Any Join node (hash, sort-merge,
