@@ -71,9 +71,16 @@ object GraftExtensions {
       require(args.length == 2,
         s"graft_minhash_sig expects 2 arguments, got ${args.length}")
       val k = args(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        // any foldable integral expression (2*16, a BIGINT literal, ...)
+        // honours the usage string's "foldable integer literal" promise
+        case e if e.foldable => e.eval() match {
+          case i: Int => i
+          case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig's k must fold to an integer, got $other")
+        }
         case other => throw new IllegalArgumentException(
-          s"graft_minhash_sig's k must be an integer literal, got $other")
+          s"graft_minhash_sig's k must be a foldable integer literal, got $other")
       }
       graft.functions.MinHashSig(args.head, k)
     })

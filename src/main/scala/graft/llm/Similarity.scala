@@ -435,6 +435,10 @@ object Similarity {
     val codes = pqEncode(c, books, dim)
       .select(col("vec_id").as("n_id"), col("code"),
         normApprox.as("anrm")) // (id, m codes, approx norm) — no vector
+      // an all-zero reconstruction (anrm=0) would make asim NaN, which
+      // sorts ABOVE every real score descending — drop such degenerate
+      // vectors from the shortlist instead of letting them displace it
+      .filter(col("anrm") > 0)
     // Per-query ADC tables: adc(j)(cid) = <q_slice_j, c_{j,cid}> — one
     // columnar expression per query ROW, m·ksub doubles; never per pair.
     val adcTables = array(pqSlices(dim, m).zip(books).map { case ((start, len), book) =>

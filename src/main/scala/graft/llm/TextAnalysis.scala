@@ -171,7 +171,11 @@ object TextAnalysis {
     require(d1 > 0 && d0 > 0,
       s"nbQualityScores needs both weak-label classes non-empty, got pos=$d1 neg=$d0 " +
         s"(floor=$floor splits no sources — adjust the floor)")
-    val bq = math.round(math.log(d1.toDouble / d0) * 1e6)
+    // quantized with the SAME tie rule as the token weights (Spark SQL
+    // round / DuckDB round = HALF_UP away from zero) — math.round would
+    // send a negative prior landing exactly on a .5 tie the other way
+    val bq = BigDecimal(math.log(d1.toDouble / d0) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
     val w = ctl.select(col("tok"),
       round((log((col("c1") + 1).cast("double") / lit((n1 + v).toDouble))
         - log((col("c0") + 1).cast("double") / lit((n0 + v).toDouble))) * 1e6)

@@ -877,7 +877,12 @@ object EventStreams {
         query.processAllAvailable()
       }
     }
-    val flagged = verdicts.filter(col("dup")).select(col("doc_id")).distinct()
+    // Self-witness verdicts (dup_of = doc_id) mark an exact RE-DELIVERY
+    // of a doc whose original delivery was kept — excluding them keeps
+    // survivorship keyed by the original, not conflated with it.
+    val flagged = verdicts
+      .filter(col("dup") && col("dup_of") =!= col("doc_id"))
+      .select(col("doc_id")).distinct()
     Tables(spark, dir, "documents")
       .join(flagged, Seq("doc_id"), "left_anti")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
@@ -903,7 +908,12 @@ object EventStreams {
     }
     // Survivors: every ingested doc not flagged in any bucket (docs too
     // short to band have nothing to compare and are trivially kept).
-    val flagged = verdicts.filter(col("dup")).select(col("doc_id")).distinct()
+    // Self-witness verdicts (dup_of = doc_id) mark an exact RE-DELIVERY
+    // of a doc whose original delivery was kept — excluded so a replay
+    // with re-deliveries cannot anti-join away the original.
+    val flagged = verdicts
+      .filter(col("dup") && col("dup_of") =!= col("doc_id"))
+      .select(col("doc_id")).distinct()
     Tables(spark, dir, "documents")
       .join(flagged, Seq("doc_id"), "left_anti")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
