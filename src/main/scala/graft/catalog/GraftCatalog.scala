@@ -162,6 +162,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"table property '$k' is reserved: declare buckets via " +
           "CLUSTERED BY (...) INTO n BUCKETS")
     }
+    props.keys.find(isStreamEpochProp).foreach { k =>
+      throw new UnsupportedOperationException(
+        s"table property '$k' is reserved: the stream-epoch log is " +
+          "maintained by streaming write commits")
+    }
     val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, defaultProvider).toLowerCase
     require(GraftConf.SupportedProviders.contains(provider),
       s"unsupported provider $provider (${GraftConf.SupportedProviders.mkString(", ")})")
@@ -203,10 +208,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // applying then stripping them would turn e.g. ALTER TABLE ... SET
     // LOCATION into a silent success that changes nothing.
     changes.foreach {
-      case s: TableChange.SetProperty if ReservedTableProps.contains(s.property) =>
+      case s: TableChange.SetProperty if ReservedTableProps.contains(s.property) ||
+          isStreamEpochProp(s.property) =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE cannot change reserved property '${s.property}'")
-      case r: TableChange.RemoveProperty if ReservedTableProps.contains(r.property) =>
+      case r: TableChange.RemoveProperty if ReservedTableProps.contains(r.property) ||
+          isStreamEpochProp(r.property) =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE cannot remove reserved property '${r.property}'")
       case _ =>
@@ -343,6 +350,26 @@ object GraftCatalog {
     * table. */
   val NonOptionProps: Set[String] = Set("comment", "owner",
     BucketCountProp, BucketColumnsProp)
+
+  /** Per-streaming-query committed-epoch log: property
+    * `graft.stream.epoch.<queryId>` holds the highest epoch id the named
+    * streaming query has committed into this table. Written atomically
+    * WITH each epoch's partition/stats registration inside
+    * `MetaStore.updateTable`, so replay detection after a restart and
+    * the data the epoch published share one commit point. One entry per
+    * distinct streaming query that ever wrote the table (epochs within
+    * a query overwrite in place) — bounded by queries, not batches.
+    * Catalog-managed: refused in CREATE/ALTER, hidden from
+    * `Table.properties()`, never forwarded as a format option. */
+  val StreamEpochPropPrefix: String = "graft.stream.epoch."
+
+  def isStreamEpochProp(k: String): Boolean = k.startsWith(StreamEpochPropPrefix)
+
+  /** Stored table properties that may flow to a file format as read/write
+    * options: everything except pure-metadata props and the internal
+    * catalog-managed surface (bucket spec, stream-epoch log). */
+  def optionProps(props: Map[String, String]): Map[String, String] =
+    (props -- NonOptionProps).filterNot { case (k, _) => isStreamEpochProp(k) }
   val ReservedNamespaceProps: Set[String] = Set(
     SupportsNamespaces.PROP_LOCATION, SupportsNamespaces.PROP_OWNER)
 }

@@ -72,17 +72,25 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     // TABLE emit the bucket transform), so exposing the raw props here
     // would only invite a TBLPROPERTIES round-trip that CREATE refuses.
     val base = (meta.properties --
-      Seq(GraftCatalog.BucketCountProp, GraftCatalog.BucketColumnsProp)) ++ Map(
+      Seq(GraftCatalog.BucketCountProp, GraftCatalog.BucketColumnsProp))
+      // the stream-epoch log is commit bookkeeping, not user metadata
+      .filterNot { case (k, _) => GraftCatalog.isStreamEpochProp(k) } ++ Map(
       TableCatalog.PROP_PROVIDER -> meta.provider,
       TableCatalog.PROP_LOCATION -> meta.location) ++
       (if (meta.external) Map(TableCatalog.PROP_EXTERNAL -> "true") else Map.empty)
     base.asJava
   }
 
-  /** Reference capability set (V2Table.scala:45-47). */
+  /** Reference capability set (V2Table.scala:45-47), extended with
+    * STREAMING_WRITE: `df.writeStream.toTable("graft.db.t")` commits
+    * each micro-batch through the same two-phase (FS → catalog) batch
+    * commit, with a per-query epoch log for restart idempotence — see
+    * [[graft.catalog.write.GraftStreamingWrite]]. (The read-side twin is
+    * the `v1Table` fallback below.) */
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ,
     TableCapability.BATCH_WRITE,
+    TableCapability.STREAMING_WRITE,
     TableCapability.TRUNCATE,
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.OVERWRITE_DYNAMIC)
@@ -130,7 +138,7 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
         locationUri = Some(new Path(meta.location).toUri),
         // same option surface as the batch scan: format options (csv
         // header/delimiter) flow through, pure-metadata props do not
-        properties = meta.properties -- GraftCatalog.NonOptionProps),
+        properties = GraftCatalog.optionProps(meta.properties)),
       schema = meta.schema,
       provider = Some(meta.provider),
       partitionColumnNames = meta.partitionColumns)
@@ -156,7 +164,7 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     // read options, caller options win; pure-metadata properties
     // (comment/owner) are NOT options and must not reach the format.
     val opts = new CaseInsensitiveStringMap(
-      ((meta.properties -- GraftCatalog.NonOptionProps) ++ options.asScala).asJava)
+      (GraftCatalog.optionProps(meta.properties) ++ options.asScala).asJava)
     val builder = meta.provider match {
       case "parquet" => ParquetScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
       case "csv" => CSVScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)

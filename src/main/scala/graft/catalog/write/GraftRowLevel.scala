@@ -216,7 +216,7 @@ private[write] object GraftCowScan {
       else new InMemoryFileIndex(spark, Seq(new Path(m.location)),
         m.properties, Some(m.schema), cache)
     val opts = new CaseInsensitiveStringMap(
-      ((m.properties -- graft.catalog.GraftCatalog.NonOptionProps) ++
+      (graft.catalog.GraftCatalog.optionProps(m.properties) ++
         options.asScala).asJava)
     val builder = m.provider match {
       case "parquet" => ParquetScanBuilder(spark, index, m.schema, m.dataSchema, opts)

@@ -303,7 +303,31 @@ class GraftWrite(
     partCols.map(c =>
       Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
 
-  override def toBatch: BatchWrite = {
+  override def toBatch: BatchWrite = newEpochBatchWrite()
+
+  /** Micro-batch streaming write (STREAMING_WRITE): each epoch is one
+    * full batch append/truncate through [[newEpochBatchWrite]]'s
+    * two-phase commit, made idempotent across query restarts by the
+    * per-query epoch log in the table descriptor (see
+    * [[GraftStreamingWrite]]). Append (stream append mode) and Truncate
+    * (complete mode, via `SupportsTruncate`) are the streamable modes;
+    * partition-filtered overwrite and row-level rewrites have no
+    * streaming plan shape. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    mode match {
+      case Append | Truncate => ()
+      case other => throw new UnsupportedOperationException(
+        s"streaming write to ${meta.name} supports append/complete output " +
+          s"modes only (requested write mode: $other)")
+    }
+    new GraftStreamingWrite(store, db, meta.name, info.queryId(),
+      () => newEpochBatchWrite())
+  }
+
+  /** One job-scoped batch write: fresh job id, committer and
+    * [[FileBatchWrite]] per call — `toBatch` calls it once; the
+    * streaming path calls it once per epoch. */
+  private[write] def newEpochBatchWrite(): GraftBatchWrite = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val conf = spark.sessionState.conf
     val schema = info.schema()
@@ -378,7 +402,7 @@ class GraftWrite(
       dynamicPartitionOverwrite = mode == DynamicOverwrite)
 
     val factory = format.prepareWrite(spark, job,
-      (meta.properties -- graft.catalog.GraftCatalog.NonOptionProps) ++
+      graft.catalog.GraftCatalog.optionProps(meta.properties) ++
         info.options.asScala, DataTypeUtils.fromAttributes(
         DataTypeUtils.toAttributes(schema)
           .filterNot(a => partSet.contains(a.name.toLowerCase))))
@@ -444,6 +468,14 @@ class GraftBatchWrite(
   // FS-qualified key ('/data/x' and 'file:///data/x' must share one
   // permit), derived by the same helper the lease uses — the two
   // derivations must stay byte-identical or hasLease stops matching
+  /** Extra descriptor transform applied INSIDE the commit's atomic
+    * `updateTable` call (both the partitioned and unpartitioned
+    * branches) — the streaming path stamps its epoch-log property here
+    * so "this epoch's data is registered" and "this epoch is marked
+    * committed" are one atomic descriptor write. Batch writes leave it
+    * as identity. */
+  @volatile private[write] var metaExtra: TableMeta => TableMeta = identity
+
   private val permitKey = GraftBatchWrite.qualifiedKey(spark, meta.location)
   private val writePermit =
     GraftBatchWrite.writeLocks
@@ -874,7 +906,7 @@ class GraftBatchWrite(
       val tableStats =
         if (autoSizeUpdate) Some(TableStats(sizeOf(new Path(snapshot.location)), None))
         else None
-      store.updateTable(db, meta.name)(_.copy(stats = tableStats))
+      store.updateTable(db, meta.name)(m => metaExtra(m.copy(stats = tableStats)))
     } else {
       val writtenSpecs = messages.toSeq
         .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
@@ -981,12 +1013,12 @@ class GraftBatchWrite(
         val merged0 = writtenAdjusted ++ repaired
         val mergedSpecSet = merged0.map(_.spec).toSet
         val merged = base.filterNot(p => mergedSpecSet.contains(p.spec)) ++ merged0
-        current.copy(
+        metaExtra(current.copy(
           partitions = merged,
           stats =
             if (autoSizeUpdate && merged.forall(_.isSized))
               Some(TableStats(merged.map(_.sizeInBytes).sum, None))
-            else None)
+            else None))
       }
     }
     FileStatusCache.getOrCreate(spark).invalidateAll()

@@ -546,6 +546,50 @@ object EventStreams {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- s15
+  /** s11 rewritten as a NATIVE streaming write — no `foreachBatch`
+    * bridge: `df.writeStream.toTable("graft.db.t")` resolves the
+    * catalog table, sees its STREAMING_WRITE capability and drives
+    * [[graft.catalog.write.GraftStreamingWrite]], whose every epoch is
+    * the same two-phase (FS → catalog) batch commit s11 ran by hand —
+    * plus the per-query epoch log that makes a restart-replayed epoch a
+    * no-op (asserted with a genuine kill-after-sink-commit replay in
+    * EventStreamsSpec). This is the first thing a streaming user tries,
+    * and s01d's write-side twin. Gated on s11's oracle: every event in
+    * the landed table exactly once. */
+  def s15_stream_native_sink(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${graft.GraftBootstrap.CatalogName}.tmp.s15_events_sunk"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${graft.GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    events.limit(0).writeTo(tgt).create() // schema from the catalog, data from the stream
+    val src = Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir), "ts")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s15_ckpt_")
+    try {
+      withShufflePartitions(spark, 4) {
+        val query = src.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .toTable(tgt)
+        try query.processAllAvailable()
+        finally query.stop()
+      }
+      spark.table(tgt)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+        .orderBy(col("event_type"))
+    } finally {
+      val fs = new Path(ckpt.toString)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(ckpt.toString), true)
+    }
+  }
+
   // ---------------------------------------------------------------- s12
   /** Streaming MERGE upsert into the catalog — the idempotent form of
     * s11's append sink (the exactly-once-by-key shape a production
@@ -955,6 +999,7 @@ object EventStreams {
     "s10c_stream_dedup_watermarked" -> (s10c_stream_dedup_watermarked _),
     "s11_stream_catalog_sink" -> (s11_stream_catalog_sink _),
     "s12_stream_merge_upsert" -> (s12_stream_merge_upsert _),
+    "s15_stream_native_sink" -> (s15_stream_native_sink _),
     "s13_stream_curate" -> (s13_stream_curate _),
     "s14_stream_near_dedup" -> (s14_stream_near_dedup _),
     "s14b_stream_near_dedup_expiring" -> (s14b_stream_near_dedup_expiring _),
@@ -978,6 +1023,11 @@ object EventStreams {
     // Every streamed event landed in the catalog table exactly once, so
     // the table's batch aggregate equals the plain events aggregate.
     "s11_stream_catalog_sink" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Native streaming write: same exactly-once landing as s11.
+    "s15_stream_native_sink" ->
       """SELECT event_type, count(*) AS cnt,
         |  round((sum(value)) * 100) / 100 AS sum_value
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -1,5 +1,7 @@
 package graft.catalog
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{GraftBootstrap, SparkFixture}
@@ -66,6 +68,28 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
       table.asInstanceOf[org.apache.spark.sql.graft.StreamingV1FallbackTable].v1Table)
     assert(err.getMessage.contains("single file") &&
       err.getMessage.contains("directory"))
+  }
+
+  test("catalog tables advertise STREAMING_WRITE; the epoch log is reserved and hidden") {
+    import org.apache.spark.sql.connector.catalog.TableCapability
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ddl")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ddl.stream_w")
+    spark.sql(s"CREATE TABLE $cat.ddl.stream_w (id BIGINT, v DOUBLE) USING parquet")
+    val table = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog].loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("ddl"), "stream_w"))
+    // df.writeStream.toTable routes through the table iff this is advertised
+    assert(table.capabilities().contains(TableCapability.STREAMING_WRITE))
+    assert(table.capabilities().contains(TableCapability.BATCH_WRITE))
+    // the per-query epoch log is catalog bookkeeping: ALTER refuses it,
+    // and Table.properties() never shows it
+    val err = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.ddl.stream_w SET TBLPROPERTIES " +
+        s"('${GraftCatalog.StreamEpochPropPrefix}q1'='7')"))
+    assert(err.getMessage.contains("reserved"))
+    assert(!table.properties().keySet().asScala.exists(GraftCatalog.isStreamEpochProp))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ddl.stream_w")
   }
 
   test("missing objects raise the standard error classes") {

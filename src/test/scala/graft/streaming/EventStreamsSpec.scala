@@ -31,6 +31,69 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(sunk === batch)
   }
 
+  test("native streaming write (toTable) lands every event exactly once (single run)") {
+    import org.apache.spark.sql.functions._
+    val sunk = EventStreams.s15_stream_native_sink(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (round(sum(col("value")) * 100) / 100).as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sunk === batch)
+  }
+
+  test("native streaming write: a replayed epoch after checkpoint loss is not double-appended") {
+    import org.apache.spark.sql.functions._
+    graft.GraftBootstrap.ensure(spark, sf0001)
+    val cat = graft.GraftBootstrap.CatalogName
+    val tgt = s"$cat.tmp.s15_restart"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val input = java.nio.file.Files.createTempDirectory("graft_s15r_in_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s15r_ck_")
+    def gen(a: Long, b: Long) =
+      spark.range(a, b).select(col("id"), (col("id") * 2).cast("double").as("v"))
+    def start() = spark.readStream.schema(gen(0, 1).schema).parquet(input.toString)
+      .writeStream.option("checkpointLocation", ckpt.toString).toTable(tgt)
+    try {
+      gen(0, 100).write.mode("append").parquet(input.toString)
+      gen(0, 0).writeTo(tgt).create()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(spark.table(tgt).count() === 100)
+      // Simulate the crash Structured Streaming's sink contract names:
+      // the sink committed epoch 0, but the engine died before recording
+      // it in the checkpoint commit log — on restart the engine re-runs
+      // epoch 0 with the same offsets, and the sink must be idempotent.
+      val commit0 = new java.io.File(ckpt.toFile, "commits/0")
+      assert(commit0.exists(), "expected checkpoint commit record for batch 0")
+      assert(commit0.delete())
+      // local ChecksumFs keeps a CRC sidecar; a real HDFS/object-store
+      // crash loses both, so drop it too or the re-write trips on it
+      new java.io.File(ckpt.toFile, "commits/.0.crc").delete()
+      val q2 = start() // replays epoch 0
+      try {
+        q2.processAllAvailable()
+        assert(spark.table(tgt).count() === 100,
+          "replayed epoch must be suppressed by the stream-epoch log")
+        // and the stream keeps running: new data still lands afterwards
+        gen(100, 150).write.mode("append").parquet(input.toString)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(spark.table(tgt).count() === 150)
+      assert(spark.table(tgt).groupBy(col("id")).count()
+        .filter(col("count") > 1).count() === 0, "no id may land twice")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tgt")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(input.toString), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt.toString), true)
+    }
+  }
+
   test("readStream.table through the graft catalog converges to the batch answer") {
     val streamed = rows(EventStreams.s01d_tumbling_catalog_stream(spark, sf0001))
     val batch = rows(EventWindowQueries.s01_tumbling_window(spark, sf0001))
