@@ -141,6 +141,22 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // --------------------------------------------------------------- q78b
+  /** IVFADC — the composed production ANN (q40's pruning × q78's
+    * compression, [[Similarity.ivfadcCosineTopK]]): residual-PQ codes
+    * partitioned into trained coarse lists, nprobe-list ADC scan, exact
+    * re-rank of the shortlist. q78 scans every code per query; q78b
+    * scans only the probed lists — the form a FAISS-class deployment
+    * actually runs at 10⁹ vectors. Approximate ⇒ rows-only gated;
+    * recall vs q31, candidate pruning vs BOTH all-pairs and q78's
+    * full-scan count, and a zero-error exactness case are asserted in
+    * SimilaritySpec. */
+  def q78b_ann_ivfadc_topk(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Similarity.normalized(Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+    Similarity.ivfadcCosineTopK(norm, norm.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- q33
   /** Language-ID confusion matrix: stopword-marker heuristic prediction
     * vs the fixture's ground-truth `lang` label. */
@@ -765,6 +781,7 @@ object LlmQueries {
     "q38b_dedup_embedding_lsh" -> (q38b_dedup_embedding_lsh _),
     "q40_ann_ivf_topk" -> (q40_ann_ivf_topk _),
     "q78_ann_pq_topk" -> (q78_ann_pq_topk _),
+    "q78b_ann_ivfadc_topk" -> (q78b_ann_ivfadc_topk _),
     "q70_chunk_documents" -> (q70_chunk_documents _),
     "q71_unigram_logprob" -> (q71_unigram_logprob _),
     "q72_bigram_logprob" -> (q72_bigram_logprob _),

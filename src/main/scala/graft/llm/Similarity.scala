@@ -468,4 +468,140 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), r4(col("sim")).as("sim4"))
   }
+
+  // ------------------------------------------------------------------ IVFADC
+
+  /** Shared candidate stage of [[ivfadcCosineTopK]] and its pruning
+    * observable: (approximately scored candidates, checkpointed corpus
+    * for the exact re-rank). See ivfadcCosineTopK for the algorithm. */
+  private def ivfadcScoredCandidates(
+      corpus: DataFrame, queries: DataFrame,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int, iters: Int,
+      dim: Int): (DataFrame, DataFrame) = {
+    val c = corpus.localCheckpoint()
+    val cents = lloydCentroids(c, nlist, iters)
+    val centMap: Map[Long, Seq[Double]] = cents.toMap
+    val slices = pqSlices(dim, m)
+    // Residual encoding: r = v − c_bucket (element-wise; the centroid
+    // lookup is a driver-side map literal, the subtraction row-local).
+    // Residuals are what PQ quantizes in IVFADC — they are centered near
+    // zero within a list, so ksub codes spend their resolution on the
+    // within-list variation instead of re-describing the centroid.
+    val resid = c
+      .withColumn("bucket", nearestCentroids(cents, col("v"), 1).getItem(0))
+      .withColumn("rv", zip_with(col("v"),
+        element_at(typedlit(centMap), col("bucket")), (a, b) => a - b))
+      .localCheckpoint() // serves PQ training AND encoding
+    val books = pqCodebooks(
+      resid.select(col("vec_id"), col("rv").as("v")), m, ksub, iters, dim)
+    // ‖x̂‖ = ‖c_b + r̂‖ = sqrt(‖c_b‖² + 2·Σ_j <c_b|_j, book_j[code_j]> +
+    // Σ_j ‖book_j[code_j]‖²) — all three terms are lookups against
+    // driver-side constants (nlist + nlist·m·ksub + m·ksub doubles).
+    val cnorm2: Map[Long, Double] =
+      cents.map { case (cid, cv) => cid -> cv.map(x => x * x).sum }.toMap
+    val crossMap: Map[Long, Seq[Seq[Double]]] = cents.map { case (cid, cv) =>
+      cid -> slices.zip(books).map { case ((start, len), book) =>
+        val cslice = cv.slice(start - 1, start - 1 + len)
+        book.map(bv => bv.zip(cslice).map { case (x, y) => x * y }.sum).toSeq
+      }.toSeq
+    }.toMap
+    val sqNorms = books.map(book => book.map(cv => cv.map(x => x * x).sum).toSeq)
+    def codeAt(j: Int): Column = element_at(col("code"), j + 1) + 1
+    val crossSum = (0 until m).map { j =>
+      element_at(element_at(element_at(typedlit(crossMap), col("bucket")), j + 1), codeAt(j))
+    }.reduce[Column](_ + _)
+    val rnorm2Sum = (0 until m).map { j =>
+      element_at(typedlit(sqNorms(j)), codeAt(j))
+    }.reduce[Column](_ + _)
+    // greatest(0): the expression is a true squared norm, but float
+    // rounding near zero could dip epsilon-negative under sqrt
+    val anrm = sqrt(greatest(lit(0.0),
+      element_at(typedlit(cnorm2), col("bucket")) + lit(2.0) * crossSum + rnorm2Sum))
+    val codesDf = pqEncode(
+      resid.select(col("vec_id"), col("bucket"), col("rv").as("v")), books, dim)
+      .select(col("vec_id").as("n_id"), col("bucket"), col("code"), anrm.as("anrm"))
+      // q78's degenerate-vector rule: an all-zero reconstruction would
+      // score NaN, which sorts above every real sim — rank it out
+      .filter(col("anrm") > 0)
+    // Per-query: probe the nprobe nearest lists; carry the ADC tables
+    // (residual-codebook sub-dots) and the per-probed-list <q, c_b> —
+    // candidate rows then need only (qn, adc, qc), never the query vector.
+    val adcTables = array(slices.zip(books).map { case ((start, len), book) =>
+      array(book.map(cv => dot(slice(col("qv"), start, len), typedlit(cv))): _*)
+    }: _*)
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(nearestCentroids(cents, col("v"), nprobe)).as("bucket"))
+      .withColumn("adc", adcTables)
+      .withColumn("qc", dot(col("qv"), element_at(typedlit(centMap), col("bucket"))))
+      .select(col("q_id"), col("bucket"), col("qn"), col("adc"), col("qc")))
+    // <q, x̂> = <q, c_b> + Σ_j adc_j[code_j]: m lookups per candidate,
+    // reached through an EQUALITY join on the probed list id — the scan
+    // touches ~nprobe/nlist of the codes, never the corpus.
+    val approxResDot = (0 until m).map { j =>
+      element_at(element_at(col("adc"), j + 1), codeAt(j))
+    }.reduce[Column](_ + _)
+    val scored = codesDf.join(q, Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("asim", (col("qc") + approxResDot) / (col("qn") * col("anrm")))
+    (scored, c)
+  }
+
+  /** IVF+PQ (IVFADC proper, Jégou et al. §5): the coarse quantizer
+    * prunes WHICH codes are scanned (only `nprobe` of `nlist` inverted
+    * lists per query — [[ivfCosineTopK]]'s axis), product quantization
+    * on the RESIDUAL v − c_bucket compresses WHAT is scanned (m code
+    * bytes per vector — [[pqCosineTopK]]'s axis). This is the
+    * composition every FAISS-class billion-vector deployment runs: q78
+    * alone scans ALL codes per query; q40 alone moves full float
+    * vectors through its probed lists; q78b scans nprobe/nlist of the
+    * corpus as code bytes. Approximate ⇒ rows-only gated; recall vs
+    * q31, strict candidate pruning, and a zero-quantization-error
+    * exactness case are SimilaritySpec-gated.
+    *
+    * 100 TB posture: queries are a fixed probe set (broadcast by
+    * construction); the candidate stage is an equality join on the
+    * probed list id over (id, bucket, m bytes, anrm) rows — at m=8,
+    * ksub=16 that is 32× smaller than the float corpus, the regime
+    * where a billion-vector index fits executor memory; training
+    * traffic is bounded (nlist + ksub·dim scalars per Lloyd step, on a
+    * corpus SAMPLE at scale — the FAISS convention); the exact re-rank
+    * joins true vectors BY ID for rerank-sized shortlists only. */
+  def ivfadcCosineTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      rerankFactor: Int = 4): DataFrame = {
+    val dim = derivedDim(corpus).getOrElse(return corpus
+      .select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
+        lit(0L).as("rank"), lit(0.0).as("sim4")).limit(0))
+    val (scored, c) = ivfadcScoredCandidates(
+      corpus, queries, nlist, nprobe, m, ksub, iters, dim)
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("n_id").asc)
+    val shortlist = scored.withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= k * rerankFactor)
+      .select(col("q_id"), col("n_id"))
+    val exact = shortlist
+      .join(c.select(col("vec_id").as("n_id"), col("v"), col("nrm")), "n_id")
+      .join(broadcast(queries.select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))), "q_id")
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), r4(col("sim")).as("sim4"))
+  }
+
+  /** Codes offered to the ADC scan by the probed-list join — the pruning
+    * observable SimilaritySpec gates against both all-pairs AND q78's
+    * scan-everything count (that difference IS q78b's reason to exist). */
+  private[llm] def ivfadcCandidatePairs(
+      corpus: DataFrame, queries: DataFrame,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3): Long = {
+    val dim = derivedDim(corpus).getOrElse(return 0L)
+    val (scored, _) = ivfadcScoredCandidates(
+      corpus, queries, nlist, nprobe, m, ksub, iters, dim)
+    scored.select(col("q_id"), col("n_id")).distinct().count()
+  }
 }

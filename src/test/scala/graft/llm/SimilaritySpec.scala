@@ -201,6 +201,81 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("IVFADC keeps recall while scanning strictly fewer codes than q78's full ADC scan") {
+    val queries = norm.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(norm, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfadc = Similarity.ivfadcCosineTopK(norm, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivfadc).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVFADC recall $recall collapsed — composition broken?")
+    // every query still answers with k contiguous ranks
+    val byQ = Similarity.ivfadcCosineTopK(norm, queries, k = 5).collect()
+      .groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.values.foreach(rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to 5L)))
+    // Pruning — q78b's reason to exist: the probed-list join must offer
+    // strictly fewer codes than q78's scan-everything ADC (which scores
+    // all (query, corpus) pairs) and than all-pairs generally.
+    val fullScan = 10L * (norm.count() - 1)
+    val cands = Similarity.ivfadcCandidatePairs(norm, queries)
+    assert(cands > 0)
+    assert(cands < fullScan,
+      s"IVFADC candidates $cands did not prune q78's full scan $fullScan")
+  }
+
+  test("IVFADC on a clustered corpus: strong recall at single-probe, Σc² pruning") {
+    import spark.implicits._
+    // the 4-orthogonal-cluster construction (trained-IVF tests): the
+    // regime where the coarse quantizer earns its keep — residual PQ
+    // must not destroy what list pruning preserved
+    val dim = 8
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 200L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(dim)(j =>
+        (if (j == c) 1.0 else 0.0) + 0.15 * rnd.nextGaussian())
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val corpus = Similarity.normalized(vecs, "vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val exact = Similarity.cosineTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfadc = Similarity.ivfadcCosineTopK(corpus, queries, k = 5,
+      nlist = 4, nprobe = 1, m = 4, ksub = 8, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivfadc).size.toDouble / exact.size
+    assert(recall >= 0.8, s"clustered-corpus IVFADC recall $recall")
+    val cands = Similarity.ivfadcCandidatePairs(corpus, queries,
+      nlist = 4, nprobe = 1, m = 4, ksub = 8, iters = 3)
+    assert(cands < 8L * (corpus.count() - 1) / 2,
+      s"IVFADC candidates $cands did not prune to the probed lists")
+  }
+
+  test("IVFADC with zero quantization error reproduces the exact top-k") {
+    import spark.implicits._
+    // Orthogonal one-hot axes: nlist=4 coarse centroids converge onto
+    // the 4 distinct directions, every residual is then ZERO, and the
+    // zero vector is exactly representable by the residual codebooks —
+    // reconstruction is exact, so ADC scores equal true dots and the
+    // IVFADC top-k must match brute force row for row at full probe.
+    val dim = 8
+    val vecs = (0L until 80L).map { id =>
+      val c = (id % 4).toInt
+      (id, Array.tabulate(dim)(j => if (j == c) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val corpus = Similarity.normalized(vecs, "vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 6)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val brute = Similarity.cosineTopK(corpus, queries, k = 3).collect().map(key).sorted
+    val ivfadc = Similarity.ivfadcCosineTopK(corpus, queries, k = 3,
+      nlist = 4, nprobe = 4, m = 4, ksub = 4, iters = 4).collect().map(key).sorted
+    assert(brute.nonEmpty)
+    assert(ivfadc === brute)
+  }
+
   test("PQ with zero quantization error reproduces the exact top-k") {
     import spark.implicits._
     // A corpus drawn FROM the codebook grid: every sub-vector is one of
