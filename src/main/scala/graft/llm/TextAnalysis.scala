@@ -177,10 +177,13 @@ object TextAnalysis {
     val bq = BigDecimal(math.log(d1.toDouble / d0) * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
     val w = ctl.select(col("tok"),
+      (col("c1") + col("c0")).as("freq"), // head/tail cut key only
       round((log((col("c1") + 1).cast("double") / lit((n1 + v).toDouble))
         - log((col("c0") + 1).cast("double") / lit((n0 + v).toDouble))) * 1e6)
         .cast("long").as("wq"))
-    toks.join(w, "tok")
+    // the q71 de-skew: head tokens join broadcast, tail shuffles
+    headTailScoreJoin(toks.select(col("doc_id"), col("tok")), w,
+      Seq("tok"), col("freq"), headK = 10000)
       .groupBy(col("doc_id"))
       .agg((sum(col("wq")) + lit(bq)).as("sq"))
       .select(col("doc_id"),
@@ -605,10 +608,36 @@ object TextAnalysis {
     * ties, same accepted class as q63's rank-on-rounded.
     *
     * At 100 TB: tokenize once (checkpointed), vocab aggregate with
-    * map-side combine, then a vocab⋈tokens equality join — the vocab is
-    * corpus-bounded (≪ token count) and broadcasts in production; AQE
-    * handles the frequent-token skew here. No driver-side state. */
-  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * map-side combine, then the scoring join split head/tail
+    * ([[headTailScoreJoin]]): the top-10⁴ tokens — the Zipf mass —
+    * join broadcast with no shuffle of their rows, the bounded tail
+    * takes the equality join. No driver-side state. */
+  /** Zipf de-skew for token-keyed scoring joins (q71/q72/q82): a web
+    * corpus's token stream is Zipf-distributed — "the" alone is ~5% of
+    * English tokens — so a shuffle join on the token key concentrates
+    * heavy hitters into single partitions. Probe rows whose key falls
+    * in the top-`headK` of `build` (by `freq` desc, keys asc — a
+    * deterministic cut) route through a BROADCAST hash join and are
+    * never shuffled on the token key; only the tail (per-key frequency
+    * bounded by the head cut, by construction) takes the shuffle join.
+    * Value-transparent: both paths read the same `build` row per key,
+    * so the hash gates are unchanged. `headK` bounds the broadcast at
+    * ~headK × row-width driver/executor memory (10⁴ default — the same
+    * class as q66b's broadcast target maps); the head join removes the
+    * skew RELIANCE on AQE rather than leaving it mitigated-by-engine. */
+  private def headTailScoreJoin(
+      probe: DataFrame, build: DataFrame, keys: Seq[String],
+      freq: Column, headK: Int): DataFrame = {
+    val ord = freq.desc +: keys.map(col(_).asc)
+    val head = broadcast(build.orderBy(ord: _*).limit(headK))
+    probe.join(head, keys)
+      .unionByName(
+        probe.join(head.select(keys.map(col): _*), keys, "left_anti")
+          .join(build, keys))
+  }
+
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      headVocab: Int = 10000): DataFrame = {
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .localCheckpoint() // feeds vocab, total AND scoring: tokenize once
@@ -617,7 +646,8 @@ object TextAnalysis {
     // same number as count over toks, derived from the corpus-bounded
     // vocab instead of a second full pass over every token row
     val totalDf = vocab.agg(sum("cnt").as("total"))
-    toks.join(vocab, "tok").crossJoin(broadcast(totalDf))
+    headTailScoreJoin(toks, vocab, Seq("tok"), col("cnt"), headVocab)
+      .crossJoin(broadcast(totalDf))
       .withColumn("lp_q",
         round((log(col("cnt").cast("double")) -
           log(col("total").cast("double"))) * 10000).cast("long"))
@@ -643,10 +673,11 @@ object TextAnalysis {
     * At 100 TB: the bigram explode is one row per adjacent pair
     * (≈ corpus tokens); counts aggregate with map-side combine; the
     * start-token denominator derives from the bigram counts (no second
-    * corpus pass); the scoring join keys on (t₁,t₂) — Zipf-heavy keys
-    * are AQE's skew-join case, and the count table broadcasts when it
-    * fits. */
-  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * corpus pass); the scoring join folds numerator+denominator into
+    * one build table and splits head/tail ([[headTailScoreJoin]]) so
+    * Zipf-head pairs never shuffle on the bigram OR t₁ key. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      headVocab: Int = 10000): DataFrame = {
     val bi = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -658,7 +689,11 @@ object TextAnalysis {
     val c12 = bi.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
       .localCheckpoint() // feeds the denominator AND the scoring join
     val c1 = c12.groupBy("t1").agg(sum("c12").as("c1"))
-    bi.join(c12, Seq("t1", "t2")).join(c1, Seq("t1"))
+    // numerator and denominator fold into ONE vocab-sized build table,
+    // so the head/tail split removes head rows from BOTH skewed joins
+    // (the t1-keyed denominator join was the worse of the two)
+    headTailScoreJoin(bi, c12.join(c1, Seq("t1")),
+      Seq("t1", "t2"), col("c12"), headVocab)
       .withColumn("lp_q",
         round((log(col("c12").cast("double")) -
           log(col("c1").cast("double"))) * 10000).cast("long"))

@@ -205,6 +205,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q71: expected an equality join on the token key:\n$p")
   }
 
+  test("q71/q72/q82's head vocab joins BROADCAST — Zipf-head tokens never shuffle on the key") {
+    // The de-skew claim: the scoring join splits head/tail, and the
+    // head path (top-10⁴ tokens — the Zipf mass) must be a
+    // BroadcastHashJoin (inner, on the key) plus a broadcast LeftAnti
+    // carving out the tail — NO shuffle of head-token probe rows. A
+    // regression to a single shuffle join would re-concentrate "the"'s
+    // ~5% of the corpus into one partition at scale.
+    Seq(
+      "q71" -> graft.llm.TextAnalysis.unigramLogProb(
+        graft.Tables(spark, sf0001, "documents"), "doc_id", "text"),
+      "q72" -> graft.llm.TextAnalysis.bigramLogProb(
+        graft.Tables(spark, sf0001, "documents"), "doc_id", "text")
+    ).foreach { case (n, df) =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n: expected the head vocab to join broadcast:\n$p")
+      assert(p.contains("LeftAnti"),
+        s"$n: expected the broadcast anti-join carving out the tail:\n$p")
+    }
+  }
+
   test("DPP: a join on the partition column runtime-prunes the catalog file index") {
     import org.apache.spark.sql.functions._
     GraftBootstrap.ensure(spark, sf0001)
