@@ -803,8 +803,23 @@ object EventStreams {
     * the spec gates streaming-vs-batch-reference EQUALITY, not just
     * properties. The estimate is minhash agreement (k components ⇒
     * granularity 1/k); exactness lives in batch q28/q29 — this operator
-    * is the ingest-time gatekeeper in front of them, and its flags
-    * depend on xxhash64, so the driver gate is rows-only (q30's class).
+    * is the ingest-time gatekeeper in front of them.
+    *
+    * Oracle-expressibility (why the driver gate is rows-only, q30's
+    * class): the walk itself IS SQL-expressible — because membership
+    * accretes for every first occurrence regardless of its own verdict,
+    * flagging reduces to an order-free exists-earlier equality join
+    * (doc flagged ⟺ some banded row shares a (band, key) bucket with an
+    * earlier row at agreement ≥ tau, or an earlier row of the same id);
+    * EventStreamsSpec executes that declarative form and gates it equal
+    * to the sequential walk, so no recursive CTE is even needed. What
+    * DuckDB cannot replicate is the SIGNATURE family: Spark's
+    * int-salted xxhash64 components and murmur3 band keys have no
+    * DuckDB equivalents, and swapping the family for an
+    * oracle-friendly polynomial hash would re-roll q29's verified
+    * designed-miss bound (see its oracle's fixture-regeneration caveat)
+    * while gating a code path the library doesn't ship. Hence: verdicts
+    * rows-only at the driver, walk-semantics hash-tight in ScalaTest.
     *
     * Scale posture: signatures are row-local columnar work (no shuffle
     * before the state machine); state is partitioned by the (band, key)

@@ -190,6 +190,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       "a dup verdict named a LATER witness")
   }
 
+  test("near-dedup's greedy walk IS an order-free join: declarative reference equals the sequential one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Proof-by-execution of the oracle-expressibility analysis
+    // (streamNearDupVerdicts scaladoc): bucket membership accretes for
+    // EVERY first occurrence regardless of its own verdict, so the
+    // "greedy walk" is not recursive at all — a doc is flagged iff some
+    // banded row of it shares a (band, key) bucket with an EARLIER row
+    // (by (seq, doc_id)) at full-signature agreement ≥ tau, or with an
+    // earlier row of the same doc_id (re-delivery). Stated here as a
+    // plain exists-earlier equality join and asserted equal to the
+    // sequential walk (which the streaming state machine is separately
+    // gated against above). The walk is therefore SQL-expressible; what
+    // keeps the driver gate rows-only is solely the signature family
+    // (xxhash64 + murmur3 band keys), which DuckDB cannot replicate.
+    val docs = seqDocsFor(sf0001)
+    val half = (docs.size + 1) / 2
+    val all = docs.take(half) ++ docs.drop(half).map(_.copy(seq = 1L))
+    val bandedDf = EventStreams.bandedDocs(all.toDF(), n = 3, bands = 16,
+      rowsPerBand = 2).localCheckpoint()
+    val m = bandedDf.select(col("doc_id").as("m_id"), col("seq").as("m_seq"),
+      col("band"), col("key"), col("sig").as("m_sig"))
+    val agree = aggregate(zip_with(col("m_sig"), col("sig"),
+      (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+    val declarative = bandedDf.join(m, Seq("band", "key"))
+      .filter(col("m_seq") < col("seq") ||
+        (col("m_seq") === col("seq") && col("m_id") < col("doc_id")))
+      .filter(col("m_id") === col("doc_id") ||
+        agree.cast("double") / size(col("sig")) >= 0.8)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val sequential = nearDupReference(
+      bandedDf.collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getSeq[Long](5))).toSeq, tau = 0.8)
+    assert(declarative === sequential)
+    assert(declarative.nonEmpty, "no near-dup flagged — fixture drifted?")
+  }
+
   test("streaming near-dedup: an exactly re-delivered batch is fully suppressed") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
