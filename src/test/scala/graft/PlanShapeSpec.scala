@@ -275,4 +275,53 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"DROP TABLE IF EXISTS $dimT")
   }
+
+  test("DPP composes with STATIC partition pruning: one listing sees both filters") {
+    // Static and runtime pruning share GraftFileIndex.listFiles — a
+    // regression that satisfied one path by falling back to a full
+    // listing would silently un-prune the other. Two partition columns:
+    // o_orderstatus filtered STATICALLY, o_orderpriority pruned at
+    // RUNTIME through the dim join; the recorded listing must carry
+    // BOTH columns in the same filter set.
+    import org.apache.spark.sql.functions._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    val t = s"$cat.planshape.dpp2_orders"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .writeTo(t).partitionedBy(col("o_orderstatus"), col("o_orderpriority"))
+      .create()
+    import spark.implicits._
+    val dimT = s"$cat.planshape.dpp2_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $dimT")
+    Seq(("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop"),
+      ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")).toDF("prio", "tag")
+      .writeTo(dimT).create()
+    val joined = spark.table(t)
+      .filter(col("o_orderstatus") === "F") // static partition predicate
+      .join(spark.table(dimT).filter(col("tag") === "keep"),
+        col("o_orderpriority") === col("prio"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.catalog.GraftFileIndex.startRecordingListFilters()
+    val rows =
+      try joined.collect()
+      finally graft.catalog.GraftFileIndex.stopRecordingListFilters()
+    assert(rows.length === 1 &&
+      rows(0).getString(0) === "F" && rows(0).getString(1) === "1-URGENT")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"DPP subquery missing when a static partition filter is present:\n$p")
+    val got = graft.catalog.GraftFileIndex.recordedListFilterColumns
+    assert(got.exists(fs => fs.exists(_.equalsIgnoreCase("o_orderstatus")) &&
+      fs.exists(_.equalsIgnoreCase("o_orderpriority"))),
+      s"no single listing carried BOTH the static and runtime filters: $got")
+    assert(got.forall(_.nonEmpty),
+      s"an unpruned listing ran alongside the composed pruning; recorded: $got")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS $dimT")
+  }
 }
