@@ -100,8 +100,12 @@ class GraftStreamingWrite(
     }
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    current.abort(messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // an epoch can abort before its factory was ever created (planning
+    // failure) — there is then no delegate, no permit, nothing to clean
+    val delegate = current
+    if (delegate != null) delegate.abort(messages)
+  }
 }
 
 object GraftStreamingWrite {

@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-exponent probe (round-14 brief #5): replicate the sf0.1
+  * corpus tables `reps`× with content made DISJOINT across replicas,
+  * then time the heavy-tail queries at 1× and reps× and report each
+  * query's scaling exponent log(t_big/t_small)/log(reps). A bucketed
+  * design that secretly curves like n² shows exponent ≈ 2 here — caught
+  * at sf1, not at 100 TB. Results are recorded in SCALE.md.
+  *
+  * Replica disjointness matters: naive copies would make every document
+  * 9 near-duplicates of its replicas, switching the dedup queries into
+  * an output-explosion regime that measures result size, not engine
+  * scaling. Instead:
+  *  - documents: every token of replica k is prefixed `xk` — the word
+  *    frequency distribution and shingle structure of each replica are
+  *    ISOMORPHIC to the original (an interleaved-marker variant was
+  *    tried first and rejected: it put the marker into every shingle,
+  *    inflating shingle df to word df and manufacturing a quadratic
+  *    candidate blowup the real corpus doesn't have), while replicas
+  *    share no tokens, hence no shingles;
+  *  - embeddings: coordinates are rotated by k positions — norms and
+  *    within-replica cosines are exactly preserved, cross-replica
+  *    cosines drop to the random background (~0.1 at 64-dim).
+  */
+object ScaleProbe {
+  private val Heavy = Seq(
+    "q28_dedup_jaccard", "q38b_dedup_embedding_lsh", "q59_cross_snapshot",
+    "q69_dedup_containment", "q74b_knn_graph_ivf", "s14_stream_near_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val skipBuild = args.contains("--skip-build")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftBootstrap.setSessionConfs(spark)
+
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!skipBuild) {
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+
+    // the catalog bootstrap registers EVERY fixture table for a dir, so
+    // the scaled dir must carry the non-scaled tables too (verbatim)
+    graft.Tables.all.filterNot(Set("documents", "embeddings")).foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until reps).map { k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(k * maxDoc))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"x$k$$1"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until reps).map { k =>
+      if (k == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(k * maxVec))
+        .withColumn("embedding", expr(
+          s"transform(sequence(0, size(embedding) - 1), " +
+            s"i -> embedding[(i + $k) % size(embedding)])"))
+    }.reduce(_ unionByName _)
+      .repartition(8).write.parquet(s"$out/embeddings.parquet")
+    } // skipBuild
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min-of-2 BOTH sides after a warm-up (the sandbox's documented
+    // 1.6x single-pass jitter lands on the exponent otherwise), small
+    // and big interleaved so neither side owns a cold or hot machine
+    Heavy.foreach { name =>
+      time(name, base) // warm-up (JIT/codegen/streaming engine init)
+      val tSmall = math.min(time(name, base), time(name, base))
+      val tBig = math.min(time(name, out), time(name, out))
+      val exp = math.log(tBig / tSmall) / math.log(reps.toDouble)
+      println(f"SCALEPROBE $name%-28s t1x=$tSmall%7.2fs t${reps}x=$tBig%8.2fs exponent=$exp%5.2f")
+    }
+    spark.stop()
+  }
+}

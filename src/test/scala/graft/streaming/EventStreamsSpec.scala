@@ -94,6 +94,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("native streaming write into a PARTITIONED table registers partitions exactly once") {
+    // the scaladoc's day-partitioned-ingest claim: the streaming write
+    // must honor the batch path's partition-column clustering
+    // requirement (RequiresDistributionAndOrdering on a streaming plan)
+    // and register written partitions through the same two-phase commit
+    import org.apache.spark.sql.functions._
+    graft.GraftBootstrap.ensure(spark, sf0001)
+    val cat = graft.GraftBootstrap.CatalogName
+    val tgt = s"$cat.tmp.s15_part"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val input = java.nio.file.Files.createTempDirectory("graft_s15p_in_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s15p_ck_")
+    def gen(a: Long, b: Long) = spark.range(a, b).select(col("id"),
+      (col("id") % 3).cast("string").as("p"))
+    try {
+      gen(0, 90).write.mode("append").parquet(input.toString)
+      gen(0, 0).writeTo(tgt).partitionedBy(col("p")).create()
+      val q = spark.readStream.schema(gen(0, 1).schema).parquet(input.toString)
+        .writeStream.option("checkpointLocation", ckpt.toString).toTable(tgt)
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.table(tgt).count() === 90)
+      assert(spark.table(tgt).filter(col("p") === "1").count() === 30)
+      // partitions registered in the catalog, not just directories
+      val parts = spark.sql(s"SHOW PARTITIONS $tgt").collect().map(_.getString(0))
+      assert(parts.sorted.toSeq === Seq("p=0", "p=1", "p=2"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tgt")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(input.toString), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt.toString), true)
+    }
+  }
+
   test("readStream.table through the graft catalog converges to the batch answer") {
     val streamed = rows(EventStreams.s01d_tumbling_catalog_stream(spark, sf0001))
     val batch = rows(EventWindowQueries.s01_tumbling_window(spark, sf0001))
