@@ -76,8 +76,11 @@ object GraftExtensions {
         case e if e.foldable => e.eval() match {
           case i: Int => i
           case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
           case other => throw new IllegalArgumentException(
-            s"graft_minhash_sig's k must fold to an integer, got $other")
+            s"graft_minhash_sig's k must fold to an integer, got $other " +
+              s"(${if (other == null) "NULL" else other.getClass.getSimpleName})")
         }
         case other => throw new IllegalArgumentException(
           s"graft_minhash_sig's k must be a foldable integer literal, got $other")

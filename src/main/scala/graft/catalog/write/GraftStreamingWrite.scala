@@ -31,10 +31,14 @@ import graft.catalog.{GraftCatalog, MetaStore}
   * [[GraftCatalog.StreamEpochPropPrefix]]) and is stamped by
   * [[GraftBatchWrite.metaExtra]] inside the commit's atomic
   * `MetaStore.updateTable` call — the SAME descriptor write that
-  * registers the epoch's partitions and stats. A replayed epoch is
-  * therefore detected under the table's write permit and ABORTED
+  * registers the epoch's partitions and stats. A replayed APPEND epoch
+  * is therefore detected under the table's write permit and ABORTED
   * (staged files dropped by the commit protocol; the table keeps the
-  * original epoch's data), never double-appended. Epoch ids are
+  * original epoch's data), never double-appended. A replayed
+  * COMPLETE-mode (per-epoch truncate) epoch instead RE-COMMITS: its
+  * truncate already ran at epoch start, so an abort would leave the
+  * table empty — and re-committing is value-idempotent because the
+  * engine replays the epoch from the same offsets. Epoch ids are
   * monotone per query, so the log is one property per query, not per
   * batch.
   *
@@ -58,6 +62,7 @@ class GraftStreamingWrite(
     db: String,
     tableName: String,
     queryId: String,
+    truncatesPerEpoch: Boolean,
     newEpoch: () => GraftBatchWrite)
   extends StreamingWrite {
 
@@ -89,13 +94,22 @@ class GraftStreamingWrite(
     // writer of the same table.
     val alreadyCommitted = store.loadTableLocked(db, tableName)
       .properties.get(epochProp).exists(_.toLong >= epochId)
-    if (alreadyCommitted) {
-      // a restart replayed an epoch whose commit already published:
-      // drop this run's staged files and keep the original data
+    if (alreadyCommitted && !truncatesPerEpoch) {
+      // APPEND mode: a restart replayed an epoch whose commit already
+      // published — drop this run's staged files, keep the original data
       delegate.abort(messages)
     } else {
-      delegate.metaExtra =
-        m => m.copy(properties = m.properties + (epochProp -> epochId.toString))
+      // New epoch — or a replayed COMPLETE-mode (truncate) epoch. The
+      // latter must RE-COMMIT, not abort: its truncate already ran at
+      // epoch start (preWriteDeletes at factory creation, the batch
+      // path's delete timing), so aborting here would leave the table
+      // EMPTY — losing the original epoch's data the abort meant to
+      // protect. Re-committing is value-idempotent in complete mode:
+      // the engine replays the epoch with the same offsets, so the
+      // truncate-then-publish lands the identical full result.
+      delegate.metaExtra = m => m.copy(properties = m.properties +
+        (epochProp -> math.max(epochId,
+          m.properties.get(epochProp).map(_.toLong).getOrElse(-1L)).toString))
       delegate.commit(messages)
     }
   }

@@ -321,7 +321,7 @@ class GraftWrite(
           s"modes only (requested write mode: $other)")
     }
     new GraftStreamingWrite(store, db, meta.name, info.queryId(),
-      () => newEpochBatchWrite())
+      truncatesPerEpoch = mode == Truncate, () => newEpochBatchWrite())
   }
 
   /** One job-scoped batch write: fresh job id, committer and

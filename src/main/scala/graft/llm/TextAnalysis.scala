@@ -592,6 +592,34 @@ object TextAnalysis {
           .as("last_tok"))
   }
 
+  /** Zipf de-skew for token-keyed scoring joins (q71/q72/q82): a web
+    * corpus's token stream is Zipf-distributed — "the" alone is ~5% of
+    * English tokens — so a shuffle join on the token key concentrates
+    * heavy hitters into single partitions. Probe rows whose key falls
+    * in the top-`headK` of `build` (by `freq` desc, keys asc — a
+    * deterministic cut) route through a BROADCAST hash join and are
+    * never shuffled on the token key; only the tail (per-key frequency
+    * bounded by the head cut, by construction) takes the shuffle join.
+    * Value-transparent: both paths read the same `build` row per key,
+    * so the hash gates are unchanged. `headK` bounds the broadcast at
+    * ~headK × row-width driver/executor memory (10⁴ default — the same
+    * class as q66b's broadcast target maps); the head join removes the
+    * skew RELIANCE on AQE rather than leaving it mitigated-by-engine.
+    * The head cut is materialized ONCE (`localCheckpoint`) — it feeds
+    * both the inner join and the tail-carving anti-join, and the two
+    * broadcast subtrees would otherwise each run the build-side
+    * top-K pass. */
+  private def headTailScoreJoin(
+      probe: DataFrame, build: DataFrame, keys: Seq[String],
+      freq: Column, headK: Int): DataFrame = {
+    val ord = freq.desc +: keys.map(col(_).asc)
+    val head = build.orderBy(ord: _*).limit(headK).localCheckpoint()
+    probe.join(broadcast(head), keys)
+      .unionByName(
+        probe.join(broadcast(head.select(keys.map(col): _*)), keys, "left_anti")
+          .join(build, keys))
+  }
+
   /** Corpus-unigram log-probability score — the CCNet/Gopher-style LM
     * quality filter with the LM trained on the corpus itself: p(tok) =
     * cnt(tok)/total, per-doc score = mean log p over its tokens. Low
@@ -612,30 +640,6 @@ object TextAnalysis {
     * ([[headTailScoreJoin]]): the top-10⁴ tokens — the Zipf mass —
     * join broadcast with no shuffle of their rows, the bounded tail
     * takes the equality join. No driver-side state. */
-  /** Zipf de-skew for token-keyed scoring joins (q71/q72/q82): a web
-    * corpus's token stream is Zipf-distributed — "the" alone is ~5% of
-    * English tokens — so a shuffle join on the token key concentrates
-    * heavy hitters into single partitions. Probe rows whose key falls
-    * in the top-`headK` of `build` (by `freq` desc, keys asc — a
-    * deterministic cut) route through a BROADCAST hash join and are
-    * never shuffled on the token key; only the tail (per-key frequency
-    * bounded by the head cut, by construction) takes the shuffle join.
-    * Value-transparent: both paths read the same `build` row per key,
-    * so the hash gates are unchanged. `headK` bounds the broadcast at
-    * ~headK × row-width driver/executor memory (10⁴ default — the same
-    * class as q66b's broadcast target maps); the head join removes the
-    * skew RELIANCE on AQE rather than leaving it mitigated-by-engine. */
-  private def headTailScoreJoin(
-      probe: DataFrame, build: DataFrame, keys: Seq[String],
-      freq: Column, headK: Int): DataFrame = {
-    val ord = freq.desc +: keys.map(col(_).asc)
-    val head = broadcast(build.orderBy(ord: _*).limit(headK))
-    probe.join(head, keys)
-      .unionByName(
-        probe.join(head.select(keys.map(col): _*), keys, "left_anti")
-          .join(build, keys))
-  }
-
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       headVocab: Int = 10000): DataFrame = {
     val toks = docs.filter(col(textCol).isNotNull)

@@ -31,10 +31,13 @@ object ScaleProbe {
     "q69_dedup_containment", "q74b_knn_graph_ivf", "s14_stream_near_dedup")
 
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
-    val reps = if (args.length > 2) args(2).toInt else 10
+    // flags and positionals may mix in any order:
+    //   ScaleProbe [baseDir] [outDir] [reps] [--skip-build]
     val skipBuild = args.contains("--skip-build")
+    val pos = args.filterNot(_.startsWith("--"))
+    val base = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (pos.length > 1) pos(1) else "/tmp/graft_scaleprobe"
+    val reps = if (pos.length > 2) pos(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,12 +90,14 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     // min-of-2 BOTH sides after a warm-up (the sandbox's documented
-    // 1.6x single-pass jitter lands on the exponent otherwise), small
-    // and big interleaved so neither side owns a cold or hot machine
+    // 1.6x single-pass jitter lands on the exponent otherwise),
+    // alternating small/big so neither side owns a hotter machine state
     Heavy.foreach { name =>
       time(name, base) // warm-up (JIT/codegen/streaming engine init)
-      val tSmall = math.min(time(name, base), time(name, base))
-      val tBig = math.min(time(name, out), time(name, out))
+      val (s1, b1) = (time(name, base), time(name, out))
+      val (s2, b2) = (time(name, base), time(name, out))
+      val tSmall = math.min(s1, s2)
+      val tBig = math.min(b1, b2)
       val exp = math.log(tBig / tSmall) / math.log(reps.toDouble)
       println(f"SCALEPROBE $name%-28s t1x=$tSmall%7.2fs t${reps}x=$tBig%8.2fs exponent=$exp%5.2f")
     }

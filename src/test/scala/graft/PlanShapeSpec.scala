@@ -216,7 +216,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "q71" -> graft.llm.TextAnalysis.unigramLogProb(
         graft.Tables(spark, sf0001, "documents"), "doc_id", "text"),
       "q72" -> graft.llm.TextAnalysis.bigramLogProb(
-        graft.Tables(spark, sf0001, "documents"), "doc_id", "text")
+        graft.Tables(spark, sf0001, "documents"), "doc_id", "text"),
+      "q82" -> LlmQueries.q82_nb_quality(spark, sf0001)
     ).foreach { case (n, df) =>
       val p = plan(df)
       assert(p.contains("BroadcastHashJoin"),

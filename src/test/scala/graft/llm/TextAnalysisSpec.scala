@@ -116,6 +116,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(agree > 0.6, s"classifier agrees with its own training labels only $agree")
   }
 
+  test("bpeMerges honors maxVocabWords: merges derive only from the frequency-cut vocabulary") {
+    import spark.implicits._
+    // 'zzzz'×2 would dominate pair counts ((z,z) appears 3×/word → 6)
+    // but loses the FREQUENCY cut at maxVocabWords=2 to 'ab'×3 and
+    // 'ac'×2 ('ac' < 'zzzz' on the word-asc tiebreak at freq 2) — so
+    // the first merge must be (a,b,3), and no z merge may ever appear.
+    val docs = Seq((1L, "ab ab ab zzzz zzzz ac ac")).toDF("doc_id", "text")
+    val capped = TextAnalysis.bpeMerges(docs, "text", steps = 2, maxVocabWords = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(capped.head === ("a", "b", 3L))
+    assert(!capped.exists(m => m._1.contains("z") || m._2.contains("z")),
+      s"a merge leaked from beyond the vocabulary cut: $capped")
+    // uncapped, the dominant zzzz pair wins — the cap is load-bearing
+    val uncapped = TextAnalysis.bpeMerges(docs, "text", steps = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(uncapped.head === ("z", "z", 6L))
+  }
+
   test("bpeMerges exhausts gracefully when no pairs remain") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")

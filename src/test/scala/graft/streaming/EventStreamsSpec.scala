@@ -94,6 +94,57 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("native streaming write, COMPLETE mode: a replayed truncate epoch re-commits, never empties the table") {
+    // The review-caught failure shape: complete mode truncates at epoch
+    // START (preWriteDeletes at factory creation), so an abort-on-replay
+    // would leave the table EMPTY after a checkpoint-loss restart. The
+    // replayed truncate epoch must re-commit instead (value-idempotent:
+    // same offsets, same full result).
+    import org.apache.spark.sql.functions._
+    graft.GraftBootstrap.ensure(spark, sf0001)
+    val cat = graft.GraftBootstrap.CatalogName
+    val tgt = s"$cat.tmp.s15_complete"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val input = java.nio.file.Files.createTempDirectory("graft_s15c_in_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s15c_ck_")
+    def gen(a: Long, b: Long) = spark.range(a, b).select(col("id"),
+      (col("id") % 3).cast("string").as("k"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    def start() = agg(spark.readStream.schema(gen(0, 1).schema)
+      .parquet(input.toString))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt.toString).toTable(tgt)
+    def landed() = spark.table(tgt).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    try {
+      gen(0, 90).write.mode("append").parquet(input.toString)
+      agg(gen(0, 0)).writeTo(tgt).create()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(landed() === Seq(("0", 30L), ("1", 30L), ("2", 30L)))
+      // crash between sink commit and checkpoint commit record
+      assert(new java.io.File(ckpt.toFile, "commits/0").delete())
+      new java.io.File(ckpt.toFile, "commits/.0.crc").delete()
+      val q2 = start() // replays epoch 0: truncate already ran — must re-commit
+      try {
+        q2.processAllAvailable()
+        assert(landed() === Seq(("0", 30L), ("1", 30L), ("2", 30L)),
+          "replayed complete-mode epoch emptied or duplicated the table")
+        gen(90, 120).write.mode("append").parquet(input.toString)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(landed() === Seq(("0", 40L), ("1", 40L), ("2", 40L)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tgt")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(input.toString), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt.toString), true)
+    }
+  }
+
   test("native streaming write into a PARTITIONED table registers partitions exactly once") {
     // the scaladoc's day-partitioned-ingest claim: the streaming write
     // must honor the batch path's partition-column clustering
