@@ -750,4 +750,108 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
+
+  /** SUBSTRING-level exact dedup (q84) — the ExactSubstr class of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): remove every span of ≥ `minLen` tokens whose
+    * content appears (at least) twice anywhere in the corpus —
+    * verbatim quotes, mirrored paragraphs, re-crawled bodies inside
+    * otherwise-distinct pages. The document-level operators
+    * ([[exactGroups]], [[minhashLshPairs]]) can't see these: a 10 k-token
+    * page quoting a 200-token license is neither an exact nor a near
+    * dup of anything.
+    *
+    * The published algorithm builds one corpus-wide suffix array — a
+    * sequential, single-machine structure. The distributed formulation
+    * here is the k-gram-chain relaxation (the same reformulation used
+    * by paragraph/Bloom variants of ExactSubstr in public pipelines):
+    * a span of L ≥ k tokens duplicated verbatim contains L−k+1
+    * duplicated k-grams at consecutive starts, so
+    *   1. explode overlapping k-grams (start position + gram text),
+    *   2. a gram occurring ≥ 2 times corpus-wide (count(*), so
+    *      within-document repetition counts — the paper's "second
+    *      occurrence" rule) marks its start position as covered,
+    *   3. per document, merge covered intervals [s, s+k−1] into
+    *      maximal runs ROW-LOCALLY (a fold over the sorted start list
+    *      — no gaps-and-islands window, no per-position explode),
+    *   4. drop runs of ≥ minLen tokens; rebuild the surviving text in
+    *      order.
+    * The relaxation admits a superset of the suffix-array spans: a
+    * maximal run's k-grams may match DIFFERENT witnesses, so the run
+    * as a whole need not occur verbatim elsewhere (chained-overlap
+    * over-removal — the accepted trade of every distributed
+    * reformulation; with minLen = 2k−1 any reported run still contains
+    * at least one duplicated window of k tokens ... minLen). Removal is
+    * SYMMETRIC — all occurrences go, not keep-first: keep-first needs a
+    * global document order (the suffix array gave the paper one for
+    * free), which a distributed pipeline neither has nor wants —
+    * survivor choice by arrival order is irreproducible under
+    * re-partitioning. Symmetric removal is order-free, hence
+    * hash-gateable.
+    *
+    * 100 TB posture: one explode pass (rows ≈ tokens; the gram df
+    * aggregate map-side combines — at petabyte scale key it on
+    * xxhash64(gram) so the shuffle carries 8-byte keys, the q27
+    * discipline); the dup-mark is a semi-join on the gram key (AQE
+    * skew-join absorbs stopword-run heavy hitters; a `maxShingleDf`-
+    * style cap does NOT apply — a gram in 10⁶ docs is exactly what
+    * must be removed); interval merge + rebuild are per-document
+    * row-local (state bounded by the doc's own length, q73's
+    * collect_list class). No windows, no cross-doc joins after the
+    * semi-join.
+    *
+    * Output: one row per non-null-text document — (doc_id, n_tokens,
+    * n_dup_spans, n_removed_tokens, kept_text); a fully-duplicated
+    * document survives with empty kept_text (auditable verdict, not a
+    * silent drop — the q73 contract). */
+  def stripDupSubstrings(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minLen: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k): a span " +
+      "shorter than one gram window can never be marked")
+    val kEnd = k - 1
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .localCheckpoint() // shared: gram explode + final rebuild
+    // overlapping k-grams with start positions; the `when` guard is the
+    // TextOps.shingles rule (sequence(0, negative) descends, not empties)
+    val grams = base.select(col("doc_id"),
+        posexplode(when(size(col("toks")) >= k, expr(
+          s"transform(sequence(0, size(toks) - $k), " +
+            s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+      .localCheckpoint() // feeds the df aggregate AND the semi-join probe
+    val dupGrams = grams.groupBy("gram")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("gram")
+    val dupStarts = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    base.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      // row-local interval merge: starts ascend, each covers [x, x+k-1];
+      // runs fuse when the next start lands inside-or-adjacent to the
+      // open interval (x <= e+1 — consecutive tokens form one span)
+      .withColumn("spans", expr(
+        s"""filter(
+           |  aggregate(starts,
+           |    cast(array() as array<struct<s:int,e:int>>),
+           |    (acc, x) -> if(size(acc) > 0 AND x <= element_at(acc, -1).e + 1,
+           |      concat(slice(acc, 1, size(acc) - 1),
+           |        array(named_struct('s', element_at(acc, -1).s,
+           |                           'e', greatest(element_at(acc, -1).e, x + $kEnd)))),
+           |      concat(acc, array(named_struct('s', x, 'e', x + $kEnd))))),
+           |  sp -> sp.e - sp.s + 1 >= $minLen)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("spans")).cast("long").as("n_dup_spans"),
+        expr("aggregate(spans, cast(0 as bigint), " +
+          "(a, sp) -> a + cast(sp.e - sp.s + 1 as bigint))").as("n_removed_tokens"),
+        concat_ws(" ", expr(
+          """transform(
+            |  filter(transform(toks, (t, p) -> named_struct('t', t, 'p', p)),
+            |    tp -> NOT exists(spans, sp -> tp.p >= sp.s AND tp.p <= sp.e)),
+            |  tp -> tp.t)""".stripMargin)).as("kept_text"))
+  }
 }

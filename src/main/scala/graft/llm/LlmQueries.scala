@@ -37,6 +37,19 @@ object LlmQueries {
     Dedup.exactKeepRichest(docs(spark, dir), "doc_id", "text")
       .orderBy(col("content_hash"))
 
+  // ---------------------------------------------------------------- q84
+  /** Substring-level exact dedup — the ExactSubstr class (Lee et al.
+    * 2022) as a distributed k-gram-chain: every ≥16-token span whose
+    * content occurs twice anywhere in the corpus is removed from all
+    * its hosts, surviving text rebuilt in order (see
+    * [[Dedup.stripDupSubstrings]] for the relaxation semantics and the
+    * symmetric-removal rationale). Exact counts + deterministic
+    * strings ⇒ hash-gated. */
+  def q84_dedup_substrings(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripDupSubstrings(docs(spark, dir), "doc_id", "text",
+      k = 8, minLen = 16)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q28
   /** Near-duplicate pairs by exact word-trigram Jaccard ≥ 0.8 via the
     * inverted-index shingle join (never all-pairs). */
@@ -766,6 +779,7 @@ object LlmQueries {
     "q43_redact" -> (q43_redact _),
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q83_dedup_keep_richest" -> (q83_dedup_keep_richest _),
+    "q84_dedup_substrings" -> (q84_dedup_substrings _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
     "q29_dedup_minhash_lsh" -> (q29_dedup_minhash_lsh _),
     "q69_dedup_containment" -> (q69_dedup_containment _),
@@ -878,6 +892,49 @@ object LlmQueries {
           |  FROM h)
           | SELECT content_hash, doc_id AS keep_id, n_raw_chars, n_copies
           | FROM r WHERE rk = 1 ORDER BY content_hash""".stripMargin,
+      // The oracle states the same span set via gaps-and-islands over
+      // exploded covered positions (SQL has no typed fold); the Spark
+      // side merges intervals row-locally — identical maximal runs:
+      // the union of [s, s+k-1] merged by adjacency IS the set of
+      // maximal covered runs the island numbering recovers.
+      "q84_dedup_substrings" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          | g0 AS (
+          |  SELECT doc_id,
+          |   [array_to_string(toks[(i+1):(i+8)], ' ')
+          |    for i in range(0, greatest(len(toks) - 7, 0))] AS gl
+          |  FROM t),
+          | g AS (SELECT doc_id, unnest(range(len(gl))) AS pos, unnest(gl) AS gram FROM g0),
+          | dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          | ds AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+          | cov AS (SELECT DISTINCT doc_id, ds.pos + r.d AS p
+          |         FROM ds CROSS JOIN range(0, 8) r(d)),
+          | isl AS (SELECT doc_id, p,
+          |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          |         FROM cov),
+          | sp AS (SELECT doc_id, min(p) AS s, max(p) AS e
+          |        FROM isl GROUP BY doc_id, grp
+          |        HAVING max(p) - min(p) + 1 >= 16),
+          | spd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+          |                CAST(sum(e - s + 1) AS BIGINT) AS n_removed_tokens
+          |         FROM sp GROUP BY doc_id),
+          | tp AS (SELECT doc_id, unnest(range(len(toks))) AS p, unnest(toks) AS tok FROM t),
+          | keptpos AS (
+          |   SELECT tp.doc_id, tp.p, tp.tok FROM tp
+          |   WHERE NOT EXISTS (SELECT 1 FROM sp
+          |     WHERE sp.doc_id = tp.doc_id AND tp.p BETWEEN sp.s AND sp.e)),
+          | kept AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS kept_text
+          |          FROM keptpos GROUP BY doc_id)
+          | SELECT t.doc_id,
+          |   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |   coalesce(spd.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+          |   coalesce(spd.n_removed_tokens, CAST(0 AS BIGINT)) AS n_removed_tokens,
+          |   coalesce(kept.kept_text, '') AS kept_text
+          | FROM t LEFT JOIN spd USING (doc_id) LEFT JOIN kept USING (doc_id)
+          | ORDER BY t.doc_id""".stripMargin,
       "q28_dedup_jaccard" -> (shingleCtes + "\n" + jaccardSelect),
       "q29_dedup_minhash_lsh" -> (shingleCtes + "\n" + jaccardSelect),
       // Same shingle pipeline, asymmetric metric: |A∩B| / min(|A|,|B|).

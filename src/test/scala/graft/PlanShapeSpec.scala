@@ -121,13 +121,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "q75" -> LlmQueries.q75_semdedup(spark, sf0001),
       // q74b's candidates come from an equality join on the coarse
       // quantizer's bucket id — the n² self-join it exists to avoid.
-      "q74b" -> LlmQueries.q74b_knn_graph_ivf(spark, sf0001)
+      "q74b" -> LlmQueries.q74b_knn_graph_ivf(spark, sf0001),
+      // q84's dup-mark is a semi-join on the gram key; the interval
+      // merge and rebuild are row-local folds — a Window (islands) or
+      // per-position join regression would shuffle k× the corpus.
+      "q84" -> LlmQueries.q84_dedup_substrings(spark, sf0001)
     ).foreach { case (n, df) =>
       val p = plan(df)
       Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
         assert(!p.contains(bad), s"$n: found $bad in physical plan:\n$p")
       }
     }
+  }
+
+  test("q84's span merge is row-local — no Window in the plan") {
+    // The islands formulation (row_number over covered positions) lives
+    // only in the oracle; the operator folds each doc's own start list.
+    val p = plan(LlmQueries.q84_dedup_substrings(spark, sf0001))
+    assert(!p.contains("Window"), s"q84: islands-window regression:\n$p")
   }
 
   test("q83's richest-variant dedup is one aggregate — the window lives only in the oracle") {

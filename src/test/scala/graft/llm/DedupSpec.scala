@@ -374,4 +374,88 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(inPairs(id), s"dropped $id has no near-duplicate at tau")
     }
   }
+
+  // ------------------------------------------------- q84 substring dedup
+
+  private def q84Out(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 8, minLen: Int = 16) =
+    Dedup.stripDupSubstrings(docs, "doc_id", "text", k, minLen).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("n_removed_tokens"), r.getAs[String]("kept_text"))))
+      .toMap
+
+  test("substring dedup excises a shared span from ALL hosts, exactly the span") {
+    import spark.implicits._
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $quote delta epsilon"),
+      (2L, s"one two three four five $quote six seven"),
+      (3L, "totally unique text with no duplicated content anywhere here at all")
+    ).toDF("doc_id", "text")
+    val out = q84Out(docs)
+    // coverage is the union of duplicated 8-gram windows: grams
+    // straddling the quote boundary differ by context, so the removed
+    // span is EXACTLY the 20-token quote — no bleed into host text
+    assert(out(1L) === ((25L, 1L, 20L, "alpha beta gamma delta epsilon")))
+    assert(out(2L) === ((27L, 1L, 20L, "one two three four five six seven")))
+    assert(out(3L)._2 === 0L)
+    assert(out(3L)._4 === "totally unique text with no duplicated content anywhere here at all")
+  }
+
+  test("substring dedup counts WITHIN-document repetition; both occurrences go") {
+    import spark.implicits._
+    val span = (1 to 16).map(i => s"r$i").mkString(" ")
+    val docs = Seq((1L, s"$span middle words $span")).toDF("doc_id", "text")
+    val out = q84Out(docs)
+    // two disjoint maximal runs (the straddling grams occur once), each
+    // >= minLen — symmetric removal leaves only the unique middle
+    assert(out(1L) === ((34L, 2L, 32L, "middle words")))
+  }
+
+  test("substring dedup keeps duplicated spans SHORTER than minLen") {
+    import spark.implicits._
+    val short = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"first host context words $short tail one"),
+      (2L, s"second host other context $short tail two")
+    ).toDF("doc_id", "text")
+    val out = q84Out(docs)
+    // the 10-token run is detected as covered but fails the minLen=16
+    // gate — reported clean, text intact ("tail one/two" differ)
+    assert(out(1L)._2 === 0L)
+    assert(out(1L)._3 === 0L)
+    assert(out(1L)._4.contains(short))
+    assert(out(2L)._4.contains(short))
+  }
+
+  test("substring dedup: exact-duplicate documents both empty out, auditable") {
+    import spark.implicits._
+    val body = (1 to 18).map(i => s"b$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, body), (3L, "tiny")).toDF("doc_id", "text")
+    val out = q84Out(docs)
+    // full-body duplication: one span covering everything, kept_text
+    // empty but the ROW survives (verdict, not a silent drop)
+    assert(out(1L) === ((18L, 1L, 18L, "")))
+    assert(out(2L) === ((18L, 1L, 18L, "")))
+    // sub-k doc: no grams, passes through untouched
+    assert(out(3L) === ((1L, 0L, 0L, "tiny")))
+  }
+
+  test("substring dedup fixture invariants: token conservation and span consistency") {
+    val out = Dedup.stripDupSubstrings(fixtureDocs, "doc_id", "text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val removed = r.getAs[Long]("n_removed_tokens")
+      val keptText = r.getAs[String]("kept_text")
+      val keptN = if (keptText.isEmpty) 0L else keptText.split(" ").length.toLong
+      assert(keptN === n - removed,
+        s"doc ${r.getAs[Long]("doc_id")}: $n tokens, $removed removed, $keptN kept")
+      val spans = r.getAs[Long]("n_dup_spans")
+      // every reported span is >= minLen tokens; none without removal
+      assert((spans == 0L) === (removed == 0L))
+      if (spans > 0) assert(removed >= 16L * spans)
+    }
+  }
 }
