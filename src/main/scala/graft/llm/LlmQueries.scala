@@ -50,6 +50,29 @@ object LlmQueries {
       k = 8, minLen = 16)
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q85
+  /** The q85 merge table — a FIXED rank-ordered rule list (the trained
+    * artifact as a parameter, q66b's pattern), chosen to exercise rule
+    * chaining on the fixture vocabulary ((t,a)→ta feeds (ta,b)→tab;
+    * (r,o)→ro feeds (ro,w)→row). Shared verbatim by the Spark query
+    * and the generated oracle replace-chain, so there is one source of
+    * truth for the contract. The train∘encode composition (encoding
+    * with [[TextAnalysis.bpeMerges]]' LEARNED rules) is gated in
+    * TextAnalysisSpec — a learned table can't live in a static oracle.
+    */
+  private[graft] val Q85Merges: Seq[(String, String)] = Seq(
+    ("s", "c"), ("t", "a"), ("ta", "b"), ("l", "e"),
+    ("a", "s"), ("r", "o"), ("ro", "w"), ("h", "a"))
+
+  /** BPE tokenizer application — q81's other half: encode every doc
+    * with the fixed merge table, reporting per-doc piece counts and
+    * fertility (see [[TextAnalysis.bpeEncode]] for the row-local
+    * fold and the separator-armored oracle equivalence). Exact counts
+    * + one r4 division ⇒ hash-gated. */
+  def q85_bpe_encode(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(docs(spark, dir), "doc_id", "text", Q85Merges)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q28
   /** Near-duplicate pairs by exact word-trigram Jaccard ≥ 0.8 via the
     * inverted-index shingle join (never all-pairs). */
@@ -780,6 +803,7 @@ object LlmQueries {
     "q27_dedup_exact" -> (q27_dedup_exact _),
     "q83_dedup_keep_richest" -> (q83_dedup_keep_richest _),
     "q84_dedup_substrings" -> (q84_dedup_substrings _),
+    "q85_bpe_encode" -> (q85_bpe_encode _),
     "q28_dedup_jaccard" -> (q28_dedup_jaccard _),
     "q29_dedup_minhash_lsh" -> (q29_dedup_minhash_lsh _),
     "q69_dedup_containment" -> (q69_dedup_containment _),
@@ -935,6 +959,41 @@ object LlmQueries {
           |   coalesce(kept.kept_text, '') AS kept_text
           | FROM t LEFT JOIN spd USING (doc_id) LEFT JOIN kept USING (doc_id)
           | ORDER BY t.doc_id""".stripMargin,
+      // Generated from Q85Merges — one source of truth with the Spark
+      // fold chain. Each rule is one left-to-right replace over the
+      // separator-armored symbol string (see TextAnalysis.bpeEncode's
+      // equivalence note); chr(31) is stripped from the text up front
+      // on both sides.
+      "q85_bpe_encode" -> {
+        val S = "chr(31)"
+        val armored = s"$S || array_to_string(string_split(wd, ''), $S||$S) || $S"
+        val chain = Q85Merges.foldLeft(armored) { case (e, (l, r)) =>
+          s"replace($e, $S||'$l'||$S||$S||'$r'||$S, $S||'$l$r'||$S)"
+        }
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    list_filter(
+           |      string_split(lower(trim(regexp_replace(
+           |        replace(text, chr(31), ''), '\\s+', ' ', 'g'))), ' '),
+           |      w -> w != '') AS ws
+           |  FROM documents WHERE text IS NOT NULL),
+           | e AS (
+           |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           |   [string_split(trim($chain, chr(31)), chr(31)||chr(31))
+           |    for wd in ws] AS pieces
+           |  FROM t),
+           | f AS (
+           |  SELECT doc_id, n_words,
+           |    COALESCE(CAST(list_sum([len(p) for p in pieces]) AS BIGINT),
+           |             CAST(0 AS BIGINT)) AS n_pieces,
+           |    CAST(len(list_distinct(flatten(pieces))) AS BIGINT) AS n_distinct_pieces
+           |  FROM e)
+           | SELECT doc_id, n_words, n_pieces, n_distinct_pieces,
+           |   CASE WHEN n_words > 0
+           |     THEN round(CAST(n_pieces AS DOUBLE) / n_words * 10000) / 10000
+           |   END AS fert4
+           | FROM f ORDER BY doc_id""".stripMargin
+      },
       "q28_dedup_jaccard" -> (shingleCtes + "\n" + jaccardSelect),
       "q29_dedup_minhash_lsh" -> (shingleCtes + "\n" + jaccardSelect),
       // Same shingle pipeline, asymmetric metric: |A∩B| / min(|A|,|B|).

@@ -273,6 +273,63 @@ object TextAnalysis {
         col("right"), col("merged"), col("weight"))
   }
 
+  /** BPE tokenizer APPLICATION (q85) — [[bpeMerges]]' other half: encode
+    * every document with a GIVEN merge table (the trained artifact),
+    * reporting per-doc subword statistics including fertility
+    * (pieces/word — THE tokenizer-fit metric: a mismatched tokenizer
+    * inflates it, and over-fragmented docs train badly). The merge
+    * table is a driver-side parameter (q66b's target-map pattern):
+    * rules apply in rank order, each as the same left-to-right
+    * non-overlapping greedy fold [[bpeMerges]] trains with — so
+    * encode∘train round-trips exactly (TextAnalysisSpec gates the
+    * composition against an independent reference encoder).
+    *
+    * 100 TB posture: the merge chain compiles into ONE row-local
+    * projection (nested folds over each word's own symbols — no joins,
+    * no shuffle, no state; the corpus streams through in a single
+    * map). Cost is O(tokens · merges); a production 30k-rule table
+    * would instead broadcast a trie/longest-match automaton through
+    * the same row-local shape — the per-rule fold is the
+    * rank-faithful form at inventory scale.
+    *
+    * Hash-gate note: the fold is oracle-expressible WITHOUT a typed
+    * fold — on a separator-armored string (sep‖sym‖sep‖sep‖…‖sep),
+    * one left-to-right `replace(sep·l·sep·sep·r·sep → sep·lr·sep)` per
+    * rule is EXACTLY the greedy non-overlapping merge (the replacement
+    * is never re-scanned, and double separators keep symbol boundaries
+    * unambiguous), so DuckDB states the same chain as nested replaces.
+    * The separator (U+001F) is stripped from the text first on both
+    * sides, making the armor collision-free by construction. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
+      "merge sides must be non-empty")
+    val sep = "\u001f"
+    val encodeWord: Column => Column = { w =>
+      val chars = array_remove(split(w, ""), "")
+      merges.foldLeft(chars) { case (sym, (l, r)) =>
+        aggregate(sym, array().cast("array<string>"),
+          (acc, x) => when(
+            get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+      }
+    }
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        filter(tokens(translate(col(textCol), sep, "")), w => w =!= "").as("ws"))
+      .withColumn("pieces", transform(col("ws"), encodeWord))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(col("pieces"), lit(0L),
+          (a, p) => a + size(p).cast("long")).as("n_pieces"),
+        size(array_distinct(flatten(col("pieces")))).cast("long")
+          .as("n_distinct_pieces"))
+      .withColumn("fert4", when(col("n_words") > 0,
+        r4(col("n_pieces").cast("double") / col("n_words").cast("double"))))
+  }
+
   /** Whitespace-token and BPE-ish subtoken counts ([a-z]+ | [0-9]+ |
     * single non-alnum runs over the lowercased text). */
   def withTokenCounts(docs: DataFrame, textCol: String): DataFrame =

@@ -200,6 +200,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q70: expected a shuffle-free plan:\n$p")
   }
 
+  test("q85 BPE encoding is shuffle-free — the merge chain is one row-local projection") {
+    // The operator's scale claim: encoding with a trained merge table
+    // never shuffles or joins — the corpus streams through a single map.
+    val p = plan(graft.llm.TextAnalysis.bpeEncode(
+      graft.Tables(spark, sf0001, "documents"), "doc_id", "text",
+      LlmQueries.Q85Merges))
+    assert(!p.contains("Exchange"), s"q85: expected a shuffle-free plan:\n$p")
+    assert(!p.contains("Join"), s"q85: expected a join-free plan:\n$p")
+  }
+
   test("q71's scoring join is an equality join; only the 1-row total broadcasts nested-loop") {
     // The tokens⋈vocab join must hash/merge on the token key — a
     // nested-loop regression would be O(tokens·vocab) at scale. The ONE

@@ -9,6 +9,8 @@ import graft.SparkFixture
   * redaction chain and count correctness on adversarial inputs. */
 class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
 
+  private def fixtureDocs = graft.Tables(spark, sf0001, "documents")
+
   test("redaction replaces emails before digit runs, never double-counting") {
     import spark.implicits._
     val docs = Seq(
@@ -478,5 +480,74 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L)._3 === 0.425)
     assert(!out(3L)._4,
       "char-weighted gate must catch the long repeated span the count form passes")
+  }
+
+  // --------------------------------------------------- q85 BPE encoding
+
+  /** Reference encoder: apply rules in rank order, each a greedy
+    * left-to-right non-overlapping pass — independent of the Column
+    * fold under test. */
+  private def refEncode(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var sym = word.split("").toVector
+    merges.foreach { case (l, r) =>
+      var acc = Vector.empty[String]
+      sym.foreach { x =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc = acc.init :+ (l + r)
+        else acc :+= x
+      }
+      sym = acc
+    }
+    sym
+  }
+
+  test("bpeEncode: hand-checked pieces, counts and fertility") {
+    import spark.implicits._
+    val docs = Seq((1L, "the table rows as fast scan")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+      LlmQueries.Q85Merges).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // [t,h,e][tab,le][row,s][as][f,as,t][sc,a,n] — 14 pieces, 12 distinct
+    assert(r.getAs[Long]("n_words") === 6L)
+    assert(r.getAs[Long]("n_pieces") === 14L)
+    assert(r.getAs[Long]("n_distinct_pieces") === 12L)
+    assert(r.getAs[Double]("fert4") === 2.3333)
+  }
+
+  test("bpeEncode applies rules in RANK order — reversal changes the encoding") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val fwd = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+      Seq(("a", "b"), ("ab", "c"))).collect().head
+    assert(fwd.getAs[Long]("n_pieces") === 1L, "chained rules must compose to [abc]")
+    val rev = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+      Seq(("ab", "c"), ("a", "b"))).collect().head
+    assert(rev.getAs[Long]("n_pieces") === 2L,
+      "(ab,c) before (a,b) exists must leave [ab, c]")
+  }
+
+  test("bpeEncode composes with bpeMerges: learned rules round-trip vs the reference encoder") {
+    val docs = fixtureDocs.limit(120).cache()
+    val learned = TextAnalysis.bpeMerges(docs, "text", steps = 8).collect()
+      .sortBy(_.getAs[Long]("step"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(learned.nonEmpty)
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", learned).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+          r.getAs[Long]("n_distinct_pieces"))))
+      .toMap
+    val texts = docs.selectExpr("doc_id",
+      "lower(trim(regexp_replace(text, '\\\\s+', ' '))) AS t").collect()
+    assert(texts.nonEmpty)
+    texts.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val words = row.getAs[String]("t").split(" ").filter(_.nonEmpty).toSeq
+      val pieces = words.map(w => refEncode(w, learned))
+      val want = (words.size.toLong,
+        pieces.map(_.size.toLong).sum,
+        pieces.flatten.distinct.size.toLong)
+      assert(got(id) === want, s"doc $id: encode mismatch vs reference")
+    }
   }
 }
