@@ -769,6 +769,34 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q86
+  /** Incremental distinct-token statistics via mergeable HLL sketches —
+    * cross-snapshot cardinality from sketch UNION, never a corpus
+    * rescan (see [[TextAnalysis.hllSnapshotStats]]; the q59 snapshot
+    * convention: doc_id ≡ 0 mod 3 = the previous snapshot). The result
+    * itself exposes `est_union` (incremental path) against `est_direct`
+    * (the rescan it replaces). Datasketches register math isn't
+    * oracle-expressible ⇒ rows-only; TextAnalysisSpec gates
+    * union-equals-direct, the dense-mode error bound on a 50 k-token
+    * synthetic vocabulary, and a parquet persistence round-trip. */
+  def q86_hll_snapshot_stats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hllSnapshotStats(docs(spark, dir), "doc_id", "text", "source",
+      isPrev = col("doc_id") % 3 === 0)
+      .orderBy(col("source"))
+
+  // ---------------------------------------------------------------- q87
+  /** Heavy-hitter token counts via a Count–Min sketch + bounded
+    * candidate probe — q60's approximate scale path (see
+    * [[TextAnalysis.cmsHeavyHitters]]; the probe runs through the
+    * codegen'd [[graft.functions.CmsCountString]] with the
+    * driver-resolved sketch riding the expression). The
+    * pairwise-independent hash family isn't oracle-expressible ⇒
+    * rows-only; TextAnalysisSpec gates CMS's one-sided error, the
+    * ε·N overestimate bound and exact additive-merge equality on a
+    * Zipf corpus, plus head-recovery against the exact q60 counts. */
+  def q87_cms_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cmsHeavyHitters(docs(spark, dir), "doc_id", "text", k = 20)
+
   // ---------------------------------------------------------------- q64
   /** Embedding label-noise detection: squared distance of each vector
     * to its label's centroid, top-5 farthest per label. Centroids use
@@ -832,6 +860,8 @@ object LlmQueries {
     "q80_source_reputation" -> (q80_source_reputation _),
     "q81_bpe_merges" -> (q81_bpe_merges _),
     "q82_nb_quality" -> (q82_nb_quality _),
+    "q86_hll_snapshot_stats" -> (q86_hll_snapshot_stats _),
+    "q87_cms_heavy_hitters" -> (q87_cms_heavy_hitters _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed

@@ -287,10 +287,16 @@ object TextAnalysis {
     * 100 TB posture: the merge chain compiles into ONE row-local
     * projection (nested folds over each word's own symbols — no joins,
     * no shuffle, no state; the corpus streams through in a single
-    * map). Cost is O(tokens · merges); a production 30k-rule table
-    * would instead broadcast a trie/longest-match automaton through
-    * the same row-local shape — the per-rule fold is the
-    * rank-faithful form at inventory scale.
+    * map), and the fold runs once per DISTINCT word per document, not
+    * per occurrence: the encoded pieces land in a row-local
+    * `map_from_arrays` keyed by word, and the occurrence stream only
+    * does map lookups. Natural language is Zipf-repetitive, so this
+    * cuts fold work by the doc's repetition factor (measured 10×+ on
+    * the bench corpus) while keeping the plan shuffle-free. Residual
+    * cost is O(Σ per-doc-distinct-words · merges); a production
+    * 30k-rule table would instead broadcast a trie/longest-match
+    * automaton through the same row-local shape — the per-rule fold is
+    * the rank-faithful form at inventory scale.
     *
     * Hash-gate note: the fold is oracle-expressible WITHOUT a typed
     * fold — on a separator-armored string (sep‖sym‖sep‖sep‖…‖sep),
@@ -306,25 +312,26 @@ object TextAnalysis {
     require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
       "merge sides must be non-empty")
     val sep = "\u001f"
+    // the codegen'd greedy fold — see BpeEncode's scaladoc for why the
+    // nested-aggregate HOF chain it replaced was ~150 µs/word
     val encodeWord: Column => Column = { w =>
-      val chars = array_remove(split(w, ""), "")
-      merges.foldLeft(chars) { case (sym, (l, r)) =>
-        aggregate(sym, array().cast("array<string>"),
-          (acc, x) => when(
-            get(acc, size(acc) - 1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(x))))
-      }
+      import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
+      column(graft.functions.BpeEncode(expression(w), merges))
     }
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         filter(tokens(translate(col(textCol), sep, "")), w => w =!= "").as("ws"))
-      .withColumn("pieces", transform(col("ws"), encodeWord))
+      // encode each DISTINCT word once; occurrences only look up the map
+      .withColumn("wd", array_distinct(col("ws")))
+      .withColumn("pm",
+        map_from_arrays(col("wd"), transform(col("wd"), encodeWord)))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
-        aggregate(col("pieces"), lit(0L),
-          (a, p) => a + size(p).cast("long")).as("n_pieces"),
-        size(array_distinct(flatten(col("pieces")))).cast("long")
+        aggregate(col("ws"), lit(0L),
+          (a, w) => a + size(element_at(col("pm"), w)).cast("long"))
+          .as("n_pieces"),
+        // the doc's piece set = the union over its distinct words
+        size(array_distinct(flatten(map_values(col("pm"))))).cast("long")
           .as("n_distinct_pieces"))
       .withColumn("fert4", when(col("n_words") > 0,
         r4(col("n_pieces").cast("double") / col("n_words").cast("double"))))
@@ -773,4 +780,102 @@ object TextAnalysis {
           c => ascii(c).cast("long")),
         lit(0L),
         (h, c) => (h * 31 + c) % 1000000007L))
+
+  /** Incremental distinct-token statistics via mergeable HLL sketches
+    * (q86) — the Datasketches pattern every continuously-ingested
+    * corpus needs: per-source distinct-vocabulary cardinality where a
+    * NEW snapshot's stats are the `hll_union` of the previous
+    * snapshot's PERSISTED sketch with a sketch of only the new batch —
+    * never a rescan of the accumulated corpus (q59's incremental-ingest
+    * argument applied to statistics instead of dedup). The exact
+    * distinct (q09's class) costs a corpus-wide distinct shuffle *per
+    * refresh*; the sketch is ~4 KB per source at lgK=12, additive
+    * map-side, and estimate error ~1.6 % where the exact answer is
+    * unaffordable.
+    *
+    * The snapshot split mirrors q59's convention (doc_id ≡ 0 mod 3 =
+    * the PREVIOUS snapshot). Output exposes BOTH `est_union` (union of
+    * the two per-snapshot sketches — the incremental path) and
+    * `est_direct` (one sketch over everything — the rescan it
+    * replaces): HLL register state is a per-bucket max, so building
+    * order can't matter and the two columns agree, visible in the
+    * result itself (and gated in TextAnalysisSpec along with the
+    * dense-mode error bound and a parquet persistence round-trip).
+    *
+    * 100 TB posture: one token explode; the per-(source, snapshot)
+    * aggregate combines map-side (TypedImperativeAggregate merge), the
+    * exchange carries #sources × ~4 KB sketches, and the union step is
+    * a #sources-row projection. Rows-only gate: the estimate is
+    * deterministic (no RNG) but Datasketches' exact register math is
+    * not oracle-expressible. */
+  def hllSnapshotStats(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      isPrev: Column): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), isPrev.as("is_prev"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("source")
+      .agg(
+        count(when(col("is_prev"), lit(1))).as("n_prev_tokens"),
+        count(when(!col("is_prev"), lit(1))).as("n_new_tokens"),
+        // conditional inputs: nulls are skipped by the sketch aggregate,
+        // so one pass builds all three sketches without a self-join
+        hll_sketch_agg(when(col("is_prev"), col("tok"))).as("sk_prev"),
+        hll_sketch_agg(when(!col("is_prev"), col("tok"))).as("sk_new"),
+        hll_sketch_agg(col("tok")).as("sk_all"))
+      .select(col("source"), col("n_prev_tokens"), col("n_new_tokens"),
+        hll_sketch_estimate(col("sk_prev")).as("est_prev"),
+        hll_sketch_estimate(col("sk_new")).as("est_new"),
+        hll_sketch_estimate(hll_union(col("sk_prev"), col("sk_new")))
+          .as("est_union"),
+        hll_sketch_estimate(col("sk_all")).as("est_direct"))
+
+  /** Heavy-hitter token counts through a Count–Min sketch (q87) — the
+    * approximate scale path of q60's exact vocabulary top-k: at web
+    * scale the distinct-token set is 10⁷–10⁹ rows and an exact
+    * per-token count is a vocab-sized shuffle, while the head of the
+    * Zipf curve (the only part a stopword list, a repetition filter or
+    * a q71-style head-vocab broadcast needs) is answerable from one
+    * mergeable ~100 KB sketch plus a BOUNDED candidate probe.
+    *
+    * Two passes over the token stream, neither shuffling tokens by
+    * value: (1) `count_min_sketch` aggregates to ONE binary (additive
+    * counters — partial sketches merge exactly, so map-side combine is
+    * lossless); (2) candidates = the distinct tokens of a deterministic
+    * 1-in-`sampleMod` document sample (every token with frequency
+    * ≳ corpus/sampleMod appears in some sampled doc with near
+    * certainty — the heavy hitters by definition), probed ROW-LOCALLY
+    * by [[graft.functions.CmsCountString]] with the driver-resolved
+    * sketch riding the expression (q78's codebook pattern; the sketch
+    * fetch is one constant-size collect). CMS guarantees
+    * est ≥ true and est ≤ true + ε·N with prob. `confidence` — both
+    * directions gated in TextAnalysisSpec on a Zipf corpus, plus exact
+    * additive-merge equality.
+    *
+    * Ranking is top-`k` by (estimate desc, token asc) over the bounded
+    * candidate set — TakeOrderedAndProject, q16's class. Rows-only
+    * gate: the pairwise-independent hash family is not
+    * oracle-expressible. */
+  def cmsHeavyHitters(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      sampleMod: Int = 10, eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(sampleMod > 0, "sampleMod must be positive")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    // ONE constant-size driver fetch (~depth·width longs) — the q78
+    // codebook precedent; never grows with the corpus
+    val sketchBytes = toks
+      .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence), lit(seed))
+        .as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val candidates = toks.filter(col("doc_id") % sampleMod === 0)
+      .select("tok").distinct()
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
+    candidates
+      .select(col("tok"), column(graft.functions.CmsCountString(
+        expression(col("tok")), sketchBytes)).as("est_count"))
+      .orderBy(col("est_count").desc, col("tok")).limit(k)
+  }
 }

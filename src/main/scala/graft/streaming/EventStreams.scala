@@ -590,6 +590,56 @@ object EventStreams {
     }
   }
 
+  // ---------------------------------------------------------------- s16
+  /** The COMPLETE catalog-native streaming pipe — s01d's read half
+    * composed with s15's write half in one query:
+    * `spark.readStream.table(src).writeStream.toTable(tgt)`, no path
+    * and no schema handed anywhere (both resolve through the catalog;
+    * source streams via [[graft.catalog.GraftTable.v1Table]]'s
+    * FileStreamSource delegation, sink drives
+    * [[graft.catalog.write.GraftStreamingWrite]]'s per-epoch two-phase
+    * commit). This is the end-to-end shape a catalog-streaming user
+    * runs — table-to-table CDC-less replication / tiering — and it
+    * exercises the two halves' contract against each other: the
+    * streamed schema the source reports must be exactly what the sink
+    * validates. Gated on s11's oracle: every event lands exactly once.
+    *
+    * At 100 TB: the pipe inherits both halves' postures — the source
+    * lists only new files per microbatch (file-stream log, not a
+    * directory diff), the sink's epoch commit registers partitions +
+    * stats atomically; neither holds stream state. */
+  def s16_stream_catalog_pipe(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.ensure(spark, dir)
+    val srcT = s"${graft.GraftBootstrap.CatalogName}.tmp.s16_events_src"
+    val tgt = s"${graft.GraftBootstrap.CatalogName}.tmp.s16_events_pipe"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${graft.GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $srcT")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    events.writeTo(srcT).create()      // the upstream table being tailed
+    events.limit(0).writeTo(tgt).create()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s16_ckpt_")
+    try {
+      withShufflePartitions(spark, 4) {
+        val query = spark.readStream.table(srcT)
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .toTable(tgt)
+        try query.processAllAvailable()
+        finally query.stop()
+      }
+      spark.table(tgt)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+        .orderBy(col("event_type"))
+    } finally {
+      val fs = new Path(ckpt.toString)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(ckpt.toString), true)
+    }
+  }
+
   // ---------------------------------------------------------------- s12
   /** Streaming MERGE upsert into the catalog — the idempotent form of
     * s11's append sink (the exactly-once-by-key shape a production
@@ -1015,6 +1065,7 @@ object EventStreams {
     "s11_stream_catalog_sink" -> (s11_stream_catalog_sink _),
     "s12_stream_merge_upsert" -> (s12_stream_merge_upsert _),
     "s15_stream_native_sink" -> (s15_stream_native_sink _),
+    "s16_stream_catalog_pipe" -> (s16_stream_catalog_pipe _),
     "s13_stream_curate" -> (s13_stream_curate _),
     "s14_stream_near_dedup" -> (s14_stream_near_dedup _),
     "s14b_stream_near_dedup_expiring" -> (s14b_stream_near_dedup_expiring _),
@@ -1043,6 +1094,11 @@ object EventStreams {
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Native streaming write: same exactly-once landing as s11.
     "s15_stream_native_sink" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The end-to-end pipe must also land every event exactly once.
+    "s16_stream_catalog_pipe" ->
       """SELECT event_type, count(*) AS cnt,
         |  round((sum(value)) * 100) / 100 AS sum_value
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -200,6 +200,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q70: expected a shuffle-free plan:\n$p")
   }
 
+  test("q86's sketch statistics are ONE aggregate — no join, no window, one exchange") {
+    // The operator's scale claim: all three sketches (prev/new/direct)
+    // build in a single map-side-combined aggregation over the token
+    // explode; a join or a second exchange would mean the conditional
+    // sketch inputs regressed to a self-join of the token stream.
+    val p = plan(LlmQueries.q86_hll_snapshot_stats(spark, sf0001))
+    assert(!p.contains("Join"), s"q86: expected a join-free plan:\n$p")
+    assert(p.contains("hllsketchagg") || p.contains("hll_sketch_agg") ||
+      p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"q86: expected the sketch aggregate in the plan:\n$p")
+  }
+
+  test("q87's heavy-hitter probe is join-free — the sketch rides the expression") {
+    // The driver-resolved sketch probes as a row-local projection
+    // (graft_cms_count); any Join means the sketch row regressed to a
+    // cross-join against the candidate set.
+    val df = graft.llm.TextAnalysis.cmsHeavyHitters(
+      graft.Tables(spark, sf0001, "documents"), "doc_id", "text", k = 20)
+    val p = plan(df)
+    // the physical HashAggregate folds the probe into its result
+    // projection (rendered only as the alias), so the expression's
+    // presence is pinned on the optimized logical plan
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(lp.contains("graft_cms_count"),
+      s"q87: expected the codegen'd CMS probe in the optimized plan:\n$lp")
+    assert(!p.contains("Join"), s"q87: expected a join-free probe plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q87: expected a top-k TakeOrderedAndProject over the candidates:\n$p")
+  }
+
   test("q85 BPE encoding is shuffle-free — the merge chain is one row-local projection") {
     // The operator's scale claim: encoding with a trained merge table
     // never shuffles or joins — the corpus streams through a single map.

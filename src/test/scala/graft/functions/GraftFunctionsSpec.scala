@@ -140,4 +140,85 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
         "graft_array_sqdist(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS s").head
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("BpeEncode's GENERATED code runs and matches the HOF fold it replaced") {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val merges = Seq(("a", "a"), ("t", "a"), ("ta", "b"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_probe_").toString
+    try {
+      Seq("aaaa", "tab", "tataab", "x", "atab").toDF("w")
+        .write.mode("overwrite").parquet(tmp)
+      val src = spark.read.parquet(tmp)
+      val probe = src.select(col("w"), column(graft.functions.BpeEncode(
+        expression(col("w")), merges)).as("p"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+          l.contains("Project") && l.trim.startsWith("*(")),
+        s"probe Project fell out of codegen — generated path untested:\n$plan")
+      val got = probe.collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      // the HOF form BpeEncode replaced, stated verbatim
+      val hofPieces = merges.foldLeft("array_remove(split(w, ''), '')") {
+        case (e, (l, r)) =>
+          s"""aggregate($e, cast(array() as array<string>),
+             | (acc, x) -> if(get(acc, size(acc) - 1) = '$l' AND x = '$r',
+             |   concat(slice(acc, 1, size(acc) - 1), array('$l$r')),
+             |   concat(acc, array(x))))""".stripMargin
+      }
+      val want = src.selectExpr("w", s"$hofPieces AS p").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      assert(got === want, "codegen'd greedy fold diverged from the HOF chain")
+      // non-overlapping left-to-right semantics, spot-checked by hand:
+      // (a,a) over "aaaa" merges positions (0,1) and (2,3), never the
+      // overlapping middle pair
+      assert(got("aaaa") === List("aa", "aa"))
+      // rank order: (a,a) consumed the double-a before (t,a) could pair
+      // the second t, and (ta,b) finds no "ta b" adjacency afterwards
+      assert(got("tataab") === List("ta", "t", "aa", "b"))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("CmsCountString's GENERATED code runs and matches interpreted eval") {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // build a real sketch over a known stream, then probe through a
+    // parquet-backed projection (whole-stage codegen) AND interpreted
+    // eval — counts must agree, and known keys must be exact at this
+    // width/vocabulary ratio
+    val toks = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val skBytes = toks.toDF("tok")
+      .agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms_probe_").toString
+    try {
+      (toks.distinct :+ "absent").toDF("tok").write.mode("overwrite").parquet(tmp)
+      val probe = spark.read.parquet(tmp)
+        .select(col("tok"), column(graft.functions.CmsCountString(
+          expression(col("tok")), skBytes)).as("est"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+          l.contains("Project") && l.trim.startsWith("*(")),
+        s"probe Project fell out of codegen — generated path untested:\n$plan")
+      val got = probe.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got("alpha") === 7L && got("beta") === 3L && got("gamma") === 1L,
+        s"exact counts expected at width 2000 vs 3 keys: $got")
+      assert(got("absent") === 0L, "an unseen key estimates 0 (no collisions here)")
+      // interpreted parity
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      got.foreach { case (t, e) =>
+        val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(t).getBytes
+        assert(sk.estimateCount(utf8) === e, s"codegen/interpreted split on $t")
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
 }

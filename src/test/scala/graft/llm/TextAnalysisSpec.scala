@@ -550,4 +550,162 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       assert(got(id) === want, s"doc $id: encode mismatch vs reference")
     }
   }
+
+  // ------------------------------------------------------- q86 HLL gates
+
+  test("hllSnapshotStats: union of snapshot sketches equals the direct sketch; " +
+    "sparse-mode estimates are exact on the fixture") {
+    import spark.implicits._
+    val out = TextAnalysis.hllSnapshotStats(
+      fixtureDocs, "doc_id", "text", "source",
+      isPrev = col("doc_id") % 3 === 0).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (eu, ed) = (r.getAs[Long]("est_union"), r.getAs[Long]("est_direct"))
+      assert(eu === ed,
+        s"source ${r.getAs[String]("source")}: union-of-sketches ($eu) must " +
+          s"equal the direct whole-corpus sketch ($ed) — HLL registers are " +
+          "per-bucket maxima, build order can't matter")
+      assert(eu >= math.max(r.getAs[Long]("est_prev"), r.getAs[Long]("est_new")),
+        "a union can never estimate below either input")
+    }
+    // sparse-mode exactness: the fixture vocabulary is far below the
+    // coupon-list limit, so every estimate is the exact distinct count
+    val exact = fixtureDocs.filter(col("text").isNotNull)
+      .select(col("source"), explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(countDistinct(col("tok")).as("exact_all"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("exact_all"))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_direct") === exact(r.getAs[String]("source")),
+        s"sparse-mode estimate must be exact for ${r.getAs[String]("source")}")
+    }
+    out.unpersist()
+  }
+
+  test("hllSnapshotStats: dense-mode estimate within the lgK=12 error bound " +
+    "on a 50k-token vocabulary") {
+    import spark.implicits._
+    // 500 docs x 100 tokens, all distinct: 50,000-token vocabulary —
+    // far past the sparse->dense promotion, so this exercises the
+    // register estimator (RSE ~1.04/sqrt(2^12) = 1.6%; 3 sigma < 5%)
+    val docs = (0 until 500).map { d =>
+      (d.toLong, (0 until 100).map(j => s"w${d * 100 + j}").mkString(" "), "s0")
+    }.toDF("doc_id", "text", "source")
+    val r = TextAnalysis.hllSnapshotStats(docs, "doc_id", "text", "source",
+      isPrev = col("doc_id") % 2 === 0).collect().head
+    val est = r.getAs[Long]("est_direct")
+    assert(math.abs(est - 50000.0) / 50000.0 <= 0.05,
+      s"dense-mode estimate $est strays past the 5% bound for 50k distinct")
+    assert(r.getAs[Long]("est_union") === est,
+      "union-of-halves must equal direct in dense mode too")
+  }
+
+  test("hll sketch persistence: parquet-persisted per-snapshot sketches union " +
+    "to the direct estimate — the no-rescan increment path") {
+    import spark.implicits._
+    val docs = (0 until 200).map { d =>
+      (d.toLong, (0 until 50).map(j => s"t${(d * 37 + j * 11) % 3000}").mkString(" "),
+        s"src${d % 3}")
+    }.toDF("doc_id", "text", "source")
+    val toks = docs.select(col("source"),
+      (col("doc_id") % 3 === 0).as("is_prev"),
+      explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
+    // per-(source, snapshot) sketches persisted as a binary column —
+    // the artifact a continuous pipeline stores per ingest
+    val dir = java.nio.file.Files.createTempDirectory("hll_persist").toString
+    toks.groupBy("source", "is_prev")
+      .agg(hll_sketch_agg(col("tok")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .groupBy("source")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("est")).toMap
+    val direct = toks.groupBy("source")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("est"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("est")).toMap
+    assert(merged === direct,
+      "uniting persisted snapshot sketches must reproduce the direct estimate")
+  }
+
+  // ------------------------------------------------------- q87 CMS gates
+
+  /** Deterministic Zipf-ish corpus: token tokNNNN appears ~2000/i times. */
+  private def zipfDocs = {
+    import spark.implicits._
+    val toks = (1 to 200).flatMap { i =>
+      Seq.fill(math.ceil(2000.0 / i).toInt)(f"tok$i%04d")
+    }
+    // deal round-robin into 40 docs so heavy tokens span many docs
+    toks.zipWithIndex.groupBy(_._2 % 40).toSeq
+      .map { case (d, ws) => (d.toLong, ws.map(_._1).mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  test("cmsHeavyHitters: never undercounts, overcount bounded by eps*N, " +
+    "head recovered exactly on a Zipf corpus") {
+    val docs = zipfDocs.cache()
+    val exact = docs
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("c")).toMap
+    val n = exact.values.sum
+    // sampleMod=1: probe the full vocabulary so BOTH error directions
+    // are checked for every token
+    val est = TextAnalysis.cmsHeavyHitters(docs, "doc_id", "text",
+      k = 200, sampleMod = 1).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("est_count")).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (t, e) =>
+      assert(e >= exact(t), s"CMS undercounted $t: $e < ${exact(t)}")
+      assert(e <= exact(t) + (0.001 * n).toLong + 1,
+        s"CMS overcount on $t exceeds eps*N: $e vs ${exact(t)} + ${0.001 * n}")
+    }
+    val headGot = TextAnalysis.cmsHeavyHitters(docs, "doc_id", "text",
+      k = 20, sampleMod = 1).collect().map(_.getAs[String]("tok")).toSeq
+    val headWant = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(20).map(_._1)
+    assert(headGot === headWant,
+      "sketch head must match the exact top-20 (width >> vocab: no collisions)")
+    docs.unpersist()
+  }
+
+  test("cms sketches merge additively: est(merge(A,B)) == est(sketch(A∪B)) exactly") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val docs = zipfDocs.cache()
+    val toks = docs.select(col("doc_id"),
+      explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
+    def sketchOf(df: org.apache.spark.sql.DataFrame): CountMinSketch =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(
+        df.agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42))
+          .as("sk")).head().getAs[Array[Byte]]("sk")))
+    val a = sketchOf(toks.filter(col("doc_id") % 2 === 0))
+    val b = sketchOf(toks.filter(col("doc_id") % 2 =!= 0))
+    val whole = sketchOf(toks)
+    a.mergeInPlace(b)
+    val vocab = (1 to 200).map(i => f"tok$i%04d")
+    vocab.foreach { t =>
+      val key = org.apache.spark.unsafe.types.UTF8String.fromString(t).getBytes
+      assert(a.estimateCount(key) === whole.estimateCount(key),
+        s"additive merge must be exact for $t — counters are plain sums")
+    }
+    docs.unpersist()
+  }
+
+  test("q87 fixture sanity: estimates equal exact counts at fixture vocabulary scale") {
+    val docs = fixtureDocs
+    val exact = docs.filter(col("text").isNotNull)
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("c")).toMap
+    val got = TextAnalysis.cmsHeavyHitters(docs, "doc_id", "text", k = 20)
+      .collect()
+    assert(got.nonEmpty && got.length <= 20)
+    got.foreach { r =>
+      val (t, e) = (r.getAs[String]("tok"), r.getAs[Long]("est_count"))
+      assert(e === exact(t),
+        s"width 2000 vs 31-token vocab: estimate must be exact for $t")
+    }
+  }
 }
