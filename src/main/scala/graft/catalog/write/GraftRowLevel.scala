@@ -214,7 +214,12 @@ private[write] object GraftCowScan {
     val index: PartitioningAwareFileIndex =
       if (m.isPartitioned) new graft.catalog.GraftFileIndex(spark, m, cache)
       else new InMemoryFileIndex(spark, Seq(new Path(m.location)),
-        m.properties, Some(m.schema), cache)
+        // option-prefixed props only — raw descriptor props carry
+        // stream-epoch bookkeeping and pure metadata (comment/owner),
+        // which must never surface as listing/format parameters (the
+        // same rule newScanBuilder/v1Table/prepareWrite apply)
+        graft.catalog.GraftCatalog.optionProps(m.properties),
+        Some(m.schema), cache)
     val opts = new CaseInsensitiveStringMap(
       (graft.catalog.GraftCatalog.optionProps(m.properties) ++
         options.asScala).asJava)

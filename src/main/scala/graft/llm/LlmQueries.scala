@@ -780,7 +780,7 @@ object LlmQueries {
     * union-equals-direct, the dense-mode error bound on a 50 k-token
     * synthetic vocabulary, and a parquet persistence round-trip. */
   def q86_hll_snapshot_stats(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.hllSnapshotStats(docs(spark, dir), "doc_id", "text", "source",
+    TextAnalysis.hllSnapshotStats(docs(spark, dir), "text", "source",
       isPrev = col("doc_id") % 3 === 0)
       .orderBy(col("source"))
 

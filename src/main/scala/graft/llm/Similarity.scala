@@ -49,10 +49,22 @@ object Similarity {
     column(graft.functions.ArraySqDist(expression(a), expression(b)))
   }
 
-  /** Project (id, vector) to doubles and attach the L2 norm. */
+  /** Project (id, vector) to doubles and attach the L2 norm.
+    *
+    * Zero-norm vectors (padded/deleted embeddings) are EXCLUDED here,
+    * at the single entry point every cosine consumer shares: a zero
+    * vector has no direction, so every cosine against it is 0/0 = NaN —
+    * and NaN sorts ABOVE every real score in a descending ranking, so
+    * one degenerate row would hijack rank 1 of each query's top-k (the
+    * round-13 q78 `anrm > 0` audit finding, generalized: that guard
+    * protected only the ADC approximation, while the exact re-rank
+    * divides by THIS frame's `nrm`). Excluding at the source makes the
+    * rule uniform across q31/q32/q38/q40/q74/q75/q78/q78b instead of
+    * per-stage. */
   def normalized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
     vecs.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
 
   /** Per-label centroid distance + top-k outliers: the label-noise
     * detector of an embedding-annotated training set. Centroids are

@@ -141,7 +141,8 @@ object TextAnalysis {
     * (a single class) have no defined log-odds — the operator refuses
     * with a clear error rather than emitting NaN scores. */
   def nbQualityScores(docs: DataFrame, idCol: String, textCol: String,
-      srcCol: String, floor: Double = 0.5): DataFrame = {
+      srcCol: String, floor: Double = 0.5,
+      headVocab: Int = 10000): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
       col(textCol).as("text"))
     val scored = withQuality(base, "text")
@@ -183,7 +184,7 @@ object TextAnalysis {
         .cast("long").as("wq"))
     // the q71 de-skew: head tokens join broadcast, tail shuffles
     headTailScoreJoin(toks.select(col("doc_id"), col("tok")), w,
-      Seq("tok"), col("freq"), headK = 10000)
+      Seq("tok"), col("freq"), headVocab)
       .groupBy(col("doc_id"))
       .agg((sum(col("wq")) + lit(bq)).as("sq"))
       .select(col("doc_id"),
@@ -809,7 +810,7 @@ object TextAnalysis {
     * deterministic (no RNG) but Datasketches' exact register math is
     * not oracle-expressible. */
   def hllSnapshotStats(
-      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      docs: DataFrame, textCol: String, sourceCol: String,
       isPrev: Column): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(col(sourceCol).as("source"), isPrev.as("is_prev"),
@@ -870,7 +871,11 @@ object TextAnalysis {
       .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence), lit(seed))
         .as("sk"))
       .head().getAs[Array[Byte]]("sk")
-    val candidates = toks.filter(col("doc_id") % sampleMod === 0)
+    // hash-based sampling: works for ANY id type (a `% sampleMod` on
+    // the raw id silently empties the sample for string ids — the cast
+    // nulls — or for id spaces that skip residue class 0)
+    val candidates = toks
+      .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
       .select("tok").distinct()
     import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
     candidates

@@ -557,7 +557,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     "sparse-mode estimates are exact on the fixture") {
     import spark.implicits._
     val out = TextAnalysis.hllSnapshotStats(
-      fixtureDocs, "doc_id", "text", "source",
+      fixtureDocs, "text", "source",
       isPrev = col("doc_id") % 3 === 0).cache()
     val rows = out.collect()
     assert(rows.nonEmpty)
@@ -594,7 +594,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     val docs = (0 until 500).map { d =>
       (d.toLong, (0 until 100).map(j => s"w${d * 100 + j}").mkString(" "), "s0")
     }.toDF("doc_id", "text", "source")
-    val r = TextAnalysis.hllSnapshotStats(docs, "doc_id", "text", "source",
+    val r = TextAnalysis.hllSnapshotStats(docs, "text", "source",
       isPrev = col("doc_id") % 2 === 0).collect().head
     val est = r.getAs[Long]("est_direct")
     assert(math.abs(est - 50000.0) / 50000.0 <= 0.05,
