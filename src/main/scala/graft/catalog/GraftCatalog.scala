@@ -167,6 +167,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"table property '$k' is reserved: the stream-epoch log is " +
           "maintained by streaming write commits")
     }
+    GraftCatalog.validateClusterBy(props, schema, partitionColumns, ident.name)
     val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, defaultProvider).toLowerCase
     require(GraftConf.SupportedProviders.contains(provider),
       s"unsupported provider $provider (${GraftConf.SupportedProviders.mkString(", ")})")
@@ -339,6 +340,38 @@ object GraftCatalog {
   val BucketCountProp: String = "graft.bucket.count"
   val BucketColumnsProp: String = "graft.bucket.columns"
 
+  /** Sort-clustering declaration: comma-separated data columns every
+    * write to the table must be sorted by WITHIN each task, after the
+    * partition clustering (`GraftWrite.requiredOrdering`). The scan-side
+    * payoff is parquet row-group min-max locality: a range predicate on
+    * the cluster column skips non-matching row groups in the vectorized
+    * reader. USER-settable (CREATE TBLPROPERTIES / ALTER SET — unlike
+    * the bucket spec there is no correctness contract a stale value
+    * could corrupt: ordering is enforced on every write by the engine,
+    * and reads never assume it), validated at create and at write. */
+  val ClusterByProp: String = "graft.cluster.by"
+
+  private[graft] def clusterColumns(props: Map[String, String]): Seq[String] =
+    props.get(ClusterByProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Shared by createTable and the write path: cluster columns must be
+    * DATA columns (a partition column is constant within its partition
+    * dir — ordering by it is vacuous and almost certainly a mistake). */
+  private[graft] def validateClusterBy(
+      props: Map[String, String], schema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String], table: String): Unit = {
+    val cols = clusterColumns(props)
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"$ClusterByProp on $table names unknown column '$c' " +
+          s"(schema: ${schema.fieldNames.mkString(", ")})")
+      require(!partitionColumns.contains(c),
+        s"$ClusterByProp on $table names partition column '$c' — " +
+          "partition values are constant per directory; cluster by a data column")
+    }
+  }
+
   /** Properties managed by the catalog itself, never stored verbatim. */
   val ReservedTableProps: Set[String] = Set(
     TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
@@ -349,7 +382,7 @@ object GraftCatalog {
     * single-char line-comment marker) would break every read of the
     * table. */
   val NonOptionProps: Set[String] = Set("comment", "owner",
-    BucketCountProp, BucketColumnsProp)
+    BucketCountProp, BucketColumnsProp, ClusterByProp)
 
   /** Per-streaming-query committed-epoch log: property
     * `graft.stream.epoch.<queryId>` holds the highest epoch id the named

@@ -294,13 +294,30 @@ class GraftWrite(
 
   private val partCols = meta.partitionColumns
 
+  // `graft.cluster.by` (q88): user-declared sort clustering, validated
+  // here as the backstop for ALTER-set values (createTable validates
+  // eagerly). Ordering is enforced on EVERY write — append, overwrite,
+  // compaction — so the property can never describe stale layout.
+  private val clusterCols: Seq[String] = {
+    val cols = graft.catalog.GraftCatalog.clusterColumns(meta.properties)
+    if (cols.nonEmpty)
+      graft.catalog.GraftCatalog.validateClusterBy(
+        meta.properties, meta.schema, partCols, meta.name)
+    cols
+  }
+
   override def requiredDistribution(): Distribution =
     if (partCols.isEmpty) Distributions.unspecified()
     else Distributions.clustered(partCols.map(c =>
       Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
 
+  /** Partition columns first (few large files per partition), then the
+    * declared cluster columns: each task's rows arrive at the parquet
+    * writer sorted by the cluster key, so row-group min-max statistics
+    * become tight disjoint ranges and a range predicate on the key
+    * skips non-matching row groups in the vectorized reader. */
   override def requiredOrdering(): Array[SortOrder] =
-    partCols.map(c =>
+    (partCols ++ clusterCols).map(c =>
       Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite = newEpochBatchWrite()

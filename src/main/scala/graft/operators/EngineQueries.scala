@@ -192,6 +192,54 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q88
+  /** CLUSTERED compaction — q49's rewrite with a declared sort layout:
+    * the table carries `graft.cluster.by = l_orderkey`, so every write
+    * (here: the compaction's dynamic self-overwrite) sorts each task's
+    * rows by the cluster key after the partition clustering
+    * (`GraftWrite.requiredOrdering`). The scan-side payoff is parquet
+    * row-group min-max locality: fragmented appends interleave the key
+    * range across every file, so a range predicate reads everything;
+    * after the clustered rewrite the key range is contiguous within
+    * each partition's file and the vectorized reader's row-group
+    * statistics skip non-matching groups (per-file sortedness asserted
+    * in WritePathSpec; this query's own gate pins that the clustered
+    * rewrite preserved the data bit-exactly THROUGH a range read).
+    *
+    * At 100 TB this is the Z-order-lite maintenance pass every
+    * time-series/id-ranged table runs: cluster by the hot predicate
+    * column, compact freshly-ingested partitions, and range scans stop
+    * paying for ingest order. */
+  def q88_clustered_compaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q88_li_clustered"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val src = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_returnflag")
+    // fragmented ingest: each append interleaves the whole key range
+    val stripes = 6
+    src.filter($"l_orderkey" % stripes === 0)
+      .writeTo(tgt)
+      .tableProperty(graft.catalog.GraftCatalog.ClusterByProp, "l_orderkey")
+      .partitionedBy($"l_returnflag").create()
+    (1 until stripes).foreach { i =>
+      src.filter($"l_orderkey" % stripes === i).writeTo(tgt).append()
+    }
+    Compaction.compact(spark, tgt)
+    // the read the clustering exists for: a key-range slice
+    spark.table(tgt)
+      .filter($"l_orderkey".between(10000L, 30000L))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum((($"l_orderkey" % 1000003L) * 131071L + $"l_linenumber") % 1000000007L)
+          .as("key_checksum"),
+        r2(sum($"l_extendedprice")).as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
   // ---------------------------------------------------------------- Q50
   /** Cross-catalog federation join — the reference's DEFINING capability
     * (V2ExternalCatalog: several independently-configured Hive-cluster
@@ -357,6 +405,7 @@ object EngineQueries {
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
     "q51_delete" -> (q51_delete _),
     "q49_compaction" -> (q49_compaction _),
+    "q88_clustered_compaction" -> (q88_clustered_compaction _),
     "q50_multi_catalog_join" -> (q50_multi_catalog_join _),
     "q42_json_roundtrip" -> (q42_json_roundtrip _),
     "q45_schema_evolution" -> (q45_schema_evolution _),
@@ -411,6 +460,15 @@ object EngineQueries {
         |       AS BIGINT) AS key_checksum,
         |  round((sum(l_extendedprice)) * 100) / 100 AS sum_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the clustered rewrite must preserve the data exactly through the
+    // range read the clustering exists for
+    "q88_clustered_compaction" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(((l_orderkey % 1000003) * 131071 + l_linenumber) % 1000000007)
+        |       AS BIGINT) AS key_checksum,
+        |  round((sum(l_extendedprice)) * 100) / 100 AS sum_price
+        | FROM lineitem WHERE l_orderkey BETWEEN 10000 AND 30000
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // The pre-ALTER generation reads the added column as NULL; the
     // post-ALTER generation carries real values.
     "q45_schema_evolution" ->

@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Heavy = Seq(
     "q28_dedup_jaccard", "q38b_dedup_embedding_lsh", "q59_cross_snapshot",
-    "q69_dedup_containment", "q74b_knn_graph_ivf", "s14_stream_near_dedup")
+    "q69_dedup_containment", "q74b_knn_graph_ivf", "s14_stream_near_dedup",
+    // round-14 additions with load-bearing scale claims: q84's k-gram
+    // chain (two shuffles, rows ≈ tokens — should be ~linear), q78b's
+    // IVFADC (training-dominated at fixture scale), and the sketch
+    // pair (q86 one sketch aggregate, q87 sketch build + probe — both
+    // should be ~linear in corpus bytes with constant-size state)
+    "q84_dedup_substrings", "q78b_ann_ivfadc_topk",
+    "q86_hll_snapshot_stats", "q87_cms_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:

@@ -365,6 +365,70 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("graft.cluster.by: every write lands per-file sorted by the cluster key; bad declarations refuse") {
+    import spark.implicits._
+    val t = freshTable("t_clustered")
+    // interleaved ingest: each append spans the whole key range, so
+    // without the declared ordering the compacted file would interleave
+    val rows = (0L until 400L).map(i => (i, s"p${i % 2}"))
+    rows.filter(_._1 % 4 == 0).toDF("k", "p")
+      .writeTo(t)
+      .tableProperty(GraftCatalog.ClusterByProp, "k")
+      .partitionedBy($"p").create()
+    (1 to 3).foreach(m => rows.filter(_._1 % 4 == m).toDF("k", "p")
+      .writeTo(t).append())
+    graft.operators.Compaction.compact(spark, t)
+    val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+    val root = new org.apache.hadoop.fs.Path(
+      cat.metaStore.loadTable("wtest", "t_clustered").location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(root, true)
+    var checked = 0
+    while (it.hasNext) {
+      val f = it.next().getPath.toString
+      if (f.endsWith(".parquet")) {
+        // per-FILE sortedness is the layout contract: sorted rows reach
+        // the parquet writer, so row-group min/max become disjoint
+        // ranges and a range predicate skips non-matching groups
+        val ks = spark.read.parquet(f).select("k").collect().map(_.getLong(0)).toSeq
+        assert(ks === ks.sorted, s"file $f not sorted by cluster key")
+        assert(ks.nonEmpty)
+        checked += 1
+      }
+    }
+    assert(checked >= 2, s"expected at least one data file per partition, checked $checked")
+    // every row survived the clustered rewrite
+    assert(spark.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === rows.toSet)
+
+    // unknown column refused at create
+    val bad1 = freshTable("t_clustered_badcol")
+    val e1 = intercept[IllegalArgumentException] {
+      Seq((1L, "x")).toDF("k", "p").writeTo(bad1)
+        .tableProperty(GraftCatalog.ClusterByProp, "nope")
+        .partitionedBy($"p").create()
+    }
+    assert(e1.getMessage.contains("unknown column"))
+    // partition column refused (ordering by it is vacuous)
+    val bad2 = freshTable("t_clustered_badpart")
+    val e2 = intercept[IllegalArgumentException] {
+      Seq((1L, "x")).toDF("k", "p").writeTo(bad2)
+        .tableProperty(GraftCatalog.ClusterByProp, "p")
+        .partitionedBy($"p").create()
+    }
+    assert(e2.getMessage.contains("partition column"))
+    // ALTER-set values are validated at write time (the backstop)
+    val bad3 = freshTable("t_clustered_badalter")
+    Seq((1L, "x")).toDF("k", "p").writeTo(bad3).partitionedBy($"p").create()
+    spark.sql(s"ALTER TABLE $bad3 SET TBLPROPERTIES " +
+      s"('${GraftCatalog.ClusterByProp}' = 'ghost')")
+    val e3 = intercept[IllegalArgumentException] {
+      Seq((2L, "x")).toDF("k", "p").writeTo(bad3).append()
+    }
+    assert(e3.getMessage.contains("unknown column"))
+  }
+
   test("compaction racing an append never loses the append's rows") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
