@@ -240,6 +240,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(newSchema.fields.exists(_.name.equalsIgnoreCase(c)),
           s"cannot drop partition column $c")
       }
+      // validate cluster.by against the POST-change schema and props:
+      // dropping/renaming the cluster column (or SETting a typo) would
+      // otherwise commit and wedge every later write at the
+      // GraftWrite-constructor backstop, far from the ALTER that caused it
+      GraftCatalog.validateClusterBy(
+        newProps, newSchema, meta.partitionColumns, meta.name)
       meta.copy(schemaJson = newSchema.json, properties = newProps)
     } catch {
       case _: java.io.FileNotFoundException => throw new NoSuchTableException(ident)
@@ -355,20 +361,26 @@ object GraftCatalog {
     props.get(ClusterByProp).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
-  /** Shared by createTable and the write path: cluster columns must be
-    * DATA columns (a partition column is constant within its partition
-    * dir — ordering by it is vacuous and almost certainly a mistake). */
+  /** Shared by createTable, alterTable and the write path: cluster
+    * columns must be DATA columns (a partition column is constant
+    * within its partition dir — ordering by it is vacuous and almost
+    * certainly a mistake). Resolution is case-INSENSITIVE, matching
+    * the partition-transform and bucket-column surfaces two branches
+    * above; returns the SCHEMA-resolved names (the write's ordering
+    * expressions use these, so a mixed-case declaration still resolves
+    * at write planning). */
   private[graft] def validateClusterBy(
       props: Map[String, String], schema: org.apache.spark.sql.types.StructType,
-      partitionColumns: Seq[String], table: String): Unit = {
-    val cols = clusterColumns(props)
-    cols.foreach { c =>
-      require(schema.fieldNames.contains(c),
-        s"$ClusterByProp on $table names unknown column '$c' " +
-          s"(schema: ${schema.fieldNames.mkString(", ")})")
-      require(!partitionColumns.contains(c),
+      partitionColumns: Seq[String], table: String): Seq[String] = {
+    clusterColumns(props).map { c =>
+      val resolved = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$ClusterByProp on $table names unknown column '$c' " +
+            s"(schema: ${schema.fieldNames.mkString(", ")})")).name
+      require(!partitionColumns.exists(_.equalsIgnoreCase(resolved)),
         s"$ClusterByProp on $table names partition column '$c' — " +
           "partition values are constant per directory; cluster by a data column")
+      resolved
     }
   }
 

@@ -298,13 +298,9 @@ class GraftWrite(
   // here as the backstop for ALTER-set values (createTable validates
   // eagerly). Ordering is enforced on EVERY write — append, overwrite,
   // compaction — so the property can never describe stale layout.
-  private val clusterCols: Seq[String] = {
-    val cols = graft.catalog.GraftCatalog.clusterColumns(meta.properties)
-    if (cols.nonEmpty)
-      graft.catalog.GraftCatalog.validateClusterBy(
-        meta.properties, meta.schema, partCols, meta.name)
-    cols
-  }
+  private val clusterCols: Seq[String] =
+    graft.catalog.GraftCatalog.validateClusterBy(
+      meta.properties, meta.schema, partCols, meta.name)
 
   override def requiredDistribution(): Distribution =
     if (partCols.isEmpty) Distributions.unspecified()

@@ -910,7 +910,8 @@ object LlmQueries {
     // verify): both compute the identical exact-cosine pair set.
     val embeddingPairsSql =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e
+          |        WHERE list_sum([x*x for x in v]) > 0),
         | p AS (
         |  SELECT a.vec_id AS d1, b.vec_id AS d2,
         |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm) AS c
@@ -1042,7 +1043,8 @@ object LlmQueries {
       // hash-match.
       "q31_ann_cosine_topk" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+          | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e
+          |        WHERE list_sum([x*x for x in v]) > 0),
           | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
           | sims AS (
           |  SELECT q_id, c.vec_id AS n_id,
@@ -1639,7 +1641,8 @@ object LlmQueries {
       // per-query ranks agree.
       "q74_knn_graph" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+          | n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e
+          |        WHERE list_sum([x*x for x in v]) > 0),
           | sims AS (
           |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
           |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)]) / (a.nrm * b.nrm) AS sim

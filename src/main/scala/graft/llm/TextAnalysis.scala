@@ -874,9 +874,15 @@ object TextAnalysis {
     // hash-based sampling: works for ANY id type (a `% sampleMod` on
     // the raw id silently empties the sample for string ids — the cast
     // nulls — or for id spaces that skip residue class 0)
-    val candidates = toks
+    val sampled = toks
       .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
       .select("tok").distinct()
+    // tiny-corpus fallback: with n_docs ≲ sampleMod the hash sample can
+    // deterministically select zero documents — an empty top-k with no
+    // error would silently break the operator's contract, and at that
+    // size the full distinct-token probe is cheaper than the question
+    val candidates =
+      if (sampled.isEmpty) toks.select("tok").distinct() else sampled
     import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
     candidates
       .select(col("tok"), column(graft.functions.CmsCountString(

@@ -418,15 +418,38 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
         .partitionedBy($"p").create()
     }
     assert(e2.getMessage.contains("partition column"))
-    // ALTER-set values are validated at write time (the backstop)
+    // ALTER validates eagerly now: SETting a typo'd cluster column is
+    // refused AT THE ALTER (a committed bad value would wedge every
+    // later write far from its cause), as is dropping the cluster key
+    // (Spark's ALTER exec wraps the catalog's IllegalArgumentException,
+    // so match on the message anywhere in the cause chain)
+    def chainMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     val bad3 = freshTable("t_clustered_badalter")
     Seq((1L, "x")).toDF("k", "p").writeTo(bad3).partitionedBy($"p").create()
-    spark.sql(s"ALTER TABLE $bad3 SET TBLPROPERTIES " +
-      s"('${GraftCatalog.ClusterByProp}' = 'ghost')")
-    val e3 = intercept[IllegalArgumentException] {
-      Seq((2L, "x")).toDF("k", "p").writeTo(bad3).append()
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $bad3 SET TBLPROPERTIES " +
+        s"('${GraftCatalog.ClusterByProp}' = 'ghost')")
     }
-    assert(e3.getMessage.contains("unknown column"))
+    assert(chainMessages(e3).contains("unknown column"),
+      s"typo'd ALTER SET must refuse, got: ${chainMessages(e3)}")
+    val bad4 = freshTable("t_clustered_dropkey")
+    Seq((1L, 2L, "x")).toDF("k", "v", "p").writeTo(bad4)
+      .tableProperty(GraftCatalog.ClusterByProp, "k")
+      .partitionedBy($"p").create()
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $bad4 DROP COLUMN k")
+    }
+    assert(chainMessages(e4).contains("unknown column"),
+      s"dropping the cluster key must refuse, got: ${chainMessages(e4)}")
+    // mixed-case declarations resolve case-insensitively, like the
+    // partition-transform and bucket surfaces
+    val ci = freshTable("t_clustered_mixedcase")
+    Seq((2L, "x"), (1L, "x")).toDF("k", "p").writeTo(ci)
+      .tableProperty(GraftCatalog.ClusterByProp, "K")
+      .partitionedBy($"p").create()
+    assert(spark.table(ci).count() === 2)
   }
 
   test("compaction racing an append never loses the append's rows") {

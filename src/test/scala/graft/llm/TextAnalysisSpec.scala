@@ -693,6 +693,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     docs.unpersist()
   }
 
+  test("nbQualityScores is headVocab-transparent: the head/tail split never changes scores") {
+    val docs = fixtureDocs.limit(60)
+    def scores(hv: Int) = TextAnalysis
+      .nbQualityScores(docs, "doc_id", "text", "source", headVocab = hv)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score4")).toMap
+    // headVocab=1 forces almost everything down the tail join;
+    // a large value broadcasts everything — identical either way
+    assert(scores(1) === scores(10000),
+      "head/tail carve must be value-transparent at any headVocab")
+  }
+
+  test("cmsHeavyHitters falls back to the full vocabulary when the hash sample is empty") {
+    import spark.implicits._
+    // 3 docs: with sampleMod high enough the xxhash64 sample selects
+    // none of them deterministically — the operator must still answer
+    val docs = Seq((101L, "a a b"), (202L, "b c"), (303L, "c c c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cmsHeavyHitters(docs, "doc_id", "text",
+      k = 3, sampleMod = 1000000).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("est_count")).toMap
+    assert(got === Map("c" -> 4L, "a" -> 2L, "b" -> 2L),
+      s"fallback probe must recover the exact head, got $got")
+  }
+
   test("q87 fixture sanity: estimates equal exact counts at fixture vocabulary scale") {
     val docs = fixtureDocs
     val exact = docs.filter(col("text").isNotNull)
