@@ -797,6 +797,17 @@ object LlmQueries {
   def q87_cms_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.cmsHeavyHitters(docs(spark, dir), "doc_id", "text", k = 20)
 
+  // ---------------------------------------------------------------- q90
+  /** DSIR-style data selection — importance reweighting with hashed
+    * n-gram features (see [[TextAnalysis.dsirSelect]] for the published
+    * method, the integer-exactness contract, and the broadcast-weight
+    * scale posture). The target domain is the corpus' English slice;
+    * the top-500 most target-like documents are kept. Hash-gated: the
+    * md5-bucket hash and the ln-on-integer-counts weights are both
+    * cross-engine deterministic. */
+  def q90_dsir_select(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirSelect(docs(spark, dir), "doc_id", "text", "lang")
+
   // ---------------------------------------------------------------- q64
   /** Embedding label-noise detection: squared distance of each vector
     * to its label's centroid, top-5 farthest per label. Centroids use
@@ -862,6 +873,7 @@ object LlmQueries {
     "q82_nb_quality" -> (q82_nb_quality _),
     "q86_hll_snapshot_stats" -> (q86_hll_snapshot_stats _),
     "q87_cms_heavy_hitters" -> (q87_cms_heavy_hitters _),
+    "q90_dsir_select" -> (q90_dsir_select _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -1466,6 +1478,37 @@ object LlmQueries {
       // sum (shuffle-order-free); ln runs on integer-valued doubles in
       // both engines. round is HALF_UP in both; `/` on integers is
       // float division in both.
+      // DSIR selection: the md5-prefix bucket hash is stated as a hex
+      // cast (Spark states it as conv — same 32-bit value); ln runs on
+      // integer-valued doubles with the same left-to-right association
+      // as dsirSelect, so lw_q is an exact long in both engines and the
+      // per-doc sum is integer arithmetic (q71's parity contract).
+      "q90_dsir_select" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang = 'en' AS is_target,
+          |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+          |  FROM documents WHERE text IS NOT NULL),
+          | f AS (
+          |  SELECT doc_id, is_target,
+          |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS bucket
+          |  FROM t),
+          | h AS (
+          |  SELECT bucket, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+          |    count(*) AS cr
+          |  FROM f GROUP BY bucket),
+          | tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM h),
+          | lw AS (
+          |  SELECT bucket,
+          |    CAST(round((ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(tt + 4096 AS DOUBLE))
+          |      - ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(tr + 4096 AS DOUBLE))) * 10000) AS BIGINT) AS lw_q
+          |  FROM h CROSS JOIN tot),
+          | d AS (SELECT doc_id, bucket, count(*) AS cnt FROM f GROUP BY 1, 2),
+          | w AS (
+          |  SELECT doc_id, CAST(sum(cnt * lw_q) AS BIGINT) AS w_q,
+          |    CAST(sum(cnt) AS BIGINT) AS n_tokens
+          |  FROM d JOIN lw USING (bucket) GROUP BY doc_id)
+          | SELECT doc_id, n_tokens, round(w_q / n_tokens) / 10000.0 AS avg_importance
+          | FROM w ORDER BY avg_importance DESC, doc_id LIMIT 500""".stripMargin,
       "q71_unigram_logprob" ->
         """WITH t AS (
           |  SELECT doc_id,

@@ -772,6 +772,66 @@ object TextAnalysis {
         (round(col("sum_lp") / col("n_bigrams")) / 10000.0).as("avg_logprob"))
   }
 
+  /** DSIR-style data selection (q90) — importance reweighting with
+    * hashed n-gram features (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much its token distribution looks like a TARGET domain
+    * versus the RAW pool, using bag-of-hashed-unigram bucket statistics,
+    * and keep the top-k. The target here is the corpus' own
+    * `lang = targetLang` slice (the "in-domain sample" a real pipeline
+    * would draw from Wikipedia/books); the raw pool is the whole corpus.
+    *
+    * Per bucket b: lw(b) = ln p̂_target(b) − ln p̂_raw(b) under add-one
+    * smoothing — ln runs on INTEGER-valued doubles only (the q71/q82
+    * parity contract), quantized to exact longs at 1e-4 nats, so the
+    * per-doc score Σ count(d,b)·lw(b) is exact integer arithmetic and
+    * the top-k boundary is deterministic cross-engine (ties break by
+    * doc_id). The md5-prefix bucket hash is the cross-engine hash
+    * (DuckDB states it as a hex cast; Spark as `conv`).
+    *
+    * 100 TB posture: ONE tokenize pass (localCheckpoint feeds both the
+    * bucket histograms and the per-doc counts); the bucket histogram is
+    * `buckets` rows after map-side combine (65 536 at production scale —
+    * kilobytes); the learned log-weight table BROADCASTS to the scoring
+    * join, so the only real shuffles are the map-side-combined
+    * (doc, bucket) count and the per-doc sum; selection is
+    * TakeOrderedAndProject (top-k per partition → merge on the driver),
+    * never a global sort. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, targetLang: String = "en", buckets: Int = 4096,
+      topK: Int = 500): DataFrame = {
+    val feats = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        (col(langCol) === targetLang).as("is_target"),
+        explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets)
+      .drop("tok")
+      .localCheckpoint() // hashed once: feeds the histograms AND per-doc counts
+    val hist = feats.groupBy("bucket").agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .localCheckpoint() // feeds the totals AND the weight table
+    val totals = hist.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    // ln on integer-valued doubles, same association left-to-right as
+    // the oracle states it: identical IEEE result in both engines.
+    val lw = hist.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round((log((col("ct") + 1L).cast("double")) -
+          log((col("tt") + buckets.toLong).cast("double")) -
+          log((col("cr") + 1L).cast("double")) +
+          log((col("tr") + buckets.toLong).cast("double"))) * 10000)
+          .cast("long").as("lw_q"))
+    feats.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lw), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("lw_q")).as("w_q"), sum("cnt").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (round(col("w_q") / col("n_tokens")) / 10000.0).as("avg_importance"))
+      .orderBy(desc("avg_importance"), col("doc_id"))
+      .limit(topK)
+  }
+
   def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("fingerprint",
       aggregate(

@@ -72,13 +72,79 @@ object EventWindowQueries {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------- q89
+  /** CAPPED sessionization — s03's gap sessions with a max-events split:
+    * a session closes when the next event is ≥ `gap` away (s03's rule)
+    * OR when it already holds `cap` events (runaway users — bot bursts,
+    * instrumentation loops — are split into bounded chunks). The cap is
+    * the semantics `session_window` cannot express (its merge is purely
+    * gap-driven), so the streaming twin s17 is a `flatMapGroupsWithState`
+    * custom state machine; THIS batch form states the identical result
+    * with two windows (gap islands, then row_number-div-cap chunks) and
+    * shares its DuckDB oracle with s17.
+    *
+    * Scale posture: one shuffle on user_id; both window passes and the
+    * final aggregate reuse that partitioning (no second shuffle — the
+    * chunk window's key (user_id, island) is a refinement of user_id).
+    * Session stats are bounded by the cap, never by user activity. */
+  def q89_capped_sessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val gapMinutes = 10
+    val cap = 5
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val marked = events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          $"ts" >= $"prev_ts" + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wi = Window.partitionBy($"user_id", $"island").orderBy($"ts", $"event_id")
+    marked
+      .withColumn("chunk", ((row_number().over(wi) - 1) / cap).cast("long"))
+      .groupBy($"user_id", $"island", $"chunk")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"),
+        r2(sum($"value")).as("sum_value"))
+      .select($"user_id", $"session_start", $"session_end",
+        $"n_events", $"n_types", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_tumbling_window" -> (s01_tumbling_window _),
     "s02_sliding_window" -> (s02_sliding_window _),
     "s03_session_window" -> (s03_session_window _),
     "s04_dedup" -> (s04_dedup _),
+    "q89_capped_sessions" -> (q89_capped_sessions _),
   )
+
+  /** q89/s17's shared oracle: gap islands then count-capped chunks —
+    * the `>= gap` new-session test matches s03's end-exclusive rule. */
+  private[graft] val cappedSessionsOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, value, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | islands AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM marked),
+      | chunked AS (
+      |  SELECT *, CAST(floor((row_number() OVER (
+      |      PARTITION BY user_id, island ORDER BY ts, event_id) - 1) / 5) AS BIGINT) AS chunk
+      |  FROM islands)
+      | SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |   count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+      |   round(sum(value) * 100) / 100 AS sum_value
+      | FROM chunked GROUP BY user_id, island, chunk
+      | ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s01_tumbling_window" ->
@@ -116,5 +182,6 @@ object EventWindowQueries {
       """SELECT event_type, count(*) AS cnt FROM (
         |  SELECT DISTINCT event_id, event_type FROM events)
         | GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q89_capped_sessions" -> cappedSessionsOracle,
   )
 }

@@ -56,6 +56,24 @@ case class BucketMembersT(members: Seq[BucketMember], maxTsMs: Long)
 case class BandVerdict(doc_id: Long, lang: String, seq: Long,
     dup: Boolean, dup_of: Long)
 
+/** s17's input row: [[Event]] with the INSTANT-typed event time the
+  * watermark and event-time timeout ride on (the timeout checker
+  * requires the watermarked attribute below the state machine, exactly
+  * as s14b's [[BandDocT]]). */
+case class TsEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** s17's per-user state: the OPEN session chunk. `lastMicros` is the
+  * island's previous-event clock (gap tests compare consecutive events,
+  * so it carries across a cap split unchanged). */
+case class OpenChunk(startMicros: Long, lastMicros: Long, n: Long,
+    types: Seq[String], sum: Double)
+
+/** One CLOSED capped session emitted by s17 (columns = q89's). */
+case class CappedSession(user_id: Long, session_start: LocalDateTime,
+    session_end: LocalDateTime, n_events: Long, n_types: Long,
+    sum_value: Double)
+
 /** Structured Streaming execution of the event-window inventory
   * (SURVEY.md §2.3 S1/S5): the SAME windowed-aggregation expressions as
   * the batch forms in EventWindowQueries, driven through a real
@@ -1029,6 +1047,128 @@ object EventStreams {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------- s17
+  /** s17's state machine, housed in its own SERIALIZABLE object: the
+    * `flatMapGroupsWithState` closure ships to executors, and a lambda
+    * that reached back into the (non-serializable) enclosing
+    * EventStreams object for helpers would fail closure cleaning. */
+  private[streaming] object CappedSessions extends Serializable {
+    val GapMicros: Long = 10L * 60 * 1000000
+    val Cap = 5
+
+    def tsMicros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    def microsToLdt(us: Long): LocalDateTime =
+      LocalDateTime.ofEpochSecond(us / 1000000L, (us % 1000000L).toInt * 1000,
+        java.time.ZoneOffset.UTC)
+
+    /** Spark's `round(x*100)/100` for DoubleType is
+      * `BigDecimal.valueOf(x*100).setScale(0, HALF_UP)` — the state
+      * machine quantizes its running sum with the identical rule so
+      * s17's emissions hash-match q89's batch aggregate under the
+      * shared oracle. */
+    def r2Driver(x: Double): Double =
+      java.math.BigDecimal.valueOf(x * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 100
+
+    def close(user: Long, c: OpenChunk): CappedSession =
+      CappedSession(user, microsToLdt(c.startMicros), microsToLdt(c.lastMicros),
+        c.n, c.types.size.toLong, r2Driver(c.sum))
+
+    def update(
+        user: Long, events: Iterator[TsEvent],
+        state: org.apache.spark.sql.streaming.GroupState[OpenChunk]): Iterator[CappedSession] =
+      if (state.hasTimedOut) {
+        val out = close(user, state.get)
+        state.remove()
+        Iterator.single(out)
+      } else {
+        val inOrder = events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+        val out = Seq.newBuilder[CappedSession]
+        var open = state.getOption
+        inOrder.foreach { e =>
+          val t = tsMicros(e.ts)
+          open match {
+            case Some(c) if t - c.lastMicros >= GapMicros || c.n >= Cap =>
+              out += close(user, c)
+              open = Some(OpenChunk(t, t, 1, Seq(e.event_type), e.value))
+            case Some(c) =>
+              val types =
+                if (c.types.contains(e.event_type)) c.types
+                else c.types :+ e.event_type
+              open = Some(OpenChunk(c.startMicros, t, c.n + 1, types,
+                c.sum + e.value))
+            case None =>
+              open = Some(OpenChunk(t, t, 1, Seq(e.event_type), e.value))
+          }
+        }
+        open.foreach { c =>
+          state.update(c)
+          // An idle session times out at last-event + gap; never in the
+          // past (setTimeoutTimestamp rejects ≤ watermark, and a chunk
+          // whose horizon already passed should flush at the next
+          // watermark tick).
+          state.setTimeoutTimestamp(
+            math.max(c.lastMicros / 1000 + GapMicros / 1000,
+              state.getCurrentWatermarkMs() + 1))
+        }
+        out.result().iterator
+      }
+  }
+
+  /** CAPPED sessionization as a `flatMapGroupsWithState` state machine —
+    * q89's streaming twin, and the semantics `session_window` cannot
+    * express: a session chunk closes when the next event is ≥ 10 minutes
+    * away (s03's gap rule) OR when it already holds 5 events (the cap
+    * that bounds bot bursts). The cap decision depends on how many
+    * events the CURRENT chunk kept — recursive state no windowed
+    * aggregation states — so the per-user state is the open chunk, and
+    * idle sessions are closed by an EVENT-TIME TIMEOUT at
+    * `last event + gap` once the watermark passes (the s05 sentinel
+    * flushes the tail in the trailing no-data microbatch).
+    *
+    * Replay drives 3 ts-ordered microbatches; the state (open chunk +
+    * island clock) carries sessions across batch boundaries, so the
+    * result equals one global pass — exactly q89's batch answer, gated
+    * by the SAME DuckDB oracle.
+    *
+    * Scale posture: state is one bounded chunk per ACTIVE user (≤ cap
+    * counters + the small type set), partitioned by the group key; the
+    * event-time timeout is the eviction policy — a user idle past the
+    * gap leaves the store entirely, so state tracks concurrent activity,
+    * not the corpus. */
+  def s17_stream_capped_sessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val sorted = collectEvents(spark, dir)
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val maxTs = sorted.map(_.ts).max(Ordering.fromLessThan[LocalDateTime](_.isBefore(_)))
+    val sentinel = Event(-1L, maxTs.plusDays(1), -1L, "zzz_flush", 0.0)
+    val batchSize = math.max(1, (sorted.size + 2) / 3)
+    val batches = sorted.grouped(batchSize).toSeq :+ Seq(sentinel)
+
+    val src = MemoryStream[Event]
+    val sessions = runToMemory(spark, {
+      val watermarked = src.toDF()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .as[TsEvent]
+      watermarked
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[OpenChunk, CappedSession](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+          CappedSessions.update _)
+        .toDF()
+    }, "append") { query =>
+      batches.foreach { b => src.addData(b); query.processAllAvailable() }
+    }
+    sessions.filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Driver-side reference for s06 — one global greedy pass (used by the
     * spec to gate the streaming result). */
   private[streaming] def throttleReference(events: Seq[Event]): Seq[Emitted] =
@@ -1069,9 +1209,14 @@ object EventStreams {
     "s13_stream_curate" -> (s13_stream_curate _),
     "s14_stream_near_dedup" -> (s14_stream_near_dedup _),
     "s14b_stream_near_dedup_expiring" -> (s14b_stream_near_dedup_expiring _),
+    "s17_stream_capped_sessions" -> (s17_stream_capped_sessions _),
   )
 
   val oracles: Map[String, String] = Map(
+    // q89's oracle verbatim: the state machine must converge to the
+    // batch gap-islands + capped-chunks answer.
+    "s17_stream_capped_sessions" ->
+      graft.operators.EventWindowQueries.cappedSessionsOracle,
     // Identical to s01's oracle: streaming must converge to the batch
     // answer.
     "s01b_tumbling_stream" ->

@@ -1,0 +1,39 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Builder-side selective verify: run ONLY the named inventory entries
+  * (args: sfDir outDir name1 name2 ...), dumping each result parquet and
+  * its oracle SQL — a fast inner loop for checking a new query against
+  * DuckDB without replaying all of [[graft.Verify]]. */
+object CheckQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      SparkEntry.oracleSql.get(name).foreach { sql =>
+        Files.writeString(Paths.get(s"$outDir/$name.sql"), sql)
+      }
+      println(s"[check] wrote $outDir/$name")
+    }
+    spark.stop()
+  }
+}

@@ -718,6 +718,63 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       s"fallback probe must recover the exact head, got $got")
   }
 
+  test("dsirSelect equals a driver-side reference on a controlled corpus, " +
+    "target-like docs outrank noise, ties break by doc_id") {
+    import spark.implicits._
+    // 2 target-lang docs of "domain" words, 2 raw-only docs of noise
+    // words, 1 mixed doc — plus a doc tying another exactly (same text,
+    // different id) to pin the doc_id tiebreak.
+    val corpus = Seq(
+      (1L, "alpha beta alpha gamma", "en"),
+      (2L, "beta beta gamma alpha", "en"),
+      (3L, "zork quux zork blarg", "de"),
+      (4L, "quux blarg quux zork", "de"),
+      (5L, "alpha zork beta quux", "de"),
+      (6L, "alpha zork beta quux", "de"))
+    val docs = corpus.toDF("doc_id", "text", "lang")
+    val buckets = 64
+    val got = TextAnalysis.dsirSelect(docs, "doc_id", "text", "lang",
+      targetLang = "en", buckets = buckets, topK = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // Driver-side reference: identical bucket hash (md5-prefix), add-one
+    // smoothed ln ratio quantized at 1e-4, exact long per-doc sums.
+    def bucketOf(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val toks = corpus.map { case (id, text, lang) =>
+      (id, lang == "en", text.toLowerCase.trim.split("\\s+").toSeq.map(bucketOf))
+    }
+    val ct = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cr = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    toks.foreach { case (_, isT, bs) =>
+      bs.foreach { b => if (isT) ct(b) += 1; cr(b) += 1 }
+    }
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    def lwQ(b: Long): Long =
+      math.round((math.log((ct(b) + 1).toDouble) - math.log((tt + buckets).toDouble)
+        - math.log((cr(b) + 1).toDouble) + math.log((tr + buckets).toDouble)) * 10000)
+    val expected = toks.map { case (id, _, bs) =>
+      val wq = bs.map(lwQ).sum
+      // HALF_UP (away from zero), Spark's/DuckDB's tie rule — NOT
+      // math.round, which rounds -x.5 toward +infinity
+      val avg = java.math.BigDecimal.valueOf(wq.toDouble / bs.size)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 10000.0
+      (id, bs.size.toLong, avg)
+    }.sortBy { case (id, _, avg) => (-avg, id) }
+    assert(got.toSeq === expected)
+
+    // semantics: the pure-target-vocabulary docs outrank the pure-noise
+    // docs, and the identical-text pair (5, 6) ties with 5 first
+    val rank = got.map(_._1).toSeq
+    assert(Set(1L, 2L).map(rank.indexOf).max < Set(3L, 4L).map(rank.indexOf).min,
+      s"target docs must outrank noise docs, got $rank")
+    assert(rank.indexOf(5L) + 1 === rank.indexOf(6L), s"tie must be adjacent by id, got $rank")
+  }
+
   test("q87 fixture sanity: estimates equal exact counts at fixture vocabulary scale") {
     val docs = fixtureDocs
     val exact = docs.filter(col("text").isNotNull)

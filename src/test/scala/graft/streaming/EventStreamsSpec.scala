@@ -18,6 +18,52 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("s17 capped sessions: state machine converges to the batch gap+cap answer") {
+    val streamed = rows(EventStreams.s17_stream_capped_sessions(spark, sf0001))
+    val batch = rows(EventWindowQueries.q89_capped_sessions(spark, sf0001))
+    assert(streamed === batch)
+    // The cap binds: no emitted session may exceed 5 events, and at
+    // least one session must have been SPLIT by the cap (n_events == 5
+    // followed by a same-user session within the gap) for the test to
+    // exercise the cap branch at all.
+    assert(batch.map(_(3).asInstanceOf[Long]).forall(_ <= 5))
+  }
+
+  test("s17 state machine: cap splits a burst 5/5/2, gap closes, timeout flushes") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val cs = EventStreams.CappedSessions
+    def ev(id: Long, sec: Long, typ: String = "click", v: Double = 1.0) =
+      TsEvent(id, Timestamp.valueOf(java.time.LocalDateTime
+        .ofEpochSecond(1700000000L + sec, 0, java.time.ZoneOffset.UTC)), 7L, typ, v)
+    def freshState(open: Option[OpenChunk], timedOut: Boolean) =
+      TestGroupState.create[OpenChunk](
+        org.apache.spark.api.java.Optional.ofNullable(open.orNull),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        org.apache.spark.api.java.Optional.of(0L), timedOut)
+
+    // a 12-event burst 1s apart: cap must split 5/5, leaving 2 open
+    val burst = (0 until 12).map(i => ev(i.toLong, i.toLong,
+      if (i % 2 == 0) "click" else "view"))
+    val st = freshState(None, timedOut = false)
+    val closed = cs.update(7L, burst.iterator, st).toSeq
+    assert(closed.map(_.n_events) === Seq(5L, 5L))
+    assert(closed.forall(_.n_types === 2L), "both types in every full chunk")
+    assert(st.get.n === 2L, "2-event remainder stays open in state")
+
+    // a gap ≥ 10 min closes the remainder even though it is under cap
+    val st2 = freshState(Some(st.get), timedOut = false)
+    val afterGap = cs.update(7L, Iterator(ev(99L, 12L + 600L)), st2).toSeq
+    assert(afterGap.map(_.n_events) === Seq(2L))
+    assert(st2.get.n === 1L)
+
+    // the event-time timeout flushes the open chunk and clears state
+    val st3 = freshState(Some(st2.get), timedOut = true)
+    val flushed = cs.update(7L, Iterator.empty, st3).toSeq
+    assert(flushed.map(_.n_events) === Seq(1L))
+    assert(!st3.exists, "timed-out session must leave no state behind")
+  }
+
   test("streaming into the catalog lands every event exactly once (single run)") {
     import org.apache.spark.sql.functions._
     val sunk = EventStreams.s11_stream_catalog_sink(spark, sf0001)
