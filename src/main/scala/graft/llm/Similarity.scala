@@ -227,19 +227,86 @@ object Similarity {
     * the training input would be a bounded SAMPLE (the FAISS approach,
     * which trains its quantizer on a subset), not every vector; the
     * callers pass the full fixture corpus because it is small. */
+  /** Training-set cap for the LOCAL Lloyd trainers below: quantizer
+    * training runs on a bounded deterministic sample (the `MaxTrain`
+    * smallest-id vectors), the FAISS convention — codebook quality needs
+    * a representative sample, not the corpus, and the cap is what keeps
+    * training cost CONSTANT in corpus size at 100 TB. Fixtures are
+    * smaller than the cap, so training still sees every vector there. */
+  private[llm] val MaxTrain = 16384
+
+  /** `round(x·10⁴) as long` exactly as Spark's Round-then-cast computes
+    * it (BigDecimal.valueOf, HALF_UP) — the [[quantizedCentroids]]
+    * accumulator rule, replicated for the local trainers. */
+  private def q4(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 10000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  /** Quantized per-label mean with [[quantizedCentroids]]' exact
+    * arithmetic (long sums of q4, then s/(n·10⁴)) — label order and
+    * accumulation order cannot change the result. Labels absent from
+    * `assigned` keep their entry absent (caller falls back to the
+    * previous centroid, the emptied-cluster rule). */
+  private def quantizedMeans(
+      assigned: Iterable[(Long, Array[Double])], dim: Int): Map[Long, Array[Double]] = {
+    val sums = collection.mutable.Map.empty[Long, (Array[Long], Array[Long])]
+    assigned.foreach { case (label, v) =>
+      val (s, n) = sums.getOrElseUpdate(label, (new Array[Long](dim), new Array[Long](1)))
+      var i = 0
+      while (i < v.length && i < dim) { s(i) += q4(v(i)); i += 1 }
+      n(0) += 1
+    }
+    sums.iterator.map { case (label, (s, n)) =>
+      label -> Array.tabulate(dim)(i => s(i).toDouble / (n(0) * 10000.0))
+    }.toMap
+  }
+
+  /** Cosine argmax over a centroid table with [[nearestCentroids]]'
+    * exact scoring (left-to-right dot, driver-side cnorm) and its
+    * top-1 tie rule (highest sim, ties to the LARGER centroid id —
+    * `reverse(array_sort(...))` struct ordering). */
+  private def assignCosine(
+      v: Array[Double], cents: Array[(Long, Array[Double], Double)]): Long = {
+    var bestS = Double.NegativeInfinity
+    var bestC = Long.MinValue
+    cents.foreach { case (cid, cv, cn) =>
+      val n = math.min(v.length, cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v(i) * cv(i); i += 1 }
+      val sim = s / cn
+      if (sim > bestS || (sim == bestS && cid > bestC)) { bestS = sim; bestC = cid }
+    }
+    bestC
+  }
+
+  /** Bounded deterministic training set: the [[MaxTrain]] smallest-id
+    * rows of (vec_id, v) — ONE small job, shared by both trainers. */
+  private def collectTraining(corpus: DataFrame): Array[(Long, Array[Double])] =
+    corpus.orderBy(col("vec_id")).limit(MaxTrain)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
   private[llm] def lloydCentroids(
       corpus: DataFrame, nlist: Int, iters: Int): Array[(Long, Seq[Double])] = {
-    var cents = corpus.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id"), col("v"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // Training runs LOCALLY on the bounded sample (one collect, zero
+    // per-iteration jobs or expression recompiles): assignment and the
+    // quantized-mean refinement replicate the distributed DataFrame
+    // math bit-for-bit (same dot/tie/rounding rules), so results are
+    // unchanged wherever the corpus fits the cap — fixtures do.
+    val train = collectTraining(corpus)
+    var cents: Array[(Long, Seq[Double])] =
+      train.take(nlist).map { case (id, v) => (id, v.toSeq) }
     for (_ <- 0 until iters) {
-      val refined = quantizedCentroids(corpus
-        .withColumn("label", nearestCentroids(cents, col("v"), 1).getItem(0))
-        .select(col("label"), col("v")))
-        .collect() // ≤ nlist rows per iteration — constant-size
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
-      cents = cents.map { case (cid, cv) => (cid, refined.getOrElse(cid, cv)) }
+      val withNorm = cents.map { case (cid, cv) =>
+        (cid, cv.toArray, math.sqrt(cv.map(x => x * x).sum))
+      }
+      val refined = quantizedMeans(
+        train.iterator.map { case (_, v) => (assignCosine(v, withNorm), v) }.toSeq,
+        dim = train.headOption.map(_._2.length).getOrElse(0))
+      cents = cents.map { case (cid, cv) =>
+        (cid, refined.get(cid).map(_.toSeq).getOrElse(cv))
+      }
     }
     cents
   }
@@ -334,61 +401,74 @@ object Similarity {
     (0 until m).map(j => (starts(j), starts(j + 1) - starts(j))).toArray
   }
 
-  /** Euclidean argmin over a sub-space codebook: the PQ assignment
-    * metric. NOT cosine — sub-vectors are unnormalized fragments of the
-    * full vector, so direction-only assignment would leave magnitude
-    * quantization error unpenalized and the ADC dot estimates would
-    * drift. Ties break to the smaller code id (struct ordering). */
-  private def nearestSubCode(book: Array[Seq[Double]], vec: Column): Column = {
-    val entries = book.zipWithIndex.map { case (cv, cid) =>
-      struct(sqDist(vec, typedlit(cv)).as("d"), lit(cid).as("cid"))
-    }
-    array_sort(array(entries: _*)).getItem(0).getField("cid")
+  /** Per-query ADC tables adc(j)(cid) = <q_slice_j, book_j[cid]> as ONE
+    * codegen'd [[graft.functions.PqSubDots]] loop — bit-identical to
+    * the m·ksub `dot(slice(qv,…), lit(cv))` expression grid it replaced
+    * (see PqSubDots for the compile-cost argument). */
+  private def adcTables(
+      qv: Column, books: Array[Array[Seq[Double]]], dim: Int): Column = {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
+    column(graft.functions.PqSubDots(
+      expression(qv), books.map(_.toSeq).toSeq,
+      pqSlices(dim, books.length).toSeq))
   }
 
   /** Product-quantization codebooks: per sub-space, `ksub` centroids
-    * trained by `iters` Euclidean Lloyd iterations over the corpus'
-    * sub-vectors (deterministic seeds = the ksub smallest-id rows;
-    * integer-quantized means via [[quantizedCentroids]] ⇒ bit-identical
-    * codebooks across runs and partitionings; an emptied cluster keeps
-    * its previous centroid). Each iteration moves m × ksub × (dim/m) =
-    * ksub × dim scalars to the driver — constant-size traffic, and at
-    * corpus scale the training input is a bounded sample (the FAISS
-    * convention, as with [[lloydCentroids]]). Returns books(sub)(code). */
+    * trained by `iters` Euclidean Lloyd iterations (deterministic seeds
+    * = the ksub smallest-id rows; integer-quantized means ⇒
+    * bit-identical codebooks across runs and partitionings; an emptied
+    * cluster keeps its previous centroid). The assignment metric is
+    * Euclidean, NOT cosine — sub-vectors are unnormalized fragments of
+    * the full vector, so direction-only assignment would leave
+    * magnitude quantization error unpenalized and the ADC dot
+    * estimates would drift; ties break to the smaller code id.
+    * Returns books(sub)(code). */
+  /** Euclidean argmin over a sub-space codebook with [[nearestSubCode]]'s
+    * exact scoring (left-to-right Σ(a−b)²) and tie rule (smallest
+    * distance, ties to the SMALLER code id). */
+  private def assignSubCode(sv: Array[Double], book: Array[Seq[Double]]): Int = {
+    var bestD = Double.PositiveInfinity
+    var bestC = -1
+    var cid = 0
+    while (cid < book.length) {
+      val cv = book(cid)
+      val n = math.min(sv.length, cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = sv(i) - cv(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; bestC = cid }
+      cid += 1
+    }
+    bestC
+  }
+
   private[llm] def pqCodebooks(
       corpus: DataFrame, m: Int, ksub: Int, iters: Int,
       dim: Int): Array[Array[Seq[Double]]] = {
     val slices = pqSlices(dim, m)
-    // Seeds for ALL sub-spaces from ONE ksub-row fetch (slicing on the
-    // driver): a per-sub-space seed job would be m driver round-trips.
-    val seedRows = corpus.orderBy(col("vec_id")).limit(ksub)
-      .select(col("v")).collect().map(_.getSeq[Double](0))
+    // Training runs LOCALLY on the bounded [[MaxTrain]] sample: ONE
+    // collect replaces the seed fetch plus `iters` corpus-wide jobs —
+    // and, measured as important at fixture scale, `iters` Janino
+    // compilations of the m×ksub-literal assignment expression tree.
+    // Assignment and refinement replicate the distributed math
+    // bit-for-bit (same sqDist/tie/rounding rules), so codebooks are
+    // unchanged wherever the corpus fits the cap.
+    val train = collectTraining(corpus)
+    val seedRows = train.take(ksub).map(_._2.toSeq)
     var books: Array[Array[Seq[Double]]] = slices.map { case (start, len) =>
-      seedRows.map(v => v.slice(start - 1, start - 1 + len)).toArray
+      seedRows.map(v => v.slice(start - 1, start - 1 + len))
     }
     if (seedRows.isEmpty) return books
-    // One exploded (sub, sub-vector) frame drives every iteration: all m
-    // sub-space assignments happen in ONE DataFrame job per Lloyd step
-    // (labels disambiguated as sub·ksub + code), not m separate jobs —
-    // the per-step driver traffic stays m × ksub × (dim/m) scalars, but
-    // the job count drops from m·(iters+1) to iters+1.
-    val subFrame = corpus.select(
-      posexplode(array(slices.map { case (s, l) => slice(col("v"), s, l) }: _*))
-        .as(Seq("sub", "sv")))
+    val subVecs: Array[Array[Array[Double]]] = slices.map { case (start, len) =>
+      train.map { case (_, v) => v.slice(start - 1, start - 1 + len) }
+    }
     for (_ <- 0 until iters) {
-      val labelExpr = (0 until m).foldRight(lit(-1L): Column) { (s, els) =>
-        when(col("sub") === s,
-          nearestSubCode(books(s), col("sv")).cast("long") + lit(s.toLong * ksub))
-          .otherwise(els)
-      }
-      val refined = quantizedCentroids(subFrame
-        .withColumn("label", labelExpr)
-        .select(col("label"), col("sv").as("v")))
-        .collect() // ≤ m×ksub rows per iteration — constant-size
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
       books = books.zipWithIndex.map { case (book, s) =>
+        val refined = quantizedMeans(
+          subVecs(s).iterator.map(sv => (assignSubCode(sv, book).toLong, sv)).toSeq,
+          dim = slices(s)._2)
         book.zipWithIndex.map { case (cv, cid) =>
-          refined.getOrElse(s.toLong * ksub + cid, cv)
+          refined.get(cid.toLong).map(_.toSeq).getOrElse(cv)
         }
       }
     }
@@ -396,15 +476,20 @@ object Similarity {
   }
 
   /** Attach the PQ code array: code(j) = Euclidean-nearest centroid of
-    * sub-space j's slice. One corpus pass, all codegen'd sqDist argmins;
-    * the output row carries (id, code) — m small ints per vector, the
-    * compressed representation the ADC scan reads. */
+    * sub-space j's slice, via the single codegen'd
+    * [[graft.functions.PqAssign]] loop (bit-identical to the m
+    * `array_sort(struct(sqDist))` argmin trees it replaced, which cost
+    * more to Janino-compile than the fixture scan cost to run — see
+    * PqAssign's scaladoc). One corpus pass; the output row carries
+    * (id, code) — m small ints per vector, the compressed
+    * representation the ADC scan reads. */
   private[llm] def pqEncode(
       norm: DataFrame, books: Array[Array[Seq[Double]]], dim: Int): DataFrame = {
-    val codes = pqSlices(dim, books.length).zip(books).map { case ((start, len), book) =>
-      nearestSubCode(book, slice(col("v"), start, len))
-    }
-    norm.withColumn("code", array(codes: _*))
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column, expression}
+    norm.withColumn("code", column(graft.functions.PqAssign(
+      expression(col("v")),
+      books.map(_.map(_.toSeq).toSeq).toSeq,
+      pqSlices(dim, books.length).toSeq)))
   }
 
   /** ANN through product quantization with asymmetric distance
@@ -453,12 +538,9 @@ object Similarity {
       .filter(col("anrm") > 0)
     // Per-query ADC tables: adc(j)(cid) = <q_slice_j, c_{j,cid}> — one
     // columnar expression per query ROW, m·ksub doubles; never per pair.
-    val adcTables = array(pqSlices(dim, m).zip(books).map { case ((start, len), book) =>
-      array(book.map(cv => dot(slice(col("qv"), start, len), typedlit(cv))): _*)
-    }: _*)
     val q = broadcast(queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .withColumn("adc", adcTables))
+      .withColumn("adc", adcTables(col("qv"), books, dim)))
     val approxDot = (0 until m).map { j =>
       element_at(element_at(col("adc"), j + 1), element_at(col("code"), j + 1) + 1)
     }.reduce[Column](_ + _)
@@ -538,13 +620,10 @@ object Similarity {
     // Per-query: probe the nprobe nearest lists; carry the ADC tables
     // (residual-codebook sub-dots) and the per-probed-list <q, c_b> —
     // candidate rows then need only (qn, adc, qc), never the query vector.
-    val adcTables = array(slices.zip(books).map { case ((start, len), book) =>
-      array(book.map(cv => dot(slice(col("qv"), start, len), typedlit(cv))): _*)
-    }: _*)
     val q = broadcast(queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(nearestCentroids(cents, col("v"), nprobe)).as("bucket"))
-      .withColumn("adc", adcTables)
+      .withColumn("adc", adcTables(col("qv"), books, dim))
       .withColumn("qc", dot(col("qv"), element_at(typedlit(centMap), col("bucket"))))
       .select(col("q_id"), col("bucket"), col("qn"), col("adc"), col("qc")))
     // <q, x̂> = <q, c_b> + Σ_j adc_j[code_j]: m lookups per candidate,
