@@ -36,7 +36,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * class. Scale posture: one descriptor file per table, partition list
   * embedded — listing/pruning never touches the data files.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -287,6 +288,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.length == 1 && store.namespaceExists(namespace.head)
+
+  // ------------------------------------------------------ FunctionCatalog
+  /** Catalog-scoped SQL functions under the synthetic `sys` namespace
+    * (see [[CatalogFunctions]]): a fixed, code-defined surface — no
+    * store round-trip, nothing to create or drop. Real (store-backed)
+    * namespaces list no functions; unknown namespaces throw, matching
+    * the table-side listing contract. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.length == 1 && namespace.head == CatalogFunctions.Namespace)
+      CatalogFunctions.All.keys.toArray.sorted
+        .map(n => Identifier.of(namespace, n))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.namespace.length == 1 &&
+        ident.namespace.head == CatalogFunctions.Namespace)
+      CatalogFunctions.All.getOrElse(ident.name,
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val db = asSingle(namespace)

@@ -293,6 +293,29 @@ object EngineQueries {
       .orderBy($"n_name")
   }
 
+  // ---------------------------------------------------------------- Q91
+  /** Catalog-scoped SQL functions through the DSv2 `FunctionCatalog`
+    * surface (see [[graft.catalog.CatalogFunctions]]): a SQL user calls
+    * `graft.sys.array_dot` / `graft.sys.array_sqdist` by three-part
+    * name — no session extension installed, the functions travel with
+    * the catalog registration. The magic-method binding runs as a
+    * direct codegen'd Invoke; scoring math mirrors the DataFrame
+    * operators exactly, so the query hash-gates against DuckDB's
+    * list-comprehension restatement. */
+  def q91_catalog_function(spark: SparkSession, dir: String): DataFrame = {
+    GraftBootstrap.ensure(spark, dir)
+    Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .createOrReplaceTempView("q91_emb")
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(
+      s"""SELECT e.vec_id,
+         |  round($cat.sys.array_dot(e.v, e.v) * 10000) / 10000 AS sq_norm4,
+         |  round($cat.sys.array_sqdist(e.v, q.v) * 10000) / 10000 AS d0_4
+         |FROM q91_emb e CROSS JOIN (SELECT v FROM q91_emb WHERE vec_id = 0) q
+         |ORDER BY e.vec_id""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- Q51
   /** DELETE FROM through `SupportsDelete`: a partition-predicate DELETE
     * executes as directory deletes + catalog deregistration — no
@@ -406,6 +429,7 @@ object EngineQueries {
     "q51_delete" -> (q51_delete _),
     "q49_compaction" -> (q49_compaction _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
+    "q91_catalog_function" -> (q91_catalog_function _),
     "q50_multi_catalog_join" -> (q50_multi_catalog_join _),
     "q42_json_roundtrip" -> (q42_json_roundtrip _),
     "q45_schema_evolution" -> (q45_schema_evolution _),
@@ -443,6 +467,18 @@ object EngineQueries {
     "q51_delete" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         | WHERE o_orderpriority <> '1-URGENT' ORDER BY o_orderkey""".stripMargin,
+    // The catalog-function math restated as list comprehensions: both
+    // engines fold left-to-right over the common prefix, so the 1e-4
+    // rounding is far outside float disagreement.
+    "q91_catalog_function" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        | SELECT e.vec_id,
+        |   round(list_sum([x * x for x in e.v]) * 10000) / 10000 AS sq_norm4,
+        |   round(list_sum([(e.v[i] - qv[i]) * (e.v[i] - qv[i])
+        |                   for i in range(1, len(e.v) + 1)]) * 10000) / 10000 AS d0_4
+        | FROM e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
     // Both catalogs expose the same fixture data, so the federated join
     // equals the single-source join.
     "q50_multi_catalog_join" ->

@@ -92,6 +92,54 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $cat.ddl.stream_w")
   }
 
+  test("FunctionCatalog: sys functions list, load, refuse bad types and unknowns") {
+    GraftBootstrap.ensure(spark, sf0001)
+    val plugin = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    // listing: the sys namespace carries the surface; real namespaces
+    // list none; unknown namespaces throw the standard class
+    val sysFns = plugin.listFunctions(Array(CatalogFunctions.Namespace)).map(_.name)
+    assert(sysFns.toSeq === Seq("array_dot", "array_sqdist"))
+    assert(plugin.listFunctions(Array(GraftBootstrap.Namespace)).isEmpty)
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException] {
+      plugin.listFunctions(Array("no_such_ns"))
+    }
+    // load + bind: correct shape binds, wrong arity/type is refused
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.types._
+    val fn = plugin.loadFunction(
+      Identifier.of(Array(CatalogFunctions.Namespace), "array_dot"))
+    val good = StructType(Seq(
+      StructField("a", ArrayType(DoubleType)), StructField("b", ArrayType(DoubleType))))
+    assert(fn.bind(good).resultType() === DoubleType)
+    intercept[UnsupportedOperationException] {
+      fn.bind(StructType(Seq(StructField("a", ArrayType(DoubleType)))))
+    }
+    intercept[UnsupportedOperationException] {
+      fn.bind(StructType(Seq(
+        StructField("a", StringType), StructField("b", ArrayType(DoubleType)))))
+    }
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException] {
+      plugin.loadFunction(Identifier.of(Array(CatalogFunctions.Namespace), "nope"))
+    }
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException] {
+      plugin.loadFunction(Identifier.of(Array(GraftBootstrap.Namespace), "array_dot"))
+    }
+    // SQL reaches it by three-part name, with implicit float→double
+    // array cast handled by the analyzer, and the result matches the
+    // DataFrame operator's math
+    val viaSql = spark.sql(
+      s"SELECT $cat.${CatalogFunctions.Namespace}.array_dot(" +
+        "CAST(array(1.5D, 2.0D) AS ARRAY<DOUBLE>), array(2.0D, 0.5D)) AS d")
+      .collect().head.getDouble(0)
+    assert(viaSql === 1.5 * 2.0 + 2.0 * 0.5)
+    val viaSqDist = spark.sql(
+      s"SELECT $cat.${CatalogFunctions.Namespace}.array_sqdist(" +
+        "array(1.0D, 2.0D), array(3.0D, 0.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(viaSqDist === 4.0 + 4.0)
+  }
+
   test("missing objects raise the standard error classes") {
     GraftBootstrap.ensure(spark, sf0001)
     val noTable = intercept[Exception](spark.table(s"$cat.${GraftBootstrap.Namespace}.nope"))
