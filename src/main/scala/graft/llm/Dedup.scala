@@ -804,31 +804,51 @@ object Dedup {
     * n_dup_spans, n_removed_tokens, kept_text); a fully-duplicated
     * document survives with empty kept_text (auditable verdict, not a
     * silent drop — the q73 contract). */
+  /** (doc_id, toks) base + overlapping (doc_id, pos, gram) k-grams —
+    * the shared front half of the span-surgery family (q84, q92). Both
+    * frames are checkpointed: base serves the explode AND the rebuild;
+    * grams serve the mark aggregate AND the semi-join probe. */
+  private def spanBase(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, checkpoint: Boolean = true): (DataFrame, DataFrame) = {
+    def cp(df: DataFrame) = if (checkpoint) df.localCheckpoint() else df
+    // base shared by gram explode + final rebuild; grams by the mark
+    // aggregate + semi-join probe (single-consumer callers — q92's
+    // probe side — skip the checkpoints)
+    val base = cp(docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks")))
+    // overlapping k-grams with start positions; the `when` guard is the
+    // TextOps.shingles rule (sequence(0, negative) descends, not empties)
+    val grams = cp(base.select(col("doc_id"),
+        posexplode(when(size(col("toks")) >= k, expr(
+          s"transform(sequence(0, size(toks) - $k), " +
+            s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram"))))
+    (base, grams)
+  }
+
   def stripDupSubstrings(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minLen: Int = 16): DataFrame = {
     require(k > 0, "k must be positive")
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k): a span " +
       "shorter than one gram window can never be marked")
-    val kEnd = k - 1
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .localCheckpoint() // shared: gram explode + final rebuild
-    // overlapping k-grams with start positions; the `when` guard is the
-    // TextOps.shingles rule (sequence(0, negative) descends, not empties)
-    val grams = base.select(col("doc_id"),
-        posexplode(when(size(col("toks")) >= k, expr(
-          s"transform(sequence(0, size(toks) - $k), " +
-            s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
-      .localCheckpoint() // feeds the df aggregate AND the semi-join probe
+    val (base, grams) = spanBase(docs, idCol, textCol, k)
     val dupGrams = grams.groupBy("gram")
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select("gram")
     val dupStarts = grams.join(dupGrams, Seq("gram"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    base.join(dupStarts, Seq("doc_id"), "left")
+    removeMarkedSpans(base, dupStarts, k, minLen, "n_dup_spans")
+  }
+
+  /** The span surgery shared by q84/q92: merge sorted covered START
+    * positions into maximal [s, s+k−1] runs ROW-LOCALLY, drop runs ≥
+    * minLen, rebuild the surviving text in order. */
+  private def removeMarkedSpans(base: DataFrame, starts: DataFrame,
+      k: Int, minLen: Int, spanCountCol: String): DataFrame = {
+    val kEnd = k - 1
+    base.join(starts, Seq("doc_id"), "left")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
       // row-local interval merge: starts ascend, each covers [x, x+k-1];
       // runs fuse when the next start lands inside-or-adjacent to the
@@ -845,7 +865,7 @@ object Dedup {
            |  sp -> sp.e - sp.s + 1 >= $minLen)""".stripMargin))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        size(col("spans")).cast("long").as("n_dup_spans"),
+        size(col("spans")).cast("long").as(spanCountCol),
         expr("aggregate(spans, cast(0 as bigint), " +
           "(a, sp) -> a + cast(sp.e - sp.s + 1 as bigint))").as("n_removed_tokens"),
         concat_ws(" ", expr(
@@ -853,5 +873,47 @@ object Dedup {
             |  filter(transform(toks, (t, p) -> named_struct('t', t, 'p', p)),
             |    tp -> NOT exists(spans, sp -> tp.p >= sp.s AND tp.p <= sp.e)),
             |  tp -> tp.t)""".stripMargin)).as("kept_text"))
+  }
+
+  /** SURGICAL decontamination (q92) — q57's flag upgraded to q84's
+    * scalpel: instead of dropping every document that shares an n-gram
+    * with the benchmark suite (wasteful — one quoted question kills a
+    * 10 k-token page), remove ONLY the contaminated spans and keep the
+    * rest, the span-level recipe public pipelines moved to after
+    * whole-doc decontamination proved too blunt. A covered start is a
+    * k-gram found in the PROBE set (the `doc_id % probeMod == 0` docs
+    * standing in for a benchmark suite, q57's convention); the span
+    * machinery — interval merge of [s, s+k−1] runs, symmetric removal,
+    * in-order rebuild — is [[stripDupSubstrings]]'s, shared verbatim
+    * ([[removeMarkedSpans]]). minLen defaults to k: ONE contaminated
+    * window is already leakage, so there is no q84-style "long run
+    * only" floor.
+    *
+    * Probe documents themselves are excluded from the output — the
+    * operator cleans the TRAINING corpus against the benchmark, not
+    * the benchmark against itself.
+    *
+    * 100 TB posture: the probe gram set is benchmark-sized (millions of
+    * grams — MBs), so the mark is a BROADCAST semi-join on the
+    * candidate grams (no corpus-wide gram aggregate at all — q84's df
+    * count drops out entirely); everything after the mark is row-local.
+    * When the suite outgrows a broadcast, q57b's bloom probe is the
+    * same-shape fallback. Deterministic strings + exact counts ⇒
+    * hash-gated. */
+  def stripContaminatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, probeMod: Int = 35): DataFrame = {
+    require(k > 0, "k must be positive")
+    val idc = col(idCol)
+    val (base, grams) = spanBase(
+      docs.filter(idc % probeMod =!= 0), idCol, textCol, k)
+    val (_, probeGrams) = spanBase(
+      docs.filter(idc % probeMod === 0), idCol, textCol, k, checkpoint = false)
+    val contaminatedStarts = grams
+      .join(broadcast(probeGrams.select("gram").distinct()), Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    removeMarkedSpans(base, contaminatedStarts, k, minLen = k,
+      "n_contaminated_spans")
   }
 }

@@ -797,6 +797,16 @@ object LlmQueries {
   def q87_cms_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.cmsHeavyHitters(docs(spark, dir), "doc_id", "text", k = 20)
 
+  // ---------------------------------------------------------------- q92
+  /** SURGICAL decontamination — remove only the benchmark-overlapping
+    * spans, keep the document (see [[Dedup.stripContaminatedSpans]] for
+    * the q57-flag → q84-scalpel upgrade and the broadcast-probe scale
+    * posture). Deterministic strings + exact counts ⇒ hash-gated. */
+  def q92_strip_contaminated(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripContaminatedSpans(docs(spark, dir), "doc_id", "text",
+      k = 8, probeMod = 35)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q90
   /** DSIR-style data selection — importance reweighting with hashed
     * n-gram features (see [[TextAnalysis.dsirSelect]] for the published
@@ -874,6 +884,7 @@ object LlmQueries {
     "q86_hll_snapshot_stats" -> (q86_hll_snapshot_stats _),
     "q87_cms_heavy_hitters" -> (q87_cms_heavy_hitters _),
     "q90_dsir_select" -> (q90_dsir_select _),
+    "q92_strip_contaminated" -> (q92_strip_contaminated _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -964,6 +975,50 @@ object LlmQueries {
       // side merges intervals row-locally — identical maximal runs:
       // the union of [s, s+k-1] merged by adjacency IS the set of
       // maximal covered runs the island numbering recovers.
+      // q84's gaps-and-islands span statement with the mark rule
+      // swapped: a start is covered when its 8-gram appears in the
+      // PROBE docs' (doc_id % 35 = 0) gram set; candidates are the
+      // rest; minLen = k makes the HAVING floor the window size itself.
+      "q92_strip_contaminated" ->
+        """WITH t0 AS (
+          |  SELECT doc_id,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          | g0 AS (
+          |  SELECT doc_id,
+          |   [array_to_string(toks[(i+1):(i+8)], ' ')
+          |    for i in range(0, greatest(len(toks) - 7, 0))] AS gl
+          |  FROM t0),
+          | g AS (SELECT doc_id, unnest(range(len(gl))) AS pos, unnest(gl) AS gram FROM g0),
+          | probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 35 = 0),
+          | t AS (SELECT * FROM t0 WHERE doc_id % 35 != 0),
+          | ds AS (SELECT doc_id, pos FROM g
+          |        WHERE doc_id % 35 != 0 AND gram IN (SELECT gram FROM probe)),
+          | cov AS (SELECT DISTINCT doc_id, ds.pos + r.d AS p
+          |         FROM ds CROSS JOIN range(0, 8) r(d)),
+          | isl AS (SELECT doc_id, p,
+          |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          |         FROM cov),
+          | sp AS (SELECT doc_id, min(p) AS s, max(p) AS e
+          |        FROM isl GROUP BY doc_id, grp
+          |        HAVING max(p) - min(p) + 1 >= 8),
+          | spd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_spans,
+          |                CAST(sum(e - s + 1) AS BIGINT) AS n_removed_tokens
+          |         FROM sp GROUP BY doc_id),
+          | tp AS (SELECT doc_id, unnest(range(len(toks))) AS p, unnest(toks) AS tok FROM t),
+          | keptpos AS (
+          |   SELECT tp.doc_id, tp.p, tp.tok FROM tp
+          |   WHERE NOT EXISTS (SELECT 1 FROM sp
+          |     WHERE sp.doc_id = tp.doc_id AND tp.p BETWEEN sp.s AND sp.e)),
+          | kept AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS kept_text
+          |          FROM keptpos GROUP BY doc_id)
+          | SELECT t.doc_id,
+          |   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |   coalesce(spd.n_contaminated_spans, CAST(0 AS BIGINT)) AS n_contaminated_spans,
+          |   coalesce(spd.n_removed_tokens, CAST(0 AS BIGINT)) AS n_removed_tokens,
+          |   coalesce(kept.kept_text, '') AS kept_text
+          | FROM t LEFT JOIN spd USING (doc_id) LEFT JOIN kept USING (doc_id)
+          | ORDER BY t.doc_id""".stripMargin,
       "q84_dedup_substrings" ->
         """WITH t AS (
           |  SELECT doc_id,

@@ -74,6 +74,14 @@ case class CappedSession(user_id: Long, session_start: LocalDateTime,
     session_end: LocalDateTime, n_events: Long, n_types: Long,
     sum_value: Double)
 
+/** s18's per-user state: the most recent DIMENSION row seen. */
+case class DimState(event_id: Long, tsMicros: Long, value: Double)
+
+/** One enriched fact emitted by s18's temporal join: the fact row plus
+  * the as-of dimension (None when no dimension row preceded it). */
+case class Enriched(event_id: Long, ts: LocalDateTime, user_id: Long,
+    value: Double, rate_id: Option[Long], rate_value: Option[Double])
+
 /** Structured Streaming execution of the event-window inventory
   * (SURVEY.md §2.3 S1/S5): the SAME windowed-aggregation expressions as
   * the batch forms in EventWindowQueries, driven through a real
@@ -1169,6 +1177,87 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  // ---------------------------------------------------------------- s18
+  /** s18's state machine (serializable for the executor closure, the
+    * [[CappedSessions]] rule). Rows arrive per-user; within a batch they
+    * are sorted by event time, and the replay feeds batches in global
+    * event-time order, so a single "latest dimension row" per user IS
+    * the as-of join state. */
+  private[streaming] object TemporalJoin extends Serializable {
+    /** The dimension-stream membership rule (every 10th event is a
+      * rate update; the rest are facts to enrich). */
+    def isDim(id: Long): Boolean = id % 10 == 0
+
+    def update(
+        user: Long, events: Iterator[TsEvent],
+        state: org.apache.spark.sql.streaming.GroupState[DimState]): Iterator[Enriched] = {
+      val inOrder = events.toSeq.sortBy(e => (CappedSessions.tsMicros(e.ts), e.event_id))
+      val out = Seq.newBuilder[Enriched]
+      var dim = state.getOption
+      inOrder.foreach { e =>
+        val t = CappedSessions.tsMicros(e.ts)
+        if (isDim(e.event_id)) dim = Some(DimState(e.event_id, t, e.value))
+        else out += Enriched(e.event_id, CappedSessions.microsToLdt(t), user,
+          e.value, dim.map(_.event_id), dim.map(_.value))
+      }
+      dim.foreach(state.update)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming TEMPORAL (event-time as-of) enrichment — the Flink
+    * "temporal table join" / CDC-enrichment shape Structured Streaming
+    * has no built-in operator for: every FACT event joins the most
+    * recent DIMENSION update (here: every 10th event is a rate update)
+    * with `dim.ts <= fact.ts` for the same user. s08's stream-static
+    * join re-reads a FROZEN dimension per microbatch; s07's interval
+    * join buffers BOTH sides and emits every pair in the window; the
+    * temporal join wants exactly one row — the dimension AS OF the
+    * fact's event time — which is a per-key latest-value state machine,
+    * not a symmetric join.
+    *
+    * State is ONE dimension row per user (the latest seen): under the
+    * event-time-ordered replay a fact can enrich immediately — no
+    * buffering, no timeout, no sentinel. A production feed with
+    * out-of-order arrival buffers facts until the watermark passes
+    * their timestamp before consulting the dimension state (the s05
+    * machinery composed with this one); the ordered replay documents
+    * the exact same join semantics without the wait.
+    *
+    * Hash-gated against DuckDB's NATIVE `ASOF LEFT JOIN` — the oracle
+    * is the textbook statement of the operator. The fixture has no
+    * duplicate (user, ts) pairs, so inclusive-vs-exclusive at equal
+    * timestamps cannot bite.
+    *
+    * Scale posture: state is one small row per user key, sharded by
+    * group key; dimension updates replace in place, so state tracks the
+    * user universe, not the stream — the same O(keys) argument as s06,
+    * with `GroupStateTimeout` eviction available for retired users. */
+  def s18_stream_temporal_join(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sorted = collectEvents(spark, dir)
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val batchSize = math.max(1, (sorted.size + 2) / 3)
+    val batches = sorted.grouped(batchSize).toSeq
+
+    val src = MemoryStream[Event]
+    val enriched = runToMemory(spark, {
+      src.toDF()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .as[TsEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[DimState, Enriched](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+          TemporalJoin.update _)
+        .toDF()
+    }, "append") { query =>
+      batches.foreach { b => src.addData(b); query.processAllAvailable() }
+    }
+    enriched.orderBy(col("event_id"))
+  }
+
   /** Driver-side reference for s06 — one global greedy pass (used by the
     * spec to gate the streaming result). */
   private[streaming] def throttleReference(events: Seq[Event]): Seq[Emitted] =
@@ -1210,6 +1299,7 @@ object EventStreams {
     "s14_stream_near_dedup" -> (s14_stream_near_dedup _),
     "s14b_stream_near_dedup_expiring" -> (s14b_stream_near_dedup_expiring _),
     "s17_stream_capped_sessions" -> (s17_stream_capped_sessions _),
+    "s18_stream_temporal_join" -> (s18_stream_temporal_join _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1217,6 +1307,17 @@ object EventStreams {
     // batch gap-islands + capped-chunks answer.
     "s17_stream_capped_sessions" ->
       graft.operators.EventWindowQueries.cappedSessionsOracle,
+    // The operator's textbook statement: DuckDB's native ASOF LEFT JOIN
+    // (greatest dim.ts <= fact.ts per user; unmatched facts keep NULLs).
+    "s18_stream_temporal_join" ->
+      """WITH d AS (
+        |  SELECT event_id, ts, user_id, value FROM events WHERE event_id % 10 = 0),
+        | f AS (
+        |  SELECT event_id, ts, user_id, value FROM events WHERE event_id % 10 != 0)
+        | SELECT f.event_id, f.ts, f.user_id, f.value,
+        |   d.event_id AS rate_id, d.value AS rate_value
+        | FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts >= d.ts
+        | ORDER BY f.event_id""".stripMargin,
     // Identical to s01's oracle: streaming must converge to the batch
     // answer.
     "s01b_tumbling_stream" ->

@@ -442,6 +442,37 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) === ((1L, 0L, 0L, "tiny")))
   }
 
+  test("surgical decontamination removes exactly the probe-overlapping spans; " +
+    "probe docs excluded; clean docs untouched") {
+    import spark.implicits._
+    val question = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val docs = Seq(
+      // probe doc (id % 35 == 0): the benchmark question
+      (35L, s"intro words $question outro words"),
+      // candidate quoting the question verbatim mid-page
+      (1L, s"alpha beta gamma delta epsilon $question zeta eta theta"),
+      // candidate with no overlap
+      (2L, "completely original page content with no benchmark text at all present here"),
+      // second probe doc — must not appear in the output
+      (70L, "another benchmark prompt entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripContaminatedSpans(docs, "doc_id", "text",
+      k = 8, probeMod = 35).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_contaminated_spans"),
+          r.getAs[Long]("n_removed_tokens"), r.getAs[String]("kept_text"))))
+      .toMap
+    assert(!out.contains(35L) && !out.contains(70L),
+      "probe documents must be excluded from the cleaned corpus")
+    // the quoted 12-token question is exactly the union of its probe
+    // 8-gram windows; straddling grams differ by context — no bleed
+    assert(out(1L) === ((20L, 1L, 12L,
+      "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(out(2L)._2 === 0L && out(2L)._3 === 0L)
+    assert(out(2L)._4 ===
+      "completely original page content with no benchmark text at all present here")
+  }
+
   test("substring dedup fixture invariants: token conservation and span consistency") {
     val out = Dedup.stripDupSubstrings(fixtureDocs, "doc_id", "text").collect()
     assert(out.nonEmpty)

@@ -64,6 +64,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(!st3.exists, "timed-out session must leave no state behind")
   }
 
+  test("s18 temporal join: state machine equals the batch as-of join across batches") {
+    val got = EventStreams.s18_stream_temporal_join(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    // batch reference: per fact, the dim (event_id % 10 == 0) row with
+    // the greatest ts <= fact.ts for the same user — computed naively
+    // on the driver (sf0.001 is small)
+    val events = EventStreams.eventsFor(spark, sf0001)
+    val dims = events.filter(e => e.event_id % 10 == 0)
+      .groupBy(_.user_id).view.mapValues(_.sortBy(e => EventStreams.micros(e.ts))).toMap
+    val expected = events.filter(e => e.event_id % 10 != 0)
+      .map { f =>
+        val best = dims.getOrElse(f.user_id, Seq.empty)
+          .filter(d => EventStreams.micros(d.ts) <= EventStreams.micros(f.ts))
+          .lastOption
+        (f.event_id, f.user_id, best.map(_.event_id).getOrElse(-1L))
+      }.sortBy(_._1)
+    assert(got === expected)
+    // non-vacuous both ways: some facts enriched, some pre-dim facts null
+    assert(expected.exists(_._3 >= 0) && expected.exists(_._3 == -1L))
+  }
+
   test("streaming into the catalog lands every event exactly once (single run)") {
     import org.apache.spark.sql.functions._
     val sunk = EventStreams.s11_stream_catalog_sink(spark, sf0001)
