@@ -807,6 +807,15 @@ object LlmQueries {
       k = 8, probeMod = 35)
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q93
+  /** Per-source KL divergence from the corpus token mixture — the
+    * domain-mix diagnostic beside q90's selection (see
+    * [[TextAnalysis.sourceKlDivergence]] for the quantized-ln
+    * exactness contract and the broadcast-histogram scale posture).
+    * Hash-gated. */
+  def q93_source_divergence(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceKlDivergence(docs(spark, dir), "text", "source")
+
   // ---------------------------------------------------------------- q90
   /** DSIR-style data selection — importance reweighting with hashed
     * n-gram features (see [[TextAnalysis.dsirSelect]] for the published
@@ -885,6 +894,7 @@ object LlmQueries {
     "q87_cms_heavy_hitters" -> (q87_cms_heavy_hitters _),
     "q90_dsir_select" -> (q90_dsir_select _),
     "q92_strip_contaminated" -> (q92_strip_contaminated _),
+    "q93_source_divergence" -> (q93_source_divergence _),
   )
 
   /** DuckDB mirrors. The normalization/shingling pipeline is re-expressed
@@ -1564,6 +1574,34 @@ object LlmQueries {
           |  FROM d JOIN lw USING (bucket) GROUP BY doc_id)
           | SELECT doc_id, n_tokens, round(w_q / n_tokens) / 10000.0 AS avg_importance
           | FROM w ORDER BY avg_importance DESC, doc_id LIMIT 500""".stripMargin,
+      // q90's bucket/smoothing contract applied per source; the
+      // cs·(ln…)·1e6/ts product mirrors dsirSelect's association
+      // verbatim so both engines round the same double.
+      "q93_source_divergence" ->
+        """WITH t AS (
+          |  SELECT source,
+          |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+          |  FROM documents WHERE text IS NOT NULL),
+          | f AS (
+          |  SELECT source,
+          |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS bucket
+          |  FROM t),
+          | bs AS (SELECT source, bucket, count(*) AS cs FROM f GROUP BY 1, 2),
+          | corp AS (SELECT bucket, CAST(sum(cs) AS BIGINT) AS c FROM bs GROUP BY 1),
+          | ctot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM corp),
+          | stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM bs GROUP BY 1),
+          | terms AS (
+          |  SELECT bs.source,
+          |    CAST(round(CAST(cs AS DOUBLE) *
+          |      (ln(CAST(cs + 1 AS DOUBLE)) - ln(CAST(ts + 4096 AS DOUBLE))
+          |       - ln(CAST(c + 1 AS DOUBLE)) + ln(CAST(t + 4096 AS DOUBLE))) *
+          |      1000000.0 / CAST(ts AS DOUBLE)) AS BIGINT) AS term_q
+          |  FROM bs JOIN corp USING (bucket) JOIN stot USING (source) CROSS JOIN ctot),
+          | agg AS (
+          |  SELECT source, CAST(sum(term_q) AS BIGINT) AS kl_q FROM terms GROUP BY 1)
+          | SELECT agg.source, stot.ts AS n_tokens,
+          |   CAST(kl_q AS DOUBLE) / 1000000.0 AS kl_est_nats
+          | FROM agg JOIN stot USING (source) ORDER BY agg.source""".stripMargin,
       "q71_unigram_logprob" ->
         """WITH t AS (
           |  SELECT doc_id,

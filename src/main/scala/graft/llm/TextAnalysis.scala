@@ -832,6 +832,72 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-source token-distribution divergence (q93) — the domain-mix
+    * diagnostic next to q90's selection: a plug-in ESTIMATE of
+    * KL(source ‖ corpus) over hashed token buckets says WHICH sources
+    * deviate from the corpus mixture and by how much (a spiking
+    * divergence on an ingest source is the canonical "crawler started
+    * pulling spam" alarm).
+    *
+    * Estimator honesty: the score is the empirical mean log-likelihood
+    * ratio of the source's own tokens under the add-one-smoothed
+    * source model vs the add-one-smoothed corpus model — the standard
+    * plug-in KL estimate. Add-one smoothing with B buckets carries a
+    * finite-sample bias of roughly −ln(1 + B/T_s) that is common-mode
+    * across sources (at the fixture's T_s ≈ 10³ ≪ B it shows as a
+    * shared negative offset; at production T_s ≫ B it vanishes), so
+    * the DIAGNOSTIC — relative deviation across sources, and a spike
+    * on one source over time — is unaffected. The column is named
+    * `kl_est_nats` for that reason.
+    *
+    * Same exactness contract as q90: md5-prefix buckets (the
+    * cross-engine hash), add-one smoothing so every ln argument is an
+    * INTEGER-valued double, per-bucket terms quantized to exact longs —
+    * here the term is count_s(b) · [ln p̂_s(b) − ln p̂(b)] scaled by
+    * 1e6/total_s, i.e. KL in nats ≈ Σ terms / 1e6, assembled from
+    * integer-valued ln inputs only:
+    *   term(b) = round( c_s(b) · (ln(c_s(b)+1) − ln(T_s+B)
+    *                            − ln(c(b)+1)  + ln(T+B)) · 1e6 / T_s )
+    * (the c_s·ln(...)·1e6/T_s product is one double expression with a
+    * fixed shape, mirrored verbatim in the oracle, so both engines
+    * compute bit-identical doubles before the single rounding).
+    *
+    * 100 TB posture: ONE tokenize pass; per-(source, bucket) counts
+    * map-side combine to |sources|·B rows; the corpus bucket histogram
+    * (B rows) BROADCASTS into the per-source scoring; output is one row
+    * per source. No joins on the token key, no windows. */
+  def sourceKlDivergence(docs: DataFrame, textCol: String,
+      sourceCol: String, buckets: Int = 4096): DataFrame = {
+    val feats = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets)
+      .drop("tok")
+    val bySrc = feats.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("cs"))
+      .localCheckpoint() // feeds the corpus histogram AND the scoring
+    val corpus = bySrc.groupBy("bucket").agg(sum("cs").as("c"))
+    val corpusTotal = corpus.agg(sum("c").as("t"))
+    val srcTotal = bySrc.groupBy("source").agg(sum("cs").as("ts"))
+    bySrc
+      .join(broadcast(corpus), Seq("bucket"))
+      .join(broadcast(srcTotal), Seq("source"))
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("term_q",
+        round(col("cs").cast("double") *
+          (log((col("cs") + 1L).cast("double")) -
+            log((col("ts") + buckets.toLong).cast("double")) -
+            log((col("c") + 1L).cast("double")) +
+            log((col("t") + buckets.toLong).cast("double"))) *
+          lit(1000000.0) / col("ts").cast("double")).cast("long"))
+      .groupBy("source")
+      .agg(max("ts").as("n_tokens"), sum("term_q").as("kl_q"))
+      .select(col("source"), col("n_tokens"),
+        (col("kl_q").cast("double") / 1000000.0).as("kl_est_nats"))
+      .orderBy(col("source"))
+  }
+
   def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("fingerprint",
       aggregate(

@@ -775,6 +775,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(rank.indexOf(5L) + 1 === rank.indexOf(6L), s"tie must be adjacent by id, got $rank")
   }
 
+  test("sourceKlDivergence: an off-distribution source scores far above " +
+    "same-mixture sources; estimator bias is common-mode") {
+    import spark.implicits._
+    val common = Seq.fill(40)("the quick brown fox jumps over the lazy dog again")
+    val docs = (
+      common.map(t => ("srcA", t)) ++
+      common.map(t => ("srcB", t)) ++
+      // srcC: disjoint vocabulary — the spam-crawler case
+      Seq.fill(40)(("srcC", "zorp blig quux flarn wibble grot snark plem vonk drizz"))
+    ).zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceKlDivergence(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // identical mixtures: estimates agree to within the quantization
+    assert(math.abs(out("srcA") - out("srcB")) < 1e-3,
+      s"same-mixture sources must near-tie, got $out")
+    // the divergent source stands clearly above both (same token COUNT
+    // per source, so the smoothing bias is identical and cancels)
+    assert(out("srcC") > out("srcA") + 0.5,
+      s"off-distribution source must spike, got $out")
+  }
+
   test("q87 fixture sanity: estimates equal exact counts at fixture vocabulary scale") {
     val docs = fixtureDocs
     val exact = docs.filter(col("text").isNotNull)
