@@ -751,6 +751,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** (doc_id, toks) base + overlapping (doc_id, pos, gram) k-grams —
+    * the shared front half of the span-surgery family (q84, q92).
+    * Checkpoint flags follow consumer count: base serves the explode
+    * AND the rebuild wherever the caller rebuilds (q84, q92's
+    * candidate side); grams serve two consumers only in q84 (df
+    * aggregate + semi-join) — q92's sides consume grams once, and a
+    * checkpoint there would materialize the corpus' largest
+    * intermediate for zero reuse. */
+  private def spanBase(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, checkpointBase: Boolean = true,
+      checkpointGrams: Boolean = true): (DataFrame, DataFrame) = {
+    def cp(df: DataFrame, on: Boolean) = if (on) df.localCheckpoint() else df
+    val base = cp(docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks")),
+      checkpointBase)
+    // overlapping k-grams with start positions; the `when` guard is the
+    // TextOps.shingles rule (sequence(0, negative) descends, not empties)
+    val grams = cp(base.select(col("doc_id"),
+        posexplode(when(size(col("toks")) >= k, expr(
+          s"transform(sequence(0, size(toks) - $k), " +
+            s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram"))),
+      checkpointGrams)
+    (base, grams)
+  }
+
   /** SUBSTRING-level exact dedup (q84) — the ExactSubstr class of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language
     * Models Better"): remove every span of ≥ `minLen` tokens whose
@@ -804,28 +830,6 @@ object Dedup {
     * n_dup_spans, n_removed_tokens, kept_text); a fully-duplicated
     * document survives with empty kept_text (auditable verdict, not a
     * silent drop — the q73 contract). */
-  /** (doc_id, toks) base + overlapping (doc_id, pos, gram) k-grams —
-    * the shared front half of the span-surgery family (q84, q92). Both
-    * frames are checkpointed: base serves the explode AND the rebuild;
-    * grams serve the mark aggregate AND the semi-join probe. */
-  private def spanBase(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, checkpoint: Boolean = true): (DataFrame, DataFrame) = {
-    def cp(df: DataFrame) = if (checkpoint) df.localCheckpoint() else df
-    // base shared by gram explode + final rebuild; grams by the mark
-    // aggregate + semi-join probe (single-consumer callers — q92's
-    // probe side — skip the checkpoints)
-    val base = cp(docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks")))
-    // overlapping k-grams with start positions; the `when` guard is the
-    // TextOps.shingles rule (sequence(0, negative) descends, not empties)
-    val grams = cp(base.select(col("doc_id"),
-        posexplode(when(size(col("toks")) >= k, expr(
-          s"transform(sequence(0, size(toks) - $k), " +
-            s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram"))))
-    (base, grams)
-  }
-
   def stripDupSubstrings(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minLen: Int = 16): DataFrame = {
@@ -906,9 +910,11 @@ object Dedup {
     require(k > 0, "k must be positive")
     val idc = col(idCol)
     val (base, grams) = spanBase(
-      docs.filter(idc % probeMod =!= 0), idCol, textCol, k)
+      docs.filter(idc % probeMod =!= 0), idCol, textCol, k,
+      checkpointGrams = false) // grams feed ONLY the mark semi-join here
     val (_, probeGrams) = spanBase(
-      docs.filter(idc % probeMod === 0), idCol, textCol, k, checkpoint = false)
+      docs.filter(idc % probeMod === 0), idCol, textCol, k,
+      checkpointBase = false, checkpointGrams = false)
     val contaminatedStarts = grams
       .join(broadcast(probeGrams.select("gram").distinct()), Seq("gram"), "left_semi")
       .groupBy("doc_id")

@@ -214,19 +214,6 @@ object Similarity {
     slice(reverse(array_sort(array(sims: _*))), 1, n)("cid")
   }
 
-  /** Spherical k-means centroids: deterministic seeds (the `nlist`
-    * smallest-id corpus vectors) refined by `iters` Lloyd iterations
-    * run as DataFrame jobs — assign every vector to its nearest
-    * centroid, recompute each centroid as its bucket's per-dimension
-    * mean. Sums are integer-quantized longs (the repo's exact
-    * accumulator pattern), so assignments and centroids are
-    * bit-identical across runs and partitionings; an emptied cluster
-    * keeps its previous centroid. Each iteration moves only
-    * `nlist × dim` scalars to the driver — constant-size traffic, the
-    * production shape for a trained coarse quantizer. At corpus scale
-    * the training input would be a bounded SAMPLE (the FAISS approach,
-    * which trains its quantizer on a subset), not every vector; the
-    * callers pass the full fixture corpus because it is small. */
   /** Training-set cap for the LOCAL Lloyd trainers below: quantizer
     * training runs on a bounded deterministic sample (the `MaxTrain`
     * smallest-id vectors), the FAISS convention — codebook quality needs
@@ -243,41 +230,58 @@ object Similarity {
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue
 
   /** Quantized per-label mean with [[quantizedCentroids]]' exact
-    * arithmetic (long sums of q4, then s/(n·10⁴)) — label order and
+    * arithmetic — long sums of q4 and PER-(label, dimension) counts
+    * (the distributed form's posexplode counts one row per PRESENT
+    * dimension, so a ragged short vector must not deflate the mean of
+    * dimensions it lacks), then s/(n_i·10⁴). Label order and
     * accumulation order cannot change the result. Labels absent from
     * `assigned` keep their entry absent (caller falls back to the
-    * previous centroid, the emptied-cluster rule). */
+    * previous centroid, the emptied-cluster rule). A dimension no
+    * member has yields 0.0 — saner than the distributed collect_list
+    * form, which would emit a gap-misaligned shorter array there; on
+    * uniform-length input (every fixture) the two are bit-identical. */
   private def quantizedMeans(
       assigned: Iterable[(Long, Array[Double])], dim: Int): Map[Long, Array[Double]] = {
     val sums = collection.mutable.Map.empty[Long, (Array[Long], Array[Long])]
     assigned.foreach { case (label, v) =>
-      val (s, n) = sums.getOrElseUpdate(label, (new Array[Long](dim), new Array[Long](1)))
+      val (s, n) = sums.getOrElseUpdate(label, (new Array[Long](dim), new Array[Long](dim)))
       var i = 0
-      while (i < v.length && i < dim) { s(i) += q4(v(i)); i += 1 }
-      n(0) += 1
+      while (i < v.length && i < dim) { s(i) += q4(v(i)); n(i) += 1; i += 1 }
     }
     sums.iterator.map { case (label, (s, n)) =>
-      label -> Array.tabulate(dim)(i => s(i).toDouble / (n(0) * 10000.0))
+      label -> Array.tabulate(dim)(i =>
+        if (n(i) == 0) 0.0 else s(i).toDouble / (n(i) * 10000.0))
     }.toMap
   }
 
   /** Cosine argmax over a centroid table with [[nearestCentroids]]'
     * exact scoring (left-to-right dot, driver-side cnorm) and its
     * top-1 tie rule (highest sim, ties to the LARGER centroid id —
-    * `reverse(array_sort(...))` struct ordering). */
+    * `reverse(array_sort(...))` struct ordering).
+    *
+    * Documented divergence from the expression form on ONE degenerate
+    * input: a zero-norm centroid scores sim = dot/0 = NaN, which
+    * Spark's struct sort ranks ABOVE every real double (NaN-wins); here
+    * such centroids are SKIPPED, so a real centroid always wins when
+    * one exists — strictly saner, and unreachable on the normalized
+    * (nrm > 0) fixtures where the two rules coincide bit-for-bit. If
+    * every centroid is degenerate, the smallest id is returned
+    * deterministically. */
   private def assignCosine(
       v: Array[Double], cents: Array[(Long, Array[Double], Double)]): Long = {
     var bestS = Double.NegativeInfinity
     var bestC = Long.MinValue
     cents.foreach { case (cid, cv, cn) =>
-      val n = math.min(v.length, cv.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += v(i) * cv(i); i += 1 }
-      val sim = s / cn
-      if (sim > bestS || (sim == bestS && cid > bestC)) { bestS = sim; bestC = cid }
+      if (cn > 0) {
+        val n = math.min(v.length, cv.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v(i) * cv(i); i += 1 }
+        val sim = s / cn
+        if (sim > bestS || (sim == bestS && cid > bestC)) { bestS = sim; bestC = cid }
+      }
     }
-    bestC
+    if (bestC == Long.MinValue) cents.iterator.map(_._1).min else bestC
   }
 
   /** Bounded deterministic training set: the [[MaxTrain]] smallest-id
@@ -287,13 +291,20 @@ object Similarity {
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
+  /** Spherical k-means centroids: deterministic seeds (the `nlist`
+    * smallest-id corpus vectors) refined by `iters` Lloyd iterations —
+    * assign every training vector to its nearest centroid (cosine),
+    * recompute each centroid as its bucket's per-dimension
+    * integer-quantized mean; an emptied cluster keeps its previous
+    * centroid. Training runs LOCALLY on the bounded [[MaxTrain]]
+    * sample (ONE collect, zero per-iteration jobs or expression
+    * recompiles — the FAISS convention of training the quantizer on a
+    * subset): [[assignCosine]]/[[quantizedMeans]] replicate the
+    * distributed DataFrame math bit-for-bit (same dot/tie/rounding
+    * rules), so results are unchanged wherever the corpus fits the
+    * cap — fixtures do. */
   private[llm] def lloydCentroids(
       corpus: DataFrame, nlist: Int, iters: Int): Array[(Long, Seq[Double])] = {
-    // Training runs LOCALLY on the bounded sample (one collect, zero
-    // per-iteration jobs or expression recompiles): assignment and the
-    // quantized-mean refinement replicate the distributed DataFrame
-    // math bit-for-bit (same dot/tie/rounding rules), so results are
-    // unchanged wherever the corpus fits the cap — fixtures do.
     val train = collectTraining(corpus)
     var cents: Array[(Long, Seq[Double])] =
       train.take(nlist).map { case (id, v) => (id, v.toSeq) }
@@ -413,19 +424,13 @@ object Similarity {
       pqSlices(dim, books.length).toSeq))
   }
 
-  /** Product-quantization codebooks: per sub-space, `ksub` centroids
-    * trained by `iters` Euclidean Lloyd iterations (deterministic seeds
-    * = the ksub smallest-id rows; integer-quantized means ⇒
-    * bit-identical codebooks across runs and partitionings; an emptied
-    * cluster keeps its previous centroid). The assignment metric is
-    * Euclidean, NOT cosine — sub-vectors are unnormalized fragments of
-    * the full vector, so direction-only assignment would leave
-    * magnitude quantization error unpenalized and the ADC dot
-    * estimates would drift; ties break to the smaller code id.
-    * Returns books(sub)(code). */
-  /** Euclidean argmin over a sub-space codebook with [[nearestSubCode]]'s
-    * exact scoring (left-to-right Σ(a−b)²) and tie rule (smallest
-    * distance, ties to the SMALLER code id). */
+  /** Euclidean argmin over a sub-space codebook — [[graft.functions.PqAssign]]'s exact
+    * scoring (left-to-right Σ(a−b)²) and tie rule (smallest distance,
+    * ties to the SMALLER code id), used by the local PQ trainer. The
+    * metric is Euclidean, NOT cosine: sub-vectors are unnormalized
+    * fragments of the full vector, so direction-only assignment would
+    * leave magnitude quantization error unpenalized and the ADC dot
+    * estimates would drift. */
   private def assignSubCode(sv: Array[Double], book: Array[Seq[Double]]): Int = {
     var bestD = Double.PositiveInfinity
     var bestC = -1
@@ -442,17 +447,22 @@ object Similarity {
     bestC
   }
 
+  /** Product-quantization codebooks: per sub-space, `ksub` centroids
+    * trained by `iters` Euclidean Lloyd iterations (deterministic
+    * seeds = the ksub smallest-id rows; integer-quantized means; an
+    * emptied cluster keeps its previous centroid). Returns
+    * books(sub)(code). Training runs LOCALLY on the bounded
+    * [[MaxTrain]] sample: ONE collect replaces the seed fetch plus
+    * `iters` corpus-wide jobs — and, measured as important at fixture
+    * scale, `iters` Janino compilations of the m×ksub-literal
+    * assignment expression tree. [[assignSubCode]]/[[quantizedMeans]]
+    * replicate the distributed math bit-for-bit (same
+    * sqDist/tie/rounding rules), so codebooks are unchanged wherever
+    * the corpus fits the cap. */
   private[llm] def pqCodebooks(
       corpus: DataFrame, m: Int, ksub: Int, iters: Int,
       dim: Int): Array[Array[Seq[Double]]] = {
     val slices = pqSlices(dim, m)
-    // Training runs LOCALLY on the bounded [[MaxTrain]] sample: ONE
-    // collect replaces the seed fetch plus `iters` corpus-wide jobs —
-    // and, measured as important at fixture scale, `iters` Janino
-    // compilations of the m×ksub-literal assignment expression tree.
-    // Assignment and refinement replicate the distributed math
-    // bit-for-bit (same sqDist/tie/rounding rules), so codebooks are
-    // unchanged wherever the corpus fits the cap.
     val train = collectTraining(corpus)
     val seedRows = train.take(ksub).map(_._2.toSeq)
     var books: Array[Array[Seq[Double]]] = slices.map { case (start, len) =>

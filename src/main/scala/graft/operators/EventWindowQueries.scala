@@ -87,31 +87,39 @@ object EventWindowQueries {
     * final aggregate reuse that partitioning (no second shuffle — the
     * chunk window's key (user_id, island) is a refinement of user_id).
     * Session stats are bounded by the cap, never by user activity. */
-  def q89_capped_sessions(spark: SparkSession, dir: String): DataFrame = {
+  def q89_capped_sessions(spark: SparkSession, dir: String): DataFrame =
+    cappedSessions(events(spark, dir))
+
+  /** q89's operator form on any (ts, event_id, user_id, event_type,
+    * value) frame — spec-drivable: the fixture never produces a
+    * 5-event burst inside one 10-minute gap window, so the cap branch
+    * is gated differentially on a synthetic corpus in
+    * EventStreamsSpec, not by the fixture hash gate. */
+  private[graft] def cappedSessions(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     val gapMinutes = 10
     val cap = 5
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val marked = events(spark, dir)
-      .withColumn("prev_ts", lag($"ts", 1).over(w))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_sess",
-        when($"prev_ts".isNull ||
-          $"ts" >= $"prev_ts" + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+        when(col("prev_ts").isNull ||
+          col("ts") >= col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
           .otherwise(0L))
       .withColumn("island",
-        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val wi = Window.partitionBy($"user_id", $"island").orderBy($"ts", $"event_id")
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wi = Window.partitionBy(col("user_id"), col("island"))
+      .orderBy(col("ts"), col("event_id"))
     marked
       .withColumn("chunk", ((row_number().over(wi) - 1) / cap).cast("long"))
-      .groupBy($"user_id", $"island", $"chunk")
-      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+      .groupBy(col("user_id"), col("island"), col("chunk"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        countDistinct($"event_type").as("n_types"),
-        r2(sum($"value")).as("sum_value"))
-      .select($"user_id", $"session_start", $"session_end",
-        $"n_events", $"n_types", $"sum_value")
-      .orderBy($"user_id", $"session_start")
+        countDistinct(col("event_type")).as("n_types"),
+        r2(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("n_types"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   // ------------------------------------------------------------------

@@ -22,11 +22,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     val streamed = rows(EventStreams.s17_stream_capped_sessions(spark, sf0001))
     val batch = rows(EventWindowQueries.q89_capped_sessions(spark, sf0001))
     assert(streamed === batch)
-    // The cap binds: no emitted session may exceed 5 events, and at
-    // least one session must have been SPLIT by the cap (n_events == 5
-    // followed by a same-user session within the gap) for the test to
-    // exercise the cap branch at all.
+    // Sanity only: the FIXTURE never produces a 5-event burst inside
+    // one gap window (max gap-session size is 2 at sf0.001), so the cap
+    // branch is NOT exercised here — the differential test below and
+    // the TestGroupState unit test cover it on synthetic bursts.
     assert(batch.map(_(3).asInstanceOf[Long]).forall(_ <= 5))
+  }
+
+  test("q89 batch cap splits a burst exactly like a driver-side reference (cap exercised)") {
+    import java.time.LocalDateTime
+    import spark.implicits._
+    // 3 users: a 12-event burst (5/5/2 chunks), a burst broken by a
+    // gap mid-way (4 then 3), and a singleton — covers split, gap reset
+    // within an island sequence, and the no-split path.
+    def t(sec: Long) = LocalDateTime.ofEpochSecond(1700000000L + sec, 0,
+      java.time.ZoneOffset.UTC)
+    val rowsIn = Seq.newBuilder[(Long, LocalDateTime, Long, String, Double)]
+    var id = 0L
+    (0 until 12).foreach { i => rowsIn += ((id, t(i * 30L), 1L,
+      if (i % 2 == 0) "click" else "view", 1.5)); id += 1 }
+    (0 until 4).foreach { i => rowsIn += ((id, t(i * 30L), 2L, "click", 2.0)); id += 1 }
+    (0 until 3).foreach { i => rowsIn += ((id, t(700 + i * 30L), 2L, "view", 2.0)); id += 1 }
+    rowsIn += ((id, t(0L), 3L, "error", 9.0)); id += 1
+    val df = rowsIn.result()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .select($"event_id", $"ts".cast("timestamp_ntz").as("ts"),
+        $"user_id", $"event_type", $"value")
+    val got = EventWindowQueries.cappedSessions(df).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // user 1: 12 events all within the gap -> ONE island, chunks 5/5/2;
+    // user 2: island of 4 (under cap), gap >= 10 min, island of 3;
+    // user 3: singleton
+    assert(got === Seq((1L, 5L), (1L, 5L), (1L, 2L), (2L, 4L), (2L, 3L), (3L, 1L)))
+    assert(got.count(_._2 == 5L) == 2, "the cap branch must actually split")
   }
 
   test("s17 state machine: cap splits a burst 5/5/2, gap closes, timeout flushes") {
