@@ -35,12 +35,18 @@ object ScaleProbe {
     // pair (q86 one sketch aggregate, q87 sketch build + probe — both
     // should be ~linear in corpus bytes with constant-size state)
     "q84_dedup_substrings", "q78b_ann_ivfadc_topk",
-    "q86_hll_snapshot_stats", "q87_cms_heavy_hitters")
+    "q86_hll_snapshot_stats", "q87_cms_heavy_hitters",
+    // continued-session additions over the replicable tables: q90's
+    // one-pass bucket scoring, q92's broadcast-probe span surgery and
+    // q93's histogram divergence should all be ~linear
+    "q90_dsir_select", "q92_strip_contaminated", "q93_source_divergence")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:
-    //   ScaleProbe [baseDir] [outDir] [reps] [--skip-build]
+    //   ScaleProbe [baseDir] [outDir] [reps] [--skip-build] [--queries=a,b]
     val skipBuild = args.contains("--skip-build")
+    val only: Option[Set[String]] = args.find(_.startsWith("--queries="))
+      .map(_.stripPrefix("--queries=").split(",").toSet)
     val pos = args.filterNot(_.startsWith("--"))
     val base = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (pos.length > 1) pos(1) else "/tmp/graft_scaleprobe"
@@ -99,7 +105,7 @@ object ScaleProbe {
     // min-of-2 BOTH sides after a warm-up (the sandbox's documented
     // 1.6x single-pass jitter lands on the exponent otherwise),
     // alternating small/big so neither side owns a hotter machine state
-    Heavy.foreach { name =>
+    Heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       time(name, base) // warm-up (JIT/codegen/streaming engine init)
       val (s1, b1) = (time(name, base), time(name, out))
       val (s2, b2) = (time(name, base), time(name, out))
