@@ -281,7 +281,8 @@ object Similarity {
         if (sim > bestS || (sim == bestS && cid > bestC)) { bestS = sim; bestC = cid }
       }
     }
-    if (bestC == Long.MinValue) cents.iterator.map(_._1).min else bestC
+    if (bestC == Long.MinValue && cents.nonEmpty) cents.iterator.map(_._1).min
+    else bestC // Long.MinValue sentinel on an empty centroid table
   }
 
   /** Bounded deterministic training set: the [[MaxTrain]] smallest-id

@@ -47,6 +47,12 @@ object ScaleProbe {
     val skipBuild = args.contains("--skip-build")
     val only: Option[Set[String]] = args.find(_.startsWith("--queries="))
       .map(_.stripPrefix("--queries=").split(",").toSet)
+    only.foreach { qs =>
+      val unknown = qs.diff(Heavy.toSet)
+      require(unknown.isEmpty,
+        s"--queries names not in the probe set: ${unknown.toSeq.sorted.mkString(", ")}; " +
+          s"known: ${Heavy.mkString(", ")}")
+    }
     val pos = args.filterNot(_.startsWith("--"))
     val base = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (pos.length > 1) pos(1) else "/tmp/graft_scaleprobe"
