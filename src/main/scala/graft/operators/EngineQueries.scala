@@ -380,6 +380,49 @@ object EngineQueries {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------- Q94
+  /** INCREMENTAL aggregate-rollup maintenance — the pattern that keeps
+    * a 100 TB corpus' stats table fresh without ever rescanning it:
+    * per-source document/token counts live in a catalog table built
+    * from the PREVIOUS snapshot (doc_id ≡ 0 mod 3 — q86's convention);
+    * a NEW batch (the rest) aggregates to per-source PARTIALS only
+    * (cost ∝ batch), which MERGE into the stats table arithmetically —
+    * matched sources ADD the deltas, unseen sources INSERT. The gate is
+    * the maintenance invariant itself: the merged table must equal the
+    * full recompute over all documents, which is exactly what the
+    * DuckDB oracle states. Counts are exact longs ⇒ hash-gated.
+    *
+    * Composes q52's row-level MERGE machinery with the q59/q86
+    * incremental-ingest argument: per-refresh cost tracks the batch
+    * (one batch-sized aggregate + a stats-table-sized merge), never
+    * the accumulated corpus. */
+  def q94_incremental_rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q94_source_stats"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"text".isNotNull)
+      .select($"source", graft.llm.TextOps.tokens($"text").as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size($"toks").cast("long")).as("n_tokens"))
+    val docs = Tables(spark, dir, "documents")
+    stats(docs.filter($"doc_id" % 3 === 0)).writeTo(tgt).create()
+    stats(docs.filter($"doc_id" % 3 =!= 0)).createOrReplaceTempView("q94_batch")
+    spark.sql(
+      s"""MERGE INTO $tgt tgt USING q94_batch b
+         |ON tgt.source = b.source
+         |WHEN MATCHED THEN UPDATE SET
+         |  n_docs = tgt.n_docs + b.n_docs,
+         |  n_tokens = tgt.n_tokens + b.n_tokens
+         |WHEN NOT MATCHED THEN INSERT (source, n_docs, n_tokens)
+         |  VALUES (b.source, b.n_docs, b.n_tokens)
+         |""".stripMargin)
+    spark.table(tgt).orderBy($"source")
+  }
+
   // ---------------------------------------------------------------- Q53
   /** UPDATE with a mixed partition + row predicate: the partition half
     * lets runtime group filtering prune the rewrite to ONE partition,
@@ -430,6 +473,7 @@ object EngineQueries {
     "q49_compaction" -> (q49_compaction _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
     "q91_catalog_function" -> (q91_catalog_function _),
+    "q94_incremental_rollup" -> (q94_incremental_rollup _),
     "q50_multi_catalog_join" -> (q50_multi_catalog_join _),
     "q42_json_roundtrip" -> (q42_json_roundtrip _),
     "q45_schema_evolution" -> (q45_schema_evolution _),
@@ -467,6 +511,13 @@ object EngineQueries {
     "q51_delete" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         | WHERE o_orderpriority <> '1-URGENT' ORDER BY o_orderkey""".stripMargin,
+    // The maintenance invariant: incremental merge == full recompute.
+    "q94_incremental_rollup" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')))
+        |       AS BIGINT) AS n_tokens
+        | FROM documents WHERE text IS NOT NULL
+        | GROUP BY source ORDER BY source""".stripMargin,
     // The catalog-function math restated as list comprehensions: both
     // engines fold left-to-right over the common prefix, so the 1e-4
     // rounding is far outside float disagreement.

@@ -485,4 +485,35 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(rows === Set((1L, 10.0), (2L, 2.0)))
   }
+
+  test("q94's maintenance invariant composes: repeated incremental merges equal full recompute") {
+    import spark.implicits._
+    val t = freshTable("q94_compose")
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+    // three ingest generations with overlapping and fresh sources
+    val gen0 = Seq(("a", 3L), ("a", 2L), ("b", 5L)).toDF("source", "n")
+    val gen1 = Seq(("b", 1L), ("c", 7L)).toDF("source", "n")
+    val gen2 = Seq(("a", 4L), ("c", 1L), ("d", 9L)).toDF("source", "n")
+    stats(gen0).writeTo(t).create()
+    Seq(gen1, gen2).foreach { g =>
+      stats(g).createOrReplaceTempView("q94_compose_batch")
+      spark.sql(
+        s"""MERGE INTO $t tgt USING q94_compose_batch b
+           |ON tgt.source = b.source
+           |WHEN MATCHED THEN UPDATE SET
+           |  n_docs = tgt.n_docs + b.n_docs,
+           |  n_tokens = tgt.n_tokens + b.n_tokens
+           |WHEN NOT MATCHED THEN INSERT (source, n_docs, n_tokens)
+           |  VALUES (b.source, b.n_docs, b.n_tokens)
+           |""".stripMargin)
+    }
+    val merged = spark.table(t).orderBy($"source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = stats(gen0.unionByName(gen1).unionByName(gen2)).orderBy($"source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === full)
+    assert(merged.map(_._1) === Seq("a", "b", "c", "d"))
+  }
 }
