@@ -169,6 +169,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q90's weight table broadcasts into the scoring join; selection is a distributed top-k") {
+    // The SCALE.md claims, pinned: the learned bucket->weight table
+    // (buckets rows) must BUILD a broadcast hash join — a shuffle on
+    // the Zipf-skewed bucket key would be the q71 head-vocab problem
+    // re-created — and the top-500 must TakeOrderedAndProject, never a
+    // global sort. The only nested-loop is the 1-row totals cross
+    // (q71's precedent).
+    val p = plan(LlmQueries.q90_dsir_select(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q90: the weight join must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q90: top-k must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q90: nothing may shuffle on a join key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q90: cartesian product:\n$p")
+  }
+
+  test("q92's contamination mark is a broadcast SEMI-join; no corpus-side gram counting") {
+    // The scalpel's scale posture: the probe gram set (benchmark-sized)
+    // builds a broadcast LeftSemi against the candidate grams — the
+    // candidate side never shuffles on the gram key (no SortMergeJoin
+    // anywhere), and unlike q84 there is no COUNTING aggregate on a
+    // gram key (the only gram-keyed aggregate is the probe-side
+    // distinct, functions=[]).
+    val p = plan(LlmQueries.q92_strip_contaminated(spark, sf0001))
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      s"q92: the mark must be a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q92: the candidate grams must never shuffle on the gram key:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("keys=[gram") && l.contains("count")),
+      s"q92: no gram-keyed counting aggregate may exist:\n$p")
+  }
+
   test("q57b's probe is a codegen'd bloom predicate — the plan has no join at all") {
     // The whole point of the bloom path: q57's broadcast join collapses
     // to a scalar might_contain filter. Any Join node (hash, sort-merge,
