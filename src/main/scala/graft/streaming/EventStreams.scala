@@ -1159,22 +1159,27 @@ object EventStreams {
     val batches = sorted.grouped(batchSize).toSeq :+ Seq(sentinel)
 
     val src = MemoryStream[Event]
-    val sessions = runToMemory(spark, {
-      val watermarked = src.toDF()
-        .withColumn("ts", col("ts").cast("timestamp"))
-        .withWatermark("ts", "10 minutes")
-        .as[TsEvent]
-      watermarked
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState[OpenChunk, CappedSession](
-          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-          CappedSessions.update _)
-        .toDF()
-    }, "append") { query =>
+    val sessions = runToMemory(spark, cappedSessionTransform(src.toDF()),
+      "append") { query =>
       batches.foreach { b => src.addData(b); query.processAllAvailable() }
     }
     sessions.filter(col("user_id") =!= -1L)
       .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** s17's streaming transform (exposed for the spec's plan pin):
+    * watermark → keyed state machine — nothing else. */
+  private[streaming] def cappedSessionTransform(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import df.sparkSession.implicits._
+    df.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenChunk, CappedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        CappedSessions.update _)
+      .toDF()
   }
 
   // ---------------------------------------------------------------- s18
@@ -1234,7 +1239,6 @@ object EventStreams {
     * user universe, not the stream — the same O(keys) argument as s06,
     * with `GroupStateTimeout` eviction available for retired users. */
   def s18_stream_temporal_join(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val sorted = collectEvents(spark, dir)
@@ -1243,19 +1247,26 @@ object EventStreams {
     val batches = sorted.grouped(batchSize).toSeq
 
     val src = MemoryStream[Event]
-    val enriched = runToMemory(spark, {
-      src.toDF()
-        .withColumn("ts", col("ts").cast("timestamp"))
-        .as[TsEvent]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState[DimState, Enriched](
-          OutputMode.Append(), GroupStateTimeout.NoTimeout)(
-          TemporalJoin.update _)
-        .toDF()
-    }, "append") { query =>
+    val enriched = runToMemory(spark, temporalJoinTransform(src.toDF()),
+      "append") { query =>
       batches.foreach { b => src.addData(b); query.processAllAvailable() }
     }
     enriched.orderBy(col("event_id"))
+  }
+
+  /** s18's streaming transform (exposed for the spec's plan pin): one
+    * keyed state machine, NO join operator anywhere — the as-of
+    * semantics live entirely in the per-key latest-value state. */
+  private[streaming] def temporalJoinTransform(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import df.sparkSession.implicits._
+    df.withColumn("ts", col("ts").cast("timestamp"))
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DimState, Enriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        TemporalJoin.update _)
+      .toDF()
   }
 
   /** Driver-side reference for s06 — one global greedy pass (used by the

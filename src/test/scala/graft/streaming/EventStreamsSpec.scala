@@ -29,6 +29,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(batch.map(_(3).asInstanceOf[Long]).forall(_ <= 5))
   }
 
+  test("s17/s18 plans: ONE stateful operator each; s18 has no join operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    // s17: watermark -> state machine, nothing else stateful
+    val s17lp = EventStreams.cappedSessionTransform(src.toDF())
+      .queryExecution.analyzed.toString
+    assert("FlatMapGroupsWithState".r.findAllIn(s17lp).size === 1,
+      s"s17: expected exactly one stateful operator:\n$s17lp")
+    assert(!s17lp.contains("Aggregate"),
+      s"s17: sessionization regressed to an aggregation:\n$s17lp")
+    // s18: the as-of join must live IN the state machine — a Join node
+    // would mean the operator regressed to a buffered symmetric join
+    val s18lp = EventStreams.temporalJoinTransform(src.toDF())
+      .queryExecution.analyzed.toString
+    assert("FlatMapGroupsWithState".r.findAllIn(s18lp).size === 1,
+      s"s18: expected exactly one stateful operator:\n$s18lp")
+    assert(!s18lp.contains("Join ") && !s18lp.contains("Aggregate"),
+      s"s18: temporal join must be pure per-key state:\n$s18lp")
+  }
+
   test("q89 batch cap splits a burst exactly like a driver-side reference (cap exercised)") {
     import java.time.LocalDateTime
     import spark.implicits._
