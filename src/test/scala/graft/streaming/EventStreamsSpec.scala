@@ -136,6 +136,13 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(expected.exists(_._3 >= 0) && expected.exists(_._3 == -1L))
   }
 
+  test("s19 streaming rollup equals q94's batch maintenance on the same corpus") {
+    val streamed = rows(EventStreams.s19_stream_incremental_rollup(spark, sf0001))
+    val batch = rows(graft.operators.EngineQueries.q94_incremental_rollup(spark, sf0001))
+    assert(streamed === batch)
+    assert(streamed.size > 1, "multi-source fixture required for a non-vacuous gate")
+  }
+
   test("streaming into the catalog lands every event exactly once (single run)") {
     import org.apache.spark.sql.functions._
     val sunk = EventStreams.s11_stream_catalog_sink(spark, sf0001)
