@@ -186,6 +186,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"q90: cartesian product:\n$p")
   }
 
+  test("q93's corpus histogram broadcasts into the per-source scoring — no key shuffle joins") {
+    val p = plan(LlmQueries.q93_source_divergence(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q93: the histogram/total joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q93: nothing may shuffle on a join key:\n$p")
+  }
+
   test("q92's contamination mark is a broadcast SEMI-join; no corpus-side gram counting") {
     // The scalpel's scale posture: the probe gram set (benchmark-sized)
     // builds a broadcast LeftSemi against the candidate grams — the
