@@ -61,18 +61,29 @@ class ArrayDotBound extends ScalarFunction[java.lang.Double] {
   override def inputTypes(): Array[DataType] =
     Array(ArrayType(DoubleType), ArrayType(DoubleType))
   override def resultType(): DataType = DoubleType
-  override def isResultNullable: Boolean = false
+  override def isResultNullable: Boolean = true
 
   /** The magic method (`invoke`) the analyzer binds directly as a
     * codegen'd StaticInvoke/Invoke — argument classes derived from
-    * `inputTypes` (ArrayType → ArrayData). */
-  def invoke(a: ArrayData, b: ArrayData): Double = {
+    * `inputTypes` (ArrayType → ArrayData). The analyzer's `Invoke`
+    * binding does NOT null-propagate arguments (propagateNull=false in
+    * `V2ExpressionUtils.resolveScalarFunction`), so a SQL NULL array
+    * arrives here as a null `ArrayData`: return SQL NULL (boxed null —
+    * `Invoke` null-checks an Object-typed result) rather than NPE. */
+  def invoke(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a == null || b == null) return null
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Row-based fallback path (same null contract as [[invoke]]). */
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Double =
+    invoke(
+      if (input.isNullAt(0)) null else input.getArray(0),
+      if (input.isNullAt(1)) null else input.getArray(1))
 }
 
 object ArraySqDistUnbound extends UnboundFunction {
@@ -92,13 +103,21 @@ class ArraySqDistBound extends ScalarFunction[java.lang.Double] {
   override def inputTypes(): Array[DataType] =
     Array(ArrayType(DoubleType), ArrayType(DoubleType))
   override def resultType(): DataType = DoubleType
-  override def isResultNullable: Boolean = false
+  override def isResultNullable: Boolean = true
 
-  def invoke(a: ArrayData, b: ArrayData): Double = {
+  /** Null contract identical to [[ArrayDotBound.invoke]]: NULL in →
+    * SQL NULL out (the analyzer's Invoke binding never null-skips). */
+  def invoke(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a == null || b == null) return null
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
     s
   }
+
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Double =
+    invoke(
+      if (input.isNullAt(0)) null else input.getArray(0),
+      if (input.isNullAt(1)) null else input.getArray(1))
 }

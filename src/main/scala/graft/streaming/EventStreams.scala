@@ -1196,7 +1196,11 @@ object EventStreams {
     def update(
         user: Long, events: Iterator[TsEvent],
         state: org.apache.spark.sql.streaming.GroupState[DimState]): Iterator[Enriched] = {
-      val inOrder = events.toSeq.sortBy(e => (CappedSessions.tsMicros(e.ts), e.event_id))
+      // Dimension rows sort BEFORE facts at an equal timestamp: the
+      // inclusive as-of rule (fact.ts >= dim.ts) grants a same-instant
+      // dimension update to the fact regardless of event_id assignment.
+      val inOrder = events.toSeq.sortBy(e =>
+        (CappedSessions.tsMicros(e.ts), if (isDim(e.event_id)) 0 else 1, e.event_id))
       val out = Seq.newBuilder[Enriched]
       var dim = state.getOption
       inOrder.foreach { e =>
@@ -1280,13 +1284,19 @@ object EventStreams {
     * sink each trigger; here the state IS the queryable catalog table
     * and each trigger touches one batch + one stats-table-sized merge.
     *
-    * Exactly-once note, stated honestly: an ADD-delta merge is NOT
-    * idempotent (s12's upsert-by-key is), so a replayed micro-batch
-    * would double-count. The gate runs a clean 3-generation replay;
-    * a production deployment guards the merge with the foreachBatch
-    * batchId recorded transactionally beside the stats — precisely the
-    * per-query epoch log the native streaming sink (s15) already
-    * maintains in the table descriptor. Gated on q94's oracle: the
+    * Exactly-once: an ADD-delta merge is NOT idempotent by itself
+    * (s12's upsert-by-key is), and foreachBatch is an at-least-once
+    * contract — a crash between the merge commit and the checkpoint
+    * write replays the batch. The guard is the `last_batch_id` column
+    * recorded IN the stats row BY THE SAME atomic MERGE that adds the
+    * deltas ([[s19MergeStats]]): a replayed batch matches rows whose
+    * `last_batch_id` already covers it and the conditional MATCHED
+    * clause skips the ADD — the same descriptor-transactional idea as
+    * the native sink's per-query epoch log (s15,
+    * [[graft.catalog.write.GraftStreamingWrite]]), carried per-row
+    * because the merge touches only the sources present in the batch.
+    * EventStreamsSpec replays a committed batch (the crash-after-commit
+    * schedule) and asserts no double-ADD. Gated on q94's oracle: the
     * maintained table must equal the full recompute. */
   def s19_stream_incremental_rollup(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftBootstrap.ensure(spark, dir)
@@ -1301,7 +1311,9 @@ object EventStreams {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("n_tokens"))
-    stats(docs).limit(0).writeTo(tgt).create()
+    stats(docs).limit(0)
+      .withColumn("last_batch_id", lit(-1L))
+      .writeTo(tgt).create()
     val tmp = java.nio.file.Files.createTempDirectory("graft_s19_")
     val tmpPath = tmp.toString
     try {
@@ -1309,18 +1321,8 @@ object EventStreams {
       val src = spark.readStream.schema(docs.schema).parquet(tmpPath)
       withShufflePartitions(spark, 4) {
         val query = src.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            stats(batch).createOrReplaceTempView("s19_partials")
-            batch.sparkSession.sql(
-              s"""MERGE INTO $tgt t USING s19_partials b
-                 |ON t.source = b.source
-                 |WHEN MATCHED THEN UPDATE SET
-                 |  n_docs = t.n_docs + b.n_docs,
-                 |  n_tokens = t.n_tokens + b.n_tokens
-                 |WHEN NOT MATCHED THEN INSERT (source, n_docs, n_tokens)
-                 |  VALUES (b.source, b.n_docs, b.n_tokens)
-                 |""".stripMargin)
-            ()
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            s19MergeStats(batch.sparkSession, tgt, stats(batch), batchId)
           }
           .start()
         try {
@@ -1331,12 +1333,43 @@ object EventStreams {
           query.processAllAvailable()
         } finally query.stop()
       }
-      spark.table(tgt).orderBy(col("source"))
+      spark.table(tgt)
+        .select(col("source"), col("n_docs"), col("n_tokens"))
+        .orderBy(col("source"))
     } finally {
       val fs = new Path(tmpPath)
         .getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(new Path(tmpPath), true)
     }
+  }
+
+  /** s19's idempotent delta-merge: ONE atomic MERGE both adds the batch
+    * partials and records the batchId in the touched rows. The
+    * conditional MATCHED clause (`t.last_batch_id < batchId`) makes a
+    * replayed batch a no-op: foreachBatch replays with the same batchId
+    * and the same offsets-derived data, every source it touched already
+    * carries `last_batch_id >= batchId`, and the NOT-MATCHED arm cannot
+    * fire because those sources now exist. Batch ids are strictly
+    * increasing across a query's life (including restarts), so `<` is
+    * the correct guard. Exposed for the spec's crash-after-commit
+    * replay gate. */
+  private[streaming] def s19MergeStats(
+      spark: SparkSession, tgt: String, partials: DataFrame,
+      batchId: Long): Unit = {
+    val view = s"s19_partials_b$batchId"
+    partials.createOrReplaceTempView(view)
+    spark.sql(
+      s"""MERGE INTO $tgt t USING $view b
+         |ON t.source = b.source
+         |WHEN MATCHED AND t.last_batch_id < ${batchId}L THEN UPDATE SET
+         |  n_docs = t.n_docs + b.n_docs,
+         |  n_tokens = t.n_tokens + b.n_tokens,
+         |  last_batch_id = ${batchId}L
+         |WHEN NOT MATCHED THEN INSERT (source, n_docs, n_tokens, last_batch_id)
+         |  VALUES (b.source, b.n_docs, b.n_tokens, ${batchId}L)
+         |""".stripMargin)
+    spark.catalog.dropTempView(view)
+    ()
   }
 
   /** Driver-side reference for s06 — one global greedy pass (used by the

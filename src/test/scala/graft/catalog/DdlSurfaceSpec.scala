@@ -138,6 +138,21 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
         "array(1.0D, 2.0D), array(3.0D, 0.0D)) AS d")
       .collect().head.getDouble(0)
     assert(viaSqDist === 4.0 + 4.0)
+    // NULL arrays reach invoke() as null ArrayData (the analyzer's
+    // Invoke binding does not null-propagate): SQL NULL out, no NPE —
+    // both functions, both argument positions
+    val nulls = spark.sql(
+      s"SELECT $cat.sys.array_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS a, " +
+        s"$cat.sys.array_dot(array(1.0D), CAST(NULL AS ARRAY<DOUBLE>)) AS b, " +
+        s"$cat.sys.array_sqdist(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS c, " +
+        s"$cat.sys.array_sqdist(array(1.0D), CAST(NULL AS ARRAY<DOUBLE>)) AS d")
+      .collect().head
+    assert((0 until 4).forall(nulls.isNullAt), "NULL array input must yield SQL NULL")
+    // row-based fallback path honors the same contract
+    val bound = new ArrayDotBound
+    assert(bound.produceResult(
+      org.apache.spark.sql.catalyst.InternalRow(
+        null, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0)))) == null)
   }
 
   test("missing objects raise the standard error classes") {

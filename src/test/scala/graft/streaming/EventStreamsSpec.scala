@@ -143,6 +143,40 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.size > 1, "multi-source fixture required for a non-vacuous gate")
   }
 
+  test("s19 delta-merge is exactly-once: a crash-after-commit replay does not double-ADD") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.GraftBootstrap.ensure(spark, sf0001)
+    val cat = graft.GraftBootstrap.CatalogName
+    val tgt = s"$cat.tmp.s19_replay_stats"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    def partials(rows: (String, Long, Long)*) =
+      rows.toDF("source", "n_docs", "n_tokens")
+    partials().withColumn("last_batch_id", lit(-1L)).writeTo(tgt).create()
+    def snapshot() = spark.table(tgt)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // batch 0 commits (MERGE lands), then the checkpoint write is lost:
+    // foreachBatch re-delivers THE SAME batchId with the same data
+    val b0 = partials(("web", 10L, 100L), ("books", 2L, 50L))
+    EventStreams.s19MergeStats(spark, tgt, b0, 0L)
+    val afterCommit = snapshot()
+    assert(afterCommit === Seq(("books", 2L, 50L, 0L), ("web", 10L, 100L, 0L)))
+    EventStreams.s19MergeStats(spark, tgt, b0, 0L) // the replay
+    assert(snapshot() === afterCommit, "replayed batch must be a no-op (no double-ADD)")
+    // the next REAL batch still applies — both the ADD arm and the
+    // INSERT arm — and stamps its own batchId
+    EventStreams.s19MergeStats(spark, tgt, partials(("web", 1L, 7L), ("code", 3L, 30L)), 1L)
+    assert(snapshot() === Seq(
+      ("books", 2L, 50L, 0L), ("code", 3L, 30L, 1L), ("web", 11L, 107L, 1L)))
+    // and a replay of THAT batch is again a no-op
+    EventStreams.s19MergeStats(spark, tgt, partials(("web", 1L, 7L), ("code", 3L, 30L)), 1L)
+    assert(snapshot() === Seq(
+      ("books", 2L, 50L, 0L), ("code", 3L, 30L, 1L), ("web", 11L, 107L, 1L)))
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+  }
+
   test("streaming into the catalog lands every event exactly once (single run)") {
     import org.apache.spark.sql.functions._
     val sunk = EventStreams.s11_stream_catalog_sink(spark, sf0001)
