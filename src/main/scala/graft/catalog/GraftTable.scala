@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.catalog.write.GraftWriteBuilder
 
 /** A catalog table: `SupportsRead` + `SupportsWrite` +
-  * `SupportsAtomicPartitionManagement` over parquet/csv/json files — the
+  * `SupportsAtomicPartitionManagement` over parquet/csv/json/orc files — the
   * role of the reference's `V2Table`
   * (/root/reference/.../V2Table.scala:31,45-47), with the Hive-SerDe scan
   * machinery replaced by Spark's built-in columnar file scans (the
@@ -169,6 +169,8 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
       case "parquet" => ParquetScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
       case "csv" => CSVScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
       case "json" => JsonScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
+      case "orc" => org.apache.spark.sql.execution.datasources.v2.orc.OrcScanBuilder(
+        spark, index, meta.schema, meta.dataSchema, opts)
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
     // Partitioned tables scan through the runtime-filtering wrapper:

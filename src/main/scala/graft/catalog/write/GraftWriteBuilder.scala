@@ -357,6 +357,7 @@ class GraftWrite(
       case "parquet" => new ParquetFileFormat
       case "csv" => new CSVFileFormat
       case "json" => new JsonFileFormat
+      case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
     val partSet = partCols.map(_.toLowerCase).toSet

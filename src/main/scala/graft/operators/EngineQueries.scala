@@ -95,6 +95,34 @@ object EngineQueries {
     spark.table(tgt).orderBy($"n_nationkey")
   }
 
+  // ---------------------------------------------------------------- Q95
+  /** ORC provider round-trip — the modern equivalent of the reference's
+    * Hive SerDe read surface (R12,
+    * /root/reference/.../HiveFilePartitionReaderFactory.scala:43-154,
+    * whose most common SerDe after parquet is ORC): CTAS nation into a
+    * managed ORC table through the catalog write path, carrying a
+    * nested struct the CSV gate (q39) refuses, read back through
+    * Spark's built-in columnar `OrcScan` with the same
+    * pushdown/pruning surface as parquet (WritePathSpec pins
+    * PushedFilters + ReadSchema on the ORC plan). Values must survive
+    * the ORC round-trip exactly — the oracle reads the original
+    * parquet. */
+  def q95_orc_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q95_nation_orc"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "nation")
+      .select($"n_nationkey",
+        struct($"n_name".as("name"), $"n_regionkey".as("regionkey")).as("info"))
+      .writeTo(tgt).using("orc").create()
+    spark.table(tgt)
+      .select($"n_nationkey",
+        $"info.name".as("name"), $"info.regionkey".as("regionkey"))
+      .orderBy($"n_nationkey")
+  }
+
   // ---------------------------------------------------------------- Q42
   /** JSON provider round-trip (R15) with NESTED columns: CTAS nation
     * into a managed JSON table carrying a struct and a map column —
@@ -480,6 +508,7 @@ object EngineQueries {
     "q25_udaf_weighted_mean" -> (q25_udaf_weighted_mean _),
     "q26_udf_normalize" -> (q26_udf_normalize _),
     "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
+    "q95_orc_roundtrip" -> (q95_orc_roundtrip _),
     "q52_merge_upsert" -> (q52_merge_upsert _),
     "q53_update" -> (q53_update _),
     "q54_delete_rows" -> (q54_delete_rows _),
@@ -507,6 +536,11 @@ object EngineQueries {
     "q39_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         | ORDER BY n_nationkey""".stripMargin,
+    // ORC round-trip: read the original parquet, mirror the flattened
+    // read-back column names.
+    "q95_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name AS name, n_regionkey AS regionkey
+        | FROM nation ORDER BY n_nationkey""".stripMargin,
     // The deleted partition's rows are gone; everything else survives.
     "q51_delete" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders

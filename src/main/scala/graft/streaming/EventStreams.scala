@@ -82,6 +82,10 @@ case class DimState(event_id: Long, tsMicros: Long, value: Double)
 case class Enriched(event_id: Long, ts: LocalDateTime, user_id: Long,
     value: Double, rate_id: Option[Long], rate_value: Option[Double])
 
+/** s18b's per-user state: events the watermark has not yet passed
+  * (arrival buffer) plus the latest APPLIED dimension row. */
+case class TemporalBuf(held: Seq[TsEvent], dim: Option[DimState])
+
 /** Structured Streaming execution of the event-window inventory
   * (SURVEY.md §2.3 S1/S5): the SAME windowed-aggregation expressions as
   * the batch forms in EventWindowQueries, driven through a real
@@ -1273,6 +1277,117 @@ object EventStreams {
       .toDF()
   }
 
+  // --------------------------------------------------------------- s18b
+  /** s18b's state machine: the temporal join under OUT-OF-ORDER
+    * delivery — the watermark fact-buffering s18's scaladoc describes,
+    * implemented. Per user the state is (held events not yet passed by
+    * the watermark, latest applied dimension). Each invocation drains
+    * the RIPE prefix — events with `ts <= watermark` — in event-time
+    * order (dimension rows first at an equal instant, [[TemporalJoin]]'s
+    * inclusive as-of rule): by the watermark contract every event at or
+    * below the watermark has arrived, so the drained prefix is complete
+    * and each fact's as-of dimension is final. Held events with
+    * `ts > watermark` cannot influence a ripe fact (their timestamps are
+    * strictly later), so draining early is safe, and an event-time
+    * timeout at the earliest held timestamp re-invokes the key when the
+    * watermark passes it. State is bounded by the watermark delay ×
+    * per-user arrival rate — the standard stream-buffer bound — and
+    * carries ONE dimension row beyond it. */
+  private[streaming] object TemporalJoinOoo extends Serializable {
+    def update(
+        user: Long, events: Iterator[TsEvent],
+        state: org.apache.spark.sql.streaming.GroupState[TemporalBuf]): Iterator[Enriched] = {
+      val prev = state.getOption.getOrElse(TemporalBuf(Seq.empty, None))
+      val wmMicros = state.getCurrentWatermarkMs() * 1000L
+      val all = prev.held ++ events
+      val (ripe, held) = all.partition(e => CappedSessions.tsMicros(e.ts) <= wmMicros)
+      var dim = prev.dim
+      val out = Seq.newBuilder[Enriched]
+      ripe.sortBy(e => (CappedSessions.tsMicros(e.ts),
+          if (TemporalJoin.isDim(e.event_id)) 0 else 1, e.event_id))
+        .foreach { e =>
+          val t = CappedSessions.tsMicros(e.ts)
+          if (TemporalJoin.isDim(e.event_id)) dim = Some(DimState(e.event_id, t, e.value))
+          else out += Enriched(e.event_id, CappedSessions.microsToLdt(t), user,
+            e.value, dim.map(_.event_id), dim.map(_.value))
+        }
+      state.update(TemporalBuf(held, dim))
+      if (held.nonEmpty) {
+        // Wake this key when the watermark passes the earliest held
+        // event (never ≤ the current watermark — the API rejects that).
+        val minHeldMs = held.map(e => CappedSessions.tsMicros(e.ts)).min / 1000L
+        state.setTimeoutTimestamp(
+          math.max(minHeldMs, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming temporal join under OUT-OF-ORDER delivery — s18's
+    * operator composed with watermark buffering (the production posture
+    * s18's scaladoc documents). The replay perturbs the feed with a
+    * deterministic per-event jitter of up to ±[[OooJitterMicros]] and
+    * streams in PERTURBED order, so batches interleave facts and
+    * dimension updates across event time; the 2-hour watermark delay
+    * strictly dominates the 2×30-minute inversion bound, so no event is
+    * ever late behind the watermark and the drained prefix is always
+    * complete. A far-future DIMENSION sentinel (emits nothing) pushes
+    * the final watermark past the corpus; the trailing no-data
+    * microbatch fires the event-time timeouts that flush every held
+    * buffer. Gated on the SAME DuckDB native `ASOF LEFT JOIN` oracle as
+    * s18: arrival order must not change the answer.
+    *
+    * Scale posture: per-key state is the watermark-deep arrival buffer
+    * plus one dimension row, sharded by user key; eviction is the
+    * watermark itself — exactly the bound a production out-of-order
+    * feed pays in any streaming engine. */
+  def s18b_stream_temporal_join_ooo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = collectEvents(spark, dir)
+    val perturbed = events.sortBy(e =>
+      (micros(e.ts) + oooJitter(e.event_id), e.event_id))
+    val maxTs = events.map(e => micros(e.ts)).max
+    // Dimension-row sentinel (event_id % 10 == 0) for a user outside the
+    // fixture: advances the watermark, emits no output row.
+    val sentinel = Event(-10L,
+      CappedSessions.microsToLdt(maxTs + 3L * 3600 * 1000000L), -1L, "zzz_flush", 0.0)
+    val batchSize = math.max(1, (perturbed.size + 4) / 5)
+    val batches = perturbed.grouped(batchSize).toSeq :+ Seq(sentinel)
+
+    val src = MemoryStream[Event]
+    val enriched = runToMemory(spark, temporalJoinOooTransform(src.toDF()),
+      "append") { query =>
+      batches.foreach { b => src.addData(b); query.processAllAvailable() }
+    }
+    enriched.filter(col("user_id") =!= -1L).orderBy(col("event_id"))
+  }
+
+  /** Deterministic per-event arrival jitter in (−30 min, +30 min) —
+    * a splitmix-style hash of the event id, so the perturbed order is
+    * reproducible run-to-run (no RNG). */
+  private[streaming] def oooJitter(id: Long): Long = {
+    var h = id * 0x9E3779B97F4A7C15L
+    h ^= (h >>> 31)
+    java.lang.Long.remainderUnsigned(h, 2L * OooJitterMicros + 1) - OooJitterMicros
+  }
+  private[streaming] val OooJitterMicros: Long = 30L * 60 * 1000000
+
+  /** s18b's streaming transform (exposed for the spec's plan pin):
+    * watermark → ONE keyed state machine, still no join operator. */
+  private[streaming] def temporalJoinOooTransform(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import df.sparkSession.implicits._
+    df.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TemporalBuf, Enriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        TemporalJoinOoo.update _)
+      .toDF()
+  }
+
   // ---------------------------------------------------------------- s19
   /** STREAMING incremental rollup — q94's maintenance loop driven per
     * micro-batch: the hand-built streaming materialized view. Each
@@ -1414,6 +1529,7 @@ object EventStreams {
     "s14b_stream_near_dedup_expiring" -> (s14b_stream_near_dedup_expiring _),
     "s17_stream_capped_sessions" -> (s17_stream_capped_sessions _),
     "s18_stream_temporal_join" -> (s18_stream_temporal_join _),
+    "s18b_stream_temporal_join_ooo" -> (s18b_stream_temporal_join_ooo _),
     "s19_stream_incremental_rollup" -> (s19_stream_incremental_rollup _),
   )
 
@@ -1433,6 +1549,17 @@ object EventStreams {
     // The operator's textbook statement: DuckDB's native ASOF LEFT JOIN
     // (greatest dim.ts <= fact.ts per user; unmatched facts keep NULLs).
     "s18_stream_temporal_join" ->
+      """WITH d AS (
+        |  SELECT event_id, ts, user_id, value FROM events WHERE event_id % 10 = 0),
+        | f AS (
+        |  SELECT event_id, ts, user_id, value FROM events WHERE event_id % 10 != 0)
+        | SELECT f.event_id, f.ts, f.user_id, f.value,
+        |   d.event_id AS rate_id, d.value AS rate_value
+        | FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts >= d.ts
+        | ORDER BY f.event_id""".stripMargin,
+    // Same oracle as s18: out-of-order arrival must not change the
+    // temporal-join answer.
+    "s18b_stream_temporal_join_ooo" ->
       """WITH d AS (
         |  SELECT event_id, ts, user_id, value FROM events WHERE event_id % 10 = 0),
         | f AS (

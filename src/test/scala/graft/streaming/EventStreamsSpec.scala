@@ -136,6 +136,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(expected.exists(_._3 >= 0) && expected.exists(_._3 == -1L))
   }
 
+  test("s18b out-of-order replay converges to the same as-of answer") {
+    val ordered = EventStreams.s18_stream_temporal_join(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    val ooo = EventStreams.s18b_stream_temporal_join_ooo(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(ooo === ordered, "arrival order must not change the temporal join")
+    // the perturbation is non-vacuous: the jittered order genuinely
+    // inverts some pairs relative to event time
+    val events = EventStreams.eventsFor(spark, sf0001)
+    val perturbedTs = events
+      .sortBy(e => (EventStreams.micros(e.ts) + EventStreams.oooJitter(e.event_id), e.event_id))
+      .map(e => EventStreams.micros(e.ts))
+    assert(perturbedTs.zip(perturbedTs.tail).exists { case (a, b) => a > b },
+      "jitter must actually reorder the feed")
+  }
+
+  test("s18b plan: watermark above ONE stateful operator, still no join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val lp = EventStreams.temporalJoinOooTransform(src.toDF())
+      .queryExecution.analyzed.toString
+    assert("FlatMapGroupsWithState".r.findAllIn(lp).size === 1,
+      s"s18b: expected exactly one stateful operator:\n$lp")
+    assert(lp.contains("EventTimeWatermark"),
+      s"s18b: the arrival buffer must ride a watermark:\n$lp")
+    assert(!lp.contains("Join ") && !lp.contains("Aggregate"),
+      s"s18b: temporal join must be pure per-key state:\n$lp")
+  }
+
   test("s19 streaming rollup equals q94's batch maintenance on the same corpus") {
     val streamed = rows(EventStreams.s19_stream_incremental_rollup(spark, sf0001))
     val batch = rows(graft.operators.EngineQueries.q94_incremental_rollup(spark, sf0001))
