@@ -68,7 +68,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
-  /** Exposed for [[GraftTable]] / tests; throws if initialize was skipped. */
+  /** Exposed for [[GraftTable]] / maintenance operators
+    * ([[graft.operators.Vacuum]]) / tests; throws if initialize was
+    * skipped. */
   private[graft] def metaStore: MetaStore = {
     require(store != null, s"catalog $catalogName not initialized")
     store

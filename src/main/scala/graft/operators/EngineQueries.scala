@@ -220,6 +220,49 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- Q96
+  /** Orphan-file reclamation ([[Vacuum]]): plant the exact residue a
+    * crash between the two commit phases leaves — a fully-written
+    * partition dir the catalog never registered, plus committer
+    * `_temporary` staging — then VACUUM and read the table. The oracle
+    * gates CONTENT PRESERVATION (live rows byte-identical to the
+    * source); WritePathSpec gates the reclamation itself (orphan bytes
+    * gone, registered files untouched, concurrent reader unaffected). */
+  def q96_vacuum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q96_orders_vac"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .writeTo(tgt).partitionedBy($"o_orderpriority").create()
+    // crash residue, planted where a died-between-phases writer leaves it
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val loc = new Path(cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("tmp"), "q96_orders_vac"))
+      .properties.get(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    def junk(p: Path): Unit = {
+      val out = fs.create(p, true)
+      try out.write(Array.fill[Byte](256)(0x5A)) finally out.close()
+    }
+    junk(new Path(loc, "o_orderpriority=9-ZOMBIE/part-00000-orphan.parquet"))
+    junk(new Path(loc, "_temporary/0/_temporary/attempt_00000/part-00001.parquet"))
+    val stats = Vacuum.vacuum(spark, tgt, retentionMs = 0L)
+    require(stats.reclaimedFiles >= 2,
+      s"vacuum must reclaim the planted orphans, got $stats")
+    spark.table(tgt)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        RelationalQueries.r2(sum($"o_totalprice")).as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
   // ---------------------------------------------------------------- q88
   /** CLUSTERED compaction — q49's rewrite with a declared sort layout:
     * the table carries `graft.cluster.by = l_orderkey`, so every write
@@ -499,6 +542,7 @@ object EngineQueries {
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
     "q51_delete" -> (q51_delete _),
     "q49_compaction" -> (q49_compaction _),
+    "q96_vacuum" -> (q96_vacuum _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
     "q91_catalog_function" -> (q91_catalog_function _),
     "q94_incremental_rollup" -> (q94_incremental_rollup _),
@@ -581,6 +625,12 @@ object EngineQueries {
         |       AS BIGINT) AS key_checksum,
         |  round((sum(l_extendedprice)) * 100) / 100 AS sum_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Vacuum preserves every live row exactly: the post-vacuum table
+    // aggregate equals the source aggregate.
+    "q96_vacuum" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  round((sum(o_totalprice)) * 100) / 100 AS sum_price
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the clustered rewrite must preserve the data exactly through the
     // range read the clustering exists for
     "q88_clustered_compaction" ->

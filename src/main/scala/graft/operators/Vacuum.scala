@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.{GraftCatalog, TableMeta}
+import graft.catalog.write.GraftBatchWrite
+
+/** Orphan-file reclamation (`VACUUM`) for catalog tables.
+  *
+  * A directory-backed table accumulates garbage only through CRASHES —
+  * every healthy commit cleans up after itself — so vacuum's job is to
+  * reclaim exactly the residue a crash can leave, and nothing else:
+  *
+  *  1. '''Unregistered partition directories''' (partitioned tables).
+  *     The two-phase commit publishes files to the filesystem FIRST,
+  *     then registers new partitions in the descriptor
+  *     ([[graft.catalog.write.GraftBatchWrite]]). A crash between the
+  *     phases leaves a fully-written partition dir the catalog never
+  *     learned about: invisible to readers (the file index lists only
+  *     registered partitions, [[graft.catalog.GraftFileIndex]]) and
+  *     therefore pure dead bytes. Registered truth comes from the
+  *     descriptor reloaded UNDER the write permit, so a racing append's
+  *     fresh partition is either registered (kept) or the append is
+  *     queued behind the permit (its staging lives under `_temporary`,
+  *     which the retention window protects).
+  *  2. '''`_temporary` staging''' — a crashed/aborted job's committer
+  *     leftovers under the table root.
+  *  3. '''Resolved transaction residue''' in `_graft_txn`: orphaned
+  *     `.committed` markers whose `.pending` manifest is already
+  *     retired (documented inert in the COW commit protocol) and
+  *     `.tmp` manifest drafts. PENDING manifests and quarantine dirs
+  *     are deliberately untouched — they are the repair protocol's
+  *     input ([[graft.catalog.write.GraftBatchWrite]] rolls them
+  *     forward/back at the next write) and an operator's restore
+  *     evidence, respectively.
+  *
+  * Retention: nothing younger than `retentionMs` is deleted — the same
+  * guard every table format's VACUUM ships (files of an IN-FLIGHT job
+  * racing the vacuum are always younger than any sane retention). The
+  * whole pass runs under the per-table write permit, so no writer is
+  * mid-commit while vacuum classifies.
+  *
+  * Readers are never affected: every reclaimed class is invisible to
+  * the catalog-driven scan path by construction, so a concurrent reader
+  * observes the identical row set before, during and after
+  * (WritePathSpec gates this).
+  *
+  * 100 TB posture: cost is one recursive listing of the table tree plus
+  * per-orphan deletes — proportional to the partition count, not the
+  * data size; the permit is held for the listing+delete only (no data
+  * is read or rewritten). Run it on the same maintenance cadence as
+  * compaction. The reference connector has no reclamation operator —
+  * this surface is required by this engine's own crash model (the
+  * reference's Hive tables share the exposure via
+  * HiveFileFormatWriteBuilder's two-phase commit but leave GC to
+  * external tooling).
+  */
+object Vacuum {
+
+  /** What one vacuum pass reclaimed. */
+  case class Stats(reclaimedFiles: Long, reclaimedBytes: Long)
+
+  /** Default retention: 7 days — long past any job's staging lifetime. */
+  val DefaultRetentionMs: Long = 7L * 24 * 3600 * 1000
+
+  def vacuum(spark: SparkSession, table: String,
+      retentionMs: Long = DefaultRetentionMs): Stats = {
+    require(retentionMs >= 0, s"vacuum($table): negative retention")
+    val parts = table.split("\\.")
+    require(parts.length == 3, s"vacuum expects catalog.ns.table, got $table")
+    val plugin = spark.sessionState.catalogManager.catalog(parts.head) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"vacuum($table): not a graft catalog: ${other.name()}")
+    }
+    val store = plugin.metaStore
+    val db = parts(1)
+    val preMeta = store.loadTable(db, parts(2))
+    require(!preMeta.external,
+      s"vacuum($table): EXTERNAL tables own their files; refusing to delete")
+
+    val release = GraftBatchWrite.leaseWritePermit(
+      spark, preMeta.location,
+      s"vacuum of $table since ${java.time.Instant.now()}",
+      plugin.writeLockTimeoutSec)
+    try {
+      // registered truth as of holding the permit — no writer can be
+      // mid-commit now
+      val meta = store.loadTable(db, parts(2))
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return Stats(0L, 0L)
+      val cutoff = System.currentTimeMillis() - retentionMs
+
+      var files = 0L
+      var bytes = 0L
+      def reclaim(st: FileStatus): Unit = {
+        val summary = fs.getContentSummary(st.getPath)
+        // directories count their files; a bare file counts itself
+        files += math.max(summary.getFileCount, if (st.isFile) 1L else 0L)
+        bytes += summary.getLength
+        fs.delete(st.getPath, true)
+        ()
+      }
+      def oldEnough(st: FileStatus): Boolean = newestIn(fs, st) <= cutoff
+
+      // 2. committer staging from crashed/aborted jobs
+      val tmpDir = new Path(root, "_temporary")
+      if (fs.exists(tmpDir) && oldEnough(fs.getFileStatus(tmpDir)))
+        reclaim(fs.getFileStatus(tmpDir))
+
+      // 3. resolved txn residue (never .pending manifests, never
+      // quarantine dirs — repair's domain)
+      val txnDir = new Path(root, GraftBatchWrite.TxnDirName)
+      if (fs.exists(txnDir)) {
+        val entries = fs.listStatus(txnDir)
+        val pendingIds = entries.collect {
+          case s if s.getPath.getName.endsWith(".pending") =>
+            s.getPath.getName.stripSuffix(".pending")
+        }.toSet
+        entries.foreach { s =>
+          val n = s.getPath.getName
+          val orphanMarker =
+            n.endsWith(".committed") && !pendingIds.contains(n.stripSuffix(".committed"))
+          val draft = s.isFile && n.startsWith(".") && n.endsWith(".tmp")
+          if ((orphanMarker || draft) && s.getModificationTime <= cutoff)
+            reclaim(s)
+        }
+      }
+
+      // 1. unregistered partition dirs (partitioned tables only:
+      // unpartitioned listings ARE the truth, nothing to compare)
+      if (meta.isPartitioned) {
+        // FS-qualify both sides: descriptor locations are stored
+        // unqualified (`/x/y`) while listings return `file:/x/y`
+        val registered = meta.partitions.map { p =>
+          fs.makeQualified(p.location.map(new Path(_))
+            .getOrElse(GraftBatchWrite.partitionDir(meta, p.spec)))
+            .toString
+        }.toSet
+        partitionLeafDirs(fs, root, meta).foreach { st =>
+          if (!registered.contains(fs.makeQualified(st.getPath).toString) &&
+              oldEnough(st))
+            reclaim(st)
+        }
+      }
+      Stats(files, bytes)
+    } finally release()
+  }
+
+  /** Newest modification time anywhere under `st` — a dir whose listing
+    * is old but that received a fresh file must count as fresh. */
+  private def newestIn(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Long =
+    if (st.isFile) st.getModificationTime
+    else (st.getModificationTime +:
+      fs.listStatus(st.getPath).toSeq.map(newestIn(fs, _))).max
+
+  /** Hive-layout leaf partition dirs under the table root: descend
+    * exactly `partitionColumns.size` levels of `col=value` dirs,
+    * skipping hidden/metadata names at every level. */
+  private def partitionLeafDirs(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      meta: TableMeta): Seq[FileStatus] = {
+    def level(dirs: Seq[FileStatus], depth: Int): Seq[FileStatus] =
+      if (depth == meta.partitionColumns.size) dirs
+      else level(dirs.flatMap { d =>
+        fs.listStatus(d.getPath).toSeq.filter { s =>
+          val n = s.getPath.getName
+          s.isDirectory && !n.startsWith("_") && !n.startsWith(".") && n.contains("=")
+        }
+      }, depth + 1)
+    level(Seq(fs.getFileStatus(root)), 0)
+  }
+}

@@ -478,6 +478,68 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(ci).count() === 2)
   }
 
+  test("vacuum reclaims orphan bytes, keeps live files, leaves a concurrent reader unaffected") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val t = freshTable("t_vacuum")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, dt STRING) USING parquet PARTITIONED BY (dt)")
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "dt").writeTo(t).append()
+    val loc = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").head().getString(1))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    def listAll(p: Path): Seq[String] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) listAll(s.getPath) else Seq(s.getPath.toString))
+    def junk(p: Path, n: Int): Unit = {
+      val out = fs.create(p, true)
+      try out.write(Array.fill[Byte](n)(0x5A)) finally out.close()
+    }
+    val liveBefore = listAll(loc).toSet
+    // crash residue: unregistered partition dir, committer staging, and
+    // an orphaned .committed marker with no .pending manifest
+    junk(new Path(loc, "dt=zombie/part-00000-orphan.parquet"), 300)
+    junk(new Path(loc, "_temporary/0/part-00001.parquet"), 200)
+    junk(new Path(loc, "_graft_txn/dead-txn-id.committed"), 10)
+    // repair's inputs must survive: a pending manifest + quarantine dir
+    junk(new Path(loc, "_graft_txn/live-txn-id.pending"), 10)
+    junk(new Path(loc, "_graft_txn/live-txn-id.quarantine/0_part.parquet"), 10)
+
+    val reader = spark.table(t).orderBy($"id") // planned before the vacuum
+    val stats = graft.operators.Vacuum.vacuum(spark, t, retentionMs = 0L)
+    assert(stats.reclaimedFiles === 3L, s"got $stats")
+    assert(stats.reclaimedBytes === 510L, s"got $stats")
+    assert(!fs.exists(new Path(loc, "dt=zombie")), "orphan partition dir must go")
+    assert(!fs.exists(new Path(loc, "_temporary")), "staging must go")
+    assert(!fs.exists(new Path(loc, "_graft_txn/dead-txn-id.committed")))
+    assert(fs.exists(new Path(loc, "_graft_txn/live-txn-id.pending")),
+      "pending manifests are repair's input, not garbage")
+    assert(fs.exists(new Path(loc, "_graft_txn/live-txn-id.quarantine/0_part.parquet")),
+      "quarantined files are restore evidence, not garbage")
+    val liveAfter = listAll(loc).filterNot(p =>
+      p.contains("_graft_txn") || p.contains("_temporary")).toSet
+    assert(liveAfter === liveBefore.filterNot(p =>
+      p.contains("_graft_txn") || p.contains("_temporary")),
+      "registered data files must be byte-for-byte untouched")
+    assert(reader.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+      "concurrent reader sees the identical row set")
+    // retention guards young files: a fresh orphan survives a 1h window
+    junk(new Path(loc, "dt=young/part-00000-orphan.parquet"), 100)
+    val kept = graft.operators.Vacuum.vacuum(spark, t, retentionMs = 3600L * 1000)
+    assert(kept.reclaimedFiles === 0L, s"young orphan must survive, got $kept")
+    assert(fs.exists(new Path(loc, "dt=young/part-00000-orphan.parquet")))
+    // EXTERNAL tables refuse
+    val ext = freshTable("t_vacuum_ext")
+    val extDir = java.nio.file.Files.createTempDirectory("graft_vac_ext").toString
+    spark.sql(s"CREATE TABLE $ext (id BIGINT) USING parquet LOCATION '$extDir'")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Vacuum.vacuum(spark, ext, 0L)
+    }
+    assert(err.getMessage.contains("EXTERNAL"))
+    spark.sql(s"DROP TABLE IF EXISTS $ext")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("compaction racing an append never loses the append's rows") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
