@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   *    query is excluded from the timed set, listed in the JSON line's
   *    `"failed"` field, and the process exits nonzero — it is never
   *    recorded as a fast success, and it costs only its own timing.
+  *
+  * PAIRED modes (round-14 verdict, "Next round" #6): one run captures
+  * BOTH sides of BASELINE.md's measurement — first `SPARK_GRAFT_RAW`-
+  * style plain-parquet reads (no catalog), then the engine path —
+  * back-to-back in the same JVM with identical method (warm-up +
+  * min-of-N), so the emitted artifact carries its own denominator:
+  * `raw_total` / `ratio` on the stdout line, full per-query pairs in
+  * `SPARK_GRAFT_BENCH_PAIRED_OUT` (default `bench_paired_latest.json`).
+  * `SPARK_GRAFT_BENCH_RAW=0` skips the raw pass (engine-only, half the
+  * wall clock).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,47 +46,90 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     val allNames = SparkEntry.queries.keys.toSeq.sorted
-    // warm-up pass (unmeasured); a query that fails here is excluded
-    // from the timed passes and reported at the end. NonFatal only: an
-    // OOM or other JVM-fatal error must still abort the whole run —
-    // timings taken inside a corrupted heap would be recorded as green.
     def describe(e: Throwable): String =
       s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("<no message>")}"
-    val broken = collection.mutable.LinkedHashMap.empty[String, String]
-    allNames.foreach { name =>
-      try execute(name)
-      catch { case scala.util.control.NonFatal(e) =>
-        broken(name) = describe(e)
-        System.err.println(s"[bench] $name failed in warm-up: ${broken(name)}")
-      }
-    }
-    val names = allNames.filterNot(broken.contains)
     // Min-of-2 measured passes per query: BASELINE.md documents min-of-2
     // as the jitter-robust statistic for this shared sandbox, where an
     // identical binary varies up to 1.6x run-to-run on a single pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
-    val best = collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to passes; name <- names if !broken.contains(name)) {
-      val t0 = System.nanoTime()
-      try {
-        execute(name)
-        val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
-      } catch { case scala.util.control.NonFatal(e) =>
-        // a query that survives warm-up but breaks on re-execution
-        // (stateful write paths) is just as broken — drop its timing
-        best.remove(name)
-        broken(name) = describe(e)
-        System.err.println(s"[bench] $name failed in measured pass: ${broken(name)}")
+
+    /** One full mode capture: warm-up pass (unmeasured, NonFatal-tolerant
+      * — an OOM or other JVM-fatal error must still abort the whole run),
+      * then min-of-`passes`. */
+    def timeMode(raw: Boolean)
+        : (Seq[(String, Double)], collection.mutable.LinkedHashMap[String, String]) = {
+      Tables.setRawMode(raw)
+      val tag = if (raw) "raw" else "engine"
+      val broken = collection.mutable.LinkedHashMap.empty[String, String]
+      allNames.foreach { name =>
+        try execute(name)
+        catch { case scala.util.control.NonFatal(e) =>
+          broken(name) = describe(e)
+          System.err.println(s"[bench] $tag $name failed in warm-up: ${broken(name)}")
+        }
+      }
+      val names = allNames.filterNot(broken.contains)
+      val best = collection.mutable.Map.empty[String, Double]
+      for (_ <- 1 to passes; name <- names if !broken.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          execute(name)
+          val sec = (System.nanoTime() - t0) / 1e9
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        } catch { case scala.util.control.NonFatal(e) =>
+          // a query that survives warm-up but breaks on re-execution
+          // (stateful write paths) is just as broken — drop its timing
+          best.remove(name)
+          broken(name) = describe(e)
+          System.err.println(s"[bench] $tag $name failed in measured pass: ${broken(name)}")
+        }
+      }
+      (names.filter(best.contains).map(n => n -> best(n)), broken)
+    }
+
+    def fmt(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
+    // RAW first, engine second — BASELINE.md's back-to-back order, so
+    // cross-mode cache warmth (FileStatusCache, JIT) favors neither side
+    // asymmetrically beyond what the per-mode warm-up already levels.
+    val rawEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW", "1") == "1"
+    val rawPair = if (rawEnabled) Some(timeMode(raw = true)) else None
+    val (results, broken) = timeMode(raw = false)
+
+    // Paired summary fields for the stdout line + the full per-query
+    // pairs as a side file (the stdout tail window cannot fit two maps).
+    val rawFields = rawPair.map { case (rawResults, rawBroken) =>
+      val rawMap = rawResults.toMap
+      val common = results.filter { case (n, _) => rawMap.contains(n) }
+      val rawTotal = common.map { case (n, _) => rawMap(n) }.sum
+      val engTotal = common.map(_._2).sum
+      val ratio = if (rawTotal > 0) engTotal / rawTotal else 0.0
+      val failed =
+        if (rawBroken.isEmpty) ""
+        else s""","raw_failed_count":${rawBroken.size}"""
+      (s""","raw_total":${fmt(rawTotal, 2)},"raw_n":${common.size}""" +
+        s""","ratio":${fmt(ratio, 3)}$failed""")
+    }.getOrElse("")
+    rawPair.foreach { case (rawResults, rawBroken) =>
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRED_OUT",
+        "bench_paired_latest.json")
+      val rawMap = rawResults.toMap
+      val body = results.map { case (n, e) =>
+        val r = rawMap.get(n).map(fmt(_, 2)).getOrElse("null")
+        s""""$n":{"engine":${fmt(e, 2)},"raw":$r}"""
+      }.mkString("{", ",", "}")
+      val rb = rawBroken.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val eb = broken.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"""{"sfDir":"$sfDir","passes":$passes,"queries":$body,""" +
+          s""""raw_failed":$rb,"engine_failed":$eb}""" + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $out: ${describe(e)}")
       }
     }
-    val results = names.filter(best.contains).map(n => n -> best(n))
-    // The driver captures only a fixed-length tail of stdout (2000 chars,
-    // minus sbt's trailing "[success] ..." line). Full-precision doubles
-    // over a 70+-query inventory push this line past that window and the
-    // clipped head makes it unparseable — so: centisecond precision per
-    // query (ample for a seconds-scale bench) and a numeric sf.
+
     val total = results.map(_._2).sum
     // anchored: a digit must follow the dot ('sf1.' must not emit the
     // invalid JSON literal `1.`), and an unrecognizable dir is labeled
@@ -84,20 +137,24 @@ object Bench {
     val sfNum = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
       .getOrElse { "\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+    // The driver captures only a fixed-length tail of stdout (2000 chars,
+    // minus sbt's trailing "[success] ..." line). Full-precision doubles
+    // over a 70+-query inventory push this line past that window and the
+    // clipped head makes it unparseable — so: centisecond precision per
+    // query (ample for a seconds-scale bench) and a numeric sf.
     def render(decimals: Int, shortKeys: Boolean = false,
                dropQueries: Boolean = false): String = {
-      def fmt(v: Double): String =
-        String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
       def key(k: String): String = if (shortKeys) k.split("_").head else k
       val qs =
         if (dropQueries) "{}" // total-only: parseable beats clipped
-        else results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
+        else results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v, decimals) }
           .mkString("{", ",", "}")
       val failedField =
         if (broken.isEmpty) ""
         else if (dropQueries) s""","failed_count":${broken.size}"""
         else broken.keys.map("\"" + key(_) + "\"").mkString(""","failed":[""", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec",""" +
+        s""""queries":$qs$failedField$rawFields,"sf":$sfNum}"""
     }
     // Centisecond precision normally; deciseconds when the inventory
     // grows the line past the window; as a last resort keep deciseconds
@@ -111,7 +168,7 @@ object Bench {
     // short-key variant is offered only when every prefix is distinct
     // (full names, even past the cap, beat corrupt JSON).
     val shortable = {
-      val all = (names ++ broken.keys).distinct
+      val all = (allNames.filterNot(broken.contains) ++ broken.keys).distinct
       all.map(_.split("_").head).distinct.size == all.size
     }
     // Final fallback (prefix collision AND full names past the cap):

@@ -33,8 +33,18 @@ object Tables {
 
   /** SPARK_GRAFT_RAW=1 bypasses the catalog (plain spark.read.parquet
     * over the same files) — the baseline side of BASELINE.md's
-    * engine-vs-baseline measurement. Default: the DSv2 catalog path. */
-  private val rawMode = sys.env.get("SPARK_GRAFT_RAW").contains("1")
+    * engine-vs-baseline measurement. Default: the DSv2 catalog path.
+    * [[graft.Bench]] flips it at runtime to capture BOTH modes in one
+    * paired run, so the per-round artifact carries its own denominator. */
+  @volatile private var rawMode = sys.env.get("SPARK_GRAFT_RAW").contains("1")
+
+  /** Switch the read path between raw parquet and the catalog. Clears
+    * the temp-view cache: views registered under the previous mode
+    * resolve to the wrong scan path and would silently mis-attribute
+    * timings. */
+  private[graft] def setRawMode(on: Boolean): Unit = synchronized {
+    if (rawMode != on) { rawMode = on; viewsFor = Set.empty }
+  }
 
   /** int64-nanos → µs-truncated naive timestamp — exactly DuckDB's
     * ns→µs read (shared by the batch loader and the streaming source). */

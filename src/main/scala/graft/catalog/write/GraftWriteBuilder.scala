@@ -868,6 +868,11 @@ class GraftBatchWrite(
       writePendingManifest(cs, spark.sessionState.newHadoopConf()))
 
     inner.commit(messages)
+    // Test-only crash injection: die between the FS commit (replacement
+    // files just published) and everything that follows — the marker,
+    // the deletes, and the catalog registration. WritePathSpec drives
+    // the two-phase-commit recovery contract through this point.
+    GraftBatchWrite.crashAfterFsCommit.foreach(f => f())
 
     val hadoopConf = spark.sessionState.newHadoopConf()
 
@@ -1046,6 +1051,13 @@ object GraftBatchWrite {
   /** Table-root directory holding COW delete-phase transaction files
     * (underscore-prefixed: invisible to every scan listing). */
   private[graft] val TxnDirName = "_graft_txn"
+
+  /** Test-only failpoint: when set, every batch commit invokes it right
+    * after the FS commit publishes files and before the catalog phase —
+    * throwing from it simulates a writer killed between the two phases
+    * (the `inner.abort` that follows cannot un-publish committed files,
+    * exactly like a real death). Never set outside tests. */
+  @volatile private[graft] var crashAfterFsCommit: Option[() => Unit] = None
 
   /** Per-table-location write permits (see `writePermit`). */
   private val writeLocks =

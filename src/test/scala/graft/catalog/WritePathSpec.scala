@@ -540,6 +540,57 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("a writer killed between FS commit and catalog commit: readers see the old table; vacuum + retry converges") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    import graft.catalog.write.GraftBatchWrite
+    val t = freshTable("t_2pc_crash")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, dt STRING) USING parquet PARTITIONED BY (dt)")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "dt").writeTo(t).append()
+    val loc = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").head().getString(1))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+
+    GraftBatchWrite.crashAfterFsCommit =
+      Some(() => throw new RuntimeException("injected kill between commit phases"))
+    try {
+      val err = intercept[Exception] {
+        Seq((3L, "c")).toDF("id", "dt").writeTo(t).append()
+      }
+      assert(stackMessages(err).exists(_.contains("injected kill")), err.toString)
+    } finally GraftBatchWrite.crashAfterFsCommit = None
+
+    // the FS phase DID run: the new partition's files are on disk...
+    val zombieDir = new Path(loc, "dt=c")
+    assert(fs.exists(zombieDir) &&
+      fs.listStatus(zombieDir).exists(_.getPath.getName.startsWith("part-")),
+      "injection must land after the FS commit published files")
+    // ...but the catalog phase did NOT: readers see the old table only
+    assert(spark.table(t).orderBy($"id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L), "reader must see the pre-crash table")
+    assert(!spark.sql(s"SHOW PARTITIONS $t").collect()
+      .exists(_.getString(0).contains("dt=c")))
+
+    // recovery: vacuum reclaims the unregistered dir (the permit was
+    // released by the failed commit — both ops acquire it again here),
+    // then the retried statement lands exactly once
+    val stats = graft.operators.Vacuum.vacuum(spark, t, retentionMs = 0L)
+    assert(stats.reclaimedFiles >= 1, s"vacuum must reclaim the orphan: $stats")
+    assert(!fs.exists(zombieDir))
+    Seq((3L, "c")).toDF("id", "dt").writeTo(t).append()
+    assert(spark.table(t).orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "retry after vacuum must converge with no duplicates")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  /** All messages down a throwable's cause chain (Spark wraps commit
+    * failures in several layers). */
+  private def stackMessages(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
   test("compaction racing an append never loses the append's rows") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
