@@ -1421,11 +1421,7 @@ object EventStreams {
     val docs = Tables(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("text"))
-    def stats(df: DataFrame): DataFrame = df
-      .select(col("source"), graft.llm.TextOps.tokens(col("text")).as("toks"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("toks")).cast("long")).as("n_tokens"))
+    def stats(df: DataFrame): DataFrame = s19Partials(df)
     stats(docs).limit(0)
       .withColumn("last_batch_id", lit(-1L))
       .writeTo(tgt).create()
@@ -1457,6 +1453,15 @@ object EventStreams {
       fs.delete(new Path(tmpPath), true)
     }
   }
+
+  /** s19's per-batch partial aggregate (exposed for the spec's plan
+    * pin): ONE hash aggregate over the batch — no window, no join — so
+    * per-trigger cost is proportional to the batch, never the corpus. */
+  private[streaming] def s19Partials(df: DataFrame): DataFrame = df
+    .select(col("source"), graft.llm.TextOps.tokens(col("text")).as("toks"))
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("n_tokens"))
 
   /** s19's idempotent delta-merge: ONE atomic MERGE both adds the batch
     * partials and records the batchId in the touched rows. The

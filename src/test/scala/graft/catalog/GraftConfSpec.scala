@@ -22,8 +22,9 @@ class GraftConfSpec extends AnyFunSuite {
   test("defaultProvider defaults to parquet, normalizes case, rejects unknown") {
     assert(GraftConf.DefaultProvider.get(opts(), "c") === "parquet")
     assert(GraftConf.DefaultProvider.get(opts("defaultProvider" -> "CSV"), "c") === "csv")
+    assert(GraftConf.DefaultProvider.get(opts("defaultProvider" -> "ORC"), "c") === "orc")
     val e = intercept[IllegalArgumentException](
-      GraftConf.DefaultProvider.get(opts("defaultProvider" -> "orc"), "c"))
+      GraftConf.DefaultProvider.get(opts("defaultProvider" -> "avro"), "c"))
     assert(e.getMessage.contains("defaultProvider"))
   }
 

@@ -176,6 +176,17 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.size > 1, "multi-source fixture required for a non-vacuous gate")
   }
 
+  test("s19 plan: batch partials are ONE aggregate — no window, no join, no corpus term") {
+    import spark.implicits._
+    val batch = Seq((1L, "web", "a b c"), (2L, "books", "d e"))
+      .toDF("doc_id", "source", "text")
+    val lp = EventStreams.s19Partials(batch).queryExecution.optimizedPlan.toString
+    assert("Aggregate".r.findAllIn(lp).size === 1,
+      s"s19: expected exactly one aggregate over the batch:\n$lp")
+    assert(!lp.contains("Join ") && !lp.contains("Window"),
+      s"s19: per-batch partials must not join or window:\n$lp")
+  }
+
   test("s19 delta-merge is exactly-once: a crash-after-commit replay does not double-ADD") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
