@@ -20,14 +20,22 @@ import org.apache.spark.sql.SparkSession
   *    recorded as a fast success, and it costs only its own timing.
   *
   * PAIRED modes (round-14 verdict, "Next round" #6): one run captures
-  * BOTH sides of BASELINE.md's measurement — first `SPARK_GRAFT_RAW`-
-  * style plain-parquet reads (no catalog), then the engine path —
+  * BOTH sides of BASELINE.md's measurement — the engine path first,
+  * then `SPARK_GRAFT_RAW`-style plain-parquet reads (no catalog) —
   * back-to-back in the same JVM with identical method (warm-up +
   * min-of-N), so the emitted artifact carries its own denominator:
   * `raw_total` / `ratio` on the stdout line, full per-query pairs in
   * `SPARK_GRAFT_BENCH_PAIRED_OUT` (default `bench_paired_latest.json`).
   * `SPARK_GRAFT_BENCH_RAW=0` skips the raw pass (engine-only, half the
   * wall clock).
+  *
+  * Engine-first ordering is deliberate robustness, not method drift: an
+  * ENGINE-ONLY line is printed as soon as the engine capture completes,
+  * then the raw pass runs and the final PAIRED line is printed last. A
+  * harness that kills the process mid-raw (wall-clock cap) still finds
+  * a complete parseable engine line in the stdout tail — the paired
+  * fields degrade, the round's timings never do. Per-mode warm-up
+  * levels JIT/caches for whichever mode runs second, as before.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -91,12 +99,16 @@ object Bench {
     def fmt(v: Double, decimals: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
-    // RAW first, engine second — BASELINE.md's back-to-back order, so
-    // cross-mode cache warmth (FileStatusCache, JIT) favors neither side
-    // asymmetrically beyond what the per-mode warm-up already levels.
+    // Engine first (see the ordering note in the scaladoc), raw second.
     val rawEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW", "1") == "1"
-    val rawPair = if (rawEnabled) Some(timeMode(raw = true)) else None
     val (results, broken) = timeMode(raw = false)
+    if (rawEnabled) {
+      // provisional engine-only line — superseded by the paired line
+      // below unless the raw pass is killed by a harness wall-clock cap
+      println(renderLine(results, broken, "", sfDir))
+      System.out.flush()
+    }
+    val rawPair = if (rawEnabled) Some(timeMode(raw = true)) else None
 
     // Paired summary fields for the stdout line + the full per-query
     // pairs as a side file (the stdout tail window cannot fit two maps).
@@ -130,6 +142,41 @@ object Bench {
       }
     }
 
+    println(renderLine(results, broken, rawFields, sfDir))
+    spark.stop()
+    if (broken.nonEmpty) {
+      System.err.println(s"[bench] ${broken.size} broken: " +
+        broken.keys.mkString(", "))
+      sys.exit(1)
+    }
+  }
+
+  /** Render one stdout JSON line within the driver's tail window.
+    *
+    * The driver captures only a fixed-length tail of stdout (2000 chars,
+    * minus sbt's trailing "[success] ..." line). Full-precision doubles
+    * over a 70+-query inventory push this line past that window and the
+    * clipped head makes it unparseable — so: centisecond precision per
+    * query (ample for a seconds-scale bench) and a numeric sf.
+    * Centisecond precision normally; deciseconds when the inventory
+    * grows the line past the window; as a last resort keep deciseconds
+    * but shorten keys to the unique qNN/sNN prefix ("q61" for
+    * "q61_boilerplate_ngrams"). The cap is 1800 — 100 under the
+    * driver's window — so the rendering can't flip between variants
+    * when one timing gains a digit (the 80-query full-name line
+    * measured exactly 1899: one char of headroom is not stability).
+    * Shortening is only sound while prefixes are unique — a collision
+    * would silently merge two timings under one JSON key — so the
+    * short-key variant is offered only when every prefix is distinct.
+    * Final fallback (prefix collision AND full names past the cap):
+    * drop per-query keys entirely — a total-only line the driver can
+    * still parse beats a clipped unparseable one. */
+  private def renderLine(
+      results: Seq[(String, Double)],
+      broken: collection.Map[String, String],
+      rawFields: String, sfDir: String): String = {
+    def fmt(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     val total = results.map(_._2).sum
     // anchored: a digit must follow the dot ('sf1.' must not emit the
     // invalid JSON literal `1.`), and an unrecognizable dir is labeled
@@ -137,11 +184,6 @@ object Bench {
     val sfNum = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
       .getOrElse { "\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
-    // The driver captures only a fixed-length tail of stdout (2000 chars,
-    // minus sbt's trailing "[success] ..." line). Full-precision doubles
-    // over a 70+-query inventory push this line past that window and the
-    // clipped head makes it unparseable — so: centisecond precision per
-    // query (ample for a seconds-scale bench) and a numeric sf.
     def render(decimals: Int, shortKeys: Boolean = false,
                dropQueries: Boolean = false): String = {
       def key(k: String): String = if (shortKeys) k.split("_").head else k
@@ -156,35 +198,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec",""" +
         s""""queries":$qs$failedField$rawFields,"sf":$sfNum}"""
     }
-    // Centisecond precision normally; deciseconds when the inventory
-    // grows the line past the window; as a last resort keep deciseconds
-    // but shorten keys to the unique qNN/sNN prefix ("q61" for
-    // "q61_boilerplate_ngrams"). The cap is 1800 — 100 under the
-    // driver's window — so the rendering can't flip between variants
-    // when one timing gains a digit (the 80-query full-name line
-    // measured exactly 1899: one char of headroom is not stability).
-    // Shortening is only sound while prefixes are unique — a collision
-    // would silently merge two timings under one JSON key — so the
-    // short-key variant is offered only when every prefix is distinct
-    // (full names, even past the cap, beat corrupt JSON).
     val shortable = {
-      val all = (allNames.filterNot(broken.contains) ++ broken.keys).distinct
+      val all = (results.map(_._1) ++ broken.keys).distinct
       all.map(_.split("_").head).distinct.size == all.size
     }
-    // Final fallback (prefix collision AND full names past the cap):
-    // drop per-query keys entirely — a total-only line the driver can
-    // still parse beats a full line its 2000-char stdout window clips
-    // into unparseable JSON.
     val variants = Seq(render(2), render(1)) ++
       (if (shortable) Seq(render(1, shortKeys = true)) else Nil) ++
       Seq(render(1, dropQueries = true))
-    val line = variants.find(_.length <= 1800).getOrElse(variants.last)
-    println(line)
-    spark.stop()
-    if (broken.nonEmpty) {
-      System.err.println(s"[bench] ${broken.size} broken: " +
-        broken.keys.mkString(", "))
-      sys.exit(1)
-    }
+    variants.find(_.length <= 1800).getOrElse(variants.last)
   }
 }

@@ -127,6 +127,39 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $tc")
   }
 
+  test("compression maps from table properties to every format writer and survives read-back") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    // the reference's hive.exec.compress.output + per-format codec
+    // mapping (HiveFileFormatWriteBuilder.scala:208-223), restated as
+    // the one declarative surface: a `compression` TBLPROPERTY flows as
+    // a write option into whichever format the provider dispatches to
+    def dataFiles(t: String): Seq[String] = {
+      val loc = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+        .filter($"col_name" === "Location").head().getString(1))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(loc).toSeq.map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    }
+    for ((provider, codec, suffix) <- Seq(
+        ("parquet", "zstd", ".zstd.parquet"),
+        ("orc", "zstd", ".zstd.orc"),
+        ("csv", "gzip", ".csv.gz"),
+        ("json", "gzip", ".json.gz"))) {
+      val t = freshTable(s"t_comp_$provider")
+      spark.sql(s"CREATE TABLE $t (id BIGINT, s STRING) USING $provider " +
+        s"TBLPROPERTIES('compression'='$codec')")
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "s").writeTo(t).append()
+      val names = dataFiles(t)
+      assert(names.nonEmpty && names.forall(_.endsWith(suffix)),
+        s"$provider: expected *$suffix, got ${names.mkString(",")}")
+      assert(spark.table(t).orderBy($"id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "alpha"), (2L, "beta")), s"$provider read-back")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("partition column declared with different case than the schema still round-trips") {
     import spark.implicits._
     val t = freshTable("t_case")
