@@ -416,8 +416,12 @@ object GraftCatalog {
     * forwarding e.g. a table COMMENT as the CSV `comment` option (a
     * single-char line-comment marker) would break every read of the
     * table. */
+  /** Opt-in storage-partitioned-join reporting (scan-side only; see
+    * `GraftSpjFileScan`). Inert on unpartitioned tables. */
+  val SpjProp: String = "graft.spj"
+
   val NonOptionProps: Set[String] = Set("comment", "owner",
-    BucketCountProp, BucketColumnsProp, ClusterByProp)
+    BucketCountProp, BucketColumnsProp, ClusterByProp, SpjProp)
 
   /** Per-streaming-query committed-epoch log: property
     * `graft.stream.epoch.<queryId>` holds the highest epoch id the named

@@ -179,8 +179,13 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     // this a partition-key join would scan every partition — see
     // GraftScanBuilder's scaladoc. Unpartitioned tables keep the stock
     // builder: nothing to runtime-prune.
+    // `graft.spj` additionally reports the partition layout as a DSv2
+    // KeyGroupedPartitioning (one split per partition value) so
+    // co-partitioned joins and partition-keyed aggregates run
+    // shuffle-free — see GraftSpjFileScan's scaladoc for why opt-in.
     if (meta.isPartitioned)
-      new org.apache.spark.sql.graft.GraftScanBuilder(builder, meta.partitionColumns)
+      new org.apache.spark.sql.graft.GraftScanBuilder(builder, meta.partitionColumns,
+        spj = meta.properties.get(GraftCatalog.SpjProp).exists(_.equalsIgnoreCase("true")))
     else builder
   }
 

@@ -263,6 +263,75 @@ object EngineQueries {
       .orderBy($"o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- Q97
+  /** STORAGE-PARTITIONED JOIN — the shuffle-free co-partitioned join
+    * (the bucketed-read fast path the round-14 verdict listed as
+    * unimplemented in both engines): two catalog tables partitioned on
+    * the same column and opted in with `graft.spj=true` report their
+    * partition layout as a DSv2 `KeyGroupedPartitioning`
+    * ([[org.apache.spark.sql.graft.GraftSpjFileScan]]), so a join
+    * carrying the partition column in its keys aligns partition-to-
+    * partition with NO exchange on either side, and the downstream
+    * partition-keyed aggregate completes in the same task — at 100 TB
+    * the difference between shuffling two fact tables and shuffling
+    * nothing (PlanShapeSpec pins zero hash exchanges, and the contrast
+    * plan without the property shuffling both sides). One side omits a
+    * whole partition value, exercising the planner's partition-value
+    * push (empty-side padding) rather than the lucky aligned case.
+    *
+    * The SPJ confs are scoped to the query (saved/restored): the result
+    * is materialized eagerly via `localCheckpoint` so the plan executes
+    * while they hold. */
+  def q97_spj_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val a = s"$cat.tmp.q97_spj_a"
+    val b = s"$cat.tmp.q97_spj_b"
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    val orders = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    orders.writeTo(a).partitionedBy($"o_orderpriority")
+      .tableProperty("graft.spj", "true").create()
+    orders.filter($"o_orderkey" % 3 === 0 && $"o_orderpriority" =!= "5-LOW")
+      .select($"o_orderkey", $"o_orderpriority")
+      .writeTo(b).partitionedBy($"o_orderpriority")
+      .tableProperty("graft.spj", "true").create()
+    withSpjConfs(spark) {
+      spark.table(a).as("a")
+        .join(spark.table(b).as("b"),
+          $"a.o_orderpriority" === $"b.o_orderpriority" &&
+            $"a.o_orderkey" === $"b.o_orderkey")
+        .groupBy($"a.o_orderpriority".as("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          RelationalQueries.r2(sum($"a.o_totalprice")).as("sum_price"))
+        .orderBy($"o_orderpriority")
+        .localCheckpoint(eager = true) // execute while the SPJ confs hold
+    }
+  }
+
+  /** Scope the storage-partitioned-join planner confs to one block —
+    * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
+    * a SUBSET of the join keys co-partition (the SPJ core case);
+    * broadcast stays off so the pinned plan proves SPJ, not a lucky
+    * broadcast. All previous values restored afterwards. */
+  private[graft] def withSpjConfs[T](spark: SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // ---------------------------------------------------------------- q88
   /** CLUSTERED compaction — q49's rewrite with a declared sort layout:
     * the table carries `graft.cluster.by = l_orderkey`, so every write
@@ -543,6 +612,7 @@ object EngineQueries {
     "q51_delete" -> (q51_delete _),
     "q49_compaction" -> (q49_compaction _),
     "q96_vacuum" -> (q96_vacuum _),
+    "q97_spj_join" -> (q97_spj_join _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
     "q91_catalog_function" -> (q91_catalog_function _),
     "q94_incremental_rollup" -> (q94_incremental_rollup _),
@@ -631,6 +701,17 @@ object EngineQueries {
       """SELECT o_orderpriority, count(*) AS n_rows,
         |  round((sum(o_totalprice)) * 100) / 100 AS sum_price
         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The co-partitioned join restated: arrival through the SPJ plan
+    // must not change the answer.
+    "q97_spj_join" ->
+      """SELECT a.o_orderpriority, count(*) AS n_rows,
+        |  round((sum(a.o_totalprice)) * 100) / 100 AS sum_price
+        | FROM orders a
+        | JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+        |       WHERE o_orderkey % 3 = 0 AND o_orderpriority <> '5-LOW') b
+        |   ON a.o_orderpriority = b.o_orderpriority
+        |  AND a.o_orderkey = b.o_orderkey
+        | GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""".stripMargin,
     // the clustered rewrite must preserve the data exactly through the
     // range read the clustering exists for
     "q88_clustered_compaction" ->

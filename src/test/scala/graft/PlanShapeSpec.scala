@@ -320,6 +320,51 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q97 SPJ: co-partitioned join + aggregate run with ZERO hash exchanges; plain tables shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    // the gated query creates the opted-in tables as a side effect
+    graft.operators.EngineQueries.q97_spj_join(spark, sf0001)
+    def joinAgg(a: String, b: String) = spark.table(a).as("a")
+      .join(spark.table(b).as("b"),
+        $"a.o_orderpriority" === $"b.o_orderpriority" &&
+          $"a.o_orderkey" === $"b.o_orderkey")
+      .groupBy($"a.o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"a.o_totalprice").as("s"))
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val spj = joinAgg(s"$cat.tmp.q97_spj_a", s"$cat.tmp.q97_spj_b")
+        .queryExecution.executedPlan.toString
+      assert(!spj.contains("Exchange hashpartitioning"),
+        s"SPJ plan must not shuffle the join or the aggregate:\n$spj")
+      assert(spj.contains("SortMergeJoin"), s"expected a sort-merge join:\n$spj")
+      // contrast: identical tables WITHOUT the property shuffle both
+      // sides — proving the fast path is the opt-in, not the data shape
+      val pa = s"$cat.tmp.spj_plain_a"
+      val pb = s"$cat.tmp.spj_plain_b"
+      spark.sql(s"DROP TABLE IF EXISTS $pa")
+      spark.sql(s"DROP TABLE IF EXISTS $pb")
+      spark.table(s"$cat.tmp.q97_spj_a")
+        .writeTo(pa).partitionedBy($"o_orderpriority").create()
+      spark.table(s"$cat.tmp.q97_spj_b")
+        .writeTo(pb).partitionedBy($"o_orderpriority").create()
+      val plain = joinAgg(pa, pb).queryExecution.executedPlan.toString
+      assert(plain.contains("Exchange hashpartitioning"),
+        s"plain tables must still shuffle (the contrast):\n$plain")
+      // same answer either way (the b side omits 5-LOW entirely, so the
+      // partition-value push handled a missing-partition alignment)
+      val viaSpj = joinAgg(s"$cat.tmp.q97_spj_a", s"$cat.tmp.q97_spj_b")
+        .orderBy($"a.o_orderpriority").collect().map(_.toString).toSeq
+      val viaPlain = joinAgg(pa, pb)
+        .orderBy($"a.o_orderpriority").collect().map(_.toString).toSeq
+      assert(viaSpj === viaPlain)
+      assert(viaSpj.size === 4, "5-LOW must be absent from the inner join")
+      spark.sql(s"DROP TABLE IF EXISTS $pa")
+      spark.sql(s"DROP TABLE IF EXISTS $pb")
+    }
+  }
+
   test("DPP: a join on the partition column runtime-prunes the catalog file index") {
     import org.apache.spark.sql.functions._
     GraftBootstrap.ensure(spark, sf0001)
