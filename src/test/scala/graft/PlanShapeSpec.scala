@@ -360,6 +360,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         .orderBy($"a.o_orderpriority").collect().map(_.toString).toSeq
       assert(viaSpj === viaPlain)
       assert(viaSpj.size === 4, "5-LOW must be absent from the inner join")
+      // a SINGLE table's partition-keyed aggregate also rides the
+      // reported partitioning — no join needed for the fast path
+      val aggOnly = spark.table(s"$cat.tmp.q97_spj_a")
+        .groupBy($"o_orderpriority").agg(sum($"o_totalprice").as("s"))
+        .queryExecution.executedPlan.toString
+      assert(!aggOnly.contains("Exchange hashpartitioning"),
+        s"partition-keyed aggregate over one SPJ table must not shuffle:\n$aggOnly")
       spark.sql(s"DROP TABLE IF EXISTS $pa")
       spark.sql(s"DROP TABLE IF EXISTS $pb")
     }
