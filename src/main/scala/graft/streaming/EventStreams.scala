@@ -670,6 +670,76 @@ object EventStreams {
     }
   }
 
+  // ---------------------------------------------------------------- s20
+  /** Streaming ingest with INLINE COMPACTION maintenance — the ops loop
+    * a continuously-ingested partitioned table actually needs, composed
+    * from inventory pieces: each micro-batch appends through the
+    * catalog write path (s11's sink), then the SAME trigger runs the
+    * in-place compaction rewrite (q49's operator) so the table never
+    * accumulates the per-batch × per-shuffle-partition small files that
+    * otherwise grow without bound under continuous ingest (the classic
+    * streaming-into-parquet pathology: a year of 1-minute triggers is
+    * half a million files per partition before the first maintenance
+    * job). Correct under the engine's own concurrency story: the append
+    * releases the table's write permit before compaction takes its
+    * lease, compaction's dynamic self-overwrite has no pre-delete
+    * window, and a reader between trigger N and N+1 sees either the
+    * fragmented or the compacted layout of the SAME rows — never a
+    * partial swap ([[graft.operators.Compaction]]'s staging argument).
+    *
+    * Gated on s11's oracle (every event exactly once regardless of the
+    * rewrites) + EventStreamsSpec asserting the final layout is ONE
+    * file per partition while the same ingest WITHOUT maintenance
+    * fragments.
+    *
+    * At 100 TB: per-trigger compaction cost is proportional to the
+    * partitions the batch touched times their current size, so the
+    * production cadence compacts every Nth trigger or per closed
+    * event-time partition (date-partitioned tables compact yesterday
+    * once, exactly q49's maintenance posture); running it every trigger
+    * here exercises the composition at maximum interleaving. */
+  def s20_stream_ingest_compact(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${graft.GraftBootstrap.CatalogName}.tmp.s20_events_ingest"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${graft.GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    events.limit(0).writeTo(tgt)
+      .partitionedBy(col("event_type")).create()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s20_")
+    val tmpPath = tmp.toString
+    try {
+      val src = Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(tmpPath), "ts")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      withShufflePartitions(spark, 4) {
+        val query = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.writeTo(tgt).append()
+            graft.operators.Compaction.compact(batch.sparkSession, tgt)
+          }
+          .start()
+        try {
+          (0 until 3).foreach { gen =>
+            events.filter(col("event_id") % 3 === gen)
+              .write.mode("append").parquet(tmpPath)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+      }
+      spark.table(tgt)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+        .orderBy(col("event_type"))
+    } finally {
+      val fs = new Path(tmpPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(tmpPath), true)
+    }
+  }
+
   // ---------------------------------------------------------------- s12
   /** Streaming MERGE upsert into the catalog — the idempotent form of
     * s11's append sink (the exactly-once-by-key shape a production
@@ -1529,6 +1599,7 @@ object EventStreams {
     "s12_stream_merge_upsert" -> (s12_stream_merge_upsert _),
     "s15_stream_native_sink" -> (s15_stream_native_sink _),
     "s16_stream_catalog_pipe" -> (s16_stream_catalog_pipe _),
+    "s20_stream_ingest_compact" -> (s20_stream_ingest_compact _),
     "s13_stream_curate" -> (s13_stream_curate _),
     "s14_stream_near_dedup" -> (s14_stream_near_dedup _),
     "s14b_stream_near_dedup_expiring" -> (s14b_stream_near_dedup_expiring _),
@@ -1600,6 +1671,12 @@ object EventStreams {
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // The end-to-end pipe must also land every event exactly once.
     "s16_stream_catalog_pipe" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Inline compaction must never lose or duplicate an ingested event:
+    // the maintained table's aggregate equals the plain events aggregate.
+    "s20_stream_ingest_compact" ->
       """SELECT event_type, count(*) AS cnt,
         |  round((sum(value)) * 100) / 100 AS sum_value
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

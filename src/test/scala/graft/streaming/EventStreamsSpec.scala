@@ -221,6 +221,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $tgt")
   }
 
+  test("s20 inline compaction: ingested content exact, final layout one file per partition") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.s20_stream_ingest_compact(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (round(sum(col("value")) * 100) / 100).as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === batch, "maintenance must not lose or duplicate events")
+    // layout: exactly one data file per partition after the last trigger
+    val cat = graft.GraftBootstrap.CatalogName
+    val loc = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $cat.tmp.s20_events_ingest")
+      .filter(col("col_name") === "Location").head().getString(1))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    def filesPerPartition(p: Path): Seq[(String, Int)] =
+      fs.listStatus(p).toSeq.filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).count(f => !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")))
+    val layout = filesPerPartition(loc)
+    assert(layout.nonEmpty && layout.forall(_._2 == 1),
+      s"each partition must hold one file after inline compaction: $layout")
+    // non-vacuity: the same 3-generation ingest WITHOUT maintenance
+    // fragments (more than one file in at least one partition)
+    import spark.implicits._
+    val plain = s"$cat.tmp.s20_plain"
+    spark.sql(s"DROP TABLE IF EXISTS $plain")
+    val events = graft.Tables(spark, sf0001, "events")
+      .select($"event_id", $"ts", $"event_type", $"value")
+    events.limit(0).writeTo(plain).partitionedBy($"event_type").create()
+    (0 until 3).foreach(g =>
+      events.filter($"event_id" % 3 === g).writeTo(plain).append())
+    val plainLoc = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $plain")
+      .filter(col("col_name") === "Location").head().getString(1))
+    assert(filesPerPartition(plainLoc).exists(_._2 > 1),
+      "contrast ingest must fragment, or the compaction gate is vacuous")
+    spark.sql(s"DROP TABLE IF EXISTS $plain")
+  }
+
   test("streaming into the catalog lands every event exactly once (single run)") {
     import org.apache.spark.sql.functions._
     val sunk = EventStreams.s11_stream_catalog_sink(spark, sf0001)
