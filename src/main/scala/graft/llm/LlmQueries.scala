@@ -163,6 +163,39 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q98
+  /** INCREMENTAL ANN index maintenance — q40's IVF promoted to
+    * persisted catalog state with the build / ingest / query lifecycle
+    * ([[Similarity.ivfIndexBuild]]): centroids trained once on the base
+    * corpus and FROZEN as the index metadata table; two later embedding
+    * batches ingest incrementally (cost ∝ batch — assignment against
+    * the stored centroids + an append into only the touched bucket
+    * partitions); queries probe the maintained index. The maintenance
+    * invariant — incremental ingest equals full reassignment under the
+    * same stored centroids, exactly — is SimilaritySpec's set-equality
+    * gate (assignment is deterministic given centroids, so this is
+    * exact, not a recall bound). Lloyd centroids aren't
+    * oracle-expressible (q40's class) ⇒ rows-only. */
+  def q98_ann_index_maintain(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.ensure(spark, dir)
+    val cat = graft.GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val centT = s"$cat.tmp.q98_ivf_centroids"
+    val idxT = s"$cat.tmp.q98_ivf_index"
+    spark.sql(s"DROP TABLE IF EXISTS $centT")
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    val norm = Similarity.normalized(Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, centT, idxT,
+      norm.filter(col("vec_id") % 4 =!= 0))
+    Similarity.ivfIndexIngest(spark, centT, idxT,
+      norm.filter(col("vec_id") % 8 === 0))
+    Similarity.ivfIndexIngest(spark, centT, idxT,
+      norm.filter(col("vec_id") % 8 === 4))
+    Similarity.ivfIndexQuery(spark, centT, idxT,
+      norm.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- q78
   /** The product-quantization (ADC) scale path for the same probes: the
     * MEMORY dimension of the ANN family — 8 sub-space code bytes per
@@ -876,6 +909,7 @@ object LlmQueries {
     "q38_dedup_embedding" -> (q38_dedup_embedding _),
     "q38b_dedup_embedding_lsh" -> (q38b_dedup_embedding_lsh _),
     "q40_ann_ivf_topk" -> (q40_ann_ivf_topk _),
+    "q98_ann_index_maintain" -> (q98_ann_index_maintain _),
     "q78_ann_pq_topk" -> (q78_ann_pq_topk _),
     "q78b_ann_ivfadc_topk" -> (q78b_ann_ivfadc_topk _),
     "q70_chunk_documents" -> (q70_chunk_documents _),

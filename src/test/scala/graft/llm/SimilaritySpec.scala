@@ -322,4 +322,67 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(!rows.exists(_._2 == q), s"vector $q listed itself as a neighbor")
     }
   }
+
+  test("q98 persisted IVF: incremental ingest equals full reassignment; appends touch only their buckets") {
+    import org.apache.hadoop.fs.Path
+    graft.GraftBootstrap.ensure(spark, sf0001)
+    val cat = graft.GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val centT = s"$cat.tmp.spec_ivf_cents"
+    val idxT = s"$cat.tmp.spec_ivf_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $centT")
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    val full = norm.localCheckpoint()
+    Similarity.ivfIndexBuild(spark, centT, idxT, full.filter(col("vec_id") % 4 =!= 0))
+    val cents = Similarity.loadCentroids(spark, centT)
+    assert(cents.length === 16, "index metadata must persist every centroid")
+
+    // ingest locality: the append lands files ONLY in the batch's buckets
+    val batch1 = full.filter(col("vec_id") % 8 === 0)
+    val batchBuckets = batch1
+      .withColumn("bucket", Similarity.nearestCentroids(cents, col("v"), 1).getItem(0))
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    val loc = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $idxT")
+      .filter(col("col_name") === "Location").head().getString(1))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    def filesPerBucket(): Map[Long, Int] =
+      fs.listStatus(loc).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map(d => d.getPath.getName.stripPrefix("bucket=").toLong ->
+          fs.listStatus(d.getPath).count(f => !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))).toMap
+    val before = filesPerBucket()
+    Similarity.ivfIndexIngest(spark, centT, idxT, batch1)
+    val after = filesPerBucket()
+    val untouched = before.keySet -- batchBuckets
+    assert(untouched.nonEmpty, "fixture must leave some buckets out of the batch")
+    assert(untouched.forall(b => after(b) == before(b)),
+      s"ingest must not rewrite un-touched buckets: before=$before after=$after batch=$batchBuckets")
+    assert(batchBuckets.exists(b => after.getOrElse(b, 0) > before.getOrElse(b, 0)),
+      "the batch's own buckets must have received files")
+    Similarity.ivfIndexIngest(spark, centT, idxT, full.filter(col("vec_id") % 8 === 4))
+
+    // the maintenance invariant, exact: incremental assignments equal a
+    // single full reassignment under the same frozen centroids
+    val got = spark.table(idxT).select(col("vec_id"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ref = full
+      .withColumn("bucket", Similarity.nearestCentroids(cents, col("v"), 1).getItem(0))
+      .select(col("vec_id"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === ref, "incremental index must equal the full rebuild exactly")
+
+    // queries over the maintained index behave like the ad-hoc IVF:
+    // k rows per query, no self-matches
+    val res = Similarity.ivfIndexQuery(spark, centT, idxT,
+      full.filter(col("vec_id") < 5), k = 5).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to 5L))
+      assert(!rows.exists(_.getLong(1) == q))
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $centT")
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+  }
 }
