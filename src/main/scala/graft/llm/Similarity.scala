@@ -427,9 +427,17 @@ object Similarity {
   }
 
   /** Probe the maintained index: `nprobe` nearest stored centroids per
-    * query, equality join on the bucket id (= the partition column, so
-    * the catalog file index prunes the listing), exact re-rank — the
-    * same output contract as [[ivfCosineTopK]]. */
+    * query, equality join on the bucket id, exact re-rank — the same
+    * output contract as [[ivfCosineTopK]]. The UNION of probed buckets
+    * is collected first (one tiny job over the query batch — bounded by
+    * `min(queries × nprobe, nlist)` values) and pushed as a STATIC
+    * partition filter on the index scan, so the catalog file index
+    * prunes un-probed bucket partitions BEFORE any listing — a
+    * join-driven plan would read every partition here (DPP does not
+    * fire on an exploded probe side; verified against the executed
+    * plan, and the pruned shape is pinned in SimilaritySpec). This is
+    * the standard ANN-serving fetch: compute probe lists, read exactly
+    * those shards. */
   def ivfIndexQuery(
       spark: org.apache.spark.sql.SparkSession, centTable: String,
       idxTable: String, queries: DataFrame, k: Int,
@@ -438,7 +446,10 @@ object Similarity {
     val probed = queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(nearestCentroids(cents, col("v"), nprobe)).as("bucket"))
+    val probedBuckets = probed.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
     val cands = spark.table(idxTable)
+      .filter(col("bucket").isin(probedBuckets: _*))
       .select(col("vec_id").as("n_id"), col("v"), col("nrm"), col("bucket"))
       .join(probed, "bucket")
       .filter(col("n_id") =!= col("q_id"))

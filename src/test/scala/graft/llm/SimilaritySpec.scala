@@ -373,9 +373,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got === ref, "incremental index must equal the full rebuild exactly")
 
     // queries over the maintained index behave like the ad-hoc IVF:
-    // k rows per query, no self-matches
-    val res = Similarity.ivfIndexQuery(spark, centT, idxT,
-      full.filter(col("vec_id") < 5), k = 5).collect()
+    // k rows per query, no self-matches — and the index scan is
+    // STATICALLY pruned to the probed buckets (PartitionFilters carries
+    // the IN list; a join-driven plan would list every partition)
+    val qdf = Similarity.ivfIndexQuery(spark, centT, idxT,
+      full.filter(col("vec_id") < 5), k = 5)
+    val qplan = qdf.queryExecution.executedPlan.toString
+    val idxScanLine = qplan.linesIterator
+      .find(l => l.contains("spec_ivf_idx") && l.contains("BatchScan"))
+      .getOrElse(fail(s"no index scan in plan:\n$qplan"))
+    assert(idxScanLine.contains("bucket") && idxScanLine.contains(" IN "),
+      s"index scan must carry the probed-bucket partition filter:\n$idxScanLine")
+    val res = qdf.collect()
     val byQ = res.groupBy(_.getLong(0))
     assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
     byQ.foreach { case (q, rows) =>
