@@ -898,6 +898,50 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** KL(batch ‖ reference) against a FROZEN reference histogram — the
+    * drift-monitor core s21 runs per micro-batch: [[sourceKlDivergence]]
+    * derives the corpus histogram from the same frame it scores, which
+    * is the offline-diagnostic shape; a monitor instead holds a fixed
+    * baseline (`refHist`: (bucket, c) over the reference corpus,
+    * `refTotal`: its token count) and scores each arriving batch
+    * against it, so per-trigger cost is the batch tokenize + a
+    * broadcast join with the B-row baseline — nothing rescans the
+    * reference. Identical quantized-ln exactness contract as q93
+    * (term rounded to exact longs at 1e-6 nats before the sum), so the
+    * streaming emissions hash-match the batch restatement. Batch
+    * buckets are a subset of the reference's by construction here
+    * (batches come from the reference corpus); a production feed with
+    * genuinely novel tokens keeps them via the same add-one smoothing
+    * once the join is made left-outer with c=0 — noted, not needed for
+    * the gate. */
+  def klAgainstReference(batch: DataFrame, textCol: String,
+      genExpr: org.apache.spark.sql.Column, refHist: DataFrame,
+      refTotal: Long, buckets: Int = 4096): DataFrame = {
+    val feats = batch.filter(col(textCol).isNotNull)
+      .select(genExpr.as("gen"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets)
+      .drop("tok")
+    val byGen = feats.groupBy("gen", "bucket")
+      .agg(count(lit(1)).as("cs"))
+      .localCheckpoint() // feeds the per-gen totals AND the scoring
+    val genTotal = byGen.groupBy("gen").agg(sum("cs").as("ts"))
+    byGen
+      .join(broadcast(refHist), Seq("bucket"))
+      .join(broadcast(genTotal), Seq("gen"))
+      .withColumn("term_q",
+        round(col("cs").cast("double") *
+          (log((col("cs") + 1L).cast("double")) -
+            log((col("ts") + buckets.toLong).cast("double")) -
+            log((col("c") + 1L).cast("double")) +
+            log(lit((refTotal + buckets.toLong).toDouble))) *
+          lit(1000000.0) / col("ts").cast("double")).cast("long"))
+      .groupBy("gen")
+      .agg(max("ts").as("n_tokens"), sum("term_q").as("kl_q"))
+      .select(col("gen"), col("n_tokens"),
+        (col("kl_q").cast("double") / 1000000.0).as("kl_est_nats"))
+  }
+
   def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("fingerprint",
       aggregate(

@@ -740,6 +740,78 @@ object EventStreams {
     }
   }
 
+  // ---------------------------------------------------------------- s21
+  /** Streaming DISTRIBUTION-DRIFT monitor — q93's divergence diagnostic
+    * run per micro-batch against a FROZEN baseline (the "crawler
+    * started pulling spam" alarm, live): the reference token-bucket
+    * histogram is computed ONCE before the stream starts (B rows,
+    * broadcast), and each arriving document batch is tokenized, bucket-
+    * counted and scored as KL(batch ‖ reference) with q93's exact
+    * quantized-ln arithmetic ([[graft.llm.TextAnalysis
+    * .klAgainstReference]]) — one emission row per batch generation,
+    * collected as the monitor's alert stream (bounded: one row per
+    * trigger). Per-trigger cost is the batch tokenize plus a broadcast
+    * join with the B-row baseline; NOTHING rescans the reference corpus
+    * — the monitor posture q93's offline form cannot provide.
+    *
+    * Hash-gated: generations are `doc_id % 3`, so the DuckDB oracle
+    * restates every emission in SQL (q93's oracle with the generation
+    * as the grouping key) — the streaming monitor must produce
+    * EXACTLY the batch divergences, trigger boundaries notwithstanding.
+    *
+    * 100 TB posture: the baseline is B buckets (~4096 rows) however
+    * large the reference corpus; batch cost ∝ batch tokens; emissions
+    * are one row per trigger. State lives in the frozen baseline, not
+    * the state store. */
+  def s21_stream_drift_monitor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsDf = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    // the frozen baseline distribution
+    val refFeats = docsDf
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 4096)
+    val refHist = refFeats.groupBy("bucket")
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val refTotal = refHist.agg(sum("c")).head().getLong(0)
+
+    val emissions =
+      collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s21_")
+    val tmpPath = tmp.toString
+    try {
+      docsDf.filter(col("doc_id") % 3 === 0).write.mode("append").parquet(tmpPath)
+      val src = spark.readStream.schema(docsDf.schema).parquet(tmpPath)
+      withShufflePartitions(spark, 4) {
+        val query = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            emissions ++= graft.llm.TextAnalysis
+              .klAgainstReference(batch, "text",
+                (col("doc_id") % 3).as("gen"), refHist, refTotal)
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            ()
+          }
+          .start()
+        try {
+          query.processAllAvailable()
+          docsDf.filter(col("doc_id") % 3 === 1).write.mode("append").parquet(tmpPath)
+          query.processAllAvailable()
+          docsDf.filter(col("doc_id") % 3 === 2).write.mode("append").parquet(tmpPath)
+          query.processAllAvailable()
+        } finally query.stop()
+      }
+      emissions.toSeq.toDF("gen", "n_tokens", "kl_est_nats")
+        .orderBy(col("gen"))
+    } finally {
+      val fs = new Path(tmpPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(tmpPath), true)
+    }
+  }
+
   // ---------------------------------------------------------------- s12
   /** Streaming MERGE upsert into the catalog — the idempotent form of
     * s11's append sink (the exactly-once-by-key shape a production
@@ -1600,6 +1672,7 @@ object EventStreams {
     "s15_stream_native_sink" -> (s15_stream_native_sink _),
     "s16_stream_catalog_pipe" -> (s16_stream_catalog_pipe _),
     "s20_stream_ingest_compact" -> (s20_stream_ingest_compact _),
+    "s21_stream_drift_monitor" -> (s21_stream_drift_monitor _),
     "s13_stream_curate" -> (s13_stream_curate _),
     "s14_stream_near_dedup" -> (s14_stream_near_dedup _),
     "s14b_stream_near_dedup_expiring" -> (s14b_stream_near_dedup_expiring _),
@@ -1680,6 +1753,34 @@ object EventStreams {
       """SELECT event_type, count(*) AS cnt,
         |  round((sum(value)) * 100) / 100 AS sum_value
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q93's oracle with the generation (doc_id % 3) as the grouping key
+    // and the FULL corpus as the reference histogram: the streaming
+    // monitor's per-batch emissions must equal the batch restatement.
+    "s21_stream_drift_monitor" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id % 3 AS BIGINT) AS gen,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        | f AS (
+        |  SELECT gen,
+        |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS bucket
+        |  FROM t),
+        | bs AS (SELECT gen, bucket, count(*) AS cs FROM f GROUP BY 1, 2),
+        | corp AS (SELECT bucket, CAST(sum(cs) AS BIGINT) AS c FROM bs GROUP BY 1),
+        | ctot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM corp),
+        | gtot AS (SELECT gen, CAST(sum(cs) AS BIGINT) AS ts FROM bs GROUP BY 1),
+        | terms AS (
+        |  SELECT bs.gen,
+        |    CAST(round(CAST(cs AS DOUBLE) *
+        |      (ln(CAST(cs + 1 AS DOUBLE)) - ln(CAST(ts + 4096 AS DOUBLE))
+        |       - ln(CAST(c + 1 AS DOUBLE)) + ln(CAST(t + 4096 AS DOUBLE))) *
+        |      1000000.0 / CAST(ts AS DOUBLE)) AS BIGINT) AS term_q
+        |  FROM bs JOIN corp USING (bucket) JOIN gtot USING (gen) CROSS JOIN ctot),
+        | agg AS (
+        |  SELECT gen, CAST(sum(term_q) AS BIGINT) AS kl_q FROM terms GROUP BY 1)
+        | SELECT agg.gen, gtot.ts AS n_tokens,
+        |   CAST(kl_q AS DOUBLE) / 1000000.0 AS kl_est_nats
+        | FROM agg JOIN gtot USING (gen) ORDER BY agg.gen""".stripMargin,
     // Upsert semantics: each event exactly once, every 10th carrying its
     // corrected (doubled — exact in binary) generation-2 value.
     "s12_stream_merge_upsert" ->

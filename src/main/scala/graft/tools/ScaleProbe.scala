@@ -39,7 +39,10 @@ object ScaleProbe {
     // continued-session additions over the replicable tables: q90's
     // one-pass bucket scoring, q92's broadcast-probe span surgery and
     // q93's histogram divergence should all be ~linear
-    "q90_dsir_select", "q92_strip_contaminated", "q93_source_divergence")
+    "q90_dsir_select", "q92_strip_contaminated", "q93_source_divergence",
+    // round-15: the persisted-index lifecycle — training is
+    // sample-bounded, assignment/ingest linear, probes partition-pruned
+    "q98_ann_index_maintain")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:

@@ -263,6 +263,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $plain")
   }
 
+  test("s21 drift monitor: streaming emissions equal the batch divergence per generation") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.s21_stream_drift_monitor(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed.map(_._1) === Seq(0L, 1L, 2L), "one emission per generation")
+    assert(streamed.forall(_._2 > 0), "every generation must carry tokens")
+    // batch restatement: the same scorer over the whole corpus at once
+    val docsDf = graft.Tables(spark, sf0001, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val refHist = docsDf
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 4096)
+      .groupBy("bucket").agg(count(lit(1)).as("c")).localCheckpoint()
+    val refTotal = refHist.agg(sum("c")).head().getLong(0)
+    val batch = graft.llm.TextAnalysis
+      .klAgainstReference(docsDf, "text", (col("doc_id") % 3).as("gen"),
+        refHist, refTotal)
+      .orderBy(col("gen"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed === batch, "trigger boundaries must not change the divergences")
+  }
+
   test("streaming into the catalog lands every event exactly once (single run)") {
     import org.apache.spark.sql.functions._
     val sunk = EventStreams.s11_stream_catalog_sink(spark, sf0001)
