@@ -367,6 +367,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         .queryExecution.executedPlan.toString
       assert(!aggOnly.contains("Exchange hashpartitioning"),
         s"partition-keyed aggregate over one SPJ table must not shuffle:\n$aggOnly")
+      // and the shuffle-free shape survives AQE's runtime re-planning:
+      // the FINAL adaptive plan (after execution) still has no hash
+      // exchange — AQE must not have re-introduced one at a stage break
+      val spjDf = joinAgg(s"$cat.tmp.q97_spj_a", s"$cat.tmp.q97_spj_b")
+      spjDf.collect()
+      val finalPlan = spjDf.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"),
+        s"expected the executed adaptive plan:\n$finalPlan")
+      assert(!finalPlan.contains("Exchange hashpartitioning"),
+        s"AQE final plan must stay shuffle-free:\n$finalPlan")
       spark.sql(s"DROP TABLE IF EXISTS $pa")
       spark.sql(s"DROP TABLE IF EXISTS $pb")
     }
