@@ -258,6 +258,17 @@ class GraftSpjFileScan(
   import org.apache.spark.sql.execution.PartitionedFileUtil
   import org.apache.spark.sql.execution.datasources.PartitionedFile
 
+  /** Key-grouped planning engages only when the session actually runs
+    * storage-partitioned joins (`spark.sql.sources.v2.bucketing
+    * .enabled`): without it the planner ignores the reported
+    * partitioning, and one-task-per-partition-value splits would cost
+    * scan parallelism for nothing — so a default-conf session reads an
+    * opted-in table exactly like a plain one. Latched at first use so
+    * planning's `outputPartitioning` and execution's
+    * `planInputPartitions` can never disagree if the conf flips
+    * mid-query. */
+  private lazy val spjActive: Boolean = SQLConf.get.v2BucketingEnabled
+
   private lazy val grouped: Seq[(InternalRow, Array[PartitionedFile])] = {
     val scan = currentScan
     scan.fileIndex.listFiles(scan.partitionFilters, scan.dataFilters).map { dir =>
@@ -269,20 +280,24 @@ class GraftSpjFileScan(
   }
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
+    if (!spjActive)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
       initial0.fileIndex.partitionSchema.fields
         .map(f => Expressions.identity(f.name))
         .toArray[org.apache.spark.sql.connector.expressions.Expression],
       grouped.size)
 
-  override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      grouped.zipWithIndex.map { case ((key, files), i) =>
-        new GraftKeyedFilePartition(i, files, key): InputPartition
-      }.toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      currentScan.createReaderFactory()
-  }
+  override def toBatch: Batch =
+    if (!spjActive) super.toBatch
+    else new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        grouped.zipWithIndex.map { case ((key, files), i) =>
+          new GraftKeyedFilePartition(i, files, key): InputPartition
+        }.toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        currentScan.createReaderFactory()
+    }
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that

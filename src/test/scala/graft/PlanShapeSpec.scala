@@ -380,6 +380,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"DROP TABLE IF EXISTS $pa")
       spark.sql(s"DROP TABLE IF EXISTS $pb")
     }
+    // conf-gated: under DEFAULT confs an opted-in table plans like a
+    // plain one (hash exchanges return, results unchanged) — the
+    // one-task-per-partition-value trade is paid only when the session
+    // actually runs storage-partitioned joins
+    val defaultPlan = joinAgg(s"$cat.tmp.q97_spj_a", s"$cat.tmp.q97_spj_b")
+      .queryExecution.executedPlan.toString
+    assert(defaultPlan.contains("Exchange hashpartitioning") ||
+      defaultPlan.contains("BroadcastHashJoin"),
+      s"without the SPJ confs the table must plan conventionally:\n$defaultPlan")
   }
 
   test("DPP: a join on the partition column runtime-prunes the catalog file index") {
