@@ -263,6 +263,34 @@ object EngineQueries {
       .orderBy($"o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- Q99
+  /** FORMAT MIGRATION ([[Migrate]]): the working form of Hive's
+    * `ALTER TABLE … SET FILEFORMAT` — a PARTITIONED ORC table (the
+    * format a migrating Hive estate actually holds, q95's provider)
+    * rewritten to parquet and flipped in ONE atomic descriptor update
+    * (provider + location + partition registrations together), old
+    * generation reclaimed. The read-back goes through the parquet scan
+    * against the re-registered partitions; the oracle reads the source
+    * parquet — values must survive ORC → parquet exactly. WritePathSpec
+    * gates the descriptor flip, partition retention, old-dir
+    * reclamation and the EXTERNAL/unknown-provider refusals. */
+  def q99_migrate_format(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q99_orders_mig"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .writeTo(tgt).partitionedBy($"o_orderpriority").using("orc").create()
+    Migrate.toProvider(spark, tgt, "parquet")
+    spark.table(tgt)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        RelationalQueries.r2(sum($"o_totalprice")).as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
   // ---------------------------------------------------------------- Q97
   /** STORAGE-PARTITIONED JOIN — the shuffle-free co-partitioned join
     * (the bucketed-read fast path the round-14 verdict listed as
@@ -613,6 +641,7 @@ object EngineQueries {
     "q49_compaction" -> (q49_compaction _),
     "q96_vacuum" -> (q96_vacuum _),
     "q97_spj_join" -> (q97_spj_join _),
+    "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
     "q91_catalog_function" -> (q91_catalog_function _),
     "q94_incremental_rollup" -> (q94_incremental_rollup _),
@@ -698,6 +727,12 @@ object EngineQueries {
     // Vacuum preserves every live row exactly: the post-vacuum table
     // aggregate equals the source aggregate.
     "q96_vacuum" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  round((sum(o_totalprice)) * 100) / 100 AS sum_price
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Migration preserves every row exactly: the post-migration parquet
+    // table aggregate equals the source aggregate.
+    "q99_migrate_format" ->
       """SELECT o_orderpriority, count(*) AS n_rows,
         |  round((sum(o_totalprice)) * 100) / 100 AS sum_price
         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

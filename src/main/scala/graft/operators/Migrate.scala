@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.catalog.{GraftCatalog, GraftConf, PartitionMeta}
+import graft.catalog.write.GraftBatchWrite
+
+/** In-place table FORMAT MIGRATION — the working form of Hive's
+  * `ALTER TABLE … SET FILEFORMAT` (the DDL a reference user runs when
+  * moving existing ORC/text tables to parquet). Hive's own statement
+  * only affects FUTURE writes and leaves every existing partition in
+  * its old SerDe (the per-partition format split
+  * `HiveFilePartitionReaderFactory` exists to read); this operator
+  * instead REWRITES the data once and flips the descriptor, so the
+  * table is uniformly in the target format afterwards — the migration
+  * people actually want.
+  *
+  * Protocol, under the table's write-permit lease (no writer can be
+  * mid-commit):
+  *  1. read the CURRENT table and write it to a STAGING directory
+  *     (`<table>__migrate_<uuid>` beside the table dir) in the target
+  *     provider, re-partitioned by the declared partition columns;
+  *  2. enumerate the staged partition dirs into fresh registrations;
+  *  3. ONE atomic descriptor update flips provider + location +
+  *     partitions together — a reader resolves either the complete old
+  *     table or the complete new one, never a mix (the descriptor file
+  *     is the atomicity unit, same argument as every other commit);
+  *  4. delete the old data directory.
+  *
+  * Crash anywhere before step 3 leaves the old table untouched plus an
+  * unreferenced staging dir (reclaimed manually or by a future
+  * namespace sweep — it is OUTSIDE the table location, so table VACUUM
+  * correctly ignores it). A crash between 3 and 4 leaves the old data
+  * dir orphaned but the table fully migrated — re-running the delete
+  * is safe. EXTERNAL tables refuse (their files are user-owned, and
+  * rewriting them would break the external contract).
+  *
+  * 100 TB posture: cost is ONE full rewrite of the table — the
+  * migration IS a data move, there is no cheaper uniform-format end
+  * state; per-partition parallelism rides the normal write path, and
+  * the permit is held for the duration exactly like a compaction of
+  * the whole table. Migrate partition-by-partition cadences can be
+  * composed from the same pieces if a table is too hot to lease whole.
+  */
+object Migrate {
+
+  def toProvider(spark: SparkSession, table: String, provider: String): Unit = {
+    val p = provider.toLowerCase
+    require(GraftConf.SupportedProviders.contains(p),
+      s"migrate($table): unsupported provider $provider " +
+        s"(supported: ${GraftConf.SupportedProviders.toSeq.sorted.mkString(", ")})")
+    val parts = table.split("\\.")
+    require(parts.length == 3, s"migrate expects catalog.ns.table, got $table")
+    val plugin = spark.sessionState.catalogManager.catalog(parts.head) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"migrate($table): not a graft catalog: ${other.name()}")
+    }
+    val store = plugin.metaStore
+    val (db, name) = (parts(1), parts(2))
+    val pre = store.loadTable(db, name)
+    require(!pre.external,
+      s"migrate($table): EXTERNAL tables own their files; refusing to rewrite")
+    if (pre.provider == p) return // already there — nothing to rewrite
+
+    val release = GraftBatchWrite.leaseWritePermit(
+      spark, pre.location,
+      s"format migration of $table to $p since ${java.time.Instant.now()}",
+      plugin.writeLockTimeoutSec)
+    try {
+      val meta = store.loadTable(db, name)
+      val conf = spark.sessionState.newHadoopConf()
+      val oldRoot = new Path(meta.location)
+      val fs = oldRoot.getFileSystem(conf)
+      val staging = new Path(oldRoot.getParent,
+        s"${oldRoot.getName}__migrate_${java.util.UUID.randomUUID()}")
+
+      // 1. rewrite into the staging dir in the target format; the
+      // reader resolves through the CURRENT (old-format) scan path
+      val df = spark.table(table)
+      val writer = df.write.format(p).mode("overwrite")
+      (if (meta.partitionColumns.nonEmpty)
+        writer.partitionBy(meta.partitionColumns: _*)
+      else writer).save(staging.toString)
+
+      // 2. fresh registrations from the staged layout (hive-style
+      // col=value dirs; sizes from one listing pass each)
+      val newParts: Seq[PartitionMeta] =
+        if (meta.partitionColumns.isEmpty) Nil
+        else {
+          // hive-layout leaf dirs at exactly partition-column depth,
+          // carrying the `col=v/col2=v2` fragment built from the walked
+          // segments (listing paths come back FS-qualified — never
+          // string-strip a path prefix)
+          def level(dirs: Seq[(Path, Seq[String])], depth: Int): Seq[(Path, Seq[String])] =
+            if (depth == meta.partitionColumns.size) dirs
+            else level(dirs.flatMap { case (d, segs) =>
+              fs.listStatus(d).toSeq
+                .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+                .map(s => (s.getPath, segs :+ s.getPath.getName))
+            }, depth + 1)
+          level(Seq((staging, Nil)), 0).map { case (d, segs) =>
+            val spec = GraftBatchWrite.parseFragment(meta, segs.mkString("/"))
+            PartitionMeta(spec, None, fs.getContentSummary(d).getLength)
+          }
+        }
+
+      // 3. the atomic flip: provider + location + partitions in one
+      // descriptor write
+      store.updateTable(db, name) { cur =>
+        cur.copy(provider = p, location = staging.toString,
+          partitions = newParts,
+          stats = cur.stats.map(_.copy(
+            sizeInBytes = fs.getContentSummary(staging).getLength)))
+      }
+      plugin.invalidateTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array(db), name))
+
+      // 4. the old generation is unreachable — reclaim it
+      fs.delete(oldRoot, true)
+      ()
+    } finally release()
+  }
+
+}

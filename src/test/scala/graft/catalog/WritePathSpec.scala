@@ -624,6 +624,53 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
 
+  test("format migration: atomic descriptor flip, partitions retained, old dir reclaimed, refusals") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val t = freshTable("t_migrate")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, dt STRING) USING orc PARTITIONED BY (dt)")
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "dt").writeTo(t).append()
+    def loc() = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").head().getString(1))
+    val oldLoc = loc()
+    val fs = oldLoc.getFileSystem(spark.sessionState.newHadoopConf())
+    def provider() = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Provider").head().getString(1).toLowerCase
+
+    assert(provider() === "orc")
+    graft.operators.Migrate.toProvider(spark, t, "parquet")
+    assert(provider() === "parquet", "descriptor must carry the new provider")
+    assert(loc() !== oldLoc, "the flip moves the table to the staged generation")
+    assert(!fs.exists(oldLoc), "the old generation must be reclaimed")
+    // partitions survived the flip — metadata AND the pruned read path
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).sorted
+    assert(parts.toSeq === Seq("dt=a", "dt=b"))
+    assert(spark.table(t).filter($"dt" === "a").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L))
+    // the files really are parquet now
+    val leaf = fs.listStatus(new Path(loc(), "dt=a"))
+      .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(leaf.nonEmpty && leaf.forall(_.endsWith(".parquet")), leaf.mkString(","))
+    // idempotent: migrating to the current provider is a no-op
+    val before = loc()
+    graft.operators.Migrate.toProvider(spark, t, "parquet")
+    assert(loc() === before)
+    // refusals: unknown provider; EXTERNAL tables
+    val badErr = intercept[IllegalArgumentException] {
+      graft.operators.Migrate.toProvider(spark, t, "avro")
+    }
+    assert(badErr.getMessage.contains("unsupported"))
+    val ext = freshTable("t_migrate_ext")
+    val extDir = java.nio.file.Files.createTempDirectory("graft_mig_ext").toString
+    spark.sql(s"CREATE TABLE $ext (id BIGINT) USING orc LOCATION '$extDir'")
+    val extErr = intercept[IllegalArgumentException] {
+      graft.operators.Migrate.toProvider(spark, ext, "parquet")
+    }
+    assert(extErr.getMessage.contains("EXTERNAL"))
+    spark.sql(s"DROP TABLE IF EXISTS $ext")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("compaction racing an append never loses the append's rows") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
