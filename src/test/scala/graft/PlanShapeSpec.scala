@@ -360,6 +360,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         .orderBy($"a.o_orderpriority").collect().map(_.toString).toSeq
       assert(viaSpj === viaPlain)
       assert(viaSpj.size === 4, "5-LOW must be absent from the inner join")
+      // opting an EXISTING table in via ALTER flips the plan with no
+      // data rewrite — the migration path a running deployment takes
+      spark.sql(s"ALTER TABLE $pa SET TBLPROPERTIES('graft.spj'='true')")
+      spark.sql(s"ALTER TABLE $pb SET TBLPROPERTIES('graft.spj'='true')")
+      val altered = joinAgg(pa, pb).queryExecution.executedPlan.toString
+      assert(!altered.contains("Exchange hashpartitioning"),
+        s"ALTER-opted tables must plan the storage-partitioned join:\n$altered")
       // a SINGLE table's partition-keyed aggregate also rides the
       // reported partitioning — no join needed for the fast path
       val aggOnly = spark.table(s"$cat.tmp.q97_spj_a")
