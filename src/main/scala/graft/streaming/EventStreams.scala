@@ -740,6 +740,67 @@ object EventStreams {
     }
   }
 
+  // ---------------------------------------------------------------- s22
+  /** STREAMING vector-store ingest — q98's persisted IVF index
+    * maintained per micro-batch (the third column of the streaming ×
+    * maintenance matrix: stats q94→s19, layout q49→s20, index
+    * q98→this): the index is built once on the base corpus (centroids
+    * frozen as metadata), then each arriving embedding batch runs
+    * [[graft.llm.Similarity.ivfIndexIngest]] inside the trigger —
+    * assignment against the stored centroids plus an append into only
+    * the touched bucket partitions, cost ∝ batch. Because assignment is
+    * a deterministic function of (vector, frozen centroids), the
+    * streamed index equals the all-at-once build EXACTLY whatever the
+    * batch boundaries — EventStreamsSpec gates set equality, and the
+    * final query result is the emitted surface (rows-only: q98's
+    * oracle-expressibility class).
+    *
+    * 100 TB posture: q98's ingest argument per trigger; the stream
+    * holds NO state (the index tables are the state), so this is the
+    * vector-database ingestion loop — readers query the catalog index
+    * between any two triggers and see a complete, consistent index of
+    * everything committed so far. */
+  def s22_stream_ann_ingest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity
+    graft.GraftBootstrap.ensure(spark, dir)
+    val cat = graft.GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val centT = s"$cat.tmp.s22_ivf_centroids"
+    val idxT = s"$cat.tmp.s22_ivf_index"
+    spark.sql(s"DROP TABLE IF EXISTS $centT")
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    val emb = Tables(spark, dir, "embeddings")
+    val norm = Similarity.normalized(emb, "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, centT, idxT,
+      norm.filter(col("vec_id") % 4 =!= 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s22_")
+    val tmpPath = tmp.toString
+    try {
+      emb.filter(col("vec_id") % 8 === 0).write.mode("append").parquet(tmpPath)
+      val src = spark.readStream.schema(emb.schema).parquet(tmpPath)
+      withShufflePartitions(spark, 4) {
+        val query = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Similarity.ivfIndexIngest(batch.sparkSession, centT, idxT,
+              Similarity.normalized(batch, "vec_id", "embedding"))
+          }
+          .start()
+        try {
+          query.processAllAvailable()
+          emb.filter(col("vec_id") % 8 === 4).write.mode("append").parquet(tmpPath)
+          query.processAllAvailable()
+        } finally query.stop()
+      }
+      Similarity.ivfIndexQuery(spark, centT, idxT,
+        norm.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    } finally {
+      val fs = new Path(tmpPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(tmpPath), true)
+    }
+  }
+
   // ---------------------------------------------------------------- s21
   /** Streaming DISTRIBUTION-DRIFT monitor — q93's divergence diagnostic
     * run per micro-batch against a FROZEN baseline (the "crawler
@@ -1673,6 +1734,7 @@ object EventStreams {
     "s16_stream_catalog_pipe" -> (s16_stream_catalog_pipe _),
     "s20_stream_ingest_compact" -> (s20_stream_ingest_compact _),
     "s21_stream_drift_monitor" -> (s21_stream_drift_monitor _),
+    "s22_stream_ann_ingest" -> (s22_stream_ann_ingest _),
     "s13_stream_curate" -> (s13_stream_curate _),
     "s14_stream_near_dedup" -> (s14_stream_near_dedup _),
     "s14b_stream_near_dedup_expiring" -> (s14b_stream_near_dedup_expiring _),

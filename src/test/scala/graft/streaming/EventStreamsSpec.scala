@@ -286,6 +286,18 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch, "trigger boundaries must not change the divergences")
   }
 
+  test("s22 streaming ANN ingest equals q98's batch index maintenance exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // identical corpus split, training base and frozen-centroid math,
+    // so batch boundaries must be invisible: the streamed index answers
+    // every probe exactly as q98's two-batch maintained index does
+    val streamed = rows(EventStreams.s22_stream_ann_ingest(spark, sf0001))
+    val batch = rows(graft.llm.LlmQueries.q98_ann_index_maintain(spark, sf0001))
+    assert(streamed === batch, "trigger boundaries must not change the index")
+    assert(streamed.nonEmpty && streamed.map(_._1).distinct.size > 1)
+  }
+
   test("streaming into the catalog lands every event exactly once (single run)") {
     import org.apache.spark.sql.functions._
     val sunk = EventStreams.s11_stream_catalog_sink(spark, sf0001)
