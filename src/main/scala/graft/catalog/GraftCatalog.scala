@@ -110,11 +110,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // partition specs are keyed by schema fields, so storing the
     // PARTITIONED BY spelling verbatim (e.g. `dt` vs schema `Dt`) would
     // split one logical partition across two dir names / spec keys.
-    // CLUSTERED BY is RECOGNIZED and recorded in table metadata, but
-    // writes to bucketed tables are refused at the write builder — the
-    // reference's exact posture (InternalSqlBridge.scala:25-38 maps the
-    // bucket into metadata; HiveFileFormatWriteBuilder.scala:124-136
-    // refuses the write).
+    // CLUSTERED BY is recorded in table metadata; the WRITABLE shape
+    // (single bucket column, no identity partitions — see
+    // writableBucketSpec) gets real hash-routed bucket files and
+    // SPJ-reportable layout, while any other declaration keeps the
+    // reference's record-but-refuse posture (InternalSqlBridge.scala:
+    // 25-38 maps the bucket into metadata; HiveFileFormatWriteBuilder
+    // .scala:124-136 refuses the write).
     require(partitions.count(_.name == "bucket") <= 1,
       "at most one bucket transform is supported (a second CLUSTERED BY " +
         "spec would be silently misrecorded)")
@@ -197,6 +199,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }.getOrElse(Map.empty),
       stats = None,
       partitions = Nil)
+    // A MANAGED default dir that already exists with content is residue —
+    // no descriptor references it (tableExists was checked above), and the
+    // one producer of such dirs is a retired pre-migration generation
+    // (Migrate defers old-dir reclamation to the namespace sweep) or a
+    // crashed create. Reclaim it BEFORE registering, or the new table
+    // would silently alias the dead generation's files as its own rows.
+    // EXTERNAL locations are user-owned and never touched.
+    if (!external) {
+      val dir = new Path(location)
+      val fs = store.namespaceDir(db).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      if (fs.exists(dir) && fs.listStatus(dir).nonEmpty) fs.delete(dir, true)
+    }
     store.saveTable(db, meta)
     // Pre-create the managed dir so a scan before the first insert sees an
     // empty table instead of a missing-path error.
@@ -309,6 +324,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ident.namespace.head == CatalogFunctions.Namespace)
       CatalogFunctions.All.getOrElse(ident.name,
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+    // the EMPTY namespace serves partition-transform functions: Spark's
+    // V2ExpressionUtils resolves a scan-reported `bucket(N, col)`
+    // transform via Identifier.of(Array.empty, "bucket") against the
+    // TABLE's catalog — this entry is what makes bucketed
+    // storage-partitioned joins plannable (see GraftBucketFunction)
+    else if (ident.namespace.isEmpty && ident.name == "bucket")
+      GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
@@ -368,6 +390,28 @@ object GraftCatalog {
     * guarded against ALTER, never forwarded as a format option. */
   val BucketCountProp: String = "graft.bucket.count"
   val BucketColumnsProp: String = "graft.bucket.columns"
+
+  /** The recorded bucket spec, if any. */
+  private[graft] def bucketSpec(props: Map[String, String]): Option[(Int, Seq[String])] =
+    for {
+      n <- props.get(BucketCountProp)
+      cols <- props.get(BucketColumnsProp)
+    } yield (n.toInt, cols.split(",").toSeq)
+
+  /** Is a table's bucket declaration one the engine WRITES (hash-routed
+    * per-bucket files, SPJ-reportable layout — see GraftWrite /
+    * GraftBucketedFileScan)? True for a SINGLE-column bucket spec on an
+    * UNPARTITIONED table; a partitioned or multi-column declaration is
+    * recorded-but-refused (the reference's posture for every bucket
+    * spec): multi-column bucket transforms don't resolve through Spark's
+    * SPJ function machinery (V2ExpressionUtils handles single-ref
+    * BucketTransform only), and the partitioned combination would need a
+    * per-partition-dir bucket layout this engine doesn't lay down. */
+  private[graft] def writableBucketSpec(meta: TableMeta): Option[(Int, String)] =
+    bucketSpec(meta.properties) match {
+      case Some((n, Seq(col))) if meta.partitionColumns.isEmpty => Some((n, col))
+      case _ => None
+    }
 
   /** Sort-clustering declaration: comma-separated data columns every
     * write to the table must be sorted by WITHIN each task, after the

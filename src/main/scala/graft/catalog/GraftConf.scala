@@ -41,13 +41,13 @@ object GraftConf {
   /** The one provider list — create-time validation, the default-provider
     * option and the scan/write dispatchers all reference it, so adding a
     * format is a single edit. */
-  val SupportedProviders: Set[String] = Set("parquet", "csv", "json", "orc")
+  val SupportedProviders: Set[String] = Set("parquet", "csv", "json", "orc", "avro")
 
   /** Provider used when CREATE TABLE omits USING. */
   val DefaultProvider: Entry[String] = Entry("defaultProvider",
     Some("parquet"), _.toLowerCase,
     SupportedProviders.contains(_: String),
-    "table provider when USING is omitted: parquet, csv, json or orc")
+    "table provider when USING is omitted: parquet, csv, json, orc or avro")
 
   /** Maintain table/partition sizes on every write commit. When false a
     * commit still registers written partitions but skips the

@@ -171,6 +171,15 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
       case "json" => JsonScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
       case "orc" => org.apache.spark.sql.execution.datasources.v2.orc.OrcScanBuilder(
         spark, index, meta.schema, meta.dataSchema, opts)
+      // avro ships with NO DSv2 scan (V1 AvroFileFormat only) — it reads
+      // through the generic FileFormat-backed scan: column pruning +
+      // static partition pruning, no DPP/runtime filters (the R12
+      // any-SerDe delegation, HiveFilePartitionReaderFactory.scala:43-154)
+      case "avro" => return new org.apache.spark.sql.graft.GraftFormatScanBuilder(
+        spark, org.apache.spark.sql.graft.GraftSqlBridge.avroFileFormat(),
+        index, meta.schema,
+        GraftCatalog.optionProps(meta.properties) ++
+          scala.jdk.CollectionConverters.MapHasAsScala(options).asScala)
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
     // Partitioned tables scan through the runtime-filtering wrapper:
@@ -183,10 +192,21 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     // KeyGroupedPartitioning (one split per partition value) so
     // co-partitioned joins and partition-keyed aggregates run
     // shuffle-free — see GraftSpjFileScan's scaladoc for why opt-in.
+    val spjProp =
+      meta.properties.get(GraftCatalog.SpjProp).exists(_.equalsIgnoreCase("true"))
     if (meta.isPartitioned)
       new org.apache.spark.sql.graft.GraftScanBuilder(builder, meta.partitionColumns,
-        spj = meta.properties.get(GraftCatalog.SpjProp).exists(_.equalsIgnoreCase("true")))
-    else builder
+        spj = spjProp)
+    else GraftCatalog.writableBucketSpec(meta) match {
+      // writable bucketed table opted into SPJ: report the bucket layout
+      // (KeyGroupedPartitioning over bucket(n, col), bucket ids recovered
+      // from file names) so co-bucketed joins on a HIGH-CARDINALITY key
+      // plan with zero exchanges — see GraftBucketedFileScan
+      case Some((n, col)) if spjProp =>
+        new org.apache.spark.sql.graft.GraftScanBuilder(builder, Nil,
+          bucket = Some((n, col)))
+      case _ => builder
+    }
   }
 
   // --- write -------------------------------------------------------------

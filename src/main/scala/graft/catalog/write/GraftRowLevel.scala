@@ -98,11 +98,18 @@ class GraftRowLevelOperation(
       // DELETE that Spark downgrades to the metadata-only SupportsDelete
       // path (which is bucket-safe: it only drops whole partitions) is
       // not rejected for a rewrite that never runs.
-      if (meta.properties.contains(graft.catalog.GraftCatalog.BucketCountProp))
+      // The WRITABLE bucket shape rewrites fine: the replacement write
+      // rides the same required bucket distribution as any append, so
+      // the rewritten files land hash-routed with bucket-id names
+      // (layout preservation gated in BucketTableSpec). Only the
+      // metadata-only declarations stay refused.
+      if (meta.properties.contains(graft.catalog.GraftCatalog.BucketCountProp) &&
+          graft.catalog.GraftCatalog.writableBucketSpec(meta).isEmpty)
         throw new UnsupportedOperationException(
           s"table ${db}.${meta.name} is bucketed (CLUSTERED BY " +
             s"${meta.properties(graft.catalog.GraftCatalog.BucketColumnsProp)}); " +
-            "row-level writes to bucketed tables are not supported")
+            "row-level writes support only a single-column bucket spec " +
+            "on an unpartitioned table")
       new GraftWrite(spark, store, db, meta, info,
         CowReplace(() => scannedSpecs, () => scannedFiles, info.schema(), cmd),
         autoSizeUpdate, writeLockTimeoutSec)

@@ -259,18 +259,24 @@ class GraftWriteBuilder(
   }
 
   override def build(): Write = {
-    // Buckets are recorded at create but unwritable — the reference's
-    // posture (HiveFileFormatWriteBuilder.scala:124-136): a correct
-    // bucketed write needs hash-clustered files Spark's file writers
-    // don't produce through this path, and silently writing unbucketed
-    // data under a bucketed declaration would corrupt every downstream
-    // bucket-join assumption.
-    if (meta.properties.contains(graft.catalog.GraftCatalog.BucketCountProp)) {
+    // Bucketed writes are SUPPORTED for the writable shape (single
+    // bucket column, unpartitioned — see GraftCatalog.writableBucketSpec
+    // and GraftWrite's distribution): rows are hash-routed so each
+    // bucket lands in its own file set and the scan can report the
+    // layout for storage-partitioned joins. Any OTHER bucket declaration
+    // keeps the reference's record-but-refuse posture
+    // (HiveFileFormatWriteBuilder.scala:124-136): silently writing
+    // unbucketed data under a bucketed declaration would corrupt every
+    // downstream bucket-join assumption.
+    if (meta.properties.contains(graft.catalog.GraftCatalog.BucketCountProp) &&
+        graft.catalog.GraftCatalog.writableBucketSpec(meta).isEmpty) {
       throw new UnsupportedOperationException(
         s"table ${meta.name} is bucketed (CLUSTERED BY " +
           s"${meta.properties(graft.catalog.GraftCatalog.BucketColumnsProp)} INTO " +
           s"${meta.properties(graft.catalog.GraftCatalog.BucketCountProp)} BUCKETS); " +
-          "writes to bucketed tables are not supported")
+          "writes support only a single-column bucket spec on an " +
+          "unpartitioned table — partitioned or multi-column bucket " +
+          "declarations are metadata-only")
     }
     new GraftWrite(spark, store, db, meta, info, mode, autoSizeUpdate,
       writeLockTimeoutSec)
@@ -302,10 +308,32 @@ class GraftWrite(
     graft.catalog.GraftCatalog.validateClusterBy(
       meta.properties, meta.schema, partCols, meta.name)
 
-  override def requiredDistribution(): Distribution =
-    if (partCols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(partCols.map(c =>
-      Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+  /** Writable bucket spec (single column, unpartitioned —
+    * [[graft.catalog.GraftCatalog.writableBucketSpec]]). */
+  private val bucket: Option[(Int, String)] =
+    graft.catalog.GraftCatalog.writableBucketSpec(meta)
+
+  override def requiredDistribution(): Distribution = bucket match {
+    // Bucketed write: clustered on the BUCKET COLUMN with
+    // requiredNumPartitions = N below. Spark plans this pair as a
+    // HashPartitioning(col, N) exchange (RepartitionByExpression with a
+    // pinned partition count — REPARTITION_BY_NUM, which AQE neither
+    // coalesces nor splits), so shuffle partition id ==
+    // pmod(murmur3(col), N) == the bucket id, each write task holds
+    // exactly one whole bucket, and the task's FILE NAME (part-<id>-…,
+    // named by the committer from the partition id) IS the bucket id
+    // the scan side recovers. No per-row bucket computation anywhere —
+    // the shuffle already did it. GraftBucketBound pins the identical
+    // hash for the planner's view of the layout.
+    case Some((_, col)) => Distributions.clustered(Array(
+      Expressions.identity(col): org.apache.spark.sql.connector.expressions.Expression))
+    case None =>
+      if (partCols.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(partCols.map(c =>
+        Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+
+  override def requiredNumPartitions(): Int = bucket.map(_._1).getOrElse(0)
 
   /** Partition columns first (few large files per partition), then the
     * declared cluster columns: each task's rows arrive at the parquet
@@ -333,6 +361,14 @@ class GraftWrite(
         s"streaming write to ${meta.name} supports append/complete output " +
           s"modes only (requested write mode: $other)")
     }
+    // Bucketed layout correctness rides the batch planner's
+    // RequiresDistributionAndOrdering handling; the micro-batch planner's
+    // distribution support is not pinned by any spec here, and a
+    // mis-routed epoch would silently corrupt every later bucket join.
+    // Refuse until the streaming path carries the same gate.
+    if (bucket.isDefined) throw new UnsupportedOperationException(
+      s"streaming write to bucketed table ${meta.name} is not supported; " +
+        "stream into an unbucketed staging table and MERGE/INSERT batch-wise")
     new GraftStreamingWrite(store, db, meta.name, info.queryId(),
       truncatesPerEpoch = mode == Truncate, () => newEpochBatchWrite())
   }
@@ -358,6 +394,7 @@ class GraftWrite(
       case "csv" => new CSVFileFormat
       case "json" => new JsonFileFormat
       case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      case "avro" => org.apache.spark.sql.graft.GraftSqlBridge.avroFileFormat()
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
     val partSet = partCols.map(_.toLowerCase).toSet

@@ -416,14 +416,42 @@ object Similarity {
 
   /** Incremental ingest: assign the batch against the frozen stored
     * centroids, append. Cost ∝ batch; only the buckets present in the
-    * batch receive files (asserted in SimilaritySpec). */
+    * batch receive files (asserted in SimilaritySpec).
+    *
+    * IDEMPOTENT BY KEY: vectors whose `vec_id` already sits in a
+    * touched bucket are anti-joined away before the append, so a
+    * replayed micro-batch (foreachBatch is at-least-once across
+    * restarts) is a no-op instead of duplicating index rows — the
+    * replay guard s12/s19 implement with MERGE, in the shape an
+    * insert-only index wants. The existing-key read is pruned to the
+    * buckets the batch actually touches (≤ nlist partitions — the
+    * same static partition push as the query path), so the guard costs
+    * a bounded bucket read, never an index scan. Re-ingesting a
+    * CHANGED vector under an existing id is therefore a skip, not an
+    * update — an upsert index would MERGE instead. */
   def ivfIndexIngest(
       spark: org.apache.spark.sql.SparkSession, centTable: String,
       idxTable: String, batch: DataFrame): Unit = {
     val cents = loadCentroids(spark, centTable)
-    batch.withColumn("bucket", nearestCentroids(cents, col("v"), 1).getItem(0))
+    val assigned = batch
+      .withColumn("bucket", nearestCentroids(cents, col("v"), 1).getItem(0))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
-      .writeTo(idxTable).append()
+      .localCheckpoint() // feeds the touched-bucket probe AND the append
+    val touched = assigned.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.nonEmpty) {
+      // anti-join on (bucket, vec_id): same key semantics (a vec_id's
+      // bucket is a deterministic function of the frozen centroids),
+      // and keeping the partition column in the join lets the planner
+      // resolve the scan's partitioning (a vec_id-only projection
+      // trips DPP's partition-ref resolution)
+      val existing = spark.table(idxTable)
+        .filter(col("bucket").isin(touched: _*))
+        .select(col("bucket"), col("vec_id"))
+      assigned
+        .join(existing, Seq("bucket", "vec_id"), "left_anti")
+        .writeTo(idxTable).append()
+    }
   }
 
   /** Probe the maintained index: `nprobe` nearest stored centroids per

@@ -908,12 +908,12 @@ object TextAnalysis {
     * broadcast join with the B-row baseline — nothing rescans the
     * reference. Identical quantized-ln exactness contract as q93
     * (term rounded to exact longs at 1e-6 nats before the sum), so the
-    * streaming emissions hash-match the batch restatement. Batch
-    * buckets are a subset of the reference's by construction here
-    * (batches come from the reference corpus); a production feed with
-    * genuinely novel tokens keeps them via the same add-one smoothing
-    * once the join is made left-outer with c=0 — noted, not needed for
-    * the gate. */
+    * streaming emissions hash-match the batch restatement. The
+    * reference join is LEFT-outer with `c = 0` for buckets the baseline
+    * never saw: novel-token mass is exactly what a drift monitor exists
+    * to catch, and an inner join would silently drop it — add-one
+    * smoothing keeps the novel terms finite
+    * (ln(c+1) = 0 contributes the full surprise weight). */
   def klAgainstReference(batch: DataFrame, textCol: String,
       genExpr: org.apache.spark.sql.Column, refHist: DataFrame,
       refTotal: Long, buckets: Int = 4096): DataFrame = {
@@ -927,7 +927,8 @@ object TextAnalysis {
       .localCheckpoint() // feeds the per-gen totals AND the scoring
     val genTotal = byGen.groupBy("gen").agg(sum("cs").as("ts"))
     byGen
-      .join(broadcast(refHist), Seq("bucket"))
+      .join(broadcast(refHist), Seq("bucket"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L))) // novel bucket: zero mass
       .join(broadcast(genTotal), Seq("gen"))
       .withColumn("term_q",
         round(col("cs").cast("double") *

@@ -123,6 +123,35 @@ object EngineQueries {
       .orderBy($"n_nationkey")
   }
 
+  // ---------------------------------------------------------------- Q101
+  /** AVRO provider round-trip — closing R12's SerDe-format matrix (the
+    * reference's Hive reader handles any registered format,
+    * /root/reference/.../HiveFilePartitionReaderFactory.scala:43-154;
+    * avro is the remaining mainstream one after parquet/orc/csv/json).
+    * Spark 4 bundles only the V1 `AvroFileFormat`, so the write
+    * delegates to it directly while the read runs through the engine's
+    * generic FileFormat-backed DSv2 scan
+    * ([[org.apache.spark.sql.graft.GraftFormatScan]]) — column pruning
+    * + catalog partition pruning, rows decoded by the stock avro
+    * reader. Carries a nested struct (avro records nest; the CSV gate
+    * refuses them) — values must survive the avro round-trip exactly
+    * against the parquet-reading oracle. */
+  def q101_avro_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q101_nation_avro"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "nation")
+      .select($"n_nationkey",
+        struct($"n_name".as("name"), $"n_regionkey".as("regionkey")).as("info"))
+      .writeTo(tgt).using("avro").create()
+    spark.table(tgt)
+      .select($"n_nationkey",
+        $"info.name".as("name"), $"info.regionkey".as("regionkey"))
+      .orderBy($"n_nationkey")
+  }
+
   // ---------------------------------------------------------------- Q42
   /** JSON provider round-trip (R15) with NESTED columns: CTAS nation
     * into a managed JSON table carrying a struct and a map column —
@@ -335,6 +364,55 @@ object EngineQueries {
         .groupBy($"a.o_orderpriority".as("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"),
           RelationalQueries.r2(sum($"a.o_totalprice")).as("sum_price"))
+        .orderBy($"o_orderpriority")
+        .localCheckpoint(eager = true) // execute while the SPJ confs hold
+    }
+  }
+
+  // ---------------------------------------------------------------- Q100
+  /** BUCKETED storage-partitioned join — q97's zero-exchange plan on a
+    * HIGH-CARDINALITY key, where identity partitioning (one directory
+    * per value) is impossible: two tables `CLUSTERED BY (orderkey) INTO
+    * 8 BUCKETS` hash-route every write into per-bucket file sets
+    * ([[graft.catalog.write.GraftWrite.requiredDistribution]]), the
+    * scans report `KeyGroupedPartitioning(bucket(8, key))` with bucket
+    * ids recovered from file names
+    * ([[org.apache.spark.sql.graft.GraftBucketedFileScan]]), and the
+    * planner resolves the transform through the catalog's `bucket`
+    * function ([[graft.catalog.GraftBucketFunction]] — the function the
+    * reference parses a BucketSpec for and then refuses to honor,
+    * InternalSqlBridge.scala:25-38 / HiveFileFormatWriteBuilder.scala:
+    * 124-136). The join on the bucket key then aligns bucket-to-bucket
+    * with NO exchange on either side (PlanShapeSpec pins zero hash
+    * exchanges; BucketTableSpec pins the physical per-bucket layout).
+    * At 100 TB this is THE production SPJ case: fact⋈fact on an id key,
+    * shuffle of both sides replaced by 8..4096 aligned bucket reads.
+    * The b side carries a key checksum through the join so the oracle
+    * proves real row matching, not just a count. */
+  def q100_bucketed_spj_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val a = s"$cat.tmp.q100_bspj_a"
+    val b = s"$cat.tmp.q100_bspj_b"
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    val orders = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    orders.writeTo(a).partitionedBy(bucket(8, $"o_orderkey"))
+      .tableProperty("graft.spj", "true").create()
+    orders.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey".as("b_orderkey"))
+      .writeTo(b).partitionedBy(bucket(8, $"b_orderkey"))
+      .tableProperty("graft.spj", "true").create()
+    withSpjConfs(spark) {
+      spark.table(a)
+        .join(spark.table(b), $"o_orderkey" === $"b_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          RelationalQueries.r2(sum($"o_totalprice")).as("sum_price"),
+          sum($"b_orderkey" % 1000003L).as("key_checksum"))
         .orderBy($"o_orderpriority")
         .localCheckpoint(eager = true) // execute while the SPJ confs hold
     }
@@ -641,6 +719,7 @@ object EngineQueries {
     "q49_compaction" -> (q49_compaction _),
     "q96_vacuum" -> (q96_vacuum _),
     "q97_spj_join" -> (q97_spj_join _),
+    "q100_bucketed_spj_join" -> (q100_bucketed_spj_join _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
     "q91_catalog_function" -> (q91_catalog_function _),
@@ -652,6 +731,7 @@ object EngineQueries {
     "q26_udf_normalize" -> (q26_udf_normalize _),
     "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
     "q95_orc_roundtrip" -> (q95_orc_roundtrip _),
+    "q101_avro_roundtrip" -> (q101_avro_roundtrip _),
     "q52_merge_upsert" -> (q52_merge_upsert _),
     "q53_update" -> (q53_update _),
     "q54_delete_rows" -> (q54_delete_rows _),
@@ -682,6 +762,11 @@ object EngineQueries {
     // ORC round-trip: read the original parquet, mirror the flattened
     // read-back column names.
     "q95_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name AS name, n_regionkey AS regionkey
+        | FROM nation ORDER BY n_nationkey""".stripMargin,
+    // Avro round-trip: read the original parquet, mirror the flattened
+    // read-back column names.
+    "q101_avro_roundtrip" ->
       """SELECT n_nationkey, n_name AS name, n_regionkey AS regionkey
         | FROM nation ORDER BY n_nationkey""".stripMargin,
     // The deleted partition's rows are gone; everything else survives.
@@ -746,6 +831,19 @@ object EngineQueries {
         |       WHERE o_orderkey % 3 = 0 AND o_orderpriority <> '5-LOW') b
         |   ON a.o_orderpriority = b.o_orderpriority
         |  AND a.o_orderkey = b.o_orderkey
+        | GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""".stripMargin,
+    // The bucketed join restated as a plain join: arrival through the
+    // zero-exchange bucket-aligned plan must not change the answer; the
+    // b-side key checksum proves per-row matching. CAST keeps DuckDB's
+    // sum(BIGINT)→HUGEINT off the hash.
+    "q100_bucketed_spj_join" ->
+      """SELECT a.o_orderpriority, count(*) AS n_rows,
+        |  round((sum(a.o_totalprice)) * 100) / 100 AS sum_price,
+        |  CAST(sum(b.b_orderkey % 1000003) AS BIGINT) AS key_checksum
+        | FROM orders a
+        | JOIN (SELECT o_orderkey AS b_orderkey FROM orders
+        |       WHERE o_orderkey % 3 = 0) b
+        |   ON a.o_orderkey = b.b_orderkey
         | GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""".stripMargin,
     // the clustered rewrite must preserve the data exactly through the
     // range read the clustering exists for

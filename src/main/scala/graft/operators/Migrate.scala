@@ -21,21 +21,33 @@ import graft.catalog.write.GraftBatchWrite
   * mid-commit):
   *  1. read the CURRENT table and write it to a STAGING directory
   *     (`<table>__migrate_<uuid>` beside the table dir) in the target
-  *     provider, re-partitioned by the declared partition columns;
+  *     provider, re-partitioned by the declared partition columns,
+  *     carrying the table's format options (compression, csv
+  *     sep/header, …) so the post-flip read path — which applies the
+  *     same properties as options — parses what was written;
   *  2. enumerate the staged partition dirs into fresh registrations;
   *  3. ONE atomic descriptor update flips provider + location +
   *     partitions together — a reader resolves either the complete old
   *     table or the complete new one, never a mix (the descriptor file
-  *     is the atomicity unit, same argument as every other commit);
-  *  4. delete the old data directory.
+  *     is the atomicity unit, same argument as every other commit).
   *
+  * The OLD generation is deliberately NOT deleted here: a concurrent
+  * reader that resolved the old descriptor before the flip may still be
+  * mid-scan over its files (the same reader-safety argument
+  * [[Vacuum]] makes), so reclamation is deferred to the age-gated
+  * namespace sweep — [[Vacuum.vacuumNamespace]] removes retired
+  * generations and crashed staging dirs once older than the retention
+  * window, exactly like table VACUUM's cutoff protects in-flight jobs.
   * Crash anywhere before step 3 leaves the old table untouched plus an
-  * unreferenced staging dir (reclaimed manually or by a future
-  * namespace sweep — it is OUTSIDE the table location, so table VACUUM
-  * correctly ignores it). A crash between 3 and 4 leaves the old data
-  * dir orphaned but the table fully migrated — re-running the delete
-  * is safe. EXTERNAL tables refuse (their files are user-owned, and
-  * rewriting them would break the external contract).
+  * unreferenced staging dir; the sweep reclaims that too. EXTERNAL
+  * tables refuse (their files are user-owned, and rewriting them would
+  * break the external contract).
+  *
+  * Location invariant: after migration the table's data lives under the
+  * `<table>__migrate_<uuid>` staging name permanently — a table's
+  * location is an opaque catalog detail, not a naming contract (DESCRIBE
+  * shows it; nothing may parse it). The original `<table>` dir is the
+  * retired generation awaiting the sweep.
   *
   * 100 TB posture: cost is ONE full rewrite of the table — the
   * migration IS a data move, there is no cheaper uniform-format end
@@ -78,9 +90,16 @@ object Migrate {
         s"${oldRoot.getName}__migrate_${java.util.UUID.randomUUID()}")
 
       // 1. rewrite into the staging dir in the target format; the
-      // reader resolves through the CURRENT (old-format) scan path
+      // reader resolves through the CURRENT (old-format) scan path.
+      // The table's format options ride along: the post-flip read path
+      // applies the same properties as options, so e.g. a csv table's
+      // declared separator must be what the staging generation was
+      // written with (options foreign to the target format are ignored
+      // by its writer).
       val df = spark.table(table)
-      val writer = df.write.format(p).mode("overwrite")
+      val writer = df.write.format(p)
+        .options(graft.catalog.GraftCatalog.optionProps(meta.properties))
+        .mode("overwrite")
       (if (meta.partitionColumns.nonEmpty)
         writer.partitionBy(meta.partitionColumns: _*)
       else writer).save(staging.toString)
@@ -117,10 +136,8 @@ object Migrate {
       }
       plugin.invalidateTable(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array(db), name))
-
-      // 4. the old generation is unreachable — reclaim it
-      fs.delete(oldRoot, true)
-      ()
+      // the old generation stays on disk for in-flight readers;
+      // Vacuum.vacuumNamespace reclaims it after the retention window
     } finally release()
   }
 

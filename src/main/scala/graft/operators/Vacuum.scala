@@ -150,6 +150,82 @@ object Vacuum {
     } finally release()
   }
 
+  /** NAMESPACE-level sweep: reclaims the residue table-scoped VACUUM
+    * cannot see because it lives OUTSIDE every table location —
+    * [[Migrate]]'s crash/retirement artifacts:
+    *
+    *  1. '''Crashed migration staging''' — `<x>__migrate_<uuid>` dirs
+    *     that are not the location of any live table (a COMMITTED
+    *     migration's staging IS the table's location and is skipped by
+    *     the liveness check, never by name).
+    *  2. '''Retired generations''' — a dir named exactly like a live
+    *     MANAGED table whose descriptor points elsewhere: the
+    *     pre-migration data Migrate leaves for in-flight readers.
+    *
+    * Anything else (unknown dirs, `_meta`, `_namespace.json`) is left
+    * untouched — the sweep deletes only what the engine's own crash
+    * model produces. Liveness compares FS-QUALIFIED paths against every
+    * table location AND every registered partition location, so a
+    * custom-located partition inside a candidate dir protects it. The
+    * same retention cutoff as table vacuum protects an IN-FLIGHT
+    * migration's staging (fresh by definition) and readers inside the
+    * window.
+    *
+    * 100 TB posture: one namespace-dir listing + per-candidate
+    * recursive stats — cost ∝ table count, never data size. Run beside
+    * the table-vacuum cadence. */
+  def vacuumNamespace(spark: SparkSession, namespace: String,
+      retentionMs: Long = DefaultRetentionMs): Stats = {
+    require(retentionMs >= 0, s"vacuumNamespace($namespace): negative retention")
+    val parts = namespace.split("\\.")
+    require(parts.length == 2, s"vacuumNamespace expects catalog.ns, got $namespace")
+    val plugin = spark.sessionState.catalogManager.catalog(parts.head) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"vacuumNamespace($namespace): not a graft catalog: ${other.name()}")
+    }
+    val store = plugin.metaStore
+    val db = parts(1)
+    require(store.namespaceExists(db), s"no such namespace: $namespace")
+    val conf = spark.sessionState.newHadoopConf()
+    val nsDir = store.namespaceDir(db)
+    val fs = nsDir.getFileSystem(conf)
+    if (!fs.exists(nsDir)) return Stats(0L, 0L)
+    val cutoff = System.currentTimeMillis() - retentionMs
+
+    // live truth: every table's (qualified) location + custom partition
+    // locations + each non-external table's name→location binding
+    val tables = store.listTables(db).map(t => store.loadTable(db, t))
+    def qualify(p: Path): String = p.getFileSystem(conf).makeQualified(p).toString
+    val liveLocations: Set[String] =
+      (tables.map(t => qualify(new Path(t.location))) ++
+        tables.flatMap(_.partitions.flatMap(_.location)).map(l => qualify(new Path(l))))
+        .toSet
+    val managedNames: Map[String, String] = tables.filterNot(_.external)
+      .map(t => t.name -> qualify(new Path(t.location))).toMap
+
+    var files = 0L
+    var bytes = 0L
+    val MigrateStaging = ".*__migrate_[0-9a-f-]{36}$".r
+    fs.listStatus(nsDir).foreach { st =>
+      val name = st.getPath.getName
+      val qualified = fs.makeQualified(st.getPath).toString
+      val isCandidate = st.isDirectory && name != "_meta" &&
+        !liveLocations.contains(qualified) &&
+        // never touch a dir holding any live custom-located partition
+        !liveLocations.exists(_.startsWith(qualified + "/")) && (
+          MigrateStaging.matches(name) ||
+          managedNames.get(name).exists(_ != qualified))
+      if (isCandidate && newestIn(fs, st) <= cutoff) {
+        val summary = fs.getContentSummary(st.getPath)
+        files += summary.getFileCount
+        bytes += summary.getLength
+        fs.delete(st.getPath, true)
+      }
+    }
+    Stats(files, bytes)
+  }
+
   /** Newest modification time anywhere under `st` — a dir whose listing
     * is old but that received a fresh file must count as fresh. */
   private def newestIn(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Long =

@@ -687,6 +687,15 @@ object EventStreams {
     * fragmented or the compacted layout of the SAME rows — never a
     * partial swap ([[graft.operators.Compaction]]'s staging argument).
     *
+    * Replay caveat: the per-trigger APPEND here is at-least-once —
+    * foreachBatch re-delivers the in-flight batch after a query
+    * restart, and a plain append would double-ingest it. The gate runs
+    * checkpoint-less (no restart, so no replay); a production ingest
+    * wanting restart-exactly-once keys the write like s12 (MERGE on
+    * event_id), uses the native epoch-logged sink (s15), or guards on
+    * batchId like s19 — the compaction composition is identical around
+    * any of them.
+    *
     * Gated on s11's oracle (every event exactly once regardless of the
     * rewrites) + EventStreamsSpec asserting the final layout is ONE
     * file per partition while the same ingest WITHOUT maintenance
@@ -759,7 +768,11 @@ object EventStreams {
     * holds NO state (the index tables are the state), so this is the
     * vector-database ingestion loop — readers query the catalog index
     * between any two triggers and see a complete, consistent index of
-    * everything committed so far. */
+    * everything committed so far. Restart-safe: `ivfIndexIngest` is
+    * idempotent by vec_id (touched-bucket anti-join), so foreachBatch's
+    * at-least-once replay after a crash re-delivers a batch into a
+    * no-op instead of duplicate index rows (SimilaritySpec gates the
+    * replay). */
   def s22_stream_ann_ingest(spark: SparkSession, dir: String): DataFrame = {
     import graft.llm.Similarity
     graft.GraftBootstrap.ensure(spark, dir)
@@ -1400,24 +1413,45 @@ object EventStreams {
       * rate update; the rest are facts to enrich). */
     def isDim(id: Long): Boolean = id % 10 == 0
 
-    def update(
+    /** Default idle horizon for state eviction: 90 days — comfortably
+      * past the fixture's 30-day span (so the ASOF oracle is provably
+      * unchanged) while still bounding state to the ACTIVE user set at
+      * 100 TB. A deployment sets it to its dimension-staleness SLA. */
+    val DefaultHorizonMs: Long = 90L * 24 * 3600 * 1000
+
+    def update(horizonMs: Long)(
         user: Long, events: Iterator[TsEvent],
         state: org.apache.spark.sql.streaming.GroupState[DimState]): Iterator[Enriched] = {
-      // Dimension rows sort BEFORE facts at an equal timestamp: the
-      // inclusive as-of rule (fact.ts >= dim.ts) grants a same-instant
-      // dimension update to the fact regardless of event_id assignment.
-      val inOrder = events.toSeq.sortBy(e =>
-        (CappedSessions.tsMicros(e.ts), if (isDim(e.event_id)) 0 else 1, e.event_id))
-      val out = Seq.newBuilder[Enriched]
-      var dim = state.getOption
-      inOrder.foreach { e =>
-        val t = CappedSessions.tsMicros(e.ts)
-        if (isDim(e.event_id)) dim = Some(DimState(e.event_id, t, e.value))
-        else out += Enriched(e.event_id, CappedSessions.microsToLdt(t), user,
-          e.value, dim.map(_.event_id), dim.map(_.value))
+      // idle-horizon eviction (the s14b pattern): once the watermark
+      // passes (last activity + horizon), the user's dimension row is
+      // dropped — a fact arriving after expiry re-enriches as NULL,
+      // the declared trade of bounding state to active users
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // Dimension rows sort BEFORE facts at an equal timestamp: the
+        // inclusive as-of rule (fact.ts >= dim.ts) grants a same-instant
+        // dimension update to the fact regardless of event_id assignment.
+        val inOrder = events.toSeq.sortBy(e =>
+          (CappedSessions.tsMicros(e.ts), if (isDim(e.event_id)) 0 else 1, e.event_id))
+        val out = Seq.newBuilder[Enriched]
+        var dim = state.getOption
+        var lastActivityMicros = Long.MinValue
+        inOrder.foreach { e =>
+          val t = CappedSessions.tsMicros(e.ts)
+          lastActivityMicros = math.max(lastActivityMicros, t)
+          if (isDim(e.event_id)) dim = Some(DimState(e.event_id, t, e.value))
+          else out += Enriched(e.event_id, CappedSessions.microsToLdt(t), user,
+            e.value, dim.map(_.event_id), dim.map(_.value))
+        }
+        dim.foreach { d =>
+          state.update(d)
+          // armed at ACTIVITY + horizon (facts refresh it too: an idle
+          // user is one with no events at all, not just no dim updates)
+          state.setTimeoutTimestamp(
+            math.max(lastActivityMicros, d.tsMicros) / 1000L + horizonMs)
+        }
+        out.result().iterator
       }
-      dim.foreach(state.update)
-      out.result().iterator
     }
   }
 
@@ -1446,9 +1480,12 @@ object EventStreams {
     * timestamps cannot bite.
     *
     * Scale posture: state is one small row per user key, sharded by
-    * group key; dimension updates replace in place, so state tracks the
-    * user universe, not the stream — the same O(keys) argument as s06,
-    * with `GroupStateTimeout` eviction available for retired users. */
+    * group key; dimension updates replace in place, and the idle-horizon
+    * EVENT-TIME timeout drops users whose last activity the watermark
+    * passed by the horizon — state tracks the ACTIVE user set, not the
+    * user universe (expiry + post-expiry NULL re-enrichment gated in
+    * EventStreamsSpec; the 90-day default exceeds the fixture span, so
+    * the ASOF oracle is unchanged). */
   def s18_stream_temporal_join(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1467,16 +1504,25 @@ object EventStreams {
 
   /** s18's streaming transform (exposed for the spec's plan pin): one
     * keyed state machine, NO join operator anywhere — the as-of
-    * semantics live entirely in the per-key latest-value state. */
-  private[streaming] def temporalJoinTransform(df: DataFrame): DataFrame = {
+    * semantics live entirely in the per-key latest-value state, bounded
+    * by the idle-horizon EVENT-TIME timeout (users whose last activity
+    * the watermark passed by `horizonMs` drop their dimension row; a
+    * later fact re-enriches as NULL — expiry gated in
+    * EventStreamsSpec). The 1-hour watermark delay is inert under the
+    * gate's event-time-ordered replay (nothing ever arrives late);
+    * out-of-order feeds use s18b, which buffers under the same
+    * watermark. */
+  private[streaming] def temporalJoinTransform(df: DataFrame,
+      horizonMs: Long = TemporalJoin.DefaultHorizonMs): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import df.sparkSession.implicits._
     df.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
       .as[TsEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[DimState, Enriched](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
-        TemporalJoin.update _)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        TemporalJoin.update(horizonMs) _)
       .toDF()
   }
 

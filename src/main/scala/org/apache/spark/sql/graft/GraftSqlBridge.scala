@@ -78,7 +78,8 @@ trait StreamingV1FallbackTable
 class GraftScanBuilder(
     inner: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder,
     partitionCols: Seq[String],
-    spj: Boolean = false)
+    spj: Boolean = false,
+    bucket: Option[(Int, String)] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -103,9 +104,14 @@ class GraftScanBuilder(
       case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
       case _ => false
     }
-  override def build(): Scan =
-    if (spj) new GraftSpjFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
-    else new GraftFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
+  override def build(): Scan = bucket match {
+    case Some((n, col)) =>
+      new GraftBucketedFileScan(inner.build().asInstanceOf[FileScan], n, col)
+    case None if spj =>
+      new GraftSpjFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
+    case None =>
+      new GraftFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
+  }
 }
 
 class GraftFileScan(
@@ -291,9 +297,108 @@ class GraftSpjFileScan(
   override def toBatch: Batch =
     if (!spjActive) super.toBatch
     else new Batch {
-      override def planInputPartitions(): Array[InputPartition] =
-        grouped.zipWithIndex.map { case ((key, files), i) =>
+      /** One split per FILE (not per value): `BatchScanExec` groups
+        * key-equal splits itself under `v2BucketingEnabled`, so the
+        * default plan is identical to pre-grouped emission — but
+        * per-file splits are what let
+        * `partiallyClusteredDistribution.enabled` keep a SKEWED
+        * partition value un-grouped (several tasks over its files,
+        * the other side's matching group replicated) instead of
+        * forcing one monster task per hot value. Empty registered
+        * partitions still emit one zero-file split so both sides'
+        * value sets stay aligned even without pushPartValues. */
+      override def planInputPartitions(): Array[InputPartition] = {
+        val splits = grouped.flatMap { case (key, files) =>
+          if (files.isEmpty) Seq((key, Array.empty[PartitionedFile]))
+          else files.map(f => (key, Array(f)))
+        }
+        splits.zipWithIndex.map { case ((key, files), i) =>
           new GraftKeyedFilePartition(i, files, key): InputPartition
+        }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        currentScan.createReaderFactory()
+    }
+}
+
+/** BUCKETED storage-partitioned-join surface — the high-cardinality
+  * complement of [[GraftSpjFileScan]] (whose one-task-per-partition-VALUE
+  * planning is unusable when the join key is an order/document id): a
+  * single-column bucketed table (`CLUSTERED BY (col) INTO n BUCKETS`,
+  * opted in with `graft.spj=true`) reports its layout as
+  * `KeyGroupedPartitioning(bucket(n, col))` with one split per data
+  * FILE, each carrying its bucket id as the partition key.
+  *
+  * The bucket id is recovered from the FILE NAME: the bucketed write
+  * path shuffles rows with `HashPartitioning(col, n)` (see
+  * [[graft.catalog.write.GraftWrite.requiredDistribution]]) and the
+  * committer names each task's files `part-<shufflePartitionId>-…`, so
+  * the name prefix IS the bucket id — no per-file metadata, no footer
+  * reads. Every write path preserves the invariant (append, overwrite,
+  * compaction and COW rewrites all route through the same required
+  * distribution), and the reference implements nothing comparable (it
+  * refuses bucketed writes outright,
+  * /root/reference/.../HiveFileFormatWriteBuilder.scala:124-136).
+  *
+  * Safety valve: if ANY live file's name doesn't parse as a bucket id
+  * below `n` (e.g. an EXTERNAL location carrying foreign files), the
+  * scan reports no partitioning and plans the stock splits — a wrongly
+  * TRUSTED bucket id would silently drop join rows, whereas falling
+  * back only costs a shuffle. Same conf latch as the identity SPJ scan:
+  * without `spark.sql.sources.v2.bucketing.enabled` the stock
+  * (bin-packed, intra-bucket-parallel) planning is used. */
+class GraftBucketedFileScan(
+    initial0: org.apache.spark.sql.execution.datasources.v2.FileScan,
+    numBuckets: Int,
+    bucketCol: String)
+  extends GraftFileScan(initial0, Nil)
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.expressions.Expressions
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+  import org.apache.spark.sql.execution.PartitionedFileUtil
+  import org.apache.spark.sql.execution.datasources.PartitionedFile
+
+  private lazy val spjActive: Boolean = SQLConf.get.v2BucketingEnabled
+
+  private val BucketName = "^part-(\\d+)-".r
+
+  /** (bucketId, file) per live data file, or None when any file name
+    * fails to parse (foreign layout — never trust, always fall back).
+    * Latched with the post-pushdown listing, like the SPJ snapshot. */
+  private lazy val parsed: Option[Seq[(Int, PartitionedFile)]] = {
+    val scan = currentScan
+    val files = scan.fileIndex.listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap { dir =>
+        dir.files.flatMap(f =>
+          PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
+            maxSplitBytes = Long.MaxValue, partitionValues = dir.values))
+      }
+    val tagged = files.map { f =>
+      BucketName.findFirstMatchIn(f.toPath.getName)
+        .map(_.group(1).toInt).filter(_ < numBuckets).map(b => (b, f))
+    }
+    if (tagged.forall(_.isDefined)) Some(tagged.map(_.get)) else None
+  }
+
+  override def outputPartitioning(): Partitioning =
+    if (spjActive && parsed.isDefined)
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(numBuckets, bucketCol):
+          org.apache.spark.sql.connector.expressions.Expression),
+        parsed.get.map(_._1).distinct.size)
+    else new UnknownPartitioning(0)
+
+  override def toBatch: Batch =
+    if (!spjActive || parsed.isEmpty) super.toBatch
+    else new Batch {
+      // per-file splits: BatchScanExec groups key-equal splits, and
+      // partially-clustered planning can leave a hot bucket un-grouped
+      override def planInputPartitions(): Array[InputPartition] =
+        parsed.get.zipWithIndex.map { case ((b, f), i) =>
+          new GraftKeyedFilePartition(i, Array(f),
+            InternalRow(b)): InputPartition
         }.toArray
       override def createReaderFactory(): PartitionReaderFactory =
         currentScan.createReaderFactory()
@@ -314,7 +419,151 @@ class GraftKeyedFilePartition(
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
 }
 
+/** Generic DSv2 scan over a V1 [[org.apache.spark.sql.execution.datasources.FileFormat]]
+  * — the read path for formats Spark ships WITHOUT a DSv2 scan (today:
+  * avro, whose bundled implementation is the V1 `AvroFileFormat` only).
+  * This is the same delegation the reference's SerDe reader performs for
+  * arbitrary Hive formats (HiveFilePartitionReaderFactory.scala:43-154),
+  * re-expressed against Spark's public row-reader contract:
+  * `buildReaderWithPartitionValues` yields the per-file
+  * `PartitionedFile => Iterator[InternalRow]` closure, and this scan
+  * supplies the DSv2 shell around it (column pruning, catalog-pruned
+  * partition listing, split bin-packing).
+  *
+  * Pushdown posture: COLUMN PRUNING is forwarded (avro decodes only the
+  * requested fields); PARTITION filters prune the listing (conjuncts
+  * referencing only partition columns are retained for `listFiles` —
+  * and every filter is reported back as post-scan, so Spark re-applies
+  * them and a mis-classified conjunct costs I/O, never rows); DATA
+  * filter pushdown is not claimed (the avro row reader has no
+  * stats-based skipping to give). */
+class GraftFormatScanBuilder(
+    spark: org.apache.spark.sql.SparkSession,
+    format: org.apache.spark.sql.execution.datasources.FileFormat,
+    index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
+    fullSchema: StructType,
+    options: Map[String, String])
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+  private var required: StructType = fullSchema
+  private var partitionFilters: Seq[Expression] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val partCols = index.partitionSchema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    partitionFilters = filters.filter(f =>
+      f.references.nonEmpty && f.references.forall(r =>
+        partCols.contains(r.name.toLowerCase(java.util.Locale.ROOT))))
+    filters // everything stays a post-scan filter — pruning is I/O-only
+  }
+
+  override def pushedFilters: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    // rebase the retained partition filters onto fresh attributes the
+    // file index resolves by name (same trick as GraftFileScan's
+    // runtime-filter rebuild)
+    val rebased = partitionFilters.map(_.transform {
+      case a: AttributeReference =>
+        index.partitionSchema.fields
+          .find(f => SQLConf.get.resolver(f.name, a.name))
+          .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+          .getOrElse(a)
+    })
+    new GraftFormatScan(spark, format, index, fullSchema, required, rebased, options)
+  }
+}
+
+class GraftFormatScan(
+    spark: org.apache.spark.sql.SparkSession,
+    format: org.apache.spark.sql.execution.datasources.FileFormat,
+    index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
+    fullSchema: StructType,
+    required: StructType,
+    partitionFilters: Seq[Expression],
+    options: Map[String, String])
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.execution.PartitionedFileUtil
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  private val partSet = index.partitionSchema.fieldNames
+    .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+  // pruned DATA columns in table order; the reader appends the FULL
+  // partition schema after them (buildReaderWithPartitionValues's
+  // contract), so readSchema below is exactly what rows carry
+  private val readDataSchema = StructType(required.fields.filterNot(f =>
+    partSet.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
+  private val dataSchema = StructType(fullSchema.fields.filterNot(f =>
+    partSet.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
+
+  override def readSchema(): StructType =
+    StructType(readDataSchema.fields ++ index.partitionSchema.fields)
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def description(): String =
+    s"GraftFormatScan[${format.getClass.getSimpleName}] ${index.rootPaths.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val selected = index.listFiles(partitionFilters, Nil)
+    val maxSplit = FilePartition.maxSplitBytes(spark, selected)
+    val splits = selected.flatMap { dir =>
+      dir.files.flatMap { f =>
+        PartitionedFileUtil.splitFiles(f, f.getPath,
+          isSplitable = format.isSplitable(spark, options, f.getPath),
+          maxSplitBytes = maxSplit, partitionValues = dir.values)
+      }
+    }.sortBy(_.length)(implicitly[Ordering[Long]].reverse)
+    FilePartition.getFilePartitions(spark, splits, maxSplit)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // driver-side: the closure broadcasts the hadoop conf internally and
+    // is the exact function the V1 scan exec ships in its RDD
+    val readFn = format.buildReaderWithPartitionValues(
+      spark, dataSchema, index.partitionSchema, readDataSchema,
+      Nil, options, spark.sessionState.newHadoopConf())
+    new GraftFormatReaderFactory(readFn)
+  }
+}
+
+class GraftFormatReaderFactory(
+    readFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.catalyst.InternalRow])
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val it = p.asInstanceOf[FilePartition].files.iterator.flatMap(readFn)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = () // per-file readers close via task listeners
+    }
+  }
+}
+
 object GraftSqlBridge {
+  /** The bundled V1 avro format (`private[sql]` upstream) — the write
+    * delegate and the [[GraftFormatScan]] read delegate for `avro`
+    * tables. */
+  def avroFileFormat(): org.apache.spark.sql.execution.datasources.FileFormat =
+    new org.apache.spark.sql.avro.AvroFileFormat
+
   def applyPropertiesChanges(
       properties: Map[String, String],
       changes: Seq[TableChange]): Map[String, String] =

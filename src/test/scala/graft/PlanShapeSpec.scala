@@ -398,6 +398,167 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"without the SPJ confs the table must plan conventionally:\n$defaultPlan")
   }
 
+  test("q100 bucketed SPJ: high-cardinality-key join runs with ZERO hash exchanges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    // the gated query creates the opted-in bucketed tables as a side effect
+    val gated = graft.operators.EngineQueries.q100_bucketed_spj_join(spark, sf0001)
+    def joinAgg(a: String, b: String) = spark.table(a)
+      .join(spark.table(b), $"o_orderkey" === $"b_orderkey")
+      .groupBy($"o_orderpriority")
+      // rounded: double-sum accumulation order differs across plans
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 0).as("s"))
+    // "join-aligned": NO exchange on either join key anywhere in the
+    // plan. (The post-join aggregate on o_orderpriority still shuffles
+    // its few grouped rows — that key is not the bucket key, and at
+    // 100 TB it is the join's fact-sized shuffle this path removes.)
+    def assertJoinShuffleFree(p: String): Unit = {
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+        !p.contains("Exchange hashpartitioning(b_orderkey"),
+        s"bucket-aligned join must not shuffle either side:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    }
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val a = s"$cat.tmp.q100_bspj_a"
+      val b = s"$cat.tmp.q100_bspj_b"
+      assertJoinShuffleFree(joinAgg(a, b).queryExecution.executedPlan.toString)
+      // same answer as a conventional shuffle join over plain tables
+      val pa = s"$cat.tmp.bspj_plain_a"
+      val pb = s"$cat.tmp.bspj_plain_b"
+      spark.sql(s"DROP TABLE IF EXISTS $pa")
+      spark.sql(s"DROP TABLE IF EXISTS $pb")
+      spark.table(a).writeTo(pa).create()
+      spark.table(b).writeTo(pb).create()
+      val plain = joinAgg(pa, pb).queryExecution.executedPlan.toString
+      assert(plain.contains("Exchange hashpartitioning(o_orderkey") ||
+        plain.contains("Exchange hashpartitioning(b_orderkey"),
+        s"plain tables must still shuffle the join (the contrast):\n$plain")
+      val viaSpj = joinAgg(a, b).orderBy($"o_orderpriority")
+        .collect().map(_.toString).toSeq
+      val viaPlain = joinAgg(pa, pb).orderBy($"o_orderpriority")
+        .collect().map(_.toString).toSeq
+      assert(viaSpj === viaPlain)
+      // the shuffle-free shape survives AQE's runtime re-planning
+      val spjDf = joinAgg(a, b)
+      spjDf.collect()
+      val finalPlan = spjDf.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assertJoinShuffleFree(finalPlan)
+      // MISMATCHED bucket counts must fall back to a shuffle, never
+      // mis-align: 4 ≠ 8 buckets
+      val m = s"$cat.tmp.bspj_mismatch"
+      spark.sql(s"DROP TABLE IF EXISTS $m")
+      spark.table(b).writeTo(m).partitionedBy(bucket(4, $"b_orderkey"))
+        .tableProperty("graft.spj", "true").create()
+      val mismatch = joinAgg(a, m)
+      val mp = mismatch.queryExecution.executedPlan.toString
+      assert(mp.contains("Exchange hashpartitioning(o_orderkey") ||
+        mp.contains("Exchange hashpartitioning(b_orderkey"),
+        s"mismatched bucket counts must shuffle the join:\n$mp")
+      assert(mismatch.orderBy($"o_orderpriority").collect().map(_.toString).toSeq
+        === viaPlain)
+      spark.sql(s"DROP TABLE IF EXISTS $pa")
+      spark.sql(s"DROP TABLE IF EXISTS $pb")
+      spark.sql(s"DROP TABLE IF EXISTS $m")
+    }
+    // under DEFAULT confs the bucketed table plans conventionally
+    val defaultPlan = joinAgg(s"$cat.tmp.q100_bspj_a", s"$cat.tmp.q100_bspj_b")
+      .queryExecution.executedPlan.toString
+    assert(defaultPlan.contains("Exchange hashpartitioning(o_orderkey") ||
+      defaultPlan.contains("Exchange hashpartitioning(b_orderkey") ||
+      defaultPlan.contains("BroadcastHashJoin"),
+      s"without the SPJ confs the table must plan conventionally:\n$defaultPlan")
+    assert(gated.count() > 0)
+  }
+
+  test("identity SPJ under skew: partially-clustered planning splits the hot value, stays shuffle-free") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val a = s"$cat.planshape.spj_skew_a"
+    val b = s"$cat.planshape.spj_skew_b"
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    // one HEAVY partition value: 90% of the fact side is '1-URGENT';
+    // multiple appends give the hot value several files, which is what
+    // partially-clustered planning distributes across tasks
+    val orders = Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        when($"o_orderkey" % 10 =!= 0, "1-URGENT")
+          .otherwise($"o_orderpriority").as("o_orderpriority"))
+    orders.filter($"o_orderkey" % 2 === 0)
+      .writeTo(a).partitionedBy($"o_orderpriority")
+      .tableProperty("graft.spj", "true").create()
+    orders.filter($"o_orderkey" % 2 === 1).writeTo(a).append()
+    orders.select($"o_orderkey".as("b_orderkey"),
+        $"o_orderpriority".as("b_pri"))
+      .filter($"b_orderkey" % 3 === 0)
+      .writeTo(b).partitionedBy($"b_pri")
+      .tableProperty("graft.spj", "true").create()
+    def join() = spark.table(a)
+      .join(spark.table(b),
+        $"o_orderpriority" === $"b_pri" && $"o_orderkey" === $"b_orderkey")
+      .groupBy($"o_orderpriority")
+      // rounded: double-sum accumulation order differs across plans
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 0).as("s"))
+    val plainRows = join().orderBy($"o_orderpriority")
+      .collect().map(_.toString).toSeq
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val saved = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      try {
+        val df = join()
+        val rows = df.orderBy($"o_orderpriority").collect().map(_.toString).toSeq
+        assert(rows === plainRows,
+          "partially-clustered SPJ must not change the answer")
+        // The JOIN stays storage-aligned (no exchange carrying the join
+        // keys). The post-join AGGREGATE on the partition column alone
+        // legitimately shuffles its few grouped rows here: partially-
+        // clustered output is no longer key-grouped (the hot value spans
+        // several tasks) — that is the trade the conf buys.
+        val p = df.queryExecution.executedPlan.toString
+        val joinKeyExchanges = p.linesIterator.filter(l =>
+          l.contains("Exchange hashpartitioning(") &&
+            (l.contains("o_orderkey") || l.contains("b_orderkey"))).toSeq
+        assert(joinKeyExchanges.isEmpty,
+          s"partially-clustered SPJ must not shuffle the join sides:\n$p")
+        assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+        // the hot value's files really are distributed: the scan plans
+        // more input partitions than distinct partition values
+        df.collect()
+        def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+          case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allScans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            allScans(q.plan)
+          case other => other.children.flatMap(allScans)
+        }
+        val scans = allScans(df.queryExecution.executedPlan)
+        assert(scans.nonEmpty)
+        val taskCounts = scans.map(_.executeColumnar().getNumPartitions)
+        val values = spark.table(a).select($"o_orderpriority").distinct().count()
+        assert(taskCounts.exists(_ > values),
+          s"expected the hot value split across tasks: " +
+            s"scan partition counts $taskCounts for $values values")
+      } finally saved match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+  }
+
   test("DPP: a join on the partition column runtime-prunes the catalog file index") {
     import org.apache.spark.sql.functions._
     GraftBootstrap.ensure(spark, sf0001)

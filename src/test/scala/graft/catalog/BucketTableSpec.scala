@@ -1,0 +1,208 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftBootstrap, SparkFixture, Tables}
+
+/** The writable bucketed-table surface (q100): hash-routed per-bucket
+  * file layout on write, bucket-id recovery from file names on scan,
+  * and the record-but-refuse posture for the non-writable declarations.
+  * The zero-exchange JOIN plan is pinned in PlanShapeSpec; this suite
+  * pins the physical layout contract those plans depend on. */
+class BucketTableSpec extends AnyFunSuite with SparkFixture {
+
+  private val ns = s"${GraftBootstrap.CatalogName}.btest"
+
+  private def freshTable(name: String): String = {
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    val t = s"$ns.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    t
+  }
+
+  private def locationOf(t: String): Path = {
+    val parts = t.split("\\.")
+    val cat = spark.sessionState.catalogManager.catalog(parts(0))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    new Path(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array(parts(1)), parts(2))).properties
+      .get(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION))
+  }
+
+  private def dataFiles(t: String): Seq[Path] = {
+    val loc = locationOf(t)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(loc).toSeq.collect {
+      case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") => s.getPath
+    }
+  }
+
+  private val BucketName = "^part-(\\d+)-".r
+  private def bucketIdOf(p: Path): Int =
+    BucketName.findFirstMatchIn(p.getName).map(_.group(1).toInt).getOrElse(
+      fail(s"file ${p.getName} does not carry a bucket id"))
+
+  /** Every file's rows must hash to the file's name-declared bucket:
+    * Spark SQL `hash()` IS the Murmur3(seed=42) the write shuffle
+    * routes by, so the invariant is checkable without reimplementing
+    * the hash. */
+  private def assertBucketInvariant(t: String, col: String, n: Int): Unit = {
+    dataFiles(t).foreach { f =>
+      val b = bucketIdOf(f)
+      val bad = spark.read.schema(spark.table(t).schema).parquet(f.toString)
+        .where(pmod(hash(expr(col)), lit(n)) =!= b)
+      assert(bad.count() === 0,
+        s"file ${f.getName}: rows hashed outside bucket $b")
+    }
+  }
+
+  test("bucketed CTAS lays down one file set per bucket; every row hashes to its file's bucket") {
+    import spark.implicits._
+    val t = freshTable("b_layout")
+    Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .writeTo(t).partitionedBy(bucket(8, $"o_orderkey")).create()
+    val files = dataFiles(t)
+    val ids = files.map(bucketIdOf)
+    assert(ids.toSet === (0 until 8).toSet,
+      s"expected all 8 buckets, got ${ids.sorted}")
+    // one whole bucket per write task: exactly one file per bucket here
+    assert(files.size === 8, s"expected 8 files, got ${files.size}")
+    assertBucketInvariant(t, "o_orderkey", 8)
+    assert(spark.table(t).count() ===
+      Tables(spark, sf0001, "orders").count())
+  }
+
+  test("appends preserve the bucket layout; reads see the union") {
+    import spark.implicits._
+    val t = freshTable("b_append")
+    val src = Tables(spark, sf0001, "orders").select($"o_orderkey", $"o_totalprice")
+    src.filter($"o_orderkey" % 2 === 0)
+      .writeTo(t).partitionedBy(bucket(4, $"o_orderkey")).create()
+    src.filter($"o_orderkey" % 2 === 1).writeTo(t).append()
+    assert(dataFiles(t).size === 8) // 4 buckets × 2 writes
+    assertBucketInvariant(t, "o_orderkey", 4)
+    assert(spark.table(t).count() === src.count())
+  }
+
+  test("a foreign (unparseable) file disables bucket reporting but not correctness") {
+    import spark.implicits._
+    val t = freshTable("b_foreign")
+    val src = Tables(spark, sf0001, "nation").select($"n_nationkey", $"n_name")
+    src.writeTo(t).partitionedBy(bucket(4, $"n_nationkey"))
+      .tableProperty("graft.spj", "true").create()
+    // plant a legitimate parquet file with a foreign name — rows in the
+    // wrong bucket file MUST force the scan off the bucket-aligned path
+    val loc = locationOf(t)
+    src.filter($"n_nationkey" === 0).limit(1)
+      .write.mode("overwrite").parquet(loc.toString + "__stage")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = fs.listStatus(new Path(loc.toString + "__stage")).collectFirst {
+      case s if s.isFile && s.getPath.getName.endsWith(".parquet") => s.getPath
+    }.get
+    fs.rename(staged, new Path(loc, "foreign-0000.parquet"))
+    fs.delete(new Path(loc.toString + "__stage"), true)
+    spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+      .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("btest"), "b_foreign"))
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val self = spark.table(t).as("x")
+        .join(spark.table(t).as("y"), $"x.n_nationkey" === $"y.n_nationkey")
+      // fallback: the scan must NOT claim bucket alignment (the foreign
+      // file's rows sit in no legal bucket), and the answer includes the
+      // foreign row: 24 keys match 1×1, key 0 matches 2×2
+      assert(self.count() === 24L + 4L)
+    }
+  }
+
+  test("non-writable bucket declarations keep the record-but-refuse posture") {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    // partitioned + bucketed: recorded, writes refused
+    val t1 = s"$ns.b_partitioned"
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(
+      s"""CREATE TABLE $t1 (id BIGINT, p STRING)
+         |USING parquet PARTITIONED BY (p)
+         |CLUSTERED BY (id) INTO 4 BUCKETS""".stripMargin)
+    val e1 = intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "p").writeTo(t1).append()
+    }
+    assert(e1.getMessage.contains("bucket"))
+    // multi-column bucket: recorded, writes refused
+    val t2 = s"$ns.b_multicol"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(
+      s"""CREATE TABLE $t2 (id BIGINT, id2 BIGINT)
+         |USING parquet CLUSTERED BY (id, id2) INTO 4 BUCKETS""".stripMargin)
+    val e2 = intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "id2").writeTo(t2).append()
+    }
+    assert(e2.getMessage.contains("bucket"))
+  }
+
+  test("streaming writes to bucketed tables refuse") {
+    import spark.implicits._
+    val t = freshTable("b_stream")
+    Seq((1L, 1.0)).toDF("o_orderkey", "o_totalprice")
+      .writeTo(t).partitionedBy(bucket(4, $"o_orderkey")).create()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)](
+      spark)
+    stream.addData((2L, 2.0))
+    val err = intercept[Exception] {
+      val query = stream.toDF().toDF("o_orderkey", "o_totalprice")
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("b_stream_ckpt").toString)
+        .toTable(t)
+      try query.processAllAvailable() finally query.stop()
+    }
+    assert(err.getMessage.contains("bucketed") ||
+      Option(err.getCause).exists(_.getMessage.contains("bucketed")))
+  }
+
+  test("row-level MERGE on a bucketed table preserves the bucket layout") {
+    import spark.implicits._
+    val t = freshTable("b_merge")
+    Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .writeTo(t).partitionedBy(bucket(4, $"o_orderkey")).create()
+    Seq((1L, 999.0), (-5L, 1.0)).toDF("k", "p").createOrReplaceTempView("b_merge_src")
+    spark.sql(
+      s"""MERGE INTO $t tgt USING b_merge_src src ON tgt.o_orderkey = src.k
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = src.p
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) VALUES (src.k, src.p)
+         |""".stripMargin)
+    // the COW rewrite rode the same required distribution: every file
+    // still parses and satisfies the hash invariant
+    assertBucketInvariant(t, "o_orderkey", 4)
+    assert(spark.table(t).where($"o_orderkey" === -5L).count() === 1)
+  }
+
+  test("bucket function: bind validates shape; result matches Spark's hash routing") {
+    val f = GraftBucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[GraftBucketBound]
+    import spark.implicits._
+    val rows = Seq(0L, 1L, 42L, -7L, 123456789L).toDF("c")
+      .select(col("c"), pmod(hash(col("c")), lit(8)).as("b")).collect()
+    rows.foreach { r =>
+      val expect = r.getInt(1)
+      val got = f.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(8, r.getLong(0)))
+      assert(got === expect, s"bucket(${r.getLong(0)})")
+    }
+    // null routes to the seed bucket, same as the hash expression
+    val nullBucket = spark.sql("SELECT pmod(hash(CAST(NULL AS BIGINT)), 8)")
+      .collect()(0).getInt(0)
+    assert(f.produceResult(org.apache.spark.sql.catalyst.InternalRow(
+      8, null)) === nullBucket)
+  }
+}

@@ -171,8 +171,9 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ddl")
     val t = s"$cat.ddl.t_bucketed"
     spark.sql(s"DROP TABLE IF EXISTS $t")
-    // create succeeds (reference parity: the bucket is MAPPED into
-    // metadata, not rejected at the catalog)
+    // the WRITABLE shape (single column, unpartitioned): create records
+    // the spec AND writes hash-route into per-bucket files
+    // (BucketTableSpec gates the layout; here the DDL surface)
     spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING) USING parquet " +
       "CLUSTERED BY (id) INTO 4 BUCKETS")
     val graftCat = spark.sessionState.catalogManager.catalog(cat)
@@ -185,29 +186,36 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("ddl"), "t_bucketed"))
       .partitioning.map(_.toString)
     assert(parts.exists(_.contains("bucket")), s"partitioning: ${parts.mkString(",")}")
-    // scans of the (empty) bucketed table work
+    // scans of the (empty) bucketed table work, and the writable shape
+    // ACCEPTS writes (round 16 — the reference refuses all of them)
     assert(spark.table(t).count() === 0)
-    // but any write is refused with a message naming the bucket spec
+    Seq((1L, "a")).toDF("id", "name").writeTo(t).append()
+    assert(spark.table(t).count() === 1)
+    // the NON-writable shape (partitioned + bucketed) keeps the
+    // reference's record-but-refuse posture, naming the bucket spec
+    val tp = s"$cat.ddl.t_bucketed_part"
+    spark.sql(s"DROP TABLE IF EXISTS $tp")
+    spark.sql(s"CREATE TABLE $tp (id BIGINT, p STRING) USING parquet " +
+      "PARTITIONED BY (p) CLUSTERED BY (id) INTO 4 BUCKETS")
     val e = intercept[Exception] {
-      Seq((1L, "a")).toDF("id", "name").writeTo(t).append()
+      Seq((1L, "a")).toDF("id", "p").writeTo(tp).append()
     }
-    assert(e.getMessage.contains("bucketed"), s"got: ${e.getMessage}")
-    // and the recorded spec is ALTER-proof like other reserved props
+    assert(e.getMessage.contains("bucket"), s"got: ${e.getMessage}")
+    // and the recorded spec is ALTER-proof like other reserved props —
+    // now load-bearing for LAYOUT correctness: a mutated bucket count
+    // would silently mis-route every later write
     val alter = intercept[Exception](
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bucket.count'='8')"))
     assert(alter.getMessage.toLowerCase.contains("reserved") ||
       alter.getMessage.contains("graft.bucket.count"))
     // an UNRELATED successful ALTER must not strip the bucket spec
-    // (regression: reserved-prop stripping would silently disarm the
-    // bucketed-write refusal)
+    // (regression: reserved-prop stripping would silently break the
+    // declared layout contract)
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('note'='x')")
     val meta2 = graftCat.metaStore.loadTable("ddl", "t_bucketed")
     assert(meta2.properties.get(GraftCatalog.BucketCountProp).contains("4"))
     assert(meta2.properties.get("note").contains("x"))
-    val e2 = intercept[Exception] {
-      Seq((1L, "a")).toDF("id", "name").writeTo(t).append()
-    }
-    assert(e2.getMessage.contains("bucketed"))
+    spark.sql(s"DROP TABLE IF EXISTS $tp")
     // SORTED BY gets a clear refusal, not a contradictory message
     val sb = intercept[Exception](spark.sql(
       s"CREATE TABLE $cat.ddl.t_sorted (a INT, b INT) USING parquet " +

@@ -23,8 +23,9 @@ class GraftConfSpec extends AnyFunSuite {
     assert(GraftConf.DefaultProvider.get(opts(), "c") === "parquet")
     assert(GraftConf.DefaultProvider.get(opts("defaultProvider" -> "CSV"), "c") === "csv")
     assert(GraftConf.DefaultProvider.get(opts("defaultProvider" -> "ORC"), "c") === "orc")
+    assert(GraftConf.DefaultProvider.get(opts("defaultProvider" -> "Avro"), "c") === "avro")
     val e = intercept[IllegalArgumentException](
-      GraftConf.DefaultProvider.get(opts("defaultProvider" -> "avro"), "c"))
+      GraftConf.DefaultProvider.get(opts("defaultProvider" -> "delta"), "c"))
     assert(e.getMessage.contains("defaultProvider"))
   }
 

@@ -158,6 +158,66 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
         === Seq((1L, "alpha"), (2L, "beta")), s"$provider read-back")
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
+    // avro: the codec lives in the container-file metadata, not a suffix
+    locally {
+      val t = freshTable("t_comp_avro")
+      spark.sql(s"CREATE TABLE $t (id BIGINT, s STRING) USING avro " +
+        "TBLPROPERTIES('compression'='snappy')")
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "s").writeTo(t).append()
+      val loc = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+        .filter($"col_name" === "Location").head().getString(1))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      val files = fs.listStatus(loc).toSeq.map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      assert(files.nonEmpty && files.forall(_.getName.endsWith(".avro")),
+        s"avro: expected *.avro, got ${files.map(_.getName).mkString(",")}")
+      files.foreach { p =>
+        val r = new org.apache.avro.file.DataFileReader(
+          new java.io.File(p.toUri.getPath),
+          new org.apache.avro.generic.GenericDatumReader[Any]())
+        try assert(r.getMetaString("avro.codec") === "snappy",
+          s"avro codec metadata in ${p.getName}")
+        finally r.close()
+      }
+      assert(spark.table(t).orderBy($"id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "alpha"), (2L, "beta")), "avro read-back")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("avro provider: nested types round-trip; partition filters prune the listing") {
+    import spark.implicits._
+    val t = freshTable("t_avro_part")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, info STRUCT<a: STRING, b: BIGINT>, p STRING) " +
+      "USING avro PARTITIONED BY (p)")
+    Seq((1L, "x", 10L, "p1"), (2L, "y", 20L, "p2"), (3L, "z", 30L, "p2"))
+      .toDF("id", "a", "b", "p")
+      .select($"id", struct($"a", $"b").as("info"), $"p")
+      .writeTo(t).append()
+    // nested struct survives; values exact
+    assert(spark.table(t).orderBy($"id")
+      .select($"id", $"info.a", $"info.b", $"p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+      === Seq((1L, "x", 10L, "p1"), (2L, "y", 20L, "p2"), (3L, "z", 30L, "p2")))
+    // the static partition filter prunes the listing: fewer input
+    // partitions than the unfiltered scan (the avro scan has no
+    // stats-based data skipping, so partition pruning IS its pruning)
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.inputPartitions.size
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    val all = scanParts(spark.table(t))
+    val pruned = scanParts(spark.table(t).filter($"p" === "p1"))
+    assert(pruned < all, s"expected pruning: $pruned vs $all input partitions")
+    assert(spark.table(t).filter($"p" === "p1").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    // column pruning reaches the reader: the scan's read schema drops
+    // unrequested data columns
+    val plan = spark.table(t).select($"id").queryExecution.executedPlan.toString
+    assert(!plan.contains("info"), s"expected the struct pruned from the scan:\n$plan")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("partition column declared with different case than the schema still round-trips") {
@@ -624,7 +684,7 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
 
-  test("format migration: atomic descriptor flip, partitions retained, old dir reclaimed, refusals") {
+  test("format migration: atomic flip, old gen retained for readers, namespace sweep reclaims residue") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val t = freshTable("t_migrate")
@@ -641,7 +701,10 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     graft.operators.Migrate.toProvider(spark, t, "parquet")
     assert(provider() === "parquet", "descriptor must carry the new provider")
     assert(loc() !== oldLoc, "the flip moves the table to the staged generation")
-    assert(!fs.exists(oldLoc), "the old generation must be reclaimed")
+    // reader-safety: the old generation is RETAINED for in-flight scans;
+    // the age-gated namespace sweep reclaims it (asserted below)
+    assert(fs.exists(oldLoc),
+      "the old generation must survive the flip for concurrent readers")
     // partitions survived the flip — metadata AND the pruned read path
     val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).sorted
     assert(parts.toSeq === Seq("dt=a", "dt=b"))
@@ -657,7 +720,7 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(loc() === before)
     // refusals: unknown provider; EXTERNAL tables
     val badErr = intercept[IllegalArgumentException] {
-      graft.operators.Migrate.toProvider(spark, t, "avro")
+      graft.operators.Migrate.toProvider(spark, t, "delta")
     }
     assert(badErr.getMessage.contains("unsupported"))
     val ext = freshTable("t_migrate_ext")
@@ -667,6 +730,48 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       graft.operators.Migrate.toProvider(spark, ext, "parquet")
     }
     assert(extErr.getMessage.contains("EXTERNAL"))
+
+    // ---- namespace sweep: reclaims the retired generation + crashed
+    // staging, and ONLY those
+    val nsDir = oldLoc.getParent
+    // plant a crashed migration's staging dir (unreferenced by any table)
+    val crashed = new Path(nsDir,
+      s"t_other__migrate_${java.util.UUID.randomUUID()}")
+    fs.mkdirs(crashed)
+    val out = fs.create(new Path(crashed, "part-00000.parquet"), true)
+    try out.write(Array.fill[Byte](128)(0x5A)) finally out.close()
+    // an unknown dir the sweep must NOT touch
+    val bystander = new Path(nsDir, "not_ours")
+    fs.mkdirs(bystander)
+    val b = fs.create(new Path(bystander, "keep.bin"), true)
+    try b.write(Array.fill[Byte](64)(0x11)) finally b.close()
+    val committedStaging = loc() // the live table's post-flip location
+    val ns = s"${graft.GraftBootstrap.CatalogName}.wtest"
+    // retention guards first: a fresh sweep reclaims nothing
+    val fresh = graft.operators.Vacuum.vacuumNamespace(spark, ns)
+    assert(fs.exists(oldLoc) && fs.exists(crashed),
+      s"retention must protect fresh residue, reclaimed $fresh")
+    val swept = graft.operators.Vacuum.vacuumNamespace(spark, ns, retentionMs = 0L)
+    assert(swept.reclaimedFiles >= 1, s"sweep must reclaim residue, got $swept")
+    assert(!fs.exists(oldLoc), "retired generation reclaimed")
+    assert(!fs.exists(crashed), "crashed staging reclaimed")
+    assert(fs.exists(committedStaging), "the live (committed) generation survives")
+    assert(fs.exists(bystander), "unknown dirs are not the sweep's to delete")
+    assert(spark.table(t).count() === 3, "table reads unchanged after the sweep")
+    fs.delete(bystander, true)
+
+    // ---- create-time reclamation: a managed create whose default dir
+    // holds a dead generation's files (residue inside the retention
+    // window, so the sweep hasn't taken it) must not alias them
+    val t2 = s"$ns.t_migrate2"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    val residueDir = new Path(nsDir, "t_migrate2")
+    Seq((99L, "zzz")).toDF("id", "dt").write.mode("overwrite")
+      .parquet(residueDir.toString)
+    spark.sql(s"CREATE TABLE $t2 (id BIGINT, dt STRING) USING parquet")
+    assert(spark.table(t2).count() === 0,
+      "a fresh managed table must not see a dead generation's files")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
     spark.sql(s"DROP TABLE IF EXISTS $ext")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }

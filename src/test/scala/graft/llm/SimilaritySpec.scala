@@ -362,6 +362,14 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       "the batch's own buckets must have received files")
     Similarity.ivfIndexIngest(spark, centT, idxT, full.filter(col("vec_id") % 8 === 4))
 
+    // replay idempotence: re-delivering an already-ingested batch (the
+    // foreachBatch at-least-once crash case) is a no-op by vec_id —
+    // no duplicate index rows, bucket layout untouched
+    val rowsBeforeReplay = spark.table(idxT).count()
+    Similarity.ivfIndexIngest(spark, centT, idxT, batch1)
+    assert(spark.table(idxT).count() === rowsBeforeReplay,
+      "a replayed batch must not duplicate index rows")
+
     // the maintenance invariant, exact: incremental assignments equal a
     // single full reassignment under the same frozen centroids
     val got = spark.table(idxT).select(col("vec_id"), col("bucket"))

@@ -812,4 +812,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
         s"width 2000 vs 31-token vocab: estimate must be exact for $t")
     }
   }
+
+  test("klAgainstReference keeps NOVEL buckets: left-outer + add-one smoothing, exact arithmetic") {
+    import spark.implicits._
+    // batch: "aaa aaa bbb bbb"; frozen reference knows only "aaa" — the
+    // drifted half of the batch is mass the baseline never saw, exactly
+    // what a drift monitor exists to flag (an inner join dropped it)
+    val B = 4096
+    def bucketOf(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      h % B
+    }
+    assume(bucketOf("aaa") != bucketOf("bbb"), "fixture tokens must not collide")
+    val batch = Seq((0L, "aaa aaa bbb bbb")).toDF("doc_id", "text")
+    val refHist = Seq((bucketOf("aaa"), 4L)).toDF("bucket", "c")
+    val out = TextAnalysis.klAgainstReference(
+      batch, "text", (col("doc_id") % 3).as("gen"), refHist, refTotal = 4L)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 4L, "all four tokens counted")
+    // hand-computed with the operator's exact quantized arithmetic:
+    //   seen term  (cs=2, c=4): 2*(ln3 − ln(4+B) − ln5 + ln(4+B)) / 4
+    //   novel term (cs=2, c=0): 2*(ln3 − ln(4+B) − ln1 + ln(4+B)) / 4
+    def q(cs: Long, c: Long, ts: Long): Long =
+      math.round(cs.toDouble * (math.log(cs + 1.0) - math.log(ts + B.toDouble) -
+        math.log(c + 1.0) + math.log(4 + B.toDouble)) * 1e6 / ts)
+    val expected = (q(2, 4, 4) + q(2, 0, 4)).toDouble / 1e6
+    assert(math.abs(out(0).getDouble(2) - expected) < 1e-9,
+      s"expected $expected nats incl. the novel-bucket term, got ${out(0).getDouble(2)}")
+    // and the novel term dominates: dropping it (the inner-join bug)
+    // would even turn the estimate negative here
+    assert(out(0).getDouble(2) > 0 && q(2, 4, 4) < 0)
+  }
 }

@@ -676,6 +676,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
   /** Local memory-sink runner for ad-hoc streaming frames (the spec
     * builds its own MemoryStream sources; EventStreams' runToMemory is
     * private and its gated queries stage their own replays). */
+  test("s18 temporal join EXPIRES idle users past the horizon: later facts re-enrich as NULL") {
+    import java.time.LocalDateTime
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(hours: Double) = LocalDateTime.ofEpochSecond(
+      1700000000L + (hours * 3600).toLong, 0, java.time.ZoneOffset.UTC)
+    def dim(id: Long, h: Double, v: Double) = Event(id, at(h), 1L, "rate", v)
+    def fact(id: Long, h: Double, u: Long = 1L) = Event(id, at(h), u, "click", 1.0)
+    val src = MemoryStream[Event]
+    // 2-hour idle horizon; the transform's own 1h watermark delay rides along
+    val out = streamToMemoryForTest(
+      EventStreams.temporalJoinTransform(src.toDF(), horizonMs = 2L * 3600 * 1000)) {
+      query =>
+        // b1: u1 gets a dimension row, then a fact → enriched
+        src.addData(Seq(dim(10L, 0.0, 5.0), fact(11L, 0.1))); query.processAllAvailable()
+        // b2: a fact INSIDE the horizon → still enriched (and refreshes it)
+        src.addData(Seq(fact(12L, 1.0))); query.processAllAvailable()
+        // b3/b4: another user's far-future facts advance the watermark
+        // past (h1 + 2h); the timeout sweep then drops u1's dimension
+        src.addData(Seq(fact(21L, 10.0, u = 2L))); query.processAllAvailable()
+        src.addData(Seq(fact(22L, 10.5, u = 2L))); query.processAllAvailable()
+        // b5: u1 returns AFTER expiry → NULL re-enrichment
+        src.addData(Seq(fact(13L, 10.8))); query.processAllAvailable()
+    }
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(byId(11L) === Some(10L), "in-horizon fact must enrich")
+    assert(byId(12L) === Some(10L), "horizon refresh must keep the dimension")
+    assert(byId(21L) === None, "a user with no dimension enriches NULL")
+    assert(byId(13L) === None,
+      "post-expiry fact must re-enrich as NULL — state never expired")
+  }
+
   private def streamToMemoryForTest(streaming: org.apache.spark.sql.DataFrame)(
       feed: org.apache.spark.sql.streaming.StreamingQuery => Unit)
       : org.apache.spark.sql.DataFrame = {
