@@ -361,14 +361,12 @@ class GraftWrite(
         s"streaming write to ${meta.name} supports append/complete output " +
           s"modes only (requested write mode: $other)")
     }
-    // Bucketed layout correctness rides the batch planner's
-    // RequiresDistributionAndOrdering handling; the micro-batch planner's
-    // distribution support is not pinned by any spec here, and a
-    // mis-routed epoch would silently corrupt every later bucket join.
-    // Refuse until the streaming path carries the same gate.
-    if (bucket.isDefined) throw new UnsupportedOperationException(
-      s"streaming write to bucketed table ${meta.name} is not supported; " +
-        "stream into an unbucketed staging table and MERGE/INSERT batch-wise")
+    // Bucketed tables stream fine: the micro-batch planner routes each
+    // epoch through the same RequiresDistributionAndOrdering surface as
+    // a batch write (V2Writes' WriteToMicroBatchDataSource branch calls
+    // DistributionAndOrderingUtils.prepareQuery — verified against the
+    // 4.1.2 bytecode), so every epoch's files land hash-routed with
+    // bucket-id names; BucketTableSpec gates the streamed layout.
     new GraftStreamingWrite(store, db, meta.name, info.queryId(),
       truncatesPerEpoch = mode == Truncate, () => newEpochBatchWrite())
   }

@@ -42,7 +42,14 @@ object ScaleProbe {
     "q90_dsir_select", "q92_strip_contaminated", "q93_source_divergence",
     // round-15: the persisted-index lifecycle — training is
     // sample-bounded, assignment/ingest linear, probes partition-pruned
-    "q98_ann_index_maintain")
+    "q98_ann_index_maintain",
+    // round-16 (verdict #5): the streaming maintenance loops' "cost ∝
+    // batch, not corpus" claims, measured — s20 ingests+compacts the
+    // scaled events feed, s22 ingests the scaled embeddings into the
+    // persisted index; q96 runs the vacuum lifecycle over reps×-more
+    // partition VALUES (the build suffixes o_orderpriority per replica,
+    // so partition count scales with reps, not just rows)
+    "s20_stream_ingest_compact", "s22_stream_ann_ingest", "q96_vacuum")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:
@@ -77,10 +84,38 @@ object ScaleProbe {
 
     // the catalog bootstrap registers EVERY fixture table for a dir, so
     // the scaled dir must carry the non-scaled tables too (verbatim)
-    graft.Tables.all.filterNot(Set("documents", "embeddings")).foreach { t =>
-      spark.read.parquet(s"$base/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    }
+    graft.Tables.all.filterNot(Set("documents", "embeddings", "events", "orders"))
+      .foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+
+    // events: replicas carry disjoint event/user ids with the original
+    // time axis — per-user session structure is isomorphic, feed density
+    // scales reps× (what s20's per-trigger cost rides on)
+    val events = spark.read.parquet(s"$base/events.parquet")
+    val maxEvent = events.agg(max("event_id")).head.getLong(0) + 1
+    val maxUser = events.agg(max("user_id")).head.getLong(0) + 1
+    (0 until reps).map { k =>
+      if (k == 0) events
+      else events
+        .withColumn("event_id", col("event_id") + lit(k * maxEvent))
+        .withColumn("user_id", col("user_id") + lit(k * maxUser))
+    }.reduce(_ unionByName _)
+      .repartition(16).write.parquet(s"$out/events.parquet")
+
+    // orders: replica-distinct ids AND replica-suffixed priorities, so
+    // the PARTITION COUNT of priority-partitioned tables scales with
+    // reps — the axis q96's vacuum listing cost is claimed linear in
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val maxOrder = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    (0 until reps).map { k =>
+      if (k == 0) orders
+      else orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * maxOrder))
+        .withColumn("o_orderpriority", concat(col("o_orderpriority"), lit(s"-r$k")))
+    }.reduce(_ unionByName _)
+      .repartition(16).write.parquet(s"$out/orders.parquet")
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1

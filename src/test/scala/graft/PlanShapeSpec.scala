@@ -463,6 +463,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"DROP TABLE IF EXISTS $pb")
       spark.sql(s"DROP TABLE IF EXISTS $m")
     }
+    // a BUCKET-KEYED aggregate over one table also rides the reported
+    // partitioning: grouping by the bucket column needs no exchange
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val aggOnly = spark.table(s"$cat.tmp.q100_bspj_a")
+        .groupBy($"o_orderkey").agg(sum($"o_totalprice").as("s"))
+        .queryExecution.executedPlan.toString
+      assert(!aggOnly.contains("Exchange hashpartitioning"),
+        s"bucket-keyed aggregate must not shuffle:\n$aggOnly")
+    }
     // under DEFAULT confs the bucketed table plans conventionally
     val defaultPlan = joinAgg(s"$cat.tmp.q100_bspj_a", s"$cat.tmp.q100_bspj_b")
       .queryExecution.executedPlan.toString

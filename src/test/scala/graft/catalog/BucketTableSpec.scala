@@ -147,24 +147,29 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("bucket"))
   }
 
-  test("streaming writes to bucketed tables refuse") {
+  test("streaming writes to bucketed tables hash-route every epoch's files") {
     import spark.implicits._
     val t = freshTable("b_stream")
     Seq((1L, 1.0)).toDF("o_orderkey", "o_totalprice")
       .writeTo(t).partitionedBy(bucket(4, $"o_orderkey")).create()
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)](
       spark)
-    stream.addData((2L, 2.0))
-    val err = intercept[Exception] {
-      val query = stream.toDF().toDF("o_orderkey", "o_totalprice")
-        .writeStream
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("b_stream_ckpt").toString)
-        .toTable(t)
-      try query.processAllAvailable() finally query.stop()
-    }
-    assert(err.getMessage.contains("bucketed") ||
-      Option(err.getCause).exists(_.getMessage.contains("bucketed")))
+    val query = stream.toDF().toDF("o_orderkey", "o_totalprice")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("b_stream_ckpt").toString)
+      .toTable(t)
+    try {
+      stream.addData((2L, 2.0), (3L, 3.0), (4L, 4.0))
+      query.processAllAvailable()
+      stream.addData((5L, 5.0), (6L, 6.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    // every epoch's files carry bucket ids and satisfy the hash
+    // invariant — the micro-batch planner routed the same distribution
+    // as a batch write
+    assertBucketInvariant(t, "o_orderkey", 4)
+    assert(spark.table(t).count() === 6)
   }
 
   test("row-level MERGE on a bucketed table preserves the bucket layout") {
@@ -183,6 +188,25 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     // still parses and satisfies the hash invariant
     assertBucketInvariant(t, "o_orderkey", 4)
     assert(spark.table(t).where($"o_orderkey" === -5L).count() === 1)
+  }
+
+  test("bucket layout composes with graft.cluster.by: per-bucket files arrive key-sorted") {
+    import spark.implicits._
+    val t = freshTable("b_clustered")
+    Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .writeTo(t)
+      .tableProperty(GraftCatalog.ClusterByProp, "o_totalprice")
+      .partitionedBy(bucket(4, $"o_orderkey")).create()
+    assertBucketInvariant(t, "o_orderkey", 4)
+    // within each bucket file the declared cluster key is sorted — the
+    // row-group min-max locality contract rides the bucket layout
+    dataFiles(t).foreach { f =>
+      val vals = spark.read.schema(spark.table(t).schema).parquet(f.toString)
+        .select($"o_totalprice").collect().map(_.getDouble(0))
+      assert(vals.sameElements(vals.sorted),
+        s"file ${f.getName}: cluster key not sorted")
+    }
   }
 
   test("bucket function: bind validates shape; result matches Spark's hash routing") {
