@@ -198,11 +198,15 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
       new org.apache.spark.sql.graft.GraftScanBuilder(builder, meta.partitionColumns,
         spj = spjProp)
     else GraftCatalog.writableBucketSpec(meta) match {
-      // writable bucketed table opted into SPJ: report the bucket layout
-      // (KeyGroupedPartitioning over bucket(n, col), bucket ids recovered
-      // from file names) so co-bucketed joins on a HIGH-CARDINALITY key
-      // plan with zero exchanges — see GraftBucketedFileScan
-      case Some((n, col)) if spjProp =>
+      // writable bucketed tables ALWAYS scan through the bucket-aware
+      // wrapper: declaring buckets IS the layout opt-in (the user chose
+      // n as the parallelism knob), so equality/IN predicates on the
+      // bucket key prune to their buckets' files in any session, and
+      // under the SPJ confs the scan additionally reports
+      // KeyGroupedPartitioning(bucket(n, col)) for zero-exchange
+      // co-bucketed joins — see GraftBucketedFileScan. Default-conf
+      // un-narrowed scans keep the stock planning unchanged.
+      case Some((n, col)) =>
         new org.apache.spark.sql.graft.GraftScanBuilder(builder, Nil,
           bucket = Some((n, col)))
       case _ => builder

@@ -340,13 +340,21 @@ class GraftSpjFileScan(
   * refuses bucketed writes outright,
   * /root/reference/.../HiveFileFormatWriteBuilder.scala:124-136).
   *
+  * BUCKET PRUNING rides the same machinery in EVERY session (no conf
+  * needed): equality/IN predicates on the bucket key narrow the file
+  * set to the matching buckets before planning — a point lookup reads
+  * 1/n of the table (see [[allowedBuckets]]), the win V1 bucketed
+  * tables get from `BucketingUtils.getBucketIdFromValue`.
+  *
   * Safety valve: if ANY live file's name doesn't parse as a bucket id
   * below `n` (e.g. an EXTERNAL location carrying foreign files), the
-  * scan reports no partitioning and plans the stock splits — a wrongly
-  * TRUSTED bucket id would silently drop join rows, whereas falling
-  * back only costs a shuffle. Same conf latch as the identity SPJ scan:
-  * without `spark.sql.sources.v2.bucketing.enabled` the stock
-  * (bin-packed, intra-bucket-parallel) planning is used. */
+  * scan reports no partitioning, prunes nothing, and plans the stock
+  * splits — a wrongly TRUSTED bucket id would silently drop rows,
+  * whereas falling back only costs I/O. Same conf latch as the
+  * identity SPJ scan: without `spark.sql.sources.v2.bucketing.enabled`
+  * the stock (bin-packed, intra-bucket-parallel) planning is used,
+  * except when pruning narrows the set (then bin-packed splits over
+  * only the allowed buckets' files). */
 class GraftBucketedFileScan(
     initial0: org.apache.spark.sql.execution.datasources.v2.FileScan,
     numBuckets: Int,
@@ -363,6 +371,38 @@ class GraftBucketedFileScan(
   private lazy val spjActive: Boolean = SQLConf.get.v2BucketingEnabled
 
   private val BucketName = "^part-(\\d+)-".r
+
+  /** BUCKET PRUNING: equality/IN predicates on the bucket column narrow
+    * the readable bucket set — a point lookup reads 1/n of the table's
+    * files, the I/O win V1 bucketed tables get from
+    * `BucketingUtils.getBucketIdFromValue`. Sound because the write
+    * invariant puts every row with key v in bucket pmod(murmur3(v), n)
+    * (same hash as [[GraftBucketBound]]); a `key = NULL` literal prunes
+    * to zero files, which matches its empty SQL semantics. Conjuncts
+    * that are not a bare attribute vs literal (casts, expressions) are
+    * ignored — pruning is an optimization, never a row filter (the
+    * pushed data filters still run in the reader). None = no narrowing. */
+  private def allowedBuckets: Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
+    def onCol(a: AttributeReference): Boolean = SQLConf.get.resolver(a.name, bucketCol)
+    def id(v: Any, dt: org.apache.spark.sql.types.DataType): Set[Int] =
+      if (v == null) Set.empty
+      else {
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(v, dt, 42L).toInt
+        val r = h % numBuckets
+        Set(if (r < 0) r + numBuckets else r)
+      }
+    val sets = currentScan.dataFilters.flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) if onCol(a) => Some(id(v, dt))
+      case EqualTo(Literal(v, dt), a: AttributeReference) if onCol(a) => Some(id(v, dt))
+      case In(a: AttributeReference, elems) if onCol(a) &&
+          elems.forall(_.isInstanceOf[Literal]) =>
+        Some(elems.flatMap { case Literal(v, dt) => id(v, dt) }.toSet)
+      case _ => None
+    }
+    sets.reduceOption(_ intersect _)
+  }
 
   /** (bucketId, file) per live data file, or None when any file name
     * fails to parse (foreign layout — never trust, always fall back).
@@ -382,27 +422,53 @@ class GraftBucketedFileScan(
     if (tagged.forall(_.isDefined)) Some(tagged.map(_.get)) else None
   }
 
+  /** The live (bucket-pruned) file set: [[allowedBuckets]] applied to
+    * the parsed listing. Both `outputPartitioning` and the batches
+    * below derive from this one value, so the planner's group count and
+    * execution's splits can never disagree. */
+  private lazy val pruned: Option[Seq[(Int, PartitionedFile)]] =
+    parsed.map { fs =>
+      allowedBuckets match {
+        case Some(allowed) => fs.filter { case (b, _) => allowed.contains(b) }
+        case None => fs
+      }
+    }
+
   override def outputPartitioning(): Partitioning =
-    if (spjActive && parsed.isDefined)
+    if (spjActive && pruned.isDefined)
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(numBuckets, bucketCol):
           org.apache.spark.sql.connector.expressions.Expression),
-        parsed.get.map(_._1).distinct.size)
+        pruned.get.map(_._1).distinct.size)
     else new UnknownPartitioning(0)
 
-  override def toBatch: Batch =
-    if (!spjActive || parsed.isEmpty) super.toBatch
-    else new Batch {
+  override def toBatch: Batch = (pruned, spjActive) match {
+    case (Some(fs), true) => new Batch {
       // per-file splits: BatchScanExec groups key-equal splits, and
       // partially-clustered planning can leave a hot bucket un-grouped
       override def planInputPartitions(): Array[InputPartition] =
-        parsed.get.zipWithIndex.map { case ((b, f), i) =>
+        fs.zipWithIndex.map { case ((b, f), i) =>
           new GraftKeyedFilePartition(i, Array(f),
             InternalRow(b)): InputPartition
         }.toArray
       override def createReaderFactory(): PartitionReaderFactory =
         currentScan.createReaderFactory()
     }
+    // bucket pruning pays WITHOUT the SPJ confs too: a narrowed bucket
+    // set plans bin-packed splits over only the allowed buckets' files
+    // (the stock path would read every file). Un-narrowed scans keep
+    // the stock planning (intra-file splits, bin-packing).
+    case (Some(fs), false) if allowedBuckets.isDefined => new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        org.apache.spark.sql.execution.datasources.FilePartition
+          .getFilePartitions(org.apache.spark.sql.SparkSession.active,
+            fs.map(_._2), SQLConf.get.filesMaxPartitionBytes)
+          .toArray[InputPartition]
+      override def createReaderFactory(): PartitionReaderFactory =
+        currentScan.createReaderFactory()
+    }
+    case _ => super.toBatch
+  }
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that

@@ -209,6 +209,36 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bucket pruning: key equality/IN reads only the matching buckets' files — no SPJ confs needed") {
+    import spark.implicits._
+    val t = freshTable("b_prune")
+    Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .writeTo(t).partitionedBy(bucket(8, $"o_orderkey")).create()
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.inputPartitions.size
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    val all = scanParts(spark.table(t))
+    // point lookup: exactly one bucket's files planned (8 files total,
+    // one per bucket) — and the row comes back
+    val keys = spark.table(t).select($"o_orderkey")
+      .limit(3).collect().map(_.getLong(0))
+    val point = spark.table(t).filter($"o_orderkey" === keys(0))
+    assert(scanParts(point) === 1, s"point lookup must read 1 of $all bucket files")
+    assert(point.count() === 1)
+    // IN list over keys spanning ≤ 3 buckets
+    val inq = spark.table(t).filter($"o_orderkey".isin(keys: _*))
+    assert(scanParts(inq) <= 3 && scanParts(inq) < all)
+    assert(inq.count() === keys.length)
+    // a NULL literal prunes to zero files and zero rows (= its SQL
+    // semantics); a filter on a NON-bucket column prunes nothing
+    assert(scanParts(spark.table(t).filter($"o_totalprice" > 0)) === all)
+    val nullEq = spark.table(t).filter($"o_orderkey" === lit(null).cast("bigint"))
+    assert(nullEq.count() === 0)
+  }
+
   test("bucket function: bind validates shape; result matches Spark's hash routing") {
     val f = GraftBucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
