@@ -47,7 +47,15 @@ object GraftBucketFunction extends UnboundFunction {
   }
 }
 
-/** Bound form of [[GraftBucketFunction]] for one bucket-column type. */
+/** Bound form of [[GraftBucketFunction]] for one bucket-column type.
+  *
+  * Carries typed MAGIC `invoke` overloads beside the generic
+  * `produceResult` row fallback: when the planner must EVALUATE the
+  * function (the `v2.bucketing.shuffle.enabled` path, which shuffles a
+  * non-bucketed join side by the bucketed side's transform),
+  * `V2ExpressionUtils.resolveScalarFunction` binds the exact-signature
+  * `invoke` as a direct codegen'd call — the row-boxing fallback only
+  * serves column types without an overload. */
 class GraftBucketBound(colType: DataType) extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = Array(DataTypes.IntegerType, colType)
   override def resultType(): DataType = DataTypes.IntegerType
@@ -58,12 +66,26 @@ class GraftBucketBound(colType: DataType) extends ScalarFunction[Integer] {
   override def canonicalName(): String = s"graft.bucket(${colType.catalogString})"
   override def isResultNullable: Boolean = false
 
+  private def pmod(h: Long, n: Int): Int = {
+    val r = h.toInt % n
+    if (r < 0) r + n else r
+  }
+
+  // magic methods for the common bucket-key types (same math as
+  // produceResult; non-nullable primitives — NULL keys route through
+  // the row fallback's null branch)
+  def invoke(numBuckets: Int, value: Long): Int =
+    pmod(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(value, 42),
+      numBuckets)
+  def invoke(numBuckets: Int, value: Int): Int =
+    pmod(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(value, 42),
+      numBuckets)
+
   override def produceResult(input: InternalRow): Integer = {
     val n = input.getInt(0)
     val h =
       if (input.isNullAt(1)) 42L // null skips the hash update: seed survives
       else Murmur3HashFunction.hash(input.get(1, colType), colType, 42L)
-    val r = (h.toInt) % n
-    if (r < 0) r + n else r
+    pmod(h, n)
   }
 }

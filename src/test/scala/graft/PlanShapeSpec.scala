@@ -482,6 +482,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(gated.count() > 0)
   }
 
+  test("shuffle-one-side: a bucketed table joins an UNBUCKETED source with one exchange, not two") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    // the q100 tables exist (created by the earlier test or on demand)
+    val a = s"$cat.tmp.q100_bspj_a"
+    if (!spark.catalog.tableExists(a))
+      graft.operators.EngineQueries.q100_bucketed_spj_join(spark, sf0001)
+    // an unbucketed, non-catalog source — the ingest-batch shape
+    val plain = Tables(spark, sf0001, "orders")
+      .filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey".as("k"), $"o_custkey")
+    def join(df: org.apache.spark.sql.DataFrame) = spark.table(a)
+      .join(df, $"o_orderkey" === $"k")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val expected = join(plain).count()
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      try {
+        val df = join(plain)
+        val p = df.queryExecution.executedPlan.toString
+        val exchanges = p.linesIterator.count(_.contains("Exchange "))
+        assert(exchanges === 1,
+          s"expected ONE exchange (the unbucketed side shuffled by the " +
+            s"bucket function), found $exchanges:\n$p")
+        // the bucketed scan feeds the join with no exchange above it:
+        // the single exchange must sit on the plain-parquet side
+        assert(!p.linesIterator.exists(l =>
+          l.contains("Exchange ") && l.contains("q100_bspj_a")), p)
+        assert(df.count() === expected,
+          "shuffling one side by the storage transform must not change the answer")
+      } finally saved match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.v2.bucketing.shuffle.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.shuffle.enabled")
+      }
+    }
+  }
+
   test("identity SPJ under skew: partially-clustered planning splits the hot value, stays shuffle-free") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -252,6 +252,8 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
       val got = f.produceResult(
         org.apache.spark.sql.catalyst.InternalRow(8, r.getLong(0)))
       assert(got === expect, s"bucket(${r.getLong(0)})")
+      // the magic invoke (the codegen'd shuffle-one-side path) agrees
+      assert(f.invoke(8, r.getLong(0)) === expect, s"invoke(${r.getLong(0)})")
     }
     // null routes to the seed bucket, same as the hash expression
     val nullBucket = spark.sql("SELECT pmod(hash(CAST(NULL AS BIGINT)), 8)")
