@@ -147,13 +147,17 @@ class GraftFileScan(
     * probe replaces the enumeration. */
   // memoized: createReaderFactory broadcasts the hadoop conf per call,
   // and the answer is filter-independent (same format, same schema).
-  // The null probe leans on the factories ignoring their partition
-  // argument (true in 4.1.2; verified in bytecode) — if a Spark upgrade
-  // ever reads it, fall back to the stock PARTITION_DEFINED: degraded
-  // to the old full-enumeration listing, never a planning failure.
+  // The probe passes an EMPTY FilePartition — a real instance of the
+  // type every delegated factory dispatches on, so even a Spark upgrade
+  // that starts reading the argument sees a well-formed zero-file
+  // partition rather than null; any probe failure still falls back to
+  // the stock PARTITION_DEFINED (degraded to the old full-enumeration
+  // listing, never a planning failure).
   private lazy val columnarMode =
     try {
-      if (initial.createReaderFactory().supportColumnarReads(null))
+      if (initial.createReaderFactory().supportColumnarReads(
+          new org.apache.spark.sql.execution.datasources.FilePartition(
+            0, Array.empty)))
         org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.SUPPORTED
       else
         org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED

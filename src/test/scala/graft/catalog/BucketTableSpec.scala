@@ -239,6 +239,25 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     assert(nullEq.count() === 0)
   }
 
+  test("an EMPTY bucketed table plans and joins safely under the SPJ confs") {
+    import spark.implicits._
+    val t = freshTable("b_empty")
+    spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_totalprice DOUBLE) " +
+      "USING parquet CLUSTERED BY (o_orderkey) INTO 4 BUCKETS")
+    val full = freshTable("b_empty_other")
+    Tables(spark, sf0001, "orders").select($"o_orderkey", $"o_totalprice")
+      .writeTo(full).partitionedBy(bucket(4, $"o_orderkey")).create()
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      assert(spark.table(t).count() === 0)
+      assert(spark.table(t).join(spark.table(full), "o_orderkey").count() === 0)
+      // outer join from the full side over the empty one keeps all rows
+      assert(spark.table(full)
+        .join(spark.table(t).withColumnRenamed("o_totalprice", "p2"),
+          Seq("o_orderkey"), "left_outer").count()
+        === spark.table(full).count())
+    }
+  }
+
   test("bucket function: bind validates shape; result matches Spark's hash routing") {
     val f = GraftBucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
