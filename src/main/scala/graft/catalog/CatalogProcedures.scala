@@ -1,0 +1,121 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The catalog's SQL-invocable MAINTENANCE surface (DSv2
+  * `ProcedureCatalog`, Spark 4's stored-procedure API): the operators a
+  * table's operator runs on a cadence — vacuum, namespace sweep,
+  * compaction, format migration — callable as
+  * `CALL <catalog>.sys.vacuum('catalog.ns.table')` with no Scala
+  * import, the Iceberg-procedure UX. Beyond the reference (its catalog
+  * stops at tables); shares the `sys` namespace with
+  * [[CatalogFunctions]] so the whole code-defined surface lists in one
+  * place.
+  *
+  * Each procedure is a thin declarative shell over the operator object
+  * (the semantics, permits and gates live THERE — see
+  * `operators/Vacuum.scala`, `Compaction.scala`, `Migrate.scala`); the
+  * result set is a one-row summary returned through a driver-side
+  * [[LocalScan]]. Argument coercion/defaults ride the analyzer's
+  * procedure binding; `isDeterministic = false` (they mutate state). */
+object CatalogProcedures {
+  import CatalogFunctions.{Namespace => Sys}
+
+  private def param(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def paramDefault(n: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** One code-defined procedure: fixed parameters, fixed result schema,
+    * a body from the coerced argument row. */
+  private final class GraftProcedure(
+      procName: String,
+      procDescription: String,
+      params: Array[ProcedureParameter],
+      resultSchema: StructType,
+      body: InternalRow => InternalRow)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = body(input)
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(row)
+      }).iterator()
+    }
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  val All: Map[String, UnboundProcedure] = Map(
+    "vacuum" -> new GraftProcedure(
+      "vacuum",
+      "reclaim crash residue of one table (unregistered partition dirs, " +
+        "committer staging, resolved txn markers) behind a retention window",
+      Array(param("table", StringType),
+        paramDefault("retention_ms", LongType,
+          graft.operators.Vacuum.DefaultRetentionMs.toString)),
+      StructType(Seq(StructField("reclaimed_files", LongType, nullable = false),
+        StructField("reclaimed_bytes", LongType, nullable = false))),
+      in => {
+        val stats = graft.operators.Vacuum.vacuum(
+          spark, in.getUTF8String(0).toString, in.getLong(1))
+        InternalRow(stats.reclaimedFiles, stats.reclaimedBytes)
+      }),
+    "vacuum_namespace" -> new GraftProcedure(
+      "vacuum_namespace",
+      "reclaim migration residue outside table locations (crashed " +
+        "__migrate staging, retired pre-migration generations) behind a " +
+        "retention window",
+      Array(param("namespace", StringType),
+        paramDefault("retention_ms", LongType,
+          graft.operators.Vacuum.DefaultRetentionMs.toString)),
+      StructType(Seq(StructField("reclaimed_files", LongType, nullable = false),
+        StructField("reclaimed_bytes", LongType, nullable = false))),
+      in => {
+        val stats = graft.operators.Vacuum.vacuumNamespace(
+          spark, in.getUTF8String(0).toString, in.getLong(1))
+        InternalRow(stats.reclaimedFiles, stats.reclaimedBytes)
+      }),
+    "compact" -> new GraftProcedure(
+      "compact",
+      "rewrite a fragmented table in place (dynamic self-overwrite under " +
+        "the write-permit lease; honors graft.cluster.by sort layout)",
+      Array(param("table", StringType)),
+      StructType(Seq(StructField("table", StringType, nullable = false))),
+      in => {
+        val t = in.getUTF8String(0).toString
+        graft.operators.Compaction.compact(spark, t)
+        InternalRow(utf8(t))
+      }),
+    "migrate" -> new GraftProcedure(
+      "migrate",
+      "rewrite a table into a new provider and atomically flip the " +
+        "descriptor (the working SET FILEFORMAT); old generation is " +
+        "reclaimed by vacuum_namespace after retention",
+      Array(param("table", StringType), param("provider", StringType)),
+      StructType(Seq(StructField("table", StringType, nullable = false),
+        StructField("provider", StringType, nullable = false))),
+      in => {
+        val (t, p) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        graft.operators.Migrate.toProvider(spark, t, p)
+        InternalRow(utf8(t), utf8(p))
+      }))
+
+  def load(ns: Array[String], name: String): Option[UnboundProcedure] =
+    if (ns.length == 1 && ns.head == Sys) All.get(name) else None
+
+  def list(ns: Array[String]): Option[Array[String]] =
+    if (ns.length == 1 && ns.head == Sys) Some(All.keys.toArray.sorted) else None
+}

@@ -37,7 +37,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * embedded — listing/pruning never touches the data files.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -332,6 +332,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.namespace.isEmpty && ident.name == "bucket")
       GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  // ----------------------------------------------------- ProcedureCatalog
+  /** SQL-invocable maintenance surface (`CALL <cat>.sys.vacuum(...)` —
+    * see [[CatalogProcedures]]): same listing contract as functions —
+    * the synthetic `sys` namespace serves the fixed code-defined set,
+    * real namespaces list none, unknowns throw the standard classes. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    CatalogProcedures.load(ident.namespace, ident.name).getOrElse(
+      // no dedicated NoSuchProcedureException exists in 4.1.2 — the
+      // standard routine-not-found error class is the analyzer contract
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "ROUTINE_NOT_FOUND",
+        messageParameters = Map("routineName" ->
+          (ident.namespace :+ ident.name).mkString("`", "`.`", "`"))))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    CatalogProcedures.list(namespace)
+      .map(_.map(n => Identifier.of(namespace, n)))
+      .getOrElse {
+        if (namespaceExists(namespace)) Array.empty
+        else throw new NoSuchNamespaceException(namespace)
+      }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val db = asSingle(namespace)

@@ -320,6 +320,52 @@ object EngineQueries {
       .orderBy($"o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- Q102
+  /** SQL-DRIVEN MAINTENANCE ([[graft.catalog.CatalogProcedures]], DSv2
+    * `ProcedureCatalog`): the q49+q96 maintenance lifecycle executed
+    * entirely through `CALL <catalog>.sys.*` statements — fragment a
+    * partitioned table with per-stripe appends, `CALL sys.compact`,
+    * plant crash residue, `CALL sys.vacuum(table, 0)` — no Scala API in
+    * sight, the way an operator on a SQL gateway actually runs the
+    * cadence (Iceberg's procedure UX; beyond the reference, whose
+    * catalog stops at tables). The oracle gates content preservation
+    * through BOTH SQL-driven rewrites; DdlSurfaceSpec gates the
+    * procedure surface itself (one-file-per-partition layout, reclaim
+    * counts, migrate + namespace sweep, default args, unknown-routine
+    * refusal). */
+  def q102_call_maintenance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    val tgt = s"$cat.tmp.q102_orders_call"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val src = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    val stripes = 4
+    src.filter($"o_orderkey" % stripes === 0)
+      .writeTo(tgt).partitionedBy($"o_orderpriority").create()
+    (1 until stripes).foreach { i =>
+      src.filter($"o_orderkey" % stripes === i).writeTo(tgt).append()
+    }
+    spark.sql(s"CALL $cat.sys.compact('$tgt')").collect()
+    // crash residue, then the SQL-invoked reclamation
+    val loc = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $tgt")
+      .filter($"col_name" === "Location").head().getString(1))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val junk = fs.create(new Path(loc,
+      "o_orderpriority=9-ZOMBIE/part-00000-orphan.parquet"), true)
+    try junk.write(Array.fill[Byte](256)(0x5A)) finally junk.close()
+    val vac = spark.sql(s"CALL $cat.sys.vacuum('$tgt', 0L)").collect()
+    require(vac.head.getLong(0) >= 1L, s"vacuum must reclaim the orphan: ${vac.toSeq}")
+    spark.table(tgt)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        RelationalQueries.r2(sum($"o_totalprice")).as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
   // ---------------------------------------------------------------- Q97
   /** STORAGE-PARTITIONED JOIN — the shuffle-free co-partitioned join
     * (the bucketed-read fast path the round-14 verdict listed as
@@ -720,6 +766,7 @@ object EngineQueries {
     "q96_vacuum" -> (q96_vacuum _),
     "q97_spj_join" -> (q97_spj_join _),
     "q100_bucketed_spj_join" -> (q100_bucketed_spj_join _),
+    "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
     "q91_catalog_function" -> (q91_catalog_function _),
@@ -809,6 +856,11 @@ object EngineQueries {
         |       AS BIGINT) AS key_checksum,
         |  round((sum(l_extendedprice)) * 100) / 100 AS sum_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // SQL-driven compact + vacuum preserve every live row exactly.
+    "q102_call_maintenance" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  round((sum(o_totalprice)) * 100) / 100 AS sum_price
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // Vacuum preserves every live row exactly: the post-vacuum table
     // aggregate equals the source aggregate.
     "q96_vacuum" ->

@@ -165,6 +165,55 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
       noNs.getMessage.toLowerCase.contains("not found"))
   }
 
+  test("CALL procedures: the maintenance surface is SQL-invocable through the sys namespace") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ddl")
+    val t = s"$cat.ddl.t_proc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // fragmented ingest to give compact and vacuum something to do
+    (0 until 3).foreach { i =>
+      val df = Seq((i.toLong, "a", 1.0), (i.toLong, "b", 2.0)).toDF("id", "p", "v")
+      if (i == 0) df.writeTo(t).partitionedBy($"p").create() else df.writeTo(t).append()
+    }
+    // CALL compact: one file per partition afterwards
+    val compacted = spark.sql(s"CALL $cat.sys.compact('$t')").collect()
+    assert(compacted.map(_.getString(0)).toSeq === Seq(t))
+    val loc = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").head().getString(1))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("a", "b").foreach { p =>
+      val files = fs.listStatus(new Path(loc, s"p=$p"))
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+      assert(files.length === 1, s"p=$p not compacted: ${files.length} files")
+    }
+    // CALL vacuum reclaims planted residue; rows survive
+    val junk = fs.create(new Path(loc, "p=zz/orphan.parquet"), true)
+    try junk.write(Array.fill[Byte](64)(0x5A)) finally junk.close()
+    val vac = spark.sql(s"CALL $cat.sys.vacuum('$t', 0L)").collect()
+    assert(vac.head.getLong(0) >= 1L, s"vacuum reclaimed nothing: ${vac.toSeq}")
+    assert(spark.table(t).count() === 6)
+    // CALL migrate flips the provider; CALL vacuum_namespace sweeps the
+    // retired generation
+    spark.sql(s"CALL $cat.sys.migrate('$t', 'orc')")
+    assert(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Provider").head().getString(1).toLowerCase === "orc")
+    assert(spark.table(t).count() === 6)
+    val swept = spark.sql(s"CALL $cat.sys.vacuum_namespace('$cat.ddl', 0L)").collect()
+    assert(swept.head.getLong(0) >= 1L, s"sweep reclaimed nothing: ${swept.toSeq}")
+    assert(spark.table(t).count() === 6)
+    // default retention argument binds (no second arg)
+    spark.sql(s"CALL $cat.sys.vacuum('$t')").collect()
+    // unknown procedures throw the standard routine error
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"CALL $cat.sys.no_such_proc('$t')"))
+    assert(e.getMessage.toLowerCase.contains("routine") ||
+      e.getMessage.contains("no_such_proc"))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("CLUSTERED BY is recorded in table metadata; bucketed writes are refused") {
     import spark.implicits._
     GraftBootstrap.ensure(spark, sf0001)
