@@ -174,7 +174,12 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
       // avro ships with NO DSv2 scan (V1 AvroFileFormat only) — it reads
       // through the generic FileFormat-backed scan: column pruning +
       // static partition pruning, no DPP/runtime filters (the R12
-      // any-SerDe delegation, HiveFilePartitionReaderFactory.scala:43-154)
+      // any-SerDe delegation, HiveFilePartitionReaderFactory.scala:43-154).
+      // A BUCKETED avro table writes hash-routed (the distribution is
+      // format-agnostic) but scans conventionally: the bucket-aware
+      // wrapper below wraps FileScanBuilder formats only, so avro gets
+      // correct results without bucket pruning/SPJ — declare buckets on
+      // columnar providers to get the read-side fast paths.
       case "avro" => return new org.apache.spark.sql.graft.GraftFormatScanBuilder(
         spark, org.apache.spark.sql.graft.GraftSqlBridge.avroFileFormat(),
         index, meta.schema,
