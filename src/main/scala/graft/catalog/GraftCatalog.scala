@@ -200,17 +200,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       stats = None,
       partitions = Nil)
     // A MANAGED default dir that already exists with content is residue —
-    // no descriptor references it (tableExists was checked above), and the
+    // no descriptor NAMES it (tableExists was checked above), and the
     // one producer of such dirs is a retired pre-migration generation
     // (Migrate defers old-dir reclamation to the namespace sweep) or a
     // crashed create. Reclaim it BEFORE registering, or the new table
     // would silently alias the dead generation's files as its own rows.
-    // EXTERNAL locations are user-owned and never touched.
+    // LIVENESS-checked first (the same guard the namespace sweep runs):
+    // another table's explicit LOCATION or a registered partition
+    // LOCATION may point inside this path — then the dir is NOT ours to
+    // delete, and proceeding would alias live data either way, so the
+    // create refuses with the conflict named. EXTERNAL locations are
+    // user-owned and never touched.
     if (!external) {
       val dir = new Path(location)
-      val fs = store.namespaceDir(db).getFileSystem(
-        spark.sessionState.newHadoopConf())
-      if (fs.exists(dir) && fs.listStatus(dir).nonEmpty) fs.delete(dir, true)
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      val fs = store.namespaceDir(db).getFileSystem(hadoopConf)
+      if (fs.exists(dir) && fs.listStatus(dir).nonEmpty) {
+        def qualify(p: Path): String =
+          p.getFileSystem(hadoopConf).makeQualified(p).toString
+        val target = qualify(dir)
+        val conflict = store.listNamespaces().iterator.flatMap { ns =>
+          store.listTables(ns).iterator.map(t => (ns, store.loadTable(ns, t)))
+        }.find { case (_, t) =>
+          (qualify(new Path(t.location)) match {
+            case l => l == target || l.startsWith(target + "/")
+          }) ||
+            t.partitions.flatMap(_.location).exists { l =>
+              val q = qualify(new Path(l)); q == target || q.startsWith(target + "/")
+            }
+        }
+        conflict.foreach { case (ns, t) =>
+          throw new IllegalStateException(
+            s"cannot create managed table $db.${ident.name}: its default " +
+              s"directory $location holds data referenced by table " +
+              s"$ns.${t.name} (location/partition overlap) — drop or " +
+              "relocate that table first")
+        }
+        fs.delete(dir, true)
+      }
     }
     store.saveTable(db, meta)
     // Pre-create the managed dir so a scan before the first insert sees an

@@ -446,12 +446,12 @@ object EngineQueries {
     spark.sql(s"DROP TABLE IF EXISTS $b")
     val orders = Tables(spark, dir, "orders")
       .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
-    orders.writeTo(a).partitionedBy(bucket(8, $"o_orderkey"))
-      .tableProperty("graft.spj", "true").create()
+    // no graft.spj property: the bucket declaration itself opts the
+    // scan into the bucket-aware path (conf still gates key grouping)
+    orders.writeTo(a).partitionedBy(bucket(8, $"o_orderkey")).create()
     orders.filter($"o_orderkey" % 3 === 0)
       .select($"o_orderkey".as("b_orderkey"))
-      .writeTo(b).partitionedBy(bucket(8, $"b_orderkey"))
-      .tableProperty("graft.spj", "true").create()
+      .writeTo(b).partitionedBy(bucket(8, $"b_orderkey")).create()
     withSpjConfs(spark) {
       spark.table(a)
         .join(spark.table(b), $"o_orderkey" === $"b_orderkey")

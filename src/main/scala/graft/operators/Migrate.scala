@@ -96,8 +96,27 @@ object Migrate {
       // declared separator must be what the staging generation was
       // written with (options foreign to the target format are ignored
       // by its writer).
+      // LAYOUT invariants survive the rewrite: a writable-bucketed
+      // table re-routes through repartition(n, bucketCol) — the same
+      // HashPartitioning the catalog write path requires, so the V1
+      // writer's part-<partitionId> file names carry correct bucket ids
+      // and the post-flip bucket-pruned/SPJ scans stay sound (a plain
+      // write would keep the bucket PROPERTIES over mis-routed files —
+      // a silent wrong-results bug for every later point lookup); a
+      // declared graft.cluster.by sort is re-applied within tasks so
+      // the row-group-locality layout survives too.
       val df = spark.table(table)
-      val writer = df.write.format(p)
+      val routed = graft.catalog.GraftCatalog.writableBucketSpec(meta) match {
+        case Some((n, bucketCol)) =>
+          df.repartition(n, org.apache.spark.sql.functions.col(bucketCol))
+        case None => df
+      }
+      val clusterCols = graft.catalog.GraftCatalog.clusterColumns(meta.properties)
+      val shaped =
+        if (clusterCols.isEmpty) routed
+        else routed.sortWithinPartitions(
+          clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      val writer = shaped.write.format(p)
         .options(graft.catalog.GraftCatalog.optionProps(meta.properties))
         .mode("overwrite")
       (if (meta.partitionColumns.nonEmpty)

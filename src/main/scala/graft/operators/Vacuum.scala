@@ -216,11 +216,17 @@ object Vacuum {
         !liveLocations.exists(_.startsWith(qualified + "/")) && (
           MigrateStaging.matches(name) ||
           managedNames.get(name).exists(_ != qualified))
-      if (isCandidate && newestIn(fs, st) <= cutoff) {
-        val summary = fs.getContentSummary(st.getPath)
-        files += summary.getFileCount
-        bytes += summary.getLength
-        fs.delete(st.getPath, true)
+      if (isCandidate) {
+        // ONE recursive walk gathers the retention signal AND the
+        // reclaim stats — on object stores the listing IS the cost, and
+        // a newestIn + getContentSummary pair would traverse every
+        // candidate tree twice
+        val (newest, fc, bc) = walkStats(fs, st)
+        if (newest <= cutoff) {
+          files += fc
+          bytes += bc
+          fs.delete(st.getPath, true)
+        }
       }
     }
     Stats(files, bytes)
@@ -232,6 +238,16 @@ object Vacuum {
     if (st.isFile) st.getModificationTime
     else (st.getModificationTime +:
       fs.listStatus(st.getPath).toSeq.map(newestIn(fs, _))).max
+
+  /** One recursive walk: (newest mtime anywhere, file count, byte sum). */
+  private def walkStats(
+      fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): (Long, Long, Long) =
+    if (st.isFile) (st.getModificationTime, 1L, st.getLen)
+    else fs.listStatus(st.getPath).foldLeft(
+      (st.getModificationTime, 0L, 0L)) { case ((m, f, b), child) =>
+        val (cm, cf, cb) = walkStats(fs, child)
+        (math.max(m, cm), f + cf, b + cb)
+      }
 
   /** Hive-layout leaf partition dirs under the table root: descend
     * exactly `partitionColumns.size` levels of `col=value` dirs,

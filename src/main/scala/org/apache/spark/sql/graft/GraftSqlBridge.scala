@@ -328,10 +328,11 @@ class GraftSpjFileScan(
 /** BUCKETED storage-partitioned-join surface — the high-cardinality
   * complement of [[GraftSpjFileScan]] (whose one-task-per-partition-VALUE
   * planning is unusable when the join key is an order/document id): a
-  * single-column bucketed table (`CLUSTERED BY (col) INTO n BUCKETS`,
-  * opted in with `graft.spj=true`) reports its layout as
-  * `KeyGroupedPartitioning(bucket(n, col))` with one split per data
-  * FILE, each carrying its bucket id as the partition key.
+  * single-column bucketed table (`CLUSTERED BY (col) INTO n BUCKETS` —
+  * the declaration itself is the opt-in: the user chose n as the
+  * parallelism knob, and `graft.spj` is NOT consulted here) reports its
+  * layout as `KeyGroupedPartitioning(bucket(n, col))` with one split
+  * per data FILE, each carrying its bucket id as the partition key.
   *
   * The bucket id is recovered from the FILE NAME: the bucketed write
   * path shuffles rows with `HashPartitioning(col, n)` (see

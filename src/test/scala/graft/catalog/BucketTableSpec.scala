@@ -93,8 +93,7 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val t = freshTable("b_foreign")
     val src = Tables(spark, sf0001, "nation").select($"n_nationkey", $"n_name")
-    src.writeTo(t).partitionedBy(bucket(4, $"n_nationkey"))
-      .tableProperty("graft.spj", "true").create()
+    src.writeTo(t).partitionedBy(bucket(4, $"n_nationkey")).create()
     // plant a legitimate parquet file with a foreign name — rows in the
     // wrong bucket file MUST force the scan off the bucket-aligned path
     val loc = locationOf(t)
@@ -237,6 +236,34 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     assert(scanParts(spark.table(t).filter($"o_totalprice" > 0)) === all)
     val nullEq = spark.table(t).filter($"o_orderkey" === lit(null).cast("bigint"))
     assert(nullEq.count() === 0)
+  }
+
+  test("format migration preserves the bucket layout; point lookups stay correct post-flip") {
+    import spark.implicits._
+    val t = freshTable("b_migrate")
+    Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .writeTo(t).partitionedBy(bucket(4, $"o_orderkey")).create()
+    graft.operators.Migrate.toProvider(spark, t, "orc")
+    // every staged file carries a valid bucket id AND its rows hash to
+    // it — a plain (unrouted) rewrite would produce part-N names that
+    // PARSE but hold mis-bucketed rows, silently corrupting pruning
+    dataFiles(t).foreach { f =>
+      val b = bucketIdOf(f)
+      val bad = spark.read.schema(spark.table(t).schema).orc(f.toString)
+        .where(pmod(hash($"o_orderkey"), lit(4)) =!= b)
+      assert(bad.count() === 0, s"file ${f.getName}: mis-bucketed rows after migrate")
+    }
+    // the bucket-pruned point lookup — the read that a broken layout
+    // silently empties — still finds its row
+    val keys = spark.table(t).select($"o_orderkey").limit(5)
+      .collect().map(_.getLong(0))
+    keys.foreach { k =>
+      assert(spark.table(t).filter($"o_orderkey" === k).count() === 1,
+        s"post-migration point lookup lost key $k")
+    }
+    assert(spark.table(t).count() ===
+      Tables(spark, sf0001, "orders").count())
   }
 
   test("an EMPTY bucketed table plans and joins safely under the SPJ confs") {

@@ -220,6 +220,28 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("create-time residue reclamation refuses when live data points inside the default dir") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val a = freshTable("t_live_owner")
+    spark.sql(s"CREATE TABLE $a (id BIGINT, p STRING) USING parquet PARTITIONED BY (p)")
+    // a registered partition whose custom LOCATION sits inside ANOTHER
+    // table's would-be default dir
+    val nsDir = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $a")
+      .filter($"col_name" === "Location").head().getString(1)).getParent
+    val inside = new Path(nsDir, "t_squatted/p=x")
+    spark.sql(s"ALTER TABLE $a ADD PARTITION (p='x') LOCATION '$inside'")
+    Seq((1L, "x")).toDF("id", "p").writeTo(a).append()
+    assert(spark.table(a).count() === 1)
+    // creating the managed table whose default dir holds that live data
+    // must REFUSE, naming the owner — not silently delete it
+    val e = intercept[IllegalStateException](
+      spark.sql(s"CREATE TABLE $ns.t_squatted (id BIGINT) USING parquet"))
+    assert(e.getMessage.contains("t_live_owner"), e.getMessage)
+    assert(spark.table(a).count() === 1, "the live partition must survive")
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+  }
+
   test("partition column declared with different case than the schema still round-trips") {
     import spark.implicits._
     val t = freshTable("t_case")
