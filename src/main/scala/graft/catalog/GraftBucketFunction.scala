@@ -34,6 +34,18 @@ import org.apache.spark.sql.types.{DataType, DataTypes, IntegerType, StructType}
 object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
 
+  /** THE bucket-id definition — one shared implementation for the
+    * function's evaluation paths AND the scan side's bucket pruning
+    * (GraftBucketedFileScan.allowedBuckets), so the routing math can
+    * never desynchronize across call sites. NULL hashes to the seed
+    * (matching HashExpression's null-skip). */
+  def bucketId(value: Any, dt: DataType, numBuckets: Int): Int = {
+    val h = if (value == null) 42L
+      else Murmur3HashFunction.hash(value, dt, 42L)
+    val r = h.toInt % numBuckets
+    if (r < 0) r + numBuckets else r
+  }
+
   override def description(): String =
     "bucket(numBuckets, col): storage bucket id — pmod(murmur3(col), numBuckets), " +
       "identical to the bucketed write path's row routing"
@@ -83,9 +95,7 @@ class GraftBucketBound(colType: DataType) extends ScalarFunction[Integer] {
 
   override def produceResult(input: InternalRow): Integer = {
     val n = input.getInt(0)
-    val h =
-      if (input.isNullAt(1)) 42L // null skips the hash update: seed survives
-      else Murmur3HashFunction.hash(input.get(1, colType), colType, 42L)
-    pmod(h, n)
+    GraftBucketFunction.bucketId(
+      if (input.isNullAt(1)) null else input.get(1, colType), colType, n)
   }
 }

@@ -219,15 +219,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         def qualify(p: Path): String =
           p.getFileSystem(hadoopConf).makeQualified(p).toString
         val target = qualify(dir)
+        // overlap in EITHER direction: a location at/under the target
+        // (its data would be deleted) or an ANCESTOR of it (the target
+        // sits inside that table's declared tree — equally not ours)
+        def overlaps(l: String): Boolean =
+          l == target || l.startsWith(target + "/") || target.startsWith(l + "/")
         val conflict = store.listNamespaces().iterator.flatMap { ns =>
           store.listTables(ns).iterator.map(t => (ns, store.loadTable(ns, t)))
         }.find { case (_, t) =>
-          (qualify(new Path(t.location)) match {
-            case l => l == target || l.startsWith(target + "/")
-          }) ||
-            t.partitions.flatMap(_.location).exists { l =>
-              val q = qualify(new Path(l)); q == target || q.startsWith(target + "/")
-            }
+          overlaps(qualify(new Path(t.location))) ||
+            t.partitions.flatMap(_.location)
+              .exists(l => overlaps(qualify(new Path(l))))
         }
         conflict.foreach { case (ns, t) =>
           throw new IllegalStateException(
@@ -302,7 +304,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val db = asSingle(ident.namespace)
     if (!store.tableExists(db, ident.name)) false
     else {
+      val pre = store.loadTable(db, ident.name)
       store.dropTable(db, ident.name, deleteData = true)
+      // a MIGRATED table's retired pre-migration generation lives at
+      // the conventional default dir while its location points at the
+      // staging name — dropping only the location would leak a
+      // table-sized dir no sweep can later attribute (the name stops
+      // matching any live table). Reclaim it here, liveness-checked.
+      reclaimRetiredDefaultDir(db, ident.name, pre.location, pre.external)
       invalidateTable(ident)
       true
     }
@@ -314,10 +323,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!store.tableExists(fromDb, oldIdent.name)) throw new NoSuchTableException(oldIdent)
     if (store.tableExists(toDb, newIdent.name)) throw new TableAlreadyExistsException(newIdent)
     if (!store.namespaceExists(toDb)) throw new NoSuchNamespaceException(newIdent.namespace)
+    val pre = store.loadTable(fromDb, oldIdent.name)
     store.renameTable(fromDb, oldIdent.name, toDb, newIdent.name)
+    // same leak as dropTable: after the rename, a retired generation
+    // under the OLD name's default dir matches no live table
+    reclaimRetiredDefaultDir(fromDb, oldIdent.name, pre.location, pre.external)
     // the managed data dir may have physically moved — cached listings
     // for the old path would serve a future table created there
     invalidateTable(oldIdent)
+  }
+
+  /** Reclaim a dropped/renamed MANAGED table's conventional default dir
+    * when its live location had moved elsewhere (format migration): the
+    * dir is the retired pre-migration generation, which after the
+    * drop/rename no longer matches any live table name and would leak
+    * past [[graft.operators.Vacuum.vacuumNamespace]]'s attribution
+    * rules forever. Deleting here has the same reader exposure as the
+    * drop's own data deletion. Liveness-checked both directions against
+    * every remaining table/partition location (the create/sweep rule),
+    * so a dir any live table references is never touched. */
+  private def reclaimRetiredDefaultDir(
+      db: String, name: String, formerLocation: String,
+      wasExternal: Boolean): Unit = {
+    if (wasExternal) return
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dir = store.defaultTableDir(db, name)
+    val fs = dir.getFileSystem(hadoopConf)
+    def qualify(p: Path): String =
+      p.getFileSystem(hadoopConf).makeQualified(p).toString
+    val q = qualify(dir)
+    if (qualify(new Path(formerLocation)) == q) return // was the live dir
+    if (!fs.exists(dir)) return
+    def overlaps(l: String): Boolean =
+      l == q || l.startsWith(q + "/") || q.startsWith(l + "/")
+    val referenced = store.listNamespaces().exists { ns =>
+      store.listTables(ns).exists { t =>
+        val m = store.loadTable(ns, t)
+        overlaps(qualify(new Path(m.location))) ||
+          m.partitions.flatMap(_.location)
+            .exists(l => overlaps(qualify(new Path(l))))
+      }
+    }
+    if (!referenced) { fs.delete(dir, true); () }
   }
 
   // --- namespaces --------------------------------------------------------

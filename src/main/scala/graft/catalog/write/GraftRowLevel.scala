@@ -234,6 +234,17 @@ private[write] object GraftCowScan {
       case "parquet" => ParquetScanBuilder(spark, index, m.schema, m.dataSchema, opts)
       case "csv" => CSVScanBuilder(spark, index, m.schema, m.dataSchema, opts)
       case "json" => JsonScanBuilder(spark, index, m.schema, m.dataSchema, opts)
+      case "orc" => org.apache.spark.sql.execution.datasources.v2.orc.OrcScanBuilder(
+        spark, index, m.schema, m.dataSchema, opts)
+      // avro has no FileScanBuilder (V1 format only) — refuse the
+      // rewrite with the actual limitation named rather than an
+      // internal error; metadata-only DELETE (SupportsDelete) and
+      // whole-table overwrites still work on avro tables
+      case "avro" => throw new UnsupportedOperationException(
+        s"row-level UPDATE/MERGE/DELETE are not supported on avro table " +
+          s"${meta.name}: the rewrite scan requires a DSv2 file scan and " +
+          "Spark ships avro as a V1 format only — migrate the table to a " +
+          "columnar provider (CALL sys.migrate) or rewrite via INSERT OVERWRITE")
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
     builder.pruneColumns(required)

@@ -436,6 +436,10 @@ object Similarity {
     val assigned = batch
       .withColumn("bucket", nearestCentroids(cents, col("v"), 1).getItem(0))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      // WITHIN-batch dedup first: an at-least-once source can land the
+      // same vec_id twice in one trigger, and the stored-index anti-join
+      // below cannot see intra-batch duplicates
+      .dropDuplicates("vec_id")
       .localCheckpoint() // feeds the touched-bucket probe AND the append
     val touched = assigned.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq

@@ -112,10 +112,15 @@ object Migrate {
         case None => df
       }
       val clusterCols = graft.catalog.GraftCatalog.clusterColumns(meta.properties)
+      // partition columns FIRST, mirroring GraftWrite.requiredOrdering:
+      // the V1 writer's dynamic-partition path requires ordering by the
+      // partition columns and would insert its own (cluster-destroying)
+      // sort if ours didn't already satisfy it as a prefix
       val shaped =
         if (clusterCols.isEmpty) routed
         else routed.sortWithinPartitions(
-          clusterCols.map(org.apache.spark.sql.functions.col): _*)
+          (meta.partitionColumns ++ clusterCols)
+            .map(org.apache.spark.sql.functions.col): _*)
       val writer = shaped.write.format(p)
         .options(graft.catalog.GraftCatalog.optionProps(meta.properties))
         .mode("overwrite")

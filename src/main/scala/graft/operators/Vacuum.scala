@@ -211,9 +211,13 @@ object Vacuum {
       val name = st.getPath.getName
       val qualified = fs.makeQualified(st.getPath).toString
       val isCandidate = st.isDirectory && name != "_meta" &&
-        !liveLocations.contains(qualified) &&
-        // never touch a dir holding any live custom-located partition
-        !liveLocations.exists(_.startsWith(qualified + "/")) && (
+        // liveness in EITHER direction: a live location at/under the
+        // candidate (it holds live data) or an ANCESTOR of it (the
+        // candidate sits inside a table's declared tree — e.g. an
+        // EXTERNAL table registered on the namespace dir itself)
+        !liveLocations.exists(l =>
+          l == qualified || l.startsWith(qualified + "/") ||
+            qualified.startsWith(l + "/")) && (
           MigrateStaging.matches(name) ||
           managedNames.get(name).exists(_ != qualified))
       if (isCandidate) {

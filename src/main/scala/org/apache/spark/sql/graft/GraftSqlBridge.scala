@@ -390,14 +390,12 @@ class GraftBucketedFileScan(
   private def allowedBuckets: Option[Set[Int]] = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
     def onCol(a: AttributeReference): Boolean = SQLConf.get.resolver(a.name, bucketCol)
+    // a NULL equality literal matches no rows → empty bucket set; the
+    // non-null math is THE shared definition (GraftBucketFunction
+    // .bucketId — same call the function evaluation paths make)
     def id(v: Any, dt: org.apache.spark.sql.types.DataType): Set[Int] =
       if (v == null) Set.empty
-      else {
-        val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-          .hash(v, dt, 42L).toInt
-        val r = h % numBuckets
-        Set(if (r < 0) r + numBuckets else r)
-      }
+      else Set(graft.catalog.GraftBucketFunction.bucketId(v, dt, numBuckets))
     val sets = currentScan.dataFilters.flatMap {
       case EqualTo(a: AttributeReference, Literal(v, dt)) if onCol(a) => Some(id(v, dt))
       case EqualTo(Literal(v, dt), a: AttributeReference) if onCol(a) => Some(id(v, dt))
@@ -437,7 +435,14 @@ class GraftBucketedFileScan(
         case Some(allowed) => fs.filter { case (b, _) => allowed.contains(b) }
         case None => fs
       }
-    }
+    // an EMPTY keyed set (empty table, or contradictory conjuncts whose
+    // allowed buckets intersect to nothing) falls back to the stock
+    // planning: a KeyGroupedPartitioning with zero partition values is
+    // an edge Spark's SPJ path has no contract for, and the stock scan
+    // of the same (possibly empty) file set is always correct — the
+    // fallback costs I/O only on the contradictory-predicate case,
+    // where the reader's own filters still return zero rows
+    }.filter(_.nonEmpty)
 
   override def outputPartitioning(): Partitioning =
     if (spjActive && pruned.isDefined)

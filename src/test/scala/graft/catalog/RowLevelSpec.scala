@@ -55,6 +55,31 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     ).toDF("id", "v", "p").writeTo(t).partitionedBy($"p").create()
   }
 
+  test("row-level DML works on every columnar provider; avro refuses with the limitation named") {
+    import spark.implicits._
+    // orc rides the same COW machinery as parquet (the round-16 review
+    // found the dispatch missing it — an internal error, not a refusal)
+    val t = freshTable("t_update_orc")
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"))
+      .toDF("id", "v", "p").writeTo(t).using("orc").partitionedBy($"p").create()
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE id = 1")
+    assert(spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((1L, 11.0), (2L, 20.0)))
+    spark.sql(s"MERGE INTO $t tgt USING (SELECT 2L AS id, 99.0 AS v) s " +
+      "ON tgt.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert(spark.table(t).filter($"id" === 2L).head().getDouble(1) === 99.0)
+    // avro: a clean refusal naming the V1-format limitation, never an
+    // internal IllegalStateException
+    val ta = freshTable("t_update_avro")
+    Seq((1L, 10.0)).toDF("id", "v").writeTo(ta).using("avro").create()
+    val e = intercept[Exception](spark.sql(s"UPDATE $ta SET v = 0 WHERE id = 1"))
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("avro")), msgs(e).mkString("|"))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS $ta")
+  }
+
   test("UPDATE rewrites matching rows; untouched partitions keep their files") {
     val t = freshTable("t_update")
     seed(t)

@@ -782,6 +782,20 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).count() === 3, "table reads unchanged after the sweep")
     fs.delete(bystander, true)
 
+    // ---- DROP after a migration reclaims the retired generation too:
+    // once the table is gone its old-name dir matches no live table and
+    // would otherwise leak past the sweep's attribution forever
+    val t3 = s"$ns.t_migrate3"
+    spark.sql(s"DROP TABLE IF EXISTS $t3")
+    spark.sql(s"CREATE TABLE $t3 (id BIGINT) USING orc")
+    Seq((7L)).toDF("id").writeTo(t3).append()
+    val t3Default = new Path(nsDir, "t_migrate3")
+    graft.operators.Migrate.toProvider(spark, t3, "parquet")
+    assert(fs.exists(t3Default), "retired generation present pre-drop")
+    spark.sql(s"DROP TABLE $t3")
+    assert(!fs.exists(t3Default),
+      "drop must reclaim the retired generation (nothing can attribute it later)")
+
     // ---- create-time reclamation: a managed create whose default dir
     // holds a dead generation's files (residue inside the retention
     // window, so the sweep hasn't taken it) must not alias them
