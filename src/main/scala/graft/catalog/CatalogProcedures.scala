@@ -99,6 +99,57 @@ object CatalogProcedures {
         graft.operators.Compaction.compact(spark, t)
         InternalRow(utf8(t))
       }),
+    "analyze" -> new GraftProcedure(
+      "analyze",
+      "recompute table/partition size statistics from the filesystem — " +
+        "the manual stats refresh an autoSizeUpdate=false catalog runs " +
+        "so the planner's broadcast decisions see real sizes again",
+      Array(param("table", StringType)),
+      StructType(Seq(StructField("partitions_sized", LongType, nullable = false),
+        StructField("size_in_bytes", LongType, nullable = false))),
+      in => {
+        val parts = in.getUTF8String(0).toString.split("\\.")
+        require(parts.length == 3, s"analyze expects catalog.ns.table")
+        val plugin = spark.sessionState.catalogManager.catalog(parts(0)) match {
+          case g: GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"analyze: not a graft catalog: ${other.name()}")
+        }
+        val store = plugin.metaStore
+        val (db, name) = (parts(1), parts(2))
+        val conf = spark.sessionState.newHadoopConf()
+        def sizeOf(p: org.apache.hadoop.fs.Path): Long = {
+          val fs = p.getFileSystem(conf)
+          if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+        }
+        // size OUTSIDE the metastore lock (the write path's discipline:
+        // a long listing pass must not block DDL), then one atomic merge
+        val snap = store.loadTable(db, name)
+        val sized = snap.partitions.map { pm =>
+          val dir = pm.location.map(new org.apache.hadoop.fs.Path(_))
+            .getOrElse(graft.catalog.write.GraftBatchWrite.partitionDir(snap, pm.spec))
+          pm.spec -> sizeOf(dir)
+        }.toMap
+        val tableBytes =
+          if (snap.partitionColumns.isEmpty)
+            sizeOf(new org.apache.hadoop.fs.Path(snap.location))
+          else sized.values.sum
+        val updated = store.updateTable(db, name) { cur =>
+          // merge by spec: partitions added since the snapshot keep
+          // their current record (the next analyze sizes them)
+          val merged = cur.partitions.map(p =>
+            sized.get(p.spec).map(b => p.copy(sizeInBytes = b)).getOrElse(p))
+          cur.copy(partitions = merged,
+            stats =
+              if (cur.partitionColumns.isEmpty)
+                Some(TableStats(tableBytes, None))
+              else if (merged.forall(_.isSized))
+                Some(TableStats(merged.map(_.sizeInBytes).sum, None))
+              else None)
+        }
+        InternalRow(sized.size.toLong,
+          updated.stats.map(_.sizeInBytes).getOrElse(tableBytes))
+      }),
     "migrate" -> new GraftProcedure(
       "migrate",
       "rewrite a table into a new provider and atomically flip the " +

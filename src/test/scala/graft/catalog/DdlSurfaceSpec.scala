@@ -206,6 +206,19 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).count() === 6)
     // default retention argument binds (no second arg)
     spark.sql(s"CALL $cat.sys.vacuum('$t')").collect()
+    // CALL analyze recomputes real sizes: after clearing stats via the
+    // descriptor (simulating an autoSizeUpdate=off history), the stats
+    // return and match the filesystem
+    val graftCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    graftCat.metaStore.updateTable("ddl", "t_proc")(m => m.copy(stats = None,
+      partitions = m.partitions.map(_.copy(sizeInBytes = PartitionMeta.Unsized))))
+    val an = spark.sql(s"CALL $cat.sys.analyze('$t')").collect()
+    assert(an.head.getLong(0) === 2L, s"expected 2 partitions sized: ${an.toSeq}")
+    assert(an.head.getLong(1) > 0L)
+    val restored = graftCat.metaStore.loadTable("ddl", "t_proc")
+    assert(restored.stats.exists(_.sizeInBytes == an.head.getLong(1)))
+    assert(restored.partitions.forall(_.isSized))
     // unknown procedures throw the standard routine error
     val e = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql(s"CALL $cat.sys.no_such_proc('$t')"))
