@@ -122,33 +122,43 @@ object CatalogProcedures {
           val fs = p.getFileSystem(conf)
           if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
         }
-        // size OUTSIDE the metastore lock (the write path's discipline:
-        // a long listing pass must not block DDL), then one atomic merge
-        val snap = store.loadTable(db, name)
-        val sized = snap.partitions.map { pm =>
-          val dir = pm.location.map(new org.apache.hadoop.fs.Path(_))
-            .getOrElse(graft.catalog.write.GraftBatchWrite.partitionDir(snap, pm.spec))
-          pm.spec -> sizeOf(dir)
-        }.toMap
-        val tableBytes =
-          if (snap.partitionColumns.isEmpty)
-            sizeOf(new org.apache.hadoop.fs.Path(snap.location))
-          else sized.values.sum
-        val updated = store.updateTable(db, name) { cur =>
-          // merge by spec: partitions added since the snapshot keep
-          // their current record (the next analyze sizes them)
-          val merged = cur.partitions.map(p =>
-            sized.get(p.spec).map(b => p.copy(sizeInBytes = b)).getOrElse(p))
-          cur.copy(partitions = merged,
-            stats =
-              if (cur.partitionColumns.isEmpty)
-                Some(TableStats(tableBytes, None))
-              else if (merged.forall(_.isSized))
-                Some(TableStats(merged.map(_.sizeInBytes).sum, None))
-              else None)
-        }
-        InternalRow(sized.size.toLong,
-          updated.stats.map(_.sizeInBytes).getOrElse(tableBytes))
+        // under the write-permit lease (the maintenance-op discipline):
+        // a concurrent append's committer staging would otherwise count
+        // into the recorded sizes. Sizing still runs OUTSIDE the
+        // metastore lock (a long listing pass must not block DDL); the
+        // descriptor merge is one atomic update.
+        val pre = store.loadTable(db, name)
+        val release = graft.catalog.write.GraftBatchWrite.leaseWritePermit(
+          spark, pre.location,
+          s"ANALYZE of $db.$name since ${java.time.Instant.now()}",
+          plugin.writeLockTimeoutSec)
+        try {
+          val snap = store.loadTable(db, name)
+          val sized = snap.partitions.map { pm =>
+            val dir = pm.location.map(new org.apache.hadoop.fs.Path(_))
+              .getOrElse(graft.catalog.write.GraftBatchWrite.partitionDir(snap, pm.spec))
+            pm.spec -> sizeOf(dir)
+          }.toMap
+          val tableBytes =
+            if (snap.partitionColumns.isEmpty)
+              sizeOf(new org.apache.hadoop.fs.Path(snap.location))
+            else sized.values.sum
+          val updated = store.updateTable(db, name) { cur =>
+            // merge by spec: partitions added since the snapshot keep
+            // their current record (the next analyze sizes them)
+            val merged = cur.partitions.map(p =>
+              sized.get(p.spec).map(b => p.copy(sizeInBytes = b)).getOrElse(p))
+            cur.copy(partitions = merged,
+              stats =
+                if (cur.partitionColumns.isEmpty)
+                  Some(TableStats(tableBytes, None))
+                else if (merged.forall(_.isSized))
+                  Some(TableStats(merged.map(_.sizeInBytes).sum, None))
+                else None)
+          }
+          InternalRow(sized.size.toLong,
+            updated.stats.map(_.sizeInBytes).getOrElse(tableBytes))
+        } finally release()
       }),
     "migrate" -> new GraftProcedure(
       "migrate",
