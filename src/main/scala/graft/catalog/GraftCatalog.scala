@@ -200,17 +200,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       stats = None,
       partitions = Nil)
     // A MANAGED default dir that already exists with content is residue —
-    // no descriptor NAMES it (tableExists was checked above), and the
-    // one producer of such dirs is a retired pre-migration generation
-    // (Migrate defers old-dir reclamation to the namespace sweep) or a
-    // crashed create. Reclaim it BEFORE registering, or the new table
-    // would silently alias the dead generation's files as its own rows.
-    // LIVENESS-checked first (the same guard the namespace sweep runs):
-    // another table's explicit LOCATION or a registered partition
-    // LOCATION may point inside this path — then the dir is NOT ours to
-    // delete, and proceeding would alias live data either way, so the
-    // create refuses with the conflict named. EXTERNAL locations are
-    // user-owned and never touched.
+    // no descriptor NAMES it (tableExists was checked above): a retired
+    // pre-migration generation (Migrate defers old-dir reclamation), a
+    // crashed create, or data deliberately left behind by dropping an
+    // EXTERNAL table that was located there. Registering over it would
+    // silently alias the old files as the new table's rows — and
+    // deleting it inline would make a plain CREATE TABLE destroy data
+    // the user may have kept on purpose (the dropped-EXTERNAL case). So
+    // the create REFUSES either way, naming what it found: the owner
+    // table when a registered location/partition points inside the dir
+    // (drop or relocate that table first), or the unattributed residue
+    // otherwise (remove the directory, or create the table EXTERNAL
+    // with an explicit LOCATION to adopt the files). EXTERNAL creates
+    // are user-owned and never checked.
     if (!external) {
       val dir = new Path(location)
       val hadoopConf = spark.sessionState.newHadoopConf()
@@ -231,14 +233,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             t.partitions.flatMap(_.location)
               .exists(l => overlaps(qualify(new Path(l))))
         }
-        conflict.foreach { case (ns, t) =>
-          throw new IllegalStateException(
+        conflict match {
+          case Some((ns, t)) => throw new IllegalStateException(
             s"cannot create managed table $db.${ident.name}: its default " +
               s"directory $location holds data referenced by table " +
               s"$ns.${t.name} (location/partition overlap) — drop or " +
               "relocate that table first")
+          case None => throw new IllegalStateException(
+            s"cannot create managed table $db.${ident.name}: its default " +
+              s"directory $location already holds files no table " +
+              "references (a retired generation, crashed create, or data " +
+              "kept from a dropped EXTERNAL table). Remove the directory " +
+              "to proceed, or CREATE ... LOCATION to adopt the files as " +
+              "an EXTERNAL table")
         }
-        fs.delete(dir, true)
       }
     }
     store.saveTable(db, meta)

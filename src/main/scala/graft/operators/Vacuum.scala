@@ -166,10 +166,14 @@ object Vacuum {
     * untouched — the sweep deletes only what the engine's own crash
     * model produces. Liveness compares FS-QUALIFIED paths against every
     * table location AND every registered partition location, so a
-    * custom-located partition inside a candidate dir protects it. The
-    * same retention cutoff as table vacuum protects an IN-FLIGHT
-    * migration's staging (fresh by definition) and readers inside the
-    * window.
+    * custom-located partition inside a candidate dir protects it, and
+    * is RE-VERIFIED from fresh descriptor loads immediately before each
+    * delete — a migration that commits mid-sweep (flipping its staging
+    * dir into the live table location) is seen by the recheck, so the
+    * sweep can never reclaim just-committed data even with a zero
+    * retention window. The same retention cutoff as table vacuum
+    * protects an IN-FLIGHT migration's staging (fresh by definition)
+    * and readers inside the window.
     *
     * 100 TB posture: one namespace-dir listing + per-candidate
     * recursive stats — cost ∝ table count, never data size. Run beside
@@ -194,23 +198,30 @@ object Vacuum {
     val cutoff = System.currentTimeMillis() - retentionMs
 
     // live truth: every table's (qualified) location + custom partition
-    // locations + each non-external table's name→location binding
-    val tables = store.listTables(db).map(t => store.loadTable(db, t))
+    // locations + each non-external table's name→location binding.
+    // Recomputed from fresh descriptor loads on demand, because the
+    // sweep holds NO lease: a migration that COMMITS mid-sweep flips its
+    // staging dir from "unreferenced candidate" to "the live table
+    // location", and a snapshot taken before that commit would classify
+    // just-committed live data as reclaimable.
     def qualify(p: Path): String = p.getFileSystem(conf).makeQualified(p).toString
-    val liveLocations: Set[String] =
-      (tables.map(t => qualify(new Path(t.location))) ++
-        tables.flatMap(_.partitions.flatMap(_.location)).map(l => qualify(new Path(l))))
-        .toSet
-    val managedNames: Map[String, String] = tables.filterNot(_.external)
-      .map(t => t.name -> qualify(new Path(t.location))).toMap
-
-    var files = 0L
-    var bytes = 0L
+    def liveness(): (Set[String], Map[String, String]) = {
+      val tables = store.listTables(db).map(t => store.loadTable(db, t))
+      val locations =
+        (tables.map(t => qualify(new Path(t.location))) ++
+          tables.flatMap(_.partitions.flatMap(_.location)).map(l => qualify(new Path(l))))
+          .toSet
+      val managed = tables.filterNot(_.external)
+        .map(t => t.name -> qualify(new Path(t.location))).toMap
+      (locations, managed)
+    }
     val MigrateStaging = ".*__migrate_[0-9a-f-]{36}$".r
-    fs.listStatus(nsDir).foreach { st =>
+    def isCandidate(st: FileStatus,
+        live: (Set[String], Map[String, String])): Boolean = {
+      val (liveLocations, managedNames) = live
       val name = st.getPath.getName
       val qualified = fs.makeQualified(st.getPath).toString
-      val isCandidate = st.isDirectory && name != "_meta" &&
+      st.isDirectory && name != "_meta" &&
         // liveness in EITHER direction: a live location at/under the
         // candidate (it holds live data) or an ANCESTOR of it (the
         // candidate sits inside a table's declared tree — e.g. an
@@ -220,13 +231,25 @@ object Vacuum {
             qualified.startsWith(l + "/")) && (
           MigrateStaging.matches(name) ||
           managedNames.get(name).exists(_ != qualified))
-      if (isCandidate) {
+    }
+
+    var files = 0L
+    var bytes = 0L
+    val initial = liveness()
+    fs.listStatus(nsDir).foreach { st =>
+      if (isCandidate(st, initial)) {
         // ONE recursive walk gathers the retention signal AND the
         // reclaim stats — on object stores the listing IS the cost, and
         // a newestIn + getContentSummary pair would traverse every
         // candidate tree twice
         val (newest, fc, bc) = walkStats(fs, st)
-        if (newest <= cutoff) {
+        // RE-VERIFY against fresh descriptors immediately before the
+        // delete: the walk above takes time, and a migrate/create that
+        // committed since the initial snapshot may have made this dir a
+        // live location. Cost ∝ tables, paid once per actual candidate
+        // (rare), closing the commit-mid-sweep race without a
+        // namespace-wide lease.
+        if (newest <= cutoff && isCandidate(st, liveness())) {
           files += fc
           bytes += bc
           fs.delete(st.getPath, true)

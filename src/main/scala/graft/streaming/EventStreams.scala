@@ -1485,7 +1485,12 @@ object EventStreams {
     * passed by the horizon — state tracks the ACTIVE user set, not the
     * user universe (expiry + post-expiry NULL re-enrichment gated in
     * EventStreamsSpec; the 90-day default exceeds the fixture span, so
-    * the ASOF oracle is unchanged). */
+    * the ASOF oracle is unchanged). The event-time timeout requires a
+    * watermark, and the watermark doubles as the late-data filter:
+    * facts later than the transform's `lateThresholdMs` (default 1 h)
+    * are dropped, not enriched — callers feeding out-of-order data
+    * size that parameter to their lateness SLA or use s18b's buffered
+    * variant. */
   def s18_stream_temporal_join(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1508,16 +1513,25 @@ object EventStreams {
     * by the idle-horizon EVENT-TIME timeout (users whose last activity
     * the watermark passed by `horizonMs` drop their dimension row; a
     * later fact re-enriches as NULL — expiry gated in
-    * EventStreamsSpec). The 1-hour watermark delay is inert under the
-    * gate's event-time-ordered replay (nothing ever arrives late);
-    * out-of-order feeds use s18b, which buffers under the same
-    * watermark. */
+    * EventStreamsSpec).
+    *
+    * LATE-DROP semantics: `EventTimeTimeout` requires a watermark, and
+    * the watermark is also Structured Streaming's late-data filter —
+    * facts arriving more than `lateThresholdMs` behind the stream's max
+    * event time are DROPPED before the state machine sees them, not
+    * enriched. The threshold is therefore a caller-visible parameter
+    * (default 1 hour), independent of `horizonMs` (which governs how
+    * long an idle user's dimension state survives, a much longer
+    * scale). It is inert under the gate's event-time-ordered replay
+    * (nothing ever arrives late); out-of-order feeds use s18b, which
+    * buffers under the same watermark instead of dropping. */
   private[streaming] def temporalJoinTransform(df: DataFrame,
-      horizonMs: Long = TemporalJoin.DefaultHorizonMs): DataFrame = {
+      horizonMs: Long = TemporalJoin.DefaultHorizonMs,
+      lateThresholdMs: Long = 3600L * 1000): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import df.sparkSession.implicits._
     df.withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", s"$lateThresholdMs milliseconds")
       .as[TsEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[DimState, Enriched](

@@ -796,14 +796,22 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(!fs.exists(t3Default),
       "drop must reclaim the retired generation (nothing can attribute it later)")
 
-    // ---- create-time reclamation: a managed create whose default dir
-    // holds a dead generation's files (residue inside the retention
-    // window, so the sweep hasn't taken it) must not alias them
+    // ---- create-time residue: a managed create whose default dir
+    // holds files no table references (a dead generation inside the
+    // retention window, or data kept from a dropped EXTERNAL table)
+    // must REFUSE — neither aliasing the files as the new table's rows
+    // nor destroying possibly-deliberate data on a plain CREATE
     val t2 = s"$ns.t_migrate2"
     spark.sql(s"DROP TABLE IF EXISTS $t2")
     val residueDir = new Path(nsDir, "t_migrate2")
     Seq((99L, "zzz")).toDF("id", "dt").write.mode("overwrite")
       .parquet(residueDir.toString)
+    val resErr = intercept[IllegalStateException](
+      spark.sql(s"CREATE TABLE $t2 (id BIGINT, dt STRING) USING parquet"))
+    assert(resErr.getMessage.contains("no table references"), resErr.getMessage)
+    assert(fs.exists(residueDir), "the refusal must leave the residue intact")
+    // the named remedy: remove the directory, then the create succeeds
+    fs.delete(residueDir, true)
     spark.sql(s"CREATE TABLE $t2 (id BIGINT, dt STRING) USING parquet")
     assert(spark.table(t2).count() === 0,
       "a fresh managed table must not see a dead generation's files")
