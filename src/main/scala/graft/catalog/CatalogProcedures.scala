@@ -118,47 +118,70 @@ object CatalogProcedures {
         val store = plugin.metaStore
         val (db, name) = (parts(1), parts(2))
         val conf = spark.sessionState.newHadoopConf()
-        def sizeOf(p: org.apache.hadoop.fs.Path): Long = {
+        // PERMIT-FREE sizing: only COMMITTED data is counted. A
+        // concurrent append's uncommitted bytes live under hidden names
+        // (`_temporary` staging, `.`-prefixed tmp files) which the walk
+        // skips, so there is nothing a lease would protect — the
+        // measured size is "all data committed as of some instant
+        // during the pass", which is what ANALYZE means. A long listing
+        // pass therefore neither blocks writers nor waits on them.
+        def hidden(n: String): Boolean = n.startsWith("_") || n.startsWith(".")
+        def committedBytes(p: org.apache.hadoop.fs.Path): Long = {
           val fs = p.getFileSystem(conf)
-          if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+          def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+            if (hidden(st.getPath.getName)) 0L
+            else if (st.isDirectory) fs.listStatus(st.getPath).map(walk).sum
+            else st.getLen
+          if (fs.exists(p)) walk(fs.getFileStatus(p)) else 0L
         }
-        // under the write-permit lease (the maintenance-op discipline):
-        // a concurrent append's committer staging would otherwise count
-        // into the recorded sizes. Sizing still runs OUTSIDE the
-        // metastore lock (a long listing pass must not block DDL); the
-        // descriptor merge is one atomic update.
-        val pre = store.loadTable(db, name)
-        val release = graft.catalog.write.GraftBatchWrite.leaseWritePermit(
-          spark, pre.location,
-          s"ANALYZE of $db.$name since ${java.time.Instant.now()}",
-          plugin.writeLockTimeoutSec)
-        try {
+        // Bounded retry handles a migrate committing mid-pass: the
+        // atomic merge REFUSES when the table location moved since the
+        // sizing snapshot (the walked dirs belong to a retired
+        // generation), and the pass re-runs on the fresh descriptor.
+        // Partitions added or relocated since the snapshot keep their
+        // current record (the next analyze sizes them); everything else
+        // merges by spec under the descriptor monitor.
+        var attempt = 0
+        var result: InternalRow = null
+        while (result == null) {
+          attempt += 1
           val snap = store.loadTable(db, name)
           val sized = snap.partitions.map { pm =>
             val dir = pm.location.map(new org.apache.hadoop.fs.Path(_))
               .getOrElse(graft.catalog.write.GraftBatchWrite.partitionDir(snap, pm.spec))
-            pm.spec -> sizeOf(dir)
+            pm.spec -> committedBytes(dir)
           }.toMap
           val tableBytes =
             if (snap.partitionColumns.isEmpty)
-              sizeOf(new org.apache.hadoop.fs.Path(snap.location))
+              committedBytes(new org.apache.hadoop.fs.Path(snap.location))
             else sized.values.sum
+          val preLoc = snap.partitions.map(p => p.spec -> p.location).toMap
           val updated = store.updateTable(db, name) { cur =>
-            // merge by spec: partitions added since the snapshot keep
-            // their current record (the next analyze sizes them)
-            val merged = cur.partitions.map(p =>
-              sized.get(p.spec).map(b => p.copy(sizeInBytes = b)).getOrElse(p))
-            cur.copy(partitions = merged,
-              stats =
-                if (cur.partitionColumns.isEmpty)
-                  Some(TableStats(tableBytes, None))
-                else if (merged.forall(_.isSized))
-                  Some(TableStats(merged.map(_.sizeInBytes).sum, None))
-                else None)
+            if (cur.location != snap.location) cur // stale pass: refuse, no churn
+            else {
+              val merged = cur.partitions.map { p =>
+                sized.get(p.spec)
+                  .filter(_ => preLoc.get(p.spec).contains(p.location))
+                  .map(b => p.copy(sizeInBytes = b)).getOrElse(p)
+              }
+              cur.copy(partitions = merged,
+                stats =
+                  if (cur.partitionColumns.isEmpty)
+                    Some(TableStats(tableBytes, None))
+                  else if (merged.forall(_.isSized))
+                    Some(TableStats(merged.map(_.sizeInBytes).sum, None))
+                  else None)
+            }
           }
-          InternalRow(sized.size.toLong,
-            updated.stats.map(_.sizeInBytes).getOrElse(tableBytes))
-        } finally release()
+          if (updated.location == snap.location)
+            result = InternalRow(sized.size.toLong,
+              updated.stats.map(_.sizeInBytes).getOrElse(tableBytes))
+          else if (attempt >= 3) throw new IllegalStateException(
+            s"analyze $db.$name: table location moved $attempt times " +
+              "during sizing (concurrent migrations); re-run when the " +
+              "maintenance churn settles")
+        }
+        result
       }),
     "migrate" -> new GraftProcedure(
       "migrate",

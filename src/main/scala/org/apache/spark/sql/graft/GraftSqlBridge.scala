@@ -407,20 +407,21 @@ class GraftBucketedFileScan(
     sets.reduceOption(_ intersect _)
   }
 
-  /** (bucketId, file) per live data file, or None when any file name
-    * fails to parse (foreign layout — never trust, always fall back).
+  /** (bucketId, file status, partition values) per live data file, or
+    * None when any file name fails to parse (foreign layout — never
+    * trust, always fall back). Statuses (not pre-built splits) so each
+    * batch branch below can split on its own terms: whole-file for the
+    * keyed SPJ path, format-splittable for the pruning-only path.
     * Latched with the post-pushdown listing, like the SPJ snapshot. */
-  private lazy val parsed: Option[Seq[(Int, PartitionedFile)]] = {
+  private lazy val parsed: Option[Seq[(Int,
+      org.apache.spark.sql.execution.datasources.FileStatusWithMetadata,
+      InternalRow)]] = {
     val scan = currentScan
     val files = scan.fileIndex.listFiles(scan.partitionFilters, scan.dataFilters)
-      .flatMap { dir =>
-        dir.files.flatMap(f =>
-          PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
-            maxSplitBytes = Long.MaxValue, partitionValues = dir.values))
-      }
-    val tagged = files.map { f =>
-      BucketName.findFirstMatchIn(f.toPath.getName)
-        .map(_.group(1).toInt).filter(_ < numBuckets).map(b => (b, f))
+      .flatMap(dir => dir.files.map(f => (f, dir.values)))
+    val tagged = files.map { case (f, pv) =>
+      BucketName.findFirstMatchIn(f.getPath.getName)
+        .map(_.group(1).toInt).filter(_ < numBuckets).map(b => (b, f, pv))
     }
     if (tagged.forall(_.isDefined)) Some(tagged.map(_.get)) else None
   }
@@ -429,10 +430,12 @@ class GraftBucketedFileScan(
     * the parsed listing. Both `outputPartitioning` and the batches
     * below derive from this one value, so the planner's group count and
     * execution's splits can never disagree. */
-  private lazy val pruned: Option[Seq[(Int, PartitionedFile)]] =
+  private lazy val pruned: Option[Seq[(Int,
+      org.apache.spark.sql.execution.datasources.FileStatusWithMetadata,
+      InternalRow)]] =
     parsed.map { fs =>
       allowedBuckets match {
-        case Some(allowed) => fs.filter { case (b, _) => allowed.contains(b) }
+        case Some(allowed) => fs.filter { case (b, _, _) => allowed.contains(b) }
         case None => fs
       }
     // an EMPTY keyed set (empty table, or contradictory conjuncts whose
@@ -454,26 +457,43 @@ class GraftBucketedFileScan(
 
   override def toBatch: Batch = (pruned, spjActive) match {
     case (Some(fs), true) => new Batch {
-      // per-file splits: BatchScanExec groups key-equal splits, and
+      // per-file WHOLE splits (a split spanning two buckets would break
+      // the key contract): BatchScanExec groups key-equal splits, and
       // partially-clustered planning can leave a hot bucket un-grouped
       override def planInputPartitions(): Array[InputPartition] =
-        fs.zipWithIndex.map { case ((b, f), i) =>
-          new GraftKeyedFilePartition(i, Array(f),
+        fs.zipWithIndex.map { case ((b, f, pv), i) =>
+          new GraftKeyedFilePartition(i,
+            PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
+              maxSplitBytes = Long.MaxValue, partitionValues = pv).toArray,
             InternalRow(b)): InputPartition
         }.toArray
       override def createReaderFactory(): PartitionReaderFactory =
         currentScan.createReaderFactory()
     }
     // bucket pruning pays WITHOUT the SPJ confs too: a narrowed bucket
-    // set plans bin-packed splits over only the allowed buckets' files
-    // (the stock path would read every file). Un-narrowed scans keep
-    // the stock planning (intra-file splits, bin-packing).
+    // set plans splits over only the allowed buckets' files (the stock
+    // path would read every file). No key contract to preserve here, so
+    // the files re-split on the format's own terms — a point lookup on
+    // a bucket held in ONE large file keeps the intra-file parallelism
+    // the stock path would give it. Un-narrowed scans keep the stock
+    // planning entirely.
     case (Some(fs), false) if allowedBuckets.isDefined => new Batch {
-      override def planInputPartitions(): Array[InputPartition] =
+      override def planInputPartitions(): Array[InputPartition] = {
+        val session = org.apache.spark.sql.SparkSession.active
+        val scan = currentScan
+        val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
+          .maxSplitBytes(session, fs.map { case (_, f, pv) =>
+            org.apache.spark.sql.execution.datasources.PartitionDirectory(pv, Seq(f))
+          })
+        val splits = fs.flatMap { case (_, f, pv) =>
+          PartitionedFileUtil.splitFiles(f, f.getPath,
+            isSplitable = scan.isSplitable(f.getPath),
+            maxSplitBytes = maxSplit, partitionValues = pv)
+        }.sortBy(_.length)(Ordering[Long].reverse)
         org.apache.spark.sql.execution.datasources.FilePartition
-          .getFilePartitions(org.apache.spark.sql.SparkSession.active,
-            fs.map(_._2), SQLConf.get.filesMaxPartitionBytes)
+          .getFilePartitions(session, splits, maxSplit)
           .toArray[InputPartition]
+      }
       override def createReaderFactory(): PartitionReaderFactory =
         currentScan.createReaderFactory()
     }

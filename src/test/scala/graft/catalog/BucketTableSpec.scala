@@ -238,6 +238,42 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     assert(nullEq.count() === 0)
   }
 
+  test("pruning-only point lookup re-splits a large bucket file: intra-file parallelism survives pruning") {
+    import spark.implicits._
+    val t = freshTable("b_prune_split")
+    Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .writeTo(t).partitionedBy(bucket(4, $"o_orderkey")).create()
+    val key = spark.table(t).select($"o_orderkey").limit(1).collect().head.getLong(0)
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.inputPartitions.size
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    // with maxPartitionBytes forced below the bucket file's size, the
+    // pruned scan must plan MULTIPLE ranges over the one surviving
+    // file — whole-file splits would run the lookup as a single task
+    // no matter how large the bucket file is. v2 bucketing (default ON
+    // in Spark 4) is disabled here: with it on, the scan reports
+    // key-grouped partitioning and MUST keep whole-file splits (a
+    // range spanning the file would break the SPJ key contract); this
+    // pins the conf-off path, where no such contract exists.
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.files.maxPartitionBytes")
+    val savedSpj = conf.get("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val point = spark.table(t).filter($"o_orderkey" === key)
+      assert(scanParts(point) > 1,
+        "pruned point lookup planned one whole-file task; expected intra-file splits")
+      assert(point.count() === 1, "re-split ranges must still find the row exactly once")
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", saved)
+      conf.set("spark.sql.sources.v2.bucketing.enabled", savedSpj)
+    }
+  }
+
   test("format migration preserves the bucket layout; point lookups stay correct post-flip") {
     import spark.implicits._
     val t = freshTable("b_migrate")

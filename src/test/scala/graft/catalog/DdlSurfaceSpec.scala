@@ -227,6 +227,48 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("sys.analyze is permit-free: a held write permit neither blocks it nor corrupts stats") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ddl")
+    val t = s"$cat.ddl.t_analyze_live"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) USING parquet PARTITIONED BY (p)")
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p").writeTo(t).append()
+    val graftCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val meta = graftCat.metaStore.loadTable("ddl", "t_analyze_live")
+    val fs = new Path(meta.location).getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate an in-flight concurrent append: permit held by the
+    // writer, uncommitted bytes staged under the partition's _temporary
+    val staged = new Path(meta.location, "p=a/_temporary/0/part-staged.parquet")
+    val out = fs.create(staged, true)
+    try out.write(Array.fill[Byte](4096)(0x42)) finally out.close()
+    def committed(p: Path): Long = fs.listStatus(p).map { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) 0L
+      else if (st.isDirectory) committed(st.getPath)
+      else st.getLen
+    }.sum
+    val expected = committed(new Path(meta.location))
+    assert(expected > 0L)
+    val releasePermit = graft.catalog.write.GraftBatchWrite.holdPermitForTest(
+      spark, meta.location, "concurrent append (test)")
+    val an = try {
+      // must complete while the permit is held — the leased variant of
+      // analyze would wedge here until the write-lock timeout
+      spark.sql(s"CALL $cat.sys.analyze('$t')").collect()
+    } finally releasePermit()
+    assert(an.head.getLong(0) === 2L, s"expected 2 partitions sized: ${an.toSeq}")
+    assert(an.head.getLong(1) === expected,
+      s"staged _temporary bytes leaked into stats: ${an.head.getLong(1)} vs $expected")
+    val restored = graftCat.metaStore.loadTable("ddl", "t_analyze_live")
+    assert(restored.stats.exists(_.sizeInBytes == expected))
+    fs.delete(new Path(meta.location, "p=a/_temporary"), true)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("CLUSTERED BY is recorded in table metadata; bucketed writes are refused") {
     import spark.implicits._
     GraftBootstrap.ensure(spark, sf0001)
