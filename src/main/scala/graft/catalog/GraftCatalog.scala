@@ -173,6 +173,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "maintained by streaming write commits")
     }
     GraftCatalog.validateClusterBy(props, schema, partitionColumns, ident.name)
+    // bucketing a partition column is always a declaration mistake: the
+    // value is constant within its directory, so every row of a
+    // partition would land in ONE bucket and the layout degenerates
+    bucketSpec.foreach { case (_, cols) =>
+      cols.find(c => partitionColumns.exists(_.equalsIgnoreCase(c))).foreach { c =>
+        throw new IllegalArgumentException(
+          s"CLUSTERED BY names partition column '$c' — bucket by a data " +
+            "column (partition values are constant per directory)")
+      }
+    }
     val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, defaultProvider).toLowerCase
     require(GraftConf.SupportedProviders.contains(provider),
       s"unsupported provider $provider (${GraftConf.SupportedProviders.mkString(", ")})")
@@ -505,16 +515,22 @@ object GraftCatalog {
 
   /** Is a table's bucket declaration one the engine WRITES (hash-routed
     * per-bucket files, SPJ-reportable layout — see GraftWrite /
-    * GraftBucketedFileScan)? True for a SINGLE-column bucket spec on an
-    * UNPARTITIONED table; a partitioned or multi-column declaration is
-    * recorded-but-refused (the reference's posture for every bucket
-    * spec): multi-column bucket transforms don't resolve through Spark's
-    * SPJ function machinery (V2ExpressionUtils handles single-ref
-    * BucketTransform only), and the partitioned combination would need a
-    * per-partition-dir bucket layout this engine doesn't lay down. */
+    * GraftBucketedFileScan)? True for any SINGLE-column bucket spec —
+    * unpartitioned (q100) or combined with identity partitions (q103,
+    * the standard 100 TB fact layout: `PARTITIONED BY (date) CLUSTERED
+    * BY (key) INTO n BUCKETS`, time pruning + key SPJ from one table).
+    * The write shuffles on the bucket column alone so shuffle partition
+    * id == bucket id == the part-<id> file name under EVERY partition
+    * directory; the required ordering (partition cols first) splits
+    * each task's output into one file per (partition, bucket) pair. A
+    * multi-column declaration stays recorded-but-refused (the
+    * reference's posture for every bucket spec,
+    * HiveFileFormatWriteBuilder.scala:124-136): multi-column bucket
+    * transforms don't resolve through Spark's SPJ function machinery
+    * (V2ExpressionUtils handles single-ref BucketTransform only). */
   private[graft] def writableBucketSpec(meta: TableMeta): Option[(Int, String)] =
     bucketSpec(meta.properties) match {
-      case Some((n, Seq(col))) if meta.partitionColumns.isEmpty => Some((n, col))
+      case Some((n, Seq(col))) => Some((n, col))
       case _ => None
     }
 

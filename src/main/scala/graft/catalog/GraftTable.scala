@@ -199,21 +199,25 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     // shuffle-free — see GraftSpjFileScan's scaladoc for why opt-in.
     val spjProp =
       meta.properties.get(GraftCatalog.SpjProp).exists(_.equalsIgnoreCase("true"))
-    if (meta.isPartitioned)
-      new org.apache.spark.sql.graft.GraftScanBuilder(builder, meta.partitionColumns,
-        spj = spjProp)
-    else GraftCatalog.writableBucketSpec(meta) match {
-      // writable bucketed tables ALWAYS scan through the bucket-aware
-      // wrapper: declaring buckets IS the layout opt-in (the user chose
-      // n as the parallelism knob), so equality/IN predicates on the
-      // bucket key prune to their buckets' files in any session, and
-      // under the SPJ confs the scan additionally reports
-      // KeyGroupedPartitioning(bucket(n, col)) for zero-exchange
-      // co-bucketed joins — see GraftBucketedFileScan. Default-conf
-      // un-narrowed scans keep the stock planning unchanged.
+    // writable bucketed tables ALWAYS scan through the bucket-aware
+    // wrapper: declaring buckets IS the layout opt-in (the user chose
+    // n as the parallelism knob), so equality/IN predicates on the
+    // bucket key prune to their buckets' files in any session, and
+    // under the SPJ confs the scan additionally reports
+    // KeyGroupedPartitioning(bucket(n, col)) — prefixed with the
+    // identity transforms when the table is ALSO partitioned (q103's
+    // composite layout) — for zero-exchange co-laid-out joins; see
+    // GraftBucketedFileScan. Default-conf un-narrowed scans keep the
+    // stock planning unchanged. The bucket wrapper subsumes graft.spj
+    // (its keys carry the partition values too), so `bucket` wins when
+    // both are declared.
+    GraftCatalog.writableBucketSpec(meta) match {
       case Some((n, col)) =>
-        new org.apache.spark.sql.graft.GraftScanBuilder(builder, Nil,
-          bucket = Some((n, col)))
+        new org.apache.spark.sql.graft.GraftScanBuilder(builder,
+          meta.partitionColumns, bucket = Some((n, col)))
+      case _ if meta.isPartitioned =>
+        new org.apache.spark.sql.graft.GraftScanBuilder(builder,
+          meta.partitionColumns, spj = spjProp)
       case _ => builder
     }
   }

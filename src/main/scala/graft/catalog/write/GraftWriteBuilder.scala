@@ -259,24 +259,24 @@ class GraftWriteBuilder(
   }
 
   override def build(): Write = {
-    // Bucketed writes are SUPPORTED for the writable shape (single
-    // bucket column, unpartitioned — see GraftCatalog.writableBucketSpec
-    // and GraftWrite's distribution): rows are hash-routed so each
-    // bucket lands in its own file set and the scan can report the
-    // layout for storage-partitioned joins. Any OTHER bucket declaration
-    // keeps the reference's record-but-refuse posture
-    // (HiveFileFormatWriteBuilder.scala:124-136): silently writing
-    // unbucketed data under a bucketed declaration would corrupt every
-    // downstream bucket-join assumption.
+    // Bucketed writes are SUPPORTED for the writable shape (any
+    // SINGLE-column bucket spec, with or without identity partitions —
+    // see GraftCatalog.writableBucketSpec and GraftWrite's
+    // distribution): rows are hash-routed so each bucket lands in its
+    // own file set (per partition directory, when partitioned) and the
+    // scan can report the layout for storage-partitioned joins. A
+    // multi-column declaration keeps the reference's record-but-refuse
+    // posture (HiveFileFormatWriteBuilder.scala:124-136): silently
+    // writing unbucketed data under a bucketed declaration would
+    // corrupt every downstream bucket-join assumption.
     if (meta.properties.contains(graft.catalog.GraftCatalog.BucketCountProp) &&
         graft.catalog.GraftCatalog.writableBucketSpec(meta).isEmpty) {
       throw new UnsupportedOperationException(
         s"table ${meta.name} is bucketed (CLUSTERED BY " +
           s"${meta.properties(graft.catalog.GraftCatalog.BucketColumnsProp)} INTO " +
           s"${meta.properties(graft.catalog.GraftCatalog.BucketCountProp)} BUCKETS); " +
-          "writes support only a single-column bucket spec on an " +
-          "unpartitioned table — partitioned or multi-column bucket " +
-          "declarations are metadata-only")
+          "writes support only a single-column bucket spec — " +
+          "multi-column bucket declarations are metadata-only")
     }
     new GraftWrite(spark, store, db, meta, info, mode, autoSizeUpdate,
       writeLockTimeoutSec)
@@ -324,7 +324,13 @@ class GraftWrite(
     // named by the committer from the partition id) IS the bucket id
     // the scan side recovers. No per-row bucket computation anywhere —
     // the shuffle already did it. GraftBucketBound pins the identical
-    // hash for the planner's view of the layout.
+    // hash for the planner's view of the layout. When the table is ALSO
+    // identity-partitioned (q103), the distribution stays bucket-only —
+    // hashing (partCol, bucketCol) together would break partition id ==
+    // bucket id — and the required ordering below (partition cols
+    // first) makes each bucket task emit one file per partition
+    // directory, so every part-<id> name under every directory still
+    // carries its bucket id.
     case Some((_, col)) => Distributions.clustered(Array(
       Expressions.identity(col): org.apache.spark.sql.connector.expressions.Expression))
     case None =>

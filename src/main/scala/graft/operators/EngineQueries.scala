@@ -464,6 +464,60 @@ object EngineQueries {
     }
   }
 
+  // ---------------------------------------------------------------- Q103
+  /** COMPOSITE layout — the standard 100 TB fact-table shape:
+    * `PARTITIONED BY (flag) CLUSTERED BY (orderkey) INTO 8 BUCKETS`,
+    * combining q97's partition pruning on the identity column with
+    * q100's zero-exchange bucket alignment on the high-cardinality key,
+    * from ONE table declaration. The write shuffles on the bucket
+    * column alone (shuffle partition id == bucket id, see
+    * [[graft.catalog.write.GraftWrite.requiredDistribution]]) while the
+    * required ordering splits each bucket task's output into one file
+    * per partition directory, so every `part-<id>` name under every
+    * `l_returnflag=X/` directory carries its bucket id. The scan
+    * reports `KeyGroupedPartitioning(identity(flag), bucket(8, key))`
+    * from per-file `(partition values, bucket id)` keys
+    * ([[org.apache.spark.sql.graft.GraftBucketedFileScan]]), so a join
+    * on (flag, key) between two co-laid-out tables aligns
+    * group-to-group with NO exchange on either side, while a filter on
+    * the flag prunes directories and a point predicate on the key
+    * prunes buckets — both before any I/O. The reference parses exactly
+    * this pair into `(partitionCols, BucketSpec)` and then refuses the
+    * write (InternalSqlBridge.scala:21-38,
+    * HiveFileFormatWriteBuilder.scala:124-136). The b side carries a
+    * row-level checksum through the join so the oracle proves real row
+    * matching. */
+  def q103_composite_spj_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val a = s"$cat.tmp.q103_comp_a"
+    val b = s"$cat.tmp.q103_comp_b"
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    val li = Tables(spark, dir, "lineitem")
+    li.select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_returnflag")
+      .writeTo(a)
+      .partitionedBy($"l_returnflag", bucket(8, $"l_orderkey")).create()
+    li.filter($"l_orderkey" % 3 === 0)
+      .select($"l_returnflag".as("b_returnflag"), $"l_orderkey".as("b_orderkey"),
+        $"l_linenumber".as("b_linenumber"))
+      .writeTo(b)
+      .partitionedBy($"b_returnflag", bucket(8, $"b_orderkey")).create()
+    withSpjConfs(spark) {
+      spark.table(a)
+        .join(spark.table(b),
+          $"l_returnflag" === $"b_returnflag" && $"l_orderkey" === $"b_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          RelationalQueries.r2(sum($"l_extendedprice")).as("sum_price"),
+          sum(($"b_orderkey" * 7L + $"b_linenumber") % 1000003L).as("key_checksum"))
+        .orderBy($"l_returnflag")
+        .localCheckpoint(eager = true) // execute while the SPJ confs hold
+    }
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -766,6 +820,7 @@ object EngineQueries {
     "q96_vacuum" -> (q96_vacuum _),
     "q97_spj_join" -> (q97_spj_join _),
     "q100_bucketed_spj_join" -> (q100_bucketed_spj_join _),
+    "q103_composite_spj_join" -> (q103_composite_spj_join _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -897,6 +952,23 @@ object EngineQueries {
         |       WHERE o_orderkey % 3 = 0) b
         |   ON a.o_orderkey = b.b_orderkey
         | GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""".stripMargin,
+    // The composite-layout join restated as a plain join: arrival
+    // through the partition-pruned, bucket-aligned zero-exchange plan
+    // must not change the answer; the b-side row checksum proves
+    // per-row matching. CAST keeps DuckDB's sum(BIGINT)→HUGEINT off
+    // the hash.
+    "q103_composite_spj_join" ->
+      """SELECT a.l_returnflag, count(*) AS n_rows,
+        |  round((sum(a.l_extendedprice)) * 100) / 100 AS sum_price,
+        |  CAST(sum((b.b_orderkey * 7 + b.b_linenumber) % 1000003) AS BIGINT)
+        |    AS key_checksum
+        | FROM lineitem a
+        | JOIN (SELECT l_returnflag AS b_returnflag, l_orderkey AS b_orderkey,
+        |              l_linenumber AS b_linenumber
+        |       FROM lineitem WHERE l_orderkey % 3 = 0) b
+        |   ON a.l_returnflag = b.b_returnflag
+        |  AND a.l_orderkey = b.b_orderkey
+        | GROUP BY a.l_returnflag ORDER BY a.l_returnflag""".stripMargin,
     // the clustered rewrite must preserve the data exactly through the
     // range read the clustering exists for
     "q88_clustered_compaction" ->

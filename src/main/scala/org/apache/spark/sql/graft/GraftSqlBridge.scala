@@ -106,7 +106,8 @@ class GraftScanBuilder(
     }
   override def build(): Scan = bucket match {
     case Some((n, col)) =>
-      new GraftBucketedFileScan(inner.build().asInstanceOf[FileScan], n, col)
+      new GraftBucketedFileScan(inner.build().asInstanceOf[FileScan], n, col,
+        partitionCols)
     case None if spj =>
       new GraftSpjFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
     case None =>
@@ -334,6 +335,16 @@ class GraftSpjFileScan(
   * layout as `KeyGroupedPartitioning(bucket(n, col))` with one split
   * per data FILE, each carrying its bucket id as the partition key.
   *
+  * COMPOSITE layout (q103): when the table is ALSO identity-partitioned
+  * (`PARTITIONED BY (p) CLUSTERED BY (col) INTO n BUCKETS` — the
+  * standard 100 TB fact layout), `partitionCols` is non-empty and every
+  * file's key becomes `(partition values…, bucket id)`, reported as
+  * `KeyGroupedPartitioning(identity(p)…, bucket(n, col))`. Partition
+  * pruning (static AND runtime DPP, via the inherited
+  * SupportsRuntimeV2Filtering surface) narrows the listing before
+  * bucket parsing; bucket pruning narrows within it; a co-laid-out join
+  * on (p…, col) aligns group-to-group with no exchange on either side.
+  *
   * The bucket id is recovered from the FILE NAME: the bucketed write
   * path shuffles rows with `HashPartitioning(col, n)` (see
   * [[graft.catalog.write.GraftWrite.requiredDistribution]]) and the
@@ -363,8 +374,9 @@ class GraftSpjFileScan(
 class GraftBucketedFileScan(
     initial0: org.apache.spark.sql.execution.datasources.v2.FileScan,
     numBuckets: Int,
-    bucketCol: String)
-  extends GraftFileScan(initial0, Nil)
+    bucketCol: String,
+    partitionCols: Seq[String] = Nil)
+  extends GraftFileScan(initial0, partitionCols)
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.expressions.Expressions
@@ -447,12 +459,31 @@ class GraftBucketedFileScan(
     // where the reader's own filters still return zero rows
     }.filter(_.nonEmpty)
 
+  /** Partition schema latched from the INITIAL scan (constant across
+    * runtime-filter rebuilds — filters never change the table's
+    * partition columns). Drives both the reported identity transforms
+    * and the per-file key rows, so field ORDER always agrees. */
+  private lazy val partSchema = initial0.fileIndex.partitionSchema
+
+  private lazy val keyExprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
+    (partSchema.fields.map(f => Expressions.identity(f.name):
+        org.apache.spark.sql.connector.expressions.Expression) :+
+      (Expressions.bucket(numBuckets, bucketCol):
+        org.apache.spark.sql.connector.expressions.Expression)).toArray
+
+  /** One file's grouping key: `(partition values…, bucket id)` —
+    * `InternalRow(b)` in the unpartitioned case. Values are COPIED out
+    * of the listing's row (which may be unsafe/reused) so row equality
+    * inside BatchScanExec's grouping is structural. */
+  private def keyRow(b: Int, pv: InternalRow): InternalRow =
+    if (partSchema.isEmpty) InternalRow(b)
+    else InternalRow.fromSeq(pv.toSeq(partSchema) :+ b)
+
   override def outputPartitioning(): Partitioning =
     if (spjActive && pruned.isDefined)
-      new KeyGroupedPartitioning(
-        Array(Expressions.bucket(numBuckets, bucketCol):
-          org.apache.spark.sql.connector.expressions.Expression),
-        pruned.get.map(_._1).distinct.size)
+      new KeyGroupedPartitioning(keyExprs,
+        pruned.get.map { case (b, _, pv) => (b, pv.toSeq(partSchema)) }
+          .distinct.size)
     else new UnknownPartitioning(0)
 
   override def toBatch: Batch = (pruned, spjActive) match {
@@ -465,7 +496,7 @@ class GraftBucketedFileScan(
           new GraftKeyedFilePartition(i,
             PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
               maxSplitBytes = Long.MaxValue, partitionValues = pv).toArray,
-            InternalRow(b)): InputPartition
+            keyRow(b, pv)): InputPartition
         }.toArray
       override def createReaderFactory(): PartitionReaderFactory =
         currentScan.createReaderFactory()

@@ -482,6 +482,66 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(gated.count() > 0)
   }
 
+  test("q103 composite layout: zero-exchange join on (partition, bucket) keys AND both prunings still fire") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    // the gated query creates the composite tables as a side effect
+    val gated = graft.operators.EngineQueries.q103_composite_spj_join(spark, sf0001)
+    assert(gated.count() > 0)
+    val a = s"$cat.tmp.q103_comp_a"
+    val b = s"$cat.tmp.q103_comp_b"
+    def joinAgg(x: String, y: String) = spark.table(x)
+      .join(spark.table(y),
+        $"l_returnflag" === $"b_returnflag" && $"l_orderkey" === $"b_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 0).as("s"))
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      // the JOIN is exchange-free: neither fact-sized side shuffles.
+      // The ONE permitted exchange is the post-join aggregate regrouping
+      // its 3 result rows on the flag — not the bucket key, and not
+      // fact-sized.
+      val p = joinAgg(a, b).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(b_orderkey"),
+        s"composite-aligned join must not shuffle the bucket key:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+        s"only the tiny post-join aggregate may shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      // same answer as a conventional shuffle join over plain copies
+      val pa = s"$cat.tmp.q103_plain_a"
+      val pb = s"$cat.tmp.q103_plain_b"
+      Seq(pa, pb).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.table(a).writeTo(pa).create()
+      spark.table(b).writeTo(pb).create()
+      val viaSpj = joinAgg(a, b).orderBy($"l_returnflag")
+        .collect().map(_.toString).toSeq
+      val viaPlain = joinAgg(pa, pb).orderBy($"l_returnflag")
+        .collect().map(_.toString).toSeq
+      assert(viaSpj === viaPlain)
+      Seq(pa, pb).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.inputPartitions.size
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    // 3 partition values × 8 buckets, one file each
+    val all = scanParts(spark.table(a))
+    assert(all === 24, s"expected 24 (3 partitions × 8 buckets) splits, got $all")
+    // PARTITION pruning: a flag filter reads one directory's 8 files
+    assert(scanParts(spark.table(a).filter($"l_returnflag" === "A")) === 8)
+    // BOTH prunings: flag + key point predicate reads ONE file
+    val key = spark.table(a).filter($"l_returnflag" === "A")
+      .select($"l_orderkey").limit(1).collect().head.getLong(0)
+    val point = spark.table(a)
+      .filter($"l_returnflag" === "A" && $"l_orderkey" === key)
+    assert(scanParts(point) === 1,
+      s"flag+key point lookup must read 1 of $all files")
+    assert(point.count() >= 1)
+  }
+
   test("shuffle-one-side: a bucketed table joins an UNBUCKETED source with one exchange, not two") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -123,17 +123,25 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     GraftBootstrap.ensure(spark, sf0001)
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
-    // partitioned + bucketed: recorded, writes refused
+    // partitioned + single-column bucketed became WRITABLE in q103 —
+    // the SQL declaration routes through the composite layout
     val t1 = s"$ns.b_partitioned"
     spark.sql(s"DROP TABLE IF EXISTS $t1")
     spark.sql(
       s"""CREATE TABLE $t1 (id BIGINT, p STRING)
          |USING parquet PARTITIONED BY (p)
          |CLUSTERED BY (id) INTO 4 BUCKETS""".stripMargin)
-    val e1 = intercept[Exception] {
-      Seq((1L, "a")).toDF("id", "p").writeTo(t1).append()
-    }
-    assert(e1.getMessage.contains("bucket"))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p").writeTo(t1).append()
+    assert(spark.table(t1).count() === 2)
+    val loc1 = locationOf(t1)
+    val fs1 = loc1.getFileSystem(spark.sessionState.newHadoopConf())
+    fs1.listStatus(loc1).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .foreach { d =>
+        fs1.listStatus(d.getPath)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .foreach(f => bucketIdOf(f.getPath)) // every file carries its id
+      }
     // multi-column bucket: recorded, writes refused
     val t2 = s"$ns.b_multicol"
     spark.sql(s"DROP TABLE IF EXISTS $t2")
@@ -187,6 +195,49 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     // still parses and satisfies the hash invariant
     assertBucketInvariant(t, "o_orderkey", 4)
     assert(spark.table(t).where($"o_orderkey" === -5L).count() === 1)
+  }
+
+  test("composite layout (q103): every partition dir holds hash-routed per-bucket files; appends preserve; guards hold") {
+    import spark.implicits._
+    val t = freshTable("b_composite")
+    val src = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    src.filter($"l_orderkey" % 2 === 0)
+      .writeTo(t).partitionedBy($"l_returnflag", bucket(4, $"l_orderkey")).create()
+    src.filter($"l_orderkey" % 2 === 1).writeTo(t).append()
+    val loc = locationOf(t)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(loc).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    assert(dirs.size === 3, s"expected 3 l_returnflag dirs: ${dirs.map(_.getPath.getName)}")
+    dirs.foreach { d =>
+      val files = fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      val ids = files.map(f => bucketIdOf(f.getPath))
+      assert(ids.toSet.subsetOf((0 until 4).toSet),
+        s"${d.getPath.getName}: foreign bucket ids ${ids.sorted}")
+      // two writes → at most one file per (partition, bucket, write)
+      assert(ids.groupBy(identity).values.forall(_.size <= 2),
+        s"${d.getPath.getName}: more files per bucket than writes: ${ids.sorted}")
+      // the name-declared bucket is the hash truth for the file's rows
+      files.foreach { f =>
+        val b = bucketIdOf(f.getPath)
+        val bad = spark.read.parquet(f.getPath.toString)
+          .where(pmod(hash($"l_orderkey"), lit(4)) =!= b)
+        assert(bad.count() === 0,
+          s"${d.getPath.getName}/${f.getPath.getName}: rows hashed outside bucket $b")
+      }
+    }
+    // the union of both writes reads back bit-exactly
+    assert(spark.table(t).count() === src.count())
+    val back = spark.table(t).select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
+    // bucketing a PARTITION column is a declaration mistake, refused
+    val badT = freshTable("b_comp_bad")
+    val e = intercept[Exception](
+      src.writeTo(badT).partitionedBy($"l_returnflag", bucket(4, $"l_returnflag"))
+        .create())
+    assert(e.getMessage.contains("partition column"), e.getMessage)
   }
 
   test("bucket layout composes with graft.cluster.by: per-bucket files arrive key-sorted") {

@@ -295,16 +295,15 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).count() === 0)
     Seq((1L, "a")).toDF("id", "name").writeTo(t).append()
     assert(spark.table(t).count() === 1)
-    // the NON-writable shape (partitioned + bucketed) keeps the
-    // reference's record-but-refuse posture, naming the bucket spec
+    // the COMPOSITE shape (partitioned + single-column bucket) became
+    // writable in q103: the append lands hash-routed per-bucket files
+    // under the partition directory
     val tp = s"$cat.ddl.t_bucketed_part"
     spark.sql(s"DROP TABLE IF EXISTS $tp")
     spark.sql(s"CREATE TABLE $tp (id BIGINT, p STRING) USING parquet " +
       "PARTITIONED BY (p) CLUSTERED BY (id) INTO 4 BUCKETS")
-    val e = intercept[Exception] {
-      Seq((1L, "a")).toDF("id", "p").writeTo(tp).append()
-    }
-    assert(e.getMessage.contains("bucket"), s"got: ${e.getMessage}")
+    Seq((1L, "a")).toDF("id", "p").writeTo(tp).append()
+    assert(spark.table(tp).count() === 1)
     // and the recorded spec is ALTER-proof like other reserved props —
     // now load-bearing for LAYOUT correctness: a mutated bucket count
     // would silently mis-route every later write

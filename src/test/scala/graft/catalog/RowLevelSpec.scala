@@ -193,23 +193,49 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     assert(rows === Set((1L, 10.0), (2L, -20.0)))
   }
 
-  test("bucketed table: partition-predicate DELETE is metadata-only; UPDATE refuses") {
+  test("composite bucketed table: partition DELETE is metadata-only; COW rewrites preserve the layout") {
+    import spark.implicits._
     val t = freshTable("t_bucketed_rl")
     spark.sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE, p STRING) USING parquet " +
       "PARTITIONED BY (p) CLUSTERED BY (id) INTO 4 BUCKETS")
     spark.sql(s"ALTER TABLE $t ADD PARTITION (p = 'a')")
     // Spark plans the row-level rewrite for every conditional DELETE
-    // before the metadata-only downgrade — so this statement must NOT
-    // die on the bucket guard (no rewrite ever runs for it)
+    // before the metadata-only downgrade — this statement must run as a
+    // pure partition drop (no rewrite executes for it)
     spark.sql(s"DELETE FROM $t WHERE p = 'a'")
     val cat = spark.sessionState.catalogManager
       .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
     assert(cat.metaStore.loadTable("rltest", "t_bucketed_rl").partitions.isEmpty)
-    // a genuine rewrite (UPDATE / row-predicate DELETE) still refuses
-    val eu = intercept[Exception] { spark.sql(s"UPDATE $t SET v = 0 WHERE id = 1") }
-    assert(eu.getMessage.contains("bucketed"), s"got: ${eu.getMessage}")
-    val ed = intercept[Exception] { spark.sql(s"DELETE FROM $t WHERE id = 1") }
-    assert(ed.getMessage.contains("bucketed"), s"got: ${ed.getMessage}")
+    // a genuine COW rewrite (UPDATE / row-predicate DELETE) routes
+    // through the same required distribution as any write (q103), so it
+    // succeeds AND the rewritten files still satisfy the layout
+    Seq((1L, 1.0, "b"), (2L, 2.0, "b"), (3L, 3.0, "c")).toDF("id", "v", "p")
+      .writeTo(t).append()
+    spark.sql(s"UPDATE $t SET v = -v WHERE id = 2")
+    spark.sql(s"DELETE FROM $t WHERE id = 3")
+    assert(spark.table(t).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      === Set((1L, 1.0), (2L, -2.0)))
+    val meta = cat.metaStore.loadTable("rltest", "t_bucketed_rl")
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val BucketName = "^part-(\\d+)-".r
+    fs.listStatus(loc).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .foreach { d =>
+        fs.listStatus(d.getPath)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .foreach { f =>
+            val b = BucketName.findFirstMatchIn(f.getPath.getName)
+              .map(_.group(1).toInt).getOrElse(
+                fail(s"post-rewrite file ${f.getPath.getName} carries no bucket id"))
+            val bad = spark.read.parquet(f.getPath.toString)
+              .where(org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.hash($"id"),
+                org.apache.spark.sql.functions.lit(4)) =!= b)
+            assert(bad.count() === 0,
+              s"${d.getPath.getName}/${f.getPath.getName}: rows outside bucket $b")
+          }
+      }
   }
 
   test("COW commit detects a write that landed after the scan listed") {
