@@ -230,23 +230,25 @@ private[write] object GraftCowScan {
     val opts = new CaseInsensitiveStringMap(
       (graft.catalog.GraftCatalog.optionProps(m.properties) ++
         options.asScala).asJava)
-    val builder = m.provider match {
-      case "parquet" => ParquetScanBuilder(spark, index, m.schema, m.dataSchema, opts)
-      case "csv" => CSVScanBuilder(spark, index, m.schema, m.dataSchema, opts)
-      case "json" => JsonScanBuilder(spark, index, m.schema, m.dataSchema, opts)
-      case "orc" => org.apache.spark.sql.execution.datasources.v2.orc.OrcScanBuilder(
-        spark, index, m.schema, m.dataSchema, opts)
-      // avro has no FileScanBuilder (V1 format only) — refuse the
-      // rewrite with the actual limitation named rather than an
-      // internal error; metadata-only DELETE (SupportsDelete) and
-      // whole-table overwrites still work on avro tables
-      case "avro" => throw new UnsupportedOperationException(
-        s"row-level UPDATE/MERGE/DELETE are not supported on avro table " +
-          s"${meta.name}: the rewrite scan requires a DSv2 file scan and " +
-          "Spark ships avro as a V1 format only — migrate the table to a " +
-          "columnar provider (CALL sys.migrate) or rewrite via INSERT OVERWRITE")
-      case other => throw new IllegalStateException(s"unsupported provider $other")
-    }
+    val builder: org.apache.spark.sql.connector.read.ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =
+      m.provider match {
+        case "parquet" => ParquetScanBuilder(spark, index, m.schema, m.dataSchema, opts)
+        case "csv" => CSVScanBuilder(spark, index, m.schema, m.dataSchema, opts)
+        case "json" => JsonScanBuilder(spark, index, m.schema, m.dataSchema, opts)
+        case "orc" => org.apache.spark.sql.execution.datasources.v2.orc.OrcScanBuilder(
+          spark, index, m.schema, m.dataSchema, opts)
+        // avro has no FileScanBuilder (V1 format only) — the rewrite
+        // reads through the generic FileFormat-backed DSv2 scan (q101's
+        // read path, q104's DML half); the write half already delegates
+        // to AvroFileFormat, closing the provider DML matrix
+        case "avro" => new org.apache.spark.sql.graft.GraftFormatScanBuilder(
+          spark, org.apache.spark.sql.graft.GraftSqlBridge.avroFileFormat(),
+          index, m.schema,
+          graft.catalog.GraftCatalog.optionProps(m.properties) ++
+            options.asScala)
+        case other => throw new IllegalStateException(s"unsupported provider $other")
+      }
     builder.pruneColumns(required)
     // Forcing the listing here pins the snapshot the scan will actually
     // read: the same index instance feeds planInputPartitions, and the

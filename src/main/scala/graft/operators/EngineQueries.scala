@@ -792,6 +792,37 @@ object EngineQueries {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------- Q104
+  /** Row-level DML on an AVRO table — closing the provider matrix
+    * (q51–q54 cover parquet/orc; round 16 left avro refusing). The COW
+    * rewrite's read half is the generic FileFormat-backed DSv2 scan
+    * over the V1 `AvroFileFormat` (q101's read path,
+    * [[org.apache.spark.sql.graft.GraftFormatScanBuilder]]); the write
+    * half was already the AvroFileFormat delegate — so UPDATE and
+    * row-predicate DELETE run as partition-scoped copy-on-write
+    * rewrites exactly like the columnar providers, untouched partitions
+    * keeping their files (RowLevelSpec pins the file-level behavior;
+    * this entry hash-gates the row-level result). */
+  def q104_avro_dml(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q104_orders_avro"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .writeTo(tgt).using("avro").partitionedBy($"o_orderpriority").create()
+    spark.sql(
+      s"""UPDATE $tgt SET o_totalprice = round(o_totalprice * 1.1 * 100) / 100
+         |WHERE o_orderpriority = '2-HIGH' AND o_custkey % 10 = 3""".stripMargin)
+    spark.sql(
+      s"""DELETE FROM $tgt
+         |WHERE o_custkey % 10 = 7 AND o_orderpriority = '3-MEDIUM'""".stripMargin)
+    spark.table(tgt)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
   // ---------------------------------------------------------------- Q54
   /** Row-predicate DELETE — the predicate `SupportsDelete` refuses
     * (q51's metadata-only path handles partition predicates) now
@@ -837,6 +868,7 @@ object EngineQueries {
     "q52_merge_upsert" -> (q52_merge_upsert _),
     "q53_update" -> (q53_update _),
     "q54_delete_rows" -> (q54_delete_rows _),
+    "q104_avro_dml" -> (q104_avro_dml _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1016,6 +1048,17 @@ object EngineQueries {
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderpriority
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+    // The avro table's final state is derivable from the source: the
+    // update's CASE over surviving rows, minus the delete's matches.
+    "q104_avro_dml" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderpriority = '2-HIGH' AND o_custkey % 10 = 3
+        |       THEN round(o_totalprice * 1.1 * 100) / 100
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        | FROM orders
+        | WHERE NOT (o_custkey % 10 = 7 AND o_orderpriority = '3-MEDIUM')
+        | ORDER BY o_orderkey""".stripMargin,
     // Survivors are the complement of the row predicate.
     "q54_delete_rows" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

@@ -55,7 +55,7 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     ).toDF("id", "v", "p").writeTo(t).partitionedBy($"p").create()
   }
 
-  test("row-level DML works on every columnar provider; avro refuses with the limitation named") {
+  test("row-level DML works on EVERY provider, avro included (q104 closes the matrix)") {
     import spark.implicits._
     // orc rides the same COW machinery as parquet (the round-16 review
     // found the dispatch missing it — an internal error, not a refusal)
@@ -68,16 +68,33 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"MERGE INTO $t tgt USING (SELECT 2L AS id, 99.0 AS v) s " +
       "ON tgt.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v")
     assert(spark.table(t).filter($"id" === 2L).head().getDouble(1) === 99.0)
-    // avro: a clean refusal naming the V1-format limitation, never an
-    // internal IllegalStateException
+    // avro (q104): the rewrite reads through the generic
+    // FileFormat-backed DSv2 scan (q101's read path) and writes through
+    // the V1 AvroFileFormat delegate — UPDATE / DELETE / MERGE all work,
+    // on unpartitioned AND partitioned avro tables, and untouched
+    // partitions keep their files
     val ta = freshTable("t_update_avro")
-    Seq((1L, 10.0)).toDF("id", "v").writeTo(ta).using("avro").create()
-    val e = intercept[Exception](spark.sql(s"UPDATE $ta SET v = 0 WHERE id = 1"))
-    def msgs(x: Throwable): Seq[String] =
-      Option(x).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("avro")), msgs(e).mkString("|"))
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    spark.sql(s"DROP TABLE IF EXISTS $ta")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").writeTo(ta).using("avro").create()
+    spark.sql(s"UPDATE $ta SET v = 0 WHERE id = 1")
+    assert(spark.table(ta).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((1L, 0.0), (2L, 20.0)))
+    spark.sql(s"DELETE FROM $ta WHERE id = 2")
+    assert(spark.table(ta).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((1L, 0.0)))
+    val tap = freshTable("t_update_avro_part")
+    Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"))
+      .toDF("id", "v", "p").writeTo(tap).using("avro").partitionedBy($"p").create()
+    val before = fileState(tap)
+    spark.sql(s"MERGE INTO $tap tgt USING (SELECT 2L AS id, 99.0 AS v) s " +
+      "ON tgt.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert(spark.table(tap).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet ===
+      Set((1L, 10.0, "a"), (2L, 99.0, "a"), (3L, 30.0, "b")))
+    val after = fileState(tap)
+    val untouchedB = before.filter(_._1.contains("p=b"))
+    assert(untouchedB.forall { case (f, sig) => after.get(f).contains(sig) },
+      "the b partition's avro files must survive a rewrite of partition a")
+    Seq(t, ta, tap).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
   test("UPDATE rewrites matching rows; untouched partitions keep their files") {
