@@ -101,15 +101,22 @@ object CatalogProcedures {
       }),
     "analyze" -> new GraftProcedure(
       "analyze",
-      "recompute table/partition size statistics from the filesystem — " +
-        "the manual stats refresh an autoSizeUpdate=false catalog runs " +
-        "so the planner's broadcast decisions see real sizes again",
-      Array(param("table", StringType)),
+      "recompute table/partition size statistics from the filesystem, " +
+        "and optionally per-column NDV/null/min/max/length statistics " +
+        "('*' or a comma list) in ONE distributed pass — the planner " +
+        "sees them through DSv2 columnStats and CBO's cardinality " +
+        "estimation (data-mutating commits invalidate, ANALYZE is the " +
+        "only producer)",
+      Array(param("table", StringType),
+        paramDefault("columns", StringType, "''")),
       StructType(Seq(StructField("partitions_sized", LongType, nullable = false),
-        StructField("size_in_bytes", LongType, nullable = false))),
+        StructField("size_in_bytes", LongType, nullable = false),
+        StructField("columns_analyzed", LongType, nullable = false))),
       in => {
         val parts = in.getUTF8String(0).toString.split("\\.")
         require(parts.length == 3, s"analyze expects catalog.ns.table")
+        val colsArg =
+          if (in.isNullAt(1)) "" else in.getUTF8String(1).toString.trim
         val plugin = spark.sessionState.catalogManager.catalog(parts(0)) match {
           case g: GraftCatalog => g
           case other => throw new IllegalArgumentException(
@@ -134,6 +141,77 @@ object CatalogProcedures {
             else st.getLen
           if (fs.exists(p)) walk(fs.getFileStatus(p)) else 0L
         }
+        // COLUMN statistics — one distributed aggregate pass through the
+        // catalog read path (at 100 TB this is the only viable shape:
+        // approx_count_distinct is a mergeable HLL, min/max/count are
+        // partial-aggregated map-side, so the pass costs one scan
+        // regardless of column count). min/max are stored string-encoded
+        // and cast back through the schema type at report time.
+        val schema = store.loadTable(db, name).schema
+        def analyzable(f: org.apache.spark.sql.types.StructField): Boolean =
+          f.dataType match {
+            case _: org.apache.spark.sql.types.NumericType |
+                 org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.BooleanType |
+                 org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType |
+                 org.apache.spark.sql.types.BinaryType => true
+            case _ => false
+          }
+        val selected: Seq[org.apache.spark.sql.types.StructField] =
+          if (colsArg.isEmpty) Nil
+          else if (colsArg == "*") schema.fields.toSeq.filter(analyzable)
+          else colsArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+            val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalArgumentException(
+                s"analyze: unknown column '$c' (schema: " +
+                  s"${schema.fieldNames.mkString(", ")})"))
+            require(analyzable(f),
+              s"analyze: column '$c' has unanalyzable type ${f.dataType.sql}")
+            f
+          }
+        val collected: Option[(Long, Map[String, ColumnStatsMeta])] =
+          if (selected.isEmpty) None
+          else {
+            import org.apache.spark.sql.functions._
+            val df = spark.table(s"${parts(0)}.$db.$name")
+            def isLengthy(f: org.apache.spark.sql.types.StructField) =
+              f.dataType == org.apache.spark.sql.types.StringType ||
+                f.dataType == org.apache.spark.sql.types.BinaryType
+            def canMinMax(f: org.apache.spark.sql.types.StructField) =
+              f.dataType != org.apache.spark.sql.types.BinaryType
+            val exprs = scala.collection.mutable.ArrayBuffer(count(lit(1)).as("n"))
+            selected.foreach { f =>
+              val c = col(f.name)
+              exprs += approx_count_distinct(c).as(s"ndv:${f.name}")
+              exprs += count(c).as(s"nn:${f.name}")
+              if (canMinMax(f)) {
+                exprs += min(c).cast("string").as(s"min:${f.name}")
+                exprs += max(c).cast("string").as(s"max:${f.name}")
+              }
+              if (isLengthy(f)) {
+                exprs += ceil(avg(length(c))).as(s"avglen:${f.name}")
+                exprs += max(length(c)).cast("bigint").as(s"maxlen:${f.name}")
+              }
+            }
+            val row = df.agg(exprs.head, exprs.tail.toSeq: _*).head()
+            def get[T](n: String): Option[T] = {
+              val i = row.fieldIndex(n)
+              if (row.isNullAt(i)) None else Some(row.get(i).asInstanceOf[T])
+            }
+            val n = row.getLong(row.fieldIndex("n"))
+            val cols = selected.map { f =>
+              f.name -> ColumnStatsMeta(
+                ndv = get[Long](s"ndv:${f.name}").getOrElse(0L),
+                nullCount = n - get[Long](s"nn:${f.name}").getOrElse(0L),
+                min = if (canMinMax(f)) get[Any](s"min:${f.name}").map(_.toString) else None,
+                max = if (canMinMax(f)) get[Any](s"max:${f.name}").map(_.toString) else None,
+                avgLen = if (isLengthy(f)) get[Long](s"avglen:${f.name}") else None,
+                maxLen = if (isLengthy(f)) get[Long](s"maxlen:${f.name}") else None)
+            }.toMap
+            Some((n, cols))
+          }
         // Bounded retry handles a migrate committing mid-pass: the
         // atomic merge REFUSES when the table location moved since the
         // sizing snapshot (the walked dirs belong to a retired
@@ -164,18 +242,28 @@ object CatalogProcedures {
                   .filter(_ => preLoc.get(p.spec).contains(p.location))
                   .map(b => p.copy(sizeInBytes = b)).getOrElse(p)
               }
+              // freshly collected column stats win; a size-only refresh
+              // PRESERVES the existing ones (data-mutating commits are
+              // what invalidates them, not re-sizing)
+              val (nr, cs) = collected match {
+                case Some((n, cols)) => (Some(n), cols)
+                case None => (cur.stats.flatMap(_.numRows),
+                  cur.stats.map(_.colStats).getOrElse(
+                    Map.empty[String, ColumnStatsMeta]))
+              }
               cur.copy(partitions = merged,
                 stats =
                   if (cur.partitionColumns.isEmpty)
-                    Some(TableStats(tableBytes, None))
+                    Some(TableStats(tableBytes, nr, cs))
                   else if (merged.forall(_.isSized))
-                    Some(TableStats(merged.map(_.sizeInBytes).sum, None))
+                    Some(TableStats(merged.map(_.sizeInBytes).sum, nr, cs))
                   else None)
             }
           }
           if (updated.location == snap.location)
             result = InternalRow(sized.size.toLong,
-              updated.stats.map(_.sizeInBytes).getOrElse(tableBytes))
+              updated.stats.map(_.sizeInBytes).getOrElse(tableBytes),
+              selected.size.toLong)
           else if (attempt >= 3) throw new IllegalStateException(
             s"analyze $db.$name: table location moved $attempt times " +
               "during sizing (concurrent migrations); re-run when the " +

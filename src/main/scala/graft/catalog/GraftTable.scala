@@ -211,13 +211,39 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     // stock planning unchanged. The bucket wrapper subsumes graft.spj
     // (its keys carry the partition values too), so `bucket` wins when
     // both are declared.
+    // ANALYZE-collected statistics (numRows + column NDV/null/min-max)
+    // ride the wrapper's DSv2 stats surface into CBO's cardinality
+    // estimation; a table carrying them scans through the wrapper even
+    // when nothing else requires it.
+    val v2Stats = meta.stats
+      .filter(s => s.numRows.isDefined || s.colStats.nonEmpty).map { s =>
+        val rows = s.numRows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        s.colStats.foreach { case (c, cs) =>
+          meta.schema.fields.find(_.name.equalsIgnoreCase(c)).foreach { f =>
+            m.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+              org.apache.spark.sql.graft.GraftSqlBridge.v2ColumnStatistics(
+                f.dataType, cs.ndv, cs.nullCount, cs.min, cs.max,
+                cs.avgLen, cs.maxLen))
+          }
+        }
+        (rows, m: java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics])
+      }
     GraftCatalog.writableBucketSpec(meta) match {
       case Some((n, col)) =>
         new org.apache.spark.sql.graft.GraftScanBuilder(builder,
-          meta.partitionColumns, bucket = Some((n, col)))
+          meta.partitionColumns, bucket = Some((n, col)), tableStats = v2Stats)
       case _ if meta.isPartitioned =>
         new org.apache.spark.sql.graft.GraftScanBuilder(builder,
-          meta.partitionColumns, spj = spjProp)
+          meta.partitionColumns, spj = spjProp, tableStats = v2Stats)
+      case _ if v2Stats.isDefined =>
+        new org.apache.spark.sql.graft.GraftScanBuilder(builder, Nil,
+          tableStats = v2Stats)
       case _ => builder
     }
   }

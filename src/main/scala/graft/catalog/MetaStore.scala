@@ -7,12 +7,35 @@ import org.json4s.jackson.JsonMethods
 
 import org.apache.spark.sql.types.{DataType, StructType}
 
+/** Per-column statistics collected by `CALL sys.analyze(table, columns)`
+  * — NDV, null count, min/max (string-encoded, cast back through the
+  * schema type at report time) and length stats for variable-width
+  * types. Surfaced to the planner through DSv2
+  * `Statistics.columnStats()`, where CBO's filter/aggregate/join
+  * estimation turns them into selectivity and cardinality — e.g. a
+  * `GROUP BY k` on a column with a recorded small NDV estimates few
+  * output rows and the post-aggregate join side becomes broadcastable.
+  * Beyond the reference, whose stats stop at sizeInBytes
+  * (/root/reference/.../internal/CatalogUtil.scala:13-26). */
+case class ColumnStatsMeta(
+    ndv: Long,
+    nullCount: Long,
+    min: Option[String],
+    max: Option[String],
+    avgLen: Option[Long],
+    maxLen: Option[Long])
+
 /** Catalog-tracked statistics, maintained after every write / partition
   * change — the role of `CatalogStatistics` upkeep in the reference
   * (/root/reference/.../internal/CatalogUtil.scala:13-26). `sizeInBytes`
-  * feeds broadcast-vs-shuffle planning at scale.
+  * feeds broadcast-vs-shuffle planning at scale; `numRows` + `colStats`
+  * (ANALYZE-maintained, preserved verbatim through size-only refreshes)
+  * feed CBO cardinality estimation.
   */
-case class TableStats(sizeInBytes: Long, numRows: Option[Long])
+case class TableStats(
+    sizeInBytes: Long,
+    numRows: Option[Long],
+    colStats: Map[String, ColumnStatsMeta] = Map.empty)
 
 /** One Hive-style partition: values keyed by partition column name (all
   * values path-string-encoded), plus an optional custom location —
@@ -298,7 +321,16 @@ object MetaStore {
     val stats: JValue = m.stats match {
       case Some(s) => JObject(List(
         "sizeInBytes" -> JLong(s.sizeInBytes),
-        "numRows" -> s.numRows.map(JLong(_): JValue).getOrElse(JNull)))
+        "numRows" -> s.numRows.map(JLong(_): JValue).getOrElse(JNull),
+        "colStats" -> JObject(s.colStats.toSeq.sortBy(_._1).map {
+          case (c, cs) => c -> (JObject(List(
+            "ndv" -> JLong(cs.ndv),
+            "nullCount" -> JLong(cs.nullCount),
+            "min" -> cs.min.map(JString(_): JValue).getOrElse(JNull),
+            "max" -> cs.max.map(JString(_): JValue).getOrElse(JNull),
+            "avgLen" -> cs.avgLen.map(JLong(_): JValue).getOrElse(JNull),
+            "maxLen" -> cs.maxLen.map(JLong(_): JValue).getOrElse(JNull))): JValue)
+        }.toList)))
       case None => JNull
     }
     val parts: JValue = JArray(m.partitions.map { p =>
@@ -329,9 +361,28 @@ object MetaStore {
     val stats = (j \ "stats") match {
       case JObject(fields) =>
         val m = fields.toMap
-        val size = m.get("sizeInBytes").collect { case JLong(v) => v; case JInt(v) => v.toLong }.getOrElse(0L)
-        val rows = m.get("numRows").collect { case JLong(v) => v; case JInt(v) => v.toLong }
-        Some(TableStats(size, rows))
+        def jlong(v: JValue): Option[Long] = v match {
+          case JLong(x) => Some(x)
+          case JInt(x) => Some(x.toLong)
+          case _ => None
+        }
+        val size = m.get("sizeInBytes").flatMap(jlong).getOrElse(0L)
+        val rows = m.get("numRows").flatMap(jlong)
+        val cols = m.get("colStats") match {
+          case Some(JObject(cs)) => cs.collect {
+            case (c, o: JObject) =>
+              val cm = o.obj.toMap
+              def jstr(v: Option[JValue]): Option[String] =
+                v.collect { case JString(s) => s }
+              c -> ColumnStatsMeta(
+                cm.get("ndv").flatMap(jlong).getOrElse(0L),
+                cm.get("nullCount").flatMap(jlong).getOrElse(0L),
+                jstr(cm.get("min")), jstr(cm.get("max")),
+                cm.get("avgLen").flatMap(jlong), cm.get("maxLen").flatMap(jlong))
+          }.toMap
+          case _ => Map.empty[String, ColumnStatsMeta]
+        }
+        Some(TableStats(size, rows, cols))
       case _ => None
     }
     val parts = (j \ "partitions") match {

@@ -79,7 +79,10 @@ class GraftScanBuilder(
     inner: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder,
     partitionCols: Seq[String],
     spj: Boolean = false,
-    bucket: Option[(Int, String)] = None)
+    bucket: Option[(Int, String)] = None,
+    tableStats: Option[(java.util.OptionalLong,
+      java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics])] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -104,14 +107,18 @@ class GraftScanBuilder(
       case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
       case _ => false
     }
-  override def build(): Scan = bucket match {
-    case Some((n, col)) =>
-      new GraftBucketedFileScan(inner.build().asInstanceOf[FileScan], n, col,
-        partitionCols)
-    case None if spj =>
-      new GraftSpjFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
-    case None =>
-      new GraftFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
+  override def build(): Scan = {
+    val scan = bucket match {
+      case Some((n, col)) =>
+        new GraftBucketedFileScan(inner.build().asInstanceOf[FileScan], n, col,
+          partitionCols)
+      case None if spj =>
+        new GraftSpjFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
+      case None =>
+        new GraftFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
+    }
+    tableStats.foreach { case (rows, cols) => scan.withTableStats(rows, cols) }
+    scan
   }
 }
 
@@ -172,7 +179,44 @@ class GraftFileScan(
     columnarMode
   override def description(): String = current.description()
   override def getMetaData(): Map[String, String] = current.getMetaData()
-  override def estimateStatistics(): Statistics = current.estimateStatistics()
+
+  /** ANALYZE-collected table statistics (numRows + per-column
+    * NDV/null/min-max/length), reported through the DSv2 stats surface
+    * so `transformV2Stats` attaches them as the relation's catalyst
+    * `ColumnStat`s and CBO's filter/aggregate/join estimation sees real
+    * cardinalities. Set by GraftScanBuilder from the catalog
+    * descriptor; the delegated scan's listing-based `sizeInBytes` is
+    * kept (it reflects partition pruning, which the table-level stats
+    * don't). A whole-table numRows over a pruned scan OVERestimates —
+    * the safe direction: CBO may miss a broadcast, never wrongly choose
+    * one. */
+  private var tableV2Stats: Option[(
+    java.util.OptionalLong,
+    java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics])] = None
+
+  private[graft] def withTableStats(
+      rows: java.util.OptionalLong,
+      cols: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]): this.type = {
+    tableV2Stats = Some((rows, cols))
+    this
+  }
+
+  override def estimateStatistics(): Statistics = {
+    val base = current.estimateStatistics()
+    tableV2Stats match {
+      case Some((rows, colMap)) => new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+        override def numRows(): java.util.OptionalLong =
+          if (rows.isPresent) rows else base.numRows()
+        override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colMap
+      }
+      case None => base
+    }
+  }
 
   override def filterAttributes(): Array[NamedReference] =
     partitionCols.map(FieldReference(_)).toArray
@@ -690,6 +734,54 @@ object GraftSqlBridge {
     * tables. */
   def avroFileFormat(): org.apache.spark.sql.execution.datasources.FileFormat =
     new org.apache.spark.sql.avro.AvroFileFormat
+
+  /** String-encoded descriptor min/max → the CATALYST value
+    * `transformV2Stats` expects (UTF8String for strings, Long for
+    * bigint, days-int for dates, …): a Cast through the column's own
+    * type, evaluated eagerly. None when the cast can't parse the stored
+    * form (then the bound is simply not reported — stats are advisory,
+    * never a correctness surface). */
+  def catalystStatValue(s: String, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val v = Cast(
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType),
+      dt, Some(SQLConf.get.sessionLocalTimeZone)).eval()
+    Option(v)
+  }
+
+  /** One column's DSv2 statistics view over the descriptor record. */
+  def v2ColumnStatistics(
+      dt: org.apache.spark.sql.types.DataType,
+      ndv: Long, nullCount: Long,
+      min: Option[String], max: Option[String],
+      avgLen: Option[Long], maxLen: Option[Long]):
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics = {
+    // captured under fresh names: inside the anonymous class the
+    // parameter names resolve to the methods being overridden
+    val minV: java.util.Optional[Object] =
+      min.flatMap(catalystStatValue(_, dt))
+        .map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+        .getOrElse(java.util.Optional.empty[Object]())
+    val maxV: java.util.Optional[Object] =
+      max.flatMap(catalystStatValue(_, dt))
+        .map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+        .getOrElse(java.util.Optional.empty[Object]())
+    val avgLenV = avgLen.map(v => java.util.OptionalLong.of(v))
+      .getOrElse(java.util.OptionalLong.empty())
+    val maxLenV = maxLen.map(v => java.util.OptionalLong.of(v))
+      .getOrElse(java.util.OptionalLong.empty())
+    val ndvV = java.util.OptionalLong.of(ndv)
+    val nullCountV = java.util.OptionalLong.of(nullCount)
+    new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+      override def distinctCount(): java.util.OptionalLong = ndvV
+      override def nullCount(): java.util.OptionalLong = nullCountV
+      override def min(): java.util.Optional[Object] = minV
+      override def max(): java.util.Optional[Object] = maxV
+      override def avgLen(): java.util.OptionalLong = avgLenV
+      override def maxLen(): java.util.OptionalLong = maxLenV
+    }
+  }
 
   def applyPropertiesChanges(
       properties: Map[String, String],

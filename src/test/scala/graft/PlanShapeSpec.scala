@@ -670,6 +670,58 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $b")
   }
 
+  test("ANALYZE column stats flip a broadcast decision: CBO sees the NDV through DSv2 columnStats") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.stats_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .writeTo(t).create()
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // below the table's ~17 KB footprint, above 5 aggregated rows
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4000")
+      def plan(): String = {
+        val dim = spark.table(t).groupBy($"o_orderpriority")
+          .agg(sum($"o_totalprice").as("s"))
+        spark.table(s"$cat.tpch.orders").join(dim, "o_orderpriority")
+          .agg(count(lit(1))).queryExecution.executedPlan.toString
+      }
+      // WITHOUT column stats CBO cannot bound the aggregate's output:
+      // the dim side keeps its table-sized estimate and the join sorts
+      assert(!plan().contains("BroadcastHashJoin"),
+        "pre-ANALYZE the aggregate side must NOT broadcast (the contrast)")
+      // ONE distributed pass collects numRows + per-column stats
+      val an = spark.sql(s"CALL $cat.sys.analyze('$t', '*')").collect()
+      assert(an.head.getLong(2) === 3L, s"expected 3 columns analyzed: ${an.toSeq}")
+      val graftCat = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[graft.catalog.GraftCatalog]
+      val stats = graftCat.metaStore.loadTable("tmp", "stats_dim").stats.get
+      assert(stats.numRows.contains(Tables(spark, sf0001, "orders").count()))
+      val prio = stats.colStats("o_orderpriority")
+      assert(prio.ndv === 5, s"o_orderpriority NDV: $prio") // exact: HLL on 5 values
+      assert(prio.min.contains("1-URGENT") && prio.max.contains("5-LOW"))
+      assert(prio.nullCount === 0 && prio.avgLen.isDefined &&
+        prio.maxLen.exists(_ >= 5L))
+      graftCat.invalidateTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("tmp"), "stats_dim"))
+      // WITH the NDV, AggregateEstimation bounds the output at 5 rows —
+      // far under the threshold, and the join flips to broadcast
+      assert(plan().contains("BroadcastHashJoin"),
+        "post-ANALYZE the 5-row aggregate side must broadcast")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("DPP: a join on the partition column runtime-prunes the catalog file index") {
     import org.apache.spark.sql.functions._
     GraftBootstrap.ensure(spark, sf0001)

@@ -219,6 +219,18 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
     val restored = graftCat.metaStore.loadTable("ddl", "t_proc")
     assert(restored.stats.exists(_.sizeInBytes == an.head.getLong(1)))
     assert(restored.partitions.forall(_.isSized))
+    // the columns argument collects per-column stats into the
+    // descriptor (round-trip through the JSON store), and a later
+    // size-only analyze PRESERVES them
+    val anCols = spark.sql(s"CALL $cat.sys.analyze('$t', '*')").collect()
+    assert(anCols.head.getLong(2) > 0, s"no columns analyzed: ${anCols.toSeq}")
+    val withCols = graftCat.metaStore.loadTable("ddl", "t_proc").stats.get
+    assert(withCols.numRows.isDefined && withCols.colStats.nonEmpty, s"$withCols")
+    spark.sql(s"CALL $cat.sys.analyze('$t')").collect()
+    val afterSizeOnly = graftCat.metaStore.loadTable("ddl", "t_proc").stats.get
+    assert(afterSizeOnly.colStats === withCols.colStats &&
+      afterSizeOnly.numRows === withCols.numRows,
+      "size-only analyze must not drop ANALYZE-collected column stats")
     // unknown procedures throw the standard routine error
     val e = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql(s"CALL $cat.sys.no_such_proc('$t')"))
