@@ -240,6 +240,45 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("partition column"), e.getMessage)
   }
 
+  test("streamed READ of bucketed and composite tables sees every bucket-named file (v1 fallback)") {
+    import spark.implicits._
+    // plain bucketed: FileStreamSource must pick up part-<bucket> files
+    val t = freshTable("b_stream_read")
+    val src = Tables(spark, sf0001, "orders").select($"o_orderkey", $"o_totalprice")
+    src.writeTo(t).partitionedBy(bucket(4, $"o_orderkey")).create()
+    def streamedAgg(table: String, name: String): (Long, Long) = {
+      val q = spark.readStream.table(table)
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("s"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val r = spark.table(name).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (n1, s1) = streamedAgg(t, "bsr_plain")
+    assert(n1 === src.count())
+    assert(s1 === src.agg(sum($"o_orderkey")).head().getLong(0))
+    // composite (q103): partition values must be resolved from the dir
+    // names AND every per-(partition, bucket) file must stream
+    val t2 = freshTable("b_stream_read_comp")
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey".as("o_orderkey"), $"l_returnflag")
+    li.writeTo(t2).partitionedBy($"l_returnflag", bucket(4, $"o_orderkey")).create()
+    val qc = spark.readStream.table(t2)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("s"))
+      .writeStream.format("memory").queryName("bsr_comp")
+      .outputMode("complete").start()
+    try qc.processAllAvailable() finally qc.stop()
+    val streamed = spark.table("bsr_comp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      "streamed read of the composite table must equal the batch answer")
+  }
+
   test("bucket layout composes with graft.cluster.by: per-bucket files arrive key-sorted") {
     import spark.implicits._
     val t = freshTable("b_clustered")
