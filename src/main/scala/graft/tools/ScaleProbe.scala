@@ -49,7 +49,19 @@ object ScaleProbe {
     // persisted index; q96 runs the vacuum lifecycle over reps×-more
     // partition VALUES (the build suffixes o_orderpriority per replica,
     // so partition count scales with reps, not just rows)
-    "s20_stream_ingest_compact", "s22_stream_ann_ingest", "q96_vacuum")
+    "s20_stream_ingest_compact", "s22_stream_ann_ingest", "q96_vacuum",
+    // round-17 (verdict #6): q100's bucketed-SPJ write+join vs table
+    // size (orders replicate reps×; bucket count is FIXED at 8, so the
+    // per-bucket files grow reps× — the claim is linear in bytes, the
+    // zero-exchange join adding nothing super-linear); q103's composite
+    // twin over reps×-replicated lineitem (partition count constant,
+    // per-(partition, bucket) file size scales); q102's CALL-procedure
+    // maintenance lifecycle over reps×-more partition VALUES (the
+    // suffixed priorities — compact/vacuum/migrate listings are the
+    // claimed-linear axis). q101's file-count probe is special-cased
+    // below (nation doesn't replicate; the axis is FILES, not bytes).
+    "q100_bucketed_spj_join", "q103_composite_spj_join",
+    "q102_call_maintenance")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:
@@ -58,7 +70,7 @@ object ScaleProbe {
     val only: Option[Set[String]] = args.find(_.startsWith("--queries="))
       .map(_.stripPrefix("--queries=").split(",").toSet)
     only.foreach { qs =>
-      val unknown = qs.diff(Heavy.toSet)
+      val unknown = qs.diff(Heavy.toSet + "q101_avro_scan_files")
       require(unknown.isEmpty,
         s"--queries names not in the probe set: ${unknown.toSeq.sorted.mkString(", ")}; " +
           s"known: ${Heavy.mkString(", ")}")
@@ -84,11 +96,24 @@ object ScaleProbe {
 
     // the catalog bootstrap registers EVERY fixture table for a dir, so
     // the scaled dir must carry the non-scaled tables too (verbatim)
-    graft.Tables.all.filterNot(Set("documents", "embeddings", "events", "orders"))
+    graft.Tables.all.filterNot(Set(
+        "documents", "embeddings", "events", "orders", "lineitem"))
       .foreach { t =>
         spark.read.parquet(s"$base/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
+
+    // lineitem: replica-distinct order keys with the ORIGINAL returnflag
+    // domain — q103's composite tables keep their 3 partitions while the
+    // per-(partition, bucket) file sizes scale reps× (the axis its
+    // zero-exchange join is claimed linear in)
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val maxLiOrder = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    (0 until reps).map { k =>
+      if (k == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxLiOrder))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.parquet(s"$out/lineitem.parquet")
 
     // events: replicas carry disjoint event/user ids with the original
     // time axis — per-user session structure is isomorphic, feed density
@@ -157,6 +182,40 @@ object ScaleProbe {
       val tBig = math.min(b1, b2)
       val exp = math.log(tBig / tSmall) / math.log(reps.toDouble)
       println(f"SCALEPROBE $name%-28s t1x=$tSmall%7.2fs t${reps}x=$tBig%8.2fs exponent=$exp%5.2f")
+    }
+
+    // q101's axis is FILE COUNT, not bytes: the generic
+    // FileFormat-backed avro scan (GraftFormatScan) lists, bin-packs and
+    // opens n files vs reps×n files of the SAME size — a super-linear
+    // exponent here would mean per-file planning overhead dominates,
+    // the failure mode a 100 TB table with 100k files hits first.
+    if (only.forall(_.contains("q101_avro_scan_files"))) {
+      import org.apache.spark.sql.functions.sum
+      val cat = graft.GraftBootstrap.CatalogName
+      graft.GraftBootstrap.ensure(spark, base)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+      def build(name: String, files: Int): String = {
+        val t = s"$cat.tmp.$name"
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.read.parquet(s"$base/orders.parquet")
+          .repartition(files).writeTo(t).using("avro").create()
+        t
+      }
+      val baseFiles = 16
+      val small = build("scale_avro_1x", baseFiles)
+      val big = build("scale_avro_rx", baseFiles * reps)
+      def scan(t: String): Double = {
+        val t0 = System.nanoTime()
+        spark.table(t).agg(sum(col("o_totalprice")))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      scan(small) // warm-up
+      val tSmall = math.min(scan(small), scan(small))
+      val tBig = math.min(scan(big), scan(big))
+      val exp = math.log(tBig / tSmall) / math.log(reps.toDouble)
+      println(f"SCALEPROBE q101_avro_scan_files        t1x=$tSmall%7.2fs t${reps}x=$tBig%8.2fs exponent=$exp%5.2f")
+      Seq(small, big).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
     spark.stop()
   }
