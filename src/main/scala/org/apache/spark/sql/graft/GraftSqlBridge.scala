@@ -236,7 +236,7 @@ class GraftFileScan(
   /** The planner's runtime filters arrive as `IN`/`=` over LiteralValues
     * (`DataSourceV2Strategy.translateRuntimeFilterV2`); values are
     * catalyst-internal, so `Literal(v, dt)` is the exact inverse. */
-  private def toPartitionFilter(
+  protected def toPartitionFilter(
       p: Predicate): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
     def attr(f: StructField) = AttributeReference(f.name, f.dataType)()
     (p.name, p.children) match {
@@ -523,6 +523,54 @@ class GraftBucketedFileScan(
     if (partSchema.isEmpty) InternalRow(b)
     else InternalRow.fromSeq(pv.toSeq(partSchema) :+ b)
 
+  /** Runtime (DPP) partition predicates that arrive AFTER the keyed
+    * snapshot latched. The planner read `outputPartitioning` during
+    * EnsureRequirements, so the GROUP COUNT is contractual —
+    * `BatchScanExec.filteredPartitions` verifies the distinct key set
+    * survives runtime filtering. The snapshot therefore stays latched,
+    * and these predicates instead EMPTY the pruned-out groups' file
+    * lists at `planInputPartitions` time: every key survives (the
+    * contract holds), the partition directories a dim-driven DPP filter
+    * excluded are simply never read. At 100 TB this is the composite
+    * table's fact⋈dim case: date-partitioned + key-bucketed fact joined
+    * to a filtered date dim skips whole directories even though the
+    * scan also reports bucket alignment for fact⋈fact joins. */
+  @volatile private var lateFilters:
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    super.filter(predicates) // pre-latch arrivals narrow the listing itself
+    if (partSchema.nonEmpty)
+      lateFilters = lateFilters ++ predicates.toSeq.flatMap(toPartitionFilter)
+  }
+
+  /** Partition-value predicate compiled from [[lateFilters]] — bound by
+    * NAME to the partition schema's positions and interpreted (no
+    * codegen: it runs once per file at planning). Any binding or eval
+    * failure keeps the file: pruning is an optimization, never a row
+    * filter. */
+  private def lateKeep(): InternalRow => Boolean = {
+    val filters = lateFilters
+    if (filters.isEmpty) (_: InternalRow) => true
+    else try {
+      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference}
+      val bound = filters.map(_.transform {
+        case a: AttributeReference =>
+          val i = partSchema.fields.indexWhere(f => SQLConf.get.resolver(f.name, a.name))
+          if (i >= 0)
+            BoundReference(i, partSchema.fields(i).dataType,
+              partSchema.fields(i).nullable)
+          else a
+      }).reduce(And(_, _))
+      val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+        .createInterpreted(bound)
+      (row: InternalRow) =>
+        try pred.eval(row)
+        catch { case scala.util.control.NonFatal(_) => true }
+    } catch { case scala.util.control.NonFatal(_) => (_: InternalRow) => true }
+  }
+
   override def outputPartitioning(): Partitioning =
     if (spjActive && pruned.isDefined)
       new KeyGroupedPartitioning(keyExprs,
@@ -535,13 +583,19 @@ class GraftBucketedFileScan(
       // per-file WHOLE splits (a split spanning two buckets would break
       // the key contract): BatchScanExec groups key-equal splits, and
       // partially-clustered planning can leave a hot bucket un-grouped
-      override def planInputPartitions(): Array[InputPartition] =
+      override def planInputPartitions(): Array[InputPartition] = {
+        val keep = lateKeep()
         fs.zipWithIndex.map { case ((b, f, pv), i) =>
-          new GraftKeyedFilePartition(i,
-            PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
-              maxSplitBytes = Long.MaxValue, partitionValues = pv).toArray,
-            keyRow(b, pv)): InputPartition
+          // late-DPP-excluded groups keep their KEY with an empty file
+          // list (see lateFilters): group count preserved, I/O skipped
+          val files =
+            if (keep(pv))
+              PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
+                maxSplitBytes = Long.MaxValue, partitionValues = pv).toArray
+            else Array.empty[PartitionedFile]
+          new GraftKeyedFilePartition(i, files, keyRow(b, pv)): InputPartition
         }.toArray
+      }
       override def createReaderFactory(): PartitionReaderFactory =
         currentScan.createReaderFactory()
     }

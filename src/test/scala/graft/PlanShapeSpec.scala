@@ -772,6 +772,62 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $dimT")
   }
 
+  test("DPP on the composite layout: late runtime filters empty the pruned groups' file lists") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    val t = s"$cat.planshape.dpp_comp"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .writeTo(t)
+      .partitionedBy($"o_orderpriority", bucket(4, $"o_orderkey")).create()
+    val dimT = s"$cat.planshape.dpp_comp_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $dimT")
+    Seq(("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop"),
+      ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")).toDF("prio", "tag")
+      .writeTo(dimT).create()
+    // the fact reports KeyGroupedPartitioning (v2 bucketing defaults ON
+    // in Spark 4), so the keyed snapshot latches at join planning and
+    // the DPP filter arrives LATE — the group count is contractual, and
+    // the pruned directories must be skipped via emptied file lists
+    val joined = spark.table(t)
+      .join(spark.table(dimT).filter($"tag" === "keep"),
+        $"o_orderpriority" === $"prio")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("cnt"))
+    val rows = joined.collect()
+    assert(rows.length === 1 && rows(0).getString(0) === "1-URGENT")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"DPP subquery missing from the composite scan plan:\n$p")
+    def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case other => other.children.flatMap(allScans)
+    }
+    val factScan = allScans(joined.queryExecution.executedPlan)
+      .find(_.toString.contains("dpp_comp[")).getOrElse(fail("fact scan not found"))
+    val parts = factScan.inputPartitions.collect {
+      case f: org.apache.spark.sql.execution.datasources.FilePartition => f
+    }
+    // every (partition, bucket) group keeps its key…
+    assert(parts.size === 5 * 4,
+      s"expected all 20 keyed groups present, got ${parts.size}")
+    // …but only the surviving partition's buckets carry files
+    val withFiles = parts.count(_.files.nonEmpty)
+    assert(withFiles === 4,
+      s"expected 4 groups with files (1 of 5 dirs × 4 buckets), got $withFiles " +
+        s"of ${parts.size}")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS $dimT")
+  }
+
   test("DPP composes with STATIC partition pruning: one listing sees both filters") {
     // Static and runtime pruning share GraftFileIndex.listFiles — a
     // regression that satisfied one path by falling back to a full
