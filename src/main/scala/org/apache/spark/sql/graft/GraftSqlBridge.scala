@@ -218,8 +218,18 @@ class GraftFileScan(
     }
   }
 
-  override def filterAttributes(): Array[NamedReference] =
-    partitionCols.map(FieldReference(_)).toArray
+  /** Only partition columns present in the scan's OUTPUT are offered
+    * for runtime filtering: `PartitionPruning.getFilterableTableScan`
+    * resolves these refs against the scan output with a THROWING
+    * resolver, so advertising a pruned-away partition column crashes
+    * any join whose projection dropped it (e.g. a bucket-key join that
+    * never reads the date column). A column not in the output can't be
+    * a join key, so nothing is lost by omitting it. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val out = readSchema().fieldNames
+    partitionCols.filter(c => out.exists(SQLConf.get.resolver(_, c)))
+      .map(FieldReference(_)).toArray
+  }
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val exprs = predicates.toSeq.flatMap(toPartitionFilter)

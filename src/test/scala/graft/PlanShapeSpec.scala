@@ -772,6 +772,56 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $dimT")
   }
 
+  test("composite SPJ joins on the bucket key ALONE (join keys subset of partition keys)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val a = s"$cat.planshape.sub_a"
+    val b = s"$cat.planshape.sub_b"
+    Seq(a, b).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val li = Tables(spark, sf0001, "lineitem")
+    li.select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .writeTo(a).partitionedBy($"l_returnflag", bucket(4, $"l_orderkey")).create()
+    li.filter($"l_orderkey" % 3 === 0)
+      .select($"l_orderkey".as("b_orderkey"), $"l_returnflag".as("b_rf"))
+      .writeTo(b).partitionedBy($"b_rf", bucket(4, $"b_orderkey")).create()
+    // regression (found by this probe): joining on a NON-partition key
+    // with the partition column projected away used to CRASH planning —
+    // PartitionPruning resolves the scan's advertised filter attributes
+    // against its output with a throwing resolver, and the scan offered
+    // the pruned-away partition column. Must plan under DEFAULT confs.
+    val defaultJoin = spark.table(a)
+      .join(spark.table(b), $"l_orderkey" === $"b_orderkey")
+    assert(defaultJoin.count() ===
+      li.as("x").join(li.filter($"l_orderkey" % 3 === 0).as("y"),
+        $"x.l_orderkey" === $"y.l_orderkey").count())
+    // under the SPJ confs + allowJoinKeysSubsetOfPartitionKeys, the
+    // bucket-key-only join (the date-partitioned fact⋈fact-on-id case)
+    // is ZERO-exchange: groups align on the bucket component, partition
+    // values push/merge across sides
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val k = "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled"
+      val saved = spark.conf.getOption(k)
+      spark.conf.set(k, "true")
+      try {
+        val j = spark.table(a).join(spark.table(b), $"l_orderkey" === $"b_orderkey")
+        val p = j.queryExecution.executedPlan.toString
+        val keyEx = p.linesIterator.filter(l =>
+          l.contains("Exchange hashpartitioning(") &&
+            (l.contains("l_orderkey") || l.contains("b_orderkey"))).toSeq
+        assert(keyEx.isEmpty,
+          s"bucket-key-only join over composite tables must not shuffle:\n$p")
+        assert(j.count() === defaultJoin.count())
+      } finally saved match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+    Seq(a, b).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("DPP on the composite layout: late runtime filters empty the pruned groups' file lists") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
