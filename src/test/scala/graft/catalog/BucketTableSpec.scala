@@ -364,6 +364,50 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("composite maintenance: compaction and migration preserve the per-(partition, bucket) layout") {
+    import spark.implicits._
+    val t = freshTable("b_comp_maint")
+    val src = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    // three appends fragment every (partition, bucket) pair
+    src.filter($"l_orderkey" % 3 === 0)
+      .writeTo(t).partitionedBy($"l_returnflag", bucket(4, $"l_orderkey")).create()
+    src.filter($"l_orderkey" % 3 === 1).writeTo(t).append()
+    src.filter($"l_orderkey" % 3 === 2).writeTo(t).append()
+    val loc = locationOf(t)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    def perDir(): Map[String, Seq[Int]] =
+      fs.listStatus(loc).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath).toSeq
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .map(f => bucketIdOf(f.getPath)).sorted
+        }.toMap
+    assert(perDir().values.forall(_.size > 4), "fixture not fragmented")
+    val total = spark.table(t).count()
+    // CALL compact: back to ONE file per (partition, bucket)
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.compact('$t')")
+    val compacted = perDir()
+    assert(compacted.values.forall(_ == (0 until 4)),
+      s"expected one file per bucket per dir after compact: $compacted")
+    assert(spark.table(t).count() === total)
+    // CALL migrate: provider flips, layout survives, point lookup works
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.migrate('$t', 'orc')")
+    val migrated = perDir()
+    assert(migrated.nonEmpty && migrated.values.forall(ids =>
+      ids.nonEmpty && ids.toSet.subsetOf((0 until 4).toSet)),
+      s"post-migration files lost their bucket ids: $migrated")
+    assert(spark.table(t).count() === total)
+    val sample = spark.table(t).limit(1).collect().head
+    val k = sample.getLong(0)
+    val rf = sample.getString(2)
+    assert(spark.table(t)
+      .filter($"l_returnflag" === rf && $"l_orderkey" === k).count() >= 1,
+      "post-migration composite point lookup lost its rows")
+  }
+
   test("format migration preserves the bucket layout; point lookups stay correct post-flip") {
     import spark.implicits._
     val t = freshTable("b_migrate")
