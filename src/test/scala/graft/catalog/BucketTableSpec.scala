@@ -179,6 +179,75 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).count() === 6)
   }
 
+  test("streaming writes to COMPOSITE tables route partition dirs AND bucket names per epoch") {
+    import spark.implicits._
+    val t = freshTable("b_stream_comp")
+    Seq((1L, "a")).toDF("id", "p")
+      .writeTo(t).partitionedBy($"p", bucket(4, $"id")).create()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark)
+    val query = stream.toDF().toDF("id", "p")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("b_stream_comp_ckpt").toString)
+      .toTable(t)
+    try {
+      stream.addData((2L, "a"), (3L, "b"), (4L, "b"))
+      query.processAllAvailable()
+      stream.addData((5L, "a"), (6L, "c"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.table(t).count() === 6)
+    val loc = locationOf(t)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(loc).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    assert(dirs.map(_.getPath.getName).toSet === Set("p=a", "p=b", "p=c"))
+    dirs.foreach { d =>
+      fs.listStatus(d.getPath).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .foreach { f =>
+          val b = bucketIdOf(f.getPath)
+          val bad = spark.read.parquet(f.getPath.toString)
+            .where(pmod(hash($"id"), lit(4)) =!= b)
+          assert(bad.count() === 0,
+            s"${d.getPath.getName}/${f.getPath.getName}: streamed rows outside bucket $b")
+        }
+    }
+  }
+
+  test("composite layout composes with graft.cluster.by: per-(partition, bucket) files arrive key-sorted") {
+    import spark.implicits._
+    val t = freshTable("b_comp_clustered")
+    Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .writeTo(t)
+      .tableProperty(GraftCatalog.ClusterByProp, "l_quantity")
+      .partitionedBy($"l_returnflag", bucket(4, $"l_orderkey")).create()
+    // all three layout levers from one declaration: partition dirs,
+    // per-bucket hash-routed files, and within each file the declared
+    // cluster key sorted (row-group min-max locality)
+    val loc = locationOf(t)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(loc).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .foreach { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .foreach { f =>
+            bucketIdOf(f.getPath) // parses
+            val vals = spark.read.parquet(f.getPath.toString)
+              .select($"l_quantity").collect().map(_.getDouble(0))
+            assert(vals.sameElements(vals.sorted),
+              s"${d.getPath.getName}/${f.getPath.getName}: cluster key not sorted")
+          }
+      }
+    assert(spark.table(t).count() ===
+      Tables(spark, sf0001, "lineitem").count())
+  }
+
   test("row-level MERGE on a bucketed table preserves the bucket layout") {
     import spark.implicits._
     val t = freshTable("b_merge")
