@@ -103,12 +103,15 @@ object CatalogProcedures {
       "analyze",
       "recompute table/partition size statistics from the filesystem, " +
         "and optionally per-column NDV/null/min/max/length statistics " +
-        "('*' or a comma list) in ONE distributed pass — the planner " +
-        "sees them through DSv2 columnStats and CBO's cardinality " +
-        "estimation (data-mutating commits invalidate, ANALYZE is the " +
-        "only producer)",
+        "('*' or a comma list) in ONE distributed pass — plus " +
+        "equi-height histograms for numeric columns when " +
+        "histogram_bins > 0 (one extra scan for per-bin NDV). The " +
+        "planner sees everything through DSv2 columnStats and CBO's " +
+        "cardinality estimation (data-mutating commits invalidate, " +
+        "ANALYZE is the only producer)",
       Array(param("table", StringType),
-        paramDefault("columns", StringType, "''")),
+        paramDefault("columns", StringType, "''"),
+        paramDefault("histogram_bins", LongType, "0")),
       StructType(Seq(StructField("partitions_sized", LongType, nullable = false),
         StructField("size_in_bytes", LongType, nullable = false),
         StructField("columns_analyzed", LongType, nullable = false))),
@@ -117,6 +120,9 @@ object CatalogProcedures {
         require(parts.length == 3, s"analyze expects catalog.ns.table")
         val colsArg =
           if (in.isNullAt(1)) "" else in.getUTF8String(1).toString.trim
+        val histBins = if (in.isNullAt(2)) 0 else in.getLong(2).toInt
+        require(histBins >= 0 && histBins <= 254,
+          s"histogram_bins must be in [0, 254], got $histBins")
         val plugin = spark.sessionState.catalogManager.catalog(parts(0)) match {
           case g: GraftCatalog => g
           case other => throw new IllegalArgumentException(
@@ -181,6 +187,8 @@ object CatalogProcedures {
                 f.dataType == org.apache.spark.sql.types.BinaryType
             def canMinMax(f: org.apache.spark.sql.types.StructField) =
               f.dataType != org.apache.spark.sql.types.BinaryType
+            def numeric(f: org.apache.spark.sql.types.StructField) =
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
             val exprs = scala.collection.mutable.ArrayBuffer(count(lit(1)).as("n"))
             selected.foreach { f =>
               val c = col(f.name)
@@ -194,6 +202,16 @@ object CatalogProcedures {
                 exprs += ceil(avg(length(c))).as(s"avglen:${f.name}")
                 exprs += max(length(c)).cast("bigint").as(s"maxlen:${f.name}")
               }
+              // equi-height boundaries ride the SAME pass (mergeable
+              // percentile sketch); per-bin NDV needs the boundaries
+              // first, so it is the one extra scan below
+              if (histBins > 0 && numeric(f)) {
+                val ps = (0 to histBins).map(i =>
+                  (i.toDouble / histBins).toString).mkString(",")
+                exprs += expr(
+                  s"approx_percentile(cast(`${f.name}` as double), array($ps))")
+                  .as(s"pct:${f.name}")
+              }
             }
             val row = df.agg(exprs.head, exprs.tail.toSeq: _*).head()
             def get[T](n: String): Option[T] = {
@@ -201,14 +219,49 @@ object CatalogProcedures {
               if (row.isNullAt(i)) None else Some(row.get(i).asInstanceOf[T])
             }
             val n = row.getLong(row.fieldIndex("n"))
+            // pass 2 (only when histograms were requested): per-bin
+            // approx NDV for every numeric column, one conditional
+            // sketch per (column, bin), all in ONE scan
+            val histTargets: Seq[(org.apache.spark.sql.types.StructField, Seq[Double])] =
+              if (histBins == 0) Nil
+              else selected.filter(numeric).flatMap { f =>
+                get[scala.collection.Seq[Double]](s"pct:${f.name}")
+                  .map(bs => f -> bs.toSeq).filter(_._2.length == histBins + 1)
+              }
+            val binNdv: Map[(String, Int), Long] =
+              if (histTargets.isEmpty) Map.empty
+              else {
+                val binExprs = histTargets.flatMap { case (f, bs) =>
+                  (0 until histBins).map { i =>
+                    val c = col(f.name).cast("double")
+                    val inBin =
+                      if (i == 0) c >= bs(0) && c <= bs(1)
+                      else c > bs(i) && c <= bs(i + 1)
+                    approx_count_distinct(when(inBin, c)).as(s"hb:${f.name}:$i")
+                  }
+                }
+                val r2 = df.agg(binExprs.head, binExprs.tail: _*).head()
+                histTargets.flatMap { case (f, _) =>
+                  (0 until histBins).map(i =>
+                    (f.name, i) -> r2.getLong(r2.fieldIndex(s"hb:${f.name}:$i")))
+                }.toMap
+              }
             val cols = selected.map { f =>
+              val nonNull = get[Long](s"nn:${f.name}").getOrElse(0L)
+              val hist = histTargets.find(_._1.name == f.name).map { case (_, bs) =>
+                (nonNull.toDouble / histBins,
+                  (0 until histBins).map(i =>
+                    HistogramBinMeta(bs(i), bs(i + 1),
+                      binNdv.getOrElse((f.name, i), 0L))))
+              }
               f.name -> ColumnStatsMeta(
                 ndv = get[Long](s"ndv:${f.name}").getOrElse(0L),
-                nullCount = n - get[Long](s"nn:${f.name}").getOrElse(0L),
+                nullCount = n - nonNull,
                 min = if (canMinMax(f)) get[Any](s"min:${f.name}").map(_.toString) else None,
                 max = if (canMinMax(f)) get[Any](s"max:${f.name}").map(_.toString) else None,
                 avgLen = if (isLengthy(f)) get[Long](s"avglen:${f.name}") else None,
-                maxLen = if (isLengthy(f)) get[Long](s"maxlen:${f.name}") else None)
+                maxLen = if (isLengthy(f)) get[Long](s"maxlen:${f.name}") else None,
+                histogram = hist)
             }.toMap
             Some((n, cols))
           }

@@ -227,7 +227,10 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
             m.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
               org.apache.spark.sql.graft.GraftSqlBridge.v2ColumnStatistics(
                 f.dataType, cs.ndv, cs.nullCount, cs.min, cs.max,
-                cs.avgLen, cs.maxLen))
+                cs.avgLen, cs.maxLen,
+                cs.histogram.map { case (h, bins) =>
+                  (h, bins.map(b => (b.lo, b.hi, b.ndv)))
+                }))
           }
         }
         (rows, m: java.util.Map[

@@ -17,13 +17,24 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * output rows and the post-aggregate join side becomes broadcastable.
   * Beyond the reference, whose stats stop at sizeInBytes
   * (/root/reference/.../internal/CatalogUtil.scala:13-26). */
+/** One equi-height histogram bin: values in (lo, hi] (the first bin
+  * includes its lo), with the bin's distinct-value count. */
+case class HistogramBinMeta(lo: Double, hi: Double, ndv: Long)
+
 case class ColumnStatsMeta(
     ndv: Long,
     nullCount: Long,
     min: Option[String],
     max: Option[String],
     avgLen: Option[Long],
-    maxLen: Option[Long])
+    maxLen: Option[Long],
+    /** Equi-height histogram (rows-per-bin `height`, boundary bins) —
+      * collected by `analyze(t, cols, histogram_bins)` for numeric
+      * columns; CBO's range-filter estimation uses it in place of the
+      * uniform min/max assumption, the difference that matters on
+      * SKEWED columns (a p99 range predicate estimates ~1% with bins
+      * vs ~99% uniform). */
+    histogram: Option[(Double, Seq[HistogramBinMeta])] = None)
 
 /** Catalog-tracked statistics, maintained after every write / partition
   * change — the role of `CatalogStatistics` upkeep in the reference
@@ -329,7 +340,16 @@ object MetaStore {
             "min" -> cs.min.map(JString(_): JValue).getOrElse(JNull),
             "max" -> cs.max.map(JString(_): JValue).getOrElse(JNull),
             "avgLen" -> cs.avgLen.map(JLong(_): JValue).getOrElse(JNull),
-            "maxLen" -> cs.maxLen.map(JLong(_): JValue).getOrElse(JNull))): JValue)
+            "maxLen" -> cs.maxLen.map(JLong(_): JValue).getOrElse(JNull),
+            "histogram" -> cs.histogram.map[JValue] { case (h, bins) =>
+              JObject(List[(String, JValue)](
+                "height" -> JDouble(h),
+                "bins" -> JArray(bins.toList.map[JValue](b =>
+                  JObject(List[(String, JValue)](
+                    "lo" -> JDouble(b.lo),
+                    "hi" -> JDouble(b.hi),
+                    "ndv" -> JLong(b.ndv)))))))
+            }.getOrElse(JNull))): JValue)
         }.toList)))
       case None => JNull
     }
@@ -374,11 +394,36 @@ object MetaStore {
               val cm = o.obj.toMap
               def jstr(v: Option[JValue]): Option[String] =
                 v.collect { case JString(s) => s }
+              def jdouble(v: JValue): Option[Double] = v match {
+                case JDouble(x) => Some(x)
+                case JLong(x) => Some(x.toDouble)
+                case JInt(x) => Some(x.toDouble)
+                case _ => None
+              }
+              val hist = cm.get("histogram") match {
+                case Some(h: JObject) =>
+                  val hm = h.obj.toMap
+                  val bins = hm.get("bins") match {
+                    case Some(JArray(bs)) => bs.collect {
+                      case b: JObject =>
+                        val bm = b.obj.toMap
+                        HistogramBinMeta(
+                          bm.get("lo").flatMap(jdouble).getOrElse(0.0),
+                          bm.get("hi").flatMap(jdouble).getOrElse(0.0),
+                          bm.get("ndv").flatMap(jlong).getOrElse(0L))
+                    }
+                    case _ => Nil
+                  }
+                  hm.get("height").flatMap(jdouble)
+                    .filter(_ => bins.nonEmpty).map(ht => (ht, bins))
+                case _ => None
+              }
               c -> ColumnStatsMeta(
                 cm.get("ndv").flatMap(jlong).getOrElse(0L),
                 cm.get("nullCount").flatMap(jlong).getOrElse(0L),
                 jstr(cm.get("min")), jstr(cm.get("max")),
-                cm.get("avgLen").flatMap(jlong), cm.get("maxLen").flatMap(jlong))
+                cm.get("avgLen").flatMap(jlong), cm.get("maxLen").flatMap(jlong),
+                hist)
           }.toMap
           case _ => Map.empty[String, ColumnStatsMeta]
         }

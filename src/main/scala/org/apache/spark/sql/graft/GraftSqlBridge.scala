@@ -814,12 +814,17 @@ object GraftSqlBridge {
     Option(v)
   }
 
-  /** One column's DSv2 statistics view over the descriptor record. */
+  /** One column's DSv2 statistics view over the descriptor record.
+    * `histogram` is the ANALYZE-collected equi-height histogram
+    * (rows-per-bin height, (lo, hi, ndv) bins) — `transformV2Stats`
+    * converts it to the catalyst `Histogram` that CBO's range-filter
+    * estimation prefers over the uniform min/max assumption. */
   def v2ColumnStatistics(
       dt: org.apache.spark.sql.types.DataType,
       ndv: Long, nullCount: Long,
       min: Option[String], max: Option[String],
-      avgLen: Option[Long], maxLen: Option[Long]):
+      avgLen: Option[Long], maxLen: Option[Long],
+      histogram: Option[(Double, Seq[(Double, Double, Long)])] = None):
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics = {
     // captured under fresh names: inside the anonymous class the
     // parameter names resolve to the methods being overridden
@@ -837,6 +842,23 @@ object GraftSqlBridge {
       .getOrElse(java.util.OptionalLong.empty())
     val ndvV = java.util.OptionalLong.of(ndv)
     val nullCountV = java.util.OptionalLong.of(nullCount)
+    val histV: java.util.Optional[
+        org.apache.spark.sql.connector.read.colstats.Histogram] =
+      histogram.map { case (h, bins) =>
+        val binArr = bins.map { case (l, u, bNdv) =>
+          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+            override def lo(): Double = l
+            override def hi(): Double = u
+            override def ndv(): Long = bNdv
+          }
+        }.toArray
+        java.util.Optional.of(
+          new org.apache.spark.sql.connector.read.colstats.Histogram {
+            override def height(): Double = h
+            override def bins(): Array[
+                org.apache.spark.sql.connector.read.colstats.HistogramBin] = binArr
+          })
+      }.getOrElse(java.util.Optional.empty())
     new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
       override def distinctCount(): java.util.OptionalLong = ndvV
       override def nullCount(): java.util.OptionalLong = nullCountV
@@ -844,6 +866,8 @@ object GraftSqlBridge {
       override def max(): java.util.Optional[Object] = maxV
       override def avgLen(): java.util.OptionalLong = avgLenV
       override def maxLen(): java.util.OptionalLong = maxLenV
+      override def histogram(): java.util.Optional[
+          org.apache.spark.sql.connector.read.colstats.Histogram] = histV
     }
   }
 

@@ -722,6 +722,62 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("ANALYZE histograms fix range selectivity on skew: the uniform estimate keeps SMJ, the binned one broadcasts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.hist_skew"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // SKEWED: 99% of values in [0, 10), 1% spread up to 9e5 — the shape
+    // where the uniform min/max assumption is off by two orders
+    spark.range(0, 20000).select(
+      $"id",
+      when($"id" % 100 === 0, ($"id" % 1000) * 1000.0)
+        .otherwise(($"id" % 10).cast("double")).as("v"))
+      .writeTo(t).create()
+    val graftCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    def inval(): Unit = graftCat.invalidateTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("tmp"), "hist_skew"))
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // between the histogram estimate (~29 KB) and the uniform one (~460 KB)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100000")
+      def plan(): String = {
+        val dim = spark.table(t).filter($"v" > 15000.0)
+        val fact = spark.range(0, 500000).select($"id".as("fk"), ($"id" % 7).as("w"))
+        fact.join(dim, $"fk" === $"id").queryExecution.executedPlan.toString
+      }
+      // min/max only: `v > 15000` over [0, 9e5] estimates ~98% of rows
+      // surviving — the dim stays table-sized and the join sorts
+      spark.sql(s"CALL $cat.sys.analyze('$t', '*')").collect()
+      inval()
+      assert(!plan().contains("BroadcastHashJoin"),
+        "without a histogram the skewed range filter must keep SMJ (the contrast)")
+      // 16 equi-height bins put 99% of the mass below 10: the same
+      // filter estimates ~6% and the dim side broadcasts
+      spark.sql(s"CALL $cat.sys.analyze('$t', 'v', 16)").collect()
+      val hist = graftCat.metaStore.loadTable("tmp", "hist_skew")
+        .stats.get.colStats("v").histogram
+      assert(hist.isDefined, "histogram missing from the descriptor")
+      val (height, bins) = hist.get
+      assert(bins.size === 16 && height === 20000.0 / 16)
+      assert(bins.last.hi > 100000.0 && bins.head.hi <= 10.0,
+        s"equi-height bins must concentrate on the mass: $bins")
+      inval()
+      assert(plan().contains("BroadcastHashJoin"),
+        "with the histogram the ~1% range filter result must broadcast")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("DPP: a join on the partition column runtime-prunes the catalog file index") {
     import org.apache.spark.sql.functions._
     GraftBootstrap.ensure(spark, sf0001)
