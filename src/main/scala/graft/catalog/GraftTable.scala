@@ -175,16 +175,17 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
       // through the generic FileFormat-backed scan: column pruning +
       // static partition pruning, no DPP/runtime filters (the R12
       // any-SerDe delegation, HiveFilePartitionReaderFactory.scala:43-154).
-      // A BUCKETED avro table writes hash-routed (the distribution is
-      // format-agnostic) but scans conventionally: the bucket-aware
-      // wrapper below wraps FileScanBuilder formats only, so avro gets
-      // correct results without bucket pruning/SPJ — declare buckets on
-      // columnar providers to get the read-side fast paths.
+      // A BUCKETED avro table gets the same read-side fast paths as the
+      // columnar providers: the writable bucket spec rides into the
+      // generic scan, which recovers ids from file names for bucket
+      // pruning and (composite-)keyed SPJ reporting — see
+      // GraftFormatScan's bucket surface.
       case "avro" => return new org.apache.spark.sql.graft.GraftFormatScanBuilder(
         spark, org.apache.spark.sql.graft.GraftSqlBridge.avroFileFormat(),
         index, meta.schema,
         GraftCatalog.optionProps(meta.properties) ++
-          scala.jdk.CollectionConverters.MapHasAsScala(options).asScala)
+          scala.jdk.CollectionConverters.MapHasAsScala(options).asScala,
+        bucket = GraftCatalog.writableBucketSpec(meta))
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
     // Partitioned tables scan through the runtime-filtering wrapper:

@@ -453,25 +453,9 @@ class GraftBucketedFileScan(
     * that are not a bare attribute vs literal (casts, expressions) are
     * ignored — pruning is an optimization, never a row filter (the
     * pushed data filters still run in the reader). None = no narrowing. */
-  private def allowedBuckets: Option[Set[Int]] = {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
-    def onCol(a: AttributeReference): Boolean = SQLConf.get.resolver(a.name, bucketCol)
-    // a NULL equality literal matches no rows → empty bucket set; the
-    // non-null math is THE shared definition (GraftBucketFunction
-    // .bucketId — same call the function evaluation paths make)
-    def id(v: Any, dt: org.apache.spark.sql.types.DataType): Set[Int] =
-      if (v == null) Set.empty
-      else Set(graft.catalog.GraftBucketFunction.bucketId(v, dt, numBuckets))
-    val sets = currentScan.dataFilters.flatMap {
-      case EqualTo(a: AttributeReference, Literal(v, dt)) if onCol(a) => Some(id(v, dt))
-      case EqualTo(Literal(v, dt), a: AttributeReference) if onCol(a) => Some(id(v, dt))
-      case In(a: AttributeReference, elems) if onCol(a) &&
-          elems.forall(_.isInstanceOf[Literal]) =>
-        Some(elems.flatMap { case Literal(v, dt) => id(v, dt) }.toSet)
-      case _ => None
-    }
-    sets.reduceOption(_ intersect _)
-  }
+  private def allowedBuckets: Option[Set[Int]] =
+    GraftSqlBridge.bucketSetFromFilters(
+      currentScan.dataFilters, bucketCol, numBuckets)
 
   /** (bucketId, file status, partition values) per live data file, or
     * None when any file name fails to parse (foreign layout — never
@@ -677,7 +661,8 @@ class GraftFormatScanBuilder(
     format: org.apache.spark.sql.execution.datasources.FileFormat,
     index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
     fullSchema: StructType,
-    options: Map[String, String])
+    options: Map[String, String],
+    bucket: Option[(Int, String)] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
@@ -685,6 +670,7 @@ class GraftFormatScanBuilder(
 
   private var required: StructType = fullSchema
   private var partitionFilters: Seq[Expression] = Nil
+  private var dataFilters: Seq[Expression] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -695,6 +681,7 @@ class GraftFormatScanBuilder(
     partitionFilters = filters.filter(f =>
       f.references.nonEmpty && f.references.forall(r =>
         partCols.contains(r.name.toLowerCase(java.util.Locale.ROOT))))
+    dataFilters = filters.filterNot(partitionFilters.contains)
     filters // everything stays a post-scan filter — pruning is I/O-only
   }
 
@@ -712,7 +699,8 @@ class GraftFormatScanBuilder(
           .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
           .getOrElse(a)
     })
-    new GraftFormatScan(spark, format, index, fullSchema, required, rebased, options)
+    new GraftFormatScan(spark, format, index, fullSchema, required, rebased,
+      options, bucket, dataFilters)
   }
 }
 
@@ -723,12 +711,18 @@ class GraftFormatScan(
     fullSchema: StructType,
     required: StructType,
     partitionFilters: Seq[Expression],
-    options: Map[String, String])
+    options: Map[String, String],
+    bucket: Option[(Int, String)] = None,
+    dataFilters: Seq[Expression] = Nil)
   extends org.apache.spark.sql.connector.read.Scan
-  with org.apache.spark.sql.connector.read.Batch {
+  with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.expressions.Expressions
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
   import org.apache.spark.sql.execution.PartitionedFileUtil
-  import org.apache.spark.sql.execution.datasources.FilePartition
+  import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusWithMetadata, PartitionDirectory}
 
   private val partSet = index.partitionSchema.fieldNames
     .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -748,10 +742,82 @@ class GraftFormatScan(
   override def description(): String =
     s"GraftFormatScan[${format.getClass.getSimpleName}] ${index.rootPaths.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val selected = index.listFiles(partitionFilters, Nil)
-    val maxSplit = FilePartition.maxSplitBytes(spark, selected)
-    val splits = selected.flatMap { dir =>
+  // ---- bucket layout surface (q104 follow-through: a BUCKETED avro
+  // table gets the same read-side fast paths as the columnar providers)
+  // — mirrors GraftBucketedFileScan: bucket ids recovered from file
+  // names, never trusted on parse failure; pruning from equality/IN on
+  // the bucket key; KeyGroupedPartitioning (with identity prefixes when
+  // the table is also partitioned) under the v2 bucketing conf. All
+  // derived from ONE latched listing so planning and execution agree.
+
+  private lazy val spjActive: Boolean = SQLConf.get.v2BucketingEnabled
+  private val BucketName = "^part-(\\d+)-".r
+
+  private lazy val selected: Seq[PartitionDirectory] =
+    index.listFiles(partitionFilters, Nil)
+
+  /** (bucket id, file, partition values), or None when unbucketed, the
+    * table is empty, or any file name fails to parse (foreign layout). */
+  private lazy val parsed: Option[Seq[(Int, FileStatusWithMetadata, InternalRow)]] =
+    bucket.flatMap { case (n, _) =>
+      val files = selected.flatMap(d => d.files.map(f => (f, d.values)))
+      val tagged = files.map { case (f, pv) =>
+        BucketName.findFirstMatchIn(f.getPath.getName)
+          .map(_.group(1).toInt).filter(_ < n).map(b => (b, f, pv))
+      }
+      if (tagged.nonEmpty && tagged.forall(_.isDefined)) Some(tagged.map(_.get))
+      else None
+    }
+
+  private lazy val allowed: Option[Set[Int]] = bucket.flatMap { case (n, col) =>
+    GraftSqlBridge.bucketSetFromFilters(dataFilters, col, n)
+  }
+
+  private lazy val pruned: Option[Seq[(Int, FileStatusWithMetadata, InternalRow)]] =
+    parsed.map { fs =>
+      allowed match {
+        case Some(a) => fs.filter { case (b, _, _) => a.contains(b) }
+        case None => fs
+      }
+    }.filter(_.nonEmpty) // empty keyed set → stock planning (no SPJ contract)
+
+  private def keyRow(b: Int, pv: InternalRow): InternalRow =
+    if (index.partitionSchema.isEmpty) InternalRow(b)
+    else InternalRow.fromSeq(pv.toSeq(index.partitionSchema) :+ b)
+
+  override def outputPartitioning(): Partitioning = (bucket, pruned) match {
+    case (Some((n, col)), Some(fs)) if spjActive =>
+      new KeyGroupedPartitioning(
+        (index.partitionSchema.fields.map(f => Expressions.identity(f.name):
+            org.apache.spark.sql.connector.expressions.Expression) :+
+          (Expressions.bucket(n, col):
+            org.apache.spark.sql.connector.expressions.Expression)).toArray,
+        fs.map { case (b, _, pv) =>
+          (b, pv.toSeq(index.partitionSchema))
+        }.distinct.size)
+    case _ => new UnknownPartitioning(0)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (pruned, spjActive) match {
+      case (Some(fs), true) =>
+        // whole-file keyed splits: the SPJ key contract forbids ranges
+        fs.zipWithIndex.map { case ((b, f, pv), i) =>
+          new GraftKeyedFilePartition(i,
+            PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
+              maxSplitBytes = Long.MaxValue, partitionValues = pv).toArray,
+            keyRow(b, pv)): InputPartition
+        }.toArray
+      case (Some(fs), false) if allowed.isDefined =>
+        // bucket pruning without the SPJ conf: stock splits over only
+        // the allowed buckets' files
+        planStock(fs.map { case (_, f, pv) => PartitionDirectory(pv, Seq(f)) })
+      case _ => planStock(selected)
+    }
+
+  private def planStock(dirs: Seq[PartitionDirectory]): Array[InputPartition] = {
+    val maxSplit = FilePartition.maxSplitBytes(spark, dirs)
+    val splits = dirs.flatMap { dir =>
       dir.files.flatMap { f =>
         PartitionedFileUtil.splitFiles(f, f.getPath,
           isSplitable = format.isSplitable(spark, options, f.getPath),
@@ -798,6 +864,32 @@ object GraftSqlBridge {
     * tables. */
   def avroFileFormat(): org.apache.spark.sql.execution.datasources.FileFormat =
     new org.apache.spark.sql.avro.AvroFileFormat
+
+  /** BUCKET PRUNING's predicate → bucket-set translation, shared by the
+    * columnar bucketed scan and the generic format scan: equality/IN on
+    * the bucket column narrow to the literals' buckets (the math is THE
+    * shared `GraftBucketFunction.bucketId` definition the write routing
+    * uses); a NULL equality literal matches no rows → empty set;
+    * conjuncts of other shapes are ignored — pruning is an
+    * optimization, never a row filter. None = no narrowing. */
+  private[graft] def bucketSetFromFilters(
+      filters: Seq[Expression], bucketCol: String,
+      numBuckets: Int): Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
+    def onCol(a: AttributeReference): Boolean = SQLConf.get.resolver(a.name, bucketCol)
+    def id(v: Any, dt: org.apache.spark.sql.types.DataType): Set[Int] =
+      if (v == null) Set.empty
+      else Set(graft.catalog.GraftBucketFunction.bucketId(v, dt, numBuckets))
+    val sets = filters.flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) if onCol(a) => Some(id(v, dt))
+      case EqualTo(Literal(v, dt), a: AttributeReference) if onCol(a) => Some(id(v, dt))
+      case In(a: AttributeReference, elems) if onCol(a) &&
+          elems.forall(_.isInstanceOf[Literal]) =>
+        Some(elems.flatMap { case Literal(v, dt) => id(v, dt) }.toSet)
+      case _ => None
+    }
+    sets.reduceOption(_ intersect _)
+  }
 
   /** String-encoded descriptor min/max → the CATALYST value
     * `transformV2Stats` expects (UTF8String for strings, Long for

@@ -433,6 +433,39 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("avro bucketed tables get bucket pruning and SPJ through the generic format scan") {
+    import spark.implicits._
+    val t = freshTable("b_avro")
+    val src = Tables(spark, sf0001, "orders").select($"o_orderkey", $"o_totalprice")
+    src.writeTo(t).using("avro").partitionedBy(bucket(4, $"o_orderkey")).create()
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.inputPartitions.size
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(spark.table(t).count() === src.count())
+    // point lookup prunes to ONE bucket's file
+    val key = spark.table(t).select($"o_orderkey").limit(1).collect().head.getLong(0)
+    val point = spark.table(t).filter($"o_orderkey" === key)
+    assert(scanParts(point) === 1,
+      s"avro point lookup must read 1 bucket file, not ${scanParts(point)}")
+    assert(point.count() === 1)
+    // avro⋈avro zero-exchange join under the SPJ confs
+    val b = freshTable("b_avro_b")
+    src.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey".as("b_orderkey"))
+      .writeTo(b).using("avro").partitionedBy(bucket(4, $"b_orderkey")).create()
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val j = spark.table(t).join(spark.table(b), $"o_orderkey" === $"b_orderkey")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+        !p.contains("Exchange hashpartitioning(b_orderkey"),
+        s"avro bucket-aligned join must not shuffle either side:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(j.count() === src.filter($"o_orderkey" % 3 === 0).count())
+    }
+  }
+
   test("composite maintenance: compaction and migration preserve the per-(partition, bucket) layout") {
     import spark.implicits._
     val t = freshTable("b_comp_maint")
