@@ -518,6 +518,54 @@ object EngineQueries {
     }
   }
 
+  // ---------------------------------------------------------------- Q105
+  /** The FULL LAYOUT STACK from one declaration — q103's composite
+    * (identity partitions + hash buckets) plus q88's sort clustering:
+    * `PARTITIONED BY (flag) CLUSTERED BY (key) INTO 8 BUCKETS` with
+    * `graft.cluster.by = l_shipdate`. Three read-side levers from one
+    * table: the flag filter prunes DIRECTORIES before listing, the key
+    * alignment joins ZERO-exchange against a co-laid-out table, and
+    * within every per-(partition, bucket) file the rows arrive
+    * shipdate-sorted so the range predicate's row-group min-max
+    * statistics skip non-matching groups in the vectorized reader
+    * (per-file sortedness gated in BucketTableSpec). At 100 TB this is
+    * the full production posture for a time-filtered fact⋈fact query:
+    * read one time slice of the matching directories, skip cold row
+    * groups, shuffle nothing. */
+  def q105_layout_stack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val a = s"$cat.tmp.q105_stack_a"
+    val b = s"$cat.tmp.q105_stack_b"
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    val li = Tables(spark, dir, "lineitem")
+    li.select($"l_orderkey", $"l_extendedprice", $"l_returnflag", $"l_shipdate")
+      .writeTo(a)
+      .tableProperty(graft.catalog.GraftCatalog.ClusterByProp, "l_shipdate")
+      .partitionedBy($"l_returnflag", bucket(8, $"l_orderkey")).create()
+    li.filter($"l_linenumber" === 1)
+      .select($"l_returnflag".as("b_returnflag"), $"l_orderkey".as("b_orderkey"),
+        $"l_quantity".as("b_quantity"))
+      .writeTo(b)
+      .partitionedBy($"b_returnflag", bucket(8, $"b_orderkey")).create()
+    withSpjConfs(spark) {
+      spark.table(a)
+        .filter($"l_returnflag" =!= "N" && // directory pruning
+          $"l_shipdate" >= lit("1995-06-01").cast("timestamp_ntz")) // row-group skip
+        .join(spark.table(b),
+          $"l_returnflag" === $"b_returnflag" && $"l_orderkey" === $"b_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          RelationalQueries.r2(sum($"l_extendedprice")).as("sum_price"),
+          RelationalQueries.r2(sum($"b_quantity")).as("sum_qty"))
+        .orderBy($"l_returnflag")
+        .localCheckpoint(eager = true) // execute while the SPJ confs hold
+    }
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -852,6 +900,7 @@ object EngineQueries {
     "q97_spj_join" -> (q97_spj_join _),
     "q100_bucketed_spj_join" -> (q100_bucketed_spj_join _),
     "q103_composite_spj_join" -> (q103_composite_spj_join _),
+    "q105_layout_stack" -> (q105_layout_stack _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -998,6 +1047,22 @@ object EngineQueries {
         | JOIN (SELECT l_returnflag AS b_returnflag, l_orderkey AS b_orderkey,
         |              l_linenumber AS b_linenumber
         |       FROM lineitem WHERE l_orderkey % 3 = 0) b
+        |   ON a.l_returnflag = b.b_returnflag
+        |  AND a.l_orderkey = b.b_orderkey
+        | GROUP BY a.l_returnflag ORDER BY a.l_returnflag""".stripMargin,
+    // The full-stack query restated plainly: arrival through the
+    // directory-pruned, row-group-skipped, bucket-aligned plan must not
+    // change the answer.
+    "q105_layout_stack" ->
+      """SELECT a.l_returnflag, count(*) AS n_rows,
+        |  round((sum(a.l_extendedprice)) * 100) / 100 AS sum_price,
+        |  round((sum(b.b_quantity)) * 100) / 100 AS sum_qty
+        | FROM (SELECT * FROM lineitem
+        |       WHERE l_returnflag <> 'N'
+        |         AND l_shipdate >= TIMESTAMP '1995-06-01') a
+        | JOIN (SELECT l_returnflag AS b_returnflag, l_orderkey AS b_orderkey,
+        |              l_quantity AS b_quantity
+        |       FROM lineitem WHERE l_linenumber = 1) b
         |   ON a.l_returnflag = b.b_returnflag
         |  AND a.l_orderkey = b.b_orderkey
         | GROUP BY a.l_returnflag ORDER BY a.l_returnflag""".stripMargin,
