@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name-prefix filter for quick
+    // single-query iteration (the driver's 2-arg invocation runs all)
+    val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,7 +25,10 @@ object Verify {
     // message — absence of output can no longer be mistaken for
     // "not declared".
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       val sentinel = Paths.get(s"$outDir/${name}._error")
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -172,6 +172,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"table property '$k' is reserved: the stream-epoch log is " +
           "maintained by streaming write commits")
     }
+    if (props.contains(ClusterSortedProp))
+      throw new UnsupportedOperationException(
+        s"table property '$ClusterSortedProp' is reserved: the sort-trust " +
+          "marker is maintained by the catalog (set at managed create, " +
+          "cleared when ALTER changes the cluster columns, restored by a " +
+          "full rewrite — compact or truncate-overwrite)")
     GraftCatalog.validateClusterBy(props, schema, partitionColumns, ident.name)
     // bucketing a partition column is always a declaration mistake: the
     // value is constant within its directory, so every row of a
@@ -206,7 +212,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         bucketSpec.map { case (n, cols) => Map(
           BucketCountProp -> n.toString,
           BucketColumnsProp -> cols.mkString(","))
-        }.getOrElse(Map.empty),
+        }.getOrElse(Map.empty) ++
+        // MANAGED create with a cluster declaration: the residue check
+        // below guarantees the directory starts empty, so every file the
+        // table will ever hold goes through the engine's sorted write
+        // path — the scan may trust per-file cluster-key sortedness and
+        // report it as DSv2 output ordering (sort-free merge joins).
+        // EXTERNAL creates adopt unknown files: untrusted until a full
+        // rewrite (compact / truncate overwrite) sets the marker.
+        (if (GraftCatalog.clusterColumns(props).nonEmpty && !external)
+           Map(ClusterSortedProp -> "true")
+         else Map.empty[String, String]),
       stats = None,
       partitions = Nil)
     // A MANAGED default dir that already exists with content is residue —
@@ -290,7 +306,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // and this load must still surface as the contract's error class,
     // not a raw FileNotFoundException.
     val updated = try store.updateTable(db, ident.name) { meta =>
-      val newProps = org.apache.spark.sql.graft.GraftSqlBridge.applyPropertiesChanges(
+      val altered = org.apache.spark.sql.graft.GraftSqlBridge.applyPropertiesChanges(
         meta.properties ++ Map(TableCatalog.PROP_PROVIDER -> meta.provider),
         changes.toSeq) -- ReservedTableProps ++
         // the bucket spec is reserved (ALTER-proof) but lives ONLY in
@@ -299,6 +315,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // refusal in GraftWriteBuilder.build()
         meta.properties.filter(kv =>
           kv._1 == BucketCountProp || kv._1 == BucketColumnsProp)
+      // sort-trust marker (catalog-managed, stripped with the reserved
+      // props above): an ALTER that CHANGES the cluster columns leaves
+      // the existing files sorted by the OLD key (or not at all) — the
+      // marker must drop, or the scan would report an ordering the data
+      // does not have and a sort-free merge join would silently return
+      // wrong rows. Unrelated ALTERs carry the marker through.
+      val newProps =
+        if (GraftCatalog.clusterColumns(altered) ==
+            GraftCatalog.clusterColumns(meta.properties))
+          altered ++ meta.properties.filter(_._1 == ClusterSortedProp)
+        else altered
       val newSchema = org.apache.spark.sql.graft.GraftSqlBridge.applySchemaChanges(
         meta.schema, changes.toSeq, Some(meta.provider), "ALTER TABLE")
       meta.partitionColumns.foreach { c =>
@@ -542,8 +569,24 @@ object GraftCatalog {
     * reader. USER-settable (CREATE TBLPROPERTIES / ALTER SET — unlike
     * the bucket spec there is no correctness contract a stale value
     * could corrupt: ordering is enforced on every write by the engine,
-    * and reads never assume it), validated at create and at write. */
+    * and reads only assume it under the separate catalog-managed
+    * [[ClusterSortedProp]] trust marker, which an ALTER of this value
+    * clears), validated at create and at write. */
   val ClusterByProp: String = "graft.cluster.by"
+
+  /** Catalog-managed SORT-TRUST marker: present (="true") iff EVERY live
+    * file is known to be internally sorted by the cluster columns —
+    * i.e. the table was created MANAGED with the declaration already in
+    * place (empty dir, all files ever written go through the engine's
+    * sorted write path), or a full rewrite (compact / truncate
+    * overwrite) has since replaced all files. Only under this marker
+    * does the bucketed scan report the cluster columns as DSv2 output
+    * ordering (`SupportsReportOrdering`), which lets a merge join over
+    * co-bucketed tables skip BOTH exchanges and sorts — a wrongly
+    * trusted ordering would silently drop join rows, so the marker is
+    * reserved (never user-settable) and cleared the moment an ALTER
+    * changes the cluster columns out from under the existing files. */
+  val ClusterSortedProp: String = "graft.cluster.sorted"
 
   private[graft] def clusterColumns(props: Map[String, String]): Seq[String] =
     props.get(ClusterByProp).toSeq
@@ -575,7 +618,7 @@ object GraftCatalog {
   /** Properties managed by the catalog itself, never stored verbatim. */
   val ReservedTableProps: Set[String] = Set(
     TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
-    BucketCountProp, BucketColumnsProp)
+    BucketCountProp, BucketColumnsProp, ClusterSortedProp)
 
   /** Stored table properties that are metadata, NOT format options —
     * forwarding e.g. a table COMMENT as the CSV `comment` option (a
@@ -586,7 +629,7 @@ object GraftCatalog {
   val SpjProp: String = "graft.spj"
 
   val NonOptionProps: Set[String] = Set("comment", "owner",
-    BucketCountProp, BucketColumnsProp, ClusterByProp, SpjProp)
+    BucketCountProp, BucketColumnsProp, ClusterByProp, ClusterSortedProp, SpjProp)
 
   /** Per-streaming-query committed-epoch log: property
     * `graft.stream.epoch.<queryId>` holds the highest epoch id the named

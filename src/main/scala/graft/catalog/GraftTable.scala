@@ -146,6 +146,21 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
 
   // --- read --------------------------------------------------------------
 
+  /** Cluster columns the SCAN may treat as a per-file sort order —
+    * non-empty only under the catalog-managed
+    * [[GraftCatalog.ClusterSortedProp]] trust marker (managed create
+    * with the declaration in place, or a full rewrite since the last
+    * cluster-column change). The bucketed scans report these as DSv2
+    * `SupportsReportOrdering` output ordering, so a merge join over
+    * co-bucketed tables clustered by their bucket key skips the sorts
+    * as well as the exchanges. Schema-resolved names (the ordering refs
+    * must resolve against the relation output). */
+  private def trustedSortCols: Seq[String] =
+    if (meta.properties.get(GraftCatalog.ClusterSortedProp).contains("true"))
+      GraftCatalog.clusterColumns(meta.properties).flatMap(c =>
+        meta.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name))
+    else Nil
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val cache = FileStatusCache.getOrCreate(spark)
     // Partitioned tables ALWAYS scan through the catalog-tracked index —
@@ -185,7 +200,8 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
         index, meta.schema,
         GraftCatalog.optionProps(meta.properties) ++
           scala.jdk.CollectionConverters.MapHasAsScala(options).asScala,
-        bucket = GraftCatalog.writableBucketSpec(meta))
+        bucket = GraftCatalog.writableBucketSpec(meta),
+        sortedBy = trustedSortCols)
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
     // Partitioned tables scan through the runtime-filtering wrapper:
@@ -241,7 +257,8 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     GraftCatalog.writableBucketSpec(meta) match {
       case Some((n, col)) =>
         new org.apache.spark.sql.graft.GraftScanBuilder(builder,
-          meta.partitionColumns, bucket = Some((n, col)), tableStats = v2Stats)
+          meta.partitionColumns, bucket = Some((n, col)), tableStats = v2Stats,
+          sortedBy = trustedSortCols)
       case _ if meta.isPartitioned =>
         new org.apache.spark.sql.graft.GraftScanBuilder(builder,
           meta.partitionColumns, spj = spjProp, tableStats = v2Stats)

@@ -966,7 +966,8 @@ class GraftBatchWrite(
       val tableStats =
         if (autoSizeUpdate) Some(TableStats(sizeOf(new Path(snapshot.location)), None))
         else None
-      store.updateTable(db, meta.name)(m => metaExtra(m.copy(stats = tableStats)))
+      store.updateTable(db, meta.name)(m =>
+        restoreSortTrust(metaExtra(m.copy(stats = tableStats))))
     } else {
       val writtenSpecs = messages.toSeq
         .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
@@ -1073,16 +1074,31 @@ class GraftBatchWrite(
         val merged0 = writtenAdjusted ++ repaired
         val mergedSpecSet = merged0.map(_.spec).toSet
         val merged = base.filterNot(p => mergedSpecSet.contains(p.spec)) ++ merged0
-        metaExtra(current.copy(
+        restoreSortTrust(metaExtra(current.copy(
           partitions = merged,
           stats =
             if (autoSizeUpdate && merged.forall(_.isSized))
               Some(TableStats(merged.map(_.sizeInBytes).sum, None))
-            else None))
+            else None)))
       }
     }
     FileStatusCache.getOrCreate(spark).invalidateAll()
   } finally releasePermit()
+
+  /** A TRUNCATE commit replaced every live file with freshly written
+    * (engine-sorted) ones — if the table declares cluster columns, the
+    * catalog's sort-trust marker can be restored here: from this commit
+    * on, per-file cluster-key sortedness holds table-wide again (the
+    * cure for an EXTERNAL create or an ALTER-changed declaration on an
+    * unpartitioned table, where in-place compaction is unavailable).
+    * Runs inside the same atomic descriptor update as the stats/
+    * partition registration, under the write permit. */
+  private def restoreSortTrust(m: TableMeta): TableMeta =
+    if (mode == Truncate &&
+        graft.catalog.GraftCatalog.clusterColumns(m.properties).nonEmpty)
+      m.copy(properties = m.properties +
+        (graft.catalog.GraftCatalog.ClusterSortedProp -> "true"))
+    else m
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     try inner.abort(messages) finally releasePermit()

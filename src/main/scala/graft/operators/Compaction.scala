@@ -58,7 +58,25 @@ object Compaction {
     val release = graft.catalog.write.GraftBatchWrite.leaseWritePermit(
       spark, location, s"compaction of $table since ${java.time.Instant.now()}",
       timeoutSec)
-    try spark.table(table).writeTo(table).overwritePartitions()
-    finally release()
+    try {
+      spark.table(table).writeTo(table).overwritePartitions()
+      // compaction reads the WHOLE table and dynamically overwrites every
+      // live partition, so after the commit every file is freshly written
+      // by the engine's sorted write path — if cluster columns are
+      // declared, the catalog's sort-trust marker can be restored (the
+      // cure for an ALTER-changed declaration: one compact and sort-free
+      // merge joins are back). Still inside the lease, so no concurrent
+      // write can interleave between the rewrite and the marker.
+      cat match {
+        case g: graft.catalog.GraftCatalog
+            if graft.catalog.GraftCatalog.clusterColumns(
+              tbl.asInstanceOf[graft.catalog.GraftTable].meta.properties).nonEmpty =>
+          g.metaStore.updateTable(parts(1), parts.last)(m => m.copy(
+            properties = m.properties +
+              (graft.catalog.GraftCatalog.ClusterSortedProp -> "true")))
+          g.invalidateTable(ident)
+        case _ =>
+      }
+    } finally release()
   }
 }

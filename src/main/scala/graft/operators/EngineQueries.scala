@@ -566,6 +566,138 @@ object EngineQueries {
     }
   }
 
+  // ---------------------------------------------------------------- Q106
+  /** SORT-FREE merge join — q100's zero-exchange bucket alignment plus
+    * `SupportsReportOrdering`: both tables are `CLUSTERED BY (key) INTO
+    * 8 BUCKETS` with `graft.cluster.by = <key>` declared at (managed)
+    * create, so every file the engine ever writes into them is
+    * internally SORTED by the key ([[graft.catalog.write.GraftWrite
+    * .requiredOrdering]]) and the catalog's sort-trust marker
+    * ([[graft.catalog.GraftCatalog.ClusterSortedProp]]) lets the scan
+    * report that order to the planner. EnsureRequirements then sees a
+    * merge join whose children are already co-partitioned (bucket SPJ)
+    * AND already sorted — the plan has ZERO exchanges and ZERO sorts on
+    * the scan legs (PlanShapeSpec pins both): the V1 `CLUSTERED BY ...
+    * SORTED BY` fast path, which the reference refuses at the write
+    * (HiveFileFormatWriteBuilder.scala:124-136) and Spark's own V1
+    * bucketed tables only honor with one file per bucket — the same
+    * one-file condition `BatchScanExec.partitioningPreservesOrdering`
+    * enforces here, so fragmented appends degrade to a planned sort,
+    * never to wrong rows. At 100 TB this is the cheapest possible
+    * fact⋈fact equi-join: two aligned streaming reads of pre-sorted
+    * buckets, no shuffle, no sort, O(1) memory per task. */
+  def q106_sorted_bucket_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val a = s"$cat.tmp.q106_sfmj_a"
+    val b = s"$cat.tmp.q106_sfmj_b"
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    val orders = Tables(spark, dir, "orders")
+    orders.select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .writeTo(a)
+      .tableProperty(graft.catalog.GraftCatalog.ClusterByProp, "o_orderkey")
+      .partitionedBy(bucket(8, $"o_orderkey")).create()
+    orders.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey".as("b_orderkey"))
+      .writeTo(b)
+      .tableProperty(graft.catalog.GraftCatalog.ClusterByProp, "b_orderkey")
+      .partitionedBy(bucket(8, $"b_orderkey")).create()
+    withSpjConfs(spark) {
+      spark.table(a)
+        .join(spark.table(b), $"o_orderkey" === $"b_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          RelationalQueries.r2(sum($"o_totalprice")).as("sum_price"),
+          sum($"b_orderkey" % 999983L).as("key_checksum"))
+        .orderBy($"o_orderstatus")
+        .localCheckpoint(eager = true) // execute while the SPJ confs hold
+    }
+  }
+
+  // ---------------------------------------------------------------- Q107
+  /** RUNTIME BUCKET PRUNING — dynamic partition pruning's I/O win on an
+    * UNPARTITIONED table: the fact is `CLUSTERED BY (o_orderkey) INTO 8
+    * BUCKETS` (no date/identity column at all), the dim side carries a
+    * selective non-foldable filter, and the planner's runtime filter
+    * (the dim's post-filter join-key values, reusing the join's own
+    * broadcast) reaches the scan through `SupportsRuntimeV2Filtering` —
+    * where each key value hashes to its bucket
+    * (`pmod(murmur3(v), 8)`, the write-routing invariant shared with
+    * [[graft.catalog.GraftBucketFunction]]) and only the matching
+    * buckets' files are read. Static bucket pruning (q100) needs a
+    * literal predicate on the key; this is the JOIN-driven form — at
+    * 100 TB a point-lookup join (fact bucketed by order id ⋈ a filtered
+    * dim of a few ids) reads a handful of buckets instead of the whole
+    * table, with no partitioning column needed and no plan rewrite:
+    * the same mechanism the reference's DPP surface applies to Hive
+    * partition keys (V2ExternalCatalog's runtime-filter plumbing),
+    * extended to hash buckets. PlanShapeSpec pins the dynamicpruning
+    * subquery and the 1-of-8-buckets-with-files group shape. */
+  def q107_runtime_bucket_prune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val f = s"$cat.tmp.q107_fact"
+    val d = s"$cat.tmp.q107_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $f")
+    spark.sql(s"DROP TABLE IF EXISTS $d")
+    val orders = Tables(spark, dir, "orders")
+    orders.select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .writeTo(f).partitionedBy(bucket(8, $"o_orderkey")).create()
+    orders.filter($"o_orderkey" % 31 === 0)
+      .select($"o_orderkey".as("d_key"), $"o_orderpriority".as("d_prio"))
+      .writeTo(d).create()
+    spark.table(f)
+      .join(spark.table(d).filter($"d_prio" === "1-URGENT"),
+        $"o_orderkey" === $"d_key")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        RelationalQueries.r2(sum($"o_totalprice")).as("sum_price"),
+        sum($"o_orderkey" % 999983L).as("key_checksum"))
+      .orderBy($"o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- Q108
+  /** FOOTER-STATS AGGREGATE — DSv2 aggregate pushdown through the
+    * catalog scan: under `spark.sql.parquet.aggregatePushdown` a
+    * filterless `COUNT(*)`/`MIN`/`MAX` never decodes a data page — the
+    * parquet reader answers each file's contribution from its FOOTER
+    * row-group statistics (`ParquetScanBuilder.pushAggregation`; the
+    * engine's wrapped builders forward `SupportsPushDownAggregates`, so
+    * the same works through the partitioned/bucketed scan wrappers).
+    * The plan's scan shows `PushedAggregation: [COUNT(*), MIN(...)…]`
+    * and emits ONE pre-aggregated row per file split into the final
+    * agg. At 100 TB this turns a full-table row-count or freshness
+    * check (`max(ingest_ts)`) from a table scan into a metadata read —
+    * thousands of footers instead of the data itself, the same
+    * stats-serving posture as the reference's table-stats surface (R19)
+    * but exact and per-query. PlanShapeSpec pins the pushed plan on
+    * both the stock and the wrapped (partitioned) paths. */
+  def q108_agg_pushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q108_agg"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .writeTo(t).create()
+    val prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      spark.table(t)
+        .agg(count(lit(1)).as("n_rows"),
+          min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"),
+          min($"l_orderkey").as("min_key"), max($"l_orderkey").as("max_key"))
+        .localCheckpoint(eager = true) // execute while the pushdown conf holds
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -901,6 +1033,9 @@ object EngineQueries {
     "q100_bucketed_spj_join" -> (q100_bucketed_spj_join _),
     "q103_composite_spj_join" -> (q103_composite_spj_join _),
     "q105_layout_stack" -> (q105_layout_stack _),
+    "q106_sorted_bucket_join" -> (q106_sorted_bucket_join _),
+    "q107_runtime_bucket_prune" -> (q107_runtime_bucket_prune _),
+    "q108_agg_pushdown" -> (q108_agg_pushdown _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1033,6 +1168,37 @@ object EngineQueries {
         |       WHERE o_orderkey % 3 = 0) b
         |   ON a.o_orderkey = b.b_orderkey
         | GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""".stripMargin,
+    // The sort-free merge join restated as a plain join: arrival
+    // through the exchange-less, sort-less merge plan must not change
+    // the answer; the b-side key checksum proves per-row matching.
+    "q106_sorted_bucket_join" ->
+      """SELECT a.o_orderstatus, count(*) AS n_rows,
+        |  round((sum(a.o_totalprice)) * 100) / 100 AS sum_price,
+        |  CAST(sum(b.b_orderkey % 999983) AS BIGINT) AS key_checksum
+        | FROM orders a
+        | JOIN (SELECT o_orderkey AS b_orderkey FROM orders
+        |       WHERE o_orderkey % 2 = 1) b
+        |   ON a.o_orderkey = b.b_orderkey
+        | GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin,
+    // The footer-stats aggregate restated plainly: answering from
+    // row-group statistics must equal answering from the rows.
+    "q108_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        | FROM lineitem""".stripMargin,
+    // Runtime bucket pruning restated as a plain join: reading only the
+    // runtime-matched buckets must not change the answer; the key
+    // checksum proves per-row matching.
+    "q107_runtime_bucket_prune" ->
+      """SELECT f.o_orderstatus, count(*) AS n_rows,
+        |  round((sum(f.o_totalprice)) * 100) / 100 AS sum_price,
+        |  CAST(sum(f.o_orderkey % 999983) AS BIGINT) AS key_checksum
+        | FROM orders f
+        | JOIN (SELECT o_orderkey AS d_key FROM orders
+        |       WHERE o_orderkey % 31 = 0 AND o_orderpriority = '1-URGENT') d
+        |   ON f.o_orderkey = d.d_key
+        | GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin,
     // The composite-layout join restated as a plain join: arrival
     // through the partition-pruned, bucket-aligned zero-exchange plan
     // must not change the answer; the b-side row checksum proves

@@ -82,7 +82,8 @@ class GraftScanBuilder(
     bucket: Option[(Int, String)] = None,
     tableStats: Option[(java.util.OptionalLong,
       java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics])] = None)
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics])] = None,
+    sortedBy: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -111,7 +112,7 @@ class GraftScanBuilder(
     val scan = bucket match {
       case Some((n, col)) =>
         new GraftBucketedFileScan(inner.build().asInstanceOf[FileScan], n, col,
-          partitionCols)
+          partitionCols, sortedBy)
       case None if spj =>
         new GraftSpjFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
       case None =>
@@ -429,11 +430,13 @@ class GraftBucketedFileScan(
     initial0: org.apache.spark.sql.execution.datasources.v2.FileScan,
     numBuckets: Int,
     bucketCol: String,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    sortedBy: Seq[String] = Nil)
   extends GraftFileScan(initial0, partitionCols)
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.connector.expressions.Expressions
+  import org.apache.spark.sql.connector.expressions.{Expressions, LiteralValue, NamedReference}
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
   import org.apache.spark.sql.execution.PartitionedFileUtil
@@ -532,11 +535,64 @@ class GraftBucketedFileScan(
   @volatile private var lateFilters:
     Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
 
+  /** RUNTIME BUCKET PRUNING: bucket ids hashed from a runtime (DPP)
+    * filter's key values — a selective dim join prunes fact BUCKETS the
+    * way q103's DPP prunes fact directories. `None` = no runtime
+    * narrowing; `Some(ids)` = only these buckets can hold matching rows
+    * (every key value v lives in bucket pmod(murmur3(v), n), the shared
+    * [[graft.catalog.GraftBucketFunction.bucketId]] invariant). At
+    * 100 TB this is the point-lookup join: fact bucketed by order id ⋈
+    * a filtered dim of a few ids reads a handful of buckets instead of
+    * the whole table, with no partitioning column needed. */
+  @volatile private var lateBuckets: Option[Set[Int]] = None
+
+  /** The bucket column joins the partition columns as a runtime-filter
+    * target (same output-presence guard — PartitionPruning resolves
+    * these against the scan output with a THROWING resolver). */
+  override def filterAttributes(): Array[NamedReference] = {
+    val base = super.filterAttributes()
+    val out = readSchema().fieldNames
+    if (out.exists(SQLConf.get.resolver(_, bucketCol)))
+      base :+ org.apache.spark.sql.connector.expressions.FieldReference(bucketCol)
+    else base
+  }
+
+  /** `=`/`IN` literal values over the bucket column → their bucket-id
+    * set (`translateRuntimeFilterV2` emits exactly these shapes; values
+    * are catalyst-internal, matching the hash's expectation). NULL
+    * never equi-joins, so it maps to no bucket. */
+  private def bucketIdsFromV2(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Set[Int]] = {
+    def isCol(r: NamedReference) = r.fieldNames match {
+      case Array(n) => SQLConf.get.resolver(n, bucketCol)
+      case _ => false
+    }
+    def id(lv: LiteralValue[_]): Set[Int] =
+      if (lv.value == null) Set.empty
+      else Set(graft.catalog.GraftBucketFunction.bucketId(
+        lv.value, lv.dataType, numBuckets))
+    (p.name, p.children) match {
+      case ("IN", Array(r: NamedReference, vs @ _*))
+          if isCol(r) && vs.forall(_.isInstanceOf[LiteralValue[_]]) =>
+        Some(vs.flatMap { case lv: LiteralValue[_] => id(lv) }.toSet)
+      case ("=", Array(r: NamedReference, lv: LiteralValue[_])) if isCol(r) =>
+        Some(id(lv))
+      case ("=", Array(lv: LiteralValue[_], r: NamedReference)) if isCol(r) =>
+        Some(id(lv))
+      case _ => None
+    }
+  }
+
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     super.filter(predicates) // pre-latch arrivals narrow the listing itself
     if (partSchema.nonEmpty)
       lateFilters = lateFilters ++ predicates.toSeq.flatMap(toPartitionFilter)
+    val sets = predicates.toSeq.flatMap(bucketIdsFromV2)
+    if (sets.nonEmpty) {
+      val s = sets.reduce(_ intersect _)
+      lateBuckets = Some(lateBuckets.fold(s)(_ intersect s))
+    }
   }
 
   /** Partition-value predicate compiled from [[lateFilters]] — bound by
@@ -572,6 +628,52 @@ class GraftBucketedFileScan(
           .distinct.size)
     else new UnknownPartitioning(0)
 
+  /** SORT-FREE MERGE JOINS (`SupportsReportOrdering`): under the
+    * catalog's sort-trust marker every live file is internally sorted
+    * by `sortedBy` (the engine's write path orders partition cols first,
+    * then the cluster cols — so within one file, whose partition values
+    * are constant, rows ascend by the cluster cols). Reported ONLY when
+    * the keyed (SPJ) batch path is active: there each input partition is
+    * ONE whole file, so the per-partition ordering claim is exactly the
+    * per-file invariant — the stock path bin-packs unrelated files into
+    * a partition and may split one file into ranges, where no such claim
+    * holds. When `BatchScanExec` groups several same-key splits into one
+    * partition (a multi-file bucket), its own
+    * `partitioningPreservesOrdering` check discards the ordering, so
+    * appends-without-compaction degrade to a planned sort, never to
+    * wrong rows. A merge join over two co-bucketed tables clustered by
+    * their bucket key then runs with ZERO exchanges and ZERO sorts —
+    * at 100 TB the full cost of the join collapses to aligned streaming
+    * reads of pre-sorted buckets.
+    *
+    * The reported sequence adapts to the projection (the rule's
+    * `toCatalystOrdering` resolves refs against the scan OUTPUT with a
+    * throwing resolver — the filterAttributes lesson): with every
+    * partition column still in the output the write's full
+    * `(partitionCols, clusterCols)` order is reported (satisfies a
+    * merge join on the full composite key, whose required sort
+    * EnsureRequirements reorders to partition-cols-first); when the
+    * projection dropped a partition column — typically a bucket-key-only
+    * join — the cluster cols alone are reported, valid because partition
+    * values are CONSTANT within a keyed group. Either way only the
+    * longest prefix present in the output is claimed. */
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (sortedBy.isEmpty || !spjActive || pruned.isEmpty)
+      Array.empty
+    else {
+      val out = readSchema().fieldNames
+      def present(c: String) = out.exists(SQLConf.get.resolver(_, c))
+      val candidate =
+        if (partitionCols.nonEmpty && partitionCols.forall(present))
+          partitionCols ++ sortedBy
+        else sortedBy
+      candidate.takeWhile(present).map(c =>
+        Expressions.sort(Expressions.identity(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        .toArray
+    }
+
   override def toBatch: Batch = (pruned, spjActive) match {
     case (Some(fs), true) => new Batch {
       // per-file WHOLE splits (a split spanning two buckets would break
@@ -579,11 +681,14 @@ class GraftBucketedFileScan(
       // partially-clustered planning can leave a hot bucket un-grouped
       override def planInputPartitions(): Array[InputPartition] = {
         val keep = lateKeep()
+        val bKeep = lateBuckets
         fs.zipWithIndex.map { case ((b, f, pv), i) =>
           // late-DPP-excluded groups keep their KEY with an empty file
-          // list (see lateFilters): group count preserved, I/O skipped
+          // list (see lateFilters / lateBuckets): group count preserved,
+          // I/O skipped — partition-value AND bucket-id runtime pruning
+          // ride the same emptied-group mechanism
           val files =
-            if (keep(pv))
+            if (keep(pv) && bKeep.forall(_.contains(b)))
               PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
                 maxSplitBytes = Long.MaxValue, partitionValues = pv).toArray
             else Array.empty[PartitionedFile]
@@ -600,8 +705,14 @@ class GraftBucketedFileScan(
     // a bucket held in ONE large file keeps the intra-file parallelism
     // the stock path would give it. Un-narrowed scans keep the stock
     // planning entirely.
-    case (Some(fs), false) if allowedBuckets.isDefined => new Batch {
+    case (Some(fs0), false) if allowedBuckets.isDefined || lateBuckets.isDefined =>
+      new Batch {
       override def planInputPartitions(): Array[InputPartition] = {
+        // no key contract without SPJ: runtime-pruned buckets' files are
+        // simply dropped (BatchScanExec re-plans through a fresh toBatch
+        // after filter(), so this branch also serves a purely-runtime
+        // narrowing with no static bucket predicate)
+        val fs = fs0.filter { case (b, _, _) => lateBuckets.forall(_.contains(b)) }
         val session = org.apache.spark.sql.SparkSession.active
         val scan = currentScan
         val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
@@ -662,7 +773,8 @@ class GraftFormatScanBuilder(
     index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
     fullSchema: StructType,
     options: Map[String, String],
-    bucket: Option[(Int, String)] = None)
+    bucket: Option[(Int, String)] = None,
+    sortedBy: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
@@ -700,7 +812,7 @@ class GraftFormatScanBuilder(
           .getOrElse(a)
     })
     new GraftFormatScan(spark, format, index, fullSchema, required, rebased,
-      options, bucket, dataFilters)
+      options, bucket, dataFilters, sortedBy)
   }
 }
 
@@ -713,10 +825,12 @@ class GraftFormatScan(
     partitionFilters: Seq[Expression],
     options: Map[String, String],
     bucket: Option[(Int, String)] = None,
-    dataFilters: Seq[Expression] = Nil)
+    dataFilters: Seq[Expression] = Nil,
+    sortedBy: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.Batch
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.expressions.Expressions
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -797,6 +911,29 @@ class GraftFormatScan(
         }.distinct.size)
     case _ => new UnknownPartitioning(0)
   }
+
+  /** Same sort-free-merge-join surface as
+    * [[GraftBucketedFileScan.outputOrdering]]: under the catalog's
+    * sort-trust marker the cluster cols are reported as output ordering
+    * when the keyed path is active (one whole file per input partition;
+    * multi-file buckets are discarded by BatchScanExec's own
+    * preserves-ordering check). */
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (sortedBy.isEmpty || !spjActive || pruned.isEmpty)
+      Array.empty
+    else {
+      val out = readSchema().fieldNames
+      def present(c: String) = out.exists(SQLConf.get.resolver(_, c))
+      val partCols = index.partitionSchema.fieldNames.toSeq
+      val candidate =
+        if (partCols.nonEmpty && partCols.forall(present)) partCols ++ sortedBy
+        else sortedBy
+      candidate.takeWhile(present).map(c =>
+        Expressions.sort(Expressions.identity(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        .toArray
+    }
 
   override def planInputPartitions(): Array[InputPartition] =
     (pruned, spjActive) match {

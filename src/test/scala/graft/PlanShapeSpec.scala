@@ -542,6 +542,261 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(point.count() >= 1)
   }
 
+  test("q106 sort-free merge join: cluster.by == bucket key removes BOTH the exchanges and the sorts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    // the gated query creates the clustered bucketed tables as a side effect
+    val gated = graft.operators.EngineQueries.q106_sorted_bucket_join(spark, sf0001)
+    assert(gated.count() > 0)
+    val a = s"$cat.tmp.q106_sfmj_a"
+    val b = s"$cat.tmp.q106_sfmj_b"
+    // bare join (no orderBy/groupBy): any Sort in this plan is the
+    // planner sorting SMJ inputs. "Sort [" matches SortExec only —
+    // SortMergeJoin prints as "SortMergeJoin [".
+    def joinPlan(x: String, y: String) = spark.table(x)
+      .join(spark.table(y), $"o_orderkey" === $"b_orderkey")
+      .select($"o_orderstatus", $"b_orderkey")
+      .queryExecution.executedPlan.toString
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val p = joinPlan(a, b)
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle:\n$p")
+      assert(!p.contains("Sort ["),
+        s"trusted cluster.by == bucket key must remove the SMJ sorts:\n$p")
+
+      // SAFETY 1 — fragmented buckets: a second append leaves two files
+      // per bucket; BatchScanExec's partitioningPreservesOrdering check
+      // must discard the reported ordering (planned sort returns, rows
+      // stay correct — never a wrong merge over concatenated files).
+      val frag = s"$cat.tmp.q106_frag"
+      spark.sql(s"DROP TABLE IF EXISTS $frag")
+      val orders = Tables(spark, sf0001, "orders")
+        .select($"o_orderkey".as("b_orderkey"))
+      orders.filter($"b_orderkey" % 2 === 1)
+        .writeTo(frag)
+        .tableProperty(graft.catalog.GraftCatalog.ClusterByProp, "b_orderkey")
+        .partitionedBy(bucket(8, $"b_orderkey")).create()
+      orders.filter($"b_orderkey" % 2 === 0).writeTo(frag).append()
+      val fp = joinPlan(a, frag)
+      assert(!fp.contains("Exchange hashpartitioning"),
+        s"fragmented buckets still align (SPJ):\n$fp")
+      assert(fp.contains("Sort ["),
+        s"two files per bucket must bring the planned sort back:\n$fp")
+      val viaFrag = spark.table(a)
+        .join(spark.table(frag), $"o_orderkey" === $"b_orderkey")
+        .agg(count(lit(1)), sum($"b_orderkey")).collect().head
+      val viaPlain = spark.table(a)
+        .join(orders.hint("shuffle_hash"), $"o_orderkey" === $"b_orderkey")
+        .agg(count(lit(1)), sum($"b_orderkey")).collect().head
+      assert(viaFrag === viaPlain)
+      spark.sql(s"DROP TABLE IF EXISTS $frag")
+
+      // SAFETY 2 — ALTER-set cluster.by is NOT trusted: the existing
+      // files were written without the sort, so the scan must keep the
+      // planned sort until a full rewrite re-establishes the invariant.
+      val c = s"$cat.tmp.q106_alter"
+      spark.sql(s"DROP TABLE IF EXISTS $c")
+      orders.filter($"b_orderkey" % 2 === 1)
+        .writeTo(c).partitionedBy(bucket(8, $"b_orderkey")).create()
+      spark.sql(s"ALTER TABLE $c SET TBLPROPERTIES (" +
+        s"'${graft.catalog.GraftCatalog.ClusterByProp}' = 'b_orderkey')")
+      val cp = joinPlan(a, c)
+      assert(cp.contains("Sort ["),
+        s"ALTER-set cluster.by must stay untrusted (files predate the sort):\n$cp")
+      // ... and a TRUNCATE overwrite (all files freshly sort-written)
+      // restores the trust marker: the sort disappears.
+      orders.filter($"b_orderkey" % 2 === 1).writeTo(c).overwrite(lit(true))
+      val cp2 = joinPlan(a, c)
+      assert(!cp2.contains("Sort ["),
+        s"a truncate overwrite re-establishes sortedness table-wide:\n$cp2")
+      // ... and CHANGING the cluster columns drops the trust again
+      spark.sql(s"ALTER TABLE $c SET TBLPROPERTIES (" +
+        s"'${graft.catalog.GraftCatalog.ClusterByProp}' = '')")
+      spark.sql(s"ALTER TABLE $c SET TBLPROPERTIES (" +
+        s"'${graft.catalog.GraftCatalog.ClusterByProp}' = 'b_orderkey')")
+      val cp3 = joinPlan(a, c)
+      assert(cp3.contains("Sort ["),
+        s"changing cluster columns must drop the sort trust:\n$cp3")
+      spark.sql(s"DROP TABLE IF EXISTS $c")
+    }
+    // the marker is catalog-managed: user SET/UNSET is refused
+    val err = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $a SET TBLPROPERTIES (" +
+        s"'${graft.catalog.GraftCatalog.ClusterSortedProp}' = 'true')")
+    }
+    assert(err.getMessage.contains("reserved"))
+  }
+
+  test("compaction restores sort trust on a composite table: ALTER-set cluster.by, compact, sorts gone") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q106_comp_trust"
+    val u = s"$cat.tmp.q106_comp_peer"
+    Seq(t, u).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val li = Tables(spark, sf0001, "lineitem")
+    // t: composite table whose cluster.by arrives AFTER the data —
+    // untrusted until compacted. u: trusted from create.
+    li.select($"l_orderkey", $"l_returnflag", $"l_quantity")
+      .writeTo(t).partitionedBy($"l_returnflag", bucket(4, $"l_orderkey")).create()
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+      s"'${graft.catalog.GraftCatalog.ClusterByProp}' = 'l_orderkey')")
+    li.select($"l_returnflag".as("b_returnflag"), $"l_orderkey".as("b_orderkey"))
+      .filter($"b_orderkey" % 3 === 0)
+      .writeTo(u)
+      .tableProperty(graft.catalog.GraftCatalog.ClusterByProp, "b_orderkey")
+      .partitionedBy($"b_returnflag", bucket(4, $"b_orderkey")).create()
+    def joinPlan() = spark.table(t)
+      .join(spark.table(u),
+        $"l_returnflag" === $"b_returnflag" && $"l_orderkey" === $"b_orderkey")
+      .select($"l_quantity", $"b_orderkey")
+      .queryExecution.executedPlan.toString
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val before = joinPlan()
+      assert(!before.contains("Exchange hashpartitioning"),
+        s"composite join aligns without exchanges:\n$before")
+      assert(before.contains("Sort ["),
+        s"pre-compaction files predate the ALTER'd sort — sorts required:\n$before")
+      graft.operators.Compaction.compact(spark, t)
+      val after = joinPlan()
+      assert(!after.contains("Exchange hashpartitioning") &&
+        !after.contains("Sort ["),
+        s"after compaction the (flag, key) merge join needs no exchange and no sort:\n$after")
+      // equality against a plain shuffle join over the same data
+      val viaSpj = spark.table(t)
+        .join(spark.table(u),
+          $"l_returnflag" === $"b_returnflag" && $"l_orderkey" === $"b_orderkey")
+        .agg(count(lit(1)), sum($"l_quantity"), sum($"b_orderkey")).collect().head
+      val plainU = li
+        .select($"l_returnflag".as("b_returnflag"), $"l_orderkey".as("b_orderkey"))
+        .filter($"b_orderkey" % 3 === 0)
+      val viaPlain = li.select($"l_orderkey", $"l_returnflag", $"l_quantity")
+        .join(plainU.hint("shuffle_hash"),
+          $"l_returnflag" === $"b_returnflag" && $"l_orderkey" === $"b_orderkey")
+        .agg(count(lit(1)), sum($"l_quantity"), sum($"b_orderkey")).collect().head
+      assert(viaSpj === viaPlain)
+    }
+    Seq(t, u).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("q107 runtime bucket pruning: a dim-driven DPP filter empties all but the matching bucket") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val f = s"$cat.planshape.q107_fact"
+    val d = s"$cat.planshape.q107_dim"
+    Seq(f, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val orders = Tables(spark, sf0001, "orders")
+    orders.select($"o_orderkey", $"o_totalprice")
+      .writeTo(f).partitionedBy(bucket(8, $"o_orderkey")).create()
+    // a ONE-key dim (point-lookup join): exactly one bucket can match
+    val k = orders.agg(min($"o_orderkey")).as[Long].head()
+    Seq((k, "keep"), (k + 1, "drop")).toDF("d_key", "tag").writeTo(d).create()
+    // a fresh Dataset per probe: the runtime-filtered scan lives in the
+    // executed plan of the INSTANCE that ran, so plan inspection must
+    // reuse that instance, and the non-SPJ rerun must build a new one
+    def mkJoin() = spark.table(f)
+      .join(spark.table(d).filter($"tag" === "keep"), $"o_orderkey" === $"d_key")
+      .select($"o_orderkey", $"o_totalprice")
+    val joined = mkJoin()
+    val rows = joined.collect()
+    assert(rows.length === 1 && rows(0).getLong(0) === k)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"DPP subquery missing on the bucket join key:\n$p")
+    def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case other => other.children.flatMap(allScans)
+    }
+    // v2 bucketing defaults ON → the keyed snapshot latched at planning;
+    // the runtime filter must EMPTY the non-matching buckets' groups
+    // (group count contractual), leaving exactly one group with files
+    val factScan = allScans(joined.queryExecution.executedPlan)
+      .find(_.toString.contains("q107_fact[")).getOrElse(fail("fact scan not found"))
+    // the runtime filter lands in BatchScanExec.filteredPartitions,
+    // which only the (public, lazily cached) inputRDD exposes — the
+    // pre-filter `inputPartitions` snapshot stays unnarrowed by design
+    // (the key contract reads it)
+    def executedParts(scan: org.apache.spark.sql.execution.datasources.v2.BatchScanExec) =
+      scan.inputRDD.partitions.toSeq.flatMap {
+        case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          dp.inputPartitions
+      }.collect {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+      }
+    val parts = executedParts(factScan)
+    assert(parts.size === 8, s"expected all 8 keyed groups present, got ${parts.size}")
+    val withFiles = parts.filter(_.files.nonEmpty)
+    assert(withFiles.size === 1,
+      s"expected 1 bucket with files after runtime pruning, got ${withFiles.size}")
+    val expectBucket = graft.catalog.GraftBucketFunction.bucketId(
+      k, org.apache.spark.sql.types.LongType, 8)
+    assert(withFiles.head.files.forall(_.filePath.toString
+        .contains(f"part-$expectBucket%05d-")),
+      s"surviving files must belong to bucket $expectBucket")
+
+    // the stock (non-SPJ) path prunes too: with v2 bucketing off there
+    // is no key contract, so the excluded buckets' files are DROPPED
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val joined2 = mkJoin()
+      val rows2 = joined2.collect()
+      assert(rows2.length === 1 && rows2(0).getLong(0) === k)
+      val scan2 = allScans(joined2.queryExecution.executedPlan)
+        .find(_.toString.contains("q107_fact[")).getOrElse(fail("fact scan not found"))
+      val files2 = executedParts(scan2).flatMap(_.files)
+      assert(files2.nonEmpty &&
+        files2.forall(_.filePath.toString.contains(f"part-$expectBucket%05d-")),
+        s"non-SPJ path must plan only bucket $expectBucket's files, got " +
+          files2.map(_.filePath.toString).mkString(", "))
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+    Seq(f, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("q108 aggregate pushdown: COUNT/MIN/MAX answered from parquet footers, stock and wrapped paths") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val plain = s"$cat.planshape.q108_plain"
+    val parted = s"$cat.planshape.q108_parted"
+    Seq(plain, parted).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    li.writeTo(plain).create()
+    li.writeTo(parted).partitionedBy($"l_returnflag").create()
+    def aggOf(t: String) = spark.table(t)
+      .agg(count(lit(1)).as("n"), min($"l_quantity").as("mn"),
+        max($"l_orderkey").as("mx"))
+    val expected = aggOf(plain).collect().head // pushdown conf off: row path
+    val prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      for (t <- Seq(plain, parted)) {
+        val q = aggOf(t)
+        assert(q.collect().head === expected, s"pushed agg must equal row agg for $t")
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("PushedAggregation: [COUNT(*)"),
+          s"aggregate not pushed to the $t scan:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+    Seq(plain, parted).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("shuffle-one-side: a bucketed table joins an UNBUCKETED source with one exchange, not two") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
