@@ -61,7 +61,16 @@ object ScaleProbe {
     // claimed-linear axis). q101's file-count probe is special-cased
     // below (nation doesn't replicate; the axis is FILES, not bytes).
     "q100_bucketed_spj_join", "q103_composite_spj_join",
-    "q102_call_maintenance")
+    "q102_call_maintenance",
+    // late round-17: q106's sort-free merge join (two clustered CTAS
+    // writes + the exchange-less sort-less join — the sorted write adds
+    // a per-task sort ∝ bucket size, claimed n log n with fixed n/8th
+    // buckets), q107's runtime-bucket-pruned join (fact CTAS linear;
+    // the pruned probe itself reads a constant few buckets' bytes), and
+    // q108's footer aggregate (CTAS linear; the pushed agg reads
+    // footers ∝ FILES, not bytes)
+    "q106_sorted_bucket_join", "q107_runtime_bucket_prune",
+    "q108_agg_pushdown")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:

@@ -559,29 +559,10 @@ class GraftBucketedFileScan(
 
   /** `=`/`IN` literal values over the bucket column → their bucket-id
     * set (`translateRuntimeFilterV2` emits exactly these shapes; values
-    * are catalyst-internal, matching the hash's expectation). NULL
-    * never equi-joins, so it maps to no bucket. */
+    * are catalyst-internal, matching the hash's expectation). */
   private def bucketIdsFromV2(
-      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Set[Int]] = {
-    def isCol(r: NamedReference) = r.fieldNames match {
-      case Array(n) => SQLConf.get.resolver(n, bucketCol)
-      case _ => false
-    }
-    def id(lv: LiteralValue[_]): Set[Int] =
-      if (lv.value == null) Set.empty
-      else Set(graft.catalog.GraftBucketFunction.bucketId(
-        lv.value, lv.dataType, numBuckets))
-    (p.name, p.children) match {
-      case ("IN", Array(r: NamedReference, vs @ _*))
-          if isCol(r) && vs.forall(_.isInstanceOf[LiteralValue[_]]) =>
-        Some(vs.flatMap { case lv: LiteralValue[_] => id(lv) }.toSet)
-      case ("=", Array(r: NamedReference, lv: LiteralValue[_])) if isCol(r) =>
-        Some(id(lv))
-      case ("=", Array(lv: LiteralValue[_], r: NamedReference)) if isCol(r) =>
-        Some(id(lv))
-      case _ => None
-    }
-  }
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Set[Int]] =
+    GraftSqlBridge.bucketIdsFromRuntimePredicate(p, bucketCol, numBuckets)
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
@@ -600,26 +581,8 @@ class GraftBucketedFileScan(
     * codegen: it runs once per file at planning). Any binding or eval
     * failure keeps the file: pruning is an optimization, never a row
     * filter. */
-  private def lateKeep(): InternalRow => Boolean = {
-    val filters = lateFilters
-    if (filters.isEmpty) (_: InternalRow) => true
-    else try {
-      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference}
-      val bound = filters.map(_.transform {
-        case a: AttributeReference =>
-          val i = partSchema.fields.indexWhere(f => SQLConf.get.resolver(f.name, a.name))
-          if (i >= 0)
-            BoundReference(i, partSchema.fields(i).dataType,
-              partSchema.fields(i).nullable)
-          else a
-      }).reduce(And(_, _))
-      val pred = org.apache.spark.sql.catalyst.expressions.Predicate
-        .createInterpreted(bound)
-      (row: InternalRow) =>
-        try pred.eval(row)
-        catch { case scala.util.control.NonFatal(_) => true }
-    } catch { case scala.util.control.NonFatal(_) => (_: InternalRow) => true }
-  }
+  private def lateKeep(): InternalRow => Boolean =
+    GraftSqlBridge.compilePartitionPredicate(lateFilters, partSchema)
 
   override def outputPartitioning(): Partitioning =
     if (spjActive && pruned.isDefined)
@@ -830,13 +793,14 @@ class GraftFormatScan(
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.connector.expressions.Expressions
+  import org.apache.spark.sql.connector.expressions.{Expressions, FieldReference, NamedReference}
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
   import org.apache.spark.sql.execution.PartitionedFileUtil
-  import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusWithMetadata, PartitionDirectory}
+  import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusWithMetadata, PartitionDirectory, PartitionedFile}
 
   private val partSet = index.partitionSchema.fieldNames
     .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -899,6 +863,44 @@ class GraftFormatScan(
     if (index.partitionSchema.isEmpty) InternalRow(b)
     else InternalRow.fromSeq(pv.toSeq(index.partitionSchema) :+ b)
 
+  // ---- runtime (DPP) filtering: R13 parity for the generic format
+  // path — partition-value predicates narrow the latched listing, and
+  // bucket-key values hash to bucket ids (q107's mechanism). Both
+  // arrive after the keyed snapshot latched when SPJ is active, so
+  // there they EMPTY pruned groups' file lists (group count
+  // contractual); without the key contract the files drop outright.
+
+  @volatile private var lateFilters: Seq[Expression] = Nil
+  @volatile private var lateBuckets: Option[Set[Int]] = None
+
+  /** Partition columns AND the bucket column, each only when present in
+    * the scan output (`PartitionPruning` resolves these refs against
+    * the output with a THROWING resolver). */
+  override def filterAttributes(): Array[NamedReference] = {
+    val out = readSchema().fieldNames
+    def present(c: String) = out.exists(SQLConf.get.resolver(_, c))
+    (index.partitionSchema.fieldNames.toSeq.filter(present) ++
+      bucket.map(_._2).filter(present)).map(FieldReference(_)).toArray
+  }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    if (index.partitionSchema.nonEmpty)
+      lateFilters = lateFilters ++ predicates.toSeq.flatMap(
+        GraftSqlBridge.runtimeValueFilter(_, index.partitionSchema))
+    bucket.foreach { case (n, col) =>
+      val sets = predicates.toSeq.flatMap(
+        GraftSqlBridge.bucketIdsFromRuntimePredicate(_, col, n))
+      if (sets.nonEmpty) {
+        val s = sets.reduce(_ intersect _)
+        lateBuckets = Some(lateBuckets.fold(s)(_ intersect s))
+      }
+    }
+  }
+
+  private def lateKeep(): InternalRow => Boolean =
+    GraftSqlBridge.compilePartitionPredicate(lateFilters, index.partitionSchema)
+
   override def outputPartitioning(): Partitioning = (bucket, pruned) match {
     case (Some((n, col)), Some(fs)) if spjActive =>
       new KeyGroupedPartitioning(
@@ -938,18 +940,34 @@ class GraftFormatScan(
   override def planInputPartitions(): Array[InputPartition] =
     (pruned, spjActive) match {
       case (Some(fs), true) =>
-        // whole-file keyed splits: the SPJ key contract forbids ranges
+        // whole-file keyed splits: the SPJ key contract forbids ranges.
+        // Late runtime filters (partition values or bucket ids) keep
+        // each group's KEY with an emptied file list.
+        val keep = lateKeep()
+        val bKeep = lateBuckets
         fs.zipWithIndex.map { case ((b, f, pv), i) =>
-          new GraftKeyedFilePartition(i,
-            PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
-              maxSplitBytes = Long.MaxValue, partitionValues = pv).toArray,
-            keyRow(b, pv)): InputPartition
+          val files =
+            if (keep(pv) && bKeep.forall(_.contains(b)))
+              PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
+                maxSplitBytes = Long.MaxValue, partitionValues = pv).toArray
+            else Array.empty[PartitionedFile]
+          new GraftKeyedFilePartition(i, files, keyRow(b, pv)): InputPartition
         }.toArray
-      case (Some(fs), false) if allowed.isDefined =>
-        // bucket pruning without the SPJ conf: stock splits over only
-        // the allowed buckets' files
-        planStock(fs.map { case (_, f, pv) => PartitionDirectory(pv, Seq(f)) })
-      case _ => planStock(selected)
+      case (Some(fs), false)
+          if allowed.isDefined || lateBuckets.isDefined || lateFilters.nonEmpty =>
+        // bucket/partition pruning without the SPJ conf: stock splits
+        // over only the surviving buckets' files — no key contract, so
+        // runtime-excluded files simply drop (a fresh toBatch after
+        // filter() serves purely-runtime narrowing too)
+        val keep = lateKeep()
+        planStock(fs.filter { case (b, _, pv) =>
+          keep(pv) && lateBuckets.forall(_.contains(b))
+        }.map { case (_, f, pv) => PartitionDirectory(pv, Seq(f)) })
+      case _ =>
+        // unbucketed (or foreign-file) listing: runtime partition
+        // predicates narrow the directories before split planning
+        val keep = lateKeep()
+        planStock(selected.filter(d => keep(d.values)))
     }
 
   private def planStock(dirs: Seq[PartitionDirectory]): Array[InputPartition] = {
@@ -1009,6 +1027,91 @@ object GraftSqlBridge {
     * uses); a NULL equality literal matches no rows → empty set;
     * conjuncts of other shapes are ignored — pruning is an
     * optimization, never a row filter. None = no narrowing. */
+  /** Runtime (DPP) `=`/`IN` predicate over one of `partitionSchema`'s
+    * columns → a catalyst filter on a fresh by-name attribute (the
+    * planner's runtime filters arrive as `IN`/`=` over LiteralValues,
+    * `DataSourceV2Strategy.translateRuntimeFilterV2`; values are
+    * catalyst-internal, so `Literal(v, dt)` is the exact inverse).
+    * Unknown shapes → None (pruning is an optimization, never a row
+    * filter — every filter is also re-applied post-scan). */
+  private[graft] def runtimeValueFilter(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      partitionSchema: StructType): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
+    import org.apache.spark.sql.connector.expressions.{LiteralValue, NamedReference}
+    def field(r: NamedReference): Option[StructField] = r.fieldNames match {
+      case Array(n) => partitionSchema.fields.find(f => SQLConf.get.resolver(f.name, n))
+      case _ => None
+    }
+    def attr(f: StructField) = AttributeReference(f.name, f.dataType)()
+    (p.name, p.children) match {
+      case ("IN", Array(r: NamedReference, vs @ _*))
+          if vs.forall(_.isInstanceOf[LiteralValue[_]]) =>
+        field(r).map(f => In(attr(f),
+          vs.map { case lv: LiteralValue[_] => Literal(lv.value, lv.dataType) }))
+      case ("=", Array(r: NamedReference, lv: LiteralValue[_])) =>
+        field(r).map(f => EqualTo(attr(f), Literal(lv.value, lv.dataType)))
+      case ("=", Array(lv: LiteralValue[_], r: NamedReference)) =>
+        field(r).map(f => EqualTo(attr(f), Literal(lv.value, lv.dataType)))
+      case _ => None
+    }
+  }
+
+  /** `=`/`IN` literal values over the bucket column in a runtime
+    * predicate → their bucket-id set (every key value v lives in bucket
+    * `pmod(murmur3(v), n)`, the write-routing invariant). NULL never
+    * equi-joins, so it maps to no bucket. */
+  private[graft] def bucketIdsFromRuntimePredicate(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      bucketCol: String, numBuckets: Int): Option[Set[Int]] = {
+    import org.apache.spark.sql.connector.expressions.{LiteralValue, NamedReference}
+    def isCol(r: NamedReference) = r.fieldNames match {
+      case Array(n) => SQLConf.get.resolver(n, bucketCol)
+      case _ => false
+    }
+    def id(lv: LiteralValue[_]): Set[Int] =
+      if (lv.value == null) Set.empty
+      else Set(graft.catalog.GraftBucketFunction.bucketId(
+        lv.value, lv.dataType, numBuckets))
+    (p.name, p.children) match {
+      case ("IN", Array(r: NamedReference, vs @ _*))
+          if isCol(r) && vs.forall(_.isInstanceOf[LiteralValue[_]]) =>
+        Some(vs.flatMap { case lv: LiteralValue[_] => id(lv) }.toSet)
+      case ("=", Array(r: NamedReference, lv: LiteralValue[_])) if isCol(r) =>
+        Some(id(lv))
+      case ("=", Array(lv: LiteralValue[_], r: NamedReference)) if isCol(r) =>
+        Some(id(lv))
+      case _ => None
+    }
+  }
+
+  /** Partition-value predicate compiled from late (post-latch) runtime
+    * filters — bound by NAME to the partition schema's positions and
+    * interpreted (no codegen: it runs once per file at planning). Any
+    * binding or eval failure keeps the file: pruning is an
+    * optimization, never a row filter. */
+  private[graft] def compilePartitionPredicate(
+      filters: Seq[Expression],
+      partitionSchema: StructType): org.apache.spark.sql.catalyst.InternalRow => Boolean =
+    if (filters.isEmpty) (_: org.apache.spark.sql.catalyst.InternalRow) => true
+    else try {
+      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference}
+      val bound = filters.map(_.transform {
+        case a: AttributeReference =>
+          val i = partitionSchema.fields.indexWhere(f => SQLConf.get.resolver(f.name, a.name))
+          if (i >= 0)
+            BoundReference(i, partitionSchema.fields(i).dataType,
+              partitionSchema.fields(i).nullable)
+          else a
+      }).reduce(And(_, _))
+      val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+        .createInterpreted(bound)
+      (row: org.apache.spark.sql.catalyst.InternalRow) =>
+        try pred.eval(row)
+        catch { case scala.util.control.NonFatal(_) => true }
+    } catch { case scala.util.control.NonFatal(_) =>
+      (_: org.apache.spark.sql.catalyst.InternalRow) => true }
+
   private[graft] def bucketSetFromFilters(
       filters: Seq[Expression], bucketCol: String,
       numBuckets: Int): Option[Set[Int]] = {

@@ -766,6 +766,90 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     Seq(f, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("runtime filtering reaches the generic format scan: avro DPP and avro runtime bucket pruning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case other => other.children.flatMap(allScans)
+    }
+    def executedFiles(scan: org.apache.spark.sql.execution.datasources.v2.BatchScanExec) =
+      scan.inputRDD.partitions.toSeq.flatMap {
+        case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          dp.inputPartitions
+      }.collect {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+      }.flatMap(_.files)
+
+    // 1. partitioned avro fact ⋈ filtered dim on the partition column:
+    //    the DPP filter must reach GraftFormatScan and the executed
+    //    file set must shrink to the one surviving directory
+    val f1 = s"$cat.planshape.avro_dpp_fact"
+    val d1 = s"$cat.planshape.avro_dpp_dim"
+    Seq(f1, d1).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .writeTo(f1).using("avro").partitionedBy($"o_orderpriority").create()
+    Seq(("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop"),
+      ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")).toDF("prio", "tag")
+      .writeTo(d1).create()
+    val j1 = spark.table(f1)
+      .join(spark.table(d1).filter($"tag" === "keep"), $"o_orderpriority" === $"prio")
+      .select($"o_orderkey", $"o_orderpriority")
+    val expect1 = Tables(spark, sf0001, "orders")
+      .filter($"o_orderpriority" === "1-URGENT").count()
+    // collect() on THIS instance: its executed plan is the one whose
+    // scan ran the runtime filter (a .count() would execute a sibling)
+    assert(j1.collect().length.toLong === expect1)
+    val p1 = j1.queryExecution.executedPlan.toString
+    assert(p1.contains("dynamicpruning"),
+      s"DPP subquery missing on the avro partitioned scan:\n$p1")
+    val s1 = allScans(j1.queryExecution.executedPlan)
+      .find(_.toString.contains("GraftFormatScan")).getOrElse(fail("avro scan not found"))
+    val files1 = executedFiles(s1)
+    assert(files1.nonEmpty &&
+      files1.forall(_.filePath.toString.contains("o_orderpriority=1-URGENT")),
+      s"runtime filter must exclude the other directories, read: " +
+        files1.map(_.filePath.toString).mkString(", "))
+
+    // 2. bucketed avro fact ⋈ one-key dim: runtime bucket pruning
+    //    through the same surface (q107's mechanism on the generic scan)
+    val f2 = s"$cat.planshape.avro_rbp_fact"
+    val d2 = s"$cat.planshape.avro_rbp_dim"
+    Seq(f2, d2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val orders = Tables(spark, sf0001, "orders")
+    orders.select($"o_orderkey", $"o_totalprice")
+      .writeTo(f2).using("avro").partitionedBy(bucket(8, $"o_orderkey")).create()
+    val k = orders.agg(min($"o_orderkey")).as[Long].head()
+    Seq((k, "keep"), (k + 1, "drop")).toDF("d_key", "tag").writeTo(d2).create()
+    val j2 = spark.table(f2)
+      .join(spark.table(d2).filter($"tag" === "keep"), $"o_orderkey" === $"d_key")
+      .select($"o_orderkey")
+    val rows2 = j2.collect()
+    assert(rows2.length === 1 && rows2(0).getLong(0) === k)
+    val p2 = j2.queryExecution.executedPlan.toString
+    assert(p2.contains("dynamicpruning"),
+      s"DPP subquery missing on the avro bucket key:\n$p2")
+    val s2 = allScans(j2.queryExecution.executedPlan)
+      .find(_.toString.contains("GraftFormatScan")).getOrElse(fail("avro scan not found"))
+    val expectBucket = graft.catalog.GraftBucketFunction.bucketId(
+      k, org.apache.spark.sql.types.LongType, 8)
+    val files2 = executedFiles(s2)
+    assert(files2.nonEmpty &&
+      files2.forall(_.filePath.toString.contains(f"part-$expectBucket%05d-")),
+      s"only bucket $expectBucket's avro files may survive, read: " +
+        files2.map(_.filePath.toString).mkString(", "))
+    Seq(f1, d1, f2, d2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("q108 aggregate pushdown: COUNT/MIN/MAX answered from parquet footers, stock and wrapped paths") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
