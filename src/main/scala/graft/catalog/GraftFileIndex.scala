@@ -83,7 +83,12 @@ class GraftFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     GraftFileIndex.recordListFilters(partitionFilters)
-    filterPartitions(partitionFilters).listFiles(Nil, dataFilters)
+    // file-level data skipping composes AFTER partition pruning: the
+    // surviving dirs' files are tested against the manifest ranges
+    SkipStats.applySkipping(sparkSession, meta.location, meta.schema,
+      meta.properties,
+      filterPartitions(partitionFilters).listFiles(Nil, dataFilters),
+      dataFilters)
   }
 
   override def inputFiles: Array[String] = filterPartitions(Nil).inputFiles
@@ -135,6 +140,29 @@ class GraftFileIndex(
     throw new UnsupportedOperationException("delegated to pruned InMemoryFileIndex")
   override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
     throw new UnsupportedOperationException("delegated to pruned InMemoryFileIndex")
+}
+
+/** The unpartitioned twin: a stock in-memory listing with the same
+  * manifest-driven file skipping applied on top — an unpartitioned but
+  * range-distributed fact table (cluster.by + skipping.by) prunes files
+  * on a data predicate exactly like the partitioned index. Selected by
+  * [[GraftTable.newScanBuilder]] only when the table declares
+  * [[SkipStats.Prop]], so undeclared tables keep the untouched stock
+  * path. */
+class GraftSkippingFileIndex(
+    sparkSession: SparkSession,
+    meta: TableMeta,
+    fileStatusCache: FileStatusCache)
+  extends InMemoryFileIndex(sparkSession, Seq(new Path(meta.location)),
+    meta.properties, Some(meta.schema), fileStatusCache) {
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    SkipStats.applySkipping(sparkSession, meta.location, meta.schema,
+      meta.properties,
+      super.listFiles(partitionFilters, dataFilters),
+      dataFilters)
 }
 
 /** Test observability: the column names of partition filters handed to

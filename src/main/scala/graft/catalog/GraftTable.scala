@@ -172,6 +172,8 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     val index: PartitioningAwareFileIndex =
       if (meta.isPartitioned)
         new GraftFileIndex(spark, meta, cache)
+      else if (SkipStats.skippingColumns(meta.properties).nonEmpty)
+        new GraftSkippingFileIndex(spark, meta, cache)
       else
         new InMemoryFileIndex(spark, Seq(new Path(meta.location)),
           meta.properties, Some(meta.schema), cache)

@@ -1,0 +1,371 @@
+package graft.catalog
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.datasources.PartitionDirectory
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FILE-LEVEL DATA SKIPPING — the planner-side complement to q105's
+  * row-group skipping: per-file min/max ranges for the columns named in
+  * `graft.skipping.by` are recorded AT COMMIT TIME (read once from each
+  * new parquet file's footer, under the write permit) into a manifest
+  * beside the data (`_graft_skipstats.json`), and the catalog file
+  * index evaluates pushed data predicates against those ranges BEFORE
+  * planning — a file whose recorded range provably excludes the
+  * predicate is never opened, never split, never scheduled. Row-group
+  * skipping still opens every file to read its footer; at 100 TB with
+  * ~100k files the difference is the whole planning tier: a
+  * shipdate-range query over a range-distributed fact table schedules
+  * the handful of files that overlap the window and touches nothing
+  * else (the Delta/Iceberg data-skipping posture, which the reference
+  * has no analogue of).
+  *
+  * Correctness posture: skipping is an OPTIMIZATION, never a row
+  * filter. A file with no manifest entry (streaming append not yet
+  * re-manifested, foreign file, unreadable footer, unsupported type) is
+  * always kept, and every pushed filter is re-applied by the reader, so
+  * a stale or missing manifest costs I/O, never rows. The one hazard —
+  * a STALE RANGE for a file whose content changed — cannot arise: data
+  * files are immutable under the engine's two-phase commit (rewrites
+  * replace files under new names), and the manifest is rebuilt against
+  * the live file set on every batch commit, inside the same write
+  * permit as the descriptor update.
+  *
+  * Scale note: one JSON manifest per table is the fixture-scale shape;
+  * the production evolution is per-partition manifest shards (the
+  * Iceberg manifest-list design) so a commit touching one partition
+  * rewrites one shard — the record layout below (path-keyed, encoded
+  * per column) is shard-agnostic.
+  */
+object SkipStats extends Logging {
+
+  /** USER-settable declaration: comma-separated columns whose per-file
+    * ranges the engine maintains. Advisory (stats, never correctness) —
+    * unknown or unsupported-type names are simply ignored at both ends. */
+  val Prop = "graft.skipping.by"
+
+  val ManifestName = "_graft_skipstats.json"
+
+  def skippingColumns(props: Map[String, String]): Seq[String] =
+    props.get(Prop).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Types with a total order the parquet footer can bound: fixed
+    * numerics, strings, date (INT32 days), timestamp (INT64 micros —
+    * INT96-written timestamps carry no usable stats and simply yield no
+    * entry). */
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  private def resolvedCols(props: Map[String, String], schema: StructType): Seq[StructField] =
+    skippingColumns(props).flatMap(c =>
+      schema.fields.find(f => SQLConf.get.resolver(f.name, c)))
+      .filter(f => supported(f.dataType))
+
+  // ---- value codec: catalyst value <-> manifest string --------------------
+
+  private def encode(v: Any): String = v match {
+    case u: UTF8String => u.toString
+    case other => String.valueOf(other)
+  }
+
+  private[catalog] def decode(s: String, dt: DataType): Option[Any] = try {
+    dt match {
+      case StringType => Some(UTF8String.fromString(s))
+      case ByteType => Some(s.toByte)
+      case ShortType => Some(s.toShort)
+      case IntegerType | DateType => Some(s.toInt)
+      case LongType | TimestampType => Some(s.toLong)
+      case FloatType => Some(s.toFloat)
+      case DoubleType => Some(s.toDouble)
+      case _ => None
+    }
+  } catch { case NonFatal(_) => None }
+
+  // ---- commit-side maintenance -------------------------------------------
+
+  /** Rebuild the manifest against the live file set: entries for files
+    * already manifested are carried (files are immutable), NEW files
+    * read their footer once, vanished files drop. Runs under the write
+    * permit right after the descriptor update; any failure logs and
+    * leaves the previous manifest (advisory stats — the commit itself
+    * must never fail on them). Parquet only: other formats carry no
+    * footer statistics worth reading driver-side. */
+  def maintain(
+      spark: SparkSession,
+      location: String,
+      schema: StructType,
+      props: Map[String, String],
+      provider: String): Unit = try {
+    val cols = resolvedCols(props, schema)
+    if (cols.isEmpty || provider != "parquet") return
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(location)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val qualifiedRoot = fs.makeQualified(root)
+    val files = walkDataFiles(fs, qualifiedRoot)
+    val old = readRaw(fs, qualifiedRoot)
+    val entries: Map[String, Map[String, (String, String)]] = files.flatMap { st =>
+      val key = relKey(qualifiedRoot, st.getPath)
+      val e = old.get(key) match {
+        case Some(kept) => kept
+        case None => footerRanges(conf, st, cols)
+      }
+      if (e.nonEmpty) Some(key -> e) else None
+    }.toMap
+    writeAtomic(fs, qualifiedRoot, entries)
+  } catch { case NonFatal(e) =>
+    logWarning(s"skip-stats maintenance failed for $location " +
+      s"(skipping disabled until the next successful commit): $e")
+  }
+
+  /** Non-hidden data files under the table root, partition dirs
+    * included. Partitions registered at custom LOCATIONS outside the
+    * root are not walked — their files get no entry and are never
+    * skipped (correct, just unoptimized). */
+  private def walkDataFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def go(p: Path): Seq[FileStatus] =
+      fs.listStatus(p).toSeq.filterNot(s => hidden(s.getPath.getName)).flatMap {
+        case d if d.isDirectory => go(d.getPath)
+        case f => Seq(f)
+      }
+    go(root)
+  }
+
+  private def relKey(root: Path, p: Path): String =
+    root.toUri.relativize(p.toUri).getPath match {
+      case "" | null => p.toString
+      case rel => rel
+    }
+
+  /** One footer read → per-column (min, max) across all row groups.
+    * Columns whose chunks lack comparable stats (INT96, empty stats,
+    * null-only file) yield no entry for that column. */
+  private def footerRanges(
+      conf: Configuration,
+      st: FileStatus,
+      cols: Seq[StructField]): Map[String, (String, String)] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+    try {
+      val blocks = scala.jdk.CollectionConverters.ListHasAsScala(
+        reader.getFooter.getBlocks).asScala.toSeq
+      cols.flatMap { f =>
+        val chunks = blocks.flatMap(b =>
+          scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns).asScala
+            .find(c => c.getPath.size() == 1 &&
+              c.getPath.iterator().next().equalsIgnoreCase(f.name)))
+        val stats = chunks.map(_.getStatistics)
+        if (chunks.isEmpty || stats.exists(s =>
+            s == null || s.isEmpty || !s.hasNonNullValue)) None
+        else {
+          val mins = stats.flatMap(s =>
+            parquetValue(s.genericGetMin.asInstanceOf[AnyRef], f.dataType))
+          val maxs = stats.flatMap(s =>
+            parquetValue(s.genericGetMax.asInstanceOf[AnyRef], f.dataType))
+          if (mins.size != stats.size || maxs.size != stats.size) None
+          else {
+            val ord = TypeUtils.getInterpretedOrdering(f.dataType)
+            Some(f.name -> (encode(mins.min(ord)), encode(maxs.max(ord))))
+          }
+        }
+      }.toMap
+    } finally reader.close()
+  } catch { case NonFatal(_) => Map.empty }
+
+  /** Parquet footer value → catalyst value for the declared type, or
+    * None on any physical/logical mismatch (then the column gets no
+    * bound — never a wrong one). */
+  private def parquetValue(v: AnyRef, dt: DataType): Option[Any] = (v, dt) match {
+    case (b: org.apache.parquet.io.api.Binary, StringType) =>
+      Some(UTF8String.fromBytes(b.getBytes))
+    case (i: java.lang.Integer, ByteType) => Some(i.toByte)
+    case (i: java.lang.Integer, ShortType) => Some(i.toShort)
+    case (i: java.lang.Integer, IntegerType) => Some(i.toInt)
+    case (i: java.lang.Integer, DateType) => Some(i.toInt)
+    case (l: java.lang.Long, LongType) => Some(l.toLong)
+    case (l: java.lang.Long, TimestampType) => Some(l.toLong)
+    case (f: java.lang.Float, FloatType) => Some(f.toFloat)
+    case (d: java.lang.Double, DoubleType) => Some(d.toDouble)
+    case _ => None
+  }
+
+  // ---- manifest IO (hand-rolled JSON, mirroring Verify's escaper) --------
+
+  private def esc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def writeAtomic(
+      fs: FileSystem, root: Path,
+      entries: Map[String, Map[String, (String, String)]]): Unit = {
+    val body = entries.toSeq.sortBy(_._1).map { case (file, colRanges) =>
+      esc(file) + ":{" + colRanges.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        esc(c) + ":[" + esc(mn) + "," + esc(mx) + "]"
+      }.mkString(",") + "}"
+    }.mkString("{", ",", "}")
+    // draft naming (leading dot, .tmp suffix): a crash between create and
+    // rename leaves a file the table VACUUM's draft sweep already
+    // classifies as residue
+    val tmp = new Path(root, s".graft_skipstats-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(root, ManifestName)
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) { fs.delete(tmp, false); sys.error(s"rename to $target failed") }
+  }
+
+  private def readRaw(
+      fs: FileSystem, root: Path): Map[String, Map[String, (String, String)]] = try {
+    val target = new Path(root, ManifestName)
+    if (!fs.exists(target)) return Map.empty
+    val in = fs.open(target)
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(text) match {
+      case JObject(files) => files.flatMap {
+        case (file, JObject(cols)) =>
+          val ranges = cols.flatMap {
+            case (c, JArray(List(JString(mn), JString(mx)))) => Some(c -> (mn, mx))
+            case _ => None
+          }.toMap
+          Some(file -> ranges)
+        case _ => None
+      }.toMap
+      case _ => Map.empty
+    }
+  } catch { case NonFatal(_) => Map.empty }
+
+  // ---- scan-side evaluation ----------------------------------------------
+
+  /** Decoded manifest for a table: file key → column → (min, max)
+    * catalyst values. Empty on any problem (no skipping, full scan). */
+  def load(
+      spark: SparkSession,
+      location: String,
+      schema: StructType,
+      props: Map[String, String]): Map[String, Map[String, (Any, Any)]] = try {
+    val cols = resolvedCols(props, schema)
+    if (cols.isEmpty) return Map.empty
+    val byName = cols.map(f => f.name -> f.dataType).toMap
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(location)
+    val fs = root.getFileSystem(conf)
+    readRaw(fs, fs.makeQualified(root)).map { case (file, ranges) =>
+      file -> ranges.flatMap { case (c, (mn, mx)) =>
+        byName.get(c).flatMap(dt =>
+          for (a <- decode(mn, dt); b <- decode(mx, dt)) yield c -> (a, b))
+      }
+    }.filter(_._2.nonEmpty)
+  } catch { case NonFatal(_) => Map.empty }
+
+  /** Filter each directory's files through the manifest: a file is
+    * dropped only when some pushed conjunct PROVABLY excludes its
+    * recorded range. Files without an entry always survive. */
+  def applySkipping(
+      spark: SparkSession,
+      location: String,
+      schema: StructType,
+      props: Map[String, String],
+      dirs: Seq[PartitionDirectory],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    if (dataFilters.isEmpty) return dirs
+    val manifest = load(spark, location, schema, props)
+    if (manifest.isEmpty) return dirs
+    val rootUri = {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(location)
+      root.getFileSystem(conf).makeQualified(root).toUri
+    }
+    val colTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    dirs.map { d =>
+      d.copy(files = d.files.filter { f =>
+        val key = rootUri.relativize(f.getPath.toUri).getPath match {
+          case "" | null => f.getPath.toString
+          case rel => rel
+        }
+        manifest.get(key) match {
+          case Some(ranges) =>
+            !dataFilters.exists(e => excludes(e, ranges, colTypes))
+          case None => true
+        }
+      })
+    }
+  }
+
+  /** True iff the expression can be PROVEN false for every row whose
+    * skipping-column values lie within the file's recorded ranges.
+    * Conservative: any unrecognized shape returns false (keep). Null
+    * semantics are safe for free — `=`/`<`/... with a non-null literal
+    * never matches a null cell, so the non-null [min, max] bound is the
+    * only evidence needed; null literals prove nothing and are kept. */
+  private def excludes(
+      e: Expression,
+      ranges: Map[String, (Any, Any)],
+      colTypes: Map[String, DataType]): Boolean = {
+    def range(a: AttributeReference): Option[((Any, Any), Ordering[Any])] =
+      ranges.find { case (c, _) => SQLConf.get.resolver(c, a.name) }.flatMap {
+        case (c, r) => colTypes.find { case (n, _) => SQLConf.get.resolver(n, c) }
+          .map { case (_, dt) =>
+            (r, TypeUtils.getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]]) }
+      }
+    def cmp(a: AttributeReference, v: Any)(
+        excluded: ((Any, Any), Ordering[Any], Any) => Boolean): Boolean =
+      v != null && range(a).exists { case (r, ord) => excluded(r, ord, v) }
+    e match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        cmp(a, v) { case ((mn, mx), ord, x) => ord.lt(x, mn) || ord.gt(x, mx) }
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        cmp(a, v) { case ((mn, mx), ord, x) => ord.lt(x, mn) || ord.gt(x, mx) }
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        cmp(a, v) { case ((_, mx), ord, x) => ord.lteq(mx, x) }
+      case GreaterThan(Literal(v, _), a: AttributeReference) => // v > a ⇔ a < v
+        cmp(a, v) { case ((mn, _), ord, x) => ord.gteq(mn, x) }
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        cmp(a, v) { case ((_, mx), ord, x) => ord.lt(mx, x) }
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        cmp(a, v) { case ((mn, _), ord, x) => ord.gt(mn, x) }
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        cmp(a, v) { case ((mn, _), ord, x) => ord.gteq(mn, x) }
+      case LessThan(Literal(v, _), a: AttributeReference) => // v < a ⇔ a > v
+        cmp(a, v) { case ((_, mx), ord, x) => ord.lteq(mx, x) }
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        cmp(a, v) { case ((mn, _), ord, x) => ord.gt(mn, x) }
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        cmp(a, v) { case ((_, mx), ord, x) => ord.lt(mx, x) }
+      case In(a: AttributeReference, elems) if elems.forall(_.isInstanceOf[Literal]) =>
+        elems.nonEmpty && elems.forall { case Literal(v, _) =>
+          cmp(a, v) { case ((mn, mx), ord, x) => ord.lt(x, mn) || ord.gt(x, mx) } }
+      case And(l, r) => excludes(l, ranges, colTypes) || excludes(r, ranges, colTypes)
+      case Or(l, r) => excludes(l, ranges, colTypes) && excludes(r, ranges, colTypes)
+      case _ => false
+    }
+  }
+}

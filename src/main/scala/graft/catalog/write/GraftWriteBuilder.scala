@@ -1082,6 +1082,11 @@ class GraftBatchWrite(
             else None)))
       }
     }
+    // per-file skip-stats manifest: rebuilt against the live file set
+    // (new files read their footer once) inside the same permit as the
+    // descriptor update — advisory, never fails the commit
+    graft.catalog.SkipStats.maintain(spark, snapshot.location,
+      snapshot.schema, snapshot.properties, snapshot.provider)
     FileStatusCache.getOrCreate(spark).invalidateAll()
   } finally releasePermit()
 

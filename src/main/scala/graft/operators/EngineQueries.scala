@@ -698,6 +698,48 @@ object EngineQueries {
     } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
   }
 
+  // ---------------------------------------------------------------- Q109
+  /** FILE-LEVEL DATA SKIPPING — the planner-side complement to q105's
+    * row-group skipping and the lakehouse capability the reference has
+    * no analogue of: the table declares `graft.skipping.by =
+    * l_orderkey`, every commit records each parquet file's per-column
+    * min/max (one footer read per NEW file, under the write permit)
+    * into `_graft_skipstats.json`, and the catalog file index evaluates
+    * pushed data predicates against those ranges BEFORE planning — a
+    * file whose range provably excludes the predicate is never opened,
+    * split, or scheduled. The input arrives range-distributed
+    * (`repartitionByRange` on the key), so the 8 written files carry
+    * DISJOINT key ranges and a key-range query schedules ~2 of them.
+    * Row-group skipping still opens every file for its footer; at
+    * 100 TB with 100k files this is the planning tier that decides
+    * whether a shipdate-window query schedules 200 tasks or 100,000.
+    * Skipping is advisory end to end: a file with no manifest entry is
+    * always read, every filter re-applies in the reader, and the
+    * manifest rebuilds against the live file set on each commit —
+    * stale-or-missing costs I/O, never rows (PlanShapeSpec pins the
+    * file-subset plan, the manifest-deleted fallback, and
+    * append-refresh). */
+  def q109_file_skipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q109_skip"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .repartitionByRange(8, $"l_orderkey")
+      .writeTo(t)
+      .tableProperty(graft.catalog.SkipStats.Prop, "l_orderkey")
+      .create()
+    spark.table(t)
+      .filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 2000L)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        RelationalQueries.r2(sum($"l_quantity")).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -1036,6 +1078,7 @@ object EngineQueries {
     "q106_sorted_bucket_join" -> (q106_sorted_bucket_join _),
     "q107_runtime_bucket_prune" -> (q107_runtime_bucket_prune _),
     "q108_agg_pushdown" -> (q108_agg_pushdown _),
+    "q109_file_skipping" -> (q109_file_skipping _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1180,6 +1223,14 @@ object EngineQueries {
         |       WHERE o_orderkey % 2 = 1) b
         |   ON a.o_orderkey = b.b_orderkey
         | GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin,
+    // File skipping restated plainly: scheduling only the overlapping
+    // files must equal scanning them all.
+    "q109_file_skipping" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty
+        | FROM lineitem
+        | WHERE l_orderkey BETWEEN 1000 AND 2000
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // The footer-stats aggregate restated plainly: answering from
     // row-group statistics must equal answering from the rows.
     "q108_agg_pushdown" ->

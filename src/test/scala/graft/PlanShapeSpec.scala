@@ -850,6 +850,89 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     Seq(f1, d1, f2, d2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("q109 file-level data skipping: a key-range query schedules only the overlapping files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val t = s"$cat.planshape.q109_skip"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    li.repartitionByRange(8, $"l_orderkey")
+      .writeTo(t)
+      .tableProperty(graft.catalog.SkipStats.Prop, "l_orderkey")
+      .create()
+    // the manifest landed beside the data at commit
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").select($"data_type").as[String].head()
+    val manifest = new org.apache.hadoop.fs.Path(loc,
+      graft.catalog.SkipStats.ManifestName)
+    val fs = manifest.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(manifest), s"skip-stats manifest missing at $manifest")
+    val totalFiles = fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+      .count(s => !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    assert(totalFiles >= 6, s"range write should spread files, got $totalFiles")
+
+    def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case other => other.children.flatMap(allScans)
+    }
+    def executedFiles(q: org.apache.spark.sql.DataFrame) =
+      allScans(q.queryExecution.executedPlan).head.inputRDD.partitions.toSeq
+        .flatMap {
+          case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            dp.inputPartitions
+        }.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+        }.flatMap(_.files).map(_.filePath.toString).distinct
+
+    def rangeQuery() = spark.table(t)
+      .filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 2000L)
+    val expected = li.filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 2000L)
+      .agg(count(lit(1)), sum($"l_quantity")).collect().head
+    val q1 = rangeQuery()
+    assert(q1.agg(count(lit(1)), sum($"l_quantity")).collect().head === expected)
+    val q2 = rangeQuery()
+    q2.collect()
+    val read = executedFiles(q2)
+    assert(read.nonEmpty && read.size < totalFiles,
+      s"range query must schedule a file subset: ${read.size} of $totalFiles")
+    assert(read.size <= 3,
+      s"disjoint ranges should leave <=3 overlapping files, got ${read.size}")
+
+    // deleting the manifest disables skipping but never correctness
+    fs.delete(manifest, false)
+    spark.sql(s"REFRESH TABLE $t")
+    val q3 = rangeQuery()
+    assert(q3.agg(count(lit(1)), sum($"l_quantity")).collect().head === expected)
+    val q3files = { val q = rangeQuery(); q.collect(); executedFiles(q) }
+    assert(q3files.size === totalFiles,
+      s"without the manifest every file must be read, got ${q3files.size}")
+
+    // an APPEND rebuilds the manifest: new files read their footers,
+    // kept files carry their entries, and skipping resumes — including
+    // over the appended range
+    li.filter($"l_orderkey" < 500L).repartitionByRange(2, $"l_orderkey")
+      .writeTo(t).append()
+    assert(fs.exists(manifest), "append must rebuild the manifest")
+    val expected2 = li.filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 2000L)
+      .agg(count(lit(1)), sum($"l_quantity")).collect().head
+    val q4 = rangeQuery()
+    assert(q4.agg(count(lit(1)), sum($"l_quantity")).collect().head === expected2)
+    val q4files = { val q = rangeQuery(); q.collect(); executedFiles(q) }
+    assert(q4files.size <= 3,
+      s"skipping must resume after the append, got ${q4files.size} files")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("q108 aggregate pushdown: COUNT/MIN/MAX answered from parquet footers, stock and wrapped paths") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
