@@ -99,6 +99,26 @@ object CatalogProcedures {
         graft.operators.Compaction.compact(spark, t)
         InternalRow(utf8(t))
       }),
+    "zorder" -> new GraftProcedure(
+      "zorder",
+      "atomically rewrite an unpartitioned table Z-ordered by the given " +
+        "numeric columns (comma list) into target_files files — every " +
+        "file gets a tight per-column min/max box, so q109's skip-stats " +
+        "manifest prunes on ANY of the columns (the OPTIMIZE ZORDER " +
+        "capability; staged-rewrite crash model shared with migrate)",
+      Array(param("table", StringType),
+        param("columns", StringType),
+        paramDefault("target_files", LongType, "32")),
+      StructType(Seq(StructField("table", StringType, nullable = false),
+        StructField("files", LongType, nullable = false))),
+      in => {
+        val t = in.getUTF8String(0).toString
+        val cols = in.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val files = if (in.isNullAt(2)) 32 else in.getLong(2).toInt
+        graft.operators.Zorder.zorder(spark, t, cols, files)
+        InternalRow(utf8(t), files.toLong)
+      }),
     "analyze" -> new GraftProcedure(
       "analyze",
       "recompute table/partition size statistics from the filesystem, " +
@@ -313,10 +333,19 @@ object CatalogProcedures {
                   else None)
             }
           }
-          if (updated.location == snap.location)
+          if (updated.location == snap.location) {
+            // ANALYZE is also the manifest (re)build for q109's file
+            // skipping: a table that declared graft.skipping.by AFTER
+            // its data landed (ALTER) has no per-file ranges until its
+            // next write — this walks the same committed files the
+            // sizing pass just did and manifests them (no-op without
+            // the declaration; advisory, never fails the procedure)
+            graft.catalog.SkipStats.maintain(spark, updated.location,
+              updated.schema, updated.properties, updated.provider)
             result = InternalRow(sized.size.toLong,
               updated.stats.map(_.sizeInBytes).getOrElse(tableBytes),
               selected.size.toLong)
+          }
           else if (attempt >= 3) throw new IllegalStateException(
             s"analyze $db.$name: table location moved $attempt times " +
               "during sizing (concurrent migrations); re-run when the " +

@@ -740,6 +740,45 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- Q110
+  /** Z-ORDER + MULTI-COLUMN FILE SKIPPING — q109's planning tier made
+    * multi-dimensional: the table declares `graft.skipping.by =
+    * l_orderkey,l_partkey`, and `CALL sys.zorder` rewrites it with the
+    * two keys' bin bits INTERLEAVED into a Z-value that the rewrite
+    * range-distributes and sorts by — every file then covers a bounded
+    * box in BOTH dimensions, its manifest entry records both ranges,
+    * and a predicate on EITHER key prunes files (a single-column sort
+    * gives this for one key and scatters the other; PlanShapeSpec pins
+    * exactly that contrast plus the atomic staged-rewrite flip). This
+    * is Delta's `OPTIMIZE ZORDER BY` re-expressed over the engine's
+    * manifest + migrate-style staging — at 100 TB the layout that lets
+    * one fact table serve order-scoped AND part-scoped queries from a
+    * few files each, with no second copy of the data. */
+  def q110_zorder_skipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q110_z"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      .writeTo(t)
+      .tableProperty(graft.catalog.SkipStats.Prop, "l_orderkey,l_partkey")
+      .create()
+    spark.sql(s"CALL $cat.sys.zorder('$t', 'l_orderkey,l_partkey', 16L)").collect()
+    // probe BOTH dimensions of the one layout; union keeps one oracle
+    val byOrder = spark.table(t)
+      .filter($"l_orderkey" >= 500L && $"l_orderkey" <= 900L)
+      .agg(lit("by_order").as("probe"), count(lit(1)).as("n_rows"),
+        RelationalQueries.r2(sum($"l_quantity")).as("sum_qty"))
+    val byPart = spark.table(t)
+      .filter($"l_partkey" >= 100L && $"l_partkey" <= 300L)
+      .agg(lit("by_part").as("probe"), count(lit(1)).as("n_rows"),
+        RelationalQueries.r2(sum($"l_quantity")).as("sum_qty"))
+    byOrder.unionAll(byPart).orderBy($"probe")
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -1079,6 +1118,7 @@ object EngineQueries {
     "q107_runtime_bucket_prune" -> (q107_runtime_bucket_prune _),
     "q108_agg_pushdown" -> (q108_agg_pushdown _),
     "q109_file_skipping" -> (q109_file_skipping _),
+    "q110_zorder_skipping" -> (q110_zorder_skipping _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1223,6 +1263,17 @@ object EngineQueries {
         |       WHERE o_orderkey % 2 = 1) b
         |   ON a.o_orderkey = b.b_orderkey
         | GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin,
+    // Both Z-order probes restated plainly: the interleaved layout must
+    // not change either answer.
+    "q110_zorder_skipping" ->
+      """SELECT 'by_order' AS probe, count(*) AS n_rows,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty
+        | FROM lineitem WHERE l_orderkey BETWEEN 500 AND 900
+        |UNION ALL
+        |SELECT 'by_part' AS probe, count(*) AS n_rows,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty
+        | FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        |ORDER BY probe""".stripMargin,
     // File skipping restated plainly: scheduling only the overlapping
     // files must equal scanning them all.
     "q109_file_skipping" ->

@@ -794,7 +794,8 @@ class GraftFormatScan(
   with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.expressions.{Expressions, FieldReference, NamedReference}
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -819,6 +820,22 @@ class GraftFormatScan(
 
   override def description(): String =
     s"GraftFormatScan[${format.getClass.getSimpleName}] ${index.rootPaths.mkString(",")}"
+
+  /** Post-pruning size for the planner's join selection (`FileScan`
+    * reports this for the built-in formats; without it a generic-format
+    * table sizes at `defaultSizeInBytes` = never broadcastable, so an
+    * avro dim table forced every join through a shuffle). Sum of the
+    * SELECTED (partition-pruned) files, scaled by the session's file
+    * compression factor — the same estimate the stock scans make. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = {
+        val bytes = selected.flatMap(_.files).map(_.getLen).sum
+        java.util.OptionalLong.of(
+          (bytes * spark.sessionState.conf.fileCompressionFactor).toLong)
+      }
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
 
   // ---- bucket layout surface (q104 follow-through: a BUCKETED avro
   // table gets the same read-side fast paths as the columnar providers)

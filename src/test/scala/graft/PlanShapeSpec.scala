@@ -933,6 +933,165 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("q110 z-order: after the rewrite BOTH dimensions prune files; single-sort only prunes one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val t = s"$cat.planshape.q110_z"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    // baseline layout: range-distributed by ORDER key only — orderkey
+    // queries prune, partkey queries read everything
+    li.repartitionByRange(16, $"l_orderkey")
+      .writeTo(t)
+      .tableProperty(graft.catalog.SkipStats.Prop, "l_orderkey,l_partkey")
+      .create()
+    def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case other => other.children.flatMap(allScans)
+    }
+    def filesRead(mk: => org.apache.spark.sql.DataFrame): Int = {
+      val q = mk
+      q.collect()
+      allScans(q.queryExecution.executedPlan).head.inputRDD.partitions.toSeq
+        .flatMap {
+          case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            dp.inputPartitions
+        }.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+        }.flatMap(_.files).map(_.filePath.toString).distinct.size
+    }
+    def byOrder = spark.table(t)
+      .filter($"l_orderkey" >= 500L && $"l_orderkey" <= 700L)
+      .select($"l_quantity")
+    def byPart = spark.table(t)
+      .filter($"l_partkey" >= 100L && $"l_partkey" <= 112L)
+      .select($"l_quantity")
+    val expOrder = li.filter($"l_orderkey" >= 500L && $"l_orderkey" <= 700L)
+      .agg(sum($"l_quantity"), count(lit(1))).collect().head
+    val expPart = li.filter($"l_partkey" >= 100L && $"l_partkey" <= 112L)
+      .agg(sum($"l_quantity"), count(lit(1))).collect().head
+    val preOrderFiles = filesRead(byOrder)
+    val prePartFiles = filesRead(byPart)
+    assert(preOrderFiles <= 4, s"single-sort layout prunes its own key: $preOrderFiles")
+    assert(prePartFiles >= 14,
+      s"single-sort layout cannot prune the other key, expected ~16 files: $prePartFiles")
+
+    val res = spark.sql(s"CALL $cat.sys.zorder('$t', 'l_orderkey,l_partkey', 16L)")
+      .collect()
+    assert(res.head.getLong(1) === 16L)
+    // equality on both dimensions through the rewritten layout
+    assert(byOrder.agg(sum($"l_quantity"), count(lit(1))).collect().head === expOrder)
+    assert(byPart.agg(sum($"l_quantity"), count(lit(1))).collect().head === expPart)
+    val postOrderFiles = filesRead(byOrder)
+    val postPartFiles = filesRead(byPart)
+    // the Z layout bounds every file's box in BOTH dims: each probe
+    // reads a strict subset; the partkey probe drops from ~all to a few
+    assert(postPartFiles <= 8 && postPartFiles < prePartFiles,
+      s"z-order must prune the second dimension: $postPartFiles of $prePartFiles")
+    assert(postOrderFiles < 16,
+      s"z-order keeps pruning the first dimension: $postOrderFiles of 16")
+    // the rewrite was an atomic generation flip: the old location
+    // remains for in-flight readers; the live table has exactly the
+    // target file count
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").select($"data_type").as[String].head()
+    assert(loc.contains("__migrate_"), s"zorder must flip to a staged generation: $loc")
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+      .count(s => !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    assert(dataFiles === 16, s"expected 16 z-files, got $dataFiles")
+    // refusals: bucketed and partitioned shapes name their own operator
+    val b = s"$cat.planshape.q110_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    li.writeTo(b).partitionedBy(bucket(4, $"l_orderkey")).create()
+    val e1 = intercept[Exception] {
+      graft.operators.Zorder.zorder(spark, b, Seq("l_orderkey", "l_partkey"))
+    }
+    assert(e1.getMessage.contains("bucketed"))
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("avro scans report size statistics: a small avro dim auto-broadcasts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val d = s"$cat.planshape.avro_stats_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $d")
+    Tables(spark, sf0001, "nation")
+      .select($"n_nationkey", $"n_name")
+      .writeTo(d).using("avro").create()
+    val j = Tables(spark, sf0001, "customer")
+      .join(spark.table(d), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    assert(j.count() > 0)
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"a KB-sized avro dim must auto-broadcast (scan statistics reported):\n$p")
+    spark.sql(s"DROP TABLE IF EXISTS $d")
+  }
+
+  test("CALL sys.analyze builds the skip-stats manifest for an ALTER-declared table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val t = s"$cat.planshape.skip_analyze"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val li = Tables(spark, sf0001, "lineitem").select($"l_orderkey", $"l_quantity")
+    // data lands FIRST, with no skipping declaration → no manifest
+    li.repartitionByRange(8, $"l_orderkey").writeTo(t).create()
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").select($"data_type").as[String].head()
+    val manifest = new org.apache.hadoop.fs.Path(loc,
+      graft.catalog.SkipStats.ManifestName)
+    val fs = manifest.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(manifest), "no declaration → no manifest at create")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+      s"'${graft.catalog.SkipStats.Prop}' = 'l_orderkey')")
+    assert(!fs.exists(manifest), "ALTER alone reads no footers")
+    spark.sql(s"CALL $cat.sys.analyze('$t')").collect()
+    assert(fs.exists(manifest),
+      "analyze must manifest the committed files for the new declaration")
+    // and skipping is now live: the range query reads a file subset
+    val q = spark.table(t).filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 1100L)
+    q.collect()
+    val read = allScansOf(q.queryExecution.executedPlan)
+      .head.inputRDD.partitions.toSeq.flatMap {
+        case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          dp.inputPartitions
+      }.collect {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+      }.flatMap(_.files).map(_.filePath.toString).distinct
+    assert(read.nonEmpty && read.size < 8,
+      s"post-analyze skipping must schedule a subset, got ${read.size} of 8")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  private def allScansOf(sp: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+    case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allScansOf(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allScansOf(q.plan)
+    case other => other.children.flatMap(allScansOf)
+  }
+
   test("q108 aggregate pushdown: COUNT/MIN/MAX answered from parquet footers, stock and wrapped paths") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
