@@ -334,7 +334,24 @@ class GraftWrite(
     case Some((_, col)) => Distributions.clustered(Array(
       Expressions.identity(col): org.apache.spark.sql.connector.expressions.Expression))
     case None =>
-      if (partCols.isEmpty) Distributions.unspecified()
+      if (partCols.isEmpty)
+        // UNPARTITIONED + UNBUCKETED with a cluster declaration: the
+        // write requires an ORDERED (range) distribution on the cluster
+        // columns, so files land with DISJOINT key ranges — with
+        // `graft.skipping.by` on the same columns this makes the table
+        // self-range-clustering: every plain append is skippable, no
+        // manual repartitionByRange in user code (the declared trade is
+        // one range exchange per write, Delta's optimized-write shape).
+        // Spark plans OrderedDistribution as a RangePartitioning
+        // exchange with AQE-sized partitions (~advisory bytes per file
+        // at scale). Partitioned/bucketed tables keep their clustered
+        // distributions: there the cluster cols are a WITHIN-file sort
+        // (requiredOrdering), not a cross-file range contract.
+        if (clusterCols.nonEmpty)
+          Distributions.ordered(clusterCols.map(c =>
+            Expressions.sort(Expressions.identity(c),
+              SortDirection.ASCENDING)).toArray)
+        else Distributions.unspecified()
       else Distributions.clustered(partCols.map(c =>
         Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
   }

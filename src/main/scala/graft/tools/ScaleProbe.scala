@@ -70,7 +70,13 @@ object ScaleProbe {
     // q108's footer aggregate (CTAS linear; the pushed agg reads
     // footers ∝ FILES, not bytes)
     "q106_sorted_bucket_join", "q107_runtime_bucket_prune",
-    "q108_agg_pushdown")
+    "q108_agg_pushdown",
+    // q109's range CTAS + manifest (footer read per new file — files
+    // grow with reps, the walk+read is the claimed-linear term) and the
+    // pruned probe; q110's full z-order lifecycle (min/max pass, range
+    // rewrite, manifest, both pruned probes) — the rewrite is the
+    // n log n term, everything else bounded or linear
+    "q109_file_skipping", "q110_zorder_skipping")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:

@@ -19,6 +19,54 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     t
   }
 
+  test("unpartitioned cluster.by requires an ordered write: plain appends land range-disjoint and skippable") {
+    import spark.implicits._
+    val t = freshTable("t_range_clustered")
+    // coalescing off so the 4-partition range exchange is observable as
+    // 4 files (at scale AQE sizes them to the advisory bytes instead)
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      Tables(spark, sf0001, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+        .writeTo(t)
+        .tableProperty(GraftCatalog.ClusterByProp, "l_orderkey")
+        .tableProperty(SkipStats.Prop, "l_orderkey")
+        .create()
+      val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+        .asInstanceOf[GraftCatalog]
+      val root = new org.apache.hadoop.fs.Path(
+        cat.metaStore.loadTable("wtest", "t_range_clustered").location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val files = fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet"))
+      assert(files.size >= 3, s"ordered write should spread files, got ${files.size}")
+      // DISJOINT per-file ranges with internal sortedness — the range
+      // exchange did the cross-file clustering, the required ordering
+      // the within-file sort; no repartitionByRange in user code
+      val ranges = files.map { f =>
+        val ks = spark.read.parquet(f.toString)
+          .select("l_orderkey").collect().map(_.getLong(0)).toSeq
+        assert(ks === ks.sorted, s"file $f not sorted by the cluster key")
+        (ks.min, ks.max)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) =>
+          assert(hi <= lo, s"file ranges overlap: $ranges")
+        case _ =>
+      }
+      // and the manifest makes a key-range query schedule a file subset
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+        SkipStats.ManifestName)))
+      val probe = spark.table(t).filter($"l_orderkey" >= 100L && $"l_orderkey" <= 200L)
+      val viaPlain = Tables(spark, sf0001, "lineitem")
+        .filter($"l_orderkey" >= 100L && $"l_orderkey" <= 200L)
+        .agg(count(lit(1)), sum($"l_quantity")).collect().head
+      assert(probe.agg(count(lit(1)), sum($"l_quantity")).collect().head === viaPlain)
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+  }
+
   test("append accumulates rows; truncate overwrite replaces them") {
     import spark.implicits._
     val t = freshTable("t_append")
