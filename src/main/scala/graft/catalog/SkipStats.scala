@@ -30,8 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * has no analogue of).
   *
   * Correctness posture: skipping is an OPTIMIZATION, never a row
-  * filter. A file with no manifest entry (streaming append not yet
-  * re-manifested, foreign file, unreadable footer, unsupported type) is
+  * filter. A file with no manifest entry (foreign file, unreadable
+  * footer, unsupported type) is
   * always kept, and every pushed filter is re-applied by the reader, so
   * a stale or missing manifest costs I/O, never rows. The one hazard —
   * a STALE RANGE for a file whose content changed — cannot arise: data

@@ -67,6 +67,44 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
   }
 
+  test("streaming epochs maintain the skip-stats manifest: every committed file gets its entry") {
+    import spark.implicits._
+    val t = freshTable("t_stream_skip")
+    Seq((1L, 1.0)).toDF("k", "v")
+      .writeTo(t)
+      .tableProperty(SkipStats.Prop, "k")
+      .create()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)](
+      spark)
+    val query = stream.toDF().toDF("k", "v")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("t_stream_skip_ckpt").toString)
+      .toTable(t)
+    try {
+      stream.addData((100L, 2.0), (200L, 3.0))
+      query.processAllAvailable()
+      stream.addData((300L, 4.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    // the streaming epoch commit IS the batch commit — the manifest
+    // rebuilt each epoch, so every live data file has an entry
+    val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+    val root = new org.apache.hadoop.fs.Path(
+      cat.metaStore.loadTable("wtest", "t_stream_skip").location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet"))
+    val manifestTxt = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, SkipStats.ManifestName))
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    dataFiles.foreach(f => assert(manifestTxt.contains(f),
+      s"streamed file $f missing from the manifest"))
+    assert(spark.table(t).count() === 4)
+  }
+
   test("append accumulates rows; truncate overwrite replaces them") {
     import spark.implicits._
     val t = freshTable("t_append")
