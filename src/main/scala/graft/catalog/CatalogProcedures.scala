@@ -340,7 +340,11 @@ object CatalogProcedures {
             // next write — this walks the same committed files the
             // sizing pass just did and manifests them (no-op without
             // the declaration; advisory, never fails the procedure)
-            graft.catalog.SkipStats.maintain(spark, updated.location,
+            graft.catalog.SkipStats.maintainDirs(spark,
+              if (updated.partitionColumns.isEmpty) Seq(updated.location)
+              else updated.partitions.map(pm => pm.location.getOrElse(
+                graft.catalog.write.GraftBatchWrite
+                  .partitionDir(updated, pm.spec).toString)),
               updated.schema, updated.properties, updated.provider)
             result = InternalRow(sized.size.toLong,
               updated.stats.map(_.sizeInBytes).getOrElse(tableBytes),

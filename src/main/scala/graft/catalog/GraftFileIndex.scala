@@ -85,8 +85,7 @@ class GraftFileIndex(
     GraftFileIndex.recordListFilters(partitionFilters)
     // file-level data skipping composes AFTER partition pruning: the
     // surviving dirs' files are tested against the manifest ranges
-    SkipStats.applySkipping(sparkSession, meta.location, meta.schema,
-      meta.properties,
+    SkipStats.applySkipping(sparkSession, meta.schema, meta.properties,
       filterPartitions(partitionFilters).listFiles(Nil, dataFilters),
       dataFilters)
   }
@@ -159,8 +158,7 @@ class GraftSkippingFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    SkipStats.applySkipping(sparkSession, meta.location, meta.schema,
-      meta.properties,
+    SkipStats.applySkipping(sparkSession, meta.schema, meta.properties,
       super.listFiles(partitionFilters, dataFilters),
       dataFilters)
 }

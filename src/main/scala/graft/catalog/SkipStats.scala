@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** FILE-LEVEL DATA SKIPPING — the planner-side complement to q105's
   * row-group skipping: per-file min/max ranges for the columns named in
   * `graft.skipping.by` are recorded AT COMMIT TIME (read once from each
-  * new parquet file's footer, under the write permit) into a manifest
+  * new parquet/ORC file's footer, under the write permit) into a manifest
   * beside the data (`_graft_skipstats.json`), and the catalog file
   * index evaluates pushed data predicates against those ranges BEFORE
   * planning — a file whose recorded range provably excludes the
@@ -40,11 +40,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the live file set on every batch commit, inside the same write
   * permit as the descriptor update.
   *
-  * Scale note: one JSON manifest per table is the fixture-scale shape;
-  * the production evolution is per-partition manifest shards (the
-  * Iceberg manifest-list design) so a commit touching one partition
-  * rewrites one shard — the record layout below (path-keyed, encoded
-  * per column) is shard-agnostic.
+  * SHARDED by directory (the Iceberg manifest-list shape): each
+  * partition directory carries its own `_graft_skipstats.json` over its
+  * own files (the table root is the one shard of an unpartitioned
+  * table), so a commit touching k partitions rebuilds k small shards —
+  * never a table-wide pass — and a query's planning reads only the
+  * surviving (partition-pruned) directories' shards. Commit cost and
+  * planning cost both scale with the data actually touched.
   */
 object SkipStats extends Logging {
 
@@ -95,61 +97,58 @@ object SkipStats extends Logging {
 
   // ---- commit-side maintenance -------------------------------------------
 
-  /** Rebuild the manifest against the live file set: entries for files
-    * already manifested are carried (files are immutable), NEW files
-    * read their footer once, vanished files drop. Runs under the write
+  /** Rebuild ONE directory's shard against its live files: entries for
+    * files already manifested are carried (files are immutable), NEW
+    * files read their footer once, vanished files drop. `dir` is a
+    * partition directory, or the table root for unpartitioned tables —
+    * shard keys are bare FILE NAMES, so a wholesale dir move (rename,
+    * custom location) keeps its shard valid. Runs under the write
     * permit right after the descriptor update; any failure logs and
-    * leaves the previous manifest (advisory stats — the commit itself
-    * must never fail on them). Parquet only: other formats carry no
-    * footer statistics worth reading driver-side. */
-  def maintain(
+    * leaves the previous shard (advisory stats — the commit itself must
+    * never fail on them). Parquet and ORC — the two self-describing
+    * columnar formats; row formats (csv/json/avro) carry no file
+    * statistics worth reading driver-side. */
+  def maintainDir(
       spark: SparkSession,
-      location: String,
+      dir: String,
       schema: StructType,
       props: Map[String, String],
       provider: String): Unit = try {
     val cols = resolvedCols(props, schema)
-    if (cols.isEmpty || provider != "parquet") return
+    if (cols.isEmpty || !Set("parquet", "orc").contains(provider)) return
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(location)
+    val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return
-    val qualifiedRoot = fs.makeQualified(root)
-    val files = walkDataFiles(fs, qualifiedRoot)
-    val old = readRaw(fs, qualifiedRoot)
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    val files = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && !hidden(s.getPath.getName))
+    val old = readRaw(fs, root)
     val entries: Map[String, Map[String, (String, String)]] = files.flatMap { st =>
-      val key = relKey(qualifiedRoot, st.getPath)
+      val key = st.getPath.getName
       val e = old.get(key) match {
         case Some(kept) => kept
-        case None => footerRanges(conf, st, cols)
+        case None =>
+          if (provider == "orc") orcRanges(conf, st, cols)
+          else footerRanges(conf, st, cols)
       }
       if (e.nonEmpty) Some(key -> e) else None
     }.toMap
-    writeAtomic(fs, qualifiedRoot, entries)
+    writeAtomic(fs, root, entries)
   } catch { case NonFatal(e) =>
-    logWarning(s"skip-stats maintenance failed for $location " +
-      s"(skipping disabled until the next successful commit): $e")
+    logWarning(s"skip-stats maintenance failed for $dir " +
+      s"(skipping disabled there until the next successful commit): $e")
   }
 
-  /** Non-hidden data files under the table root, partition dirs
-    * included. Partitions registered at custom LOCATIONS outside the
-    * root are not walked — their files get no entry and are never
-    * skipped (correct, just unoptimized). */
-  private def walkDataFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
-    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
-    def go(p: Path): Seq[FileStatus] =
-      fs.listStatus(p).toSeq.filterNot(s => hidden(s.getPath.getName)).flatMap {
-        case d if d.isDirectory => go(d.getPath)
-        case f => Seq(f)
-      }
-    go(root)
-  }
-
-  private def relKey(root: Path, p: Path): String =
-    root.toUri.relativize(p.toUri).getPath match {
-      case "" | null => p.toString
-      case rel => rel
-    }
+  /** Shard maintenance over a commit's touched directories. */
+  def maintainDirs(
+      spark: SparkSession,
+      dirs: Seq[String],
+      schema: StructType,
+      props: Map[String, String],
+      provider: String): Unit =
+    if (resolvedCols(props, schema).nonEmpty)
+      dirs.distinct.foreach(d => maintainDir(spark, d, schema, props, provider))
 
   /** One footer read → per-column (min, max) across all row groups.
     * Columns whose chunks lack comparable stats (INT96, empty stats,
@@ -181,6 +180,50 @@ object SkipStats extends Logging {
           else {
             val ord = TypeUtils.getInterpretedOrdering(f.dataType)
             Some(f.name -> (encode(mins.min(ord)), encode(maxs.max(ord))))
+          }
+        }
+      }.toMap
+    } finally reader.close()
+  } catch { case NonFatal(_) => Map.empty }
+
+  /** ORC twin of [[footerRanges]]: the file tail's per-column
+    * statistics (`Reader.getStatistics`, indexed by TypeDescription
+    * column id) → (min, max) for the supported fixed types. Date/
+    * timestamp are left unmanifested for orc (their stats classes vary
+    * across writers) — no entry, never a wrong bound. */
+  private def orcRanges(
+      conf: Configuration,
+      st: FileStatus,
+      cols: Seq[StructField]): Map[String, (String, String)] = try {
+    import org.apache.orc.OrcFile
+    val reader = OrcFile.createReader(st.getPath,
+      OrcFile.readerOptions(conf).filesystem(st.getPath.getFileSystem(conf)))
+    try {
+      val root = reader.getSchema
+      val names = root.getFieldNames
+      val stats = reader.getStatistics
+      cols.flatMap { f =>
+        val j = (0 until names.size).find(i => names.get(i).equalsIgnoreCase(f.name))
+        j.flatMap { i =>
+          val cs = stats(root.getChildren.get(i).getId)
+          if (cs.getNumberOfValues <= 0) None
+          else (cs, f.dataType) match {
+            case (s: org.apache.orc.IntegerColumnStatistics, ByteType) =>
+              Some(f.name -> (encode(s.getMinimum.toByte), encode(s.getMaximum.toByte)))
+            case (s: org.apache.orc.IntegerColumnStatistics, ShortType) =>
+              Some(f.name -> (encode(s.getMinimum.toShort), encode(s.getMaximum.toShort)))
+            case (s: org.apache.orc.IntegerColumnStatistics, IntegerType) =>
+              Some(f.name -> (encode(s.getMinimum.toInt), encode(s.getMaximum.toInt)))
+            case (s: org.apache.orc.IntegerColumnStatistics, LongType) =>
+              Some(f.name -> (encode(s.getMinimum), encode(s.getMaximum)))
+            case (s: org.apache.orc.DoubleColumnStatistics, FloatType) =>
+              Some(f.name -> (encode(s.getMinimum.toFloat), encode(s.getMaximum.toFloat)))
+            case (s: org.apache.orc.DoubleColumnStatistics, DoubleType) =>
+              Some(f.name -> (encode(s.getMinimum), encode(s.getMaximum)))
+            case (s: org.apache.orc.StringColumnStatistics, StringType)
+                if s.getMinimum != null && s.getMaximum != null =>
+              Some(f.name -> (s.getMinimum, s.getMaximum))
+            case _ => None
           }
         }
       }.toMap
@@ -265,20 +308,14 @@ object SkipStats extends Logging {
 
   // ---- scan-side evaluation ----------------------------------------------
 
-  /** Decoded manifest for a table: file key → column → (min, max)
+  /** One directory's decoded shard: file NAME → column → (min, max)
     * catalyst values. Empty on any problem (no skipping, full scan). */
-  def load(
-      spark: SparkSession,
-      location: String,
-      schema: StructType,
-      props: Map[String, String]): Map[String, Map[String, (Any, Any)]] = try {
-    val cols = resolvedCols(props, schema)
-    if (cols.isEmpty) return Map.empty
-    val byName = cols.map(f => f.name -> f.dataType).toMap
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(location)
-    val fs = root.getFileSystem(conf)
-    readRaw(fs, fs.makeQualified(root)).map { case (file, ranges) =>
+  private def loadDir(
+      conf: Configuration,
+      dir: Path,
+      byName: Map[String, DataType]): Map[String, Map[String, (Any, Any)]] = try {
+    val fs = dir.getFileSystem(conf)
+    readRaw(fs, dir).map { case (file, ranges) =>
       file -> ranges.flatMap { case (c, (mn, mx)) =>
         byName.get(c).flatMap(dt =>
           for (a <- decode(mn, dt); b <- decode(mx, dt)) yield c -> (a, b))
@@ -286,32 +323,30 @@ object SkipStats extends Logging {
     }.filter(_._2.nonEmpty)
   } catch { case NonFatal(_) => Map.empty }
 
-  /** Filter each directory's files through the manifest: a file is
+  /** Filter each directory's files through its shard: a file is
     * dropped only when some pushed conjunct PROVABLY excludes its
-    * recorded range. Files without an entry always survive. */
+    * recorded range. Files without an entry always survive. Only the
+    * SURVIVING (partition-pruned) directories' shards are read — one
+    * small file each, memoized across the listing. */
   def applySkipping(
       spark: SparkSession,
-      location: String,
       schema: StructType,
       props: Map[String, String],
       dirs: Seq[PartitionDirectory],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     if (dataFilters.isEmpty) return dirs
-    val manifest = load(spark, location, schema, props)
-    if (manifest.isEmpty) return dirs
-    val rootUri = {
-      val conf = spark.sessionState.newHadoopConf()
-      val root = new Path(location)
-      root.getFileSystem(conf).makeQualified(root).toUri
-    }
+    val cols = resolvedCols(props, schema)
+    if (cols.isEmpty) return dirs
+    val byName = cols.map(f => f.name -> f.dataType).toMap
+    lazy val conf = spark.sessionState.newHadoopConf()
+    val shards = scala.collection.mutable.Map.empty[
+      Path, Map[String, Map[String, (Any, Any)]]]
     val colTypes = schema.fields.map(f => f.name -> f.dataType).toMap
     dirs.map { d =>
       d.copy(files = d.files.filter { f =>
-        val key = rootUri.relativize(f.getPath.toUri).getPath match {
-          case "" | null => f.getPath.toString
-          case rel => rel
-        }
-        manifest.get(key) match {
+        val shard = shards.getOrElseUpdate(f.getPath.getParent,
+          loadDir(conf, f.getPath.getParent, byName))
+        shard.get(f.getPath.getName) match {
           case Some(ranges) =>
             !dataFilters.exists(e => excludes(e, ranges, colTypes))
           case None => true

@@ -975,6 +975,9 @@ class GraftBatchWrite(
     // stale-placeholder repair (rare, one-shot) and the merge itself run
     // under the lock.
     val snapshot = store.loadTableLocked(db, meta.name)
+    // directories whose skip-stats shard this commit must rebuild —
+    // the touched set only, never the table (the sharding contract)
+    var skipStatsDirs: Seq[String] = Nil
     if (snapshot.partitionColumns.isEmpty) {
       // autoSizeUpdate=false: invalidate-don't-recompute (reference
       // CatalogUtil.scala:31-48) — clear stats so the planner falls
@@ -985,6 +988,7 @@ class GraftBatchWrite(
         else None
       store.updateTable(db, meta.name)(m =>
         restoreSortTrust(metaExtra(m.copy(stats = tableStats))))
+      skipStatsDirs = Seq(snapshot.location)
     } else {
       val writtenSpecs = messages.toSeq
         .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
@@ -1032,6 +1036,8 @@ class GraftBatchWrite(
             }
           PartitionMeta(spec, loc, size)
         } }, Duration.Inf)
+      skipStatsDirs = written.map(p => p.location.getOrElse(
+        GraftBatchWrite.partitionDir(snapshot, p.spec).toString))
 
       // Atomic descriptor update: concurrent commits to different
       // partitions of the same table must both land their registrations.
@@ -1099,10 +1105,11 @@ class GraftBatchWrite(
             else None)))
       }
     }
-    // per-file skip-stats manifest: rebuilt against the live file set
-    // (new files read their footer once) inside the same permit as the
-    // descriptor update — advisory, never fails the commit
-    graft.catalog.SkipStats.maintain(spark, snapshot.location,
+    // per-file skip-stats shards: each TOUCHED directory's shard is
+    // rebuilt against its live files (new files read their footer once)
+    // inside the same permit as the descriptor update — advisory, never
+    // fails the commit; cost ∝ partitions written, never the table
+    graft.catalog.SkipStats.maintainDirs(spark, skipStatsDirs,
       snapshot.schema, snapshot.properties, snapshot.provider)
     FileStatusCache.getOrCreate(spark).invalidateAll()
   } finally releasePermit()

@@ -155,7 +155,7 @@ object Zorder {
         .save(staging.toString)
 
       // manifest BEFORE the flip: the first post-flip query skips
-      SkipStats.maintain(spark, staging.toString, meta.schema,
+      SkipStats.maintainDir(spark, staging.toString, meta.schema,
         meta.properties, meta.provider)
 
       store.updateTable(db, name) { cur =>

@@ -105,6 +105,100 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).count() === 4)
   }
 
+  test("skip-stats shards are per partition dir: a one-partition commit rebuilds one shard") {
+    import spark.implicits._
+    val t = freshTable("t_shard_skip")
+    val rows = (0L until 300L).map(i => (i, s"p${i % 3}"))
+    rows.toDF("k", "p")
+      .repartitionByRange(4, $"k")
+      .writeTo(t)
+      .tableProperty(SkipStats.Prop, "k")
+      .partitionedBy($"p")
+      .create()
+    val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+    val root = new org.apache.hadoop.fs.Path(
+      cat.metaStore.loadTable("wtest", "t_shard_skip").location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // each partition DIR carries its own shard; the table root has none
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p="))
+    assert(dirs.size === 3)
+    dirs.foreach(d => assert(fs.exists(new org.apache.hadoop.fs.Path(
+      d.getPath, SkipStats.ManifestName)), s"missing shard in ${d.getPath}"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, SkipStats.ManifestName)),
+      "partitioned tables shard per dir, never a root manifest")
+    // a commit touching ONE partition rebuilds only that shard
+    def shardM(p: String) = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      root, s"p=$p/${SkipStats.ManifestName}")).getModificationTime
+    val (m0, m1) = (shardM("p0"), shardM("p1"))
+    Thread.sleep(1100) // FS mtime granularity
+    Seq((1000L, "p1")).toDF("k", "p").writeTo(t).append()
+    assert(shardM("p0") === m0, "untouched partition's shard must not rewrite")
+    assert(shardM("p1") > m1, "touched partition's shard must rebuild")
+    // skipping composes with partition pruning: a (p, k-range) query
+    // schedules a file subset inside the surviving dir only
+    val q = spark.table(t).filter($"p" === "p1" && $"k" >= 10L && $"k" <= 40L)
+    val got = q.collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (10L to 40L).filter(_ % 3 == 1).sorted)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("ORC tables skip files too: the manifest reads the ORC tail statistics") {
+    import spark.implicits._
+    val t = freshTable("t_orc_skip")
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      Tables(spark, sf0001, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+        .writeTo(t)
+        .using("orc")
+        .tableProperty(GraftCatalog.ClusterByProp, "l_orderkey")
+        .tableProperty(SkipStats.Prop, "l_orderkey")
+        .create()
+      val cat = spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+        .asInstanceOf[GraftCatalog]
+      val root = new org.apache.hadoop.fs.Path(
+        cat.metaStore.loadTable("wtest", "t_orc_skip").location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val manifestTxt = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, SkipStats.ManifestName))
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      }
+      assert(manifestTxt.contains("l_orderkey"),
+        s"orc tail stats must manifest the declared column: $manifestTxt")
+      val totalFiles = fs.listStatus(root)
+        .count(s => s.getPath.getName.endsWith(".orc"))
+      assert(totalFiles >= 3, s"ordered write should spread files, got $totalFiles")
+      val q = spark.table(t).filter($"l_orderkey" >= 100L && $"l_orderkey" <= 200L)
+      q.collect()
+      def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(qs.plan)
+        case other => other.children.flatMap(allScans)
+      }
+      val read = allScans(q.queryExecution.executedPlan).head.inputRDD.partitions
+        .toSeq.flatMap {
+          case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            dp.inputPartitions
+        }.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+        }.flatMap(_.files).map(_.filePath.toString).distinct
+      assert(read.nonEmpty && read.size < totalFiles,
+        s"orc range query must schedule a file subset: ${read.size} of $totalFiles")
+      val viaPlain = Tables(spark, sf0001, "lineitem")
+        .filter($"l_orderkey" >= 100L && $"l_orderkey" <= 200L)
+        .agg(count(lit(1)), sum($"l_quantity")).collect().head
+      assert(q.agg(count(lit(1)), sum($"l_quantity")).collect().head === viaPlain)
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+  }
+
   test("append accumulates rows; truncate overwrite replaces them") {
     import spark.implicits._
     val t = freshTable("t_append")
