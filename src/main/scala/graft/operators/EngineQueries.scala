@@ -779,6 +779,54 @@ object EngineQueries {
     byOrder.unionAll(byPart).orderBy($"probe")
   }
 
+  // ---------------------------------------------------------------- Q111
+  /** DYNAMIC FILE PRUNING — q109's skipping driven by a JOIN instead of
+    * a literal: the fact table is range-clustered on `l_orderkey` with
+    * `graft.skipping.by = l_orderkey` (no partitions, no buckets), and
+    * a selective dim join's runtime filter (the dim's post-filter key
+    * values, reusing the join's own broadcast) is evaluated against the
+    * per-file min/max shards — a file whose recorded range excludes
+    * EVERY surviving key is never scheduled. Static skipping (q109)
+    * needs a literal range; runtime bucket pruning (q107) needs the
+    * table bucketed by the key; this is the remaining quadrant — the
+    * key is just a well-clustered data column, which is what a fact
+    * table's primary key looks like after range-clustered ingest or a
+    * Z-order rewrite. At 100 TB: "enrich these 2 000 orders" reads the
+    * handful of files whose key ranges overlap the order list instead
+    * of the whole fact table. Advisory end to end — the join re-applies
+    * the predicate; a dropped runtime filter costs I/O, never rows
+    * (PlanShapeSpec pins the dynamicpruning subquery, the ≤2-of-8 file
+    * subset on the executed scan, and manifest-deleted equality). */
+  def q111_dynamic_file_pruning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val f = s"$cat.tmp.q111_fact"
+    val d = s"$cat.tmp.q111_dim"
+    Seq(f, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .repartitionByRange(8, $"l_orderkey")
+      .writeTo(f)
+      .tableProperty(graft.catalog.SkipStats.Prop, "l_orderkey")
+      .create()
+    // dim keys live in one narrow band of the fact's key space — the
+    // runtime IN-set lands in 1–2 of the 8 range-disjoint files
+    Tables(spark, dir, "orders")
+      .filter($"o_orderkey" >= 1000L && $"o_orderkey" <= 2000L)
+      .select($"o_orderkey".as("d_key"), $"o_orderpriority".as("d_prio"))
+      .writeTo(d).create()
+    spark.table(f)
+      .join(spark.table(d).filter($"d_prio" === "1-URGENT"),
+        $"l_orderkey" === $"d_key")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        RelationalQueries.r2(sum($"l_quantity")).as("sum_qty"),
+        sum($"l_orderkey" % 999983L).as("key_checksum"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -1119,6 +1167,7 @@ object EngineQueries {
     "q108_agg_pushdown" -> (q108_agg_pushdown _),
     "q109_file_skipping" -> (q109_file_skipping _),
     "q110_zorder_skipping" -> (q110_zorder_skipping _),
+    "q111_dynamic_file_pruning" -> (q111_dynamic_file_pruning _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1265,6 +1314,19 @@ object EngineQueries {
         | GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin,
     // Both Z-order probes restated plainly: the interleaved layout must
     // not change either answer.
+    // Dynamic file pruning restated as a plain join: scheduling only
+    // the files whose ranges overlap the dim's surviving keys must not
+    // change the answer; the key checksum proves per-row matching.
+    "q111_dynamic_file_pruning" ->
+      """SELECT f.l_returnflag, count(*) AS n_rows,
+        |  round((sum(f.l_quantity)) * 100) / 100 AS sum_qty,
+        |  CAST(sum(f.l_orderkey % 999983) AS BIGINT) AS key_checksum
+        | FROM lineitem f
+        | JOIN (SELECT o_orderkey AS d_key FROM orders
+        |       WHERE o_orderkey BETWEEN 1000 AND 2000
+        |         AND o_orderpriority = '1-URGENT') d
+        |   ON f.l_orderkey = d.d_key
+        | GROUP BY f.l_returnflag ORDER BY f.l_returnflag""".stripMargin,
     "q110_zorder_skipping" ->
       """SELECT 'by_order' AS probe, count(*) AS n_rows,
         |  round((sum(l_quantity)) * 100) / 100 AS sum_qty

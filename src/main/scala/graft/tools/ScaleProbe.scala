@@ -76,7 +76,12 @@ object ScaleProbe {
     // pruned probe; q110's full z-order lifecycle (min/max pass, range
     // rewrite, manifest, both pruned probes) — the rewrite is the
     // n log n term, everything else bounded or linear
-    "q109_file_skipping", "q110_zorder_skipping")
+    "q109_file_skipping", "q110_zorder_skipping",
+    // q111's dynamic file pruning: fact CTAS linear (range exchange +
+    // per-new-file footer manifest); the dim stays band-bounded
+    // (replica 0 keeps the original key band), so the runtime-pruned
+    // join leg reads the same few files' worth of bytes at both scales
+    "q111_dynamic_file_pruning")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:

@@ -83,7 +83,8 @@ class GraftScanBuilder(
     tableStats: Option[(java.util.OptionalLong,
       java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics])] = None,
-    sortedBy: Seq[String] = Nil)
+    sortedBy: Seq[String] = Nil,
+    skippingCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -116,7 +117,12 @@ class GraftScanBuilder(
       case None if spj =>
         new GraftSpjFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
       case None =>
-        new GraftFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
+        // dynamic file pruning rides only the plain scan: the SPJ and
+        // bucketed wrappers latch a keyed group snapshot whose FILE
+        // LISTS runtime narrowing may rebuild, and their own key-based
+        // pruning already serves the join-key case
+        new GraftFileScan(inner.build().asInstanceOf[FileScan], partitionCols,
+          skippingCols)
     }
     tableStats.foreach { case (rows, cols) => scan.withTableStats(rows, cols) }
     scan
@@ -125,7 +131,8 @@ class GraftScanBuilder(
 
 class GraftFileScan(
     initial: org.apache.spark.sql.execution.datasources.v2.FileScan,
-    partitionCols: Seq[String])
+    partitionCols: Seq[String],
+    skippingCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.internal.connector.SupportsMetadata {
@@ -204,18 +211,53 @@ class GraftFileScan(
     this
   }
 
+  /** Planning-time size from the PRUNED listing: stock
+    * `FileScan.estimateStatistics` reports `fileIndex.sizeInBytes` — the
+    * WHOLE table — so neither partition pruning nor file-level skipping
+    * ever reaches JoinSelection, and a range-sliced fact that shrank to
+    * one file still refuses to broadcast. When the built scan carries
+    * static filters, re-derive size from the same listing `toBatch`
+    * will use (catalog-partition-pruned + skip-stats-filtered; the
+    * listing is FileStatusCache-shared with execution, and with NO
+    * static filters the cheap catalog total is kept — planning never
+    * enumerates an unfiltered 100k-partition table for a size). Memoized
+    * per rebuilt scan. */
+  @volatile private var prunedSizeFor: (FileScan, java.util.OptionalLong) = null
+  private def prunedSize(s: FileScan): java.util.OptionalLong = {
+    val cached = prunedSizeFor
+    if (cached != null && (cached._1 eq s)) return cached._2
+    val computed =
+      if (s.partitionFilters.isEmpty && s.dataFilters.isEmpty)
+        java.util.OptionalLong.empty()
+      else try {
+        val bytes = s.fileIndex.listFiles(s.partitionFilters, s.dataFilters)
+          .iterator.flatMap(_.files).map(_.getLen).sum
+        val factor = SQLConf.get.fileCompressionFactor
+        java.util.OptionalLong.of(math.max((bytes * factor).toLong, 1L))
+      } catch { case scala.util.control.NonFatal(_) =>
+        java.util.OptionalLong.empty() // never fail planning on a size refinement
+      }
+    prunedSizeFor = (s, computed)
+    computed
+  }
+
   override def estimateStatistics(): Statistics = {
     val base = current.estimateStatistics()
+    val refined = prunedSize(current)
+    val size = if (refined.isPresent) refined else base.sizeInBytes()
     tableV2Stats match {
       case Some((rows, colMap)) => new Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+        override def sizeInBytes(): java.util.OptionalLong = size
         override def numRows(): java.util.OptionalLong =
           if (rows.isPresent) rows else base.numRows()
         override def columnStats(): java.util.Map[
             org.apache.spark.sql.connector.expressions.NamedReference,
             org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colMap
       }
-      case None => base
+      case None => new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = size
+        override def numRows(): java.util.OptionalLong = base.numRows()
+      }
     }
   }
 
@@ -225,16 +267,30 @@ class GraftFileScan(
     * resolver, so advertising a pruned-away partition column crashes
     * any join whose projection dropped it (e.g. a bucket-key join that
     * never reads the date column). A column not in the output can't be
-    * a join key, so nothing is lost by omitting it. */
+    * a join key, so nothing is lost by omitting it.
+    *
+    * DYNAMIC FILE PRUNING: `graft.skipping.by` columns are offered too
+    * — a dim-driven runtime filter on one becomes an extra DATA filter
+    * on the rebuilt scan, which the catalog file index evaluates
+    * against the per-directory skip-stats shards, so a selective join
+    * prunes FILES by recorded min/max range with no partition or bucket
+    * on the key at all (range-clustered and Z-ordered layouts make the
+    * ranges tight). Same advisory contract as static skipping: no
+    * manifest entry ⇒ read, the join re-applies residually — dropping
+    * a filter costs I/O, never rows. */
   override def filterAttributes(): Array[NamedReference] = {
     val out = readSchema().fieldNames
-    partitionCols.filter(c => out.exists(SQLConf.get.resolver(_, c)))
-      .map(FieldReference(_)).toArray
+    def present(c: String) = out.exists(SQLConf.get.resolver(_, c))
+    val offered = (partitionCols ++ skippingCols.filterNot(s =>
+      partitionCols.exists(SQLConf.get.resolver(_, s)))).filter(present)
+    offered.map(FieldReference(_)).toArray
   }
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val exprs = predicates.toSeq.flatMap(toPartitionFilter)
     if (exprs.nonEmpty) current = withPartitionFilters(current, exprs)
+    val dataExprs = predicates.toSeq.flatMap(toSkippingFilter)
+    if (dataExprs.nonEmpty) current = withDataFilters(current, dataExprs)
   }
 
   private def partitionField(ref: NamedReference) : Option[StructField] =
@@ -261,6 +317,29 @@ class GraftFileScan(
     }
   }
 
+  /** Runtime `IN`/`=` over a skipping (data) column → a catalyst data
+    * filter for the rebuilt scan's LISTING. Partition columns take the
+    * partition-filter path instead (never both). */
+  private def toSkippingFilter(
+      p: Predicate): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    def skipField(ref: NamedReference): Option[StructField] = ref.fieldNames match {
+      case Array(n) if skippingCols.exists(SQLConf.get.resolver(_, n)) &&
+          !partitionCols.exists(SQLConf.get.resolver(_, n)) =>
+        readSchema().fields.find(f => SQLConf.get.resolver(f.name, n))
+      case _ => None
+    }
+    def attr(f: StructField) = AttributeReference(f.name, f.dataType)()
+    (p.name, p.children) match {
+      case ("IN", Array(r: NamedReference, vs @ _*))
+          if vs.forall(_.isInstanceOf[LiteralValue[_]]) =>
+        skipField(r).map(f => In(attr(f),
+          vs.map { case lv: LiteralValue[_] => Literal(lv.value, lv.dataType) }))
+      case ("=", Array(r: NamedReference, lv: LiteralValue[_])) =>
+        skipField(r).map(f => EqualTo(attr(f), Literal(lv.value, lv.dataType)))
+      case _ => None
+    }
+  }
+
   private def withPartitionFilters(
       s: FileScan,
       extra: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): FileScan =
@@ -273,6 +352,25 @@ class GraftFileScan(
         j.copy(partitionFilters = j.partitionFilters ++ extra)
       case o: org.apache.spark.sql.execution.datasources.v2.orc.OrcScan =>
         o.copy(partitionFilters = o.partitionFilters ++ extra)
+      case other => other // unknown format: skip pruning, stay correct
+    }
+
+  /** Extra DATA filters drive only the listing (the catalog index's
+    * skip-stats evaluation); the reader's pushed filters are untouched
+    * — the join itself re-applies the predicate, so an unevaluated
+    * filter costs I/O, never rows. */
+  private def withDataFilters(
+      s: FileScan,
+      extra: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): FileScan =
+    s match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.copy(dataFilters = p.dataFilters ++ extra)
+      case c: org.apache.spark.sql.execution.datasources.v2.csv.CSVScan =>
+        c.copy(dataFilters = c.dataFilters ++ extra)
+      case j: org.apache.spark.sql.execution.datasources.v2.json.JsonScan =>
+        j.copy(dataFilters = j.dataFilters ++ extra)
+      case o: org.apache.spark.sql.execution.datasources.v2.orc.OrcScan =>
+        o.copy(dataFilters = o.dataFilters ++ extra)
       case other => other // unknown format: skip pruning, stay correct
     }
 

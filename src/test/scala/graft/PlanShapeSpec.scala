@@ -1023,6 +1023,140 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("q111 dynamic file pruning: a dim-driven runtime filter schedules only range-matching files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val f = s"$cat.planshape.q111_fact"
+    val d = s"$cat.planshape.q111_dim"
+    Seq(f, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val li = Tables(spark, sf0001, "lineitem").select($"l_orderkey", $"l_quantity")
+    // range-clustered fact: 8 files with disjoint l_orderkey ranges, no
+    // partitions, no buckets — the key is just a well-clustered column
+    li.repartitionByRange(8, $"l_orderkey")
+      .writeTo(f)
+      .tableProperty(graft.catalog.SkipStats.Prop, "l_orderkey")
+      .create()
+    // a ONE-key dim (point-lookup join): the runtime IN-set is {k}, so
+    // exactly the file whose recorded range covers k can match
+    val k = li.agg(min($"l_orderkey")).as[Long].head()
+    val kMax = li.agg(max($"l_orderkey")).as[Long].head()
+    Seq((k, "keep"), (kMax, "drop")).toDF("d_key", "tag").writeTo(d).create()
+    def mkJoin() = spark.table(f)
+      .join(spark.table(d).filter($"tag" === "keep"), $"l_orderkey" === $"d_key")
+      .select($"l_orderkey", $"l_quantity")
+    // expected rows from the raw parquet; the runtime-filtered scan
+    // lives in the executed plan of the INSTANCE that ran, so the file
+    // inspection below must reuse the collected instance
+    val expected = li.filter($"l_orderkey" === k)
+      .select($"l_orderkey", $"l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    def resultOf(q: org.apache.spark.sql.DataFrame) =
+      q.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val joined = mkJoin()
+    assert(resultOf(joined) === expected)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"DPP subquery missing on the skipping column:\n$p")
+    def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case other => other.children.flatMap(allScans)
+    }
+    def factFiles(q: org.apache.spark.sql.DataFrame) =
+      allScans(q.queryExecution.executedPlan)
+        .find(_.toString.contains("q111_fact[")).getOrElse(fail("fact scan not found"))
+        .inputRDD.partitions.toSeq.flatMap {
+          case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            dp.inputPartitions
+        }.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+        }.flatMap(_.files).map(_.filePath.toString).distinct
+    val read = factFiles(joined)
+    assert(read.size === 1,
+      s"runtime IN-set {$k} must schedule exactly the covering file, got ${read.size}")
+
+    // deleting the shard disables pruning but never correctness: the
+    // same join reads all 8 files and returns the same rows
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $f")
+      .filter($"col_name" === "Location").select($"data_type").as[String].head()
+    val manifest = new org.apache.hadoop.fs.Path(loc,
+      graft.catalog.SkipStats.ManifestName)
+    val fs = manifest.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(manifest), s"skip-stats shard missing at $manifest")
+    fs.delete(manifest, false)
+    spark.sql(s"REFRESH TABLE $f")
+    val joined2 = mkJoin()
+    assert(resultOf(joined2) === expected)
+    val read2 = factFiles(joined2)
+    assert(read2.size === 8,
+      s"without the shard every file must be read, got ${read2.size}")
+    Seq(f, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("file skipping feeds join planning: a range-sliced fact's scan stats shrink to the surviving files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val t = s"$cat.planshape.skip_stats_size"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .repartitionByRange(8, $"l_orderkey")
+      .writeTo(t)
+      .tableProperty(graft.catalog.SkipStats.Prop, "l_orderkey")
+      .create()
+    // the DSv2 relation's planning stats come from FileScan
+    // .estimateStatistics over the LISTED files — and the catalog index
+    // lists through the skip-stats shards, so a pushed range predicate
+    // shrinks sizeInBytes to the overlapping files before JoinSelection
+    // ever runs: the sliced fact broadcast-eligible, the full fact not
+    def sizeOf(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = sizeOf(spark.table(t))
+    val sliced = sizeOf(spark.table(t)
+      .filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 1200L))
+    assert(sliced * 3 <= full,
+      s"skipping must shrink planning stats: sliced=$sliced full=$full")
+    // and the shrunk size flips JoinSelection: with the threshold
+    // between the two, the sliced fact broadcasts, the full fact shuffles
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, ((sliced + full) / 2).toString)
+    try {
+      // full-width probe side (projection width-scaling would shrink a
+      // 2-column slice below the threshold and broadcast the wrong side)
+      val other = Tables(spark, sf0001, "lineitem")
+        .withColumnRenamed("l_orderkey", "k")
+      // sparkPlan is pre-EnsureRequirements (no exchange nodes yet):
+      // identify the broadcast side from the BHJ's buildSide
+      def factBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+            (b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+              case _ => b.left
+            }).toString
+        }.exists(_.contains("skip_stats_size"))
+      val slicedJoin = other.join(spark.table(t)
+          .filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 1200L),
+        $"k" === $"l_orderkey")
+      assert(factBroadcast(slicedJoin), "the skip-shrunk side must broadcast")
+      val fullJoin = other.join(spark.table(t), $"k" === $"l_orderkey")
+      assert(!factBroadcast(fullJoin),
+        "the unfiltered side must stay above the threshold")
+    } finally spark.conf.set(thresholdKey, prev)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("avro scans report size statistics: a small avro dim auto-broadcasts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
