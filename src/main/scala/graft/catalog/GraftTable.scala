@@ -172,7 +172,8 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     val index: PartitioningAwareFileIndex =
       if (meta.isPartitioned)
         new GraftFileIndex(spark, meta, cache)
-      else if (SkipStats.skippingColumns(meta.properties).nonEmpty)
+      else if (SkipStats.skippingColumns(meta.properties).nonEmpty ||
+          SkipStats.bloomColumns(meta.properties).nonEmpty)
         new GraftSkippingFileIndex(spark, meta, cache)
       else
         new InMemoryFileIndex(spark, Seq(new Path(meta.location)),
@@ -256,6 +257,17 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics])
       }
+    // `graft.skipping.by` columns join the runtime-filter surface on
+    // the plain scan (DYNAMIC FILE PRUNING): a selective dim join's
+    // runtime IN-set is evaluated against the skip-stats shards, so
+    // files whose recorded range excludes every key are never scheduled
+    // — the join-driven form of q109's static skipping, no partition or
+    // bucket on the key required. SPJ/bucketed scans keep their own
+    // key-based runtime pruning (their keyed group snapshot must not be
+    // re-listed post-latch).
+    val skipCols = (SkipStats.resolvedCols(meta.properties, meta.schema) ++
+      SkipStats.resolvedBloomCols(meta.properties, meta.schema))
+      .map(_.name).distinct
     GraftCatalog.writableBucketSpec(meta) match {
       case Some((n, col)) =>
         new org.apache.spark.sql.graft.GraftScanBuilder(builder,
@@ -263,10 +275,11 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
           sortedBy = trustedSortCols)
       case _ if meta.isPartitioned =>
         new org.apache.spark.sql.graft.GraftScanBuilder(builder,
-          meta.partitionColumns, spj = spjProp, tableStats = v2Stats)
-      case _ if v2Stats.isDefined =>
+          meta.partitionColumns, spj = spjProp, tableStats = v2Stats,
+          skippingCols = if (spjProp) Nil else skipCols)
+      case _ if v2Stats.isDefined || skipCols.nonEmpty =>
         new org.apache.spark.sql.graft.GraftScanBuilder(builder, Nil,
-          tableStats = v2Stats)
+          tableStats = v2Stats, skippingCols = skipCols)
       case _ => builder
     }
   }

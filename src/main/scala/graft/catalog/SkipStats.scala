@@ -55,10 +55,58 @@ object SkipStats extends Logging {
     * unknown or unsupported-type names are simply ignored at both ends. */
   val Prop = "graft.skipping.by"
 
+  /** BLOOM SKIPPING declaration: comma-separated columns whose per-file
+    * parquet split-block bloom filter the engine maintains — the point-
+    * lookup complement to min/max ranges (a hash-distributed layout
+    * makes every file span the whole key range; the bloom still proves
+    * a key's ABSENCE). Parquet-only: the write path enables the
+    * writer's own bloom (`parquet.bloom.filter.enabled#col`), commit
+    * merges the row-group blooms from the footer into one per-file
+    * filter in the shard, and equality/IN predicates (static AND the
+    * runtime IN-sets of dynamic file pruning) test against it. A false
+    * positive costs a file read; absence proofs are exact. */
+  val BloomProp = "graft.bloom.by"
+
+  /** Expected distinct values PER ROW GROUP for the writer's bloom
+    * sizing (`parquet.bloom.filter.expected.ndv#col`) — fixes the SBBF
+    * byte size so row-group blooms stay mergeable into one per-file
+    * filter. Size to the real per-row-group key cardinality: too small
+    * saturates (false positives, never false negatives). */
+  val BloomNdvProp = "graft.bloom.ndv"
+  val DefaultBloomNdv = 25000L
+
+  /** Serialized per-file blooms above this are left out of the shard
+    * (a manifest is planner metadata, not an index file). */
+  private val MaxBloomBytes = 128 * 1024
+
   val ManifestName = "_graft_skipstats.json"
 
   def skippingColumns(props: Map[String, String]): Seq[String] =
     props.get(Prop).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  def bloomColumns(props: Map[String, String]): Seq[String] =
+    props.get(BloomProp).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  def bloomNdv(props: Map[String, String]): Long =
+    props.get(BloomNdvProp).flatMap(s => scala.util.Try(s.toLong).toOption)
+      .filter(_ > 0).getOrElse(DefaultBloomNdv)
+
+  /** Types whose parquet-written physical value the bloom hashes
+    * deterministically from the catalyst value: INT32-backed integrals
+    * and date, INT64 longs, floats, doubles, UTF8 binary strings.
+    * Timestamps are excluded — `outputTimestampType` can select INT96,
+    * whose binary form the query side cannot reproduce. */
+  private def bloomSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | DateType => true
+    case _ => false
+  }
+
+  private[graft] def resolvedBloomCols(
+      props: Map[String, String], schema: StructType): Seq[StructField] =
+    bloomColumns(props).flatMap(c =>
+      schema.fields.find(f => SQLConf.get.resolver(f.name, c)))
+      .filter(f => bloomSupported(f.dataType))
 
   /** Types with a total order the parquet footer can bound: fixed
     * numerics, strings, date (INT32 days), timestamp (INT64 micros —
@@ -70,7 +118,7 @@ object SkipStats extends Logging {
     case _ => false
   }
 
-  private def resolvedCols(props: Map[String, String], schema: StructType): Seq[StructField] =
+  private[graft] def resolvedCols(props: Map[String, String], schema: StructType): Seq[StructField] =
     skippingColumns(props).flatMap(c =>
       schema.fields.find(f => SQLConf.get.resolver(f.name, c)))
       .filter(f => supported(f.dataType))
@@ -115,7 +163,11 @@ object SkipStats extends Logging {
       props: Map[String, String],
       provider: String): Unit = try {
     val cols = resolvedCols(props, schema)
-    if (cols.isEmpty || !Set("parquet", "orc").contains(provider)) return
+    // blooms ride the parquet footer only (the writer emitted them there)
+    val bloomCols =
+      if (provider == "parquet") resolvedBloomCols(props, schema) else Nil
+    if ((cols.isEmpty && bloomCols.isEmpty) ||
+      !Set("parquet", "orc").contains(provider)) return
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -124,15 +176,21 @@ object SkipStats extends Logging {
     val files = fs.listStatus(root).toSeq
       .filter(s => s.isFile && !hidden(s.getPath.getName))
     val old = readRaw(fs, root)
-    val entries: Map[String, Map[String, (String, String)]] = files.flatMap { st =>
+    val entries: Map[String, RawEntry] = files.flatMap { st =>
       val key = st.getPath.getName
       val e = old.get(key) match {
-        case Some(kept) => kept
-        case None =>
-          if (provider == "orc") orcRanges(conf, st, cols)
-          else footerRanges(conf, st, cols)
+        // carried entries must COVER the declared bloom columns
+        // (a checked-but-absent bloom is stored as an empty marker, so
+        // a pre-declaration file is re-read exactly once) — otherwise
+        // re-read the footer for the newly declared column's bloom
+        case Some(kept) if bloomCols.forall(c => kept.blooms.contains(c.name)) =>
+          kept
+        case _ =>
+          if (provider == "orc") RawEntry(orcRanges(conf, st, cols), Map.empty)
+          else RawEntry(footerRanges(conf, st, cols),
+            footerBlooms(conf, st, bloomCols))
       }
-      if (e.nonEmpty) Some(key -> e) else None
+      if (e.ranges.nonEmpty || e.blooms.nonEmpty) Some(key -> e) else None
     }.toMap
     writeAtomic(fs, root, entries)
   } catch { case NonFatal(e) =>
@@ -147,7 +205,8 @@ object SkipStats extends Logging {
       schema: StructType,
       props: Map[String, String],
       provider: String): Unit =
-    if (resolvedCols(props, schema).nonEmpty)
+    if (resolvedCols(props, schema).nonEmpty ||
+      resolvedBloomCols(props, schema).nonEmpty)
       dirs.distinct.foreach(d => maintainDir(spark, d, schema, props, provider))
 
   /** One footer read → per-column (min, max) across all row groups.
@@ -185,6 +244,79 @@ object SkipStats extends Logging {
       }.toMap
     } finally reader.close()
   } catch { case NonFatal(_) => Map.empty }
+
+  /** One manifested file: per-column encoded (min, max) ranges plus
+    * per-column base64 split-block blooms. A bloom value of "" is the
+    * CHECKED-BUT-ABSENT marker (pre-declaration file, unmergeable or
+    * oversized row-group blooms) — it stops maintenance from re-reading
+    * the footer every commit, and the scan side ignores it. */
+  private[catalog] case class RawEntry(
+      ranges: Map[String, (String, String)],
+      blooms: Map[String, String])
+
+  /** One footer pass → per-column serialized per-file bloom: the
+    * row-group SBBFs merged bitwise (parquet guarantees mergeability
+    * for equal-size same-algorithm filters; `expected.ndv` fixes the
+    * size across row groups). Any non-mergeable, missing or oversized
+    * filter yields the "" marker — never a wrong filter. */
+  private def footerBlooms(
+      conf: Configuration,
+      st: FileStatus,
+      cols: Seq[StructField]): Map[String, String] = if (cols.isEmpty) Map.empty else try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+    try {
+      val blocks = scala.jdk.CollectionConverters.ListHasAsScala(
+        reader.getFooter.getBlocks).asScala.toSeq
+      cols.map { f =>
+        val merged = try {
+          val perBlock = blocks.map { b =>
+            val chunk = scala.jdk.CollectionConverters
+              .ListHasAsScala(b.getColumns).asScala
+              .find(c => c.getPath.size() == 1 &&
+                c.getPath.iterator().next().equalsIgnoreCase(f.name))
+            chunk.flatMap(c =>
+              Option(reader.getBloomFilterDataReader(b).readBloomFilter(c)))
+          }
+          if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+          else perBlock.flatten.reduceLeftOption[
+              org.apache.parquet.column.values.bloomfilter.BloomFilter] {
+            (acc, next) =>
+              if (!acc.canMergeFrom(next)) throw new IllegalStateException(
+                "row-group blooms not mergeable")
+              acc.merge(next); acc
+          }.flatMap { bf =>
+            val bytes = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bytes)
+            if (bytes.size() > MaxBloomBytes) None
+            else Some(java.util.Base64.getEncoder.encodeToString(bytes.toByteArray))
+          }
+        } catch { case NonFatal(_) => None }
+        f.name -> merged.getOrElse("")
+      }.toMap
+    } finally reader.close()
+  } catch { case NonFatal(_) => Map.empty }
+
+  /** Catalyst value → the XXH64 the parquet writer hashed for this
+    * column's physical value, or None when the binding isn't provable
+    * (then the bloom proves nothing for this predicate). */
+  private def bloomHash(
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      v: Any,
+      dt: DataType): Option[Long] = try {
+    (v, dt) match {
+      case (b: Byte, ByteType) => Some(bf.hash(b.toInt))
+      case (s: Short, ShortType) => Some(bf.hash(s.toInt))
+      case (i: Int, IntegerType | DateType) => Some(bf.hash(i))
+      case (l: Long, LongType) => Some(bf.hash(l))
+      case (f: Float, FloatType) => Some(bf.hash(f))
+      case (d: Double, DoubleType) => Some(bf.hash(d))
+      case (u: UTF8String, StringType) =>
+        Some(bf.hash(org.apache.parquet.io.api.Binary.fromReusedByteArray(u.getBytes)))
+      case _ => None
+    }
+  } catch { case NonFatal(_) => None }
 
   /** ORC twin of [[footerRanges]]: the file tail's per-column
     * statistics (`Reader.getStatistics`, indexed by TypeDescription
@@ -261,12 +393,16 @@ object SkipStats extends Logging {
 
   private def writeAtomic(
       fs: FileSystem, root: Path,
-      entries: Map[String, Map[String, (String, String)]]): Unit = {
-    val body = entries.toSeq.sortBy(_._1).map { case (file, colRanges) =>
-      esc(file) + ":{" + colRanges.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      entries: Map[String, RawEntry]): Unit = {
+    val body = entries.toSeq.sortBy(_._1).map { case (file, e) =>
+      val ranges = e.ranges.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         esc(c) + ":[" + esc(mn) + "," + esc(mx) + "]"
-      }.mkString(",") + "}"
-    }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+      val blooms = e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
+        esc(c) + ":" + esc(b)
+      }.mkString("{", ",", "}")
+      esc(file) + ":{\"ranges\":" + ranges + ",\"blooms\":" + blooms + "}"
+    }.mkString("{\"version\":2,\"files\":{", ",", "}}")
     // draft naming (leading dot, .tmp suffix): a crash between create and
     // rename leaves a file the table VACUUM's draft sweep already
     // classifies as residue
@@ -280,7 +416,7 @@ object SkipStats extends Logging {
   }
 
   private def readRaw(
-      fs: FileSystem, root: Path): Map[String, Map[String, (String, String)]] = try {
+      fs: FileSystem, root: Path): Map[String, RawEntry] = try {
     val target = new Path(root, ManifestName)
     if (!fs.exists(target)) return Map.empty
     val in = fs.open(target)
@@ -292,14 +428,32 @@ object SkipStats extends Logging {
       bytes.toString("UTF-8")
     } finally in.close()
     import org.json4s._
+    def parseRanges(cols: List[(String, JValue)]): Map[String, (String, String)] =
+      cols.flatMap {
+        case (c, JArray(List(JString(mn), JString(mx)))) => Some(c -> (mn, mx))
+        case _ => None
+      }.toMap
     org.json4s.jackson.JsonMethods.parse(text) match {
-      case JObject(files) => files.flatMap {
-        case (file, JObject(cols)) =>
-          val ranges = cols.flatMap {
-            case (c, JArray(List(JString(mn), JString(mx)))) => Some(c -> (mn, mx))
+      // v2: {"version":2,"files":{file:{"ranges":{...},"blooms":{...}}}}
+      case JObject(top) if top.exists(_._1 == "files") =>
+        top.collectFirst { case ("files", JObject(files)) => files }
+          .getOrElse(Nil).flatMap {
+            case (file, JObject(entry)) =>
+              val ranges = entry.collectFirst {
+                case ("ranges", JObject(cols)) => parseRanges(cols)
+              }.getOrElse(Map.empty[String, (String, String)])
+              val blooms = entry.collectFirst {
+                case ("blooms", JObject(cols)) => cols.collect {
+                  case (c, JString(b)) => c -> b
+                }.toMap
+              }.getOrElse(Map.empty[String, String])
+              Some(file -> RawEntry(ranges, blooms))
             case _ => None
           }.toMap
-          Some(file -> ranges)
+      // legacy v1: {file: {col: [mn, mx]}}
+      case JObject(files) => files.flatMap {
+        case (file, JObject(cols)) =>
+          Some(file -> RawEntry(parseRanges(cols), Map.empty))
         case _ => None
       }.toMap
       case _ => Map.empty
@@ -308,19 +462,36 @@ object SkipStats extends Logging {
 
   // ---- scan-side evaluation ----------------------------------------------
 
-  /** One directory's decoded shard: file NAME → column → (min, max)
-    * catalyst values. Empty on any problem (no skipping, full scan). */
+  /** One file's decoded skipping state: catalyst (min, max) per range
+    * column, deserialized per-file bloom per bloom column. */
+  private case class FileSkip(
+      ranges: Map[String, (Any, Any)],
+      blooms: Map[String,
+        org.apache.parquet.column.values.bloomfilter.BloomFilter])
+
+  /** One directory's decoded shard: file NAME → [[FileSkip]]. Empty on
+    * any problem (no skipping, full scan). */
   private def loadDir(
       conf: Configuration,
       dir: Path,
-      byName: Map[String, DataType]): Map[String, Map[String, (Any, Any)]] = try {
+      byName: Map[String, DataType],
+      bloomNames: Set[String]): Map[String, FileSkip] = try {
     val fs = dir.getFileSystem(conf)
-    readRaw(fs, dir).map { case (file, ranges) =>
-      file -> ranges.flatMap { case (c, (mn, mx)) =>
+    readRaw(fs, dir).map { case (file, raw) =>
+      val ranges = raw.ranges.flatMap { case (c, (mn, mx)) =>
         byName.get(c).flatMap(dt =>
           for (a <- decode(mn, dt); b <- decode(mx, dt)) yield c -> (a, b))
       }
-    }.filter(_._2.nonEmpty)
+      val blooms = raw.blooms.flatMap { case (c, b64) =>
+        if (b64.isEmpty || !bloomNames.exists(SQLConf.get.resolver(_, c))) None
+        else try {
+          Some(c -> (new org.apache.parquet.column.values.bloomfilter
+            .BlockSplitBloomFilter(java.util.Base64.getDecoder.decode(b64))
+            : org.apache.parquet.column.values.bloomfilter.BloomFilter))
+        } catch { case NonFatal(_) => None }
+      }
+      file -> FileSkip(ranges, blooms)
+    }.filter(e => e._2.ranges.nonEmpty || e._2.blooms.nonEmpty)
   } catch { case NonFatal(_) => Map.empty }
 
   /** Filter each directory's files through its shard: a file is
@@ -336,19 +507,20 @@ object SkipStats extends Logging {
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     if (dataFilters.isEmpty) return dirs
     val cols = resolvedCols(props, schema)
-    if (cols.isEmpty) return dirs
+    val bloomCols = resolvedBloomCols(props, schema)
+    if (cols.isEmpty && bloomCols.isEmpty) return dirs
     val byName = cols.map(f => f.name -> f.dataType).toMap
+    val bloomNames = bloomCols.map(_.name).toSet
     lazy val conf = spark.sessionState.newHadoopConf()
-    val shards = scala.collection.mutable.Map.empty[
-      Path, Map[String, Map[String, (Any, Any)]]]
+    val shards = scala.collection.mutable.Map.empty[Path, Map[String, FileSkip]]
     val colTypes = schema.fields.map(f => f.name -> f.dataType).toMap
     dirs.map { d =>
       d.copy(files = d.files.filter { f =>
         val shard = shards.getOrElseUpdate(f.getPath.getParent,
-          loadDir(conf, f.getPath.getParent, byName))
+          loadDir(conf, f.getPath.getParent, byName, bloomNames))
         shard.get(f.getPath.getName) match {
-          case Some(ranges) =>
-            !dataFilters.exists(e => excludes(e, ranges, colTypes))
+          case Some(skip) =>
+            !dataFilters.exists(e => excludes(e, skip, colTypes))
           case None => true
         }
       })
@@ -363,8 +535,9 @@ object SkipStats extends Logging {
     * only evidence needed; null literals prove nothing and are kept. */
   private def excludes(
       e: Expression,
-      ranges: Map[String, (Any, Any)],
+      skip: FileSkip,
       colTypes: Map[String, DataType]): Boolean = {
+    val ranges = skip.ranges
     def range(a: AttributeReference): Option[((Any, Any), Ordering[Any])] =
       ranges.find { case (c, _) => SQLConf.get.resolver(c, a.name) }.flatMap {
         case (c, r) => colTypes.find { case (n, _) => SQLConf.get.resolver(n, c) }
@@ -374,11 +547,22 @@ object SkipStats extends Logging {
     def cmp(a: AttributeReference, v: Any)(
         excluded: ((Any, Any), Ordering[Any], Any) => Boolean): Boolean =
       v != null && range(a).exists { case (r, ord) => excluded(r, ord, v) }
+    // the bloom ABSENCE proof for one equality value: present filter,
+    // provable hash binding, hash not found ⇒ no row in this file can
+    // equal v (false positives keep the file; never the reverse)
+    def bloomExcluded(a: AttributeReference, v: Any): Boolean =
+      v != null && skip.blooms.find { case (c, _) =>
+        SQLConf.get.resolver(c, a.name) }.exists { case (c, bf) =>
+          colTypes.find { case (n, _) => SQLConf.get.resolver(n, c) }
+            .flatMap { case (_, dt) => bloomHash(bf, v, dt) }
+            .exists(h => !bf.findHash(h))
+        }
+    def eqExcluded(a: AttributeReference, v: Any): Boolean =
+      cmp(a, v) { case ((mn, mx), ord, x) => ord.lt(x, mn) || ord.gt(x, mx) } ||
+        bloomExcluded(a, v)
     e match {
-      case EqualTo(a: AttributeReference, Literal(v, _)) =>
-        cmp(a, v) { case ((mn, mx), ord, x) => ord.lt(x, mn) || ord.gt(x, mx) }
-      case EqualTo(Literal(v, _), a: AttributeReference) =>
-        cmp(a, v) { case ((mn, mx), ord, x) => ord.lt(x, mn) || ord.gt(x, mx) }
+      case EqualTo(a: AttributeReference, Literal(v, _)) => eqExcluded(a, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => eqExcluded(a, v)
       case GreaterThan(a: AttributeReference, Literal(v, _)) =>
         cmp(a, v) { case ((_, mx), ord, x) => ord.lteq(mx, x) }
       case GreaterThan(Literal(v, _), a: AttributeReference) => // v > a ⇔ a < v
@@ -396,10 +580,9 @@ object SkipStats extends Logging {
       case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
         cmp(a, v) { case ((_, mx), ord, x) => ord.lt(mx, x) }
       case In(a: AttributeReference, elems) if elems.forall(_.isInstanceOf[Literal]) =>
-        elems.nonEmpty && elems.forall { case Literal(v, _) =>
-          cmp(a, v) { case ((mn, mx), ord, x) => ord.lt(x, mn) || ord.gt(x, mx) } }
-      case And(l, r) => excludes(l, ranges, colTypes) || excludes(r, ranges, colTypes)
-      case Or(l, r) => excludes(l, ranges, colTypes) && excludes(r, ranges, colTypes)
+        elems.nonEmpty && elems.forall { case Literal(v, _) => eqExcluded(a, v) }
+      case And(l, r) => excludes(l, skip, colTypes) || excludes(r, skip, colTypes)
+      case Or(l, r) => excludes(l, skip, colTypes) && excludes(r, skip, colTypes)
       case _ => false
     }
   }

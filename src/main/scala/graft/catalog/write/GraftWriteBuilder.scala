@@ -462,6 +462,20 @@ class GraftWrite(
       }
     }
 
+    // BLOOM SKIPPING (q112): have the parquet writer emit split-block
+    // bloom filters for the declared columns; a FIXED expected NDV keeps
+    // every row group's SBBF the same size, so commit-side maintenance
+    // can merge them into one per-file filter in the skip-stats shard
+    if (meta.provider == "parquet") {
+      val ndv = graft.catalog.SkipStats.bloomNdv(meta.properties)
+      graft.catalog.SkipStats.resolvedBloomCols(meta.properties, schema)
+        .foreach { f =>
+          hadoopConf.set(s"parquet.bloom.filter.enabled#${f.name}", "true")
+          hadoopConf.set(s"parquet.bloom.filter.expected.ndv#${f.name}",
+            ndv.toString)
+        }
+    }
+
     val job = Job.getInstance(hadoopConf)
     job.setOutputKeyClass(classOf[Void])
     job.setOutputValueClass(classOf[InternalRow])

@@ -827,6 +827,47 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- Q112
+  /** BLOOM FILE SKIPPING — the point-lookup complement to q109/q111's
+    * min/max ranges, Delta's bloom-filter index re-expressed over the
+    * engine's shards: on a HASH-distributed layout every file spans the
+    * whole key range, so min/max can never prune — but
+    * `graft.bloom.by = doc_id` makes the parquet writer emit per-row-
+    * group split-block bloom filters, commit merges each new file's row
+    * groups into ONE per-file bloom in the skip-stats shard (fixed
+    * `graft.bloom.ndv` keeps the SBBFs size-aligned and mergeable), and
+    * equality/IN predicates — static literals AND q111's runtime
+    * IN-sets — test each key's XXH64 against each file's bloom: a miss
+    * PROVES absence and the file is never scheduled; a false positive
+    * costs one file read, never rows. At 100 TB this serves "fetch
+    * these ids" against a layout chosen for something else entirely —
+    * no re-clustering, no second copy, no layout requirement at all.
+    * Sizing lever: ndv per row group; the shard carries ~bloom-size
+    * bytes per file per column (cap 128 KB), which the per-directory
+    * sharding keeps partition-local. */
+  def q112_bloom_skipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q112_bloom"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val docs = Tables(spark, dir, "documents")
+    docs.select($"doc_id", $"source", $"n_chars")
+      .repartition(8, $"doc_id") // hash layout: min/max can't prune this
+      .writeTo(t)
+      .tableProperty(graft.catalog.SkipStats.BloomProp, "doc_id")
+      .create()
+    val mn = docs.agg(min($"doc_id")).as[Long].head()
+    spark.table(t)
+      .filter($"doc_id".isin(mn + 5L, mn + 105L, mn + 1005L))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"n_chars").as("sum_chars"),
+        sum($"doc_id" % 999983L).as("key_checksum"))
+      .orderBy($"source")
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -1168,6 +1209,7 @@ object EngineQueries {
     "q109_file_skipping" -> (q109_file_skipping _),
     "q110_zorder_skipping" -> (q110_zorder_skipping _),
     "q111_dynamic_file_pruning" -> (q111_dynamic_file_pruning _),
+    "q112_bloom_skipping" -> (q112_bloom_skipping _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1314,6 +1356,18 @@ object EngineQueries {
         | GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin,
     // Both Z-order probes restated plainly: the interleaved layout must
     // not change either answer.
+    // Bloom skipping restated plainly: scheduling only the bloom-
+    // matched files must not change the answer; the key checksum proves
+    // per-row matching. sum cast keeps DuckDB's HUGEINT off the hash.
+    "q112_bloom_skipping" ->
+      """SELECT source, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id % 999983) AS BIGINT) AS key_checksum
+        | FROM documents
+        | WHERE doc_id IN ((SELECT min(doc_id) + 5 FROM documents),
+        |                  (SELECT min(doc_id) + 105 FROM documents),
+        |                  (SELECT min(doc_id) + 1005 FROM documents))
+        | GROUP BY source ORDER BY source""".stripMargin,
     // Dynamic file pruning restated as a plain join: scheduling only
     // the files whose ranges overlap the dim's surviving keys must not
     // change the answer; the key checksum proves per-row matching.

@@ -81,7 +81,11 @@ object ScaleProbe {
     // per-new-file footer manifest); the dim stays band-bounded
     // (replica 0 keeps the original key band), so the runtime-pruned
     // join leg reads the same few files' worth of bytes at both scales
-    "q111_dynamic_file_pruning")
+    "q111_dynamic_file_pruning",
+    // q112's bloom lifecycle: CTAS linear (the writer's per-row-group
+    // bloom inserts are O(rows); commit merges blooms ∝ FILES); the
+    // 3-key lookup schedules ≤3 files' bytes at both scales
+    "q112_bloom_skipping")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:

@@ -1100,6 +1100,100 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     Seq(f, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("q112 bloom skipping: point lookups prune hash-distributed files min/max cannot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val t = s"$cat.planshape.q112_bloom"
+    val r = s"$cat.planshape.q112_ranges_only"
+    val d = s"$cat.planshape.q112_dim"
+    Seq(t, r, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars")
+    // HASH layout: every file spans ~the whole key range
+    docs.repartition(8, $"doc_id")
+      .writeTo(t)
+      .tableProperty(graft.catalog.SkipStats.BloomProp, "doc_id")
+      .create()
+    // contrast table: same layout, min/max ranges ONLY
+    docs.repartition(8, $"doc_id")
+      .writeTo(r)
+      .tableProperty(graft.catalog.SkipStats.Prop, "doc_id")
+      .create()
+    // a MID-RANGE key: every hash file's random ~75-key [min,max] covers
+    // the middle of the domain (an edge key would let min/max prune even
+    // here, muddying the contrast); doc_ids are dense so it exists
+    val (dmn, dmx) = docs.agg(min($"doc_id"), max($"doc_id"))
+      .as[(Long, Long)].head()
+    val k = (dmn + dmx) / 2
+    def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case other => other.children.flatMap(allScans)
+    }
+    def executedFiles(q: org.apache.spark.sql.DataFrame, name: String) =
+      allScans(q.queryExecution.executedPlan)
+        .find(_.toString.contains(s"$name[")).getOrElse(fail(s"$name scan not found"))
+        .inputRDD.partitions.toSeq.flatMap {
+          case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            dp.inputPartitions
+        }.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+        }.flatMap(_.files).map(_.filePath.toString).distinct
+    val expected = docs.filter($"doc_id" === k)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    def run(table: String): (Seq[(Long, Long)], Int) = {
+      val q = spark.table(table).filter($"doc_id" === k)
+      val rows = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      (rows, executedFiles(q, table.split("\\.").last).size)
+    }
+    val (bloomRows, bloomFiles) = run(t)
+    assert(bloomRows === expected)
+    // 25k-NDV bloom over ~75 keys per file: false positives are
+    // negligible — exactly the one containing file is scheduled
+    assert(bloomFiles === 1,
+      s"bloom must prune the hash layout to the containing file, got $bloomFiles")
+    val (rangeRows, rangeFiles) = run(r)
+    assert(rangeRows === expected)
+    assert(rangeFiles === 8,
+      s"min/max on a hash layout must not prune (every file spans the range), got $rangeFiles")
+
+    // the runtime path: a ONE-key dim join's IN-set tests the blooms
+    // through the dynamic-file-pruning surface — same single file
+    Seq((k, "keep"), (k + 1, "drop")).toDF("d_key", "tag").writeTo(d).create()
+    val joined = spark.table(t)
+      .join(spark.table(d).filter($"tag" === "keep"), $"doc_id" === $"d_key")
+      .select($"doc_id", $"n_chars")
+    val jRows = joined.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    assert(jRows === expected)
+    assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "DPP subquery missing on the bloom column")
+    val jFiles = executedFiles(joined, "q112_bloom")
+    assert(jFiles.size === 1,
+      s"runtime IN-set must bloom-prune to the containing file, got ${jFiles.size}")
+
+    // deleting the shard disables pruning but never correctness
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").select($"data_type").as[String].head()
+    val manifest = new org.apache.hadoop.fs.Path(loc,
+      graft.catalog.SkipStats.ManifestName)
+    val fs = manifest.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(manifest), s"skip-stats shard missing at $manifest")
+    fs.delete(manifest, false)
+    spark.sql(s"REFRESH TABLE $t")
+    val (fallbackRows, fallbackFiles) = run(t)
+    assert(fallbackRows === expected)
+    assert(fallbackFiles === 8,
+      s"without the shard every file must be read, got $fallbackFiles")
+    Seq(t, r, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("file skipping feeds join planning: a range-sliced fact's scan stats shrink to the surviving files") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
