@@ -188,7 +188,7 @@ object SkipStats extends Logging {
         case _ =>
           if (provider == "orc") RawEntry(orcRanges(conf, st, cols), Map.empty)
           else RawEntry(footerRanges(conf, st, cols),
-            footerBlooms(conf, st, bloomCols))
+            footerBlooms(conf, st, bloomCols, bloomNdv(props)))
       }
       if (e.ranges.nonEmpty || e.blooms.nonEmpty) Some(key -> e) else None
     }.toMap
@@ -257,18 +257,59 @@ object SkipStats extends Logging {
   /** One footer pass → per-column serialized per-file bloom: the
     * row-group SBBFs merged bitwise (parquet guarantees mergeability
     * for equal-size same-algorithm filters; `expected.ndv` fixes the
-    * size across row groups). Any non-mergeable, missing or oversized
-    * filter yields the "" marker — never a wrong filter. */
+    * size across row groups). Parquet SKIPS writing a bloom for a
+    * chunk that stayed fully dictionary-encoded (the dictionary is
+    * already exact membership) — for those the DICTIONARY PAGE's
+    * values are hashed into a fresh same-size SBBF, exact by
+    * construction and mergeable with the real ones; a chunk with
+    * non-dictionary pages and no bloom proves nothing. Any
+    * non-mergeable, missing or oversized filter yields the "" marker —
+    * never a wrong filter. */
   private def footerBlooms(
       conf: Configuration,
       st: FileStatus,
-      cols: Seq[StructField]): Map[String, String] = if (cols.isEmpty) Map.empty else try {
+      cols: Seq[StructField],
+      ndv: Long): Map[String, String] = if (cols.isEmpty) Map.empty else try {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.column.values.bloomfilter.{BlockSplitBloomFilter, BloomFilter}
     val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
     try {
       val blocks = scala.jdk.CollectionConverters.ListHasAsScala(
         reader.getFooter.getBlocks).asScala.toSeq
+      val schema = reader.getFooter.getFileMetaData.getSchema
+
+      // exact bloom from the dictionary page — ONLY when every page of
+      // the chunk is dictionary-encoded (a fallback-to-plain chunk's
+      // dictionary misses the plain pages' values: wrong exclusions)
+      def dictionaryBloom(
+          b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+          c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[BloomFilter] = {
+        val stats = c.getEncodingStats
+        if (stats == null || stats.hasNonDictionaryEncodedPages) return None
+        val desc = scala.jdk.CollectionConverters.ListHasAsScala(schema.getColumns)
+          .asScala.find(d => d.getPath.length == 1 &&
+            d.getPath()(0).equalsIgnoreCase(c.getPath.iterator().next()))
+          .getOrElse(return None)
+        val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+          reader.getDictionaryReader(b) // upcast: the impl class is package-private
+        val page = Option(store.readDictionaryPage(desc)).getOrElse(return None)
+        val dict = page.getEncoding.initDictionary(desc, page)
+        val bf = new BlockSplitBloomFilter(
+          BlockSplitBloomFilter.optimalNumOfBits(ndv, 0.01) / 8)
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val insert: Int => Unit = desc.getPrimitiveType.getPrimitiveTypeName match {
+          case INT32 => i => bf.insertHash(bf.hash(dict.decodeToInt(i)))
+          case INT64 => i => bf.insertHash(bf.hash(dict.decodeToLong(i)))
+          case FLOAT => i => bf.insertHash(bf.hash(dict.decodeToFloat(i)))
+          case DOUBLE => i => bf.insertHash(bf.hash(dict.decodeToDouble(i)))
+          case BINARY => i => bf.insertHash(bf.hash(dict.decodeToBinary(i)))
+          case _ => return None
+        }
+        (0 to dict.getMaxId).foreach(insert)
+        Some(bf)
+      }
+
       cols.map { f =>
         val merged = try {
           val perBlock = blocks.map { b =>
@@ -277,11 +318,11 @@ object SkipStats extends Logging {
               .find(c => c.getPath.size() == 1 &&
                 c.getPath.iterator().next().equalsIgnoreCase(f.name))
             chunk.flatMap(c =>
-              Option(reader.getBloomFilterDataReader(b).readBloomFilter(c)))
+              Option(reader.getBloomFilterDataReader(b).readBloomFilter(c))
+                .orElse(dictionaryBloom(b, c)))
           }
           if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
-          else perBlock.flatten.reduceLeftOption[
-              org.apache.parquet.column.values.bloomfilter.BloomFilter] {
+          else perBlock.flatten.reduceLeftOption[BloomFilter] {
             (acc, next) =>
               if (!acc.canMergeFrom(next)) throw new IllegalStateException(
                 "row-group blooms not mergeable")

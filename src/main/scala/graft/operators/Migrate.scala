@@ -121,8 +121,23 @@ object Migrate {
         else routed.sortWithinPartitions(
           (meta.partitionColumns ++ clusterCols)
             .map(org.apache.spark.sql.functions.col): _*)
+      // a bloom declaration survives the format change: migrating INTO
+      // parquet re-emits the per-row-group split-block blooms (the V1
+      // writer forwards parquet.* options into the job conf), so the
+      // post-flip shard carries real filters, not absent-markers
+      val bloomOpts: Map[String, String] =
+        if (p != "parquet") Map.empty
+        else {
+          val ndv = graft.catalog.SkipStats.bloomNdv(meta.properties)
+          graft.catalog.SkipStats.resolvedBloomCols(meta.properties, meta.schema)
+            .flatMap(f => Seq(
+              s"parquet.bloom.filter.enabled#${f.name}" -> "true",
+              s"parquet.bloom.filter.expected.ndv#${f.name}" -> ndv.toString))
+            .toMap
+        }
       val writer = shaped.write.format(p)
         .options(graft.catalog.GraftCatalog.optionProps(meta.properties))
+        .options(bloomOpts)
         .mode("overwrite")
       (if (meta.partitionColumns.nonEmpty)
         writer.partitionBy(meta.partitionColumns: _*)
@@ -130,7 +145,7 @@ object Migrate {
 
       // 2. fresh registrations from the staged layout (hive-style
       // col=value dirs; sizes from one listing pass each)
-      val newParts: Seq[PartitionMeta] =
+      val leafDirs: Seq[(Path, Seq[String])] =
         if (meta.partitionColumns.isEmpty) Nil
         else {
           // hive-layout leaf dirs at exactly partition-column depth,
@@ -144,11 +159,22 @@ object Migrate {
                 .filter(s => s.isDirectory && s.getPath.getName.contains("="))
                 .map(s => (s.getPath, segs :+ s.getPath.getName))
             }, depth + 1)
-          level(Seq((staging, Nil)), 0).map { case (d, segs) =>
-            val spec = GraftBatchWrite.parseFragment(meta, segs.mkString("/"))
-            PartitionMeta(spec, None, fs.getContentSummary(d).getLength)
-          }
+          level(Seq((staging, Nil)), 0)
         }
+      val newParts: Seq[PartitionMeta] = leafDirs.map { case (d, segs) =>
+        val spec = GraftBatchWrite.parseFragment(meta, segs.mkString("/"))
+        PartitionMeta(spec, None, fs.getContentSummary(d).getLength)
+      }
+
+      // skip-stats continuity: manifest the staging generation BEFORE
+      // the flip (the zorder posture), so the first post-flip query
+      // skips instead of waiting for the next commit — one footer/tail
+      // read per rewritten file, ranges AND blooms
+      val stagingDirs =
+        if (meta.partitionColumns.isEmpty) Seq(staging.toString)
+        else leafDirs.map(_._1.toString)
+      graft.catalog.SkipStats.maintainDirs(spark, stagingDirs,
+        meta.schema, meta.properties, p)
 
       // 3. the atomic flip: provider + location + partitions in one
       // descriptor write

@@ -886,6 +886,74 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
 
+  test("migrate keeps skipping live: staging shards manifested pre-flip, blooms re-emitted into parquet") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val t = freshTable("t_migrate_skip")
+    // orc source with BOTH declarations: ranges manifest from orc tails;
+    // blooms can't exist in orc files (parquet-only), so the pre-migrate
+    // shard carries ranges and the POST-migrate parquet generation must
+    // gain real blooms re-emitted by the rewrite
+    Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+      .repartitionByRange(4, $"l_orderkey")
+      .writeTo(t)
+      .using("orc")
+      .tableProperty(SkipStats.Prop, "l_orderkey")
+      .tableProperty(SkipStats.BloomProp, "l_orderkey")
+      .create()
+    val expected = Tables(spark, sf0001, "lineitem")
+      .filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 1500L)
+      .agg(count(lit(1)), sum($"l_quantity")).collect().head
+
+    graft.operators.Migrate.toProvider(spark, t, "parquet")
+
+    def loc() = new Path(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").head().getString(1))
+    val newLoc = loc()
+    val fs = newLoc.getFileSystem(spark.sessionState.newHadoopConf())
+    // the shard landed in the staging generation BEFORE the flip: the
+    // first post-flip query skips with NO post-migrate commit
+    val manifest = new Path(newLoc, SkipStats.ManifestName)
+    assert(fs.exists(manifest),
+      "migrate must manifest the staging generation before the flip")
+    val txt = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(txt.contains("\"ranges\":{\"l_orderkey\""),
+      s"migrated shard must carry ranges: $txt")
+    assert(txt.contains("\"blooms\":{\"l_orderkey\":\"") &&
+      !txt.contains("\"blooms\":{\"l_orderkey\":\"\""),
+      "the parquet rewrite must re-emit REAL blooms, not absent-markers")
+    val totalFiles = fs.listStatus(newLoc)
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+    assert(totalFiles === 4, s"range layout must survive, got $totalFiles")
+    def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qs.plan)
+      case other => other.children.flatMap(allScans)
+    }
+    val q = spark.table(t).filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 1500L)
+    assert(q.agg(count(lit(1)), sum($"l_quantity")).collect().head === expected)
+    val q2 = spark.table(t).filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 1500L)
+    q2.collect()
+    val read = allScans(q2.queryExecution.executedPlan).head.inputRDD.partitions
+      .toSeq.flatMap {
+        case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          dp.inputPartitions
+      }.collect {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+      }.flatMap(_.files).map(_.filePath.toString).distinct
+    assert(read.nonEmpty && read.size < totalFiles,
+      s"post-flip range query must skip, got ${read.size} of $totalFiles")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("format migration: atomic flip, old gen retained for readers, namespace sweep reclaims residue") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
