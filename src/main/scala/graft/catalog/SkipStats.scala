@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.PartitionDirectory
 import org.apache.spark.sql.internal.SQLConf
@@ -183,14 +183,22 @@ object SkipStats extends Logging {
         // (a checked-but-absent bloom is stored as an empty marker, so
         // a pre-declaration file is re-read exactly once) — otherwise
         // re-read the footer for the newly declared column's bloom
-        case Some(kept) if bloomCols.forall(c => kept.blooms.contains(c.name)) =>
+        case Some(kept) if bloomCols.forall(c => kept.blooms.contains(c.name)) &&
+            cols.forall(c => kept.nulls.contains(c.name)) =>
           kept
         case _ =>
-          if (provider == "orc") RawEntry(orcRanges(conf, st, cols), Map.empty)
-          else RawEntry(footerRanges(conf, st, cols),
-            footerBlooms(conf, st, bloomCols, bloomNdv(props)))
+          if (provider == "orc") {
+            val (ranges, nulls) = orcStats(conf, st, cols)
+            RawEntry(ranges, Map.empty, nulls)
+          } else {
+            val (ranges, nulls) = footerStats(conf, st, cols)
+            RawEntry(ranges,
+              footerBlooms(conf, st, bloomCols, bloomNdv(props)), nulls)
+          }
       }
-      if (e.ranges.nonEmpty || e.blooms.nonEmpty) Some(key -> e) else None
+      if (e.ranges.nonEmpty || e.blooms.nonEmpty || e.nulls.nonEmpty)
+        Some(key -> e)
+      else None
     }.toMap
     writeAtomic(fs, root, entries)
   } catch { case NonFatal(e) =>
@@ -209,50 +217,63 @@ object SkipStats extends Logging {
       resolvedBloomCols(props, schema).nonEmpty)
       dirs.distinct.foreach(d => maintainDir(spark, d, schema, props, provider))
 
-  /** One footer read → per-column (min, max) across all row groups.
-    * Columns whose chunks lack comparable stats (INT96, empty stats,
-    * null-only file) yield no entry for that column. */
-  private def footerRanges(
+  /** One footer read → per-column (min, max) across all row groups,
+    * plus per-column null tallies ("nullCount/rowCount" — "" when any
+    * chunk's null count is unset). Columns whose chunks lack comparable
+    * stats (INT96, empty stats, null-only file) yield no range entry
+    * for that column but may still tally nulls. */
+  private def footerStats(
       conf: Configuration,
       st: FileStatus,
-      cols: Seq[StructField]): Map[String, (String, String)] = try {
+      cols: Seq[StructField]): (Map[String, (String, String)], Map[String, String]) = try {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
     try {
       val blocks = scala.jdk.CollectionConverters.ListHasAsScala(
         reader.getFooter.getBlocks).asScala.toSeq
-      cols.flatMap { f =>
+      val totalRows = blocks.map(_.getRowCount).sum
+      val perCol = cols.map { f =>
         val chunks = blocks.flatMap(b =>
           scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns).asScala
             .find(c => c.getPath.size() == 1 &&
               c.getPath.iterator().next().equalsIgnoreCase(f.name)))
         val stats = chunks.map(_.getStatistics)
-        if (chunks.isEmpty || stats.exists(s =>
-            s == null || s.isEmpty || !s.hasNonNullValue)) None
-        else {
-          val mins = stats.flatMap(s =>
-            parquetValue(s.genericGetMin.asInstanceOf[AnyRef], f.dataType))
-          val maxs = stats.flatMap(s =>
-            parquetValue(s.genericGetMax.asInstanceOf[AnyRef], f.dataType))
-          if (mins.size != stats.size || maxs.size != stats.size) None
+        val nullTally: String =
+          if (chunks.isEmpty || stats.exists(s => s == null || !s.isNumNullsSet)) ""
+          else s"${stats.map(_.getNumNulls).sum}/$totalRows"
+        val range: Option[(String, String)] =
+          if (chunks.isEmpty || stats.exists(s =>
+              s == null || s.isEmpty || !s.hasNonNullValue)) None
           else {
-            val ord = TypeUtils.getInterpretedOrdering(f.dataType)
-            Some(f.name -> (encode(mins.min(ord)), encode(maxs.max(ord))))
+            val mins = stats.flatMap(s =>
+              parquetValue(s.genericGetMin.asInstanceOf[AnyRef], f.dataType))
+            val maxs = stats.flatMap(s =>
+              parquetValue(s.genericGetMax.asInstanceOf[AnyRef], f.dataType))
+            if (mins.size != stats.size || maxs.size != stats.size) None
+            else {
+              val ord = TypeUtils.getInterpretedOrdering(f.dataType)
+              Some((encode(mins.min(ord)), encode(maxs.max(ord))))
+            }
           }
-        }
-      }.toMap
+        (f.name, range, nullTally)
+      }
+      (perCol.collect { case (n, Some(r), _) => n -> r }.toMap,
+        perCol.map { case (n, _, t) => n -> t }.toMap)
     } finally reader.close()
-  } catch { case NonFatal(_) => Map.empty }
+  } catch { case NonFatal(_) => (Map.empty, Map.empty) }
 
-  /** One manifested file: per-column encoded (min, max) ranges plus
-    * per-column base64 split-block blooms. A bloom value of "" is the
-    * CHECKED-BUT-ABSENT marker (pre-declaration file, unmergeable or
-    * oversized row-group blooms) — it stops maintenance from re-reading
-    * the footer every commit, and the scan side ignores it. */
+  /** One manifested file: per-column encoded (min, max) ranges,
+    * per-column base64 split-block blooms, and per-column null tallies
+    * ("nullCount/rowCount"). A bloom or null value of "" is the
+    * CHECKED-BUT-UNKNOWN marker (pre-declaration file, unmergeable or
+    * oversized blooms, unset footer null counts) — it stops maintenance
+    * from re-reading the footer every commit, and the scan side ignores
+    * it. */
   private[catalog] case class RawEntry(
       ranges: Map[String, (String, String)],
-      blooms: Map[String, String])
+      blooms: Map[String, String],
+      nulls: Map[String, String] = Map.empty)
 
   /** One footer pass → per-column serialized per-file bloom: the
     * row-group SBBFs merged bitwise (parquet guarantees mergeability
@@ -359,15 +380,17 @@ object SkipStats extends Logging {
     }
   } catch { case NonFatal(_) => None }
 
-  /** ORC twin of [[footerRanges]]: the file tail's per-column
+  /** ORC twin of [[footerStats]]: the file tail's per-column
     * statistics (`Reader.getStatistics`, indexed by TypeDescription
-    * column id) → (min, max) for the supported fixed types. Date/
-    * timestamp are left unmanifested for orc (their stats classes vary
-    * across writers) — no entry, never a wrong bound. */
-  private def orcRanges(
+    * column id) → (min, max) for the supported fixed types plus null
+    * tallies (`getNumberOfValues` counts non-nulls; the file row count
+    * gives the rest). Date/timestamp are left unmanifested for orc
+    * (their stats classes vary across writers) — no entry, never a
+    * wrong bound. */
+  private def orcStats(
       conf: Configuration,
       st: FileStatus,
-      cols: Seq[StructField]): Map[String, (String, String)] = try {
+      cols: Seq[StructField]): (Map[String, (String, String)], Map[String, String]) = try {
     import org.apache.orc.OrcFile
     val reader = OrcFile.createReader(st.getPath,
       OrcFile.readerOptions(conf).filesystem(st.getPath.getFileSystem(conf)))
@@ -375,7 +398,15 @@ object SkipStats extends Logging {
       val root = reader.getSchema
       val names = root.getFieldNames
       val stats = reader.getStatistics
-      cols.flatMap { f =>
+      val totalRows = reader.getNumberOfRows
+      val nulls = cols.map { f =>
+        val j = (0 until names.size).find(i => names.get(i).equalsIgnoreCase(f.name))
+        f.name -> j.map { i =>
+          val nonNull = stats(root.getChildren.get(i).getId).getNumberOfValues
+          s"${totalRows - nonNull}/$totalRows"
+        }.getOrElse("")
+      }.toMap
+      val ranges = cols.flatMap { f =>
         val j = (0 until names.size).find(i => names.get(i).equalsIgnoreCase(f.name))
         j.flatMap { i =>
           val cs = stats(root.getChildren.get(i).getId)
@@ -400,8 +431,9 @@ object SkipStats extends Logging {
           }
         }
       }.toMap
+      (ranges, nulls)
     } finally reader.close()
-  } catch { case NonFatal(_) => Map.empty }
+  } catch { case NonFatal(_) => (Map.empty, Map.empty) }
 
   /** Parquet footer value → catalyst value for the declared type, or
     * None on any physical/logical mismatch (then the column gets no
@@ -442,7 +474,11 @@ object SkipStats extends Logging {
       val blooms = e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
         esc(c) + ":" + esc(b)
       }.mkString("{", ",", "}")
-      esc(file) + ":{\"ranges\":" + ranges + ",\"blooms\":" + blooms + "}"
+      val nulls = e.nulls.toSeq.sortBy(_._1).map { case (c, n) =>
+        esc(c) + ":" + esc(n)
+      }.mkString("{", ",", "}")
+      esc(file) + ":{\"ranges\":" + ranges + ",\"blooms\":" + blooms +
+        ",\"nulls\":" + nulls + "}"
     }.mkString("{\"version\":2,\"files\":{", ",", "}}")
     // draft naming (leading dot, .tmp suffix): a crash between create and
     // rename leaves a file the table VACUUM's draft sweep already
@@ -488,7 +524,12 @@ object SkipStats extends Logging {
                   case (c, JString(b)) => c -> b
                 }.toMap
               }.getOrElse(Map.empty[String, String])
-              Some(file -> RawEntry(ranges, blooms))
+              val nulls = entry.collectFirst {
+                case ("nulls", JObject(cols)) => cols.collect {
+                  case (c, JString(n)) => c -> n
+                }.toMap
+              }.getOrElse(Map.empty[String, String])
+              Some(file -> RawEntry(ranges, blooms, nulls))
             case _ => None
           }.toMap
       // legacy v1: {file: {col: [mn, mx]}}
@@ -504,11 +545,13 @@ object SkipStats extends Logging {
   // ---- scan-side evaluation ----------------------------------------------
 
   /** One file's decoded skipping state: catalyst (min, max) per range
-    * column, deserialized per-file bloom per bloom column. */
+    * column, deserialized per-file bloom per bloom column, and
+    * (nullCount, rowCount) tallies per range column. */
   private case class FileSkip(
       ranges: Map[String, (Any, Any)],
       blooms: Map[String,
-        org.apache.parquet.column.values.bloomfilter.BloomFilter])
+        org.apache.parquet.column.values.bloomfilter.BloomFilter],
+      nulls: Map[String, (Long, Long)])
 
   /** One directory's decoded shard: file NAME → [[FileSkip]]. Empty on
     * any problem (no skipping, full scan). */
@@ -531,8 +574,17 @@ object SkipStats extends Logging {
             : org.apache.parquet.column.values.bloomfilter.BloomFilter))
         } catch { case NonFatal(_) => None }
       }
-      file -> FileSkip(ranges, blooms)
-    }.filter(e => e._2.ranges.nonEmpty || e._2.blooms.nonEmpty)
+      val nulls = raw.nulls.flatMap { case (c, t) =>
+        if (t.isEmpty || !byName.keys.exists(SQLConf.get.resolver(_, c))) None
+        else t.split("/") match {
+          case Array(n, r) =>
+            try Some(c -> (n.toLong, r.toLong)) catch { case NonFatal(_) => None }
+          case _ => None
+        }
+      }
+      file -> FileSkip(ranges, blooms, nulls)
+    }.filter(e =>
+      e._2.ranges.nonEmpty || e._2.blooms.nonEmpty || e._2.nulls.nonEmpty)
   } catch { case NonFatal(_) => Map.empty }
 
   /** Filter each directory's files through its shard: a file is
@@ -601,9 +653,18 @@ object SkipStats extends Logging {
     def eqExcluded(a: AttributeReference, v: Any): Boolean =
       cmp(a, v) { case ((mn, mx), ord, x) => ord.lt(x, mn) || ord.gt(x, mx) } ||
         bloomExcluded(a, v)
+    // null tallies: exact per-file (nullCount, rowCount) from the footer
+    def tally(a: AttributeReference): Option[(Long, Long)] =
+      skip.nulls.find { case (c, _) => SQLConf.get.resolver(c, a.name) }.map(_._2)
     e match {
       case EqualTo(a: AttributeReference, Literal(v, _)) => eqExcluded(a, v)
       case EqualTo(Literal(v, _), a: AttributeReference) => eqExcluded(a, v)
+      // a file with zero nulls can't satisfy IS NULL; an all-null file
+      // can't satisfy IS NOT NULL (the conjunct catalyst pushes with
+      // nearly every join/filter on the column)
+      case IsNull(a: AttributeReference) => tally(a).exists(_._1 == 0L)
+      case IsNotNull(a: AttributeReference) =>
+        tally(a).exists { case (n, rows) => rows > 0 && n == rows }
       case GreaterThan(a: AttributeReference, Literal(v, _)) =>
         cmp(a, v) { case ((_, mx), ord, x) => ord.lteq(mx, x) }
       case GreaterThan(Literal(v, _), a: AttributeReference) => // v > a ⇔ a < v

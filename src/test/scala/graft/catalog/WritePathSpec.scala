@@ -886,6 +886,53 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
 
+  test("null-count skipping: IS NULL skips null-free files, IS NOT NULL skips all-null files") {
+    import spark.implicits._
+    val t = freshTable("t_null_skip")
+    // three appends → three files with distinct null profiles on v
+    Seq((1L, Some(10L)), (2L, Some(20L))).toDF("k", "v")
+      .coalesce(1).writeTo(t)
+      .tableProperty(SkipStats.Prop, "v").create()
+    Seq((3L, None: Option[Long]), (4L, None: Option[Long])).toDF("k", "v")
+      .coalesce(1).writeTo(t).append()
+    Seq((5L, Some(50L)), (6L, None: Option[Long])).toDF("k", "v")
+      .coalesce(1).writeTo(t).append()
+    def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qs.plan)
+      case other => other.children.flatMap(allScans)
+    }
+    def run(q: org.apache.spark.sql.DataFrame): (Seq[Long], Int) = {
+      val keys = q.select($"k").as[Long].collect().sorted.toSeq
+      val files = allScans(q.queryExecution.executedPlan).head.inputRDD.partitions
+        .toSeq.flatMap {
+          case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            dp.inputPartitions
+        }.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+        }.flatMap(_.files).map(_.filePath.toString).distinct
+      (keys, files.size)
+    }
+    // IS NULL: the null-free first file is never scheduled
+    val (nullKeys, nullFiles) = run(spark.table(t).filter($"v".isNull))
+    assert(nullKeys === Seq(3L, 4L, 6L))
+    assert(nullFiles === 2, s"IS NULL must skip the null-free file, got $nullFiles")
+    // IS NOT NULL: the all-null second file is never scheduled
+    val (nnKeys, nnFiles) = run(spark.table(t).filter($"v".isNotNull))
+    assert(nnKeys === Seq(1L, 2L, 5L))
+    assert(nnFiles === 2, s"IS NOT NULL must skip the all-null file, got $nnFiles")
+    // and the pushed isnotnull CONJUNCT of an equality gets it for free
+    val (eqKeys, eqFiles) = run(spark.table(t).filter($"v" === 50L))
+    assert(eqKeys === Seq(5L))
+    assert(eqFiles === 1,
+      s"range + null proofs must leave only the covering file, got $eqFiles")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("migrate keeps skipping live: staging shards manifested pre-flip, blooms re-emitted into parquet") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
