@@ -86,6 +86,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val db = asSingle(ident.namespace)
+    // `<table>$<kind>` resolves the base table's METADATA relation
+    // (files/partitions — the Iceberg inspection convention); `$` is
+    // refused in CREATE, so the suffix space is unambiguous
+    ident.name.split('$') match {
+      case Array(base, kind) if GraftMetadataTable.Kinds.contains(kind) &&
+          store.tableExists(db, base) =>
+        return new GraftMetadataTable(spark, base, store.loadTable(db, base), kind)
+      case _ =>
+    }
     if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
     new GraftTable(this, db, store.loadTable(db, ident.name))
   }
@@ -104,6 +113,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val db = asSingle(ident.namespace)
     if (!store.namespaceExists(db)) throw new NoSuchNamespaceException(ident.namespace)
     if (store.tableExists(db, ident.name)) throw new TableAlreadyExistsException(ident)
+    // `$` names the metadata-relation suffix space (t$files) — a data
+    // table there would shadow every metadata read of its base
+    require(!ident.name.contains('$'),
+      s"table name ${ident.name} may not contain '$$' — reserved for " +
+        "metadata relations (<table>$files, <table>$partitions)")
 
     // Normalize partition columns to the SCHEMA's exact casing: the
     // physical writer names directories after write-schema attributes and

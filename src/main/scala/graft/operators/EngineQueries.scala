@@ -868,6 +868,45 @@ object EngineQueries {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- Q113
+  /** METADATA TABLES — the Iceberg inspection UX over the engine's
+    * catalog: `<table>$files` and `<table>$partitions` resolve as
+    * read-only relations (refused in CREATE, so the suffix space is
+    * unambiguous), one row per live data file / registered partition,
+    * with `record_count`/`row_count` EXACT from the columnar formats'
+    * own metadata (parquet footer row counts, orc tails) — no data
+    * scan. Served as a driver-local scan: the rows ARE metadata, so a
+    * local relation is the honest plan. The gate cross-checks the
+    * metadata against the data itself: the files table's record counts
+    * and the partitions table's row counts must each sum to the true
+    * table count — a metadata surface that can silently drift from the
+    * data is worse than none. At 100 TB this is the operator's
+    * dashboard: file-size distributions (compaction debt), per-
+    * partition row balance (skew), dead-partition detection — all from
+    * footers, never a table scan. */
+  def q113_metadata_tables(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t1 = s"$cat.tmp.q113_flat"
+    val t2 = s"$cat.tmp.q113_part"
+    Seq(t1, t2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    li.repartitionByRange(8, $"l_orderkey").writeTo(t1).create()
+    li.writeTo(t2).partitionedBy($"l_returnflag").create()
+    val files = spark.table(s"$cat.tmp.`q113_flat$$files`")
+      .agg(lit("files").as("probe"),
+        count(lit(1)).as("n_entries"),
+        sum($"record_count").as("n_rows"))
+    val parts = spark.table(s"$cat.tmp.`q113_part$$partitions`")
+      .agg(lit("partitions").as("probe"),
+        count(lit(1)).as("n_entries"),
+        sum($"row_count").as("n_rows"))
+    files.unionAll(parts).orderBy($"probe")
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -1210,6 +1249,7 @@ object EngineQueries {
     "q110_zorder_skipping" -> (q110_zorder_skipping _),
     "q111_dynamic_file_pruning" -> (q111_dynamic_file_pruning _),
     "q112_bloom_skipping" -> (q112_bloom_skipping _),
+    "q113_metadata_tables" -> (q113_metadata_tables _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1356,6 +1396,19 @@ object EngineQueries {
         | GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin,
     // Both Z-order probes restated plainly: the interleaved layout must
     // not change either answer.
+    // Metadata tables cross-checked against the data: the files table's
+    // record counts and the partitions table's row counts must each sum
+    // to the true count; the file count is pinned by construction (the
+    // range write's 8 shuffle partitions), the partition count by the
+    // column's domain.
+    "q113_metadata_tables" ->
+      """SELECT 'files' AS probe, CAST(8 AS BIGINT) AS n_entries,
+        |  count(*) AS n_rows FROM lineitem
+        |UNION ALL
+        |SELECT 'partitions' AS probe,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_entries,
+        |  count(*) AS n_rows FROM lineitem
+        |ORDER BY probe""".stripMargin,
     // Bloom skipping restated plainly: scheduling only the bloom-
     // matched files must not change the answer; the key checksum proves
     // per-row matching. sum cast keeps DuckDB's HUGEINT off the hash.

@@ -155,6 +155,51 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
         null, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0)))) == null)
   }
 
+  test("metadata tables: $files/$partitions agree with the data; unknown suffixes and $-creates refuse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ddl")
+    val t = s"$cat.ddl.meta_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .writeTo(t).partitionedBy($"l_returnflag").create()
+    // files: names + sizes agree with the filesystem, counts with the data
+    val files = spark.table(s"$cat.ddl.`meta_t$$files`").collect()
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+        .filter($"col_name" === "Location").head().getString(1))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val onDisk = fs.listStatus(loc).filter(_.isDirectory).flatMap(d =>
+      fs.listStatus(d.getPath)).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.getName, s.getLen)).toSet
+    assert(files.map(r => (r.getString(0), r.getLong(2))).toSet === onDisk)
+    assert(files.map(_.getLong(3)).sum === spark.table(t).count())
+    // partitions: per-partition row counts equal the grouped data counts
+    val partRows = spark.table(s"$cat.ddl.`meta_t$$partitions`")
+      .select($"partition", $"row_count").as[(String, Long)].collect().toMap
+    val real = spark.table(t).groupBy($"l_returnflag").count()
+      .as[(String, Long)].collect().map { case (f, n) => s"l_returnflag=$f" -> n }
+      .toMap
+    assert(partRows === real)
+    // SQL resolution works without the DataFrame API
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ddl.`meta_t$$partitions`")
+      .head().getLong(0) === 3L)
+    // unknown suffixes stay table-not-found; `$` is refused at CREATE
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.table(s"$cat.ddl.`meta_t$$snapshots`").collect()
+    }
+    assert(e1.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e1.errorClass.exists(_.contains("TABLE_OR_VIEW_NOT_FOUND")))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ddl.`bad$$name` (id BIGINT) USING parquet")
+    }
+    assert(e2.getMessage.contains("reserved"))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("missing objects raise the standard error classes") {
     GraftBootstrap.ensure(spark, sf0001)
     val noTable = intercept[Exception](spark.table(s"$cat.${GraftBootstrap.Namespace}.nope"))
