@@ -81,6 +81,13 @@ object SkipStats extends Logging {
 
   val ManifestName = "_graft_skipstats.json"
 
+  /** Blooms live in their OWN per-directory shard: at ~30 KB per file
+    * per column they dwarf the range/null entries, and only equality/IN
+    * predicates can use them — so the planner reads this file ONLY when
+    * such a predicate targets a bloom column, and every range-or-null
+    * query pays for the small shard alone. */
+  val BloomManifestName = "_graft_skipblooms.json"
+
   def skippingColumns(props: Map[String, String]): Seq[String] =
     props.get(Prop).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
@@ -471,15 +478,28 @@ object SkipStats extends Logging {
       val ranges = e.ranges.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         esc(c) + ":[" + esc(mn) + "," + esc(mx) + "]"
       }.mkString("{", ",", "}")
-      val blooms = e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
-        esc(c) + ":" + esc(b)
-      }.mkString("{", ",", "}")
       val nulls = e.nulls.toSeq.sortBy(_._1).map { case (c, n) =>
         esc(c) + ":" + esc(n)
       }.mkString("{", ",", "}")
-      esc(file) + ":{\"ranges\":" + ranges + ",\"blooms\":" + blooms +
-        ",\"nulls\":" + nulls + "}"
+      esc(file) + ":{\"ranges\":" + ranges + ",\"nulls\":" + nulls + "}"
     }.mkString("{\"version\":2,\"files\":{", ",", "}}")
+    writeFileAtomic(fs, root, ManifestName, body)
+    // the bloom shard rides separately (read only by equality probes);
+    // dropped entirely when no file carries one
+    val withBlooms = entries.filter(_._2.blooms.nonEmpty)
+    if (withBlooms.isEmpty) fs.delete(new Path(root, BloomManifestName), false)
+    else {
+      val bBody = withBlooms.toSeq.sortBy(_._1).map { case (file, e) =>
+        esc(file) + ":" + e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
+          esc(c) + ":" + esc(b)
+        }.mkString("{", ",", "}")
+      }.mkString("{\"version\":1,\"files\":{", ",", "}}")
+      writeFileAtomic(fs, root, BloomManifestName, bBody)
+    }
+  }
+
+  private def writeFileAtomic(
+      fs: FileSystem, root: Path, name: String, body: String): Unit = {
     // draft naming (leading dot, .tmp suffix): a crash between create and
     // rename leaves a file the table VACUUM's draft sweep already
     // classifies as residue
@@ -487,23 +507,59 @@ object SkipStats extends Logging {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val target = new Path(root, ManifestName)
+    val target = new Path(root, name)
     fs.delete(target, false)
     if (!fs.rename(tmp, target)) { fs.delete(tmp, false); sys.error(s"rename to $target failed") }
   }
 
-  private def readRaw(
+  private def readText(fs: FileSystem, target: Path): Option[String] =
+    if (!fs.exists(target)) None
+    else {
+      val in = fs.open(target)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(bytes.toString("UTF-8"))
+      } finally in.close()
+    }
+
+  /** Both shards merged — the maintenance-side view (the scan side uses
+    * [[readMain]] + [[readBloomShard]] so range queries never read the
+    * heavy bloom file). */
+  private def readRaw(fs: FileSystem, root: Path): Map[String, RawEntry] = {
+    val main = readMain(fs, root)
+    val blooms = readBloomShard(fs, root)
+    if (blooms.isEmpty) main
+    else (main.keySet ++ blooms.keySet).map { f =>
+      val m = main.getOrElse(f, RawEntry(Map.empty, Map.empty))
+      f -> m.copy(blooms = m.blooms ++ blooms.getOrElse(f, Map.empty))
+    }.toMap
+  }
+
+  /** The separate bloom shard: file → column → base64 SBBF. */
+  private def readBloomShard(
+      fs: FileSystem, root: Path): Map[String, Map[String, String]] = try {
+    import org.json4s._
+    readText(fs, new Path(root, BloomManifestName)) match {
+      case None => Map.empty
+      case Some(text) => org.json4s.jackson.JsonMethods.parse(text) match {
+        case JObject(top) =>
+          top.collectFirst { case ("files", JObject(files)) => files }
+            .getOrElse(Nil).flatMap {
+              case (file, JObject(cols)) =>
+                Some(file -> cols.collect { case (c, JString(b)) => c -> b }.toMap)
+              case _ => None
+            }.toMap
+        case _ => Map.empty
+      }
+    }
+  } catch { case NonFatal(_) => Map.empty }
+
+  private def readMain(
       fs: FileSystem, root: Path): Map[String, RawEntry] = try {
-    val target = new Path(root, ManifestName)
-    if (!fs.exists(target)) return Map.empty
-    val in = fs.open(target)
-    val text = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
+    val text = readText(fs, new Path(root, ManifestName)).getOrElse(return Map.empty)
     import org.json4s._
     def parseRanges(cols: List[(String, JValue)]): Map[String, (String, String)] =
       cols.flatMap {
@@ -559,9 +615,14 @@ object SkipStats extends Logging {
       conf: Configuration,
       dir: Path,
       byName: Map[String, DataType],
-      bloomNames: Set[String]): Map[String, FileSkip] = try {
+      bloomNames: Set[String],
+      needBlooms: Boolean): Map[String, FileSkip] = try {
     val fs = dir.getFileSystem(conf)
-    readRaw(fs, dir).map { case (file, raw) =>
+    val bloomShard =
+      if (needBlooms && bloomNames.nonEmpty) readBloomShard(fs, dir)
+      else Map.empty[String, Map[String, String]]
+    readMain(fs, dir).map { case (file, raw0) =>
+      val raw = raw0.copy(blooms = raw0.blooms ++ bloomShard.getOrElse(file, Map.empty))
       val ranges = raw.ranges.flatMap { case (c, (mn, mx)) =>
         byName.get(c).flatMap(dt =>
           for (a <- decode(mn, dt); b <- decode(mx, dt)) yield c -> (a, b))
@@ -604,13 +665,28 @@ object SkipStats extends Logging {
     if (cols.isEmpty && bloomCols.isEmpty) return dirs
     val byName = cols.map(f => f.name -> f.dataType).toMap
     val bloomNames = bloomCols.map(_.name).toSet
+    // the heavy bloom shard is read ONLY when a pushed equality/IN
+    // actually targets a bloom column — a range-or-null query plans
+    // against the small main shard alone
+    def wantsBloom(e: Expression): Boolean = e match {
+      case EqualTo(a: AttributeReference, _: Literal) =>
+        bloomNames.exists(SQLConf.get.resolver(_, a.name))
+      case EqualTo(_: Literal, a: AttributeReference) =>
+        bloomNames.exists(SQLConf.get.resolver(_, a.name))
+      case In(a: AttributeReference, _) =>
+        bloomNames.exists(SQLConf.get.resolver(_, a.name))
+      case And(l, r) => wantsBloom(l) || wantsBloom(r)
+      case Or(l, r) => wantsBloom(l) || wantsBloom(r)
+      case _ => false
+    }
+    val needBlooms = bloomNames.nonEmpty && dataFilters.exists(wantsBloom)
     lazy val conf = spark.sessionState.newHadoopConf()
     val shards = scala.collection.mutable.Map.empty[Path, Map[String, FileSkip]]
     val colTypes = schema.fields.map(f => f.name -> f.dataType).toMap
     dirs.map { d =>
       d.copy(files = d.files.filter { f =>
         val shard = shards.getOrElseUpdate(f.getPath.getParent,
-          loadDir(conf, f.getPath.getParent, byName, bloomNames))
+          loadDir(conf, f.getPath.getParent, byName, bloomNames, needBlooms))
         shard.get(f.getPath.getName) match {
           case Some(skip) =>
             !dataFilters.exists(e => excludes(e, skip, colTypes))

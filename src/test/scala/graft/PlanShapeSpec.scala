@@ -1178,14 +1178,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(jFiles.size === 1,
       s"runtime IN-set must bloom-prune to the containing file, got ${jFiles.size}")
 
-    // deleting the shard disables pruning but never correctness
+    // deleting the shards disables pruning but never correctness; the
+    // blooms live in their OWN shard (read only by equality probes)
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
       .filter($"col_name" === "Location").select($"data_type").as[String].head()
     val manifest = new org.apache.hadoop.fs.Path(loc,
       graft.catalog.SkipStats.ManifestName)
+    val bloomManifest = new org.apache.hadoop.fs.Path(loc,
+      graft.catalog.SkipStats.BloomManifestName)
     val fs = manifest.getFileSystem(spark.sessionState.newHadoopConf())
     assert(fs.exists(manifest), s"skip-stats shard missing at $manifest")
+    assert(fs.exists(bloomManifest),
+      s"blooms must live in their own shard at $bloomManifest")
     fs.delete(manifest, false)
+    fs.delete(bloomManifest, false)
     spark.sql(s"REFRESH TABLE $t")
     val (fallbackRows, fallbackFiles) = run(t)
     assert(fallbackRows === expected)

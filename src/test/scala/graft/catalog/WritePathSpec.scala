@@ -970,9 +970,17 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     }
     assert(txt.contains("\"ranges\":{\"l_orderkey\""),
       s"migrated shard must carry ranges: $txt")
-    assert(txt.contains("\"blooms\":{\"l_orderkey\":\"") &&
-      !txt.contains("\"blooms\":{\"l_orderkey\":\"\""),
-      "the parquet rewrite must re-emit REAL blooms, not absent-markers")
+    // blooms live in their own shard, read only by equality probes
+    val bloomManifest = new Path(newLoc, SkipStats.BloomManifestName)
+    assert(fs.exists(bloomManifest),
+      "the parquet rewrite must re-emit blooms into the bloom shard")
+    val bTxt = {
+      val in = fs.open(bloomManifest)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(bTxt.contains("\"l_orderkey\":\"") &&
+      !bTxt.contains("\"l_orderkey\":\"\""),
+      "the bloom shard must carry REAL blooms, not absent-markers")
     val totalFiles = fs.listStatus(newLoc)
       .count(s => s.getPath.getName.endsWith(".parquet"))
     assert(totalFiles === 4, s"range layout must survive, got $totalFiles")
