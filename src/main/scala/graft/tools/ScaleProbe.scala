@@ -85,7 +85,12 @@ object ScaleProbe {
     // q112's bloom lifecycle: CTAS linear (the writer's per-row-group
     // bloom inserts are O(rows); commit merges blooms ∝ FILES); the
     // 3-key lookup schedules ≤3 files' bytes at both scales
-    "q112_bloom_skipping")
+    "q112_bloom_skipping",
+    // q113's metadata tables: two CTAS writes linear; the files/
+    // partitions listings read one footer TAIL per file (file count
+    // fixed by the range write; partition count by the flag domain),
+    // so the metadata legs stay constant while rows grow 10x
+    "q113_metadata_tables")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:
