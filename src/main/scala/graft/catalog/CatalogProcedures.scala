@@ -285,6 +285,29 @@ object CatalogProcedures {
             }.toMap
             Some((n, cols))
           }
+        // PER-PARTITION row counts ride the same analyze invocation (one
+        // grouped count over the partition columns): the scan reports
+        // the SURVIVING partitions' sum as its post-pruning numRows, so
+        // CBO's cardinalities track partition pruning instead of the
+        // whole-table count. Spec keys are stringified exactly like the
+        // write path's dir values; a mismatch just leaves that
+        // partition's count unset — advisory, never wrong.
+        val partRowCounts: Map[Map[String, String], Long] = {
+          val pcs = store.loadTable(db, name).partitionColumns
+          if (selected.isEmpty || pcs.isEmpty) Map.empty
+          else {
+            import org.apache.spark.sql.functions._
+            spark.table(s"${parts(0)}.$db.$name")
+              .groupBy(pcs.map(col): _*).count().collect().map { r =>
+                pcs.zipWithIndex.map { case (c, i) =>
+                  c -> (if (r.isNullAt(i))
+                    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                      .DEFAULT_PARTITION_NAME
+                  else r.get(i).toString)
+                }.toMap -> r.getLong(pcs.size)
+              }.toMap
+          }
+        }
         // Bounded retry handles a migrate committing mid-pass: the
         // atomic merge REFUSES when the table location moved since the
         // sizing snapshot (the walked dirs belong to a retired
@@ -311,9 +334,13 @@ object CatalogProcedures {
             if (cur.location != snap.location) cur // stale pass: refuse, no churn
             else {
               val merged = cur.partitions.map { p =>
-                sized.get(p.spec)
+                val sizedP = sized.get(p.spec)
                   .filter(_ => preLoc.get(p.spec).contains(p.location))
                   .map(b => p.copy(sizeInBytes = b)).getOrElse(p)
+                partRowCounts.get(p.spec)
+                  .filter(_ => preLoc.get(p.spec).contains(p.location))
+                  .map(rc => sizedP.copy(rowCount = Some(rc)))
+                  .getOrElse(sizedP)
               }
               // freshly collected column stats win; a size-only refresh
               // PRESERVES the existing ones (data-mutating commits are

@@ -108,6 +108,34 @@ class GraftFileIndex(
           .map(_.map(_.sizeInBytes).sum).filter(_ > 0))
       .getOrElse(super.sizeInBytes)
 
+  /** Sum of the SURVIVING partitions' analyze-recorded row counts —
+    * Some only when every survivor carries one (a single unknown would
+    * silently underestimate and invite a wrong broadcast). Drives the
+    * wrapped scan's post-pruning `numRows` for CBO. */
+  def prunedRowCount(filters: Seq[Expression]): Option[Long] = {
+    if (meta.partitions.isEmpty) return None
+    val spec = partitionSpec()
+    val survivors: Seq[PartitionMeta] =
+      if (filters.isEmpty) meta.partitions
+      else {
+        val ps = spec.partitionColumns
+        val bound = filters.reduce(And).transform {
+          case a: AttributeReference =>
+            val idx = ps.indexWhere(f =>
+              sparkSession.sessionState.conf.resolver(f.name, a.name))
+            require(idx >= 0, s"partition filter column ${a.name} not in $ps")
+            BoundReference(idx, ps(idx).dataType, nullable = true)
+        }
+        val predicate = Predicate.createInterpreted(bound)
+        predicate.initialize(0)
+        meta.partitions.zip(spec.partitions)
+          .collect { case (pm, pp) if predicate.eval(pp.values) => pm }
+      }
+    if (survivors.nonEmpty && survivors.forall(_.rowCount.isDefined))
+      Some(survivors.flatMap(_.rowCount).sum)
+    else None
+  }
+
   def filterPartitions(filters: Seq[Expression]): InMemoryFileIndex = {
     val spec = partitionSpec()
     val pruned =

@@ -61,7 +61,12 @@ case class TableStats(
 case class PartitionMeta(
     spec: Map[String, String],
     location: Option[String],
-    sizeInBytes: Long = 0L) {
+    sizeInBytes: Long = 0L,
+    // analyze-recorded EXACT row count; self-invalidating on writes —
+    // every data-mutating path registers FRESH PartitionMeta objects
+    // (default None), so a stale count cannot survive a commit that
+    // touched its partition
+    rowCount: Option[Long] = None) {
   /** False while the partition awaits its first sizing pass —
     * [[PartitionMeta.Unsized]] is distinct from a genuinely empty
     * (0-byte) partition, so sizing commits repair each placeholder
@@ -357,7 +362,8 @@ object MetaStore {
       JObject(List(
         "spec" -> mapToJson(p.spec),
         "location" -> p.location.map(JString(_): JValue).getOrElse(JNull),
-        "sizeInBytes" -> JLong(p.sizeInBytes)))
+        "sizeInBytes" -> JLong(p.sizeInBytes),
+        "rowCount" -> p.rowCount.map(JLong(_): JValue).getOrElse(JNull)))
     }.toList)
     val root = JObject(List(
       "name" -> JString(m.name),
@@ -438,7 +444,12 @@ object MetaStore {
           case JInt(v) => v.toLong
           case _ => 0L
         }
-        PartitionMeta(jsonToMap(it \ "spec"), loc, size)
+        val rows = (it \ "rowCount") match {
+          case JLong(v) => Some(v)
+          case JInt(v) => Some(v.toLong)
+          case _ => None
+        }
+        PartitionMeta(jsonToMap(it \ "spec"), loc, size, rows)
       }
       case _ => Nil
     }

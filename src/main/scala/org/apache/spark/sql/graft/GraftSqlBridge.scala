@@ -222,41 +222,58 @@ class GraftFileScan(
     * static filters the cheap catalog total is kept — planning never
     * enumerates an unfiltered 100k-partition table for a size). Memoized
     * per rebuilt scan. */
-  @volatile private var prunedSizeFor: (FileScan, java.util.OptionalLong) = null
-  private def prunedSize(s: FileScan): java.util.OptionalLong = {
-    val cached = prunedSizeFor
+  @volatile private var prunedStatsFor:
+    (FileScan, (java.util.OptionalLong, java.util.OptionalLong)) = null
+  private def prunedStats(
+      s: FileScan): (java.util.OptionalLong, java.util.OptionalLong) = {
+    val cached = prunedStatsFor
     if (cached != null && (cached._1 eq s)) return cached._2
     val computed =
       if (s.partitionFilters.isEmpty && s.dataFilters.isEmpty)
-        java.util.OptionalLong.empty()
+        (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
       else try {
         val bytes = s.fileIndex.listFiles(s.partitionFilters, s.dataFilters)
           .iterator.flatMap(_.files).map(_.getLen).sum
         val factor = SQLConf.get.fileCompressionFactor
-        java.util.OptionalLong.of(math.max((bytes * factor).toLong, 1L))
+        // analyze-recorded per-partition row counts give the surviving
+        // partitions' EXACT numRows — CBO cardinalities then track
+        // partition pruning instead of the whole-table count
+        val rows = s.fileIndex match {
+          case g: graft.catalog.GraftFileIndex
+              if s.partitionFilters.nonEmpty =>
+            g.prunedRowCount(s.partitionFilters)
+              .map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty())
+          case _ => java.util.OptionalLong.empty()
+        }
+        (java.util.OptionalLong.of(math.max((bytes * factor).toLong, 1L)), rows)
       } catch { case scala.util.control.NonFatal(_) =>
-        java.util.OptionalLong.empty() // never fail planning on a size refinement
+        // never fail planning on a stats refinement
+        (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
       }
-    prunedSizeFor = (s, computed)
+    prunedStatsFor = (s, computed)
     computed
   }
 
   override def estimateStatistics(): Statistics = {
     val base = current.estimateStatistics()
-    val refined = prunedSize(current)
+    val (refined, refinedRows) = prunedStats(current)
     val size = if (refined.isPresent) refined else base.sizeInBytes()
     tableV2Stats match {
       case Some((rows, colMap)) => new Statistics {
         override def sizeInBytes(): java.util.OptionalLong = size
         override def numRows(): java.util.OptionalLong =
-          if (rows.isPresent) rows else base.numRows()
+          if (refinedRows.isPresent) refinedRows
+          else if (rows.isPresent) rows
+          else base.numRows()
         override def columnStats(): java.util.Map[
             org.apache.spark.sql.connector.expressions.NamedReference,
             org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colMap
       }
       case None => new Statistics {
         override def sizeInBytes(): java.util.OptionalLong = size
-        override def numRows(): java.util.OptionalLong = base.numRows()
+        override def numRows(): java.util.OptionalLong =
+          if (refinedRows.isPresent) refinedRows else base.numRows()
       }
     }
   }

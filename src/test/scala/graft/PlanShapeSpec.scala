@@ -1278,6 +1278,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $d")
   }
 
+  test("per-partition row counts: a pruned scan reports the surviving partitions' exact numRows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val t = s"$cat.planshape.part_rows"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    li.writeTo(t).partitionedBy($"l_returnflag").create()
+    spark.sql(s"CALL $cat.sys.analyze('$t', '*')").collect()
+    val perFlag = li.groupBy($"l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    def scanRowCount(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.collectLeaves().head.stats.rowCount
+    // pruned to one partition: numRows is that partition's EXACT count
+    val pruned = scanRowCount(spark.table(t).filter($"l_returnflag" === "A"))
+    assert(pruned === Some(BigInt(perFlag("A"))),
+      s"pruned scan must report partition A's count, got $pruned")
+    // unpruned: the analyze whole-table count still reports
+    val full = scanRowCount(spark.table(t))
+    assert(full === Some(BigInt(perFlag.values.sum)),
+      s"unpruned scan must report the table count, got $full")
+    // a write to ONE partition invalidates ITS count (fresh registration)
+    // without touching the siblings' — the next pruned scan falls back
+    Seq((999999L, 1.0, "A")).toDF("l_orderkey", "l_quantity", "l_returnflag")
+      .writeTo(t).append()
+    val afterWrite = scanRowCount(spark.table(t).filter($"l_returnflag" === "A"))
+    assert(afterWrite !== Some(BigInt(perFlag("A"))),
+      "a written partition's stale count must not survive the commit")
+    val sibling = scanRowCount(spark.table(t).filter($"l_returnflag" === "R"))
+    assert(sibling === Some(BigInt(perFlag("R"))),
+      s"untouched partitions keep their counts, got $sibling")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("CALL sys.analyze builds the skip-stats manifest for an ALTER-declared table") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
