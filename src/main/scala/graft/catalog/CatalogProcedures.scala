@@ -88,6 +88,21 @@ object CatalogProcedures {
           spark, in.getUTF8String(0).toString, in.getLong(1))
         InternalRow(stats.reclaimedFiles, stats.reclaimedBytes)
       }),
+    "rollback" -> new GraftProcedure(
+      "rollback",
+      "re-point a table at its most recent retired generation (migrate/" +
+        "zorder leave the old generation on disk for the vacuum retention " +
+        "window; rolling back within it is a pure descriptor flip); see " +
+        "<table>$history for what is restorable",
+      Array(param("table", StringType)),
+      StructType(Seq(
+        StructField("restored_provider", StringType, nullable = false),
+        StructField("restored_location", StringType, nullable = false))),
+      in => {
+        val (prov, loc) = graft.operators.Rollback.rollback(
+          spark, in.getUTF8String(0).toString)
+        InternalRow(utf8(prov), utf8(loc))
+      }),
     "compact" -> new GraftProcedure(
       "compact",
       "rewrite a fragmented table in place (dynamic self-overwrite under " +

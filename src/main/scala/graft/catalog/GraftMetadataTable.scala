@@ -63,6 +63,7 @@ class GraftMetadataTable(
   override def schema(): StructType = kind match {
     case "files" => FilesSchema
     case "partitions" => PartitionsSchema
+    case "history" => HistorySchema
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 
@@ -78,9 +79,25 @@ class GraftMetadataTable(
       }
     }
 
-  /** The live listing, one row per file / per partition. */
+  /** The live listing, one row per file / per partition / per retired
+    * generation. */
   private def computeRows(): Array[InternalRow] = {
     val conf = spark.sessionState.newHadoopConf()
+    if (kind == "history") {
+      // newest first, versions_back = 1 is what sys.rollback restores;
+      // `live` reports whether the namespace vacuum has reclaimed it
+      return meta.history.zipWithIndex.map { case (g, i) =>
+        val p = new Path(g.location)
+        val live = try p.getFileSystem(conf).exists(p)
+          catch { case NonFatal(_) => false }
+        new GenericInternalRow(Array[Any](
+          (i + 1).toLong,
+          UTF8String.fromString(g.provider),
+          UTF8String.fromString(g.location),
+          g.retiredAtMs,
+          live)).asInstanceOf[InternalRow]
+      }.toArray
+    }
     def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
     // (partition fragment or null, dir) — the same dirs the scan reads
     val dirs: Seq[(Option[String], Path)] =
@@ -130,7 +147,7 @@ class GraftMetadataTable(
 
 object GraftMetadataTable {
 
-  val Kinds: Set[String] = Set("files", "partitions")
+  val Kinds: Set[String] = Set("files", "partitions", "history")
 
   val FilesSchema: StructType = StructType(Seq(
     StructField("file_name", StringType, nullable = false),
@@ -143,6 +160,13 @@ object GraftMetadataTable {
     StructField("file_count", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
     StructField("row_count", LongType, nullable = true)))
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("versions_back", LongType, nullable = false),
+    StructField("provider", StringType, nullable = false),
+    StructField("location", StringType, nullable = false),
+    StructField("retired_at_ms", LongType, nullable = false),
+    StructField("live", BooleanType, nullable = false)))
 
   /** Exact per-file row count from the self-describing formats' own
     * metadata; None (NULL) where the format would require a data scan. */

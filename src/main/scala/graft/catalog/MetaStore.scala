@@ -85,11 +85,27 @@ object PartitionMeta {
   val Unsized: Long = -1L
 }
 
+/** One RETIRED generation of a table — everything a rollback needs to
+  * re-point the descriptor at it: the provider, the root location, the
+  * partition registrations and the stats as they were at the flip. The
+  * data itself stays on disk until the namespace vacuum's retention
+  * window expires (the migrate trade), so a rollback within the window
+  * is a pure descriptor flip — no data movement. */
+case class GenerationMeta(
+    provider: String,
+    location: String,
+    partitions: Seq[PartitionMeta],
+    stats: Option[TableStats],
+    retiredAtMs: Long)
+
 /** Persistent table descriptor. `schemaJson` is the Spark `StructType`
   * JSON (data columns first, partition columns trailing — the file-source
   * convention the reference also follows,
   * /root/reference/.../V2Table.scala:37-38).
-  */
+  *
+  * `history` records the last [[TableMeta.MaxHistory]] retired
+  * generations, newest first — appended by the staged-rewrite flips
+  * (migrate, zorder, rollback itself), never by in-place writes. */
 case class TableMeta(
     name: String,
     schemaJson: String,
@@ -99,7 +115,13 @@ case class TableMeta(
     external: Boolean,
     properties: Map[String, String],
     stats: Option[TableStats],
-    partitions: Seq[PartitionMeta]) {
+    partitions: Seq[PartitionMeta],
+    history: Seq[GenerationMeta] = Nil) {
+
+  /** The current generation captured as a history entry (for the flip
+    * that is about to retire it). */
+  def asGeneration(retiredAtMs: Long): GenerationMeta =
+    GenerationMeta(provider, location, partitions, stats, retiredAtMs)
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   /** Case-insensitive partition-column resolution: Spark resolves
@@ -115,6 +137,11 @@ case class TableMeta(
     StructType(schema.filterNot(f => partNames.contains(f.name)))
   }
   def isPartitioned: Boolean = partitionColumns.nonEmpty
+}
+
+object TableMeta {
+  /** History depth — bounded so descriptors never grow without limit. */
+  val MaxHistory = 5
 }
 
 /** Filesystem-backed metadata store: the in-process replacement for the
@@ -333,8 +360,7 @@ object MetaStore {
     case _ => Map.empty
   }
 
-  def toJson(m: TableMeta): String = {
-    val stats: JValue = m.stats match {
+  private def statsJson(so: Option[TableStats]): JValue = so match {
       case Some(s) => JObject(List(
         "sizeInBytes" -> JLong(s.sizeInBytes),
         "numRows" -> s.numRows.map(JLong(_): JValue).getOrElse(JNull),
@@ -357,13 +383,26 @@ object MetaStore {
             }.getOrElse(JNull))): JValue)
         }.toList)))
       case None => JNull
-    }
-    val parts: JValue = JArray(m.partitions.map { p =>
+  }
+
+  private def partsJson(ps: Seq[PartitionMeta]): JValue = JArray(ps.map { p =>
+    JObject(List(
+      "spec" -> mapToJson(p.spec),
+      "location" -> p.location.map(JString(_): JValue).getOrElse(JNull),
+      "sizeInBytes" -> JLong(p.sizeInBytes),
+      "rowCount" -> p.rowCount.map(JLong(_): JValue).getOrElse(JNull)))
+  }.toList)
+
+  def toJson(m: TableMeta): String = {
+    val stats: JValue = statsJson(m.stats)
+    val parts: JValue = partsJson(m.partitions)
+    val history: JValue = JArray(m.history.map { g =>
       JObject(List(
-        "spec" -> mapToJson(p.spec),
-        "location" -> p.location.map(JString(_): JValue).getOrElse(JNull),
-        "sizeInBytes" -> JLong(p.sizeInBytes),
-        "rowCount" -> p.rowCount.map(JLong(_): JValue).getOrElse(JNull)))
+        "provider" -> JString(g.provider),
+        "location" -> JString(g.location),
+        "partitions" -> partsJson(g.partitions),
+        "stats" -> statsJson(g.stats),
+        "retiredAtMs" -> JLong(g.retiredAtMs)))
     }.toList)
     val root = JObject(List(
       "name" -> JString(m.name),
@@ -374,17 +413,12 @@ object MetaStore {
       "external" -> JBool(m.external),
       "properties" -> mapToJson(m.properties),
       "stats" -> stats,
-      "partitions" -> parts))
+      "partitions" -> parts,
+      "history" -> history))
     JsonMethods.pretty(JsonMethods.render(root))
   }
 
-  def fromJson(s: String): TableMeta = {
-    val j = JsonMethods.parse(s)
-    def str(name: String): String = (j \ name) match {
-      case JString(v) => v
-      case other => sys.error(s"bad meta field $name: $other")
-    }
-    val stats = (j \ "stats") match {
+  private def statsFromJson(jv: JValue): Option[TableStats] = jv match {
       case JObject(fields) =>
         val m = fields.toMap
         def jlong(v: JValue): Option[Long] = v match {
@@ -435,8 +469,9 @@ object MetaStore {
         }
         Some(TableStats(size, rows, cols))
       case _ => None
-    }
-    val parts = (j \ "partitions") match {
+  }
+
+  private def partsFromJson(jv: JValue): Seq[PartitionMeta] = jv match {
       case JArray(items) => items.map { it =>
         val loc = (it \ "location") match { case JString(v) => Some(v); case _ => None }
         val size = (it \ "sizeInBytes") match {
@@ -452,6 +487,31 @@ object MetaStore {
         PartitionMeta(jsonToMap(it \ "spec"), loc, size, rows)
       }
       case _ => Nil
+  }
+
+  def fromJson(s: String): TableMeta = {
+    val j = JsonMethods.parse(s)
+    def str(name: String): String = (j \ name) match {
+      case JString(v) => v
+      case other => sys.error(s"bad meta field $name: $other")
+    }
+    val stats = statsFromJson(j \ "stats")
+    val parts = partsFromJson(j \ "partitions")
+    val history: Seq[GenerationMeta] = (j \ "history") match {
+      case JArray(items) => items.flatMap { it =>
+        ((it \ "provider"), (it \ "location"), (it \ "retiredAtMs")) match {
+          case (JString(pv), JString(lc), ra) =>
+            val at = ra match {
+              case JLong(v) => v
+              case JInt(v) => v.toLong
+              case _ => 0L
+            }
+            Some(GenerationMeta(pv, lc, partsFromJson(it \ "partitions"),
+              statsFromJson(it \ "stats"), at))
+          case _ => None
+        }
+      }
+      case _ => Nil
     }
     val partCols = (j \ "partitionColumns") match {
       case JArray(items) => items.collect { case JString(v) => v }
@@ -459,6 +519,6 @@ object MetaStore {
     }
     TableMeta(str("name"), str("schemaJson"), str("provider"), partCols,
       str("location"), (j \ "external") == JBool(true), jsonToMap(j \ "properties"),
-      stats, parts)
+      stats, parts, history)
   }
 }

@@ -907,6 +907,43 @@ object EngineQueries {
     files.unionAll(parts).orderBy($"probe")
   }
 
+  // ---------------------------------------------------------------- Q114
+  /** GENERATION ROLLBACK — the "oops" lever the staged-rewrite protocol
+    * makes nearly free: migrate/zorder flip a table to a NEW generation
+    * directory and leave the old one on disk until the namespace
+    * vacuum's retention window, so `CALL sys.rollback(t)` un-does a
+    * rewrite as a pure descriptor flip — provider, location, partition
+    * registrations and stats restored exactly as retired, NO data
+    * movement at any table size (the flip is O(1) whether the table is
+    * 60 k rows or 100 TB). The generation rolled away from joins the
+    * bounded history in its place (rollback is redo-able), and
+    * `t$history` lists what is restorable with a liveness flag. This
+    * query proves the round trip: create parquet → migrate to orc →
+    * rollback → the ORIGINAL parquet generation serves the read, with
+    * the history count pinned in the result. */
+  def q114_generation_rollback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q114_roll"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .writeTo(t).create()
+    graft.operators.Migrate.toProvider(spark, t, "orc")
+    spark.sql(s"CALL $cat.sys.rollback('$t')").collect()
+    // exactly ONE retired generation remains restorable: the orc one we
+    // rolled away from (the rollback consumed the parquet entry)
+    val gens = spark.table(s"$cat.tmp.`q114_roll$$history`").count()
+    spark.table(t)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        RelationalQueries.r2(sum($"l_quantity")).as("sum_qty"))
+      .withColumn("gens_retired", lit(gens))
+      .orderBy($"l_returnflag")
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -1250,6 +1287,7 @@ object EngineQueries {
     "q111_dynamic_file_pruning" -> (q111_dynamic_file_pruning _),
     "q112_bloom_skipping" -> (q112_bloom_skipping _),
     "q113_metadata_tables" -> (q113_metadata_tables _),
+    "q114_generation_rollback" -> (q114_generation_rollback _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1396,6 +1434,16 @@ object EngineQueries {
         | GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin,
     // Both Z-order probes restated plainly: the interleaved layout must
     // not change either answer.
+    // Rollback restated over the source: after create -> migrate-to-orc
+    // -> rollback, the ORIGINAL parquet generation must serve the exact
+    // original rows; exactly one retired generation (the orc one)
+    // remains restorable.
+    "q114_generation_rollback" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty,
+        |  CAST(1 AS BIGINT) AS gens_retired
+        | FROM lineitem
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Metadata tables cross-checked against the data: the files table's
     // record counts and the partitions table's row counts must each sum
     // to the true count; the file count is pinned by construction (the

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
-import graft.catalog.{GraftCatalog, GraftConf, PartitionMeta}
+import graft.catalog.{GraftCatalog, GraftConf, PartitionMeta, TableMeta}
 import graft.catalog.write.GraftBatchWrite
 
 /** In-place table FORMAT MIGRATION — the working form of Hive's
@@ -177,12 +177,16 @@ object Migrate {
         meta.schema, meta.properties, p)
 
       // 3. the atomic flip: provider + location + partitions in one
-      // descriptor write
+      // descriptor write; the retired generation joins the bounded
+      // HISTORY so `CALL sys.rollback` can re-point at it while the
+      // vacuum retention window keeps its data alive
       store.updateTable(db, name) { cur =>
         cur.copy(provider = p, location = staging.toString,
           partitions = newParts,
           stats = cur.stats.map(_.copy(
-            sizeInBytes = fs.getContentSummary(staging).getLength)))
+            sizeInBytes = fs.getContentSummary(staging).getLength)),
+          history = (cur.asGeneration(System.currentTimeMillis()) +:
+            cur.history).take(TableMeta.MaxHistory))
       }
       plugin.invalidateTable(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array(db), name))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
-import graft.catalog.{GraftCatalog, PartitionMeta, SkipStats}
+import graft.catalog.{GraftCatalog, PartitionMeta, SkipStats, TableMeta}
 import graft.catalog.write.GraftBatchWrite
 
 /** Z-ORDER clustering — multi-dimensional file locality for q109's
@@ -162,7 +162,9 @@ object Zorder {
         cur.copy(location = staging.toString,
           partitions = Nil: Seq[PartitionMeta],
           stats = cur.stats.map(_.copy(
-            sizeInBytes = fs.getContentSummary(staging).getLength)))
+            sizeInBytes = fs.getContentSummary(staging).getLength)),
+          history = (cur.asGeneration(System.currentTimeMillis()) +:
+            cur.history).take(TableMeta.MaxHistory))
       }
       plugin.invalidateTable(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array(db), name))

@@ -1009,6 +1009,63 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("generation rollback: descriptor flips back to the retired generation; redo works; reclaimed refuses") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val t = freshTable("t_rollback")
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v").writeTo(t).create()
+    def provider() = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Provider").head().getString(1).toLowerCase
+    def loc() = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").head().getString(1)
+    def data() = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val origLoc = loc()
+    val origData = data()
+    val short = t.split("\\.").last
+    val ns = t.split("\\.")(1)
+    def history() = spark.table(s"${GraftBootstrap.CatalogName}.$ns.`$short$$history`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(4))).toSeq
+
+    // no history yet → refuse
+    val e0 = intercept[Exception] {
+      spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.rollback('$t')").collect()
+    }
+    assert(e0.getMessage.contains("no retired generation"))
+
+    graft.operators.Migrate.toProvider(spark, t, "orc")
+    assert(provider() === "orc")
+    assert(history() === Seq((1L, "parquet", true)),
+      "the retired parquet generation must be listed live")
+
+    // rollback: pure descriptor flip back to the ORIGINAL location
+    val res = spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.rollback('$t')")
+      .collect().head
+    assert(res.getString(0) === "parquet" && res.getString(1) === origLoc)
+    assert(provider() === "parquet" && loc() === origLoc)
+    assert(data() === origData)
+    // the orc generation took its place in history → rollback is REDO
+    assert(history().map(h => (h._1, h._2)) === Seq((1L, "orc")))
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.rollback('$t')").collect()
+    assert(provider() === "orc")
+    assert(data() === origData)
+
+    // reclaim the retired parquet generation → rollback refuses loudly
+    graft.operators.Vacuum.vacuumNamespace(spark,
+      s"${GraftBootstrap.CatalogName}.$ns", retentionMs = 0L)
+    val fs = new Path(origLoc).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(origLoc)),
+      "the zero-retention sweep must reclaim the retired parquet generation")
+    assert(history() === Seq((1L, "parquet", false)),
+      "the reclaimed generation must list as not live")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.rollback('$t')").collect()
+    }
+    assert(e1.getMessage.contains("reclaimed"))
+    assert(data() === origData, "the live orc generation must be unaffected")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("format migration: atomic flip, old gen retained for readers, namespace sweep reclaims residue") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
