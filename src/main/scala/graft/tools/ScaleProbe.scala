@@ -90,7 +90,12 @@ object ScaleProbe {
     // partitions listings read one footer TAIL per file (file count
     // fixed by the range write; partition count by the flag domain),
     // so the metadata legs stay constant while rows grow 10x
-    "q113_metadata_tables")
+    "q113_metadata_tables",
+    // q114's rollback lifecycle: CTAS + the orc migrate (one full
+    // rewrite, the declared-linear term) dominate; the rollback itself
+    // is a descriptor flip — O(1) at any scale — and the post-rollback
+    // read is the grouped aggregate
+    "q114_generation_rollback")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:
