@@ -1353,6 +1353,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("CALL sys.analyze builds DICTIONARY-derived blooms for an ALTER-declared table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val t = s"$cat.planshape.bloom_analyze"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val li = Tables(spark, sf0001, "lineitem").select($"l_orderkey", $"l_quantity")
+    // dup-heavy key, hash layout, NO declaration: the files are
+    // dictionary-encoded and carry no writer blooms
+    li.repartition(8, $"l_orderkey").writeTo(t).create()
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+      s"'${graft.catalog.SkipStats.BloomProp}' = 'l_orderkey')")
+    spark.sql(s"CALL $cat.sys.analyze('$t')").collect()
+    // commit-side maintenance hashed each file's DICTIONARY PAGE into a
+    // per-file bloom (the fully-dict-encoded case needs no writer bloom)
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").select($"data_type").as[String].head()
+    val bloomManifest = new org.apache.hadoop.fs.Path(loc,
+      graft.catalog.SkipStats.BloomManifestName)
+    val fs = bloomManifest.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(bloomManifest),
+      "analyze must build the bloom shard for the new declaration")
+    val (kmn, kmx) = li.agg(min($"l_orderkey"), max($"l_orderkey"))
+      .as[(Long, Long)].head()
+    val k = li.filter($"l_orderkey" >= (kmn + kmx) / 2)
+      .agg(min($"l_orderkey")).as[Long].head() // a mid-range EXISTING key
+    val expected = li.filter($"l_orderkey" === k)
+      .agg(count(lit(1)), sum($"l_quantity")).collect().head
+    val q = spark.table(t).filter($"l_orderkey" === k)
+    assert(q.agg(count(lit(1)), sum($"l_quantity")).collect().head === expected)
+    val q2 = spark.table(t).filter($"l_orderkey" === k)
+    q2.collect()
+    val read = allScansOf(q2.queryExecution.executedPlan)
+      .head.inputRDD.partitions.toSeq.flatMap {
+        case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          dp.inputPartitions
+      }.collect {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+      }.flatMap(_.files).map(_.filePath.toString).distinct
+    assert(read.size === 1,
+      s"dictionary-derived blooms must prune the hash layout to the containing file, got ${read.size}")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   private def allScansOf(sp: org.apache.spark.sql.execution.SparkPlan)
     : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
     case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
