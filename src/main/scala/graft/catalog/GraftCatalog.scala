@@ -99,6 +99,59 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(this, db, store.loadTable(db, ident.name))
   }
 
+  /** TIME TRAVEL (`SELECT … FROM t VERSION AS OF n`): generation travel
+    * over the staged-rewrite lineage — version n is `t$history`'s
+    * `versions_back` (1 = the most recent retired generation, what
+    * `sys.rollback` would restore). The relation reads the retired
+    * generation's own provider/location/partitions and refuses every
+    * mutation; the data stays readable until the namespace vacuum's
+    * retention window reclaims it (then this refuses loudly). In-place
+    * appends do NOT create generations — this is REWRITE lineage
+    * (migrate/zorder/rollback flips), not row-level MVCC. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val db = asSingle(ident.namespace)
+    if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
+    val meta = store.loadTable(db, ident.name)
+    val n = try version.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"time travel on ${ident.name}: VERSION AS OF takes the integer " +
+          s"versions_back from ${ident.name}$$history, got '$version'")
+    }
+    require(n >= 1 && n <= meta.history.size,
+      s"time travel on ${ident.name}: version $n is not in history " +
+        s"(${meta.history.size} retired generation(s) recorded; " +
+        s"see ${ident.name}$$history)")
+    timeTravelTable(ident, meta, meta.history(n - 1))
+  }
+
+  /** `TIMESTAMP AS OF t`: the generation that was LIVE at t — the
+    * retired generation with the EARLIEST retirement after t, or the
+    * current table when nothing retired since. Spark hands micros. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val db = asSingle(ident.namespace)
+    if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
+    val meta = store.loadTable(db, ident.name)
+    val tMs = timestampMicros / 1000L
+    meta.history.filter(_.retiredAtMs > tMs) match {
+      case Seq() => new GraftTable(this, db, meta)
+      case retiredAfter =>
+        timeTravelTable(ident, meta, retiredAfter.minBy(_.retiredAtMs))
+    }
+  }
+
+  private def timeTravelTable(
+      ident: Identifier, meta: TableMeta, g: GenerationMeta): Table = {
+    val p = new org.apache.hadoop.fs.Path(g.location)
+    val conf = spark.sessionState.newHadoopConf()
+    require(p.getFileSystem(conf).exists(p),
+      s"time travel on ${ident.name}: generation ${g.location} was " +
+        "already reclaimed by the namespace vacuum")
+    new GraftTable(this, asSingle(ident.namespace),
+      meta.copy(provider = g.provider, location = g.location,
+        partitions = g.partitions, stats = g.stats, history = Nil),
+      timeTravel = true)
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     store.tableExists(asSingle(ident.namespace), ident.name)
 

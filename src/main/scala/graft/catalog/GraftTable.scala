@@ -38,7 +38,13 @@ import graft.catalog.write.GraftWriteBuilder
   * over the location — mirroring V2Table.scala:51-68. Parquet scans are
   * vectorized/columnar with predicate pushdown + column pruning for free.
   */
-class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
+class GraftTable(
+    catalog: GraftCatalog, db: String, val meta: TableMeta,
+    /** True for a TIME-TRAVEL relation (`VERSION/TIMESTAMP AS OF`): the
+      * descriptor points at a RETIRED generation, so every mutation
+      * surface refuses — a write would land in a directory the live
+      * descriptor no longer references. */
+    timeTravel: Boolean = false)
   extends Table
   with SupportsRead
   with SupportsWrite
@@ -87,13 +93,22 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     * commit, with a per-query epoch log for restart idempotence — see
     * [[graft.catalog.write.GraftStreamingWrite]]. (The read-side twin is
     * the `v1Table` fallback below.) */
-  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
-    TableCapability.BATCH_READ,
-    TableCapability.BATCH_WRITE,
-    TableCapability.STREAMING_WRITE,
-    TableCapability.TRUNCATE,
-    TableCapability.OVERWRITE_BY_FILTER,
-    TableCapability.OVERWRITE_DYNAMIC)
+  override def capabilities(): util.Set[TableCapability] =
+    if (timeTravel) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  /** Every mutation surface of a time-travel relation refuses: the
+    * descriptor points at a RETIRED generation. */
+  private def refuseTimeTravelMutation(op: String): Unit =
+    if (timeTravel) throw new UnsupportedOperationException(
+      s"$op on ${name()}: a VERSION/TIMESTAMP AS OF relation is read-only " +
+        "(it resolves a retired generation; CALL sys.rollback restores one)")
 
   // --- streaming read (V2TableWithV1Fallback) -----------------------------
 
@@ -287,8 +302,9 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
   // --- write -------------------------------------------------------------
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(spark, store, db, meta, info, catalog.autoSizeUpdate,
-      catalog.writeLockTimeoutSec)
+    { refuseTimeTravelMutation("write")
+      new GraftWriteBuilder(spark, store, db, meta, info, catalog.autoSizeUpdate,
+        catalog.writeLockTimeoutSec) }
 
   // --- DELETE FROM (SupportsDelete) ---------------------------------------
 
@@ -305,6 +321,7 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    refuseTimeTravelMutation("DELETE")
     val spec = write.PartitionPredicates.unwrap(spark, meta, filters).getOrElse(
       throw new UnsupportedOperationException(
         s"DELETE on ${name()} supports only static partition predicates, " +
@@ -375,6 +392,7 @@ class GraftTable(catalog: GraftCatalog, db: String, val meta: TableMeta)
     * row predicates WORK instead of changing what already did. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    refuseTimeTravelMutation("row-level operation")
     // The bucketed-table guard lives in the operation's WRITE build, not
     // here: Spark plans the row-level rewrite for every conditional
     // DELETE before OptimizeMetadataOnlyDeleteFromTable can downgrade

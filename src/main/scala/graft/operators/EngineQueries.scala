@@ -944,6 +944,45 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- Q115
+  /** TIME TRAVEL — `SELECT … FROM t VERSION AS OF n` / `TIMESTAMP AS
+    * OF ts` over the staged-rewrite lineage: q114's generation history
+    * resolved through Spark's own time-travel surface
+    * (`TableCatalog.loadTable(ident, version)`), so a RETIRED
+    * generation serves reads with its own provider/location/partitions
+    * while the live table moves on — and every mutation surface of the
+    * versioned relation refuses. Version n is `t$history`'s
+    * `versions_back`; `TIMESTAMP AS OF` picks the generation LIVE at
+    * that instant. This is REWRITE lineage (migrate/zorder/rollback
+    * flips), not row-level MVCC — in-place appends don't snapshot —
+    * which is exactly the audit question rewrites raise: "what did this
+    * table return before the migration?". Free while the vacuum
+    * retention window holds the old generation; reclaimed generations
+    * refuse loudly. The query proves it: the pre-migrate generation
+    * keeps answering with the ORIGINAL rows after a post-migrate append
+    * changed the live table. */
+  def q115_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q115_tt"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    li.filter($"l_partkey" % 2 === 0).writeTo(t).create()
+    graft.operators.Migrate.toProvider(spark, t, "orc")
+    li.filter($"l_partkey" % 2 === 1).writeTo(t).append()
+    val asOf1 = spark.sql(
+      s"SELECT 'as_of_1' AS probe, count(*) AS n_rows, " +
+        s"CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum " +
+        s"FROM $t VERSION AS OF 1")
+    val current = spark.sql(
+      s"SELECT 'current' AS probe, count(*) AS n_rows, " +
+        s"CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum FROM $t")
+    asOf1.unionAll(current).orderBy($"probe")
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -1288,6 +1327,7 @@ object EngineQueries {
     "q112_bloom_skipping" -> (q112_bloom_skipping _),
     "q113_metadata_tables" -> (q113_metadata_tables _),
     "q114_generation_rollback" -> (q114_generation_rollback _),
+    "q115_time_travel" -> (q115_time_travel _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1434,6 +1474,18 @@ object EngineQueries {
         | GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin,
     // Both Z-order probes restated plainly: the interleaved layout must
     // not change either answer.
+    // Time travel restated over the source: VERSION AS OF 1 must return
+    // the PRE-migrate seed (even part keys) even after the post-migrate
+    // append added the odd half to the live table.
+    "q115_time_travel" ->
+      """SELECT 'as_of_1' AS probe, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
+        | FROM lineitem WHERE l_partkey % 2 = 0
+        |UNION ALL
+        |SELECT 'current' AS probe, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
+        | FROM lineitem
+        |ORDER BY probe""".stripMargin,
     // Rollback restated over the source: after create -> migrate-to-orc
     // -> rollback, the ORIGINAL parquet generation must serve the exact
     // original rows; exactly one retired generation (the orc one)

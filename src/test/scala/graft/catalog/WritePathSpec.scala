@@ -1066,6 +1066,62 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("time travel: VERSION/TIMESTAMP AS OF resolve retired generations; writes and reclaimed gens refuse") {
+    import spark.implicits._
+    val t = freshTable("t_timetravel")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo(t).create()
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    graft.operators.Migrate.toProvider(spark, t, "orc")
+    Seq((3L, "c")).toDF("id", "v").writeTo(t).append()
+    // the live table moved on; VERSION AS OF 1 still serves the
+    // pre-migrate generation's exact rows (its own provider + location)
+    assert(spark.table(t).count() === 3L)
+    assert(spark.sql(s"SELECT id FROM $t VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // TIMESTAMP AS OF an instant BETWEEN create and migrate picks the
+    // retired generation; an instant after the append picks the current
+    val ts = new java.sql.Timestamp(betweenMs)
+    assert(spark.sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) === 2L)
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+    assert(spark.sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$now'")
+      .head().getLong(0) === 3L)
+    // versioned relations are read-only: SQL cannot even express a
+    // versioned write (parse error), and the connector surface refuses
+    // outright — capabilities drop to BATCH_READ and newWriteBuilder
+    // throws before any plan forms
+    val gcat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val short = t.split("\\.").last
+    val versioned = gcat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array(t.split("\\.")(1)), short), "1")
+    assert(versioned.capabilities() ===
+      java.util.EnumSet.of(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ))
+    val e1 = intercept[UnsupportedOperationException] {
+      versioned.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(null)
+    }
+    assert(e1.getMessage.contains("read-only"))
+    // out-of-range versions name the history surface
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 7").collect()
+    }
+    assert(e2.getMessage.contains("not in history"))
+    // a reclaimed generation refuses instead of reading deleted files
+    val ns = t.split("\\.")(1)
+    graft.operators.Vacuum.vacuumNamespace(spark,
+      s"${GraftBootstrap.CatalogName}.$ns", retentionMs = 0L)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+    }
+    assert(e3.getMessage.contains("reclaimed"))
+    assert(spark.table(t).count() === 3L, "the live generation is unaffected")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("format migration: atomic flip, old gen retained for readers, namespace sweep reclaims residue") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
