@@ -95,7 +95,11 @@ object ScaleProbe {
     // rewrite, the declared-linear term) dominate; the rollback itself
     // is a descriptor flip — O(1) at any scale — and the post-rollback
     // read is the grouped aggregate
-    "q114_generation_rollback")
+    "q114_generation_rollback",
+    // q115's time-travel read: seed CTAS + orc migrate + the odd-half
+    // append are the write-bound terms; resolving VERSION AS OF 1 is a
+    // descriptor lookup, and both probes are map-side-combined counts
+    "q115_time_travel")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:
