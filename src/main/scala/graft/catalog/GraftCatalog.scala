@@ -126,15 +126,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `TIMESTAMP AS OF t`: the generation that was LIVE at t — the
     * retired generation with the EARLIEST retirement after t, or the
-    * current table when nothing retired since. Spark hands micros. */
+    * current table when nothing retired since. Spark hands micros.
+    * REFUSES (never silently approximates) when t lies outside the
+    * known lineage: before the table existed, or before the oldest
+    * RETAINED generation's validity once the bounded history may have
+    * evicted older entries — serving the oldest retained state there
+    * would return data that was not live at t. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val db = asSingle(ident.namespace)
     if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
     val meta = store.loadTable(db, ident.name)
     val tMs = timestampMicros / 1000L
+    if (meta.createdAtMs > 0 && tMs < meta.createdAtMs)
+      throw new IllegalArgumentException(
+        s"time travel on ${ident.name}: TIMESTAMP AS OF " +
+          s"${java.time.Instant.ofEpochMilli(tMs)} predates the table's " +
+          s"creation (${java.time.Instant.ofEpochMilli(meta.createdAtMs)})")
     meta.history.filter(_.retiredAtMs > tMs) match {
       case Seq() => new GraftTable(this, db, meta)
       case retiredAfter =>
+        // every retained entry retired after t AND the history is at its
+        // bound: entries older than the window may have been evicted, so
+        // the oldest retained generation is not provably the one live at
+        // t — refuse rather than guess (mirrors the reclaimed-generation
+        // refusal in timeTravelTable)
+        if (retiredAfter.size == meta.history.size &&
+            meta.history.size >= TableMeta.MaxHistory)
+          throw new IllegalArgumentException(
+            s"time travel on ${ident.name}: TIMESTAMP AS OF " +
+              s"${java.time.Instant.ofEpochMilli(tMs)} predates the oldest " +
+              s"retained generation — older generations were evicted from " +
+              s"the bounded history (${TableMeta.MaxHistory} deep; see " +
+              s"${ident.name}$$history)")
         timeTravelTable(ident, meta, retiredAfter.minBy(_.retiredAtMs))
     }
   }
@@ -291,7 +314,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
            Map(ClusterSortedProp -> "true")
          else Map.empty[String, String]),
       stats = None,
-      partitions = Nil)
+      partitions = Nil,
+      createdAtMs = System.currentTimeMillis())
     // A MANAGED default dir that already exists with content is residue —
     // no descriptor NAMES it (tableExists was checked above): a retired
     // pre-migration generation (Migrate defers old-dir reclamation), a

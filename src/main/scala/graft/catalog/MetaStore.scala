@@ -116,7 +116,13 @@ case class TableMeta(
     properties: Map[String, String],
     stats: Option[TableStats],
     partitions: Seq[PartitionMeta],
-    history: Seq[GenerationMeta] = Nil) {
+    history: Seq[GenerationMeta] = Nil,
+    // Creation instant: the lower bound of the table's lineage, so
+    // `TIMESTAMP AS OF` can REFUSE instants at which the table did not
+    // exist instead of silently serving the oldest retained state.
+    // 0 = unknown (descriptors predating the field / test fixtures) —
+    // then the creation-bound check stays permissive.
+    createdAtMs: Long = 0L) {
 
   /** The current generation captured as a history entry (for the flip
     * that is about to retire it). */
@@ -414,7 +420,8 @@ object MetaStore {
       "properties" -> mapToJson(m.properties),
       "stats" -> stats,
       "partitions" -> parts,
-      "history" -> history))
+      "history" -> history,
+      "createdAtMs" -> JLong(m.createdAtMs)))
     JsonMethods.pretty(JsonMethods.render(root))
   }
 
@@ -517,8 +524,13 @@ object MetaStore {
       case JArray(items) => items.collect { case JString(v) => v }
       case _ => Nil
     }
+    val createdAt = (j \ "createdAtMs") match {
+      case JLong(v) => v
+      case JInt(v) => v.toLong
+      case _ => 0L
+    }
     TableMeta(str("name"), str("schemaJson"), str("provider"), partCols,
       str("location"), (j \ "external") == JBool(true), jsonToMap(j \ "properties"),
-      stats, parts, history)
+      stats, parts, history, createdAt)
   }
 }

@@ -100,12 +100,17 @@ object SkipStats extends Logging {
 
   /** Types whose parquet-written physical value the bloom hashes
     * deterministically from the catalyst value: INT32-backed integrals
-    * and date, INT64 longs, floats, doubles, UTF8 binary strings.
+    * and date, INT64 longs, UTF8 binary strings.
     * Timestamps are excluded — `outputTimestampType` can select INT96,
-    * whose binary form the query side cannot reproduce. */
+    * whose binary form the query side cannot reproduce. Float/double
+    * are excluded too: Spark treats -0.0 = 0.0 (and NaN = NaN) as
+    * EQUAL while the writer hashed the raw IEEE bits, so a bloom miss
+    * on one bit pattern would wrongly exclude a file holding the other
+    * — the same raw-bits-vs-SQL-semantics gap that bars them from
+    * range skipping below. */
   private def bloomSupported(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | StringType | DateType => true
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType => true
     case _ => false
   }
 
@@ -116,12 +121,18 @@ object SkipStats extends Logging {
       .filter(f => bloomSupported(f.dataType))
 
   /** Types with a total order the parquet footer can bound: fixed
-    * numerics, strings, date (INT32 days), timestamp (INT64 micros —
-    * INT96-written timestamps carry no usable stats and simply yield no
-    * entry). */
+    * integrals, strings, date (INT32 days), timestamp (INT64 with a
+    * MICROS/MILLIS logical annotation — INT96 or other units carry no
+    * usable stats and simply yield no entry). Float/double are
+    * EXCLUDED: footer min/max omit NaN while Spark orders NaN above
+    * every value, so a file of [1.0, NaN] manifests max=1.0 and a
+    * pushed `x > 5.0` (which NaN satisfies in Spark semantics) would
+    * silently drop the NaN rows — a row filter, not an optimization.
+    * (Iceberg keeps floats safe only by tracking nan_value_counts per
+    * file; bounds alone cannot.) */
   private def supported(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | StringType | DateType | TimestampType => true
+    case ByteType | ShortType | IntegerType | LongType |
+         StringType | DateType | TimestampType => true
     case _ => false
   }
 
@@ -144,8 +155,6 @@ object SkipStats extends Logging {
       case ShortType => Some(s.toShort)
       case IntegerType | DateType => Some(s.toInt)
       case LongType | TimestampType => Some(s.toLong)
-      case FloatType => Some(s.toFloat)
-      case DoubleType => Some(s.toDouble)
       case _ => None
     }
   } catch { case NonFatal(_) => None }
@@ -249,14 +258,34 @@ object SkipStats extends Logging {
         val nullTally: String =
           if (chunks.isEmpty || stats.exists(s => s == null || !s.isNumNullsSet)) ""
           else s"${stats.map(_.getNumNulls).sum}/$totalRows"
+        // The manifest stores catalyst MICROS for timestamps, but the
+        // footer's INT64 is in the file's own unit: only a
+        // TIMESTAMP(isAdjustedToUTC, MICROS|MILLIS) annotation gives a
+        // provable conversion (MILLIS ×1000). Any other unit (NANOS),
+        // a missing annotation, an NTZ file, or INT96 yields no entry —
+        // comparing micros against millis would provably-exclude files
+        // that contain matching rows (silent row loss).
+        val tsScale: Option[Long] = f.dataType match {
+          case TimestampType =>
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            chunks.headOption.map(_.getPrimitiveType.getLogicalTypeAnnotation)
+              .collect {
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                    if ts.isAdjustedToUTC => ts.getUnit
+              }.collect {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+              }
+          case _ => Some(1L)
+        }
         val range: Option[(String, String)] =
-          if (chunks.isEmpty || stats.exists(s =>
+          if (chunks.isEmpty || tsScale.isEmpty || stats.exists(s =>
               s == null || s.isEmpty || !s.hasNonNullValue)) None
           else {
             val mins = stats.flatMap(s =>
-              parquetValue(s.genericGetMin.asInstanceOf[AnyRef], f.dataType))
+              parquetValue(s.genericGetMin.asInstanceOf[AnyRef], f.dataType, tsScale.get))
             val maxs = stats.flatMap(s =>
-              parquetValue(s.genericGetMax.asInstanceOf[AnyRef], f.dataType))
+              parquetValue(s.genericGetMax.asInstanceOf[AnyRef], f.dataType, tsScale.get))
             if (mins.size != stats.size || maxs.size != stats.size) None
             else {
               val ord = TypeUtils.getInterpretedOrdering(f.dataType)
@@ -329,8 +358,6 @@ object SkipStats extends Logging {
         val insert: Int => Unit = desc.getPrimitiveType.getPrimitiveTypeName match {
           case INT32 => i => bf.insertHash(bf.hash(dict.decodeToInt(i)))
           case INT64 => i => bf.insertHash(bf.hash(dict.decodeToLong(i)))
-          case FLOAT => i => bf.insertHash(bf.hash(dict.decodeToFloat(i)))
-          case DOUBLE => i => bf.insertHash(bf.hash(dict.decodeToDouble(i)))
           case BINARY => i => bf.insertHash(bf.hash(dict.decodeToBinary(i)))
           case _ => return None
         }
@@ -379,8 +406,6 @@ object SkipStats extends Logging {
       case (s: Short, ShortType) => Some(bf.hash(s.toInt))
       case (i: Int, IntegerType | DateType) => Some(bf.hash(i))
       case (l: Long, LongType) => Some(bf.hash(l))
-      case (f: Float, FloatType) => Some(bf.hash(f))
-      case (d: Double, DoubleType) => Some(bf.hash(d))
       case (u: UTF8String, StringType) =>
         Some(bf.hash(org.apache.parquet.io.api.Binary.fromReusedByteArray(u.getBytes)))
       case _ => None
@@ -427,10 +452,6 @@ object SkipStats extends Logging {
               Some(f.name -> (encode(s.getMinimum.toInt), encode(s.getMaximum.toInt)))
             case (s: org.apache.orc.IntegerColumnStatistics, LongType) =>
               Some(f.name -> (encode(s.getMinimum), encode(s.getMaximum)))
-            case (s: org.apache.orc.DoubleColumnStatistics, FloatType) =>
-              Some(f.name -> (encode(s.getMinimum.toFloat), encode(s.getMaximum.toFloat)))
-            case (s: org.apache.orc.DoubleColumnStatistics, DoubleType) =>
-              Some(f.name -> (encode(s.getMinimum), encode(s.getMaximum)))
             case (s: org.apache.orc.StringColumnStatistics, StringType)
                 if s.getMinimum != null && s.getMaximum != null =>
               Some(f.name -> (s.getMinimum, s.getMaximum))
@@ -444,8 +465,10 @@ object SkipStats extends Logging {
 
   /** Parquet footer value → catalyst value for the declared type, or
     * None on any physical/logical mismatch (then the column gets no
-    * bound — never a wrong one). */
-  private def parquetValue(v: AnyRef, dt: DataType): Option[Any] = (v, dt) match {
+    * bound — never a wrong one). `tsScale` converts the file's
+    * annotated timestamp unit to catalyst micros (1 for MICROS, 1000
+    * for MILLIS — the caller admits no other unit). */
+  private def parquetValue(v: AnyRef, dt: DataType, tsScale: Long): Option[Any] = (v, dt) match {
     case (b: org.apache.parquet.io.api.Binary, StringType) =>
       Some(UTF8String.fromBytes(b.getBytes))
     case (i: java.lang.Integer, ByteType) => Some(i.toByte)
@@ -453,9 +476,7 @@ object SkipStats extends Logging {
     case (i: java.lang.Integer, IntegerType) => Some(i.toInt)
     case (i: java.lang.Integer, DateType) => Some(i.toInt)
     case (l: java.lang.Long, LongType) => Some(l.toLong)
-    case (l: java.lang.Long, TimestampType) => Some(l.toLong)
-    case (f: java.lang.Float, FloatType) => Some(f.toFloat)
-    case (d: java.lang.Double, DoubleType) => Some(d.toDouble)
+    case (l: java.lang.Long, TimestampType) => Some(l.toLong * tsScale)
     case _ => None
   }
 

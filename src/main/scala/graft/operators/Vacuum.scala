@@ -207,9 +207,21 @@ object Vacuum {
     def qualify(p: Path): String = p.getFileSystem(conf).makeQualified(p).toString
     def liveness(): (Set[String], Map[String, String]) = {
       val tables = store.listTables(db).map(t => store.loadTable(db, t))
+      // IN-WINDOW retired generations are protected by their RETIREMENT
+      // time, not their file mtimes: the normal migrate/zorder retires a
+      // directory whose data files are months old (long-ingested data),
+      // so an mtime-only retention test would reclaim a restore point
+      // seconds after the flip and the documented "rollback/time-travel
+      // safe within the retention window" guarantee would be zero for
+      // cold tables. A generation retired BEFORE the window is
+      // legitimately reclaimable (time travel then refuses loudly).
+      val inWindowHistory = tables.flatMap(_.history)
+        .filter(_.retiredAtMs > cutoff)
+        .map(g => qualify(new Path(g.location)))
       val locations =
         (tables.map(t => qualify(new Path(t.location))) ++
-          tables.flatMap(_.partitions.flatMap(_.location)).map(l => qualify(new Path(l))))
+          tables.flatMap(_.partitions.flatMap(_.location)).map(l => qualify(new Path(l))) ++
+          inWindowHistory)
           .toSet
       val managed = tables.filterNot(_.external)
         .map(t => t.name -> qualify(new Path(t.location))).toMap

@@ -1313,4 +1313,98 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)) === Array("p=y"))
     assert(spark.table(t).collect().map(_.getLong(0)) === Array(2L))
   }
+
+  test("skipping never drops rows: NaN doubles are unmanifested; MILLIS-written timestamps normalize to micros") {
+    import spark.implicits._
+    val t = freshTable("t_skip_safety")
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+      val later = java.sql.Timestamp.valueOf("2024-06-02 12:00:00")
+      Seq((1.0, base), (Double.NaN, later))
+        .toDF("d", "ts")
+        .coalesce(1)
+        .writeTo(t)
+        .tableProperty(SkipStats.Prop, "d,ts")
+        .create()
+      // Spark orders NaN ABOVE every double, so `d > 5.0` matches the
+      // NaN row — a footer-derived max of 1.0 (parquet stats omit NaN)
+      // must therefore never manifest: doubles are skipping-unsupported
+      assert(spark.table(t).filter($"d" > 5.0).count() === 1L,
+        "NaN row lost — a floating-point range was used to skip the file")
+      // a MILLIS-annotated file's INT64 bounds are milliseconds; the
+      // manifest stores catalyst MICROS, so a raw copy would make every
+      // timestamp predicate provably-exclude the file (micros >> millis)
+      assert(spark.table(t)
+        .filter($"ts" >= java.sql.Timestamp.valueOf("2024-06-02 00:00:00"))
+        .count() === 1L, "row lost to a mis-scaled timestamp bound")
+      val cat = spark.sessionState.catalogManager
+        .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+      val root = new org.apache.hadoop.fs.Path(
+        cat.metaStore.loadTable("wtest", "t_skip_safety").location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val manifestTxt = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, SkipStats.ManifestName))
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      }
+      assert(!manifestTxt.contains("\"d\":["),
+        "floating-point column must carry no range entry")
+      // the ts range IS manifested — normalized to micros (×1000)
+      val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(base)
+      assert(manifestTxt.contains(s""""$micros""""),
+        s"expected micros-normalized bound $micros in: $manifestTxt")
+    } finally
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+  }
+
+  test("namespace vacuum protects in-window retired generations by retirement time, not file mtime") {
+    import spark.implicits._
+    val t = freshTable("t_cold_gen")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo(t).create()
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val fs = new org.apache.hadoop.fs.Path(sf0001)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // age every file of the CURRENT generation far past any retention —
+    // the cold-table case: long-ingested data, then a migrate today
+    val origLoc = new org.apache.hadoop.fs.Path(
+      cat.metaStore.loadTable("wtest", "t_cold_gen").location)
+    val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    def ageTree(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.listStatus(p).foreach { s =>
+        if (s.isDirectory) ageTree(s.getPath)
+        fs.setTimes(s.getPath, old, -1)
+      }
+      fs.setTimes(p, old, -1)
+    }
+    graft.operators.Migrate.toProvider(spark, t, "orc")
+    ageTree(origLoc)
+    // the generation retired SECONDS ago: an mtime-only retention test
+    // would reclaim it immediately and the rollback window would be
+    // zero for cold tables — retirement time must protect it
+    graft.operators.Vacuum.vacuumNamespace(spark, s"${GraftBootstrap.CatalogName}.wtest",
+      retentionMs = 3600L * 1000)
+    assert(fs.exists(origLoc), "in-window retired generation was reclaimed")
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head().getLong(0) === 2L)
+    // outside the window it reclaims as documented
+    graft.operators.Vacuum.vacuumNamespace(spark, s"${GraftBootstrap.CatalogName}.wtest",
+      retentionMs = 0L)
+    assert(!fs.exists(origLoc), "out-of-window retired generation must reclaim")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("TIMESTAMP AS OF outside the known lineage refuses instead of approximating") {
+    import spark.implicits._
+    val t = freshTable("t_ts_bounds")
+    Seq((1L, "a")).toDF("id", "v").writeTo(t).create()
+    val before = new java.sql.Timestamp(System.currentTimeMillis() - 24L * 3600 * 1000)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '$before'").collect()
+    }
+    assert(e.getMessage.contains("predates the table's creation"),
+      s"unexpected: ${e.getMessage}")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
