@@ -99,15 +99,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(this, db, store.loadTable(db, ident.name))
   }
 
-  /** TIME TRAVEL (`SELECT … FROM t VERSION AS OF n`): generation travel
-    * over the staged-rewrite lineage — version n is `t$history`'s
-    * `versions_back` (1 = the most recent retired generation, what
-    * `sys.rollback` would restore). The relation reads the retired
-    * generation's own provider/location/partitions and refuses every
-    * mutation; the data stays readable until the namespace vacuum's
-    * retention window reclaims it (then this refuses loudly). In-place
-    * appends do NOT create generations — this is REWRITE lineage
-    * (migrate/zorder/rollback flips), not row-level MVCC. */
+  /** TIME TRAVEL (`SELECT … FROM t VERSION AS OF n`): versions_back over
+    * the SNAPSHOT lineage (q116) — every batch commit (append,
+    * overwrite, truncate, DELETE, COW DML, streaming epoch) and every
+    * rewrite flip records a snapshot, so n = 1 is the table exactly as
+    * it stood BEFORE the most recent commit, n = 2 before the one
+    * prior, up to `graft.snapshots.keep`. The relation serves the
+    * snapshot's exact file set (live files in place, removed files from
+    * their retirement area) and refuses every mutation; data stays
+    * restorable until commit-time GC or VACUUM's retention window
+    * reclaims it (then this refuses loudly). Tables whose lineage
+    * predates snapshotting fall back to the rewrite-generation history
+    * (`t$history` versions_back — q115's original surface). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val db = asSingle(ident.namespace)
     if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
@@ -115,13 +118,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val n = try version.trim.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"time travel on ${ident.name}: VERSION AS OF takes the integer " +
-          s"versions_back from ${ident.name}$$history, got '$version'")
+          s"versions_back from ${ident.name}$$snapshots, got '$version'")
     }
-    require(n >= 1 && n <= meta.history.size,
-      s"time travel on ${ident.name}: version $n is not in history " +
-        s"(${meta.history.size} retired generation(s) recorded; " +
-        s"see ${ident.name}$$history)")
-    timeTravelTable(ident, meta, meta.history(n - 1))
+    if (meta.snapshots.nonEmpty) {
+      require(n >= 1 && n <= meta.snapshots.size - 1,
+        s"time travel on ${ident.name}: version $n is not in history " +
+          s"(${meta.snapshots.size - 1} prior snapshot(s) retained; " +
+          s"see ${ident.name}$$snapshots)")
+      snapshotTable(ident, meta, meta.snapshots(n))
+    } else {
+      require(n >= 1 && n <= meta.history.size,
+        s"time travel on ${ident.name}: version $n is not in history " +
+          s"(${meta.history.size} retired generation(s) recorded; " +
+          s"see ${ident.name}$$history)")
+      timeTravelTable(ident, meta, meta.history(n - 1))
+    }
+  }
+
+  /** A SNAPSHOT travel relation: the recorded file set resolved to
+    * current physical paths ([[Snapshots.resolve]] refuses loudly if
+    * anything was reclaimed), served read-only through the pinned
+    * index with the snapshot's own provider. */
+  private def snapshotTable(
+      ident: Identifier, meta: TableMeta, target: SnapshotMeta): Table = {
+    val resolved = Snapshots.resolve(spark, meta, target)
+    new GraftTable(this, asSingle(ident.namespace),
+      meta.copy(provider = resolved.provider, history = Nil, snapshots = Nil),
+      timeTravel = true, pinned = Some(resolved))
   }
 
   /** `TIMESTAMP AS OF t`: the generation that was LIVE at t — the
@@ -142,7 +165,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"time travel on ${ident.name}: TIMESTAMP AS OF " +
           s"${java.time.Instant.ofEpochMilli(tMs)} predates the table's " +
           s"creation (${java.time.Instant.ofEpochMilli(meta.createdAtMs)})")
-    meta.history.filter(_.retiredAtMs > tMs) match {
+    // snapshot lineage first (q116): the newest snapshot committed at or
+    // before t is the state a reader at t would have seen
+    if (meta.snapshots.nonEmpty) {
+      meta.snapshots.find(_.tsMs <= tMs) match {
+        case Some(s) if s == meta.snapshots.head => new GraftTable(this, db, meta)
+        case Some(s) => snapshotTable(ident, meta, s)
+        case None => throw new IllegalArgumentException(
+          s"time travel on ${ident.name}: TIMESTAMP AS OF " +
+            s"${java.time.Instant.ofEpochMilli(tMs)} predates the oldest " +
+            s"retained snapshot (${java.time.Instant.ofEpochMilli(
+              meta.snapshots.last.tsMs)}; bounded lineage, " +
+            s"${Snapshots.KeepProp} deep) — older states were evicted")
+      }
+    } else meta.history.filter(_.retiredAtMs > tMs) match {
       case Seq() => new GraftTable(this, db, meta)
       case retiredAfter =>
         // every retained entry retired after t AND the history is at its

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
-import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory, PartitionPath, PartitioningAwareFileIndex, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, NoopCache, PartitionDirectory, PartitionPath, PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -189,6 +189,88 @@ class GraftSkippingFileIndex(
     SkipStats.applySkipping(sparkSession, meta.schema, meta.properties,
       super.listFiles(partitionFilters, dataFilters),
       dataFilters)
+}
+
+/** PINNED file index for SNAPSHOT time travel (q116): serves exactly the
+  * file set a retained snapshot recorded — already resolved to current
+  * physical paths (live files in place, retired files under
+  * `_graft_retired/<token>/`) by [[Snapshots.resolve]]. No filesystem
+  * listing happens at scan time (resolution bulk-listed the involved
+  * dirs once), partition pruning still applies against the recorded
+  * specs, and `sizeInBytes` is the snapshot's own byte count — so a
+  * travel read plans with the stats of the data it actually serves,
+  * not the live table's. */
+class GraftPinnedFileIndex(
+    sparkSession: SparkSession,
+    meta: TableMeta,
+    resolved: Snapshots.Resolved)
+  extends PartitioningAwareFileIndex(
+    sparkSession, Map.empty, Some(meta.schema), NoopCache) {
+
+  private val timeZoneId = sparkSession.sessionState.conf.sessionLocalTimeZone
+
+  /** spec → typed row, the same Cast rule as [[GraftFileIndex]]. */
+  private def rowOf(spec: Map[String, String]): InternalRow = {
+    val ps = meta.partitionSchema
+    InternalRow.fromSeq(ps.map { f =>
+      spec.get(f.name).orElse(
+          spec.find(_._1.equalsIgnoreCase(f.name)).map(_._2)) match {
+        case Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME) => null
+        case Some(v) =>
+          Cast(Literal(UTF8String.fromString(v), StringType), f.dataType,
+            Some(timeZoneId)).eval(null)
+        case None => null
+      }
+    })
+  }
+
+  private val pinned: Seq[(InternalRow, Path, Seq[FileStatus])] =
+    resolved.dirs.map(d => (rowOf(d.spec), new Path(d.dir), d.files))
+
+  override def rootPaths: Seq[Path] = Seq(new Path(meta.location))
+  override def refresh(): Unit = ()
+  override def partitionSchema: StructType = meta.partitionSchema
+
+  override def partitionSpec(): PartitionSpec =
+    PartitionSpec(meta.partitionSchema,
+      pinned.map { case (row, dir, _) => PartitionPath(row, dir) })
+
+  private def prune(
+      filters: Seq[Expression]): Seq[(InternalRow, Path, Seq[FileStatus])] =
+    if (filters.isEmpty || meta.partitionColumns.isEmpty) pinned
+    else {
+      val ps = meta.partitionSchema
+      val bound = filters.reduce(And).transform {
+        case a: AttributeReference =>
+          val idx = ps.fields.indexWhere(f =>
+            sparkSession.sessionState.conf.resolver(f.name, a.name))
+          require(idx >= 0, s"partition filter column ${a.name} not in $ps")
+          BoundReference(idx, ps(idx).dataType, nullable = true)
+      }
+      val predicate = Predicate.createInterpreted(bound)
+      predicate.initialize(0)
+      pinned.filter(p => predicate.eval(p._1))
+    }
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    prune(partitionFilters).map { case (row, _, files) =>
+      PartitionDirectory(row, files.toArray)
+    }
+
+  override def inputFiles: Array[String] =
+    pinned.flatMap(_._3.map(_.getPath.toString)).toArray
+
+  override def allFiles(): Seq[FileStatus] = pinned.flatMap(_._3)
+
+  override def sizeInBytes: Long = pinned.flatMap(_._3).map(_.getLen).sum
+
+  override protected def leafFiles: mutable.LinkedHashMap[Path, FileStatus] =
+    throw new UnsupportedOperationException("pinned listing serves listFiles directly")
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    throw new UnsupportedOperationException("pinned listing serves listFiles directly")
 }
 
 /** Test observability: the column names of partition filters handed to

@@ -64,6 +64,7 @@ class GraftMetadataTable(
     case "files" => FilesSchema
     case "partitions" => PartitionsSchema
     case "history" => HistorySchema
+    case "snapshots" => SnapshotsSchema
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 
@@ -96,6 +97,17 @@ class GraftMetadataTable(
           UTF8String.fromString(g.location),
           g.retiredAtMs,
           live)).asInstanceOf[InternalRow]
+      }.toArray
+    }
+    if (kind == "snapshots") {
+      // newest first; versions_back = 0 is the CURRENT state, 1 is what
+      // VERSION AS OF 1 serves and sys.rollback restores
+      return meta.snapshots.zipWithIndex.map { case (s, i) =>
+        new GenericInternalRow(Array[Any](
+          s.version,
+          i.toLong,
+          s.tsMs,
+          UTF8String.fromString(s.kind))).asInstanceOf[InternalRow]
       }.toArray
     }
     def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
@@ -147,7 +159,7 @@ class GraftMetadataTable(
 
 object GraftMetadataTable {
 
-  val Kinds: Set[String] = Set("files", "partitions", "history")
+  val Kinds: Set[String] = Set("files", "partitions", "history", "snapshots")
 
   val FilesSchema: StructType = StructType(Seq(
     StructField("file_name", StringType, nullable = false),
@@ -160,6 +172,12 @@ object GraftMetadataTable {
     StructField("file_count", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
     StructField("row_count", LongType, nullable = true)))
+
+  val SnapshotsSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("versions_back", LongType, nullable = false),
+    StructField("committed_at_ms", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false)))
 
   val HistorySchema: StructType = StructType(Seq(
     StructField("versions_back", LongType, nullable = false),

@@ -41,10 +41,15 @@ import graft.catalog.write.GraftWriteBuilder
 class GraftTable(
     catalog: GraftCatalog, db: String, val meta: TableMeta,
     /** True for a TIME-TRAVEL relation (`VERSION/TIMESTAMP AS OF`): the
-      * descriptor points at a RETIRED generation, so every mutation
-      * surface refuses — a write would land in a directory the live
-      * descriptor no longer references. */
-    timeTravel: Boolean = false)
+      * descriptor points at a RETIRED generation or snapshot, so every
+      * mutation surface refuses — a write would land in a directory the
+      * live descriptor no longer references. */
+    timeTravel: Boolean = false,
+    /** A SNAPSHOT travel relation's resolved file set (q116): when set,
+      * the scan serves exactly these files through a pinned index — no
+      * listing, no bucket/SPJ/skipping layout claims (retired files
+      * live outside the layout dirs), stats from the snapshot itself. */
+    pinned: Option[Snapshots.Resolved] = None)
   extends Table
   with SupportsRead
   with SupportsWrite
@@ -184,8 +189,15 @@ class GraftTable(
     // partition schema and the plan could not resolve the declared
     // partition columns (SELECT * before the first insert would fail
     // instead of returning zero rows).
+    // SNAPSHOT travel relations serve their resolved file set through the
+    // pinned index and the STOCK builder — no bucket/SPJ/skipping/stats
+    // wrappers (layout claims and live statistics describe the CURRENT
+    // table, not the snapshot; partition pruning still applies via the
+    // pinned specs).
     val index: PartitioningAwareFileIndex =
-      if (meta.isPartitioned)
+      if (pinned.isDefined)
+        new GraftPinnedFileIndex(spark, meta, pinned.get)
+      else if (meta.isPartitioned)
         new GraftFileIndex(spark, meta, cache)
       else if (SkipStats.skippingColumns(meta.properties).nonEmpty ||
           SkipStats.bloomColumns(meta.properties).nonEmpty)
@@ -218,8 +230,8 @@ class GraftTable(
         index, meta.schema,
         GraftCatalog.optionProps(meta.properties) ++
           scala.jdk.CollectionConverters.MapHasAsScala(options).asScala,
-        bucket = GraftCatalog.writableBucketSpec(meta),
-        sortedBy = trustedSortCols)
+        bucket = if (pinned.isDefined) None else GraftCatalog.writableBucketSpec(meta),
+        sortedBy = if (pinned.isDefined) Nil else trustedSortCols)
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
     // Partitioned tables scan through the runtime-filtering wrapper:
@@ -283,11 +295,23 @@ class GraftTable(
     val skipCols = (SkipStats.resolvedCols(meta.properties, meta.schema) ++
       SkipStats.resolvedBloomCols(meta.properties, meta.schema))
       .map(_.name).distinct
+    if (pinned.isDefined) return builder
     GraftCatalog.writableBucketSpec(meta) match {
       case Some((n, col)) =>
+        // the skipping/bloom columns join the BUCKETED scan's runtime
+        // surface too (q117): a selective dim join on a NON-key column
+        // of the composite layout empties provably-excluded files out
+        // of the latched keyed groups — the bucket column itself is
+        // excluded (runtime bucket pruning already owns it)
+        val nonKeySkip = skipCols.filterNot(c =>
+          spark.sessionState.conf.resolver(c, col))
         new org.apache.spark.sql.graft.GraftScanBuilder(builder,
           meta.partitionColumns, bucket = Some((n, col)), tableStats = v2Stats,
-          sortedBy = trustedSortCols)
+          sortedBy = trustedSortCols,
+          skippingCols = nonKeySkip,
+          skipMeta =
+            if (nonKeySkip.nonEmpty) Some((meta.schema, meta.properties))
+            else None)
       case _ if meta.isPartitioned =>
         new org.apache.spark.sql.graft.GraftScanBuilder(builder,
           meta.partitionColumns, spj = spjProp, tableStats = v2Stats,
@@ -337,13 +361,17 @@ class GraftTable(
     val release = write.GraftBatchWrite.leaseWritePermit(spark, meta.location,
       s"DELETE FROM ${name()} since ${java.time.Instant.now()}",
       catalog.writeLockTimeoutSec)
+    // DELETE is a commit: removed files RETIRE under a token (q116) so
+    // the pre-delete snapshot stays restorable, and a new snapshot is
+    // recorded after the descriptor update
+    val retireToken = java.util.UUID.randomUUID().toString
     try {
+      var unpartitioned = false
       store.updateTable(db, meta.name) { current =>
         if (spec.isEmpty) {
           // whole-table DELETE == truncate
-          val root = new Path(current.location)
-          val fs = root.getFileSystem(hadoopConf)
-          if (fs.exists(root)) fs.listStatus(root).foreach(s => fs.delete(s.getPath, true))
+          unpartitioned = !current.isPartitioned
+          Snapshots.retireTableRoot(hadoopConf, current.location, retireToken)
           current.partitions.flatMap(_.location).foreach { l =>
             val p = new Path(l)
             val pfs = p.getFileSystem(hadoopConf)
@@ -358,8 +386,7 @@ class GraftTable(
           dropped.foreach { p =>
             val d = p.location.map(new Path(_))
               .getOrElse(defaultPartitionDir(current, p.spec))
-            val dfs = d.getFileSystem(hadoopConf)
-            if (dfs.exists(d)) dfs.delete(d, true)
+            Snapshots.retireDirTree(hadoopConf, current.location, d, retireToken)
           }
           // the literal dir for a full spec also covers files written
           // before partition tracking (parity with static overwrite)
@@ -367,8 +394,7 @@ class GraftTable(
             val lit = defaultPartitionDir(current,
               current.partitionColumns.map(c => c ->
                 spec.find(_._1.equalsIgnoreCase(c)).map(_._2).get).toMap)
-            val lfs = lit.getFileSystem(hadoopConf)
-            if (lfs.exists(lit)) lfs.delete(lit, true)
+            Snapshots.retireDirTree(hadoopConf, current.location, lit, retireToken)
           }
           current.copy(partitions = kept,
             stats =
@@ -377,6 +403,8 @@ class GraftTable(
               else None)
         }
       }
+      Snapshots.maintain(spark, store, db, meta.name, "delete", retireToken,
+        if (unpartitioned) Seq(meta.location) else Nil)
       FileStatusCache.getOrCreate(spark).invalidateAll()
     } finally release()
   }

@@ -98,6 +98,21 @@ case class GenerationMeta(
     stats: Option[TableStats],
     retiredAtMs: Long)
 
+/** One COMMIT-level snapshot in the bounded per-table lineage (q116):
+  * every batch commit — append, overwrite, truncate, DELETE, COW
+  * rewrite, streaming epoch, AND the rewrite flips — records the
+  * post-commit file manifest as `file` (a small JSON under the table's
+  * `_graft_snapshots/` dir pointing at per-directory shard files, the
+  * Iceberg manifest-list shape), so `VERSION/TIMESTAMP AS OF` resolves
+  * the exact pre-commit file set and `sys.rollback` can undo an
+  * in-place commit. The newest entry is the CURRENT state (versions_back
+  * 0); the list is bounded by `graft.snapshots.keep`. */
+case class SnapshotMeta(
+    version: Long,
+    tsMs: Long,
+    kind: String,
+    file: String)
+
 /** Persistent table descriptor. `schemaJson` is the Spark `StructType`
   * JSON (data columns first, partition columns trailing — the file-source
   * convention the reference also follows,
@@ -122,7 +137,15 @@ case class TableMeta(
     // exist instead of silently serving the oldest retained state.
     // 0 = unknown (descriptors predating the field / test fixtures) —
     // then the creation-bound check stays permissive.
-    createdAtMs: Long = 0L) {
+    createdAtMs: Long = 0L,
+    // Per-COMMIT snapshot lineage, newest first (head = the current
+    // state). Bounded by `graft.snapshots.keep`; maintained advisorily
+    // by [[graft.catalog.Snapshots]] (a maintenance failure clears the
+    // list — travel then refuses — never wrong rows).
+    snapshots: Seq[SnapshotMeta] = Nil,
+    // Monotonic snapshot version counter — survives lineage clears and
+    // eviction so a version number is never reused within a table.
+    lastSnapshotVersion: Long = 0L) {
 
   /** The current generation captured as a history entry (for the flip
     * that is about to retire it). */
@@ -421,7 +444,15 @@ object MetaStore {
       "stats" -> stats,
       "partitions" -> parts,
       "history" -> history,
-      "createdAtMs" -> JLong(m.createdAtMs)))
+      "createdAtMs" -> JLong(m.createdAtMs),
+      "snapshots" -> JArray(m.snapshots.map { s =>
+        JObject(List(
+          "version" -> JLong(s.version),
+          "tsMs" -> JLong(s.tsMs),
+          "kind" -> JString(s.kind),
+          "file" -> JString(s.file)))
+      }.toList),
+      "lastSnapshotVersion" -> JLong(m.lastSnapshotVersion)))
     JsonMethods.pretty(JsonMethods.render(root))
   }
 
@@ -529,8 +560,23 @@ object MetaStore {
       case JInt(v) => v.toLong
       case _ => 0L
     }
+    def jl(v: JValue): Long = v match {
+      case JLong(x) => x
+      case JInt(x) => x.toLong
+      case _ => 0L
+    }
+    val snapshots: Seq[SnapshotMeta] = (j \ "snapshots") match {
+      case JArray(items) => items.flatMap { it =>
+        ((it \ "kind"), (it \ "file")) match {
+          case (JString(k), JString(f)) =>
+            Some(SnapshotMeta(jl(it \ "version"), jl(it \ "tsMs"), k, f))
+          case _ => None
+        }
+      }
+      case _ => Nil
+    }
     TableMeta(str("name"), str("schemaJson"), str("provider"), partCols,
       str("location"), (j \ "external") == JBool(true), jsonToMap(j \ "properties"),
-      stats, parts, history, createdAt)
+      stats, parts, history, createdAt, snapshots, jl(j \ "lastSnapshotVersion"))
   }
 }

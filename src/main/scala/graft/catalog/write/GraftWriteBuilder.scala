@@ -402,6 +402,11 @@ class GraftWrite(
     val conf = spark.sessionState.conf
     val schema = info.schema()
     val fs = new Path(meta.location).getFileSystem(hadoopConf)
+    // the retirement token of THIS job: every file this commit removes
+    // (truncate/static-overwrite sweeps here, the COW delete phase in
+    // commit) renames under `_graft_retired/<token>/`, and the commit's
+    // snapshot records the token so travel reads can resolve the files
+    val retireToken = UUID.randomUUID().toString
 
     // Schema validation (R14/R15): duplicate columns + the per-format type
     // gate (CSV rejects nested types, JSON/parquet accept them) — the
@@ -442,9 +447,17 @@ class GraftWrite(
       val fresh = store.loadTableLocked(db, meta.name)
       mode match {
         case Truncate =>
-          if (fs.exists(new Path(fresh.location))) {
-            fs.listStatus(new Path(fresh.location)).foreach(s => fs.delete(s.getPath, true))
-          }
+          // MANAGED tables RETIRE instead of delete (q116): each removed
+          // file renames into `_graft_retired/<token>/<relpath>` so the
+          // retained snapshots stay restorable. EXTERNAL tables and
+          // custom-LOCATION partition data (outside the root) keep the
+          // delete — their files are not under the managed tree.
+          if (fresh.external) {
+            if (fs.exists(new Path(fresh.location))) {
+              fs.listStatus(new Path(fresh.location)).foreach(s => fs.delete(s.getPath, true))
+            }
+          } else graft.catalog.Snapshots.retireTableRoot(
+            hadoopConf, fresh.location, retireToken)
           // tracked partitions with a custom LOCATION live outside the
           // table dir — truncate owns their data too
           fresh.partitions.flatMap(_.location).foreach { l =>
@@ -456,7 +469,10 @@ class GraftWrite(
           // per-path FS: custom-LOCATION partitions may live on a
           // different scheme than the table root
           PartitionPredicates.matchDirs(fresh, spec).foreach { d =>
-            d.getFileSystem(hadoopConf).delete(d, true)
+            if (fresh.external)
+              d.getFileSystem(hadoopConf).delete(d, true)
+            else graft.catalog.Snapshots.retireDirTree(
+              hadoopConf, fresh.location, d, retireToken)
           }
         case _ =>
       }
@@ -520,7 +536,7 @@ class GraftWrite(
     committer.setupJob(job)
     new GraftBatchWrite(new FileBatchWrite(job, description, committer),
       spark, store, db, meta, mode, autoSizeUpdate, preWriteDeletes,
-      writeLockTimeoutSec)
+      writeLockTimeoutSec, retireToken)
   }
 
 }
@@ -540,7 +556,8 @@ class GraftBatchWrite(
     mode: WriteMode,
     autoSizeUpdate: Boolean = true,
     preWriteDeletes: () => Unit = () => (),
-    writeLockTimeoutSec: Long = graft.catalog.GraftConf.WriteLockTimeoutSec.default.get)
+    writeLockTimeoutSec: Long = graft.catalog.GraftConf.WriteLockTimeoutSec.default.get,
+    retireToken: String = UUID.randomUUID().toString)
   extends BatchWrite {
 
   /** Per-table write permit: concurrent append jobs to one table share
@@ -953,11 +970,17 @@ class GraftBatchWrite(
     txnFiles.foreach { case (_, marker) =>
       marker.getFileSystem(hadoopConf).create(marker, false).close()
     }
-    // COW: replacements are live — deleting the snapshot completes the
-    // group rewrite. (A reader between the two steps can see old+new
-    // rows; see GraftRowLevelOperation's atomicity note.)
-    cowSnapshot.foreach(_.oldFiles.foreach(f =>
-      f.getFileSystem(hadoopConf).delete(f, false)))
+    // COW: replacements are live — removing the snapshot completes the
+    // group rewrite. Managed tables RETIRE the old files (q116 — the
+    // pre-rewrite snapshot stays restorable); external tables and
+    // out-of-root custom-location files delete as before. (A reader
+    // between the two steps can see old+new rows; see
+    // GraftRowLevelOperation's atomicity note.)
+    cowSnapshot.foreach(_.oldFiles.foreach { f =>
+      if (meta.external ||
+          !graft.catalog.Snapshots.retireFile(hadoopConf, meta.location, f, retireToken))
+        f.getFileSystem(hadoopConf).delete(f, false)
+    })
     // the rewrite's delete phase is complete — retire the transaction:
     // pending strictly BEFORE marker (a crash in between must leave an
     // inert orphan marker, never a marker-less manifest that repair
@@ -1125,6 +1148,21 @@ class GraftBatchWrite(
     // fails the commit; cost ∝ partitions written, never the table
     graft.catalog.SkipStats.maintainDirs(spark, skipStatsDirs,
       snapshot.schema, snapshot.properties, snapshot.provider)
+    // snapshot-per-commit lineage (q116): record the post-commit file
+    // manifest — fresh shards for the touched dirs only, parent
+    // pointers for the rest — under the same permit. Advisory: a
+    // failure clears the lineage, never the commit.
+    if (!snapshot.external) {
+      val kind = mode match {
+        case Append => "append"
+        case Truncate => "truncate"
+        case StaticOverwrite(_) => "overwrite"
+        case DynamicOverwrite => "overwrite-dynamic"
+        case _: CowReplace => "rewrite-dml"
+      }
+      graft.catalog.Snapshots.maintain(spark, store, db, meta.name,
+        kind, retireToken, skipStatsDirs)
+    }
     FileStatusCache.getOrCreate(spark).invalidateAll()
   } finally releasePermit()
 

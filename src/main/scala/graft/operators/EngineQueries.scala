@@ -983,6 +983,50 @@ object EngineQueries {
     asOf1.unionAll(current).orderBy($"probe")
   }
 
+  // ---------------------------------------------------------------- Q116
+  /** SNAPSHOT-PER-COMMIT TIME TRAVEL — q115's lineage extended from
+    * rewrite flips to EVERY batch commit: each append/overwrite/
+    * truncate/DELETE/COW/epoch records a per-commit file manifest (the
+    * q109 shard shape — per-directory lists, untouched dirs reused by
+    * pointer from the parent snapshot), removed files RETIRE by rename
+    * into `_graft_retired/<token>/` instead of deleting, and
+    * `VERSION AS OF n` resolves the table exactly as it stood n commits
+    * back — the Iceberg-snapshot posture, answering "what did this
+    * query return before last night's append (or overwrite)?" with the
+    * pre-commit rows, bit-exact. `sys.rollback` undoes the last commit
+    * with a handful of renames (no data movement) and is redo-able; the
+    * bounded lineage (`graft.snapshots.keep`) plus commit-time GC and
+    * VACUUM's retention window keep the retained state finite. The
+    * query proves it across THREE states: seed (even part keys) →
+    * append (odd part keys) → INSERT OVERWRITE (every third order key):
+    * `VERSION AS OF 2` still serves the seed exactly, `VERSION AS OF 1`
+    * the full pre-overwrite table — files the overwrite physically
+    * displaced — while the live table answers with the overwritten
+    * subset. 100 TB posture: commit cost ∝ directories touched;
+    * travel-read planning reads one manifest + pruned shards; the
+    * reference has no snapshot surface at all. */
+  def q116_snapshot_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q116_snap"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    li.filter($"l_partkey" % 2 === 0).writeTo(t).create()
+    li.filter($"l_partkey" % 2 === 1).writeTo(t).append()
+    li.filter($"l_orderkey" % 3 === 0).writeTo(t).overwrite(
+      org.apache.spark.sql.functions.lit(true))
+    def probe(label: String, rel: String) = spark.sql(
+      s"SELECT '$label' AS probe, count(*) AS n_rows, " +
+        s"CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum FROM $rel")
+    probe("as_of_1_pre_overwrite", s"$t VERSION AS OF 1")
+      .unionAll(probe("as_of_2_seed", s"$t VERSION AS OF 2"))
+      .unionAll(probe("current", t))
+      .orderBy($"probe")
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -1328,6 +1372,7 @@ object EngineQueries {
     "q113_metadata_tables" -> (q113_metadata_tables _),
     "q114_generation_rollback" -> (q114_generation_rollback _),
     "q115_time_travel" -> (q115_time_travel _),
+    "q116_snapshot_time_travel" -> (q116_snapshot_time_travel _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1485,6 +1530,24 @@ object EngineQueries {
         |SELECT 'current' AS probe, count(*) AS n_rows,
         |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
         | FROM lineitem
+        |ORDER BY probe""".stripMargin,
+    // Snapshot travel restated over the source: versions_back 2 is the
+    // even-partkey seed, versions_back 1 the full pre-overwrite table
+    // (its files were physically displaced by the INSERT OVERWRITE and
+    // must resolve from the retirement area), current the overwritten
+    // every-third-orderkey subset.
+    "q116_snapshot_time_travel" ->
+      """SELECT 'as_of_1_pre_overwrite' AS probe, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
+        | FROM lineitem
+        |UNION ALL
+        |SELECT 'as_of_2_seed' AS probe, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
+        | FROM lineitem WHERE l_partkey % 2 = 0
+        |UNION ALL
+        |SELECT 'current' AS probe, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
+        | FROM lineitem WHERE l_orderkey % 3 = 0
         |ORDER BY probe""".stripMargin,
     // Rollback restated over the source: after create -> migrate-to-orc
     // -> rollback, the ORIGINAL parquet generation must serve the exact

@@ -188,6 +188,10 @@ object Migrate {
           history = (cur.asGeneration(System.currentTimeMillis()) +:
             cur.history).take(TableMeta.MaxHistory))
       }
+      // the flip joins the snapshot lineage too (q116): every dir of the
+      // new generation lists fresh (the location changed, so no parent
+      // shard pointer can match)
+      graft.catalog.Snapshots.recordRewrite(spark, store, db, name)
       plugin.invalidateTable(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array(db), name))
       // the old generation stays on disk for in-flight readers;

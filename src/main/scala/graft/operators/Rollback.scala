@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
 
-import graft.catalog.{GraftCatalog, TableMeta}
+import graft.catalog.{GraftCatalog, MetaStore, PartitionMeta, Snapshots, TableMeta, TableStats}
 import graft.catalog.write.GraftBatchWrite
 
 /** GENERATION ROLLBACK — the "oops" lever the staged-rewrite protocol
@@ -31,8 +31,16 @@ import graft.catalog.write.GraftBatchWrite
   */
 object Rollback {
 
-  /** Roll `catalog.ns.table` back to its most recent retired
-    * generation. Returns (restoredProvider, restoredLocation). */
+  /** Roll `catalog.ns.table` back one step in its lineage. When the
+    * most recent change was an IN-PLACE commit (append, overwrite,
+    * truncate, DELETE, COW DML, streaming epoch), the rollback restores
+    * the previous SNAPSHOT's exact file set — appended files retire,
+    * retired files rename back — making "undo last night's append" a
+    * handful of renames at any table size (q116). When the most recent
+    * change was a REWRITE FLIP (migrate/zorder/rollback), the legacy
+    * O(1) generation flip restores the retired directory wholesale.
+    * Both forms are redo-able (the state rolled away from joins the
+    * lineage in its place). Returns (restoredProvider, restoredLocation). */
   def rollback(spark: SparkSession, table: String): (String, String) = {
     val parts = table.split("\\.")
     require(parts.length == 3, s"rollback expects catalog.ns.table, got $table")
@@ -44,6 +52,8 @@ object Rollback {
     val store = plugin.metaStore
     val (db, name) = (parts(1), parts(2))
     val pre = store.loadTable(db, name)
+    if (pre.snapshots.size >= 2 && pre.snapshots.head.kind != "rewrite")
+      return rollbackSnapshot(spark, plugin, store, db, name, table)
     require(pre.history.nonEmpty,
       s"rollback($table): no retired generation to roll back to " +
         "(history is appended by migrate/zorder/rollback flips)")
@@ -72,9 +82,110 @@ object Rollback {
           history = (cur.asGeneration(System.currentTimeMillis()) +:
             cur.history.tail).take(TableMeta.MaxHistory))
       }
+      // the restored state is a new lineage event — record its snapshot
+      // (kind=rewrite: parent pointers reference the other location, so
+      // every dir lists fresh)
+      Snapshots.recordRewrite(spark, store, db, name)
       plugin.invalidateTable(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array(db), name))
       (target.provider, target.location)
+    } finally release()
+  }
+
+  /** IN-PLACE rollback: restore the previous snapshot's exact file set.
+    * For each directory the target snapshot records: live files the
+    * target does not list RETIRE (they are the rolled-back commit's
+    * additions), and target files currently in a retirement area rename
+    * back into place. Directories registered now but absent from the
+    * target retire wholesale. Cost ∝ files that actually changed —
+    * renames only, no data rewrite. */
+  private def rollbackSnapshot(
+      spark: SparkSession,
+      plugin: GraftCatalog,
+      store: MetaStore,
+      db: String,
+      name: String,
+      table: String): (String, String) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val release = GraftBatchWrite.leaseWritePermit(
+      spark, store.loadTable(db, name).location,
+      s"snapshot rollback of $table since ${java.time.Instant.now()}",
+      plugin.writeLockTimeoutSec)
+    try {
+      // fresh state + resolution INSIDE the permit: no writer can race
+      val cur = store.loadTable(db, name)
+      require(cur.snapshots.size >= 2,
+        s"rollback($table): no prior snapshot retained")
+      require(cur.snapshots.head.kind != "rewrite",
+        s"rollback($table): lineage head changed to a rewrite flip under " +
+          "a concurrent operation; re-run")
+      val target = cur.snapshots(1)
+      // refuses loudly if any target file is no longer restorable
+      val resolved = Snapshots.resolve(spark, cur, target)
+      require(resolved.provider == cur.provider,
+        s"rollback($table): snapshot provider ${resolved.provider} does " +
+          s"not match the table's ${cur.provider}")
+      val token = java.util.UUID.randomUUID().toString
+      def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+      val targetDirSet = resolved.dirs.map(d =>
+        Snapshots.qualify(conf, d.dir)).toSet
+      // dirs registered NOW but absent from the target: the rolled-back
+      // commit created them — retire their trees
+      val currentDirs: Seq[String] =
+        if (cur.isPartitioned)
+          cur.partitions.map(p => p.location.getOrElse(
+            GraftBatchWrite.partitionDir(cur, p.spec).toString))
+        else Seq(cur.location)
+      currentDirs.filterNot(d =>
+        targetDirSet.contains(Snapshots.qualify(conf, d))).foreach { d =>
+        Snapshots.retireDirTree(conf, cur.location, new Path(d), token)
+      }
+      // per target dir: retire extras, restore retirements
+      val restoredParts = resolved.dirs.map { rd =>
+        val dir = new Path(rd.dir)
+        val fs = dir.getFileSystem(conf)
+        val qdir = fs.makeQualified(dir).toString
+        val targetByName = rd.files.map(f => f.getPath.getName -> f).toMap
+        val live =
+          if (fs.exists(dir)) fs.listStatus(dir).toSeq
+            .filter(s => s.isFile && !hidden(s.getPath.getName))
+          else Nil
+        live.filterNot(s => targetByName.contains(s.getPath.getName)).foreach { s =>
+          if (!Snapshots.retireFile(conf, cur.location, s.getPath, token))
+            fs.delete(s.getPath, false)
+        }
+        targetByName.foreach { case (n, st) =>
+          val parent = st.getPath.getParent
+          if (parent.getFileSystem(conf).makeQualified(parent).toString != qdir) {
+            fs.mkdirs(dir)
+            require(fs.rename(st.getPath, new Path(dir, n)),
+              s"rollback($table): failed to restore ${st.getPath} to $dir/$n")
+          }
+        }
+        (rd, rd.files.map(_.getLen).sum)
+      }
+      val newParts: Seq[PartitionMeta] =
+        if (cur.isPartitioned) restoredParts.map { case (rd, size) =>
+          val default = GraftBatchWrite.partitionDir(cur, rd.spec)
+          val qd = Snapshots.qualify(conf, rd.dir)
+          val loc =
+            if (qd == Snapshots.qualify(conf, default.toString)) None
+            else Some(rd.dir)
+          PartitionMeta(rd.spec, loc, size)
+        }
+        else Nil
+      store.updateTable(db, name) { c =>
+        c.copy(partitions = newParts,
+          stats = Some(TableStats(restoredParts.map(_._2).sum, None)))
+      }
+      // the rollback IS a commit: its snapshot (a) makes redo possible
+      // (versions_back 1 is now the state rolled away from) and (b)
+      // records `token` so the retired extras stay resolvable
+      Snapshots.maintain(spark, store, db, name, "rollback", token,
+        resolved.dirs.map(_.dir) ++ currentDirs)
+      plugin.invalidateTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array(db), name))
+      (cur.provider, cur.location)
     } finally release()
   }
 }

@@ -130,6 +130,16 @@ object Vacuum {
         }
       }
 
+      // 4. snapshot-lineage retention (q116): retained snapshots older
+      // than the window expire (the CURRENT state always stays), then
+      // the snapshot GC reclaims the manifests, shards and
+      // retired-token areas only they referenced — after this, a
+      // VERSION/TIMESTAMP AS OF into the expired range refuses loudly
+      val (snapFiles, snapBytes) =
+        graft.catalog.Snapshots.expire(spark, store, db, parts(2), cutoff)
+      files += snapFiles
+      bytes += snapBytes
+
       // 1. unregistered partition dirs (partitioned tables only:
       // unpartitioned listings ARE the truth, nothing to compare)
       if (meta.isPartitioned) {

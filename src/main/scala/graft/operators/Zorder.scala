@@ -166,6 +166,8 @@ object Zorder {
           history = (cur.asGeneration(System.currentTimeMillis()) +:
             cur.history).take(TableMeta.MaxHistory))
       }
+      // the flip joins the snapshot lineage too (q116)
+      graft.catalog.Snapshots.recordRewrite(spark, store, db, name)
       plugin.invalidateTable(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array(db), name))
       // old generation stays for in-flight readers; the namespace sweep

@@ -84,7 +84,10 @@ class GraftScanBuilder(
       java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics])] = None,
     sortedBy: Seq[String] = Nil,
-    skippingCols: Seq[String] = Nil)
+    skippingCols: Seq[String] = Nil,
+    // (table schema, table properties) for the BUCKETED scan's runtime
+    // file/bloom skipping — the shard evaluation needs both (q117)
+    skipMeta: Option[(StructType, Map[String, String])] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -113,7 +116,7 @@ class GraftScanBuilder(
     val scan = bucket match {
       case Some((n, col)) =>
         new GraftBucketedFileScan(inner.build().asInstanceOf[FileScan], n, col,
-          partitionCols, sortedBy)
+          partitionCols, sortedBy, skippingCols, skipMeta)
       case None if spj =>
         new GraftSpjFileScan(inner.build().asInstanceOf[FileScan], partitionCols)
       case None =>
@@ -336,8 +339,10 @@ class GraftFileScan(
 
   /** Runtime `IN`/`=` over a skipping (data) column → a catalyst data
     * filter for the rebuilt scan's LISTING. Partition columns take the
-    * partition-filter path instead (never both). */
-  private def toSkippingFilter(
+    * partition-filter path instead (never both). Protected: the bucketed
+    * subclass routes the same translations through its post-latch
+    * emptied-group mechanism instead of a listing rebuild. */
+  protected def toSkippingFilter(
       p: Predicate): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
     def skipField(ref: NamedReference): Option[StructField] = ref.fieldNames match {
       case Array(n) if skippingCols.exists(SQLConf.get.resolver(_, n)) &&
@@ -546,8 +551,16 @@ class GraftBucketedFileScan(
     numBuckets: Int,
     bucketCol: String,
     partitionCols: Seq[String] = Nil,
-    sortedBy: Seq[String] = Nil)
-  extends GraftFileScan(initial0, partitionCols)
+    sortedBy: Seq[String] = Nil,
+    // RUNTIME FILE/BLOOM SKIPPING on non-key columns (q117): the
+    // skipping columns join the runtime-filter surface (inherited
+    // filterAttributes); pre-latch arrivals narrow the listing through
+    // the inherited dataFilters rebuild, post-latch arrivals evaluate
+    // against the skip-stats shards and EMPTY excluded files (the
+    // late-DPP mechanism) so the keyed group count stays contractual.
+    skippingCols: Seq[String] = Nil,
+    skipMeta: Option[(StructType, Map[String, String])] = None)
+  extends GraftFileScan(initial0, partitionCols, skippingCols)
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -661,9 +674,26 @@ class GraftBucketedFileScan(
     * the whole table, with no partitioning column needed. */
   @volatile private var lateBuckets: Option[Set[Int]] = None
 
+  /** RUNTIME FILE SKIPPING on NON-key columns (q117): runtime `IN`/`=`
+    * filters over declared skipping/bloom columns that arrive AFTER the
+    * keyed snapshot latched. Evaluated per FILE against the
+    * per-directory skip-stats shards at `planInputPartitions` — a file
+    * whose recorded range (or bloom) provably excludes every key EMPTIES
+    * out of its group, exactly like [[lateFilters]]' directories and
+    * [[lateBuckets]]' buckets. At 100 TB this closes the composite
+    * layout's remaining join case: fact partitioned by date + bucketed
+    * by order key, joined to a selective dim on a THIRD column the
+    * layout doesn't encode, still schedules a file subset (the shards'
+    * ranges/blooms are the index the layout lacks). Advisory end to
+    * end: no shard entry keeps the file, the join re-applies the
+    * predicate. */
+  @volatile private var lateSkip:
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+
   /** The bucket column joins the partition columns as a runtime-filter
     * target (same output-presence guard — PartitionPruning resolves
-    * these against the scan output with a THROWING resolver). */
+    * these against the scan output with a THROWING resolver). The
+    * skipping columns ride the inherited surface. */
   override def filterAttributes(): Array[NamedReference] = {
     val base = super.filterAttributes()
     val out = readSchema().fieldNames
@@ -688,6 +718,32 @@ class GraftBucketedFileScan(
     if (sets.nonEmpty) {
       val s = sets.reduce(_ intersect _)
       lateBuckets = Some(lateBuckets.fold(s)(_ intersect s))
+    }
+    if (skipMeta.isDefined)
+      lateSkip = lateSkip ++ predicates.toSeq.flatMap(toSkippingFilter)
+  }
+
+  /** Survivor test compiled from [[lateSkip]]: qualified-path membership
+    * in the skip-stats-filtered file set (one shard read per involved
+    * directory, memoized inside applySkipping). Identity when no late
+    * skipping filter arrived. Any failure keeps every file. */
+  private def lateSkipKeep(
+      fs: Seq[(Int, org.apache.spark.sql.execution.datasources.FileStatusWithMetadata,
+        InternalRow)]):
+      org.apache.spark.sql.execution.datasources.FileStatusWithMetadata => Boolean = {
+    val filters = lateSkip
+    skipMeta match {
+      case Some((schema, props)) if filters.nonEmpty =>
+        try {
+          val survivors = graft.catalog.SkipStats.applySkipping(
+            org.apache.spark.sql.SparkSession.active, schema, props,
+            fs.map { case (_, f, pv) =>
+              org.apache.spark.sql.execution.datasources.PartitionDirectory(pv, Seq(f))
+            }, filters)
+            .iterator.flatMap(_.files).map(_.getPath.toString).toSet
+          f => survivors.contains(f.getPath.toString)
+        } catch { case scala.util.control.NonFatal(_) => _ => true }
+      case _ => _ => true
     }
   }
 
@@ -760,13 +816,15 @@ class GraftBucketedFileScan(
       override def planInputPartitions(): Array[InputPartition] = {
         val keep = lateKeep()
         val bKeep = lateBuckets
+        val sKeep = lateSkipKeep(fs)
         fs.zipWithIndex.map { case ((b, f, pv), i) =>
           // late-DPP-excluded groups keep their KEY with an empty file
-          // list (see lateFilters / lateBuckets): group count preserved,
-          // I/O skipped — partition-value AND bucket-id runtime pruning
-          // ride the same emptied-group mechanism
+          // list (see lateFilters / lateBuckets / lateSkip): group count
+          // preserved, I/O skipped — partition-value, bucket-id AND
+          // per-file range/bloom runtime pruning ride the same
+          // emptied-group mechanism
           val files =
-            if (keep(pv) && bKeep.forall(_.contains(b)))
+            if (keep(pv) && bKeep.forall(_.contains(b)) && sKeep(f))
               PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
                 maxSplitBytes = Long.MaxValue, partitionValues = pv).toArray
             else Array.empty[PartitionedFile]
@@ -786,11 +844,14 @@ class GraftBucketedFileScan(
     case (Some(fs0), false) if allowedBuckets.isDefined || lateBuckets.isDefined =>
       new Batch {
       override def planInputPartitions(): Array[InputPartition] = {
-        // no key contract without SPJ: runtime-pruned buckets' files are
-        // simply dropped (BatchScanExec re-plans through a fresh toBatch
-        // after filter(), so this branch also serves a purely-runtime
-        // narrowing with no static bucket predicate)
-        val fs = fs0.filter { case (b, _, _) => lateBuckets.forall(_.contains(b)) }
+        // no key contract without SPJ: runtime-pruned buckets' (and
+        // skip-excluded) files are simply dropped (BatchScanExec
+        // re-plans through a fresh toBatch after filter(), so this
+        // branch also serves a purely-runtime narrowing with no static
+        // bucket predicate)
+        val sKeep = lateSkipKeep(fs0)
+        val fs = fs0.filter { case (b, f, _) =>
+          lateBuckets.forall(_.contains(b)) && sKeep(f) }
         val session = org.apache.spark.sql.SparkSession.active
         val scan = currentScan
         val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition

@@ -1100,6 +1100,76 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     Seq(f, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("q117 runtime file skipping on the composite scan: a NON-key dim join empties excluded files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val f = s"$cat.planshape.q117_fact"
+    val d = s"$cat.planshape.q117_dim"
+    Seq(f, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    // composite fact: 2 partitions × 4 buckets = 8 files; the THIRD
+    // column z is neither the partition nor the bucket key, but its
+    // per-file ranges are disjoint by construction (z tracks the bucket
+    // id), so the skip-stats shards are the index the layout lacks
+    val rows = (0L until 4000L).map { k =>
+      val b = graft.catalog.GraftBucketFunction.bucketId(
+        k, org.apache.spark.sql.types.LongType, 4)
+      (k, if (k % 2 == 0) "a" else "b", b * 1000L + (k % 500L))
+    }
+    rows.toDF("k", "p", "z")
+      .writeTo(f)
+      .tableProperty(graft.catalog.SkipStats.Prop, "z")
+      .partitionedBy($"p", bucket(4, $"k"))
+      .create()
+    // a selective dim on z: the runtime IN-set is one real bucket-1
+    // value — only the two bucket-1 files (one per partition dir) have
+    // a covering range
+    val probe = rows.map(_._3).filter(z => z >= 1000L && z < 2000L).max
+    val decoy = rows.map(_._3).filter(z => z >= 2000L && z < 3000L).min
+    Seq((probe, "keep"), (decoy, "drop")).toDF("d_z", "tag").writeTo(d).create()
+    def mkJoin() = spark.table(f)
+      .join(spark.table(d).filter($"tag" === "keep"), $"z" === $"d_z")
+      .select($"k", $"p", $"z")
+    val expected = rows.filter(_._3 == probe).sorted
+    val joined = mkJoin()
+    val got = joined.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got === expected, "join equality against the in-memory source")
+    assert(got.nonEmpty, "the probe value must match rows")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"DPP subquery missing on the non-key skipping column:\n$plan")
+    // the executed fact scan scheduled a FILE SUBSET: the keyed group
+    // count stays contractual (8 groups latched), but only the files
+    // whose recorded z-range covers the probe carry splits — here
+    // exactly ONE (k % 500 pins the parity, so each z value lives in
+    // one partition's bucket-1 file; the shards prove the other
+    // partition's bucket-1 range excludes it too)
+    def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case other => other.children.flatMap(allScans)
+    }
+    val factFiles = allScans(joined.queryExecution.executedPlan)
+      .find(_.toString.contains("q117_fact[")).getOrElse(fail("fact scan not found"))
+      .inputRDD.partitions.toSeq.flatMap {
+        case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          dp.inputPartitions
+      }.collect {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+      }.flatMap(_.files).map(_.filePath.toString).distinct
+    assert(factFiles.size === 1,
+      s"the runtime IN-set must schedule only the covering bucket-1 file " +
+        s"(of 8 total), got ${factFiles.size}: $factFiles")
+    Seq(f, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("q112 bloom skipping: point lookups prune hash-distributed files min/max cannot") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

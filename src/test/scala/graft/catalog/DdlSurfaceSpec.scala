@@ -171,8 +171,11 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"DESCRIBE TABLE EXTENDED $t")
         .filter($"col_name" === "Location").head().getString(1))
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    val onDisk = fs.listStatus(loc).filter(_.isDirectory).flatMap(d =>
-      fs.listStatus(d.getPath)).filter(s => s.isFile &&
+    // hidden DIRS (snapshot manifests etc.) are engine metadata, not data
+    val onDisk = fs.listStatus(loc)
+      .filter(d => d.isDirectory && !d.getPath.getName.startsWith("_") &&
+        !d.getPath.getName.startsWith("."))
+      .flatMap(d => fs.listStatus(d.getPath)).filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
       .map(s => (s.getPath.getName, s.getLen)).toSet
     assert(files.map(r => (r.getString(0), r.getLong(2))).toSet === onDisk)
@@ -187,9 +190,12 @@ class DdlSurfaceSpec extends AnyFunSuite with SparkFixture {
     // SQL resolution works without the DataFrame API
     assert(spark.sql(s"SELECT count(*) FROM $cat.ddl.`meta_t$$partitions`")
       .head().getLong(0) === 3L)
-    // unknown suffixes stay table-not-found; `$` is refused at CREATE
+    // $snapshots resolves too (one row per retained commit — here the
+    // create-write), and unknown suffixes stay table-not-found; `$` is
+    // refused at CREATE
+    assert(spark.table(s"$cat.ddl.`meta_t$$snapshots`").count() === 1L)
     val e1 = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.table(s"$cat.ddl.`meta_t$$snapshots`").collect()
+      spark.table(s"$cat.ddl.`meta_t$$bogus`").collect()
     }
     assert(e1.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e1.errorClass.exists(_.contains("TABLE_OR_VIEW_NOT_FOUND")))

@@ -33,12 +33,14 @@ class RowLevelSpec extends AnyFunSuite with SparkFixture {
     val meta = cat.metaStore.loadTable(ns.split("\\.")(1), t.split("\\.").last)
     val conf = spark.sessionState.newHadoopConf()
     def files(dir: Path): Seq[(String, (Long, Long))] = {
+      def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
       val fs = dir.getFileSystem(conf)
       if (!fs.exists(dir)) Nil
       else fs.listStatus(dir).toSeq.flatMap {
-        case s if s.isDirectory => files(s.getPath)
-        case s if s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith(".") =>
+        // hidden DIRS are engine metadata (snapshot manifests, retirement
+        // areas, txn logs) — this helper states DATA-file contracts
+        case s if s.isDirectory && !hidden(s.getPath.getName) => files(s.getPath)
+        case s if s.isFile && !hidden(s.getPath.getName) =>
           Seq(s.getPath.toString -> (s.getLen, s.getModificationTime))
         case _ => Nil
       }

@@ -1105,19 +1105,22 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
         .newWriteBuilder(null)
     }
     assert(e1.getMessage.contains("read-only"))
-    // out-of-range versions name the history surface
+    // out-of-range versions name the lineage surface
     val e2 = intercept[Exception] {
       spark.sql(s"SELECT * FROM $t VERSION AS OF 7").collect()
     }
     assert(e2.getMessage.contains("not in history"))
-    // a reclaimed generation refuses instead of reading deleted files
+    // a reclaimed snapshot refuses instead of reading deleted files:
+    // versions_back 2 is the pre-migrate parquet generation, whose dir
+    // the zero-retention namespace sweep reclaims
     val ns = t.split("\\.")(1)
     graft.operators.Vacuum.vacuumNamespace(spark,
       s"${GraftBootstrap.CatalogName}.$ns", retentionMs = 0L)
     val e3 = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 2").collect()
     }
-    assert(e3.getMessage.contains("reclaimed"))
+    assert(e3.getMessage.contains("reclaimed") ||
+      e3.getMessage.contains("no longer restorable"), s"got: ${e3.getMessage}")
     assert(spark.table(t).count() === 3L, "the live generation is unaffected")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
@@ -1392,6 +1395,73 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     graft.operators.Vacuum.vacuumNamespace(spark, s"${GraftBootstrap.CatalogName}.wtest",
       retentionMs = 0L)
     assert(!fs.exists(origLoc), "out-of-window retired generation must reclaim")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("snapshot lineage: bounded eviction, vacuum retention of snapshot files, refusals") {
+    import spark.implicits._
+    val t = freshTable("t_snap_bounds")
+    Seq((1L, "a")).toDF("id", "v").writeTo(t)
+      .tableProperty(Snapshots.KeepProp, "3").create()
+    Seq((2L, "b")).toDF("id", "v").writeTo(t).append()
+    Seq((3L, "c")).toDF("id", "v").writeTo(t).append()
+    Seq((4L, "d")).toDF("id", "v").writeTo(t).append()
+    // 4 commits, keep=3: versions_back 1 and 2 retained, 3 evicted
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head().getLong(0) === 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").head().getLong(0) === 2L)
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 3").collect()
+    }
+    assert(e1.getMessage.contains("not in history"), s"got: ${e1.getMessage}")
+    // eviction GC'd the evicted snapshot's manifest but kept the
+    // retained ones — and an overwrite's displaced files retire instead
+    // of deleting, so the pre-overwrite snapshot keeps answering
+    spark.sql(s"INSERT OVERWRITE $t SELECT 9L AS id, 'z' AS v")
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head().getLong(0) === 4L)
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val root = new org.apache.hadoop.fs.Path(
+      cat.metaStore.loadTable("wtest", "t_snap_bounds").location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, Snapshots.RetiredDirName)),
+      "overwrite must retire its displaced files")
+    // zero-retention VACUUM expires every non-current snapshot, GCs the
+    // retirement area + orphan manifests, and travel then refuses loudly
+    graft.operators.Vacuum.vacuum(spark, t, retentionMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, Snapshots.RetiredDirName)),
+      "expired retirement area must be reclaimed")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+    }
+    assert(e2.getMessage.contains("not in history"), s"got: ${e2.getMessage}")
+    assert(spark.table(t).count() === 1L, "the live table is unaffected")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("sys.rollback undoes in-place commits (append, UPDATE) and is redo-able") {
+    import spark.implicits._
+    val t = freshTable("t_snap_roll")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo(t).create()
+    Seq((3L, "c")).toDF("id", "v").writeTo(t).append()
+    val cat0 = GraftBootstrap.CatalogName
+    // undo the append: a handful of renames, no data rewrite
+    spark.sql(s"CALL $cat0.sys.rollback('$t')").collect()
+    assert(spark.table(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L))
+    assert(spark.table(s"$ns.`t_snap_roll$$snapshots`")
+      .orderBy("versions_back").head().getString(3) === "rollback")
+    // redo: the state rolled away from is versions_back 1 again
+    spark.sql(s"CALL $cat0.sys.rollback('$t')").collect()
+    assert(spark.table(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L))
+    // COW DML commits snapshot too: travel to the pre-UPDATE rows
+    spark.sql(s"UPDATE $t SET v = 'X' WHERE id = 2")
+    assert(spark.table(t).filter($"v" === "X").count() === 1L)
+    assert(spark.sql(s"SELECT v FROM $t VERSION AS OF 1 WHERE id = 2")
+      .head().getString(0) === "b")
+    spark.sql(s"CALL $cat0.sys.rollback('$t')")
+    assert(spark.table(t).filter($"v" === "X").count() === 0L,
+      "rollback must undo the row-level rewrite")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
