@@ -300,26 +300,69 @@ object CatalogProcedures {
             }.toMap
             Some((n, cols))
           }
-        // PER-PARTITION row counts ride the same analyze invocation (one
-        // grouped count over the partition columns): the scan reports
-        // the SURVIVING partitions' sum as its post-pruning numRows, so
-        // CBO's cardinalities track partition pruning instead of the
-        // whole-table count. Spec keys are stringified exactly like the
+        // PER-PARTITION row counts AND column statistics ride the same
+        // analyze invocation (ONE grouped aggregate over the partition
+        // columns): the scan reports the SURVIVING partitions' sums as
+        // its post-pruning numRows, and merges their per-partition
+        // NDV/null/min-max into post-pruning columnStats — so CBO
+        // estimates with the pruned data's cardinalities, not the whole
+        // table's (a date-pruned week of a year-long table plans with
+        // the week's NDVs). Spec keys are stringified exactly like the
         // write path's dir values; a mismatch just leaves that
-        // partition's count unset — advisory, never wrong.
-        val partRowCounts: Map[Map[String, String], Long] = {
+        // partition's stats unset — advisory, never wrong. No
+        // per-partition histograms (table-level only): the descriptor
+        // stays O(partitions × columns) small scalars.
+        val partRowCounts: Map[Map[String, String], (Long, Map[String, ColumnStatsMeta])] = {
           val pcs = store.loadTable(db, name).partitionColumns
           if (selected.isEmpty || pcs.isEmpty) Map.empty
           else {
             import org.apache.spark.sql.functions._
+            def isLengthy(f: org.apache.spark.sql.types.StructField) =
+              f.dataType == org.apache.spark.sql.types.StringType ||
+                f.dataType == org.apache.spark.sql.types.BinaryType
+            def canMinMax(f: org.apache.spark.sql.types.StructField) =
+              f.dataType != org.apache.spark.sql.types.BinaryType
+            val perPartCols = selected.filterNot(f =>
+              pcs.exists(_.equalsIgnoreCase(f.name)))
+            val exprs = scala.collection.mutable.ArrayBuffer(count(lit(1)).as("n"))
+            perPartCols.foreach { f =>
+              val c = col(f.name)
+              exprs += approx_count_distinct(c).as(s"ndv:${f.name}")
+              exprs += count(c).as(s"nn:${f.name}")
+              if (canMinMax(f)) {
+                exprs += min(c).cast("string").as(s"min:${f.name}")
+                exprs += max(c).cast("string").as(s"max:${f.name}")
+              }
+              if (isLengthy(f)) {
+                exprs += ceil(avg(length(c))).as(s"avglen:${f.name}")
+                exprs += max(length(c)).cast("bigint").as(s"maxlen:${f.name}")
+              }
+            }
             spark.table(s"${parts(0)}.$db.$name")
-              .groupBy(pcs.map(col): _*).count().collect().map { r =>
+              .groupBy(pcs.map(col): _*)
+              .agg(exprs.head, exprs.tail.toSeq: _*).collect().map { r =>
+                def get[T](nm: String): Option[T] = {
+                  val i = r.fieldIndex(nm)
+                  if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[T])
+                }
+                val n = r.getLong(r.fieldIndex("n"))
+                val cs = perPartCols.map { f =>
+                  val nonNull = get[Long](s"nn:${f.name}").getOrElse(0L)
+                  f.name -> ColumnStatsMeta(
+                    ndv = get[Long](s"ndv:${f.name}").getOrElse(0L),
+                    nullCount = n - nonNull,
+                    min = if (canMinMax(f)) get[Any](s"min:${f.name}").map(_.toString) else None,
+                    max = if (canMinMax(f)) get[Any](s"max:${f.name}").map(_.toString) else None,
+                    avgLen = if (isLengthy(f)) get[Long](s"avglen:${f.name}") else None,
+                    maxLen = if (isLengthy(f)) get[Long](s"maxlen:${f.name}") else None,
+                    histogram = None)
+                }.toMap
                 pcs.zipWithIndex.map { case (c, i) =>
                   c -> (if (r.isNullAt(i))
                     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                       .DEFAULT_PARTITION_NAME
                   else r.get(i).toString)
-                }.toMap -> r.getLong(pcs.size)
+                }.toMap -> (n, cs)
               }.toMap
           }
         }
@@ -354,7 +397,8 @@ object CatalogProcedures {
                   .map(b => p.copy(sizeInBytes = b)).getOrElse(p)
                 partRowCounts.get(p.spec)
                   .filter(_ => preLoc.get(p.spec).contains(p.location))
-                  .map(rc => sizedP.copy(rowCount = Some(rc)))
+                  .map { case (rc, cs) =>
+                    sizedP.copy(rowCount = Some(rc), colStats = cs) }
                   .getOrElse(sizedP)
               }
               // freshly collected column stats win; a size-only refresh
@@ -382,12 +426,21 @@ object CatalogProcedures {
             // next write — this walks the same committed files the
             // sizing pass just did and manifests them (no-op without
             // the declaration; advisory, never fails the procedure)
-            graft.catalog.SkipStats.maintainDirs(spark,
+            val skipDirs =
               if (updated.partitionColumns.isEmpty) Seq(updated.location)
               else updated.partitions.map(pm => pm.location.getOrElse(
                 graft.catalog.write.GraftBatchWrite
-                  .partitionDir(updated, pm.spec).toString)),
+                  .partitionDir(updated, pm.spec).toString))
+            graft.catalog.SkipStats.maintainDirs(spark, skipDirs,
               updated.schema, updated.properties, updated.provider)
+            // ROW formats (avro/csv/json) have no footers for the commit
+            // path to read — ANALYZE is their manifest builder: one
+            // distributed input_file_name() pass per dir writes the
+            // same shards (no-op for parquet/orc or without the
+            // declaration)
+            graft.catalog.SkipStats.analyzeDirs(spark, skipDirs,
+              updated.schema, updated.partitionColumns,
+              updated.properties, updated.provider)
             result = InternalRow(sized.size.toLong,
               updated.stats.map(_.sizeInBytes).getOrElse(tableBytes),
               selected.size.toLong)

@@ -108,32 +108,107 @@ class GraftFileIndex(
           .map(_.map(_.sizeInBytes).sum).filter(_ > 0))
       .getOrElse(super.sizeInBytes)
 
+  /** The catalog partitions a (typed, bound) partition predicate keeps. */
+  private def survivingPartitions(filters: Seq[Expression]): Seq[PartitionMeta] = {
+    if (meta.partitions.isEmpty) return Nil
+    if (filters.isEmpty) return meta.partitions
+    val spec = partitionSpec()
+    val ps = spec.partitionColumns
+    val bound = filters.reduce(And).transform {
+      case a: AttributeReference =>
+        val idx = ps.indexWhere(f =>
+          sparkSession.sessionState.conf.resolver(f.name, a.name))
+        require(idx >= 0, s"partition filter column ${a.name} not in $ps")
+        BoundReference(idx, ps(idx).dataType, nullable = true)
+    }
+    val predicate = Predicate.createInterpreted(bound)
+    predicate.initialize(0)
+    meta.partitions.zip(spec.partitions)
+      .collect { case (pm, pp) if predicate.eval(pp.values) => pm }
+  }
+
   /** Sum of the SURVIVING partitions' analyze-recorded row counts —
     * Some only when every survivor carries one (a single unknown would
     * silently underestimate and invite a wrong broadcast). Drives the
     * wrapped scan's post-pruning `numRows` for CBO. */
   def prunedRowCount(filters: Seq[Expression]): Option[Long] = {
-    if (meta.partitions.isEmpty) return None
-    val spec = partitionSpec()
-    val survivors: Seq[PartitionMeta] =
-      if (filters.isEmpty) meta.partitions
-      else {
-        val ps = spec.partitionColumns
-        val bound = filters.reduce(And).transform {
-          case a: AttributeReference =>
-            val idx = ps.indexWhere(f =>
-              sparkSession.sessionState.conf.resolver(f.name, a.name))
-            require(idx >= 0, s"partition filter column ${a.name} not in $ps")
-            BoundReference(idx, ps(idx).dataType, nullable = true)
-        }
-        val predicate = Predicate.createInterpreted(bound)
-        predicate.initialize(0)
-        meta.partitions.zip(spec.partitions)
-          .collect { case (pm, pp) if predicate.eval(pp.values) => pm }
-      }
+    val survivors = survivingPartitions(filters)
     if (survivors.nonEmpty && survivors.forall(_.rowCount.isDefined))
       Some(survivors.flatMap(_.rowCount).sum)
     else None
+  }
+
+  /** POST-PRUNING column statistics (q118-class refinement the r17
+    * verdict asked for): the surviving partitions' analyze-recorded
+    * per-partition stats merged into one DSv2 columnStats map — so a
+    * date-pruned scan reports the pruned week's NDVs and bounds, not
+    * the whole table's, and CBO's broadcast/aggregate estimates track
+    * the pruning. Merge rules keep every number a SAFE bound: NDV sums
+    * (an upper bound of the union's distinct count, capped by the
+    * table-level NDV when known — overestimating NDV can only miss a
+    * broadcast, never wrongly choose one), null counts sum exactly,
+    * min/max take the extremes under the column type's ordering, and a
+    * column is reported only when EVERY survivor carries it. None when
+    * nothing is prunable or recorded. */
+  def prunedColStatsV2(filters: Seq[Expression]): Option[java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]] = {
+    if (filters.isEmpty) return None
+    val survivors = survivingPartitions(filters)
+    if (survivors.isEmpty || survivors.exists(_.colStats.isEmpty)) return None
+    val cols = survivors.head.colStats.keySet
+      .filter(c => survivors.forall(_.colStats.contains(c)))
+    if (cols.isEmpty) return None
+    val tableNdv: Map[String, Long] =
+      meta.stats.map(_.colStats.map { case (c, cs) => c -> cs.ndv })
+        .getOrElse(Map.empty)
+    val tz = Some(timeZoneId)
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    cols.foreach { c =>
+      meta.schema.fields.find(f =>
+        sparkSession.sessionState.conf.resolver(f.name, c)).foreach { f =>
+        val entries = survivors.map(_.colStats(c))
+        val ndvSum = entries.map(_.ndv).sum
+        val ndv = tableNdv.find { case (n, _) =>
+          sparkSession.sessionState.conf.resolver(n, c) }
+          .map(_._2).filter(_ > 0).fold(ndvSum)(t => math.min(ndvSum, t))
+        // typed extreme selection over the string-encoded bounds: decode
+        // through the schema type, order with the type's ordering, keep
+        // the ORIGINAL string (the v2 conversion re-decodes it)
+        def decode(s: String): Option[Any] = Option(
+          Cast(Literal(UTF8String.fromString(s), StringType), f.dataType, tz)
+            .eval(null))
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(f.dataType).asInstanceOf[Ordering[Any]]
+        def extreme(pick: Seq[String] => Option[String],
+            get: ColumnStatsMeta => Option[String]): Option[String] = {
+          val all = entries.map(get)
+          if (all.exists(_.isEmpty)) None else pick(all.flatten)
+        }
+        val minS = extreme(ss => {
+          val decoded = ss.flatMap(s => decode(s).map(s -> _))
+          if (decoded.size != ss.size) None
+          else Some(decoded.minBy(_._2)(ord)._1)
+        }, _.min)
+        val maxS = extreme(ss => {
+          val decoded = ss.flatMap(s => decode(s).map(s -> _))
+          if (decoded.size != ss.size) None
+          else Some(decoded.maxBy(_._2)(ord)._1)
+        }, _.max)
+        m.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+          org.apache.spark.sql.graft.GraftSqlBridge.v2ColumnStatistics(
+            f.dataType, ndv, entries.map(_.nullCount).sum, minS, maxS,
+            Some(entries.flatMap(_.avgLen)).filter(_.size == entries.size)
+              .map(_.max),
+            Some(entries.flatMap(_.maxLen)).filter(_.size == entries.size)
+              .map(_.max),
+            None))
+      }
+    }
+    if (m.isEmpty) None else Some(m)
   }
 
   def filterPartitions(filters: Seq[Expression]): InMemoryFileIndex = {

@@ -125,10 +125,17 @@ class GraftMetadataTable(
       case (frag, dir) =>
         val fs = dir.getFileSystem(conf)
         if (!fs.exists(dir)) Nil
-        else fs.listStatus(dir).toSeq
-          .filter(s => s.isFile && !hidden(s.getPath.getName))
-          .map(s => (frag, s.getPath, s.getLen,
-            recordCount(conf, s.getPath, meta.provider)))
+        else {
+          // manifested tables (graft.skipping.by) answer record_count
+          // from the shard's recorded tallies — a pure metadata read at
+          // 100k files; unmanifested files fall back to one footer read
+          val recorded = SkipStats.recordedRowCounts(conf, dir)
+          fs.listStatus(dir).toSeq
+            .filter(s => s.isFile && !hidden(s.getPath.getName))
+            .map(s => (frag, s.getPath, s.getLen,
+              recorded.get(s.getPath.getName)
+                .orElse(recordCount(conf, s.getPath, meta.provider))))
+        }
     }
     kind match {
       case "files" =>

@@ -66,7 +66,14 @@ case class PartitionMeta(
     // every data-mutating path registers FRESH PartitionMeta objects
     // (default None), so a stale count cannot survive a commit that
     // touched its partition
-    rowCount: Option[Long] = None) {
+    rowCount: Option[Long] = None,
+    // analyze-recorded PER-PARTITION column statistics (NDV/null/
+    // min-max/length, no histograms) — same self-invalidation contract
+    // as rowCount. A partition-pruned scan merges the SURVIVORS' stats
+    // (NDV summed as a safe upper bound, bounds min/max'd, nulls
+    // summed) so CBO estimates with the pruned data's cardinalities,
+    // not the whole table's.
+    colStats: Map[String, ColumnStatsMeta] = Map.empty) {
   /** False while the partition awaits its first sizing pass —
     * [[PartitionMeta.Unsized]] is distinct from a genuinely empty
     * (0-byte) partition, so sizing commits repair each placeholder
@@ -389,28 +396,31 @@ object MetaStore {
     case _ => Map.empty
   }
 
+  private def colStatsJson(colStats: Map[String, ColumnStatsMeta]): JValue =
+    JObject(colStats.toSeq.sortBy(_._1).map {
+      case (c, cs) => c -> (JObject(List(
+        "ndv" -> JLong(cs.ndv),
+        "nullCount" -> JLong(cs.nullCount),
+        "min" -> cs.min.map(JString(_): JValue).getOrElse(JNull),
+        "max" -> cs.max.map(JString(_): JValue).getOrElse(JNull),
+        "avgLen" -> cs.avgLen.map(JLong(_): JValue).getOrElse(JNull),
+        "maxLen" -> cs.maxLen.map(JLong(_): JValue).getOrElse(JNull),
+        "histogram" -> cs.histogram.map[JValue] { case (h, bins) =>
+          JObject(List[(String, JValue)](
+            "height" -> JDouble(h),
+            "bins" -> JArray(bins.toList.map[JValue](b =>
+              JObject(List[(String, JValue)](
+                "lo" -> JDouble(b.lo),
+                "hi" -> JDouble(b.hi),
+                "ndv" -> JLong(b.ndv)))))))
+        }.getOrElse(JNull))): JValue)
+    }.toList)
+
   private def statsJson(so: Option[TableStats]): JValue = so match {
       case Some(s) => JObject(List(
         "sizeInBytes" -> JLong(s.sizeInBytes),
         "numRows" -> s.numRows.map(JLong(_): JValue).getOrElse(JNull),
-        "colStats" -> JObject(s.colStats.toSeq.sortBy(_._1).map {
-          case (c, cs) => c -> (JObject(List(
-            "ndv" -> JLong(cs.ndv),
-            "nullCount" -> JLong(cs.nullCount),
-            "min" -> cs.min.map(JString(_): JValue).getOrElse(JNull),
-            "max" -> cs.max.map(JString(_): JValue).getOrElse(JNull),
-            "avgLen" -> cs.avgLen.map(JLong(_): JValue).getOrElse(JNull),
-            "maxLen" -> cs.maxLen.map(JLong(_): JValue).getOrElse(JNull),
-            "histogram" -> cs.histogram.map[JValue] { case (h, bins) =>
-              JObject(List[(String, JValue)](
-                "height" -> JDouble(h),
-                "bins" -> JArray(bins.toList.map[JValue](b =>
-                  JObject(List[(String, JValue)](
-                    "lo" -> JDouble(b.lo),
-                    "hi" -> JDouble(b.hi),
-                    "ndv" -> JLong(b.ndv)))))))
-            }.getOrElse(JNull))): JValue)
-        }.toList)))
+        "colStats" -> colStatsJson(s.colStats)))
       case None => JNull
   }
 
@@ -419,7 +429,9 @@ object MetaStore {
       "spec" -> mapToJson(p.spec),
       "location" -> p.location.map(JString(_): JValue).getOrElse(JNull),
       "sizeInBytes" -> JLong(p.sizeInBytes),
-      "rowCount" -> p.rowCount.map(JLong(_): JValue).getOrElse(JNull)))
+      "rowCount" -> p.rowCount.map(JLong(_): JValue).getOrElse(JNull)) ++
+      (if (p.colStats.isEmpty) Nil
+       else List("colStats" -> colStatsJson(p.colStats))))
   }.toList)
 
   def toJson(m: TableMeta): String = {
@@ -456,55 +468,60 @@ object MetaStore {
     JsonMethods.pretty(JsonMethods.render(root))
   }
 
+  private def jlongOpt(v: JValue): Option[Long] = v match {
+    case JLong(x) => Some(x)
+    case JInt(x) => Some(x.toLong)
+    case _ => None
+  }
+
+  private def colStatsFromJson(jv: JValue): Map[String, ColumnStatsMeta] = jv match {
+    case JObject(cs) => cs.collect {
+      case (c, o: JObject) =>
+        val cm = o.obj.toMap
+        def jlong(v: JValue): Option[Long] = jlongOpt(v)
+        def jstr(v: Option[JValue]): Option[String] =
+          v.collect { case JString(s) => s }
+        def jdouble(v: JValue): Option[Double] = v match {
+          case JDouble(x) => Some(x)
+          case JLong(x) => Some(x.toDouble)
+          case JInt(x) => Some(x.toDouble)
+          case _ => None
+        }
+        val hist = cm.get("histogram") match {
+          case Some(h: JObject) =>
+            val hm = h.obj.toMap
+            val bins = hm.get("bins") match {
+              case Some(JArray(bs)) => bs.collect {
+                case b: JObject =>
+                  val bm = b.obj.toMap
+                  HistogramBinMeta(
+                    bm.get("lo").flatMap(jdouble).getOrElse(0.0),
+                    bm.get("hi").flatMap(jdouble).getOrElse(0.0),
+                    bm.get("ndv").flatMap(jlong).getOrElse(0L))
+              }
+              case _ => Nil
+            }
+            hm.get("height").flatMap(jdouble)
+              .filter(_ => bins.nonEmpty).map(ht => (ht, bins))
+          case _ => None
+        }
+        c -> ColumnStatsMeta(
+          cm.get("ndv").flatMap(jlong).getOrElse(0L),
+          cm.get("nullCount").flatMap(jlong).getOrElse(0L),
+          jstr(cm.get("min")), jstr(cm.get("max")),
+          cm.get("avgLen").flatMap(jlong), cm.get("maxLen").flatMap(jlong),
+          hist)
+    }.toMap
+    case _ => Map.empty[String, ColumnStatsMeta]
+  }
+
   private def statsFromJson(jv: JValue): Option[TableStats] = jv match {
       case JObject(fields) =>
         val m = fields.toMap
-        def jlong(v: JValue): Option[Long] = v match {
-          case JLong(x) => Some(x)
-          case JInt(x) => Some(x.toLong)
-          case _ => None
-        }
-        val size = m.get("sizeInBytes").flatMap(jlong).getOrElse(0L)
-        val rows = m.get("numRows").flatMap(jlong)
-        val cols = m.get("colStats") match {
-          case Some(JObject(cs)) => cs.collect {
-            case (c, o: JObject) =>
-              val cm = o.obj.toMap
-              def jstr(v: Option[JValue]): Option[String] =
-                v.collect { case JString(s) => s }
-              def jdouble(v: JValue): Option[Double] = v match {
-                case JDouble(x) => Some(x)
-                case JLong(x) => Some(x.toDouble)
-                case JInt(x) => Some(x.toDouble)
-                case _ => None
-              }
-              val hist = cm.get("histogram") match {
-                case Some(h: JObject) =>
-                  val hm = h.obj.toMap
-                  val bins = hm.get("bins") match {
-                    case Some(JArray(bs)) => bs.collect {
-                      case b: JObject =>
-                        val bm = b.obj.toMap
-                        HistogramBinMeta(
-                          bm.get("lo").flatMap(jdouble).getOrElse(0.0),
-                          bm.get("hi").flatMap(jdouble).getOrElse(0.0),
-                          bm.get("ndv").flatMap(jlong).getOrElse(0L))
-                    }
-                    case _ => Nil
-                  }
-                  hm.get("height").flatMap(jdouble)
-                    .filter(_ => bins.nonEmpty).map(ht => (ht, bins))
-                case _ => None
-              }
-              c -> ColumnStatsMeta(
-                cm.get("ndv").flatMap(jlong).getOrElse(0L),
-                cm.get("nullCount").flatMap(jlong).getOrElse(0L),
-                jstr(cm.get("min")), jstr(cm.get("max")),
-                cm.get("avgLen").flatMap(jlong), cm.get("maxLen").flatMap(jlong),
-                hist)
-          }.toMap
-          case _ => Map.empty[String, ColumnStatsMeta]
-        }
+        val size = m.get("sizeInBytes").flatMap(jlongOpt).getOrElse(0L)
+        val rows = m.get("numRows").flatMap(jlongOpt)
+        val cols = m.get("colStats").map(colStatsFromJson)
+          .getOrElse(Map.empty[String, ColumnStatsMeta])
         Some(TableStats(size, rows, cols))
       case _ => None
   }
@@ -522,7 +539,8 @@ object MetaStore {
           case JInt(v) => Some(v.toLong)
           case _ => None
         }
-        PartitionMeta(jsonToMap(it \ "spec"), loc, size, rows)
+        PartitionMeta(jsonToMap(it \ "spec"), loc, size, rows,
+          colStatsFromJson(it \ "colStats"))
       }
       case _ => Nil
   }

@@ -192,17 +192,25 @@ object SkipStats extends Logging {
     val files = fs.listStatus(root).toSeq
       .filter(s => s.isFile && !hidden(s.getPath.getName))
     val old = readRaw(fs, root)
-    val entries: Map[String, RawEntry] = files.flatMap { st =>
-      val key = st.getPath.getName
-      val e = old.get(key) match {
-        // carried entries must COVER the declared bloom columns
-        // (a checked-but-absent bloom is stored as an empty marker, so
-        // a pre-declaration file is re-read exactly once) — otherwise
-        // re-read the footer for the newly declared column's bloom
-        case Some(kept) if bloomCols.forall(c => kept.blooms.contains(c.name)) &&
-            cols.forall(c => kept.nulls.contains(c.name)) =>
-          kept
-        case _ =>
+    // carried entries must COVER the declared bloom columns
+    // (a checked-but-absent bloom is stored as an empty marker, so
+    // a pre-declaration file is re-read exactly once) — otherwise
+    // re-read the footer for the newly declared column's bloom
+    val (carried, toRead) = files.partition { st =>
+      old.get(st.getPath.getName).exists(kept =>
+        bloomCols.forall(c => kept.blooms.contains(c.name)) &&
+          cols.forall(c => kept.nulls.contains(c.name)))
+    }
+    // The per-file footer reads run CONCURRENTLY (bounded by the shared
+    // pool — the GraftBatchWrite sizing-pass pattern): a 10k-file
+    // backfill commit otherwise pays 10k serial driver-side opens.
+    // Order-independent, read-only against immutable published files.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val read: Seq[(String, RawEntry)] = Await.result(
+      Future.traverse(toRead) { st => Future {
+        val e =
           if (provider == "orc") {
             val (ranges, nulls) = orcStats(conf, st, cols)
             RawEntry(ranges, Map.empty, nulls)
@@ -211,11 +219,13 @@ object SkipStats extends Logging {
             RawEntry(ranges,
               footerBlooms(conf, st, bloomCols, bloomNdv(props)), nulls)
           }
-      }
-      if (e.ranges.nonEmpty || e.blooms.nonEmpty || e.nulls.nonEmpty)
-        Some(key -> e)
-      else None
-    }.toMap
+        st.getPath.getName -> e
+      } }, Duration.Inf)
+    val entries: Map[String, RawEntry] =
+      (carried.map(st => st.getPath.getName -> old(st.getPath.getName)) ++ read)
+        .filter { case (_, e) =>
+          e.ranges.nonEmpty || e.blooms.nonEmpty || e.nulls.nonEmpty }
+        .toMap
     writeAtomic(fs, root, entries)
   } catch { case NonFatal(e) =>
     logWarning(s"skip-stats maintenance failed for $dir " +
@@ -616,6 +626,113 @@ object SkipStats extends Logging {
         case _ => None
       }.toMap
       case _ => Map.empty
+    }
+  } catch { case NonFatal(_) => Map.empty }
+
+  /** ANALYZE-time synthetic ranges for ROW formats (avro/csv/json, which
+    * carry no self-describing footer statistics): ONE distributed pass
+    * per directory groups by `input_file_name()`, computing each file's
+    * min/max and null tallies for the declared skipping columns, and
+    * writes the same per-directory shards the footer path maintains —
+    * so `graft.skipping.by` (ranges + null proofs) works on a
+    * Kafka-adjacent avro estate after `CALL sys.analyze`. Commit-time
+    * maintenance cannot serve these formats (no footer to read), so the
+    * shards refresh on the ANALYZE cadence: files appended since keep
+    * no entry and are always read — staleness costs I/O, never rows
+    * (files are immutable, so an EXISTING entry can never be wrong).
+    * Parquet/ORC return immediately ([[maintainDirs]] owns them). */
+  def analyzeDirs(
+      spark: SparkSession,
+      dirs: Seq[String],
+      schema: StructType,
+      partitionColumns: Seq[String],
+      props: Map[String, String],
+      provider: String): Unit = try {
+    if (Set("parquet", "orc").contains(provider)) return
+    val partSet = partitionColumns.map(_.toLowerCase).toSet
+    val cols = resolvedCols(props, schema)
+      .filterNot(f => partSet.contains(f.name.toLowerCase))
+    if (cols.isEmpty) return
+    val conf = spark.sessionState.newHadoopConf()
+    import org.apache.spark.sql.functions._
+    val dataSchema = StructType(
+      schema.filterNot(f => partSet.contains(f.name.toLowerCase)))
+    // external (collected) value → the manifest's catalyst-encoded string
+    def enc(v: Any): Option[String] = v match {
+      case null => None
+      case ts: java.sql.Timestamp => Some(String.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)))
+      case ts: java.time.Instant => Some(String.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(ts)))
+      case d: java.sql.Date => Some(String.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)))
+      case d: java.time.LocalDate => Some(String.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d)))
+      case other => Some(String.valueOf(other))
+    }
+    dirs.distinct.foreach { dir =>
+      val root = new Path(dir)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root) &&
+          fs.listStatus(root).exists(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))) {
+        // avro resolves by FileFormat class name — the short name needs
+        // a ServiceLoader registration this classpath layout lacks (the
+        // scan path instantiates the class directly for the same reason)
+        val fmt = if (provider == "avro")
+          org.apache.spark.sql.graft.GraftSqlBridge.avroFileFormat()
+            .getClass.getName
+        else provider
+        val df = spark.read.format(fmt).schema(dataSchema)
+          .options(GraftCatalog.optionProps(props)).load(dir)
+        val exprs = scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Column](count(lit(1)).as("n"))
+        cols.foreach { f =>
+          exprs += min(col(f.name)).as(s"min:${f.name}")
+          exprs += max(col(f.name)).as(s"max:${f.name}")
+          exprs += count(col(f.name)).as(s"nn:${f.name}")
+        }
+        // one row per file — bounded by the dir's file count
+        val perFile = df.groupBy(input_file_name().as("__file"))
+          .agg(exprs.head, exprs.tail.toSeq: _*).collect()
+        val entries: Map[String, RawEntry] = perFile.flatMap { r =>
+          val fileName = new Path(r.getString(r.fieldIndex("__file"))).getName
+          if (fileName.isEmpty) None else {
+            val n = r.getLong(r.fieldIndex("n"))
+            val ranges = cols.flatMap { f =>
+              val (mi, ma) = (r.fieldIndex(s"min:${f.name}"), r.fieldIndex(s"max:${f.name}"))
+              if (r.isNullAt(mi) || r.isNullAt(ma)) None
+              else for (a <- enc(r.get(mi)); b <- enc(r.get(ma)))
+                yield f.name -> (a, b)
+            }.toMap
+            val nulls = cols.map { f =>
+              f.name -> s"${n - r.getLong(r.fieldIndex(s"nn:${f.name}"))}/$n"
+            }.toMap
+            Some(fileName -> RawEntry(ranges, Map.empty, nulls))
+          }
+        }.toMap
+        if (entries.nonEmpty) writeAtomic(fs, root, entries)
+      }
+    }
+  } catch { case NonFatal(e) =>
+    logWarning(s"analyze-time skip-stats pass failed for $provider " +
+      s"(skipping stays disabled there): $e")
+  }
+
+  /** Per-file EXACT row counts already recorded in a directory's shard
+    * (the denominators of the null tallies, written once at commit from
+    * the same footer the count would re-read) — so metadata reads
+    * (`t$files.record_count`) on a manifested table are pure metadata:
+    * zero footer I/O at any file count. Missing/unknown entries are
+    * simply absent; the caller falls back to the footer. */
+  def recordedRowCounts(
+      conf: Configuration, dir: Path): Map[String, Long] = try {
+    readMain(dir.getFileSystem(conf), dir).flatMap { case (f, e) =>
+      e.nulls.values.iterator.flatMap(_.split("/") match {
+        case Array(_, r) => scala.util.Try(r.toLong).toOption
+        case _ => None
+      }).nextOption().map(f -> _)
     }
   } catch { case NonFatal(_) => Map.empty }
 

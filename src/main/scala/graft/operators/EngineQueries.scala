@@ -1027,6 +1027,51 @@ object EngineQueries {
       .orderBy($"probe")
   }
 
+  // ---------------------------------------------------------------- Q117
+  /** RUNTIME FILE/BLOOM SKIPPING ON THE COMPOSITE SCAN — the layout
+    * stack's remaining join case: a fact PARTITIONED BY flag +
+    * CLUSTERED BY order key, joined to a selective dim on a THIRD
+    * column (`l_partkey`) the layout does not encode. The skipping
+    * declaration (`graft.skipping.by` + `graft.bloom.by` on that
+    * column) gives every file a recorded range and a merged bloom; the
+    * dim join's runtime IN-set reaches the BUCKETED scan's runtime
+    * surface and EMPTIES provably-excluded files out of the latched
+    * keyed groups (the late-DPP mechanism — group count stays
+    * contractual for any concurrent SPJ claim). At 100 TB: the
+    * composite table keeps its zero-exchange fact⋈fact alignment AND
+    * prunes files on dim joins over non-layout columns — the two
+    * access patterns one physical layout otherwise has to choose
+    * between. PlanShapeSpec pins the scheduled file subset; this query
+    * hash-gates the join's row-level equality. */
+  def q117_runtime_skip_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val f = s"$cat.tmp.q117_fact"
+    val d = s"$cat.tmp.q117_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $f")
+    spark.sql(s"DROP TABLE IF EXISTS $d")
+    val li = Tables(spark, dir, "lineitem")
+    li.select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_returnflag")
+      .writeTo(f)
+      .tableProperty(graft.catalog.SkipStats.Prop, "l_partkey")
+      .tableProperty(graft.catalog.SkipStats.BloomProp, "l_partkey")
+      .partitionedBy($"l_returnflag", bucket(8, $"l_orderkey")).create()
+    li.select($"l_partkey".as("d_partkey")).filter($"d_partkey" % 97 === 0)
+      .distinct()
+      .withColumn("d_tag", lit("keep"))
+      .writeTo(d).create()
+    spark.table(f)
+      .join(spark.table(d).filter($"d_tag" === "keep"),
+        $"l_partkey" === $"d_partkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        RelationalQueries.r2(sum($"l_quantity")).as("sum_qty"),
+        sum($"l_orderkey" % 999983L).as("key_checksum"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Scope the storage-partitioned-join planner confs to one block —
     * `requireAllClusterKeysForCoPartition=false` lets a partitioning on
     * a SUBSET of the join keys co-partition (the SPJ core case);
@@ -1373,6 +1418,7 @@ object EngineQueries {
     "q114_generation_rollback" -> (q114_generation_rollback _),
     "q115_time_travel" -> (q115_time_travel _),
     "q116_snapshot_time_travel" -> (q116_snapshot_time_travel _),
+    "q117_runtime_skip_join" -> (q117_runtime_skip_join _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1549,6 +1595,15 @@ object EngineQueries {
         |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
         | FROM lineitem WHERE l_orderkey % 3 = 0
         |ORDER BY probe""".stripMargin,
+    // The runtime-skipped composite join restated plainly: the dim is
+    // exactly the distinct part keys divisible by 97, so the inner join
+    // equals the WHERE — file/bloom pruning must not change a row.
+    "q117_runtime_skip_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty,
+        |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
+        | FROM lineitem WHERE l_partkey % 97 = 0
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Rollback restated over the source: after create -> migrate-to-orc
     // -> rollback, the ORIGINAL parquet generation must serve the exact
     // original rows; exactly one retired generation (the orc one)

@@ -99,7 +99,17 @@ object ScaleProbe {
     // q115's time-travel read: seed CTAS + orc migrate + the odd-half
     // append are the write-bound terms; resolving VERSION AS OF 1 is a
     // descriptor lookup, and both probes are map-side-combined counts
-    "q115_time_travel")
+    "q115_time_travel",
+    // round-18: q116's snapshot lineage — three commits (CTAS, append,
+    // truncate-overwrite), each writing per-touched-dir shards + one
+    // manifest; the overwrite's retirement is renames ∝ files; the two
+    // travel probes read the recorded file sets. All terms linear in
+    // bytes or files, the snapshot bookkeeping O(dirs) per commit.
+    "q116_snapshot_time_travel",
+    // q117's runtime-skipped composite join: the composite CTAS (one
+    // pinned-N bucket shuffle + per-file bloom writes, linear) and the
+    // dim join whose runtime IN-set prunes against shards ∝ FILES
+    "q117_runtime_skip_join")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:

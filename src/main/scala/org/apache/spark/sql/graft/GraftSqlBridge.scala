@@ -262,22 +262,41 @@ class GraftFileScan(
     val base = current.estimateStatistics()
     val (refined, refinedRows) = prunedStats(current)
     val size = if (refined.isPresent) refined else base.sizeInBytes()
-    tableV2Stats match {
-      case Some((rows, colMap)) => new Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = size
-        override def numRows(): java.util.OptionalLong =
-          if (refinedRows.isPresent) refinedRows
-          else if (rows.isPresent) rows
-          else base.numRows()
-        override def columnStats(): java.util.Map[
-            org.apache.spark.sql.connector.expressions.NamedReference,
-            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colMap
+    // POST-PRUNING column statistics: the surviving partitions'
+    // analyze-recorded per-partition stats, merged by the catalog index
+    // — they override the whole-table entries per column, so a pruned
+    // scan's CBO estimates (aggregate output ≤ grouping NDV, filter
+    // selectivity from bounds) track the pruning. Any failure keeps the
+    // table-level stats (never fails planning).
+    val prunedCols: Option[java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]] =
+      current.fileIndex match {
+        case g: graft.catalog.GraftFileIndex if current.partitionFilters.nonEmpty =>
+          try g.prunedColStatsV2(current.partitionFilters)
+          catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
       }
-      case None => new Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = size
-        override def numRows(): java.util.OptionalLong =
-          if (refinedRows.isPresent) refinedRows else base.numRows()
+    val colMap: Option[java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]] =
+      (tableV2Stats.map(_._2), prunedCols) match {
+        case (Some(t), Some(p)) =>
+          val m = new java.util.HashMap(t); m.putAll(p); Some(m)
+        case (t, p) => p.orElse(t)
       }
+    val tableRows = tableV2Stats.map(_._1)
+      .getOrElse(java.util.OptionalLong.empty())
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong =
+        if (refinedRows.isPresent) refinedRows
+        else if (tableRows.isPresent) tableRows
+        else base.numRows()
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colMap.getOrElse(java.util.Collections.emptyMap())
     }
   }
 
@@ -1024,8 +1043,12 @@ class GraftFormatScan(
   private lazy val spjActive: Boolean = SQLConf.get.v2BucketingEnabled
   private val BucketName = "^part-(\\d+)-".r
 
+  // data filters thread through to the LISTING so the catalog index's
+  // file-level skipping evaluates them (q109 on row formats: the
+  // ANALYZE-built synthetic ranges — reader pushdown is still not
+  // claimed, every filter re-applies post-scan)
   private lazy val selected: Seq[PartitionDirectory] =
-    index.listFiles(partitionFilters, Nil)
+    index.listFiles(partitionFilters, dataFilters)
 
   /** (bucket id, file, partition values), or None when unbucketed, the
     * table is empty, or any file name fails to parse (foreign layout). */

@@ -850,6 +850,64 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     Seq(f1, d1, f2, d2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("q109 on a row format: ANALYZE builds avro skip-stats and a key-range query schedules a file subset") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.planshape")
+    val t = s"$cat.planshape.avro_skip"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val li = Tables(spark, sf0001, "lineitem").select($"l_orderkey", $"l_quantity")
+    li.repartitionByRange(8, $"l_orderkey")
+      .writeTo(t).using("avro")
+      .tableProperty(graft.catalog.SkipStats.Prop, "l_orderkey")
+      .create()
+    val lo = li.agg(min($"l_orderkey")).as[Long].head()
+    def probe() = spark.table(t)
+      .filter($"l_orderkey" >= lo && $"l_orderkey" <= lo + 50)
+    val expected = li.filter($"l_orderkey" >= lo && $"l_orderkey" <= lo + 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    def filesOf(q: org.apache.spark.sql.DataFrame): Seq[String] = {
+      def allScans(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = sp match {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case qe: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(qe.plan)
+        case other => other.children.flatMap(allScans)
+      }
+      allScans(q.queryExecution.executedPlan)
+        .headOption.getOrElse(fail("no scan"))
+        .inputRDD.partitions.toSeq.flatMap {
+          case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            dp.inputPartitions
+        }.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+        }.flatMap(_.files).map(_.filePath.toString).distinct
+    }
+    // avro files have no footer stats — before ANALYZE the commit path
+    // cannot manifest them, so the range query reads every file
+    val before = probe()
+    assert(before.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      === expected)
+    assert(filesOf(before).size === 8,
+      "without a manifest every avro file must be scheduled")
+    // ANALYZE is the row-format manifest builder: one distributed
+    // input_file_name() pass writes the same shards the footer path does
+    spark.sql(s"CALL $cat.sys.analyze('$t', '')").collect()
+    spark.sql(s"REFRESH TABLE $t")
+    val after = probe()
+    assert(after.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      === expected, "skipping must never change rows")
+    val readAfter = filesOf(after)
+    assert(readAfter.size <= 2,
+      s"the range-sliced avro table must schedule a file subset, " +
+        s"got ${readAfter.size}: $readAfter")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("q109 file-level data skipping: a key-range query schedules only the overlapping files") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -1683,6 +1741,67 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       // far under the threshold, and the join flips to broadcast
       assert(plan().contains("BroadcastHashJoin"),
         "post-ANALYZE the 5-row aggregate side must broadcast")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("per-partition column stats: a pruned scan's NDV flips the broadcast whole-table stats would not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.pps_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // partition 'lo': 4 distinct g values; partition 'hi': 5000 distinct
+    // — the table-level NDV (~5004) cannot bound a lo-pruned aggregate
+    val rows =
+      (0 until 5000).map(i => (s"g${i % 4}", i.toLong, "lo")) ++
+      (0 until 5000).map(i => (f"h$i%05d", i.toLong, "hi"))
+    rows.toDF("g", "v", "p").writeTo(t).partitionedBy($"p").create()
+    spark.sql(s"CALL $cat.sys.analyze('$t', '*')").collect()
+    val graftCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    def meta() = graftCat.metaStore.loadTable("tmp", "pps_dim")
+    def invalidate() = graftCat.invalidateTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("tmp"), "pps_dim"))
+    // per-partition stats recorded: lo's g NDV tiny, hi's huge
+    val byP = meta().partitions.map(pm => pm.spec("p") -> pm.colStats).toMap
+    assert(byP("lo")("g").ndv <= 6 && byP("lo")("g").ndv >= 3,
+      s"lo partition g NDV: ${byP("lo")("g")}")
+    assert(byP("hi")("g").ndv > 1000, s"hi partition g NDV: ${byP("hi")("g")}")
+    assert(byP("lo")("g").min.contains("g0") && byP("lo")("g").max.contains("g3"))
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // between the lo-pruned aggregate's ~4 rows and the hi-pruned ~5000
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4000")
+      invalidate()
+      def plan(pv: String): String = {
+        val dim = spark.table(t).filter($"p" === pv)
+          .groupBy($"g").agg(sum($"v").as("s"))
+        spark.table(t).join(dim, "g")
+          .agg(count(lit(1))).queryExecution.executedPlan.toString
+      }
+      // pruned NDV 4 bounds the aggregate at 4 rows → broadcast
+      assert(plan("lo").contains("BroadcastHashJoin"),
+        "the lo-pruned 4-row aggregate must broadcast")
+      // the SAME query shape over the high-NDV partition must not —
+      // proof the estimate tracks the PRUNED stats, not a fixed table one
+      assert(!plan("hi").contains("BroadcastHashJoin"),
+        "the hi-pruned 5000-row aggregate must NOT broadcast")
+      // strip the per-partition stats: the scan falls back to the
+      // whole-table NDV (~5004) and the lo plan loses its broadcast —
+      // the flip was the per-partition statistics, nothing else
+      graftCat.metaStore.updateTable("tmp", "pps_dim")(m =>
+        m.copy(partitions = m.partitions.map(_.copy(colStats = Map.empty))))
+      invalidate()
+      assert(!plan("lo").contains("BroadcastHashJoin"),
+        "without per-partition stats the whole-table NDV must keep the SMJ")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -1465,6 +1465,57 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("many-file commit: concurrent manifest maintenance records every file; t\\$files serves counts from the shard") {
+    import spark.implicits._
+    val t = freshTable("t_many_files")
+    // one commit, 48 files (pinned by repartition) — the footer reads
+    // run concurrently; every file must still get its entry
+    (0L until 4800L).map(i => (i, i % 7))
+      .toDF("k", "v")
+      .repartition(48)
+      .writeTo(t)
+      .tableProperty(SkipStats.Prop, "k")
+      .create()
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val root = new org.apache.hadoop.fs.Path(
+      cat.metaStore.loadTable("wtest", "t_many_files").location)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    val dataFiles = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+    assert(dataFiles.size === 48)
+    val recorded = SkipStats.recordedRowCounts(conf, root)
+    assert(recorded.keySet === dataFiles.toSet,
+      "every committed file needs its shard entry")
+    assert(recorded.values.sum === 4800L, "tallies must be exact")
+    // t$files record_count agrees with the data…
+    val viaMeta = spark.table(s"$ns.`t_many_files$$files`")
+      .agg(org.apache.spark.sql.functions.sum($"record_count")).head().getLong(0)
+    assert(viaMeta === 4800L)
+    // …and comes FROM the shard, not the footers: a sentinel planted in
+    // the shard surfaces verbatim (proof there is no footer I/O for
+    // manifested files)
+    val manifest = new org.apache.hadoop.fs.Path(root, SkipStats.ManifestName)
+    val txt = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    val victim = dataFiles.head
+    val perFile = 4800L / 48
+    val out = fs.create(manifest, true)
+    try out.write(txt.replaceFirst(
+      java.util.regex.Pattern.quote(s"""$victim":{"ranges""") + "(.*?)/" + perFile,
+      java.util.regex.Matcher.quoteReplacement(s"""$victim":{"ranges""") +
+        "$1/" + (perFile + 1000)).getBytes("UTF-8"))
+    finally out.close()
+    val viaMeta2 = spark.table(s"$ns.`t_many_files$$files`")
+      .agg(org.apache.spark.sql.functions.sum($"record_count")).head().getLong(0)
+    assert(viaMeta2 === 4800L + 1000L,
+      "record_count must be served from the shard for manifested files")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("TIMESTAMP AS OF outside the known lineage refuses instead of approximating") {
     import spark.implicits._
     val t = freshTable("t_ts_bounds")
