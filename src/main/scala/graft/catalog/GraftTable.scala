@@ -502,6 +502,13 @@ class GraftTable(
         }
         current.copy(
           partitions = kept,
+          // DROP PARTITION destroys data OUTSIDE the commit path (purge
+          // semantics, no retirement) — the snapshot lineage can no
+          // longer serve its promises, so clear it: travel then refuses
+          // with "no snapshots" instead of chasing deleted files, and
+          // the next commit rebuilds the lineage. (DELETE FROM is the
+          // lineage-preserving alternative: it retires.)
+          snapshots = if (current.external) current.snapshots else Nil,
           // honor the R19 toggle here too, and never sum a partition that
           // still carries the Unsized placeholder — either would present
           // authoritative near-zero stats for a non-empty table

@@ -344,7 +344,12 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
         }
         dst.toString
       }
-    saveTable(toDb, meta.copy(name = to, location = newLocation))
+    // a MANAGED rename moved the data dir, stranding the snapshot
+    // manifests' absolute paths — clear the lineage so travel refuses
+    // with "no snapshots" instead of a misleading reclaimed error, and
+    // the next commit rebuilds it cleanly under the new location
+    saveTable(toDb, meta.copy(name = to, location = newLocation,
+      snapshots = if (newLocation == meta.location) meta.snapshots else Nil))
     fs.delete(tableMetaFile(fromDb, from), false)
     }
 
