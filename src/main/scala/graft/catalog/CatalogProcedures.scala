@@ -90,17 +90,20 @@ object CatalogProcedures {
       }),
     "rollback" -> new GraftProcedure(
       "rollback",
-      "re-point a table at its most recent retired generation (migrate/" +
-        "zorder leave the old generation on disk for the vacuum retention " +
-        "window; rolling back within it is a pure descriptor flip); see " +
-        "<table>$history for what is restorable",
-      Array(param("table", StringType)),
+      "undo the last versions_back commits: an in-place commit (append/" +
+        "overwrite/truncate/DELETE/DML/epoch) restores its snapshot's " +
+        "exact file set by renames (redo-able); a rewrite flip (migrate/" +
+        "zorder) re-points the descriptor at the retired generation. " +
+        "See <table>$snapshots / <table>$history for what is restorable",
+      Array(param("table", StringType),
+        paramDefault("versions_back", LongType, "1")),
       StructType(Seq(
         StructField("restored_provider", StringType, nullable = false),
         StructField("restored_location", StringType, nullable = false))),
       in => {
+        val n = if (in.isNullAt(1)) 1 else in.getLong(1).toInt
         val (prov, loc) = graft.operators.Rollback.rollback(
-          spark, in.getUTF8String(0).toString)
+          spark, in.getUTF8String(0).toString, n)
         InternalRow(utf8(prov), utf8(loc))
       }),
     "compact" -> new GraftProcedure(

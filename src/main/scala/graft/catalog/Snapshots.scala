@@ -467,6 +467,25 @@ object Snapshots extends Logging {
       .filter(_.version > target.version)
       .flatMap(s => readSnap(conf, s.file))
       .collect { case s if s.token.nonEmpty => (s.location, s.token) }
+    // retirement lookups are BULK: one listing per (token, relative dir)
+    // actually probed, memoized across files — a truncate-rollback of a
+    // 100k-file table pays O(dirs × tokens) listings, never O(files)
+    // per-file existence RPCs
+    val retiredListings =
+      scala.collection.mutable.Map.empty[(String, String, String),
+        Map[String, FileStatus]]
+    def retiredIn(loc: String, tok: String, relDir: String): Map[String, FileStatus] =
+      retiredListings.getOrElseUpdate((loc, tok, relDir), {
+        try {
+          val p = new Path(loc,
+            if (relDir.isEmpty) s"$RetiredDirName/$tok"
+            else s"$RetiredDirName/$tok/$relDir")
+          val pfs = p.getFileSystem(conf)
+          if (!pfs.exists(p)) Map.empty
+          else pfs.listStatus(p).toSeq.filter(_.isFile)
+            .map(s => s.getPath.getName -> s).toMap
+        } catch { case NonFatal(_) => Map.empty[String, FileStatus] }
+      })
     val dirs = snap.dirs.map { sd =>
       val dirPath = new Path(sd.dir)
       val dfs = dirPath.getFileSystem(conf)
@@ -476,15 +495,15 @@ object Snapshots extends Logging {
         (if (dfs.exists(dirPath)) dfs.listStatus(dirPath).toSeq else Nil)
           .filter(s => s.isFile && !hidden(s.getPath.getName))
           .map(s => s.getPath.getName -> s).toMap
+      val relDir: Option[String] =
+        relPathUnder(conf, snap.location, dirPath)
+          .orElse(if (qualify(conf, sd.dir) == qualify(conf, snap.location))
+            Some("") else None)
       val resolved = want.map { case (name, _) =>
         live.getOrElse(name, {
-          val rel = relPathUnder(conf, snap.location, new Path(sd.dir, name))
-          rel.iterator.flatMap { r =>
+          relDir.iterator.flatMap { r =>
             candidates.iterator.flatMap { case (loc, tok) =>
-              val p = new Path(loc, s"$RetiredDirName/$tok/$r")
-              val pfs = p.getFileSystem(conf)
-              try { if (pfs.exists(p)) Some(pfs.getFileStatus(p)) else None }
-              catch { case NonFatal(_) => None }
+              retiredIn(loc, tok, r).get(name)
             }
           }.nextOption().getOrElse(refuse(
             s"references $name under ${sd.dir}, which is no longer " +

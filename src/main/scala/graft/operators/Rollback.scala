@@ -40,8 +40,19 @@ object Rollback {
     * change was a REWRITE FLIP (migrate/zorder/rollback), the legacy
     * O(1) generation flip restores the retired directory wholesale.
     * Both forms are redo-able (the state rolled away from joins the
-    * lineage in its place). Returns (restoredProvider, restoredLocation). */
-  def rollback(spark: SparkSession, table: String): (String, String) = {
+    * lineage in its place).
+    *
+    * `versionsBack > 1` restores a DEEPER retained snapshot directly
+    * (the Iceberg `rollback_to_snapshot` shape) — note that repeated
+    * one-step rollbacks CANNOT reach it: each rollback is itself a
+    * commit, so calling twice is redo, not two-steps-back. Deep
+    * restore requires the target to share the current location and
+    * provider (no rewrite flip in between — those restore through the
+    * one-step generation path first). Returns
+    * (restoredProvider, restoredLocation). */
+  def rollback(spark: SparkSession, table: String,
+      versionsBack: Int = 1): (String, String) = {
+    require(versionsBack >= 1, s"rollback($table): versions_back must be >= 1")
     val parts = table.split("\\.")
     require(parts.length == 3, s"rollback expects catalog.ns.table, got $table")
     val plugin = spark.sessionState.catalogManager.catalog(parts.head) match {
@@ -53,7 +64,11 @@ object Rollback {
     val (db, name) = (parts(1), parts(2))
     val pre = store.loadTable(db, name)
     if (pre.snapshots.size >= 2 && pre.snapshots.head.kind != "rewrite")
-      return rollbackSnapshot(spark, plugin, store, db, name, table)
+      return rollbackSnapshot(spark, plugin, store, db, name, table, versionsBack)
+    require(versionsBack == 1,
+      s"rollback($table): versions_back=$versionsBack requires a retained " +
+        "in-place snapshot lineage (the head change is a rewrite flip — " +
+        "roll it back one step first)")
     require(pre.history.nonEmpty,
       s"rollback($table): no retired generation to roll back to " +
         "(history is appended by migrate/zorder/rollback flips)")
@@ -105,7 +120,8 @@ object Rollback {
       store: MetaStore,
       db: String,
       name: String,
-      table: String): (String, String) = {
+      table: String,
+      versionsBack: Int = 1): (String, String) = {
     val conf = spark.sessionState.newHadoopConf()
     val release = GraftBatchWrite.leaseWritePermit(
       spark, store.loadTable(db, name).location,
@@ -114,12 +130,21 @@ object Rollback {
     try {
       // fresh state + resolution INSIDE the permit: no writer can race
       val cur = store.loadTable(db, name)
-      require(cur.snapshots.size >= 2,
-        s"rollback($table): no prior snapshot retained")
+      require(cur.snapshots.size >= versionsBack + 1,
+        s"rollback($table): versions_back=$versionsBack not retained " +
+          s"(${math.max(cur.snapshots.size - 1, 0)} prior snapshot(s); " +
+          s"see $name$$snapshots)")
       require(cur.snapshots.head.kind != "rewrite",
         s"rollback($table): lineage head changed to a rewrite flip under " +
           "a concurrent operation; re-run")
-      val target = cur.snapshots(1)
+      val target = cur.snapshots(versionsBack)
+      // a DEEP restore must not cross a rewrite flip: the intermediate
+      // snapshots' files live under a RETIRED location, and renaming
+      // them into the current tree would corrupt both generations
+      require(versionsBack == 1 ||
+        cur.snapshots.slice(1, versionsBack + 1).forall(_.kind != "rewrite"),
+        s"rollback($table): versions_back=$versionsBack crosses a rewrite " +
+          "flip — roll back one step at a time through the flip")
       // refuses loudly if any target file is no longer restorable
       val resolved = Snapshots.resolve(spark, cur, target)
       require(resolved.provider == cur.provider,

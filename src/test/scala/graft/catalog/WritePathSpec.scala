@@ -1516,6 +1516,39 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("sys.rollback(t, versions_back): deep restore reaches states repeated rollbacks cannot") {
+    import spark.implicits._
+    val t = freshTable("t_deep_roll")
+    Seq((1L, "a")).toDF("id", "v").writeTo(t).create()
+    Seq((2L, "b")).toDF("id", "v").writeTo(t).append()
+    Seq((3L, "c")).toDF("id", "v").writeTo(t).append()
+    val cat0 = GraftBootstrap.CatalogName
+    // two commits back in ONE call — repeated single-step rollbacks
+    // could never reach this (each rollback is itself a commit, so the
+    // second call is a redo)
+    spark.sql(s"CALL $cat0.sys.rollback('$t', 2)").collect()
+    assert(spark.table(t).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // redo-able: the state rolled away from is one back again
+    spark.sql(s"CALL $cat0.sys.rollback('$t')").collect()
+    assert(spark.table(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L))
+    // beyond the retained lineage refuses with the surface named
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat0.sys.rollback('$t', 9)").collect()
+    }
+    assert(e.getMessage.contains("not retained"), s"got: ${e.getMessage}")
+    // crossing a rewrite flip refuses (the intermediate snapshots'
+    // files live under the retired generation's location)
+    Seq((4L, "d")).toDF("id", "v").writeTo(t).append()
+    graft.operators.Migrate.toProvider(spark, t, "orc")
+    Seq((5L, "e")).toDF("id", "v").writeTo(t).append()
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat0.sys.rollback('$t', 2)").collect()
+    }
+    assert(e2.getMessage.contains("crosses a rewrite"), s"got: ${e2.getMessage}")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("TIMESTAMP AS OF outside the known lineage refuses instead of approximating") {
     import spark.implicits._
     val t = freshTable("t_ts_bounds")
