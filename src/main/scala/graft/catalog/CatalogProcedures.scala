@@ -106,6 +106,40 @@ object CatalogProcedures {
           spark, in.getUTF8String(0).toString, n)
         InternalRow(utf8(prov), utf8(loc))
       }),
+    "incremental_view" -> new GraftProcedure(
+      "incremental_view",
+      "register a temp view over the rows APPENDED between two retained " +
+        "snapshots (versions_back; to=0 is the current state) — a pure " +
+        "manifest set-difference, the 'process only new data since the " +
+        "last run' primitive; refuses on non-append history in the range",
+      Array(param("table", StringType),
+        param("from_versions_back", LongType),
+        paramDefault("to_versions_back", LongType, "0"),
+        paramDefault("view", StringType, "''")),
+      StructType(Seq(
+        StructField("view", StringType, nullable = false),
+        StructField("files", LongType, nullable = false))),
+      in => {
+        val t = in.getUTF8String(0).toString
+        val from = in.getLong(1).toInt
+        val to = if (in.isNullAt(2)) 0 else in.getLong(2).toInt
+        val view = {
+          val v = if (in.isNullAt(3)) "" else in.getUTF8String(3).toString.trim
+          if (v.nonEmpty) v
+          else s"${t.split("\\.").last}_appended_${from}_$to"
+        }
+        val df = graft.operators.IncrementalRead.appendedBetween(spark, t, from, to)
+        df.createOrReplaceTempView(view)
+        // the slice's file count from the same manifest diff (the V2
+        // relation's inputFiles is empty before pushdown)
+        val tp = t.split("\\.")
+        val plugin = spark.sessionState.catalogManager.catalog(tp(0))
+          .asInstanceOf[GraftCatalog]
+        val files = Snapshots.addedBetween(spark,
+          plugin.metaStore.loadTable(tp(1), tp(2)), from, to)
+          .dirs.map(_.files.size.toLong).sum
+        InternalRow(utf8(view), files)
+      }),
     "compact" -> new GraftProcedure(
       "compact",
       "rewrite a fragmented table in place (dynamic self-overwrite under " +

@@ -445,6 +445,52 @@ object Snapshots extends Logging {
     gc(spark.sessionState.newHadoopConf(), updated)
   }
 
+  /** INCREMENTAL APPEND DIFF (q118): the files present in the snapshot
+    * `toVersionsBack` but absent from `fromVersionsBack`, resolved to
+    * current physical paths — a pure manifest set-difference, O(dirs +
+    * changed files) metadata, no data listing. Refuses when the range
+    * contains any non-append commit ("rows added" would not be
+    * well-defined), when either manifest is gone, or when a resolved
+    * file is no longer restorable. */
+  def addedBetween(
+      spark: SparkSession,
+      meta: TableMeta,
+      fromVersionsBack: Int,
+      toVersionsBack: Int): Resolved = {
+    require(fromVersionsBack > toVersionsBack && toVersionsBack >= 0,
+      s"addedBetween(${meta.name}): need from > to >= 0 in versions_back, " +
+        s"got from=$fromVersionsBack to=$toVersionsBack")
+    require(meta.snapshots.size > fromVersionsBack,
+      s"addedBetween(${meta.name}): versions_back=$fromVersionsBack is not " +
+        s"retained (${math.max(meta.snapshots.size - 1, 0)} prior " +
+        s"snapshot(s); see ${meta.name}$$snapshots)")
+    val range = meta.snapshots.slice(toVersionsBack, fromVersionsBack)
+    val nonAppend = range.filter(_.kind != "append")
+    require(nonAppend.isEmpty,
+      s"addedBetween(${meta.name}): the range contains non-append commits " +
+        s"(${nonAppend.map(s => s"v${s.version}:${s.kind}").mkString(", ")}) " +
+        "— an incremental append read is only defined over append-only " +
+        "history; read the snapshots themselves via VERSION AS OF instead")
+    val conf = spark.sessionState.newHadoopConf()
+    val fromMeta = meta.snapshots(fromVersionsBack)
+    val fromSnap = readSnap(conf, fromMeta.file).getOrElse(
+      throw new IllegalArgumentException(
+        s"addedBetween(${meta.name}): snapshot v${fromMeta.version}'s " +
+          "manifest is gone (expired by VACUUM or the lineage was cleared)"))
+    val baseline: Map[String, Set[String]] = fromSnap.dirs.map { sd =>
+      sd.dir -> readShard(conf, sd.shard)
+        .getOrElse(throw new IllegalArgumentException(
+          s"addedBetween(${meta.name}): snapshot v${fromMeta.version}'s " +
+            s"shard ${sd.shard} is gone"))
+        .map(_._1).toSet
+    }.toMap
+    val resolved = resolve(spark, meta, meta.snapshots(toVersionsBack))
+    resolved.copy(dirs = resolved.dirs.map { rd =>
+      val base = baseline.getOrElse(rd.dir, Set.empty)
+      rd.copy(files = rd.files.filterNot(f => base.contains(f.getPath.getName)))
+    }.filter(_.files.nonEmpty))
+  }
+
   // ---- travel-read resolution ------------------------------------------------
 
   /** Bind a retained snapshot's recorded file set to current physical

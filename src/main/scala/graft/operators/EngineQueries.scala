@@ -1027,6 +1027,49 @@ object EngineQueries {
       .orderBy($"probe")
   }
 
+  // ---------------------------------------------------------------- Q118
+  /** INCREMENTAL APPEND READ — "process only the rows that arrived
+    * since the last run", the LLM-pipeline driving primitive, computed
+    * as a pure MANIFEST SET-DIFFERENCE over q116's snapshot lineage:
+    * files in snapshot `to` but not snapshot `from` ARE the appended
+    * data, so the incremental relation plans from O(dirs + changed
+    * files) metadata — zero data listing, zero re-read of the
+    * processed corpus (at 100 TB: a nightly run over a PB-year table
+    * touches only the night's files). Append-only ranges are enforced
+    * by refusal (an overwrite in the range makes "rows added"
+    * ill-defined — Iceberg's incremental-scan contract); streaming
+    * epochs count as appends, so micro-batch sinks support "what did
+    * the stream add between checkpoints". Served both as a DataFrame
+    * operator and as `CALL sys.incremental_view(...)` for pure SQL.
+    * The query proves exactness: seed (even part keys) → append
+    * (odds) → a SECOND append (every-fifth rows) — the incremental
+    * read between from=2 and to=1 returns the ODD append alone,
+    * bit-exact, while from=1,to=0 returns the fifth-rows append. */
+  def q118_incremental_append(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q118_inc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_linenumber")
+    li.filter($"l_partkey" % 2 === 0).writeTo(t).create()
+    li.filter($"l_partkey" % 2 === 1).writeTo(t).append()
+    li.filter(($"l_orderkey" * 7 + $"l_linenumber") % 5 === 0)
+      .writeTo(t).append()
+    def agg(df: DataFrame, label: String) = df
+      .agg(lit(label).as("probe"), count(lit(1)).as("n_rows"),
+        sum($"l_orderkey" % 999983L).as("key_checksum"),
+        RelationalQueries.r2(sum($"l_quantity")).as("sum_qty"))
+    // SQL surface for the middle slice; DataFrame operator for the head
+    spark.sql(s"CALL $cat.sys.incremental_view('$t', 2, 1, 'q118_mid')")
+    val mid = agg(spark.table("q118_mid"), "appended_odds")
+    val head = agg(graft.operators.IncrementalRead
+      .appendedBetween(spark, t, 1), "appended_fifths")
+    mid.unionAll(head).orderBy($"probe")
+  }
+
   // ---------------------------------------------------------------- Q117
   /** RUNTIME FILE/BLOOM SKIPPING ON THE COMPOSITE SCAN — the layout
     * stack's remaining join case: a fact PARTITIONED BY flag +
@@ -1419,6 +1462,7 @@ object EngineQueries {
     "q115_time_travel" -> (q115_time_travel _),
     "q116_snapshot_time_travel" -> (q116_snapshot_time_travel _),
     "q117_runtime_skip_join" -> (q117_runtime_skip_join _),
+    "q118_incremental_append" -> (q118_incremental_append _),
     "q102_call_maintenance" -> (q102_call_maintenance _),
     "q99_migrate_format" -> (q99_migrate_format _),
     "q88_clustered_compaction" -> (q88_clustered_compaction _),
@@ -1604,6 +1648,19 @@ object EngineQueries {
         |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
         | FROM lineitem WHERE l_partkey % 97 = 0
         | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Incremental append reads restated as the appended slices' WHEREs:
+    // the manifest set-difference must return each append bit-exactly.
+    "q118_incremental_append" ->
+      """SELECT 'appended_fifths' AS probe, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty
+        | FROM lineitem WHERE (l_orderkey * 7 + l_linenumber) % 5 = 0
+        |UNION ALL
+        |SELECT 'appended_odds' AS probe, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty
+        | FROM lineitem WHERE l_partkey % 2 = 1
+        |ORDER BY probe""".stripMargin,
     // Rollback restated over the source: after create -> migrate-to-orc
     // -> rollback, the ORIGINAL parquet generation must serve the exact
     // original rows; exactly one retired generation (the orc one)

@@ -109,7 +109,12 @@ object ScaleProbe {
     // q117's runtime-skipped composite join: the composite CTAS (one
     // pinned-N bucket shuffle + per-file bloom writes, linear) and the
     // dim join whose runtime IN-set prunes against shards ∝ FILES
-    "q117_runtime_skip_join")
+    "q117_runtime_skip_join",
+    // q118's incremental append read: three append commits (linear
+    // writes) + two manifest set-differences whose planning is O(dirs +
+    // changed files) metadata — the aggregates over the slices are the
+    // only data terms
+    "q118_incremental_append")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:

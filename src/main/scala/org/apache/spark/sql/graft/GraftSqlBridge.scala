@@ -1236,6 +1236,24 @@ object GraftSqlBridge {
   def avroFileFormat(): org.apache.spark.sql.execution.datasources.FileFormat =
     new org.apache.spark.sql.avro.AvroFileFormat
 
+  /** A DataFrame over a connector [[org.apache.spark.sql.connector.catalog.Table]]
+    * instance directly (no catalog lookup) — how the incremental-read
+    * operator serves its pinned file subset as a plain relation the
+    * full DataFrame/SQL surface composes over. */
+  def tableDF(
+      spark: org.apache.spark.sql.SparkSession,
+      table: org.apache.spark.sql.connector.catalog.Table)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      // ANONYMOUS relation (no catalog/identifier): carrying the ident
+      // lets later analysis passes re-resolve the name from the catalog
+      // and silently swap the pinned instance for the LIVE table — a
+      // temp view over the incremental slice would then serve current
+      // rows. With None/None the plan can only ever mean this instance.
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        .create(table, None, None))
+
   /** BUCKET PRUNING's predicate → bucket-set translation, shared by the
     * columnar bucketed scan and the generic format scan: equality/IN on
     * the bucket column narrow to the literals' buckets (the math is THE

@@ -1549,6 +1549,35 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("incremental append read: non-append ranges refuse; a later overwrite's displaced slice still resolves") {
+    import spark.implicits._
+    val t = freshTable("t_inc_read")
+    Seq((1L, "a")).toDF("id", "v").writeTo(t).create()
+    Seq((2L, "b"), (3L, "c")).toDF("id", "v").writeTo(t).append()
+    // the appended slice, exactly
+    assert(graft.operators.IncrementalRead.appendedBetween(spark, t, 1)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // a LATER overwrite physically displaces the appended files — the
+    // incremental slice (whose range is still append-only) resolves
+    // them from the retirement area
+    spark.sql(s"INSERT OVERWRITE $t SELECT 9L AS id, 'z' AS v")
+    assert(graft.operators.IncrementalRead.appendedBetween(spark, t, 2, 1)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L),
+      "the displaced append must resolve through retirement")
+    // a range CONTAINING the overwrite refuses — "rows added" is not
+    // well-defined across it
+    val e = intercept[Exception] {
+      graft.operators.IncrementalRead.appendedBetween(spark, t, 2, 0)
+    }
+    assert(e.getMessage.contains("non-append"), s"got: ${e.getMessage}")
+    // SQL surface: the temp view serves the same rows
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.incremental_view(" +
+      s"'$t', 2, 1, 'inc_probe_view')")
+    assert(spark.table("inc_probe_view").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(2L, 3L))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("TIMESTAMP AS OF outside the known lineage refuses instead of approximating") {
     import spark.implicits._
     val t = freshTable("t_ts_bounds")
