@@ -31,15 +31,16 @@ import org.apache.spark.sql.SparkSession
   *    `VERSION/TIMESTAMP AS OF` resolves against.
   *
   * REMOVALS RETIRE, NEVER DELETE (managed tables): truncate, static
-  * overwrite, partition DELETE and the COW delete phase RENAME each
+  * overwrite, partition DELETE, the COW delete phase AND dynamic
+  * partition overwrite (via the commit's manifest-guarded pre-swap
+  * moves — [[graft.catalog.write.GraftBatchWrite]]) RENAME each
   * removed file into `<location>/_graft_retired/<token>/<relpath>`
   * instead of deleting it, so every file any retained snapshot
   * references stays restorable — a travel read resolves a missing name
   * through the newer snapshots' tokens, and `sys.rollback` renames the
-  * retirements back. Dynamic partition overwrite is the one declared
-  * gap: its old files are deleted inside Spark's own committer
-  * staging-swap (not reachable from here), so travel ACROSS a dynamic
-  * overwrite refuses loudly for the replaced files — never wrong rows.
+  * retirements back. A missing retirement (crash residue, custom
+  * partition locations outside the root) refuses loudly — never wrong
+  * rows.
   *
   * Correctness posture: snapshotting is ADVISORY — a maintenance
   * failure clears the lineage (travel then refuses with "no snapshots")
@@ -554,8 +555,7 @@ object Snapshots extends Logging {
           }.nextOption().getOrElse(refuse(
             s"references $name under ${sd.dir}, which is no longer " +
               "restorable — it was reclaimed by VACUUM's retention window, " +
-              "or replaced by a dynamic partition overwrite (whose old " +
-              "files Spark's committer deletes in place)"))
+              "removed by partition DDL, or lost to crash residue"))
         })
       }
       ResolvedDir(sd.dir, sd.spec, resolved)

@@ -617,6 +617,10 @@ class GraftBatchWrite(
       // that transaction first, while the permit guarantees no other
       // writer is mid-flight
       repairPendingCowDeletes()
+      // ... and a crashed dynamic overwrite may have moved replaced
+      // files to retirement without completing its swap — restore the
+      // unswapped dirs' files (empty-dir rule)
+      repairRetireManifests()
       // truncate/static-overwrite deletes run HERE, now that no other
       // job's staged files can be under the table dir
       preWriteDeletes()
@@ -880,6 +884,121 @@ class GraftBatchWrite(
     // empty txn dir left behind is harmless (underscore-hidden)
   }
 
+  /** DYNAMIC OVERWRITE RETIREMENT (q116 follow-through): the committer's
+    * staging swap DELETES each replaced partition's dir before renaming
+    * the staged one in — unreachable from here — so instead the replaced
+    * files are MOVED to the retirement area just before `inner.commit`
+    * (reader exposure identical to the swap's own delete+rename window).
+    * Crash safety without a marker: a `.retire` manifest in `_graft_txn`
+    * records every move, and repair restores a file iff its ORIGINAL
+    * dir holds no data files — after a full swap every written dir is
+    * non-empty (nothing restores: the commit stands), before the swap
+    * every dir is empty (everything restores: the job never happened),
+    * and a mid-swap crash resolves per dir, which is exactly the
+    * partial-swap exposure the stock committer already has. An in-JVM
+    * commit failure restores eagerly. With this, time travel and
+    * rollback work ACROSS dynamic overwrites — including compaction,
+    * the most common maintenance rewrite.
+    *
+    * Declared trade (reader exposure): the stock swap empties each dir
+    * for the instant between its delete and rename; the retirement
+    * moves empty ALL written dirs for the duration of the commitJob,
+    * and a crash in that window leaves them empty until the NEXT write
+    * runs the repair (restorable, never lost — the same
+    * repair-at-next-write contract as the COW delete phase, whose
+    * crash leaves duplicates instead). */
+  private def retireDynamicOverwrite(
+      writtenSpecs: Seq[Map[String, String]],
+      fresh: TableMeta,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Option[(Path, Seq[(Path, Path)])] = {
+    if (fresh.external) return None
+    val locBySpec = fresh.partitions
+      .collect { case p if p.location.isDefined => p.spec -> p.location.get }.toMap
+    val dirs = writtenSpecs.map(spec => locBySpec.get(spec).map(new Path(_))
+      .getOrElse(GraftBatchWrite.partitionDir(fresh, spec))).distinct
+    val files = dirs.flatMap(d => dataFiles(d, hadoopConf))
+    if (files.isEmpty) return None
+    val txnDir = new Path(fresh.location, GraftBatchWrite.TxnDirName)
+    val fs = txnDir.getFileSystem(hadoopConf)
+    try {
+      fs.mkdirs(txnDir)
+      val root = new Path(fresh.location)
+      val rootQ = fs.makeQualified(root).toString
+      val moves: Seq[(Path, Path)] = files.flatMap { f =>
+        val q = f.getFileSystem(hadoopConf).makeQualified(f).toString
+        if (q.startsWith(rootQ + "/"))
+          Some((new Path(root,
+            s"${graft.catalog.Snapshots.RetiredDirName}/$retireToken/" +
+              q.stripPrefix(rootQ + "/")), f))
+        else None // custom-location partition outside the root: not retirable
+      }
+      if (moves.isEmpty) return None
+      // intent manifest FIRST (tmp+rename, atomic), then the moves
+      val pending = new Path(txnDir, s"$retireToken.retire")
+      val tmp = new Path(txnDir, s".$retireToken.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(moves.map { case (to, from) => s"R\t$to\t$from" }
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, pending)) { fs.delete(tmp, false); return None }
+      val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+      val allOk = moves.forall { case (to, from) =>
+        val ok = try {
+          fs.mkdirs(to.getParent)
+          fs.rename(from, to)
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (ok) moved += ((to, from))
+        ok
+      }
+      if (!allOk) {
+        // degrade to the stock delete semantics: undo what moved, drop
+        // the manifest — the committer's swap removes the files as before
+        moved.foreach { case (to, from) =>
+          try fs.rename(to, from)
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+        fs.delete(pending, false)
+        None
+      } else Some((pending, moves))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Repair crash residue of [[retireDynamicOverwrite]]: restore each
+    * recorded move iff the file's original directory holds no data
+    * files (see the method's crash-safety note), then drop the
+    * manifest. Runs under the write permit at every job start. */
+  private def repairRetireManifests(): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val txnDir = new Path(meta.location, GraftBatchWrite.TxnDirName)
+    val fs = txnDir.getFileSystem(conf)
+    if (!fs.exists(txnDir)) return
+    fs.listStatus(txnDir).map(_.getPath)
+      .filter(_.getName.endsWith(".retire")).foreach { pm =>
+        val lines = {
+          val in = fs.open(pm)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        }
+        val emptyDir = scala.collection.mutable.Map.empty[String, Boolean]
+        lines.foreach { l =>
+          l.split("\t") match {
+            case Array("R", to, from) =>
+              val fromP = new Path(from)
+              val isEmpty = emptyDir.getOrElseUpdate(fromP.getParent.toString,
+                dataFiles(fromP.getParent, conf).isEmpty)
+              val toP = new Path(to)
+              if (isEmpty && fs.exists(toP)) {
+                fs.mkdirs(fromP.getParent)
+                fs.rename(toP, fromP)
+              }
+            case _ =>
+          }
+        }
+        fs.delete(pm, false)
+      }
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = try {
     // COW: snapshot the scanned groups' files BEFORE the FS commit
     // publishes replacement files into the same directories — afterwards
@@ -956,7 +1075,39 @@ class GraftBatchWrite(
     val txnFiles: Option[(Path, Path)] = cowSnapshot.map(cs =>
       writePendingManifest(cs, spark.sessionState.newHadoopConf()))
 
-    inner.commit(messages)
+    // dynamic overwrite: move the replaced files to retirement just
+    // before the committer's swap would delete them (manifest-guarded;
+    // see retireDynamicOverwrite) — travel and rollback then work
+    // across dynamic overwrites, compaction included
+    val dynRetire: Option[(Path, Seq[(Path, Path)])] = mode match {
+      case DynamicOverwrite =>
+        val fresh = store.loadTableLocked(db, meta.name)
+        val specs = messages.toSeq
+          .collect { case w: WriteTaskResult => w.summary.updatedPartitions }
+          .flatten.distinct.map(GraftBatchWrite.parseFragment(fresh, _))
+        retireDynamicOverwrite(specs, fresh, spark.sessionState.newHadoopConf())
+      case _ => None
+    }
+    // Test-only crash injection: die between the retirement moves and
+    // the FS commit — drives the .retire repair's all-dirs-empty branch
+    GraftBatchWrite.crashBeforeFsCommit.foreach(f => f())
+    try inner.commit(messages)
+    catch { case t: Throwable =>
+      // in-JVM commit failure: the swap never happened — restore the
+      // moved files eagerly and drop the manifest, then let the abort
+      // path clean the staging as before
+      dynRetire.foreach { case (pending, moves) =>
+        val conf0 = spark.sessionState.newHadoopConf()
+        val fs = pending.getFileSystem(conf0)
+        moves.foreach { case (to, from) =>
+          try { if (fs.exists(to)) { fs.mkdirs(from.getParent); fs.rename(to, from) } }
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+        try fs.delete(pending, false)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+      throw t
+    }
     // Test-only crash injection: die between the FS commit (replacement
     // files just published) and everything that follows — the marker,
     // the deletes, and the catalog registration. WritePathSpec drives
@@ -990,6 +1141,13 @@ class GraftBatchWrite(
       val fs = pending.getFileSystem(hadoopConf)
       fs.delete(pending, false)
       fs.delete(marker, false)
+    }
+    // dynamic overwrite committed: the retirement stands (the snapshot
+    // below records the token) — drop the intent manifest. A crash
+    // before this line repairs per the empty-dir rule: every written
+    // dir is non-empty post-swap, so nothing restores.
+    dynRetire.foreach { case (pending, _) =>
+      pending.getFileSystem(hadoopConf).delete(pending, false)
     }
     // per-path FileSystem: a partition registered with a custom LOCATION
     // may live on a different scheme than the table root, and the
@@ -1196,6 +1354,11 @@ object GraftBatchWrite {
     * (the `inner.abort` that follows cannot un-publish committed files,
     * exactly like a real death). Never set outside tests. */
   @volatile private[graft] var crashAfterFsCommit: Option[() => Unit] = None
+
+  /** Test-only failpoint: fires between a dynamic overwrite's
+    * retirement moves and the FS commit (OUTSIDE the in-JVM restore
+    * try, like a real death) — the `.retire` repair contract's input. */
+  @volatile private[graft] var crashBeforeFsCommit: Option[() => Unit] = None
 
   /** Per-table-location write permits (see `writePermit`). */
   private val writeLocks =

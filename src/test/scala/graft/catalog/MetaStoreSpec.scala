@@ -40,6 +40,30 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(back.partitions === Seq(PartitionMeta(Map("p" -> "a"), None, 55L)))
   }
 
+  test("round-trip preserves the round-18 lineage fields: snapshots, versions, creation, per-partition colStats") {
+    val s = freshStore()
+    s.createNamespace("db", Map.empty)
+    val cs = ColumnStatsMeta(ndv = 4L, nullCount = 1L,
+      min = Some("a"), max = Some("z"), avgLen = Some(3L), maxLen = Some(9L),
+      histogram = None)
+    val m = meta("t2", partCols = Seq("p")).copy(
+      createdAtMs = 1700000000123L,
+      lastSnapshotVersion = 9L,
+      snapshots = Seq(
+        SnapshotMeta(9L, 1700000001000L, "append", "/x/snap-9.json"),
+        SnapshotMeta(8L, 1700000000500L, "rewrite", "/x/snap-8.json")),
+      partitions = Seq(
+        PartitionMeta(Map("p" -> "a"), None, 55L, Some(7L), Map("id" -> cs)),
+        PartitionMeta(Map("p" -> "b"), Some("/custom"), 66L)))
+    s.saveTable("db", m)
+    val back = s.loadTable("db", "t2")
+    assert(back.createdAtMs === 1700000000123L)
+    assert(back.lastSnapshotVersion === 9L)
+    assert(back.snapshots === m.snapshots)
+    assert(back.partitions === m.partitions,
+      "per-partition colStats must survive the JSON round trip")
+  }
+
   test("saveTable overwrite is atomic: reload sees old-or-new, never absent") {
     val s = freshStore()
     s.createNamespace("db", Map.empty)

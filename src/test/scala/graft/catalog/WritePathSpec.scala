@@ -654,11 +654,16 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       cat.metaStore.loadTable("wtest", "t_compact").location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def dataFiles(): Seq[String] = {
+      // LIVE files only: hidden dirs (the retirement area the compaction
+      // now feeds for time travel, snapshot manifests) are engine
+      // metadata, not table data
       val it = fs.listFiles(root, true)
       val b = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next().getPath.toString
-        if (f.endsWith(".parquet")) b += f
+        if (f.endsWith(".parquet") &&
+            !f.contains("/_") && !f.contains("/."))
+          b += f
       }
       b.result()
     }
@@ -1575,6 +1580,69 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       s"'$t', 2, 1, 'inc_probe_view')")
     assert(spark.table("inc_probe_view").collect().map(_.getLong(0)).sorted.toSeq
       === Seq(2L, 3L))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("snapshot travel prunes partitions against the recorded specs") {
+    import spark.implicits._
+    val t = freshTable("t_snap_prune")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "p")
+      .writeTo(t).partitionedBy($"p").create()
+    Seq((4L, "a")).toDF("id", "p").writeTo(t).append()
+    // the travel read with a partition filter schedules only the
+    // matching recorded group's files — pruning without any listing
+    val q = spark.sql(s"SELECT id FROM $t VERSION AS OF 1 WHERE p = 'a'")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val files = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.flatMap(_.inputRDD.partitions.toSeq).flatMap {
+      case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+        dp.inputPartitions
+      case _ => Nil
+    }.collect {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+    }.flatMap(_.files).map(_.filePath.toString)
+    assert(files.nonEmpty && files.forall(_.contains("p=a")),
+      s"travel scan must prune to the p=a group, read: $files")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("dynamic overwrite retires: travel and rollback cross it; crash repair restores unswapped dirs") {
+    import spark.implicits._
+    val t = freshTable("t_dyn_retire")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p").writeTo(t).partitionedBy($"p").create()
+    // dynamic overwrite of p=a only — previously its old file was
+    // deleted inside the committer's swap and travel across it refused
+    Seq((10L, "a")).toDF("id", "p").writeTo(t).overwritePartitions()
+    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 10L))
+    assert(spark.sql(s"SELECT id FROM $t VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "travel across a dynamic overwrite must serve the replaced rows")
+    // rollback of the dynamic overwrite: renames only
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.rollback('$t')").collect()
+    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // compaction IS a dynamic self-overwrite — travel crosses it too
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.compact('$t')").collect()
+    assert(spark.sql(s"SELECT id FROM $t VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "travel across a compaction must serve the pre-compaction files")
+    // crash between the retirement moves and the FS commit: the next
+    // write's repair restores the emptied dirs' files exactly
+    graft.catalog.write.GraftBatchWrite.crashBeforeFsCommit = Some(() =>
+      throw new RuntimeException("injected pre-commit crash"))
+    try {
+      intercept[Exception] {
+        Seq((99L, "a")).toDF("id", "p").writeTo(t).overwritePartitions()
+      }
+    } finally graft.catalog.write.GraftBatchWrite.crashBeforeFsCommit = None
+    // the crashed job left p=a empty (files retired, swap never ran)
+    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq === Seq(2L),
+      "the crash window hides the retired partition until repair")
+    // any next write repairs it (empty-dir rule): the append to p=b
+    // restores p=a's file from the manifest
+    Seq((3L, "b")).toDF("id", "p").writeTo(t).append()
+    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L), "repair must restore the unswapped dir's files")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
