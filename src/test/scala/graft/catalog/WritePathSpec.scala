@@ -1646,6 +1646,37 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("streaming epochs are snapshots: travel between micro-batches; incremental view serves one epoch") {
+    import spark.implicits._
+    val t = freshTable("t_stream_snap")
+    Seq((1L, 1.0)).toDF("k", "v").writeTo(t).create()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)](
+      spark)
+    val query = stream.toDF().toDF("k", "v")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("t_stream_snap_ckpt").toString)
+      .toTable(t)
+    try {
+      stream.addData((2L, 2.0))
+      query.processAllAvailable()
+      stream.addData((3L, 3.0), (4L, 4.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.table(t).count() === 4)
+    // each epoch commit snapshotted: versions_back 1 = before the last
+    // micro-batch, 2 = before the first
+    assert(spark.sql(s"SELECT k FROM $t VERSION AS OF 1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 2")
+      .head().getLong(0) === 1L)
+    // "what did the stream add between those checkpoints": the second
+    // micro-batch alone
+    assert(graft.operators.IncrementalRead.appendedBetween(spark, t, 1)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("TIMESTAMP AS OF outside the known lineage refuses instead of approximating") {
     import spark.implicits._
     val t = freshTable("t_ts_bounds")
