@@ -210,6 +210,14 @@ class GraftTable(
     // (comment/owner) are NOT options and must not reach the format.
     val opts = new CaseInsensitiveStringMap(
       (GraftCatalog.optionProps(meta.properties) ++ options.asScala).asJava)
+    // `graft.skipping.by` columns join the runtime-filter surface
+    // (DYNAMIC FILE PRUNING, q111/q117): a selective dim join's runtime
+    // IN-set is evaluated against the skip-stats shards so excluded
+    // files are never scheduled — computed here because both the
+    // columnar wrappers below and the generic (avro) scan use it
+    val skipCols = (SkipStats.resolvedCols(meta.properties, meta.schema) ++
+      SkipStats.resolvedBloomCols(meta.properties, meta.schema))
+      .map(_.name).distinct
     val builder = meta.provider match {
       case "parquet" => ParquetScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
       case "csv" => CSVScanBuilder(spark, index, meta.schema, meta.dataSchema, opts)
@@ -231,7 +239,12 @@ class GraftTable(
         GraftCatalog.optionProps(meta.properties) ++
           scala.jdk.CollectionConverters.MapHasAsScala(options).asScala,
         bucket = if (pinned.isDefined) None else GraftCatalog.writableBucketSpec(meta),
-        sortedBy = if (pinned.isDefined) Nil else trustedSortCols)
+        sortedBy = if (pinned.isDefined) Nil else trustedSortCols,
+        skippingCols = if (pinned.isDefined) Nil else skipCols,
+        skipMeta =
+          if (pinned.isEmpty && skipCols.nonEmpty)
+            Some((meta.schema, meta.properties))
+          else None)
       case other => throw new IllegalStateException(s"unsupported provider $other")
     }
     // Partitioned tables scan through the runtime-filtering wrapper:
@@ -284,17 +297,6 @@ class GraftTable(
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics])
       }
-    // `graft.skipping.by` columns join the runtime-filter surface on
-    // the plain scan (DYNAMIC FILE PRUNING): a selective dim join's
-    // runtime IN-set is evaluated against the skip-stats shards, so
-    // files whose recorded range excludes every key are never scheduled
-    // — the join-driven form of q109's static skipping, no partition or
-    // bucket on the key required. SPJ/bucketed scans keep their own
-    // key-based runtime pruning (their keyed group snapshot must not be
-    // re-listed post-latch).
-    val skipCols = (SkipStats.resolvedCols(meta.properties, meta.schema) ++
-      SkipStats.resolvedBloomCols(meta.properties, meta.schema))
-      .map(_.name).distinct
     if (pinned.isDefined) return builder
     GraftCatalog.writableBucketSpec(meta) match {
       case Some((n, col)) =>

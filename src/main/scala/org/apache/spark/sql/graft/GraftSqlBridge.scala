@@ -932,7 +932,11 @@ class GraftFormatScanBuilder(
     fullSchema: StructType,
     options: Map[String, String],
     bucket: Option[(Int, String)] = None,
-    sortedBy: Seq[String] = Nil)
+    sortedBy: Seq[String] = Nil,
+    // runtime file skipping on declared skipping columns (q117 parity
+    // for the row formats — their shards come from CALL sys.analyze)
+    skippingCols: Seq[String] = Nil,
+    skipMeta: Option[(StructType, Map[String, String])] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
@@ -970,7 +974,7 @@ class GraftFormatScanBuilder(
           .getOrElse(a)
     })
     new GraftFormatScan(spark, format, index, fullSchema, required, rebased,
-      options, bucket, dataFilters, sortedBy)
+      options, bucket, dataFilters, sortedBy, skippingCols, skipMeta)
   }
 }
 
@@ -984,7 +988,9 @@ class GraftFormatScan(
     options: Map[String, String],
     bucket: Option[(Int, String)] = None,
     dataFilters: Seq[Expression] = Nil,
-    sortedBy: Seq[String] = Nil)
+    sortedBy: Seq[String] = Nil,
+    skippingCols: Seq[String] = Nil,
+    skipMeta: Option[(StructType, Map[String, String])] = None)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1089,14 +1095,33 @@ class GraftFormatScan(
   @volatile private var lateFilters: Seq[Expression] = Nil
   @volatile private var lateBuckets: Option[Set[Int]] = None
 
-  /** Partition columns AND the bucket column, each only when present in
-    * the scan output (`PartitionPruning` resolves these refs against
-    * the output with a THROWING resolver). */
+  /** RUNTIME FILE SKIPPING on declared skipping columns (q117 parity
+    * for the row formats): runtime `IN`/`=` filters evaluate against
+    * the per-directory shards `CALL sys.analyze` built, and
+    * provably-excluded files drop (or empty out of their keyed groups
+    * on the SPJ path). */
+  @volatile private var lateSkip: Seq[Expression] = Nil
+
+  /** The subset of the full schema the skipping filters bind against:
+    * declared skipping columns that are neither partition nor bucket
+    * keys (those have their own pruning surfaces). */
+  private lazy val skipSchema: StructType = StructType(
+    fullSchema.fields.filter(f =>
+      skippingCols.exists(SQLConf.get.resolver(_, f.name)) &&
+        !index.partitionSchema.fieldNames.exists(SQLConf.get.resolver(_, f.name)) &&
+        !bucket.exists(b => SQLConf.get.resolver(b._2, f.name))))
+
+  /** Partition columns, the bucket column AND the skipping columns,
+    * each only when present in the scan output (`PartitionPruning`
+    * resolves these refs against the output with a THROWING resolver). */
   override def filterAttributes(): Array[NamedReference] = {
     val out = readSchema().fieldNames
     def present(c: String) = out.exists(SQLConf.get.resolver(_, c))
     (index.partitionSchema.fieldNames.toSeq.filter(present) ++
-      bucket.map(_._2).filter(present)).map(FieldReference(_)).toArray
+      bucket.map(_._2).filter(present) ++
+      (if (skipMeta.isDefined)
+         skipSchema.fieldNames.toSeq.filter(present) else Nil))
+      .map(FieldReference(_)).toArray
   }
 
   override def filter(predicates: Array[
@@ -1112,10 +1137,34 @@ class GraftFormatScan(
         lateBuckets = Some(lateBuckets.fold(s)(_ intersect s))
       }
     }
+    if (skipMeta.isDefined && skipSchema.nonEmpty)
+      lateSkip = lateSkip ++ predicates.toSeq.flatMap(
+        GraftSqlBridge.runtimeValueFilter(_, skipSchema))
   }
 
   private def lateKeep(): InternalRow => Boolean =
     GraftSqlBridge.compilePartitionPredicate(lateFilters, index.partitionSchema)
+
+  /** Per-file survivor test from [[lateSkip]] against the shards (one
+    * shard read per involved dir, memoized inside applySkipping);
+    * identity when nothing arrived, keeps everything on any failure. */
+  private def lateSkipKeep(
+      fs: Seq[(Int, FileStatusWithMetadata, InternalRow)])
+      : FileStatusWithMetadata => Boolean = {
+    val filters = lateSkip
+    skipMeta match {
+      case Some((schema, props)) if filters.nonEmpty =>
+        try {
+          val survivors = graft.catalog.SkipStats.applySkipping(
+            spark, schema, props,
+            fs.map { case (_, f, pv) => PartitionDirectory(pv, Seq(f)) },
+            filters)
+            .iterator.flatMap(_.files).map(_.getPath.toString).toSet
+          f => survivors.contains(f.getPath.toString)
+        } catch { case scala.util.control.NonFatal(_) => _ => true }
+      case _ => _ => true
+    }
+  }
 
   override def outputPartitioning(): Partitioning = (bucket, pruned) match {
     case (Some((n, col)), Some(fs)) if spjActive =>
@@ -1157,33 +1206,46 @@ class GraftFormatScan(
     (pruned, spjActive) match {
       case (Some(fs), true) =>
         // whole-file keyed splits: the SPJ key contract forbids ranges.
-        // Late runtime filters (partition values or bucket ids) keep
-        // each group's KEY with an emptied file list.
+        // Late runtime filters (partition values, bucket ids or
+        // shard-excluded files) keep each group's KEY with an emptied
+        // file list.
         val keep = lateKeep()
         val bKeep = lateBuckets
+        val sKeep = lateSkipKeep(fs)
         fs.zipWithIndex.map { case ((b, f, pv), i) =>
           val files =
-            if (keep(pv) && bKeep.forall(_.contains(b)))
+            if (keep(pv) && bKeep.forall(_.contains(b)) && sKeep(f))
               PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = false,
                 maxSplitBytes = Long.MaxValue, partitionValues = pv).toArray
             else Array.empty[PartitionedFile]
           new GraftKeyedFilePartition(i, files, keyRow(b, pv)): InputPartition
         }.toArray
       case (Some(fs), false)
-          if allowed.isDefined || lateBuckets.isDefined || lateFilters.nonEmpty =>
+          if allowed.isDefined || lateBuckets.isDefined ||
+            lateFilters.nonEmpty || lateSkip.nonEmpty =>
         // bucket/partition pruning without the SPJ conf: stock splits
         // over only the surviving buckets' files — no key contract, so
         // runtime-excluded files simply drop (a fresh toBatch after
         // filter() serves purely-runtime narrowing too)
         val keep = lateKeep()
-        planStock(fs.filter { case (b, _, pv) =>
-          keep(pv) && lateBuckets.forall(_.contains(b))
+        val sKeep = lateSkipKeep(fs)
+        planStock(fs.filter { case (b, f, pv) =>
+          keep(pv) && lateBuckets.forall(_.contains(b)) && sKeep(f)
         }.map { case (_, f, pv) => PartitionDirectory(pv, Seq(f)) })
       case _ =>
         // unbucketed (or foreign-file) listing: runtime partition
-        // predicates narrow the directories before split planning
+        // predicates narrow the directories, runtime skipping filters
+        // the surviving dirs' files, before split planning
         val keep = lateKeep()
-        planStock(selected.filter(d => keep(d.values)))
+        val kept = selected.filter(d => keep(d.values))
+        val dirs =
+          if (lateSkip.isEmpty || skipMeta.isEmpty) kept
+          else {
+            val flat = kept.flatMap(d => d.files.map(f => (0, f, d.values)))
+            val sKeep = lateSkipKeep(flat)
+            kept.map(d => d.copy(files = d.files.filter(sKeep)))
+          }
+        planStock(dirs)
     }
 
   private def planStock(dirs: Seq[PartitionDirectory]): Array[InputPartition] = {

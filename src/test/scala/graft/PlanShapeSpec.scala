@@ -878,8 +878,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
           allScans(qe.plan)
         case other => other.children.flatMap(allScans)
       }
-      allScans(q.queryExecution.executedPlan)
-        .headOption.getOrElse(fail("no scan"))
+      val scans = allScans(q.queryExecution.executedPlan)
+      scans.find(_.toString.contains("GraftFormatScan"))
+        .orElse(scans.headOption).getOrElse(fail("no scan"))
         .inputRDD.partitions.toSeq.flatMap {
           case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
             dp.inputPartitions
@@ -905,7 +906,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(readAfter.size <= 2,
       s"the range-sliced avro table must schedule a file subset, " +
         s"got ${readAfter.size}: $readAfter")
-    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // RUNTIME skipping too (q117 parity on the row-format scan): a
+    // one-key dim join's runtime IN-set evaluates against the same
+    // shards and schedules only the covering file
+    val d = s"$cat.planshape.avro_skip_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $d")
+    val kMax = li.agg(max($"l_orderkey")).as[Long].head()
+    Seq((lo, "keep"), (kMax, "drop")).toDF("d_key", "tag").writeTo(d).create()
+    val joined = spark.table(t)
+      .join(spark.table(d).filter($"tag" === "keep"), $"l_orderkey" === $"d_key")
+      .select($"l_orderkey", $"l_quantity")
+    val expectedJoin = li.filter($"l_orderkey" === lo)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(joined.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      === expectedJoin)
+    val jp = joined.queryExecution.executedPlan.toString
+    assert(jp.contains("dynamicpruning"),
+      s"DPP subquery missing on the avro skipping column:\n$jp")
+    val readJoin = filesOf(joined)
+    assert(readJoin.size === 1,
+      s"the runtime IN-set must schedule only the covering avro file, " +
+        s"got ${readJoin.size}: $readJoin")
+    Seq(t, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
   test("q109 file-level data skipping: a key-range query schedules only the overlapping files") {
