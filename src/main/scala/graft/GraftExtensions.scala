@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minHashSigDescriptor)
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graft.ResolveStrandedTableReferences)
+    // merge-on-read deletion vectors (q119): relations over DV'd tables
+    // split into clean scans + broadcast anti-joins BEFORE pushdown, so
+    // each fragment keeps full pushdown/pruning. Sessions without this
+    // rule are refused by GraftTable.newScanBuilder — never wrong rows.
+    ext.injectOptimizerRule(_ => graft.plans.ResolveDeletionVectors)
   }
 }
 

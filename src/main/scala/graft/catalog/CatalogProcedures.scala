@@ -140,6 +140,33 @@ object CatalogProcedures {
           .dirs.map(_.files.size.toLong).sum
         InternalRow(utf8(view), files)
       }),
+    "changes_view" -> new GraftProcedure(
+      "changes_view",
+      "register a temp view over the CHANGELOG between two retained " +
+        "snapshots (versions_back; to=0 is the current state): the " +
+        "table's columns plus _change_type (insert|delete) and " +
+        "_change_version — a pure manifest walk; removed files read " +
+        "from their retirement area, merge-on-read commits contribute " +
+        "their deletion-vector keys; refuses across rewrite flips",
+      Array(param("table", StringType),
+        param("from_versions_back", LongType),
+        paramDefault("to_versions_back", LongType, "0"),
+        paramDefault("view", StringType, "''")),
+      StructType(Seq(
+        StructField("view", StringType, nullable = false))),
+      in => {
+        val t = in.getUTF8String(0).toString
+        val from = in.getLong(1).toInt
+        val to = if (in.isNullAt(2)) 0 else in.getLong(2).toInt
+        val view = {
+          val v = if (in.isNullAt(3)) "" else in.getUTF8String(3).toString.trim
+          if (v.nonEmpty) v
+          else s"${t.split("\\.").last}_changes_${from}_$to"
+        }
+        val df = graft.operators.ChangeFeed.changesBetween(spark, t, from, to)
+        df.createOrReplaceTempView(view)
+        InternalRow(utf8(view))
+      }),
     "compact" -> new GraftProcedure(
       "compact",
       "rewrite a fragmented table in place (dynamic self-overwrite under " +

@@ -121,11 +121,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"versions_back from ${ident.name}$$snapshots, got '$version'")
     }
     if (meta.snapshots.nonEmpty) {
-      require(n >= 1 && n <= meta.snapshots.size - 1,
-        s"time travel on ${ident.name}: version $n is not in history " +
-          s"(${meta.snapshots.size - 1} prior snapshot(s) retained; " +
-          s"see ${ident.name}$$snapshots)")
-      snapshotTable(ident, meta, meta.snapshots(n))
+      require(n >= 1,
+        s"time travel on ${ident.name}: VERSION AS OF takes versions_back " +
+          s">= 1, got $n")
+      val priorSnaps = meta.snapshots.size - 1
+      if (n <= priorSnaps) snapshotTable(ident, meta, meta.snapshots(n))
+      else {
+        // UNIFIED lineage past the retained snapshots: generations that
+        // retired BEFORE the oldest retained snapshot are states the
+        // snapshot lineage never captured (a pre-existing table whose
+        // rewrite history predates snapshotting, or snapshots evicted by
+        // the bounded keep while the generation data is still within the
+        // vacuum retention window) — versions_back continues into them
+        // instead of refusing access to still-retained history.
+        val preSnapshotHistory =
+          meta.history.filter(_.retiredAtMs < meta.snapshots.last.tsMs)
+        val idx = n - priorSnaps - 1
+        require(idx < preSnapshotHistory.size,
+          s"time travel on ${ident.name}: version $n is not in history " +
+            s"($priorSnaps prior snapshot(s) retained plus " +
+            s"${preSnapshotHistory.size} earlier retired generation(s); " +
+            s"see ${ident.name}$$snapshots and ${ident.name}$$history)")
+        timeTravelTable(ident, meta, preSnapshotHistory(idx))
+      }
     } else {
       require(n >= 1 && n <= meta.history.size,
         s"time travel on ${ident.name}: version $n is not in history " +
@@ -143,7 +161,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier, meta: TableMeta, target: SnapshotMeta): Table = {
     val resolved = Snapshots.resolve(spark, meta, target)
     new GraftTable(this, asSingle(ident.namespace),
-      meta.copy(provider = resolved.provider, history = Nil, snapshots = Nil),
+      // the snapshot's OWN dv list rides the pinned meta (q119): the
+      // plan-level anti-join applies exactly the deletes live at that
+      // version, not the current descriptor's
+      meta.copy(provider = resolved.provider, history = Nil, snapshots = Nil,
+        deleteVectors = resolved.dvs),
       timeTravel = true, pinned = Some(resolved))
   }
 
@@ -171,12 +193,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       meta.snapshots.find(_.tsMs <= tMs) match {
         case Some(s) if s == meta.snapshots.head => new GraftTable(this, db, meta)
         case Some(s) => snapshotTable(ident, meta, s)
-        case None => throw new IllegalArgumentException(
-          s"time travel on ${ident.name}: TIMESTAMP AS OF " +
-            s"${java.time.Instant.ofEpochMilli(tMs)} predates the oldest " +
-            s"retained snapshot (${java.time.Instant.ofEpochMilli(
-              meta.snapshots.last.tsMs)}; bounded lineage, " +
-            s"${Snapshots.KeepProp} deep) — older states were evicted")
+        case None =>
+          // t predates the oldest retained snapshot: fall back to the
+          // PRE-SNAPSHOT generation history (retired before the oldest
+          // snapshot) — a retained generation that was live at t is
+          // still a provably correct answer. Only when no such
+          // generation can be proven live at t does this refuse.
+          val preSnapshotHistory =
+            meta.history.filter(_.retiredAtMs < meta.snapshots.last.tsMs)
+          val liveAtT = preSnapshotHistory.filter(_.retiredAtMs > tMs)
+          // the generation live at t is the one with the EARLIEST
+          // retirement after t — but only provably so if an OLDER
+          // retained entry (or the creation bound) pins its start
+          val candidate = liveAtT.sortBy(_.retiredAtMs).headOption
+            .filter(_ => liveAtT.size < preSnapshotHistory.size ||
+              meta.history.size < TableMeta.MaxHistory)
+          candidate match {
+            case Some(g) => timeTravelTable(ident, meta, g)
+            case None => throw new IllegalArgumentException(
+              s"time travel on ${ident.name}: TIMESTAMP AS OF " +
+                s"${java.time.Instant.ofEpochMilli(tMs)} predates the oldest " +
+                s"retained snapshot (${java.time.Instant.ofEpochMilli(
+                  meta.snapshots.last.tsMs)}; bounded lineage, " +
+                s"${Snapshots.KeepProp} deep) and no retained retired " +
+                "generation is provably the state live at that instant")
+          }
       }
     } else meta.history.filter(_.retiredAtMs > tMs) match {
       case Seq() => new GraftTable(this, db, meta)
@@ -305,6 +346,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "cleared when ALTER changes the cluster columns, restored by a " +
           "full rewrite — compact or truncate-overwrite)")
     GraftCatalog.validateClusterBy(props, schema, partitionColumns, ident.name)
+    GraftCatalog.validateDmlMode(
+      props ++ bucketSpec.map(b => GraftCatalog.BucketCountProp -> b._1.toString),
+      schema, partitionColumns, ident.name)
     // bucketing a partition column is always a declaration mistake: the
     // value is constant within its directory, so every row of a
     // partition would land in ONE bucket and the layout degenerates
@@ -465,6 +509,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // GraftWrite-constructor backstop, far from the ALTER that caused it
       GraftCatalog.validateClusterBy(
         newProps, newSchema, meta.partitionColumns, meta.name)
+      GraftCatalog.validateDmlMode(
+        newProps, newSchema, meta.partitionColumns, meta.name)
+      // LIVE deletion vectors are only applied (and only foldable) under
+      // the merge-on-read declaration — changing the mode or the key out
+      // from under them would silently resurrect the deleted rows
+      if (meta.deleteVectors.nonEmpty &&
+          (newProps.get(DmlModeProp) != meta.properties.get(DmlModeProp) ||
+            newProps.get(DmlKeyProp) != meta.properties.get(DmlKeyProp)))
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ${meta.name}: cannot change $DmlModeProp/$DmlKeyProp " +
+            s"while ${meta.deleteVectors.size} deletion-vector batch(es) are " +
+            "live — CALL sys.compact to fold them first")
       meta.copy(schemaJson = newSchema.json, properties = newProps)
     } catch {
       case _: java.io.FileNotFoundException => throw new NoSuchTableException(ident)
@@ -742,6 +798,58 @@ object GraftCatalog {
     }
   }
 
+  /** MERGE-ON-READ DML opt-in (q119): `graft.dml.mode = merge-on-read`
+    * switches UPDATE / MERGE / row-predicate DELETE from the group-based
+    * copy-on-write rewrite (which rewrites every touched partition — the
+    * 100 TB write-amplification complaint) to deletion-vector sidecars:
+    * the DML writes the affected row KEYS (plus, for UPDATE/MERGE, the
+    * new rows as a plain append) and reads merge the vectors back via a
+    * plan-level anti-join. Requires [[DmlKeyProp]] naming a NOT NULL
+    * unique-key data column (Spark's delta-write contract refuses
+    * nullable row IDs; uniqueness is the standard equality-delete
+    * contract — a duplicated key would delete its duplicates too). */
+  val DmlModeProp: String = "graft.dml.mode"
+  val DmlKeyProp: String = "graft.dml.key"
+  val MorMode: String = "merge-on-read"
+
+  /** The merge-on-read key column, when the table opts in. */
+  private[graft] def morSpec(meta: TableMeta): Option[String] =
+    if (meta.properties.get(DmlModeProp).exists(_.equalsIgnoreCase(MorMode)))
+      meta.properties.get(DmlKeyProp)
+    else None
+
+  /** Shared by createTable / alterTable: a merge-on-read declaration must
+    * name an existing NOT NULL data column, and bucketed layouts stay
+    * copy-on-write (a delta insert would have to mirror the bucket
+    * routing — undeclared for now). Refusing at DDL keeps the first
+    * failing UPDATE from being the place the user learns the rules. */
+  private[graft] def validateDmlMode(
+      props: Map[String, String], schema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String], table: String): Unit = {
+    props.get(DmlModeProp).foreach { m =>
+      require(m.equalsIgnoreCase(MorMode) || m.equalsIgnoreCase("copy-on-write"),
+        s"$DmlModeProp on $table must be 'copy-on-write' or '$MorMode', got '$m'")
+      if (m.equalsIgnoreCase(MorMode)) {
+        val key = props.getOrElse(DmlKeyProp, throw new IllegalArgumentException(
+          s"$DmlModeProp=$MorMode on $table requires $DmlKeyProp naming the " +
+            "row-identity column"))
+        val field = schema.fields.find(_.name.equalsIgnoreCase(key)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$DmlKeyProp on $table names unknown column '$key' " +
+              s"(schema: ${schema.fieldNames.mkString(", ")})"))
+        require(!field.nullable,
+          s"$DmlKeyProp on $table: column '$key' must be NOT NULL — " +
+            "Spark's delta-write contract refuses nullable row IDs")
+        require(!partitionColumns.exists(_.equalsIgnoreCase(key)),
+          s"$DmlKeyProp on $table names partition column '$key' — the key " +
+            "must identify a ROW; use a data column")
+        require(!props.contains(BucketCountProp),
+          s"$DmlModeProp=$MorMode on $table: bucketed tables stay " +
+            "copy-on-write (delta inserts do not mirror bucket routing)")
+      }
+    }
+  }
+
   /** Properties managed by the catalog itself, never stored verbatim. */
   val ReservedTableProps: Set[String] = Set(
     TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
@@ -756,7 +864,8 @@ object GraftCatalog {
   val SpjProp: String = "graft.spj"
 
   val NonOptionProps: Set[String] = Set("comment", "owner",
-    BucketCountProp, BucketColumnsProp, ClusterByProp, ClusterSortedProp, SpjProp)
+    BucketCountProp, BucketColumnsProp, ClusterByProp, ClusterSortedProp, SpjProp,
+    DmlModeProp, DmlKeyProp)
 
   /** Per-streaming-query committed-epoch log: property
     * `graft.stream.epoch.<queryId>` holds the highest epoch id the named

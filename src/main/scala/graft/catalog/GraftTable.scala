@@ -61,6 +61,23 @@ class GraftTable(
   private def spark: SparkSession = SparkSession.active
   private def store: MetaStore = catalog.metaStore
 
+  /** For [[graft.plans.ResolveDeletionVectors]]: the owning catalog and
+    * namespace, needed to mint the pinned sub-relations a DV'd read
+    * splits into. */
+  private[graft] def graftCatalog: GraftCatalog = catalog
+  private[graft] def dbName: String = db
+  private[graft] def pinnedResolved: Option[Snapshots.Resolved] = pinned
+
+  /** A READ-ONLY relation over an explicit subset of this table's files
+    * (the deletion-vector splitter's building block): same schema and
+    * provider, pinned index, every layout/stats claim and every DV
+    * marker dropped — the fragment is exactly its file list. */
+  private[graft] def pinnedSubset(dirs: Seq[Snapshots.ResolvedDir]): GraftTable =
+    new GraftTable(catalog, db,
+      meta.copy(history = Nil, snapshots = Nil, deleteVectors = Nil),
+      timeTravel = true,
+      pinned = Some(Snapshots.Resolved(meta.provider, dirs)))
+
   override def name(): String = s"${catalog.name}.$db.${meta.name}"
 
   override def schema(): StructType = meta.schema
@@ -132,6 +149,13 @@ class GraftTable(
     * hand-inferred schema. */
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.TableIdentifier
+    // the V1 file-stream source lists raw files — it cannot apply
+    // deletion vectors, so a DV'd table must not stream until folded
+    if (meta.deleteVectors.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"streaming read of ${name()} is not supported while " +
+          s"${meta.deleteVectors.size} deletion-vector batch(es) are live " +
+          "— CALL sys.compact to fold them first")
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     // FileStreamSource's basePath contract requires a DIRECTORY; an
     // external table registered on a single file would resolve through
@@ -182,6 +206,20 @@ class GraftTable(
     else Nil
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // BACKSTOP, never the happy path: a table with live deletion vectors
+    // (q119) is only readable through the plan-level anti-join rewrite
+    // (graft.plans.ResolveDeletionVectors), which replaces this relation
+    // with DV-applied pinned fragments BEFORE pushdown ever builds a
+    // scan. Reaching here means the session lacks the rule — serving the
+    // raw files would silently include every deleted row, so refuse
+    // loudly instead.
+    if (pinned.isEmpty && meta.deleteVectors.nonEmpty)
+      throw new IllegalStateException(
+        s"${name()} has ${meta.deleteVectors.size} live deletion-vector " +
+          "batch(es); reading it requires the graft session extension " +
+          "(spark.sql.extensions=graft.GraftExtensions or " +
+          "GraftBootstrap.ensure) so deleted rows are filtered — refusing " +
+          "to serve raw files")
     val cache = FileStatusCache.getOrCreate(spark)
     // Partitioned tables ALWAYS scan through the catalog-tracked index —
     // including when the partition list is empty: a plain
@@ -437,10 +475,32 @@ class GraftTable(
     if (info.command == RowLevelOperation.Command.DELETE && meta.external)
       throw new UnsupportedOperationException(
         s"DELETE FROM is not supported on EXTERNAL table ${name()}")
+    val mor = GraftCatalog.morSpec(meta)
+    // LIVE deletion vectors constrain what may run next (q119):
+    //  - MOR DELETE stacks safely — re-deleting an already-hidden key is
+    //    a no-op under the anti-join;
+    //  - MOR UPDATE / MERGE must not: their delta scan reads the raw
+    //    files (hidden rows included), so re-emitting rows would
+    //    RESURRECT previously deleted keys;
+    //  - every COW rewrite must not: its group scan would carry hidden
+    //    rows into the replacement files.
+    // Compaction folds the vectors and re-opens the full matrix.
+    if (meta.deleteVectors.nonEmpty &&
+        !(mor.isDefined && info.command == RowLevelOperation.Command.DELETE))
+      throw new UnsupportedOperationException(
+        s"${info.command} on ${name()}: ${meta.deleteVectors.size} live " +
+          "deletion-vector batch(es) — only merge-on-read DELETE may stack " +
+          "on unfolded deletes; CALL sys.compact to fold them first")
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
-        new write.GraftRowLevelOperation(spark, store, db, meta,
-          info.command, catalog.autoSizeUpdate, catalog.writeLockTimeoutSec)
+      override def build(): RowLevelOperation = mor match {
+        case Some(key) =>
+          new write.GraftMorOperation(spark, store, db, meta,
+            info.command, key, catalog.autoSizeUpdate,
+            catalog.writeLockTimeoutSec)
+        case None =>
+          new write.GraftRowLevelOperation(spark, store, db, meta,
+            info.command, catalog.autoSizeUpdate, catalog.writeLockTimeoutSec)
+      }
     }
   }
 

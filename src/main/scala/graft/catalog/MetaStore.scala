@@ -105,6 +105,23 @@ case class GenerationMeta(
     stats: Option[TableStats],
     retiredAtMs: Long)
 
+/** One live DELETION-VECTOR batch of a merge-on-read table (q119): the
+  * sidecar a MOR DELETE / UPDATE / MERGE commit registers instead of
+  * rewriting the touched partitions. `manifest` names the batch's
+  * `_manifest.json` under `<location>/_graft_dv/<token>/`, which holds
+  * the key column, the deleted-key parquet files next to it, and the
+  * exact data files the batch applies to (the DML scan's read set) —
+  * scoping that makes re-inserts of a deleted key visible again (new
+  * files are never in `appliesTo`). Read-time application is the
+  * plan-level anti-join [[graft.plans.ResolveDeletionVectors]] splices
+  * in; compaction folds batches away. */
+case class DvMeta(
+    token: String,
+    keyColumn: String,
+    manifest: String,
+    keys: Long,
+    createdAtMs: Long)
+
 /** One COMMIT-level snapshot in the bounded per-table lineage (q116):
   * every batch commit — append, overwrite, truncate, DELETE, COW
   * rewrite, streaming epoch, AND the rewrite flips — records the
@@ -152,7 +169,12 @@ case class TableMeta(
     snapshots: Seq[SnapshotMeta] = Nil,
     // Monotonic snapshot version counter — survives lineage clears and
     // eviction so a version number is never reused within a table.
-    lastSnapshotVersion: Long = 0L) {
+    lastSnapshotVersion: Long = 0L,
+    // Live deletion-vector batches (merge-on-read DML, q119), oldest
+    // first. Registered atomically with the DML commit's partition
+    // registrations; folded away by compaction; applied at read by the
+    // plan-level anti-join rewrite.
+    deleteVectors: Seq[DvMeta] = Nil) {
 
   /** The current generation captured as a history entry (for the flip
     * that is about to retire it). */
@@ -469,7 +491,15 @@ object MetaStore {
           "kind" -> JString(s.kind),
           "file" -> JString(s.file)))
       }.toList),
-      "lastSnapshotVersion" -> JLong(m.lastSnapshotVersion)))
+      "lastSnapshotVersion" -> JLong(m.lastSnapshotVersion),
+      "deleteVectors" -> JArray(m.deleteVectors.map { d =>
+        JObject(List(
+          "token" -> JString(d.token),
+          "keyColumn" -> JString(d.keyColumn),
+          "manifest" -> JString(d.manifest),
+          "keys" -> JLong(d.keys),
+          "createdAtMs" -> JLong(d.createdAtMs)))
+      }.toList)))
     JsonMethods.pretty(JsonMethods.render(root))
   }
 
@@ -598,8 +628,19 @@ object MetaStore {
       }
       case _ => Nil
     }
+    val deleteVectors: Seq[DvMeta] = (j \ "deleteVectors") match {
+      case JArray(items) => items.flatMap { it =>
+        ((it \ "token"), (it \ "keyColumn"), (it \ "manifest")) match {
+          case (JString(t), JString(k), JString(mf)) =>
+            Some(DvMeta(t, k, mf, jl(it \ "keys"), jl(it \ "createdAtMs")))
+          case _ => None
+        }
+      }
+      case _ => Nil
+    }
     TableMeta(str("name"), str("schemaJson"), str("provider"), partCols,
       str("location"), (j \ "external") == JBool(true), jsonToMap(j \ "properties"),
-      stats, parts, history, createdAt, snapshots, jl(j \ "lastSnapshotVersion"))
+      stats, parts, history, createdAt, snapshots, jl(j \ "lastSnapshotVersion"),
+      deleteVectors)
   }
 }

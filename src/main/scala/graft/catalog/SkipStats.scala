@@ -201,13 +201,18 @@ object SkipStats extends Logging {
         bloomCols.forall(c => kept.blooms.contains(c.name)) &&
           cols.forall(c => kept.nulls.contains(c.name)))
     }
-    // The per-file footer reads run CONCURRENTLY (bounded by the shared
-    // pool — the GraftBatchWrite sizing-pass pattern): a 10k-file
-    // backfill commit otherwise pays 10k serial driver-side opens.
+    // The per-file footer reads run CONCURRENTLY on a DEDICATED bounded
+    // I/O pool with a FINITE deadline: a 10k-file backfill commit
+    // otherwise pays 10k serial driver-side opens, but this runs inside
+    // the commit path while the table's write permit is held — blocking
+    // forever on one hung filesystem open (or starving the shared global
+    // pool, which other driver work uses) would wedge every subsequent
+    // commit to the table. A timeout degrades to the advisory-failure
+    // path below (log + keep the previous shard).
     // Order-independent, read-only against immutable published files.
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
+    implicit val ioEc: scala.concurrent.ExecutionContext = GraftIO.ec
     val read: Seq[(String, RawEntry)] = Await.result(
       Future.traverse(toRead) { st => Future {
         val e =
@@ -220,7 +225,7 @@ object SkipStats extends Logging {
               footerBlooms(conf, st, bloomCols, bloomNdv(props)), nulls)
           }
         st.getPath.getName -> e
-      } }, Duration.Inf)
+      } }, GraftIO.footerReadDeadline(toRead.size))
     val entries: Map[String, RawEntry] =
       (carried.map(st => st.getPath.getName -> old(st.getPath.getName)) ++ read)
         .filter { case (_, e) =>

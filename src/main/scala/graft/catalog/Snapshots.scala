@@ -65,6 +65,11 @@ object Snapshots extends Logging {
 
   val SnapDirName = "_graft_snapshots"
   val RetiredDirName = "_graft_retired"
+  /** Deletion-vector sidecar area (q119): one `<token>/` dir per
+    * merge-on-read DML commit — deleted-key parquet files plus the
+    * `_manifest.json` naming the key column and the data files the
+    * batch applies to. */
+  val DvDirName = "_graft_dv"
 
   /** Bounded lineage depth (head = current state, so `keep` snapshots
     * retain `keep - 1` addressable versions_back). */
@@ -93,7 +98,12 @@ object Snapshots extends Logging {
 
   private[catalog] case class Snap(
       version: Long, tsMs: Long, kind: String, token: String,
-      provider: String, location: String, dirs: Seq[SnapDir])
+      provider: String, location: String, dirs: Seq[SnapDir],
+      /** Deletion-vector batches LIVE at this commit (q119): the
+        * descriptor's `deleteVectors` as of the commit, so a travel read
+        * to this version applies exactly the deletes a reader at the
+        * time would have seen — not the current ones. */
+      dvs: Seq[DvMeta] = Nil)
 
   /** One resolved directory of a travel read: every recorded file bound
     * to its CURRENT physical status (live path, or its retirement path
@@ -101,7 +111,8 @@ object Snapshots extends Logging {
   case class ResolvedDir(
       dir: String, spec: Map[String, String], files: Seq[FileStatus])
 
-  case class Resolved(provider: String, dirs: Seq[ResolvedDir])
+  case class Resolved(
+      provider: String, dirs: Seq[ResolvedDir], dvs: Seq[DvMeta] = Nil)
 
   // ---- JSON IO (hand-rolled writer + json4s reader, the SkipStats shape) ---
 
@@ -178,10 +189,15 @@ object Snapshots extends Logging {
       "{\"dir\":" + esc(d.dir) + ",\"spec\":" + spec +
         ",\"shard\":" + esc(d.shard) + "}"
     }.mkString("[", ",", "]")
+    val dvs = s.dvs.map { d =>
+      "{\"token\":" + esc(d.token) + ",\"keyColumn\":" + esc(d.keyColumn) +
+        ",\"manifest\":" + esc(d.manifest) + ",\"keys\":" + d.keys +
+        ",\"createdAtMs\":" + d.createdAtMs + "}"
+    }.mkString("[", ",", "]")
     val body = "{\"version\":" + s.version + ",\"tsMs\":" + s.tsMs +
       ",\"kind\":" + esc(s.kind) + ",\"token\":" + esc(s.token) +
       ",\"provider\":" + esc(s.provider) + ",\"location\":" + esc(s.location) +
-      ",\"dirs\":" + dirs + "}"
+      ",\"dirs\":" + dirs + ",\"dvs\":" + dvs + "}"
     writeFile(fs, target, body)
   }
 
@@ -217,9 +233,27 @@ object Snapshots extends Logging {
             }
             case _ => Nil
           }
+          val dvs = m.get("dvs") match {
+            case Some(JArray(items)) => items.flatMap {
+              case d: JObject =>
+                val dm = d.obj.toMap
+                def dl(k: String): Long = dm.get(k) match {
+                  case Some(JLong(v)) => v
+                  case Some(JInt(v)) => v.toLong
+                  case _ => 0L
+                }
+                for {
+                  JString(tok) <- dm.get("token")
+                  JString(kc) <- dm.get("keyColumn")
+                  JString(mf) <- dm.get("manifest")
+                } yield DvMeta(tok, kc, mf, dl("keys"), dl("createdAtMs"))
+              case _ => None
+            }
+            case _ => Nil
+          }
           for { k <- jstr("kind"); pr <- jstr("provider"); loc <- jstr("location") }
             yield Snap(jlong("version"), jlong("tsMs"), k,
-              jstr("token").getOrElse(""), pr, loc, dirs)
+              jstr("token").getOrElse(""), pr, loc, dirs, dvs)
         case _ => None
       }
     }
@@ -360,7 +394,8 @@ object Snapshots extends Logging {
     val now = System.currentTimeMillis()
     val sf = new Path(snapDir, s"snap-$v.json")
     writeSnap(fs, sf,
-      Snap(v, now, kind, token, meta.provider, qualStr(conf, meta.location), dirs))
+      Snap(v, now, kind, token, meta.provider, qualStr(conf, meta.location), dirs,
+        meta.deleteVectors))
     val updated = store.updateTable(db, table) { cur =>
       cur.copy(
         snapshots = (SnapshotMeta(v, now, kind,
@@ -423,6 +458,23 @@ object Snapshots extends Logging {
       }
       // the area itself goes when its last token does
       if (fs.listStatus(retiredDir).isEmpty) fs.delete(retiredDir, true)
+    }
+    // deletion-vector batches (q119) reclaim like retirement tokens: a
+    // `_graft_dv/<token>` dir lives while the CURRENT descriptor or any
+    // retained snapshot's dv list references it (travel to that version
+    // must still apply its deletes); folded/expired batches go here.
+    // Dot-prefixed tmp dirs are crashed-writer staging — always residue
+    // under the permit this runs with.
+    val dvDir = new Path(root, DvDirName)
+    if (fs.exists(dvDir)) {
+      val neededDvTokens: Set[String] =
+        (meta.deleteVectors.map(_.manifest) ++
+          snaps.flatMap(_._2.dvs.map(_.manifest)))
+          .map(m => new Path(m).getParent.getName).toSet
+      fs.listStatus(dvDir).foreach { st =>
+        if (!neededDvTokens.contains(st.getPath.getName)) reclaim(st.getPath)
+      }
+      if (fs.listStatus(dvDir).isEmpty) fs.delete(dvDir, true)
     }
     (files, bytes)
   } catch { case NonFatal(e) =>
@@ -560,6 +612,6 @@ object Snapshots extends Logging {
       }
       ResolvedDir(sd.dir, sd.spec, resolved)
     }
-    Resolved(snap.provider, dirs)
+    Resolved(snap.provider, dirs, snap.dvs)
   }
 }

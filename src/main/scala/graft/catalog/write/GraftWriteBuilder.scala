@@ -579,6 +579,23 @@ class GraftBatchWrite(
     * as identity. */
   @volatile private[write] var metaExtra: TableMeta => TableMeta = identity
 
+  /** Snapshot-kind override for wrappers that commit THROUGH this batch
+    * write but are not plain appends — the merge-on-read DML commit
+    * (q119) rides the Append machinery for its inserted files yet must
+    * record kind `dml-mor`, e.g. so incremental append reads refuse
+    * ranges containing it. */
+  @volatile private[write] var kindOverride: Option[String] = None
+
+  /** Hook invoked right AFTER the FS commit publishes files and before
+    * the catalog phase — the merge-on-read commit creates its `.delta`
+    * marker here (the COW marker point, same crash semantics). */
+  @volatile private[write] var afterFsCommit: () => Unit = () => ()
+
+  /** Hook invoked at the very end of a successful commit, still under
+    * the write permit — the merge-on-read commit retires its `.delta`
+    * intent manifest here. */
+  @volatile private[write] var postCommit: () => Unit = () => ()
+
   private val permitKey = GraftBatchWrite.qualifiedKey(spark, meta.location)
   private val writePermit =
     GraftBatchWrite.writeLocks
@@ -612,6 +629,11 @@ class GraftBatchWrite(
     // abort(), so a throw from here (deletes or the inner factory) would
     // otherwise leak the permit forever and wedge all writes to the table.
     try {
+      // a crashed snapshot ROLLBACK heals first (its undo restores the
+      // descriptor and empties its retirement token back into the live
+      // tree, so nothing below — including this commit's snapshot GC —
+      // can observe or reclaim the half-rolled-back state)
+      RollbackTxn.repair(spark.sessionState.newHadoopConf(), store, db, meta)
       // a crashed row-level rewrite may have published replacement files
       // without completing its old-file deletes — finish (or abandon)
       // that transaction first, while the permit guarantees no other
@@ -621,6 +643,9 @@ class GraftBatchWrite(
       // files to retirement without completing its swap — restore the
       // unswapped dirs' files (empty-dir rule)
       repairRetireManifests()
+      // ... and a crashed merge-on-read DML rolls forward (marker) or
+      // back (no marker) before any new files land
+      repairDeltaManifests()
       // truncate/static-overwrite deletes run HERE, now that no other
       // job's staged files can be under the table dir
       preWriteDeletes()
@@ -999,6 +1024,63 @@ class GraftBatchWrite(
       }
   }
 
+  /** Repair crash residue of a merge-on-read DML commit (q119 — see
+    * [[GraftDeltaBatchWrite]] for the protocol). A `.delta` intent
+    * manifest records the write-target dirs (`W`) with their
+    * pre-existing files (`K`), the finalized DV dir, its tmp dir, and
+    * the DvMeta to register; the `.delta.committed` marker is created
+    * right after the FS commit (the COW marker point):
+    *
+    *  - marker present → the statement committed: ensure the DvMeta is
+    *    registered (the descriptor update may not have run), drop the
+    *    tmp dir, retire the txn files;
+    *  - marker absent → it did not: delete the unlisted files in the
+    *    `W` dirs (the crashed statement's inserts, possibly partial),
+    *    the DV dir and tmp dir, then the manifest — the statement never
+    *    happened. */
+  private def repairDeltaManifests(): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val txnDir = new Path(meta.location, GraftBatchWrite.TxnDirName)
+    val fs = txnDir.getFileSystem(conf)
+    if (!fs.exists(txnDir)) return
+    fs.listStatus(txnDir).map(_.getPath)
+      .filter(_.getName.endsWith(".delta")).foreach { pm =>
+        val marker = new Path(txnDir,
+          pm.getName.stripSuffix(".delta") + ".delta.committed")
+        val lines = {
+          val in = fs.open(pm)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        }
+        def tagged1(t: String): Seq[String] =
+          lines.collect { case l if l.startsWith(t + "\t") =>
+            l.drop(t.length + 1) }
+        val committed = fs.exists(marker)
+        if (committed) {
+          lines.collectFirst {
+            case l if l.startsWith("DVMETA\t") => l.split("\t") match {
+              case Array(_, token, keyCol, manifestPath, keys, createdAt) =>
+                graft.catalog.DvMeta(token, keyCol, manifestPath,
+                  keys.toLong, createdAt.toLong)
+              case _ => sys.error(s"torn DVMETA line in $pm")
+            }
+          }.foreach { dv =>
+            store.updateTable(db, meta.name) { m =>
+              if (m.deleteVectors.exists(_.token == dv.token)) m
+              else m.copy(deleteVectors = m.deleteVectors :+ dv)
+            }
+          }
+        } else {
+          unlistedFiles(lines, conf)
+            .foreach(f => f.getFileSystem(conf).delete(f, false))
+          tagged1("DV").foreach(d => fs.delete(new Path(d), true))
+        }
+        tagged1("DVTMP").foreach(d => fs.delete(new Path(d), true))
+        fs.delete(pm, false)
+        fs.delete(marker, false)
+      }
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = try {
     // COW: snapshot the scanned groups' files BEFORE the FS commit
     // publishes replacement files into the same directories — afterwards
@@ -1113,6 +1195,7 @@ class GraftBatchWrite(
     // the deletes, and the catalog registration. WritePathSpec drives
     // the two-phase-commit recovery contract through this point.
     GraftBatchWrite.crashAfterFsCommit.foreach(f => f())
+    afterFsCommit()
 
     val hadoopConf = spark.sessionState.newHadoopConf()
 
@@ -1158,8 +1241,14 @@ class GraftBatchWrite(
     }
 
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
+    // Dedicated bounded I/O pool + finite deadlines (the SkipStats
+    // contract): these listing fan-outs run while the write permit —
+    // and, for the repair pass, the metastore monitor — is held, so a
+    // hung filesystem must degrade (Unsized placeholders, repaired by
+    // the next sizing commit) instead of wedging every writer.
+    implicit val ioEc: scala.concurrent.ExecutionContext =
+      graft.catalog.GraftIO.ec
 
     // The getContentSummary sizing pass runs BEFORE entering
     // MetaStore.updateTable's per-table monitor: the written dirs are
@@ -1212,7 +1301,7 @@ class GraftBatchWrite(
       // is correctness, not stats) but unsized, and table stats clear.
       val snapLocBySpec = snapshot.partitions
         .collect { case p if p.location.isDefined => p.spec -> p.location }.toMap
-      val written = Await.result(
+      val written = try Await.result(
         Future.traverse(writtenSpecs) { spec => Future {
           // a pre-registered custom LOCATION survives the write (the
           // files just landed there via customPartitionLocations)
@@ -1230,9 +1319,33 @@ class GraftBatchWrite(
               case _: java.io.FileNotFoundException => PartitionMeta.Unsized
             }
           PartitionMeta(spec, loc, size)
-        } }, Duration.Inf)
-      skipStatsDirs = written.map(p => p.location.getOrElse(
-        GraftBatchWrite.partitionDir(snapshot, p.spec).toString))
+        } }, graft.catalog.GraftIO.footerReadDeadline(writtenSpecs.size))
+      catch {
+        // registration is correctness, sizing is not: on a hung
+        // filesystem register every written partition Unsized — the
+        // next sizing commit repairs each exactly once
+        case _: java.util.concurrent.TimeoutException =>
+          writtenSpecs.map(spec =>
+            PartitionMeta(spec, snapLocBySpec.getOrElse(spec, None),
+              PartitionMeta.Unsized))
+      }
+      // Touched dirs = dirs whose LIVE FILE LIST this commit changed —
+      // written partitions PLUS every COW-scanned (and write-target)
+      // directory: a scanned partition whose file was fully retired with
+      // no replacement written there (a DELETE emptying one file while
+      // the partition keeps others, an UPDATE moving its rows elsewhere)
+      // is not in `written`, and reusing the parent snapshot shard for
+      // it would record the just-retired file as live — the head
+      // snapshot would then refuse travel/rollback ("no longer
+      // restorable") and the staleness would persist through pointer
+      // reuse in every later commit. The same dirs' skip-stats shards
+      // would keep the retired file's entry, so both maintenance passes
+      // take the union.
+      val cowTouchedDirs: Seq[String] = cowSnapshot.toSeq.flatMap(cs =>
+        cs.dirs.map(_._2.toString) ++ cs.writeDirs.map(_.toString))
+      skipStatsDirs = (written.map(p => p.location.getOrElse(
+        GraftBatchWrite.partitionDir(snapshot, p.spec).toString)) ++
+        cowTouchedDirs).distinct
 
       // Atomic descriptor update: concurrent commits to different
       // partitions of the same table must both land their registrations.
@@ -1282,13 +1395,18 @@ class GraftBatchWrite(
             base.filter(p => !p.isSized && !writtenSpecSet.contains(p.spec))
               .map(_.spec)
           else Nil
-        val repaired = Await.result(
+        val repaired = try Await.result(
           Future.traverse(staleSpecs) { spec => Future {
             val loc = curLocBySpec.getOrElse(spec, None)
             val dir = loc.map(new Path(_))
               .getOrElse(GraftBatchWrite.partitionDir(current, spec))
             PartitionMeta(spec, loc, sizeOf(dir))
-          } }, Duration.Inf)
+          } }, graft.catalog.GraftIO.footerReadDeadline(staleSpecs.size))
+        catch {
+          // repair is one-shot by design — skipping it here just leaves
+          // the placeholders for the next sizing commit to retry
+          case _: java.util.concurrent.TimeoutException => Nil
+        }
         val merged0 = writtenAdjusted ++ repaired
         val mergedSpecSet = merged0.map(_.spec).toSet
         val merged = base.filterNot(p => mergedSpecSet.contains(p.spec)) ++ merged0
@@ -1311,16 +1429,17 @@ class GraftBatchWrite(
     // pointers for the rest — under the same permit. Advisory: a
     // failure clears the lineage, never the commit.
     if (!snapshot.external) {
-      val kind = mode match {
+      val kind = kindOverride.getOrElse(mode match {
         case Append => "append"
         case Truncate => "truncate"
         case StaticOverwrite(_) => "overwrite"
         case DynamicOverwrite => "overwrite-dynamic"
         case _: CowReplace => "rewrite-dml"
-      }
+      })
       graft.catalog.Snapshots.maintain(spark, store, db, meta.name,
         kind, retireToken, skipStatsDirs)
     }
+    postCommit()
     FileStatusCache.getOrCreate(spark).invalidateAll()
   } finally releasePermit()
 
@@ -1332,12 +1451,20 @@ class GraftBatchWrite(
     * unpartitioned table, where in-place compaction is unavailable).
     * Runs inside the same atomic descriptor update as the stats/
     * partition registration, under the write permit. */
-  private def restoreSortTrust(m: TableMeta): TableMeta =
+  private def restoreSortTrust(m: TableMeta): TableMeta = {
+    // a truncate retired every file any live deletion vector applied to
+    // — the batches are inert; clearing keeps the read path rewrite-free
+    // (older snapshots keep their own dv lists for travel)
+    val cleared =
+      if (mode == Truncate && m.deleteVectors.nonEmpty)
+        m.copy(deleteVectors = Nil)
+      else m
     if (mode == Truncate &&
-        graft.catalog.GraftCatalog.clusterColumns(m.properties).nonEmpty)
-      m.copy(properties = m.properties +
+        graft.catalog.GraftCatalog.clusterColumns(cleared.properties).nonEmpty)
+      cleared.copy(properties = cleared.properties +
         (graft.catalog.GraftCatalog.ClusterSortedProp -> "true"))
-    else m
+    else cleared
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     try inner.abort(messages) finally releasePermit()

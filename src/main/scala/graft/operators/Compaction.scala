@@ -77,6 +77,62 @@ object Compaction {
           g.invalidateTable(ident)
         case _ =>
       }
+      // FOLD DELETION VECTORS (q119): compaction read the table through
+      // the anti-join rewrite, so every rewritten file already excludes
+      // the deleted keys — any batch whose appliesTo files are all gone
+      // from the live tree is materialized and its descriptor entry
+      // drops (the dv dir itself is reclaimed by snapshot GC once no
+      // retained snapshot references it). Batches still touching live
+      // files (a partition the overwrite left alone) stay. Still inside
+      // the lease, so no commit can interleave.
+      cat match {
+        case g: graft.catalog.GraftCatalog =>
+          foldInertDvs(spark, g, parts(1), parts.last)
+          g.invalidateTable(ident)
+        case _ =>
+      }
     } finally release()
+  }
+
+  /** Drop descriptor entries of deletion-vector batches none of whose
+    * `appliesTo` files are still live. Shared by compaction (which makes
+    * batches inert by rewriting their files) and callable as its own
+    * maintenance step. Torn manifests are conservatively KEPT. */
+  private[graft] def foldInertDvs(
+      spark: SparkSession, g: graft.catalog.GraftCatalog,
+      db: String, name: String): Unit = {
+    val store = g.metaStore
+    val m = store.loadTable(db, name)
+    if (m.deleteVectors.isEmpty) return
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: org.apache.hadoop.fs.Path): String =
+      p.getFileSystem(conf).makeQualified(p).toString
+    val dirs: Seq[String] =
+      if (m.isPartitioned) m.partitions.map(p => p.location.getOrElse(
+        graft.catalog.write.GraftBatchWrite.partitionDir(m, p.spec).toString))
+      else Seq(m.location)
+    val live: Set[String] = dirs.flatMap { d =>
+      val dir = new org.apache.hadoop.fs.Path(d)
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.collect {
+        case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".") => qualify(s.getPath)
+      }
+    }.toSet
+    val inert = m.deleteVectors.filter { dv =>
+      graft.catalog.write.DvManifest.read(conf, dv.manifest).exists {
+        case (_, applies, _) =>
+          applies.forall(a => !live.contains(
+            qualify(new org.apache.hadoop.fs.Path(a))))
+      }
+    }
+    if (inert.nonEmpty) {
+      val inertTokens = inert.map(_.token).toSet
+      store.updateTable(db, name)(c => c.copy(
+        deleteVectors = c.deleteVectors.filterNot(d =>
+          inertTokens.contains(d.token))))
+      ()
+    }
   }
 }

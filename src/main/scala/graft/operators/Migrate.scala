@@ -186,7 +186,10 @@ object Migrate {
           stats = cur.stats.map(_.copy(
             sizeInBytes = fs.getContentSummary(staging).getLength)),
           history = (cur.asGeneration(System.currentTimeMillis()) +:
-            cur.history).take(TableMeta.MaxHistory))
+            cur.history).take(TableMeta.MaxHistory),
+          // the staging read went through the deletion-vector rewrite,
+          // so the new generation has the deletes MATERIALIZED (q119)
+          deleteVectors = Nil)
       }
       // the flip joins the snapshot lineage too (q116): every dir of the
       // new generation lists fresh (the location changed, so no parent

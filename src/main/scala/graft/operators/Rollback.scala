@@ -113,7 +113,16 @@ object Rollback {
     * additions), and target files currently in a retirement area rename
     * back into place. Directories registered now but absent from the
     * target retire wholesale. Cost ∝ files that actually changed —
-    * renames only, no data rewrite. */
+    * renames only, no data rewrite.
+    *
+    * FAILURE-ATOMIC via [[graft.catalog.write.RollbackTxn]]: every
+    * planned move plus the complete pre-rollback descriptor persist to
+    * a `.rbk` intent manifest BEFORE the first rename; the manifest is
+    * removed only after the descriptor update and the rollback's own
+    * snapshot record succeed. An in-JVM failure undoes eagerly; a crash
+    * is undone by the next write's (or rollback's) repair pass — so the
+    * rollback fully happened or never happened, and the live table can
+    * never be left silently missing rows mid-campaign. */
   private def rollbackSnapshot(
       spark: SparkSession,
       plugin: GraftCatalog,
@@ -128,6 +137,11 @@ object Rollback {
       s"snapshot rollback of $table since ${java.time.Instant.now()}",
       plugin.writeLockTimeoutSec)
     try {
+      // heal residue of a previously crashed rollback FIRST (under the
+      // permit): its manifest reverses and the descriptor restores, so
+      // the state below is always a consistent commit point
+      graft.catalog.write.RollbackTxn.repair(
+        conf, store, db, store.loadTable(db, name))
       // fresh state + resolution INSIDE the permit: no writer can race
       val cur = store.loadTable(db, name)
       require(cur.snapshots.size >= versionsBack + 1,
@@ -152,6 +166,26 @@ object Rollback {
           s"not match the table's ${cur.provider}")
       val token = java.util.UUID.randomUUID().toString
       def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+
+      // ---- PLAN every move (no filesystem mutation yet) ----------------
+      val rootPath = new Path(cur.location)
+      val qRoot = rootPath.getFileSystem(conf).makeQualified(rootPath).toString
+      def retiredTarget(f: Path): Option[Path] = {
+        val q = f.getFileSystem(conf).makeQualified(f).toString
+        if (q.startsWith(qRoot + "/"))
+          Some(new Path(rootPath,
+            s"${Snapshots.RetiredDirName}/$token/${q.stripPrefix(qRoot + "/")}"))
+        else None // custom-LOCATION data outside the root: not retirable
+      }
+      val moves = scala.collection.mutable.ArrayBuffer
+        .empty[graft.catalog.write.RollbackTxn.Move]
+      val deletes = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val emptiedDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+      def planRetire(p: Path): Unit = retiredTarget(p) match {
+        case Some(t) =>
+          moves += graft.catalog.write.RollbackTxn.Move(p, t); ()
+        case None => deletes += p; ()
+      }
       val targetDirSet = resolved.dirs.map(d =>
         Snapshots.qualify(conf, d.dir)).toSet
       // dirs registered NOW but absent from the target: the rolled-back
@@ -163,7 +197,16 @@ object Rollback {
         else Seq(cur.location)
       currentDirs.filterNot(d =>
         targetDirSet.contains(Snapshots.qualify(conf, d))).foreach { d =>
-        Snapshots.retireDirTree(conf, cur.location, new Path(d), token)
+        val dir = new Path(d)
+        val dfs = dir.getFileSystem(conf)
+        if (dfs.exists(dir)) {
+          def walk(p: Path): Unit = dfs.listStatus(p).foreach { st =>
+            if (st.isFile && !hidden(st.getPath.getName)) planRetire(st.getPath)
+            else if (st.isDirectory && !hidden(st.getPath.getName)) walk(st.getPath)
+          }
+          walk(dir)
+          emptiedDirs += dir
+        }
       }
       // per target dir: retire extras, restore retirements
       val restoredParts = resolved.dirs.map { rd =>
@@ -175,39 +218,74 @@ object Rollback {
           if (fs.exists(dir)) fs.listStatus(dir).toSeq
             .filter(s => s.isFile && !hidden(s.getPath.getName))
           else Nil
-        live.filterNot(s => targetByName.contains(s.getPath.getName)).foreach { s =>
-          if (!Snapshots.retireFile(conf, cur.location, s.getPath, token))
-            fs.delete(s.getPath, false)
-        }
+        live.filterNot(s => targetByName.contains(s.getPath.getName))
+          .foreach(s => planRetire(s.getPath))
         targetByName.foreach { case (n, st) =>
           val parent = st.getPath.getParent
-          if (parent.getFileSystem(conf).makeQualified(parent).toString != qdir) {
-            fs.mkdirs(dir)
-            require(fs.rename(st.getPath, new Path(dir, n)),
-              s"rollback($table): failed to restore ${st.getPath} to $dir/$n")
-          }
+          if (parent.getFileSystem(conf).makeQualified(parent).toString != qdir)
+            moves += graft.catalog.write.RollbackTxn.Move(
+              st.getPath, new Path(dir, n))
         }
         (rd, rd.files.map(_.getLen).sum)
       }
-      val newParts: Seq[PartitionMeta] =
-        if (cur.isPartitioned) restoredParts.map { case (rd, size) =>
-          val default = GraftBatchWrite.partitionDir(cur, rd.spec)
-          val qd = Snapshots.qualify(conf, rd.dir)
-          val loc =
-            if (qd == Snapshots.qualify(conf, default.toString)) None
-            else Some(rd.dir)
-          PartitionMeta(rd.spec, loc, size)
+
+      // ---- intent manifest FIRST, then execute --------------------------
+      // the manifest carries the complete pre-rollback descriptor plus
+      // every planned move, so any failure below (in-JVM via the catch,
+      // a crash via RollbackTxn.repair at the next write) reverses to
+      // EXACTLY the pre-rollback state — never a half-moved live table,
+      // and the token can never be GC'd unrecorded (repair empties it
+      // back before any commit's GC runs)
+      val manifest = graft.catalog.write.RollbackTxn.writeManifest(
+        conf, cur.location, token, cur, moves.toSeq)
+      try {
+        moves.foreach { m =>
+          val mfs = m.to.getFileSystem(conf)
+          mfs.mkdirs(m.to.getParent)
+          require(m.from.getFileSystem(conf).rename(m.from, m.to),
+            s"rollback($table): failed to move ${m.from} to ${m.to}")
         }
-        else Nil
-      store.updateTable(db, name) { c =>
-        c.copy(partitions = newParts,
-          stats = Some(TableStats(restoredParts.map(_._2).sum, None)))
+        // out-of-root custom-LOCATION files cannot retire — they delete,
+        // AFTER every rename succeeded so the non-undoable step runs in
+        // the narrowest possible window (declared trade, SURVEY §7.4)
+        deletes.foreach(p => p.getFileSystem(conf).delete(p, false))
+        // the rolled-back commit's emptied dirs drop wholesale (their
+        // skip shards are advisory and rebuild on the next commit there)
+        emptiedDirs.foreach(d => d.getFileSystem(conf).delete(d, true))
+        val newParts: Seq[PartitionMeta] =
+          if (cur.isPartitioned) restoredParts.map { case (rd, size) =>
+            val default = GraftBatchWrite.partitionDir(cur, rd.spec)
+            val qd = Snapshots.qualify(conf, rd.dir)
+            val loc =
+              if (qd == Snapshots.qualify(conf, default.toString)) None
+              else Some(rd.dir)
+            PartitionMeta(rd.spec, loc, size)
+          }
+          else Nil
+        store.updateTable(db, name) { c =>
+          c.copy(partitions = newParts,
+            stats = Some(TableStats(restoredParts.map(_._2).sum, None)),
+            // the target snapshot's OWN deletion-vector list restores
+            // with its files (q119): rolling back past a MOR DELETE
+            // must drop its batch, rolling back TO one must keep it
+            deleteVectors = resolved.dvs)
+        }
+        // the rollback IS a commit: its snapshot (a) makes redo possible
+        // (versions_back 1 is now the state rolled away from) and (b)
+        // records `token` so the retired extras stay resolvable
+        Snapshots.maintain(spark, store, db, name, "rollback", token,
+          resolved.dirs.map(_.dir) ++ currentDirs)
+        // COMMIT POINT: only now does the rollback "fully happen"
+        manifest.getFileSystem(conf).delete(manifest, false)
+      } catch { case scala.util.control.NonFatal(t) =>
+        // eager in-JVM undo: reverse the executed moves and restore the
+        // descriptor — the rollback never happened
+        try graft.catalog.write.RollbackTxn.undo(
+          conf, store, db, manifest, restoreDescriptor = true)
+        catch { case scala.util.control.NonFatal(u) =>
+          t.addSuppressed(u) } // manifest stays; the next write repairs
+        throw t
       }
-      // the rollback IS a commit: its snapshot (a) makes redo possible
-      // (versions_back 1 is now the state rolled away from) and (b)
-      // records `token` so the retired extras stay resolvable
-      Snapshots.maintain(spark, store, db, name, "rollback", token,
-        resolved.dirs.map(_.dir) ++ currentDirs)
       plugin.invalidateTable(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array(db), name))
       (cur.provider, cur.location)

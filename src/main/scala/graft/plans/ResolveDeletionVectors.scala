@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, JoinHint, LocalRelation, LogicalPlan, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.{GraftTable, Snapshots}
+import graft.catalog.write.{DvManifest, GraftBatchWrite}
+
+/** DELETION-VECTOR APPLICATION (q119) — the read half of merge-on-read
+  * DML, done the Spark-first way: not a per-row reader filter, but a
+  * LOGICAL-PLAN rewrite, so Catalyst keeps every optimization it already
+  * knows.
+  *
+  * A relation over a table with live DV batches splits into pinned
+  * fragments by "which batches apply to this file":
+  *
+  * {{{
+  *   t  ⇒  Union(
+  *     scan(files no batch applies to),                       — untouched
+  *     scan(files of batch group G) LEFT ANTI JOIN keys(G)    — per group
+  *       ON t.key <=> dv.key  [broadcast]
+  *   )
+  * }}}
+  *
+  * Why this shape survives 100 TB:
+  *  - the clean fragment (the overwhelming majority of files between
+  *    compactions) scans EXACTLY as before — vectorized, pushed-down,
+  *    pruned; zero per-row overhead;
+  *  - the anti-join's build side is the batch's deleted keys — small by
+  *    the MOR contract (compaction folds batches) — and broadcast, so
+  *    no shuffle of the data side, and AQE/codegen treat it like any
+  *    other join;
+  *  - per-FILE scoping (`appliesTo` = the DML scan's read set) gives
+  *    correct sequencing for free: a key deleted in batch v and
+  *    re-inserted later lives in a file no batch applies to, so it
+  *    survives — the property Iceberg needs sequence numbers for;
+  *  - travel reads work unchanged: a pinned (VERSION AS OF) relation
+  *    carries ITS snapshot's dv list and splits the pinned file set the
+  *    same way.
+  *
+  * Installed via `graft.GraftExtensions` (operator-optimization batch —
+  * BEFORE pushdown, so every fragment gets its own pushdown/pruning
+  * pass). Idempotent: the fragments are pinned tables whose dv list is
+  * empty. Sessions without the rule are refused loudly by
+  * `GraftTable.newScanBuilder` — never served raw files.
+  */
+object ResolveDeletionVectors extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+          r.table.asInstanceOf[GraftTable].meta.deleteVectors.nonEmpty =>
+        rewrite(r, r.table.asInstanceOf[GraftTable])
+    }
+
+  private def rewrite(r: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = t.meta
+    def qualify(p: Path): String =
+      p.getFileSystem(conf).makeQualified(p).toString
+
+    // each live batch's manifest: key column, the qualified data files
+    // it applies to, and the dir holding its deleted-key parquet files.
+    // A missing/torn manifest refuses the read — serving the rows would
+    // resurrect the deleted keys.
+    val batches: Seq[(String, Set[String], String)] =
+      meta.deleteVectors.map { dv =>
+        val (keyCol, applies, _) = DvManifest.read(conf, dv.manifest).getOrElse(
+          throw new IllegalStateException(
+            s"deletion-vector manifest ${dv.manifest} of ${t.name()} is " +
+              "missing or torn — refusing to read (deleted rows would " +
+              "resurface); restore it or roll the table back"))
+        (keyCol, applies.map(s => qualify(new Path(s))).toSet,
+          new Path(dv.manifest).getParent.toString)
+      }
+
+    // the file universe: the pinned snapshot's recorded set (travel
+    // reads — identity is the ORIGINAL dir + name even when the file now
+    // lives in a retirement area), or the live listing per registered
+    // directory. Metadata-only planning work, ∝ files in involved dirs.
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    val universe: Seq[(String, String, Map[String, String], org.apache.hadoop.fs.FileStatus)] =
+      t.pinnedResolved match {
+        case Some(res) => res.dirs.flatMap { rd =>
+          val qd = qualify(new Path(rd.dir))
+          rd.files.map(f => (s"$qd/${f.getPath.getName}", rd.dir, rd.spec, f))
+        }
+        case None =>
+          val dirSpecs: Seq[(String, Map[String, String])] =
+            if (meta.isPartitioned)
+              meta.partitions.map(p => (
+                p.location.getOrElse(
+                  GraftBatchWrite.partitionDir(meta, p.spec).toString),
+                p.spec))
+            else Seq((meta.location, Map.empty[String, String]))
+          dirSpecs.flatMap { case (d, spec) =>
+            val dir = new Path(d)
+            val fs = dir.getFileSystem(conf)
+            val files =
+              if (fs.exists(dir)) fs.listStatus(dir).toSeq
+                .filter(s => s.isFile && !hidden(s.getPath.getName))
+              else Nil
+            files.map(f => (qualify(f.getPath), d, spec, f))
+          }
+      }
+
+    // group files by the SET of batches that apply; clean group first so
+    // the Union's output (= head child's) keeps the original exprIds
+    val grouped: Seq[(Seq[Int], Seq[Snapshots.ResolvedDir])] = universe
+      .groupBy { case (id, _, _, _) =>
+        batches.indices.filter(i => batches(i)._2.contains(id))
+      }
+      .toSeq.sortBy(_._1.mkString(","))
+      .map { case (idxs, files) =>
+        val dirs = files.groupBy(f => (f._2, f._3)).map {
+          case ((dir, spec), fs) => Snapshots.ResolvedDir(dir, spec, fs.map(_._4))
+        }.toSeq.sortBy(_.dir)
+        (idxs, dirs)
+      }
+
+    if (grouped.isEmpty) return LocalRelation(r.output)
+
+    val children: Seq[LogicalPlan] = grouped.zipWithIndex.map {
+      case ((batchIdxs, dirs), i) =>
+        val sub = t.pinnedSubset(dirs)
+        // head child reuses the ORIGINAL attribute ids so the rewritten
+        // subtree is a drop-in for the relation it replaces
+        val base =
+          if (i == 0) DataSourceV2Relation(sub, r.output, None, None, r.options)
+          else DataSourceV2Relation.create(sub, None, None)
+        if (batchIdxs.isEmpty) base
+        else {
+          val keyCol = batches(batchIdxs.head)._1
+          val keyAttr = base.output.find(_.name.equalsIgnoreCase(keyCol))
+            .getOrElse(throw new IllegalStateException(
+              s"deletion-vector key '$keyCol' not in output of ${t.name()}"))
+          val keyField = meta.schema.fields
+            .find(_.name.equalsIgnoreCase(keyCol)).get
+          // the batch group's deleted keys: tiny parquet sidecars, read
+          // with an explicit schema (no inference round-trip) and
+          // BROADCAST — the data side never shuffles
+          val keysPlan: LogicalPlan = batchIdxs.map { bi =>
+            spark.read.schema(StructType(Seq(keyField)))
+              .parquet(batches(bi)._3)
+              .queryExecution.analyzed
+          }.reduce((a, b) => Union(Seq(a, b), false, false))
+          Join(base, keysPlan, LeftAnti,
+            Some(EqualNullSafe(keyAttr, keysPlan.output.head)),
+            JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+        }
+    }
+    children match {
+      case Seq(one) => one
+      case many => Union(many, false, false)
+    }
+  }
+}

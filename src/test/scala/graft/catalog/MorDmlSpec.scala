@@ -1,0 +1,214 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftBootstrap, SparkFixture}
+
+/** MERGE-ON-READ row-level DML (q119): deletion-vector sidecars instead
+  * of copy-on-write partition rewrites. The contracts:
+  *
+  *  - a MOR DELETE / UPDATE leaves every pre-existing data file
+  *    BYTE-IDENTICAL (no rewrite — the write-amplification fix);
+  *  - reads apply the vectors (plan-level anti-join) and match the COW
+  *    semantics exactly;
+  *  - re-inserting a deleted key makes it visible again (per-file
+  *    `appliesTo` scoping — the sequencing property);
+  *  - time travel / rollback across a DV commit serve each version's
+  *    own vector state;
+  *  - compaction folds the vectors away and re-opens UPDATE/MERGE.
+  */
+class MorDmlSpec extends AnyFunSuite with SparkFixture {
+
+  private val ns = s"${GraftBootstrap.CatalogName}.mortest"
+
+  private def cat: GraftCatalog = spark.sessionState.catalogManager
+    .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+
+  private def meta(t: String): TableMeta =
+    cat.metaStore.loadTable(ns.split("\\.")(1), t.split("\\.").last)
+
+  private def freshTable(name: String): String = {
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    val t = s"$ns.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    t
+  }
+
+  /** Fingerprint of every DATA file (path → (len, mtime)). */
+  private def fileState(t: String): Map[String, (Long, Long)] = {
+    val m = meta(t)
+    val conf = spark.sessionState.newHadoopConf()
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def files(dir: Path): Seq[(String, (Long, Long))] = {
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.flatMap {
+        case s if s.isDirectory && !hidden(s.getPath.getName) => files(s.getPath)
+        case s if s.isFile && !hidden(s.getPath.getName) =>
+          Seq(s.getPath.toString -> (s.getLen, s.getModificationTime))
+        case _ => Nil
+      }
+    }
+    files(new Path(m.location)).toMap
+  }
+
+  private def createMor(t: String): Unit = {
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT NOT NULL, v DOUBLE, p STRING)
+         |PARTITIONED BY (p)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read', 'graft.dml.key'='id')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 10.0, 'a'), (2, 20.0, 'a'), (3, 30.0, 'b'), (4, 40.0, 'b'), (5, 50.0, 'c')")
+  }
+
+  private def rows(t: String): Set[(Long, Double, String)] =
+    spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+
+  test("MOR DELETE hides rows via a DV sidecar — zero data files touched") {
+    val t = freshTable("m_del")
+    createMor(t)
+    val before = fileState(t)
+    spark.sql(s"DELETE FROM $t WHERE id % 2 = 1") // 1, 3, 5
+    assert(rows(t) === Set((2L, 20.0, "a"), (4L, 40.0, "b")))
+    // the write-amplification contract: every pre-existing data file is
+    // untouched (same path, length, mtime); only the DV sidecar appeared
+    assert(fileState(t) === before,
+      "a merge-on-read DELETE must not rewrite any data file")
+    val m = meta(t)
+    assert(m.deleteVectors.size === 1)
+    assert(m.deleteVectors.head.keys === 3)
+    assert(m.deleteVectors.head.keyColumn === "id")
+    val dvDir = new Path(m.location, Snapshots.DvDirName)
+    assert(dvDir.getFileSystem(spark.sessionState.newHadoopConf()).exists(dvDir))
+  }
+
+  test("MOR UPDATE = DV for the old row + appended new row; old files untouched") {
+    val t = freshTable("m_upd")
+    createMor(t)
+    val before = fileState(t)
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE id <= 2")
+    assert(rows(t) === Set(
+      (1L, 11.0, "a"), (2L, 21.0, "a"),
+      (3L, 30.0, "b"), (4L, 40.0, "b"), (5L, 50.0, "c")))
+    val after = fileState(t)
+    before.foreach { case (path, fp) =>
+      assert(after.get(path).contains(fp),
+        s"pre-existing file $path must be untouched by a MOR UPDATE")
+    }
+    assert(after.size > before.size, "the updated rows append as new files")
+    assert(meta(t).deleteVectors.size === 1)
+  }
+
+  test("re-inserting a deleted key makes it visible (per-file appliesTo scoping)") {
+    val t = freshTable("m_reinsert")
+    createMor(t)
+    spark.sql(s"DELETE FROM $t WHERE id = 3")
+    assert(!rows(t).exists(_._1 == 3L))
+    spark.sql(s"INSERT INTO $t VALUES (3, 99.0, 'b')")
+    assert(rows(t).contains((3L, 99.0, "b")),
+      "a key re-inserted AFTER its delete lives in a file no batch " +
+        "applies to and must be visible")
+    // and the original row stays hidden: count of id=3 is exactly 1
+    assert(spark.table(t).where("id = 3").count() === 1)
+  }
+
+  test("time travel across a DV commit serves each version's own vector state") {
+    val t = freshTable("m_travel")
+    createMor(t)
+    spark.sql(s"DELETE FROM $t WHERE p = 'a' AND id = 1 OR id = 5")
+    // head: deletes applied
+    assert(rows(t) === Set((2L, 20.0, "a"), (3L, 30.0, "b"), (4L, 40.0, "b")))
+    // versions_back 1 = before the DELETE: all five rows, no vectors
+    val v1 = spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(v1.size === 5)
+    // a later append does not disturb the DV'd snapshot
+    spark.sql(s"INSERT INTO $t VALUES (6, 60.0, 'c')")
+    val v1b = spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(v1b === Set((2L, 20.0), (3L, 30.0), (4L, 40.0)),
+      "VERSION AS OF 1 (the post-DELETE state) must apply its dv batch")
+  }
+
+  test("sys.rollback across a DV commit restores the pre-delete state and drops the batch") {
+    val t = freshTable("m_rollback")
+    createMor(t)
+    spark.sql(s"DELETE FROM $t WHERE id >= 4")
+    assert(rows(t).size === 3)
+    graft.operators.Rollback.rollback(spark, t)
+    assert(rows(t).size === 5, "rollback must undo the MOR DELETE")
+    assert(meta(t).deleteVectors.isEmpty,
+      "the rolled-back commit's dv batch must leave the descriptor")
+  }
+
+  test("compaction folds deletion vectors: entries drop, results unchanged, matrix reopens") {
+    val t = freshTable("m_fold")
+    createMor(t)
+    spark.sql(s"DELETE FROM $t WHERE id IN (2, 4)")
+    val expect = rows(t)
+    assert(meta(t).deleteVectors.nonEmpty)
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.compact('$t')")
+    assert(meta(t).deleteVectors.isEmpty,
+      "compaction rewrites every live partition through the anti-join " +
+        "rewrite, so the batches must fold away")
+    assert(rows(t) === expect)
+    // UPDATE is legal again now that nothing is unfolded
+    spark.sql(s"UPDATE $t SET v = 0 WHERE id = 1")
+    assert(rows(t).contains((1L, 0.0, "a")))
+  }
+
+  test("refusal matrix: UPDATE/MERGE/COW on live DVs, nullable key, ALTER under live DVs") {
+    val t = freshTable("m_refuse")
+    createMor(t)
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    val up = intercept[Exception](spark.sql(s"UPDATE $t SET v = 0 WHERE id = 2"))
+    assert(up.getMessage.contains("deletion-vector"),
+      s"UPDATE on live DVs must refuse, got: ${up.getMessage}")
+    val mg = intercept[Exception](spark.sql(
+      s"MERGE INTO $t tgt USING (SELECT 2L AS id) s ON tgt.id = s.id " +
+        "WHEN MATCHED THEN DELETE"))
+    assert(mg.getMessage.contains("deletion-vector"))
+    val alter = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES ('graft.dml.mode'='copy-on-write')"))
+    assert(alter.getMessage.contains("deletion-vector"))
+    // nullable key refused at CREATE
+    val nk = intercept[Exception](spark.sql(
+      s"CREATE TABLE ${ns}.m_nullkey (id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('graft.dml.mode'='merge-on-read', 'graft.dml.key'='id')"))
+    assert(nk.getMessage.contains("NOT NULL"))
+    // second MOR DELETE stacks fine (re-deleting hidden keys is a no-op)
+    spark.sql(s"DELETE FROM $t WHERE id = 2")
+    assert(rows(t).size === 3)
+    assert(meta(t).deleteVectors.size === 2)
+  }
+
+  test("partition-predicate DELETE on a MOR table stays metadata-only (no DV)") {
+    val t = freshTable("m_metadel")
+    createMor(t)
+    spark.sql(s"DELETE FROM $t WHERE p = 'c'")
+    assert(rows(t).size === 4)
+    assert(meta(t).deleteVectors.isEmpty,
+      "a partition-spec DELETE takes the SupportsDelete metadata path")
+  }
+
+  test("unpartitioned MOR table: DELETE + re-insert round-trip") {
+    val t = freshTable("m_unpart")
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read', 'graft.dml.key'='id')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    val before = fileState(t)
+    spark.sql(s"DELETE FROM $t WHERE v > 2.5")
+    assert(fileState(t) === before)
+    assert(spark.table(t).count() === 2)
+    spark.sql(s"INSERT INTO $t VALUES (3, 30.0)")
+    assert(spark.table(t).where("id = 3").collect().map(_.getDouble(1)).toSeq
+      === Seq(30.0))
+  }
+}
