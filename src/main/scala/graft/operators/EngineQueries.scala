@@ -1440,8 +1440,98 @@ object EngineQueries {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------- Q119
+  /** MERGE-ON-READ DML — deletion-vector sidecars instead of partition
+    * rewrites (`graft.dml.mode = merge-on-read` + a NOT NULL key).
+    * UPDATE ships one key + one replacement row per changed row; DELETE
+    * ships keys only; NO pre-existing data file is rewritten
+    * (MorDmlSpec pins byte-identity) — the fix for COW's 100 TB write
+    * amplification, where a 1-row UPDATE rewrote its whole partition.
+    * Reads apply the vectors as a plan-level BROADCAST ANTI-JOIN
+    * scoped per batch to exactly the files the DML scanned
+    * (graft.plans.ResolveDeletionVectors), so untouched files keep
+    * their vectorized pushed-down scans and a later re-insert of a
+    * deleted key is visible again (the sequencing property Iceberg
+    * needs sequence numbers for). This query hash-gates the combined
+    * semantics: seed → MOR UPDATE (+1 qty on every fifth key) → MOR
+    * DELETE (every key ≡ 3 mod 7) → aggregate equals DuckDB's
+    * restatement over the source. */
+  def q119_mor_dml(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q119_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(
+      s"""CREATE TABLE $t (k BIGINT NOT NULL, l_quantity DOUBLE,
+         |  l_returnflag STRING)
+         |PARTITIONED BY (l_returnflag)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+         |  'graft.dml.key'='k')""".stripMargin)
+    Tables(spark, dir, "lineitem")
+      .select(($"l_orderkey" * 8 + $"l_linenumber").cast("bigint").as("k"),
+        $"l_quantity".cast("double").as("l_quantity"), $"l_returnflag")
+      .createOrReplaceTempView("q119_src")
+    spark.sql(s"INSERT INTO $t SELECT * FROM q119_src")
+    spark.sql(s"UPDATE $t SET l_quantity = l_quantity + 1 WHERE k % 5 = 0")
+    spark.sql(s"DELETE FROM $t WHERE k % 7 = 3")
+    spark.table(t).groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        r2(sum($"l_quantity")).as("sum_qty"),
+        sum($"k" % 999983L).as("key_checksum"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- Q120
+  /** CHANGELOG READ (CDC) — `Snapshots.addedBetween` extended past its
+    * append-only refusal: the rows inserted AND deleted between two
+    * retained snapshots, as the table's columns + `_change_type` +
+    * `_change_version`, computed by a pure MANIFEST walk (per-commit
+    * shard diffs; removed files read from their retirement area —
+    * restorable by the q116 contract — and merge-on-read commits
+    * contribute their deletion-vector keys). Planning is O(dirs +
+    * changed files) metadata and the scan reads ONLY changed files:
+    * "what changed since v" on a 100 TB table touches the day's files,
+    * never the corpus. The sequence here exercises all three change
+    * sources: an append (inserts), a partition DELETE (retired-file
+    * deletes), and a static partition overwrite (deletes + inserts),
+    * aggregated per (change, version, partition) and hash-compared to
+    * DuckDB's restatement. Served as a DataFrame operator and as
+    * `CALL sys.changes_view(...)` for pure SQL. */
+  def q120_changelog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q120_cdc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity".cast("double").as("l_quantity"),
+        $"l_returnflag")
+    // v1: seed evens; v2: append odds; v3: partition DELETE of 'R';
+    // v4: static overwrite of 'A' with its every-third-orderkey subset
+    li.filter($"l_orderkey" % 2 === 0).writeTo(t)
+      .partitionedBy($"l_returnflag").create()
+    li.filter($"l_orderkey" % 2 === 1).writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE l_returnflag = 'R'")
+    li.filter($"l_returnflag" === "A" && $"l_orderkey" % 3 === 0)
+      .createOrReplaceTempView("q120_ovw")
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (l_returnflag = 'A') " +
+      "SELECT l_orderkey, l_quantity FROM q120_ovw")
+    spark.sql(s"CALL $cat.sys.changes_view('$t', 3, 0, 'q120_changes')")
+    spark.table("q120_changes")
+      .groupBy($"_change_type", $"_change_version", $"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        r2(sum($"l_quantity")).as("sum_qty"),
+        sum($"l_orderkey" % 999983L).as("key_checksum"))
+      .orderBy($"_change_type", $"_change_version", $"l_returnflag")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_mor_dml" -> (q119_mor_dml _),
+    "q120_changelog" -> (q120_changelog _),
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
     "q51_delete" -> (q51_delete _),
     "q49_compaction" -> (q49_compaction _),
@@ -1483,6 +1573,49 @@ object EngineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Merge-on-read DML restated over the source: key = orderkey*8 +
+    // linenumber (unique; linenumber ∈ 1..7), qty +1 where the UPDATE's
+    // predicate matched, rows gone where the DELETE's matched — the DV
+    // anti-join must reproduce the COW answer bit-for-bit.
+    "q119_mor_dml" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(CASE WHEN k % 5 = 0 THEN l_quantity + 1
+        |                 ELSE l_quantity END) * 100) / 100 AS sum_qty,
+        |  CAST(sum(k % 999983) AS BIGINT) AS key_checksum
+        | FROM (SELECT l_orderkey * 8 + l_linenumber AS k, l_quantity,
+        |         l_returnflag FROM lineitem) s
+        | WHERE k % 7 <> 3
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // The changelog restated: v2 inserted the odd orderkeys (every
+    // flag), v3 deleted everything then in partition R (evens + odds),
+    // v4 deleted everything then in partition A and inserted its
+    // every-third-orderkey subset. Aggregates per (change, version,
+    // flag) must match exactly — retired-file reads and the manifest
+    // walk can neither lose nor invent a row.
+    "q120_changelog" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, CAST(2 AS BIGINT) AS _change_version,
+        |    l_returnflag, count(*) AS n_rows,
+        |    round(sum(l_quantity) * 100) / 100 AS sum_qty,
+        |    CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
+        |  FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'delete', CAST(3 AS BIGINT), l_returnflag, count(*),
+        |    round(sum(l_quantity) * 100) / 100,
+        |    CAST(sum(l_orderkey % 999983) AS BIGINT)
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'delete', CAST(4 AS BIGINT), l_returnflag, count(*),
+        |    round(sum(l_quantity) * 100) / 100,
+        |    CAST(sum(l_orderkey % 999983) AS BIGINT)
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'insert', CAST(4 AS BIGINT), l_returnflag, count(*),
+        |    round(sum(l_quantity) * 100) / 100,
+        |    CAST(sum(l_orderkey % 999983) AS BIGINT)
+        |  FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey % 3 = 0
+        |  GROUP BY l_returnflag
+        |) ORDER BY _change_type, _change_version, l_returnflag""".stripMargin,
     // The final table state is derivable from the source: untouched
     // partitions keep their rows, the overwritten partition carries the
     // adjusted price.
