@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * embedded — listing/pruning never touches the data files.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ProcedureCatalog {
+    with FunctionCatalog with ProcedureCatalog
+    with org.apache.spark.internal.Logging {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -96,7 +97,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ =>
     }
     if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
-    new GraftTable(this, db, store.loadTable(db, ident.name))
+    new GraftTable(this, db, repairResidueAtRead(db, ident.name))
+  }
+
+  /** REPAIR-AT-READ: a crashed writer's residue (a dynamic overwrite's
+    * `.retire` moves, a COW rewrite's `.pending` deletes, a MOR DML's
+    * `.delta`, a rollback's `.rbk`) previously healed only at the NEXT
+    * WRITE's job start — until then a reader of a crashed dynamic
+    * overwrite saw its written partitions empty. Now every table load
+    * probes the txn dir (one cheap negative `exists` on healthy tables)
+    * and runs the same repairs under a non-blocking permit grab — see
+    * [[graft.catalog.write.GraftBatchWrite.readRepair]]. Advisory: any
+    * failure leaves the residue for the next write, never fails the
+    * read. */
+  private def repairResidueAtRead(db: String, name: String): TableMeta = {
+    val meta = store.loadTable(db, name)
+    if (meta.external) return meta
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val txn = new Path(meta.location,
+        graft.catalog.write.GraftBatchWrite.TxnDirName)
+      val fs = txn.getFileSystem(conf)
+      val residue = fs.exists(txn) && fs.listStatus(txn).exists { st =>
+        val n = st.getPath.getName
+        n.endsWith(".pending") || n.endsWith(".retire") ||
+          n.endsWith(graft.catalog.write.RollbackTxn.Suffix) ||
+          n.endsWith(".delta")
+      }
+      if (residue &&
+          graft.catalog.write.GraftBatchWrite.readRepair(spark, store, db, meta)) {
+        // the repair may have moved files — cached listings are stale
+        FileStatusCache.getOrCreate(spark).invalidateAll()
+        store.loadTable(db, name)
+      } else meta
+    } catch { case scala.util.control.NonFatal(e) =>
+      logWarning(s"read-side crash repair of $db.$name failed (the next " +
+        s"write retries): $e")
+      meta
+    }
   }
 
   /** TIME TRAVEL (`SELECT … FROM t VERSION AS OF n`): versions_back over
@@ -114,7 +152,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val db = asSingle(ident.namespace)
     if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
-    val meta = store.loadTable(db, ident.name)
+    val meta = repairResidueAtRead(db, ident.name)
     val n = try version.trim.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"time travel on ${ident.name}: VERSION AS OF takes the integer " +
@@ -180,7 +218,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val db = asSingle(ident.namespace)
     if (!store.tableExists(db, ident.name)) throw new NoSuchTableException(ident)
-    val meta = store.loadTable(db, ident.name)
+    val meta = repairResidueAtRead(db, ident.name)
     val tMs = timestampMicros / 1000L
     if (meta.createdAtMs > 0 && tMs < meta.createdAtMs)
       throw new IllegalArgumentException(
@@ -551,7 +589,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!store.tableExists(fromDb, oldIdent.name)) throw new NoSuchTableException(oldIdent)
     if (store.tableExists(toDb, newIdent.name)) throw new TableAlreadyExistsException(newIdent)
     if (!store.namespaceExists(toDb)) throw new NoSuchNamespaceException(newIdent.namespace)
-    val pre = store.loadTable(fromDb, oldIdent.name)
+    // heal crash residue FIRST: txn manifests record absolute paths, and
+    // repairing them after the dir moved would misfire
+    val pre = repairResidueAtRead(fromDb, oldIdent.name)
     store.renameTable(fromDb, oldIdent.name, toDb, newIdent.name)
     // same leak as dropTable: after the rename, a retired generation
     // under the OLD name's default dir matches no live table

@@ -546,40 +546,54 @@ class GraftTable(
   override def dropPartitions(idents: Array[InternalRow]): Boolean = {
     val specs = idents.map(specOf).toSet
     var allFound = true
-    store.updateTable(db, meta.name) { current =>
-      val (dropped, kept) = current.partitions.partition(p => specs.contains(p.spec))
-      // returning `current` unchanged makes updateTable skip the
-      // descriptor rewrite — a missing partition is a read-only outcome
-      if (dropped.size < specs.size) { allFound = false; current }
-      else {
-        // Managed tables own their data; EXTERNAL tables retain it — the
-        // reference's rule (V2Table.scala:92-98).
-        if (!current.external) {
-          val fs = new Path(current.location)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          dropped.foreach { p =>
-            fs.delete(p.location.map(new Path(_))
-              .getOrElse(defaultPartitionDir(current, p.spec)), true)
+    // DROP PARTITION is a COMMIT now (round 19): managed tables RETIRE
+    // the dropped trees under a token and record a snapshot, so time
+    // travel and rollback survive routine partition DDL (previously the
+    // drop purged outside the commit path and CLEARED the lineage).
+    // Serialized against writers like every other retiring mutation.
+    val retireToken = java.util.UUID.randomUUID().toString
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val release = write.GraftBatchWrite.leaseWritePermit(spark, meta.location,
+      s"DROP PARTITION on ${name()} since ${java.time.Instant.now()}",
+      catalog.writeLockTimeoutSec)
+    try {
+      var external = meta.external
+      store.updateTable(db, meta.name) { current =>
+        val (dropped, kept) = current.partitions.partition(p => specs.contains(p.spec))
+        external = current.external
+        // returning `current` unchanged makes updateTable skip the
+        // descriptor rewrite — a missing partition is a read-only outcome
+        if (dropped.size < specs.size) { allFound = false; current }
+        else {
+          // Managed tables own their data; EXTERNAL tables retain it — the
+          // reference's rule (V2Table.scala:92-98). Managed data RETIRES
+          // (custom-LOCATION trees outside the root still delete — the
+          // declared §7.4 trade).
+          if (!current.external) {
+            dropped.foreach { p =>
+              Snapshots.retireDirTree(hadoopConf, current.location,
+                p.location.map(new Path(_))
+                  .getOrElse(defaultPartitionDir(current, p.spec)), retireToken)
+            }
           }
+          current.copy(
+            partitions = kept,
+            // honor the R19 toggle here too, and never sum a partition that
+            // still carries the Unsized placeholder — either would present
+            // authoritative near-zero stats for a non-empty table
+            stats =
+              if (catalog.autoSizeUpdate && kept.forall(_.isSized))
+                Some(TableStats(kept.map(_.sizeInBytes).sum, None))
+              else None)
         }
-        current.copy(
-          partitions = kept,
-          // DROP PARTITION destroys data OUTSIDE the commit path (purge
-          // semantics, no retirement) — the snapshot lineage can no
-          // longer serve its promises, so clear it: travel then refuses
-          // with "no snapshots" instead of chasing deleted files, and
-          // the next commit rebuilds the lineage. (DELETE FROM is the
-          // lineage-preserving alternative: it retires.)
-          snapshots = if (current.external) current.snapshots else Nil,
-          // honor the R19 toggle here too, and never sum a partition that
-          // still carries the Unsized placeholder — either would present
-          // authoritative near-zero stats for a non-empty table
-          stats =
-            if (catalog.autoSizeUpdate && kept.forall(_.isSized))
-              Some(TableStats(kept.map(_.sizeInBytes).sum, None))
-            else None)
       }
-    }
+      // the drop is a lineage event: its snapshot records the token so
+      // the retired trees stay resolvable (dropped partitions are
+      // deregistered, so no shard lists them as live)
+      if (allFound && !external)
+        Snapshots.maintain(spark, store, db, meta.name, "drop-partition",
+          retireToken, Nil)
+    } finally release()
     if (allFound) FileStatusCache.getOrCreate(spark).invalidateAll()
     allFound
   }

@@ -366,12 +366,15 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
         }
         dst.toString
       }
-    // a MANAGED rename moved the data dir, stranding the snapshot
-    // manifests' absolute paths — clear the lineage so travel refuses
-    // with "no snapshots" instead of a misleading reclaimed error, and
-    // the next commit rebuilds it cleanly under the new location
-    saveTable(toDb, meta.copy(name = to, location = newLocation,
-      snapshots = if (newLocation == meta.location) meta.snapshots else Nil))
+    // a MANAGED rename moved the data dir (snapshot manifests,
+    // retirement areas and dv sidecars included) — REBASE the retained
+    // lineage's absolute paths onto the new root, so time travel and
+    // rollback survive routine RENAMEs (rebase falls back to clearing
+    // the lineage on any failure — refuse, never wrong paths)
+    val rebased =
+      if (newLocation == meta.location) meta
+      else Snapshots.rebase(conf, meta, meta.location, newLocation)
+    saveTable(toDb, rebased.copy(name = to, location = newLocation))
     fs.delete(tableMetaFile(fromDb, from), false)
     }
 

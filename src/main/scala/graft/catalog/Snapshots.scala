@@ -498,6 +498,61 @@ object Snapshots extends Logging {
     gc(spark.sessionState.newHadoopConf(), updated)
   }
 
+  /** REBASE the retained lineage onto a new table root (managed RENAME):
+    * the filesystem rename moved `_graft_snapshots`, `_graft_retired`
+    * and `_graft_dv` wholesale with the data, so only the ABSOLUTE
+    * paths inside each retained snapshot manifest (its dirs, shard
+    * pointers, location, dv manifests) and the descriptor's pointers
+    * need the old-prefix → new-prefix rewrite. Shards themselves store
+    * bare file names — nothing to touch. Cost: O(retained snapshots)
+    * small JSON rewrites, bounded by `graft.snapshots.keep`. Any
+    * failure falls back to clearing the lineage (the pre-round-19
+    * behavior): travel then refuses with "no snapshots", never serves
+    * wrong paths. Previously a rename cleared the lineage outright —
+    * the §7.4 gap this closes. */
+  def rebase(
+      conf: Configuration,
+      meta: TableMeta,
+      oldLocation: String,
+      newLocation: String): TableMeta = try {
+    val oldQ = qualify(conf, oldLocation)
+    val newQ = qualify(conf, newLocation)
+    def move(p: String): String =
+      if (p.startsWith(oldQ + "/")) newQ + p.stripPrefix(oldQ)
+      else if (p == oldQ) newQ
+      else if (p.startsWith(oldLocation + "/"))
+        newLocation + p.stripPrefix(oldLocation)
+      else if (p == oldLocation) newLocation
+      else p
+    val newSnaps = meta.snapshots.map { sm =>
+      val newFile = move(sm.file)
+      val p = new Path(newFile)
+      val fs = p.getFileSystem(conf)
+      val snap = readSnap(conf, newFile).getOrElse(
+        sys.error(s"rebase: snapshot manifest $newFile unreadable"))
+      writeSnap(fs, p, snap.copy(
+        location = move(snap.location),
+        dirs = snap.dirs.map(d => d.copy(
+          dir = move(d.dir), shard = move(d.shard))),
+        dvs = snap.dvs.map(d => d.copy(manifest = move(d.manifest)))))
+      sm.copy(file = newFile)
+    }
+    meta.copy(
+      snapshots = newSnaps,
+      deleteVectors = meta.deleteVectors.map(d =>
+        d.copy(manifest = move(d.manifest))),
+      partitions = meta.partitions.map(p =>
+        p.copy(location = p.location.map(move))))
+  } catch { case NonFatal(e) =>
+    logWarning(s"snapshot rebase of ${meta.name} ($oldLocation -> " +
+      s"$newLocation) failed — clearing the lineage (travel refuses " +
+      s"until commits rebuild it): $e")
+    meta.copy(snapshots = Nil,
+      partitions = meta.partitions.map(p => p.copy(location = p.location.map(
+        l => if (l.startsWith(oldLocation + "/"))
+          newLocation + l.stripPrefix(oldLocation) else l))))
+  }
+
   /** INCREMENTAL APPEND DIFF (q118): the files present in the snapshot
     * `toVersionsBack` but absent from `fromVersionsBack`, resolved to
     * current physical paths — a pure manifest set-difference, O(dirs +

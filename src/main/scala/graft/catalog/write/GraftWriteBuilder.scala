@@ -774,7 +774,7 @@ class GraftBatchWrite(
       .filterNot(f => preexisting.contains(f.toString))
   }
 
-  private def repairPendingCowDeletes(): Unit = {
+  private[write] def repairPendingCowDeletes(): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val txnDir = new Path(meta.location, GraftBatchWrite.TxnDirName)
     val fs = txnDir.getFileSystem(conf)
@@ -993,7 +993,7 @@ class GraftBatchWrite(
     * recorded move iff the file's original directory holds no data
     * files (see the method's crash-safety note), then drop the
     * manifest. Runs under the write permit at every job start. */
-  private def repairRetireManifests(): Unit = {
+  private[write] def repairRetireManifests(): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val txnDir = new Path(meta.location, GraftBatchWrite.TxnDirName)
     val fs = txnDir.getFileSystem(conf)
@@ -1038,7 +1038,7 @@ class GraftBatchWrite(
     *    `W` dirs (the crashed statement's inserts, possibly partial),
     *    the DV dir and tmp dir, then the manifest — the statement never
     *    happened. */
-  private def repairDeltaManifests(): Unit = {
+  private[write] def repairDeltaManifests(): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val txnDir = new Path(meta.location, GraftBatchWrite.TxnDirName)
     val fs = txnDir.getFileSystem(conf)
@@ -1548,6 +1548,40 @@ object GraftBatchWrite {
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     () => if (released.compareAndSet(false, true)) {
       leaseOwners.remove(key, owner)
+      writeLockHolders.remove(key)
+      sem.release()
+    }
+  }
+
+  /** REPAIR-AT-READ (VERDICT r18 "next" #4): heal crash residue from a
+    * READ path — `loadTable` probes the table's `_graft_txn` dir (one
+    * cheap negative `exists` on healthy tables) and calls this when
+    * residue is present, so a reader AFTER a crashed dynamic overwrite /
+    * COW rewrite / MOR DML / rollback sees the repaired state without
+    * waiting for the next write to run the same repairs. Non-blocking:
+    * if the permit is held, a LIVE writer owns the table — it already
+    * repaired at its own job start — so the read proceeds against the
+    * writer-consistent state (tryAcquire, never wait). Returns true iff
+    * the repairs ran (the caller reloads the descriptor then). */
+  private[graft] def readRepair(
+      spark: SparkSession, store: MetaStore, db: String,
+      meta: TableMeta): Boolean = {
+    val key = qualifiedKey(spark, meta.location)
+    val sem = writeLocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.Semaphore(1))
+    if (!sem.tryAcquire()) return false
+    writeLockHolders.put(key,
+      s"read-repair of $db.${meta.name} since ${java.time.Instant.now()}")
+    try {
+      RollbackTxn.repair(spark.sessionState.newHadoopConf(), store, db, meta)
+      // a repair-only instance: the inner batch write is never touched
+      // by the repair methods (they operate on the txn dir + descriptor)
+      val w = new GraftBatchWrite(null, spark, store, db, meta, Append)
+      w.repairPendingCowDeletes()
+      w.repairRetireManifests()
+      w.repairDeltaManifests()
+      true
+    } finally {
       writeLockHolders.remove(key)
       sem.release()
     }

@@ -801,11 +801,14 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     junk(new Path(loc, "dt=zombie/part-00000-orphan.parquet"), 300)
     junk(new Path(loc, "_temporary/0/part-00001.parquet"), 200)
     junk(new Path(loc, "_graft_txn/dead-txn-id.committed"), 10)
-    // repair's inputs must survive: a pending manifest + quarantine dir
-    junk(new Path(loc, "_graft_txn/live-txn-id.pending"), 10)
-    junk(new Path(loc, "_graft_txn/live-txn-id.quarantine/0_part.parquet"), 10)
 
     val reader = spark.table(t).orderBy($"id") // planned before the vacuum
+    // repair's inputs must survive VACUUM: planted AFTER the reader's
+    // planning, because table loads now run READ-SIDE repair (round 19)
+    // which would legitimately consume a residue manifest — this test
+    // states vacuum's contract, not repair's
+    junk(new Path(loc, "_graft_txn/live-txn-id.pending"), 10)
+    junk(new Path(loc, "_graft_txn/live-txn-id.quarantine/0_part.parquet"), 10)
     val stats = graft.operators.Vacuum.vacuum(spark, t, retentionMs = 0L)
     assert(stats.reclaimedFiles === 3L, s"got $stats")
     assert(stats.reclaimedBytes === 510L, s"got $stats")
@@ -1635,15 +1638,48 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
         Seq((99L, "a")).toDF("id", "p").writeTo(t).overwritePartitions()
       }
     } finally graft.catalog.write.GraftBatchWrite.crashBeforeFsCommit = None
-    // the crashed job left p=a empty (files retired, swap never ran)
-    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq === Seq(2L),
-      "the crash window hides the retired partition until repair")
-    // any next write repairs it (empty-dir rule): the append to p=b
-    // restores p=a's file from the manifest
+    // REPAIR-AT-READ (round 19): the crashed job left p=a empty (files
+    // retired, swap never ran), but the very next READ probes the txn
+    // dir, finds the .retire manifest, and restores the unswapped dir's
+    // files — no intervening write needed. The crash window is gone.
+    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L),
+      "a reader AFTER the crash must see the pre-overwrite rows " +
+        "(read-side repair, no intervening write)")
+    // and writes still work normally on the healed table
     Seq((3L, "b")).toDF("id", "p").writeTo(t).append()
     assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
-      === Seq(1L, 2L, 3L), "repair must restore the unswapped dir's files")
+      === Seq(1L, 2L, 3L))
     spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("snapshot lineage survives DROP PARTITION and RENAME (round 19)") {
+    import spark.implicits._
+    val t = freshTable("t_ddl_lineage")
+    spark.sql(s"DROP TABLE IF EXISTS ${ns}.t_ddl_lineage2")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p").writeTo(t).partitionedBy($"p").create()
+    Seq((3L, "a")).toDF("id", "p").writeTo(t).append()
+    // DROP PARTITION is a retiring commit now: travel and rollback cross it
+    spark.sql(s"ALTER TABLE $t DROP PARTITION (p = 'a')")
+    assert(spark.table(t).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(spark.sql(s"SELECT id FROM $t VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+      "travel across a DROP PARTITION must serve the dropped rows")
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.rollback('$t')").collect()
+    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L), "rollback must undo the DROP PARTITION")
+    // RENAME rebases the retained manifests onto the new root: travel
+    // still serves every retained version afterwards
+    spark.sql(s"ALTER TABLE $t RENAME TO wtest.t_ddl_lineage2")
+    val t2 = s"${ns}.t_ddl_lineage2"
+    assert(spark.table(t2).count() === 3)
+    assert(spark.sql(s"SELECT id FROM $t2 VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "VERSION AS OF 1 (the post-drop state) must survive the rename")
+    assert(spark.sql(s"SELECT id FROM $t2 VERSION AS OF 2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+      "deeper retained versions must survive the rename too")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
   }
 
   test("streaming epochs are snapshots: travel between micro-batches; incremental view serves one epoch") {
