@@ -373,9 +373,15 @@ object CatalogProcedures {
         // table's (a date-pruned week of a year-long table plans with
         // the week's NDVs). Spec keys are stringified exactly like the
         // write path's dir values; a mismatch just leaves that
-        // partition's stats unset — advisory, never wrong. No
-        // per-partition histograms (table-level only): the descriptor
-        // stays O(partitions × columns) small scalars.
+        // partition's stats unset — advisory, never wrong. PER-PARTITION
+        // HISTOGRAMS (round 19): when histogram_bins > 0, the same
+        // grouped pass also sketches per-partition equi-height
+        // boundaries (approx_percentile is mergeable, so still ONE
+        // scan); per-bin NDV is approximated as partitionNDV / bins —
+        // range-selectivity (the estimate that flips joins) uses bin
+        // heights and boundaries, where the per-partition bins carry
+        // the real win: a pruned survivor's skew estimates from ITS
+        // distribution, not the whole table's.
         val partRowCounts: Map[Map[String, String], (Long, Map[String, ColumnStatsMeta])] = {
           val pcs = store.loadTable(db, name).partitionColumns
           if (selected.isEmpty || pcs.isEmpty) Map.empty
@@ -386,6 +392,8 @@ object CatalogProcedures {
                 f.dataType == org.apache.spark.sql.types.BinaryType
             def canMinMax(f: org.apache.spark.sql.types.StructField) =
               f.dataType != org.apache.spark.sql.types.BinaryType
+            def numericF(f: org.apache.spark.sql.types.StructField) =
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
             val perPartCols = selected.filterNot(f =>
               pcs.exists(_.equalsIgnoreCase(f.name)))
             val exprs = scala.collection.mutable.ArrayBuffer(count(lit(1)).as("n"))
@@ -401,6 +409,13 @@ object CatalogProcedures {
                 exprs += ceil(avg(length(c))).as(s"avglen:${f.name}")
                 exprs += max(length(c)).cast("bigint").as(s"maxlen:${f.name}")
               }
+              if (histBins > 0 && numericF(f)) {
+                val ps = (0 to histBins).map(i =>
+                  (i.toDouble / histBins).toString).mkString(",")
+                exprs += expr(
+                  s"approx_percentile(cast(`${f.name}` as double), array($ps))")
+                  .as(s"pct:${f.name}")
+              }
             }
             spark.table(s"${parts(0)}.$db.$name")
               .groupBy(pcs.map(col): _*)
@@ -412,14 +427,26 @@ object CatalogProcedures {
                 val n = r.getLong(r.fieldIndex("n"))
                 val cs = perPartCols.map { f =>
                   val nonNull = get[Long](s"nn:${f.name}").getOrElse(0L)
+                  val ndv = get[Long](s"ndv:${f.name}").getOrElse(0L)
+                  val hist =
+                    if (histBins > 0 && numericF(f) && nonNull > 0)
+                      get[scala.collection.Seq[Double]](s"pct:${f.name}")
+                        .map(_.toSeq).filter(_.length == histBins + 1)
+                        .map { bs =>
+                          (nonNull.toDouble / histBins,
+                            (0 until histBins).map(i =>
+                              HistogramBinMeta(bs(i), bs(i + 1),
+                                math.max(1L, ndv / histBins))))
+                        }
+                    else None
                   f.name -> ColumnStatsMeta(
-                    ndv = get[Long](s"ndv:${f.name}").getOrElse(0L),
+                    ndv = ndv,
                     nullCount = n - nonNull,
                     min = if (canMinMax(f)) get[Any](s"min:${f.name}").map(_.toString) else None,
                     max = if (canMinMax(f)) get[Any](s"max:${f.name}").map(_.toString) else None,
                     avgLen = if (isLengthy(f)) get[Long](s"avglen:${f.name}") else None,
                     maxLen = if (isLengthy(f)) get[Long](s"maxlen:${f.name}") else None,
-                    histogram = None)
+                    histogram = hist)
                 }.toMap
                 pcs.zipWithIndex.map { case (c, i) =>
                   c -> (if (r.isNullAt(i))

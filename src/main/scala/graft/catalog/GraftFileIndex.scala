@@ -197,6 +197,20 @@ class GraftFileIndex(
           if (decoded.size != ss.size) None
           else Some(decoded.maxBy(_._2)(ord)._1)
         }, _.max)
+        // PER-PARTITION HISTOGRAMS (round 19): merged over the survivors
+        // — reported only when EVERY survivor carries one (a partial
+        // merge would present a fraction of the data as the whole
+        // distribution). One survivor serves its bins as-is; several
+        // re-bin equi-height over the union (uniform density within
+        // source bins — the same assumption CBO itself applies inside a
+        // bin). The payoff is range selectivity on skewed survivors: a
+        // pruned partition's p99 predicate estimates from ITS
+        // distribution, where whole-table bins (or the min/max uniform
+        // assumption) would misestimate by orders of magnitude.
+        val hist = Some(entries.flatMap(_.histogram))
+          .filter(_.size == entries.size)
+          .flatMap(hs => GraftFileIndex.mergeHistograms(hs))
+          .map { case (h, bins) => (h, bins.map(b => (b.lo, b.hi, b.ndv))) }
         m.put(
           org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
           org.apache.spark.sql.graft.GraftSqlBridge.v2ColumnStatistics(
@@ -205,7 +219,7 @@ class GraftFileIndex(
               .map(_.max),
             Some(entries.flatMap(_.maxLen)).filter(_.size == entries.size)
               .map(_.max),
-            None))
+            hist))
       }
     }
     if (m.isEmpty) None else Some(m)
@@ -378,4 +392,62 @@ object GraftFileIndex {
     synchronized { recordingEnabled = false }
   private[graft] def recordedListFilterColumns: List[Seq[String]] =
     listFilterLog
+
+  /** Merge per-partition equi-height histograms (round 19). One source
+    * serves as-is; several re-bin over the union: the merged cumulative
+    * mass function treats each source bin as uniform density (CBO's own
+    * within-bin assumption), target boundaries land at the k/B mass
+    * quantiles by bisection, and per-bin NDV sums the overlap fractions
+    * of the source bins' NDVs. O(sources × bins × log(range)) driver
+    * arithmetic — negligible at planning. */
+  private[graft] def mergeHistograms(
+      hs: Seq[(Double, Seq[HistogramBinMeta])])
+    : Option[(Double, Seq[HistogramBinMeta])] = {
+    if (hs.isEmpty) return None
+    if (hs.size == 1) return Some(hs.head)
+    final case class B(lo: Double, hi: Double, rows: Double, ndv: Long)
+    val src = hs.flatMap { case (h, bins) =>
+      bins.map(b => B(b.lo, b.hi, h, b.ndv))
+    }.filter(b => !b.lo.isNaN && !b.hi.isNaN && b.hi >= b.lo)
+    if (src.isEmpty) return None
+    val total = src.map(_.rows).sum
+    if (total <= 0) return None
+    val targetBins = hs.map(_._2.size).max
+    val lo = src.map(_.lo).min
+    val hi = src.map(_.hi).max
+    def massBelow(x: Double): Double = src.map { b =>
+      if (x <= b.lo) 0.0
+      else if (x >= b.hi || b.hi == b.lo) b.rows
+      else b.rows * (x - b.lo) / (b.hi - b.lo)
+    }.sum
+    val bounds: IndexedSeq[Double] = (0 to targetBins).map { k =>
+      if (k == 0) lo
+      else if (k == targetBins) hi
+      else {
+        val want = total * k / targetBins
+        var a = lo; var b = hi; var i = 0
+        while (i < 48) {
+          val mid = (a + b) / 2
+          if (massBelow(mid) < want) a = mid else b = mid
+          i += 1
+        }
+        (a + b) / 2
+      }
+    }
+    val bins = (0 until targetBins).map { i =>
+      val blo = bounds(i)
+      val bhi = bounds(i + 1)
+      val ndv = src.map { b =>
+        if (b.hi == b.lo)
+          if (b.lo >= blo && b.lo <= bhi) b.ndv.toDouble else 0.0
+        else {
+          val olo = math.max(blo, b.lo)
+          val ohi = math.min(bhi, b.hi)
+          if (ohi <= olo) 0.0 else b.ndv * (ohi - olo) / (b.hi - b.lo)
+        }
+      }.sum
+      HistogramBinMeta(blo, bhi, math.max(1L, math.round(ndv)))
+    }
+    Some((total / targetBins, bins))
+  }
 }

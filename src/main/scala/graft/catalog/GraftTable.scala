@@ -412,10 +412,11 @@ class GraftTable(
           // whole-table DELETE == truncate
           unpartitioned = !current.isPartitioned
           Snapshots.retireTableRoot(hadoopConf, current.location, retireToken)
+          // custom-LOCATION partition data retires into its own dir's
+          // ext area (round 19) — restorable like everything else
           current.partitions.flatMap(_.location).foreach { l =>
-            val p = new Path(l)
-            val pfs = p.getFileSystem(hadoopConf)
-            if (pfs.exists(p)) pfs.listStatus(p).foreach(s => pfs.delete(s.getPath, true))
+            Snapshots.retireDirTree(
+              hadoopConf, current.location, new Path(l), retireToken)
           }
           current.copy(partitions = Nil,
             stats = if (catalog.autoSizeUpdate) Some(TableStats(0L, None)) else None)

@@ -174,7 +174,14 @@ case class TableMeta(
     // first. Registered atomically with the DML commit's partition
     // registrations; folded away by compaction; applied at read by the
     // plan-level anti-join rewrite.
-    deleteVectors: Seq[DvMeta] = Nil) {
+    deleteVectors: Seq[DvMeta] = Nil,
+    // Descriptor sequence number — the CROSS-DRIVER optimistic
+    // concurrency token (round 19): every updateTable publishes seq+1
+    // through an exclusive-create CAS marker, so a second driver's
+    // descriptor write can never be silently clobbered (lost updates
+    // are impossible; the loser rebases by re-deriving from the fresh
+    // state and retries). Monotonic per table.
+    seq: Long = 0L) {
 
   /** The current generation captured as a history entry (for the flip
     * that is about to retire it). */
@@ -272,6 +279,13 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
   def saveTable(db: String, meta: TableMeta): Unit = {
     fs.mkdirs(metaDir(db))
     writeAtomic(tableMetaFile(db, meta.name), toJson(meta))
+    // a RAW save is an authoritative restore (create, rename, crash
+    // undo) — any pending CAS claim describes a state that no longer
+    // follows from this one and must never be rolled forward over it
+    try fs.listStatus(metaDir(db)).toSeq
+      .filter(_.getPath.getName.startsWith(s"${meta.name}.json.cas-"))
+      .foreach(st => fs.delete(st.getPath, false))
+    catch { case scala.util.control.NonFatal(_) => }
   }
 
   /** Qualified lock-key prefix: two catalogs pointing at the same
@@ -317,11 +331,103 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
     * a no-op mutation should not churn the file or block readers. */
   def updateTable(db: String, table: String)(f: TableMeta => TableMeta): TableMeta =
     lockFor(db, table).synchronized {
-      val current = loadTable(db, table)
-      val updated = f(current)
-      if (!(updated eq current)) saveTable(db, updated)
-      updated
+      // CROSS-DRIVER optimistic concurrency (round 19): the in-JVM
+      // monitor above serializes THIS driver's mutators; a SECOND
+      // driver over the same warehouse shares no monitor, so without a
+      // CAS its descriptor write between our load and save would be
+      // silently clobbered (last-wins lost update). Protocol:
+      //
+      //  1. load the current descriptor (sequence s) and ROLL FORWARD
+      //     any published-but-unrenamed CAS marker first;
+      //  2. derive the new state, stamped seq = s + 1;
+      //  3. claim seq s + 1 by EXCLUSIVE CREATE of
+      //     `<table>.json.cas-<s+1>` holding the complete new
+      //     descriptor — the linearization point: exactly one writer
+      //     per sequence number on any Hadoop filesystem;
+      //  4. publish by atomic rename marker → descriptor.
+      //
+      // A loser's create throws FileAlreadyExists → reload and RE-DERIVE
+      // from the fresh state (every mutator here is a pure
+      // current → new function, so re-application IS the rebase:
+      // disjoint-partition registrations from two drivers both land).
+      // A winner that dies between 3 and 4 is rolled forward by the
+      // next writer (the marker holds the full state); a torn marker
+      // (died mid-write) is skipped while fresh and reclaimed once
+      // stale. Single-writer cost is unchanged: one create + one
+      // rename, exactly what the old tmp-file write paid.
+      var attempts = 0
+      while (true) {
+        rollForwardCas(db, table)
+        val current = loadTable(db, table)
+        MetaStore.casTestHook.foreach(h => h(attempts))
+        val updated0 = f(current)
+        if (updated0 eq current) return current
+        val updated = updated0.copy(seq = current.seq + 1)
+        val marker = new Path(metaDir(db), s"$table.json.cas-${updated.seq}")
+        val claimed = try {
+          val out = fs.create(marker, false)
+          try out.write(toJson(updated).getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getMessage != null && e.getMessage.contains("exists") =>
+            false
+        }
+        if (claimed) {
+          try fc.rename(marker, tableMetaFile(db, table), Options.Rename.OVERWRITE)
+          catch { case e: java.io.IOException =>
+            // a concurrent roll-forward may have published our marker
+            // for us — success iff the descriptor now carries our seq
+            if (loadTable(db, table).seq < updated.seq) throw e
+          }
+          return updated
+        }
+        attempts += 1
+        require(attempts < 1000,
+          s"updateTable($db.$table): lost the CAS race $attempts times — " +
+            "a runaway writer is spinning on this table")
+      }
+      sys.error("unreachable")
     }
+
+  /** Publish any complete CAS marker newer than the descriptor (a
+    * writer died between claim and rename), and reclaim superseded or
+    * stale-torn markers. Runs under the in-JVM monitor; cross-driver
+    * concurrent roll-forwards are safe (rename of a vanished source is
+    * caught, publication is seq-checked). */
+  private def rollForwardCas(db: String, table: String): Unit = {
+    val dir = metaDir(db)
+    val prefix = s"$table.json.cas-"
+    val markers =
+      try fs.listStatus(dir).toSeq.filter(_.getPath.getName.startsWith(prefix))
+      catch { case _: java.io.FileNotFoundException => return }
+    if (markers.isEmpty) return
+    val curSeq = loadTable(db, table).seq
+    markers.sortBy(_.getPath.getName).foreach { st =>
+      val seq = try st.getPath.getName.stripPrefix(prefix).toLong
+        catch { case _: NumberFormatException => -1L }
+      if (seq <= curSeq) {
+        // superseded (already published or lost): reclaim
+        fs.delete(st.getPath, false)
+      } else {
+        val parsed = try Some(fromJson(readFully(st.getPath)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some(m) if m.seq == seq =>
+            try fc.rename(st.getPath, tableMetaFile(db, table),
+              Options.Rename.OVERWRITE)
+            catch { case _: java.io.IOException => /* raced; re-checked below */ }
+          case _ =>
+            // torn marker: the claimant died mid-write. Fresh ones may
+            // still be in flight — reclaim only once stale.
+            if (System.currentTimeMillis() - st.getModificationTime > 60000L)
+              fs.delete(st.getPath, false)
+        }
+      }
+    }
+  }
 
   def loadTable(db: String, table: String): TableMeta =
     fromJson(readFully(tableMetaFile(db, table)))
@@ -407,6 +513,12 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
 }
 
 object MetaStore {
+  /** Test-only failpoint: invoked inside [[MetaStore.updateTable]]'s CAS
+    * loop right after the fresh load (arg = retry count so far) — a spec
+    * simulates a SECOND DRIVER's descriptor write landing between this
+    * driver's load and its CAS claim. Never set outside tests. */
+  @volatile private[graft] var casTestHook: Option[Int => Unit] = None
+
   /** Per-table monitors for [[MetaStore.updateTable]] — JVM-global so
     * every MetaStore instance over the same warehouse shares them.
     * Entries are deliberately never removed: a monitor may have waiters
@@ -495,6 +607,7 @@ object MetaStore {
           "file" -> JString(s.file)))
       }.toList),
       "lastSnapshotVersion" -> JLong(m.lastSnapshotVersion),
+      "seq" -> JLong(m.seq),
       "deleteVectors" -> JArray(m.deleteVectors.map { d =>
         JObject(List(
           "token" -> JString(d.token),
@@ -644,6 +757,6 @@ object MetaStore {
     TableMeta(str("name"), str("schemaJson"), str("provider"), partCols,
       str("location"), (j \ "external") == JBool(true), jsonToMap(j \ "properties"),
       stats, parts, history, createdAt, snapshots, jl(j \ "lastSnapshotVersion"),
-      deleteVectors)
+      deleteVectors, jl(j \ "seq"))
   }
 }

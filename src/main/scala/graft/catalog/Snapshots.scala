@@ -71,6 +71,14 @@ object Snapshots extends Logging {
     * batch applies to. */
   val DvDirName = "_graft_dv"
 
+  /** Retirement area for files OUTSIDE the table root (custom partition
+    * LOCATIONs — round 19): such a file retires into
+    * `<its dir>/_graft_retired_ext/<token>/<name>` on its own
+    * filesystem, so truncate / overwrite / DELETE / rollback across a
+    * custom-LOCATION partition stays restorable instead of deleting
+    * (the former §7.4 trade). Underscore-hidden — invisible to scans. */
+  val ExtRetiredDirName = "_graft_retired_ext"
+
   /** Bounded lineage depth (head = current state, so `keep` snapshots
     * retain `keep - 1` addressable versions_back). */
   val KeepProp = "graft.snapshots.keep"
@@ -112,7 +120,11 @@ object Snapshots extends Logging {
       dir: String, spec: Map[String, String], files: Seq[FileStatus])
 
   case class Resolved(
-      provider: String, dirs: Seq[ResolvedDir], dvs: Seq[DvMeta] = Nil)
+      provider: String, dirs: Seq[ResolvedDir], dvs: Seq[DvMeta] = Nil,
+      /** The table-root location the snapshot was taken under — differs
+        * from the live location when the lineage crossed a rewrite flip
+        * (deep rollback uses it to pick the matching generation). */
+      location: String = "")
 
   // ---- JSON IO (hand-rolled writer + json4s reader, the SkipStats shape) ---
 
@@ -270,16 +282,23 @@ object Snapshots extends Logging {
     if (qp.startsWith(qr + "/")) Some(qp.stripPrefix(qr + "/")) else None
   }
 
-  /** Move ONE data file into the table-root retirement area
-    * (`_graft_retired/<token>/<relpath>`), preserving its name and
-    * directory structure so a travel read or rollback can resolve it
-    * back. False when the file is not under the table root (custom
-    * partition LOCATION) or the rename fails — the caller then deletes
-    * as before, and travel across that removal refuses. */
+  /** Move ONE data file into its retirement area: under the table root,
+    * `<root>/_graft_retired/<token>/<relpath>`; outside it (custom
+    * partition LOCATION — round 19), the file's own directory's
+    * `_graft_retired_ext/<token>/<name>` on the same filesystem —
+    * preserving the name so a travel read or rollback can resolve it
+    * back. False only when the rename itself fails — the caller then
+    * deletes as before, and travel across that removal refuses. */
   def retireFile(
       conf: Configuration, location: String, file: Path, token: String): Boolean =
     relPathUnder(conf, location, file) match {
-      case None => false
+      case None => try {
+        val fs = file.getFileSystem(conf)
+        val target = new Path(file.getParent,
+          s"$ExtRetiredDirName/$token/${file.getName}")
+        fs.mkdirs(target.getParent)
+        fs.rename(file, target)
+      } catch { case NonFatal(_) => false }
       case Some(rel) => try {
         val root = new Path(location)
         val fs = root.getFileSystem(conf)
@@ -291,8 +310,11 @@ object Snapshots extends Logging {
 
   /** Retire every data file under `dir` (recursively through VISIBLE
     * subdirs — hidden/underscore names are engine metadata and stay),
-    * then delete the emptied visible tree. Files that cannot be retired
-    * are deleted (the pre-snapshot semantics), so the live view is
+    * then delete the emptied tree LEVELS that hold no retained hidden
+    * state — an out-of-root dir keeps its `_graft_retired_ext` area (the
+    * retirements just moved there), an under-root dir whose retirements
+    * went to the table-root area drops wholesale. Files whose rename
+    * fails are deleted (the pre-snapshot semantics), so the live view is
     * identical either way. */
   def retireDirTree(
       conf: Configuration, location: String, dir: Path, token: String): Unit = {
@@ -305,11 +327,24 @@ object Snapshots extends Logging {
             fs.delete(st.getPath, false)
         } else if (st.isDirectory && !hidden(st.getPath.getName)) {
           walk(st.getPath)
-          fs.delete(st.getPath, true)
+          if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, true)
         }
       }
     walk(dir)
-    fs.delete(dir, true)
+    if (relPathUnder(conf, location, dir).isDefined) {
+      // under the root: retirements went to the table-root area — the
+      // emptied tree (hidden committer/shard files included) drops
+      // wholesale, the pre-round-19 behavior
+      fs.delete(dir, true)
+      ()
+    } else if (fs.exists(dir) &&
+        !fs.listStatus(dir).exists(s =>
+          s.isDirectory && s.getPath.getName == ExtRetiredDirName)) {
+      // out-of-root: the dir may hold the retirements themselves —
+      // drop it only when no ext retirement area lives inside
+      fs.delete(dir, true)
+      ()
+    }
   }
 
   /** Truncate's retirement sweep over the table root: every VISIBLE
@@ -458,6 +493,35 @@ object Snapshots extends Logging {
       }
       // the area itself goes when its last token does
       if (fs.listStatus(retiredDir).isEmpty) fs.delete(retiredDir, true)
+    }
+    // custom-LOCATION retirement areas (round 19): each out-of-root dir
+    // any retained snapshot (or the live registration) references may
+    // hold a `_graft_retired_ext` area — reclaim its tokens by the same
+    // rule as the root area
+    val customDirs: Set[String] =
+      (meta.partitions.flatMap(_.location) ++
+        snaps.flatMap(_._2.dirs.map(_.dir)))
+        .filter { d =>
+          val q = qualStr(conf, d)
+          val qr = qualStr(conf, meta.location)
+          q != qr && !q.startsWith(qr + "/")
+        }.toSet
+    customDirs.foreach { d =>
+      try {
+        val ext = new Path(d, ExtRetiredDirName)
+        val efs = ext.getFileSystem(conf)
+        if (efs.exists(ext)) {
+          efs.listStatus(ext).foreach { st =>
+            if (!neededTokens.contains(st.getPath.getName)) {
+              val summary = efs.getContentSummary(st.getPath)
+              files += math.max(summary.getFileCount, 1L)
+              bytes += summary.getLength
+              efs.delete(st.getPath, true)
+            }
+          }
+          if (efs.listStatus(ext).isEmpty) efs.delete(ext, true)
+        }
+      } catch { case NonFatal(_) => } // advisory, like the rest of GC
     }
     // deletion-vector batches (q119) reclaim like retirement tokens: a
     // `_graft_dv/<token>` dir lives while the CURRENT descriptor or any
@@ -628,18 +692,23 @@ object Snapshots extends Logging {
     val retiredListings =
       scala.collection.mutable.Map.empty[(String, String, String),
         Map[String, FileStatus]]
+    def listRetired(p: Path): Map[String, FileStatus] = try {
+      val pfs = p.getFileSystem(conf)
+      if (!pfs.exists(p)) Map.empty
+      else pfs.listStatus(p).toSeq.filter(_.isFile)
+        .map(s => s.getPath.getName -> s).toMap
+    } catch { case NonFatal(_) => Map.empty[String, FileStatus] }
     def retiredIn(loc: String, tok: String, relDir: String): Map[String, FileStatus] =
-      retiredListings.getOrElseUpdate((loc, tok, relDir), {
-        try {
-          val p = new Path(loc,
-            if (relDir.isEmpty) s"$RetiredDirName/$tok"
-            else s"$RetiredDirName/$tok/$relDir")
-          val pfs = p.getFileSystem(conf)
-          if (!pfs.exists(p)) Map.empty
-          else pfs.listStatus(p).toSeq.filter(_.isFile)
-            .map(s => s.getPath.getName -> s).toMap
-        } catch { case NonFatal(_) => Map.empty[String, FileStatus] }
-      })
+      retiredListings.getOrElseUpdate((loc, tok, relDir), listRetired(
+        new Path(loc,
+          if (relDir.isEmpty) s"$RetiredDirName/$tok"
+          else s"$RetiredDirName/$tok/$relDir")))
+    // custom-LOCATION dirs (outside the root) retire INTO THEMSELVES
+    // (`<dir>/_graft_retired_ext/<token>/` — round 19); same bulk
+    // per-(dir, token) listing discipline
+    def retiredExt(dir: String, tok: String): Map[String, FileStatus] =
+      retiredListings.getOrElseUpdate((dir, tok, ExtRetiredDirName),
+        listRetired(new Path(dir, s"$ExtRetiredDirName/$tok")))
     val dirs = snap.dirs.map { sd =>
       val dirPath = new Path(sd.dir)
       val dfs = dirPath.getFileSystem(conf)
@@ -655,11 +724,17 @@ object Snapshots extends Logging {
             Some("") else None)
       val resolved = want.map { case (name, _) =>
         live.getOrElse(name, {
-          relDir.iterator.flatMap { r =>
+          val fromRoot = relDir.iterator.flatMap { r =>
             candidates.iterator.flatMap { case (loc, tok) =>
               retiredIn(loc, tok, r).get(name)
             }
-          }.nextOption().getOrElse(refuse(
+          }
+          val fromExt =
+            if (relDir.isDefined) Iterator.empty
+            else candidates.iterator.flatMap { case (_, tok) =>
+              retiredExt(sd.dir, tok).get(name)
+            }
+          (fromRoot ++ fromExt).nextOption().getOrElse(refuse(
             s"references $name under ${sd.dir}, which is no longer " +
               "restorable — it was reclaimed by VACUUM's retention window, " +
               "removed by partition DDL, or lost to crash residue"))
@@ -667,6 +742,6 @@ object Snapshots extends Logging {
       }
       ResolvedDir(sd.dir, sd.spec, resolved)
     }
-    Resolved(snap.provider, dirs, snap.dvs)
+    Resolved(snap.provider, dirs, snap.dvs, snap.location)
   }
 }

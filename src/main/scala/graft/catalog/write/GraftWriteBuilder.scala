@@ -459,11 +459,17 @@ class GraftWrite(
           } else graft.catalog.Snapshots.retireTableRoot(
             hadoopConf, fresh.location, retireToken)
           // tracked partitions with a custom LOCATION live outside the
-          // table dir — truncate owns their data too
+          // table dir — truncate owns their data too. Managed tables
+          // RETIRE it (the dir's own _graft_retired_ext area, round 19)
+          // so travel across the truncate serves those rows as well.
           fresh.partitions.flatMap(_.location).foreach { l =>
             val p = new Path(l)
-            val pfs = p.getFileSystem(hadoopConf)
-            if (pfs.exists(p)) pfs.listStatus(p).foreach(s => pfs.delete(s.getPath, true))
+            if (fresh.external) {
+              val pfs = p.getFileSystem(hadoopConf)
+              if (pfs.exists(p))
+                pfs.listStatus(p).foreach(s => pfs.delete(s.getPath, true))
+            } else graft.catalog.Snapshots.retireDirTree(
+              hadoopConf, fresh.location, p, retireToken)
           }
         case StaticOverwrite(spec) =>
           // per-path FS: custom-LOCATION partitions may live on a
@@ -949,13 +955,18 @@ class GraftBatchWrite(
       fs.mkdirs(txnDir)
       val root = new Path(fresh.location)
       val rootQ = fs.makeQualified(root).toString
-      val moves: Seq[(Path, Path)] = files.flatMap { f =>
+      val moves: Seq[(Path, Path)] = files.map { f =>
         val q = f.getFileSystem(hadoopConf).makeQualified(f).toString
         if (q.startsWith(rootQ + "/"))
-          Some((new Path(root,
+          (new Path(root,
             s"${graft.catalog.Snapshots.RetiredDirName}/$retireToken/" +
-              q.stripPrefix(rootQ + "/")), f))
-        else None // custom-location partition outside the root: not retirable
+              q.stripPrefix(rootQ + "/")), f)
+        else
+          // custom-location partition outside the root: retire into the
+          // dir's own ext area (round 19) — same .retire repair rule
+          (new Path(f.getParent,
+            s"${graft.catalog.Snapshots.ExtRetiredDirName}/$retireToken/" +
+              f.getName), f)
       }
       if (moves.isEmpty) return None
       // intent manifest FIRST (tmp+rename, atomic), then the moves

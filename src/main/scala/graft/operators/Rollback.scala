@@ -46,10 +46,12 @@ object Rollback {
     * (the Iceberg `rollback_to_snapshot` shape) — note that repeated
     * one-step rollbacks CANNOT reach it: each rollback is itself a
     * commit, so calling twice is redo, not two-steps-back. Deep
-    * restore requires the target to share the current location and
-    * provider (no rewrite flip in between — those restore through the
-    * one-step generation path first). Returns
-    * (restoredProvider, restoredLocation). */
+    * restore COMPOSES across rewrite flips (round 19): each
+    * `rewrite`-kind snapshot in the range maps to one retired
+    * generation, the descriptor flips straight to the matching
+    * generation, and the file-level restore runs within its frozen
+    * root — `sys.rollback(t, 3)` crosses an intermediate zorder/migrate
+    * in one call. Returns (restoredProvider, restoredLocation). */
   def rollback(spark: SparkSession, table: String,
       versionsBack: Int = 1): (String, String) = {
     require(versionsBack >= 1, s"rollback($table): versions_back must be >= 1")
@@ -152,49 +154,83 @@ object Rollback {
         s"rollback($table): lineage head changed to a rewrite flip under " +
           "a concurrent operation; re-run")
       val target = cur.snapshots(versionsBack)
-      // a DEEP restore must not cross a rewrite flip: the intermediate
-      // snapshots' files live under a RETIRED location, and renaming
-      // them into the current tree would corrupt both generations
-      require(versionsBack == 1 ||
-        cur.snapshots.slice(1, versionsBack + 1).forall(_.kind != "rewrite"),
-        s"rollback($table): versions_back=$versionsBack crosses a rewrite " +
-          "flip — roll back one step at a time through the flip")
+      // DEEP restore ACROSS rewrite flips (round 19): the target
+      // snapshot RECORDS the table root it was taken under. When that
+      // root is not the live one, the matching retired generation (its
+      // frozen directory holds the recorded files — in-place commits
+      // never touch a retired location) is looked up BY LOCATION in the
+      // bounded history — robust to any flip chain, including
+      // rollback-of-rollback cancellations — and the descriptor flips
+      // straight to it before the file-level restore runs within its
+      // root. All under one .rbk manifest, so flip+restore stays atomic.
       // refuses loudly if any target file is no longer restorable
       val resolved = Snapshots.resolve(spark, cur, target)
-      require(resolved.provider == cur.provider,
+      val sameRoot = resolved.location.isEmpty ||
+        Snapshots.qualify(conf, resolved.location) ==
+          Snapshots.qualify(conf, cur.location)
+      val genIdx: Int =
+        if (sameRoot) -1
+        else {
+          val idx = cur.history.indexWhere(g =>
+            Snapshots.qualify(conf, g.location) ==
+              Snapshots.qualify(conf, resolved.location))
+          require(idx >= 0,
+            s"rollback($table): versions_back=$versionsBack crosses a " +
+              s"rewrite flip, but the generation at ${resolved.location} " +
+              "is no longer in the bounded history — it was evicted")
+          val gp = new Path(cur.history(idx).location)
+          require(gp.getFileSystem(conf).exists(gp),
+            s"rollback($table): generation ${cur.history(idx).location} " +
+              "was already reclaimed by the namespace vacuum; it cannot " +
+              "be restored")
+          idx
+        }
+      val base: TableMeta =
+        if (genIdx < 0) cur
+        else {
+          val g = cur.history(genIdx)
+          cur.copy(provider = g.provider, location = g.location,
+            partitions = g.partitions, stats = g.stats)
+        }
+      require(resolved.provider == base.provider,
         s"rollback($table): snapshot provider ${resolved.provider} does " +
-          s"not match the table's ${cur.provider}")
+          s"not match generation provider ${base.provider}")
       val token = java.util.UUID.randomUUID().toString
       def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
 
       // ---- PLAN every move (no filesystem mutation yet) ----------------
-      val rootPath = new Path(cur.location)
+      val rootPath = new Path(base.location)
       val qRoot = rootPath.getFileSystem(conf).makeQualified(rootPath).toString
-      def retiredTarget(f: Path): Option[Path] = {
+      def retiredTarget(f: Path): Path = {
         val q = f.getFileSystem(conf).makeQualified(f).toString
         if (q.startsWith(qRoot + "/"))
-          Some(new Path(rootPath,
-            s"${Snapshots.RetiredDirName}/$token/${q.stripPrefix(qRoot + "/")}"))
-        else None // custom-LOCATION data outside the root: not retirable
+          new Path(rootPath,
+            s"${Snapshots.RetiredDirName}/$token/${q.stripPrefix(qRoot + "/")}")
+        else
+          // custom-LOCATION data outside the root retires into its own
+          // dir's ext area (round 19) — a rename on its own filesystem,
+          // fully undo-able like every other move
+          new Path(f.getParent,
+            s"${Snapshots.ExtRetiredDirName}/$token/${f.getName}")
       }
       val moves = scala.collection.mutable.ArrayBuffer
         .empty[graft.catalog.write.RollbackTxn.Move]
-      val deletes = scala.collection.mutable.ArrayBuffer.empty[Path]
       val emptiedDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
-      def planRetire(p: Path): Unit = retiredTarget(p) match {
-        case Some(t) =>
-          moves += graft.catalog.write.RollbackTxn.Move(p, t); ()
-        case None => deletes += p; ()
+      def planRetire(p: Path): Unit = {
+        moves += graft.catalog.write.RollbackTxn.Move(p, retiredTarget(p)); ()
       }
       val targetDirSet = resolved.dirs.map(d =>
         Snapshots.qualify(conf, d.dir)).toSet
-      // dirs registered NOW but absent from the target: the rolled-back
-      // commit created them — retire their trees
+      // dirs registered in the EFFECTIVE state (post-flip for a deep
+      // restore) but absent from the target: commits after the target
+      // created them — retire their trees. The live pre-rollback
+      // generation itself (flips > 0) is untouched: it joins the history
+      // for redo, the vacuum reclaims it later (the flip trade).
       val currentDirs: Seq[String] =
-        if (cur.isPartitioned)
-          cur.partitions.map(p => p.location.getOrElse(
-            GraftBatchWrite.partitionDir(cur, p.spec).toString))
-        else Seq(cur.location)
+        if (base.isPartitioned)
+          base.partitions.map(p => p.location.getOrElse(
+            GraftBatchWrite.partitionDir(base, p.spec).toString))
+        else Seq(base.location)
       currentDirs.filterNot(d =>
         targetDirSet.contains(Snapshots.qualify(conf, d))).foreach { d =>
         val dir = new Path(d)
@@ -245,16 +281,18 @@ object Rollback {
           require(m.from.getFileSystem(conf).rename(m.from, m.to),
             s"rollback($table): failed to move ${m.from} to ${m.to}")
         }
-        // out-of-root custom-LOCATION files cannot retire — they delete,
-        // AFTER every rename succeeded so the non-undoable step runs in
-        // the narrowest possible window (declared trade, SURVEY §7.4)
-        deletes.foreach(p => p.getFileSystem(conf).delete(p, false))
         // the rolled-back commit's emptied dirs drop wholesale (their
         // skip shards are advisory and rebuild on the next commit there)
-        emptiedDirs.foreach(d => d.getFileSystem(conf).delete(d, true))
+        // — EXCEPT an out-of-root dir, which now holds its own ext
+        // retirement area inside (the moves above landed there)
+        emptiedDirs.foreach { d =>
+          val dfs = d.getFileSystem(conf)
+          val q = dfs.makeQualified(d).toString
+          if (q.startsWith(qRoot + "/")) { dfs.delete(d, true); () }
+        }
         val newParts: Seq[PartitionMeta] =
-          if (cur.isPartitioned) restoredParts.map { case (rd, size) =>
-            val default = GraftBatchWrite.partitionDir(cur, rd.spec)
+          if (base.isPartitioned) restoredParts.map { case (rd, size) =>
+            val default = GraftBatchWrite.partitionDir(base, rd.spec)
             val qd = Snapshots.qualify(conf, rd.dir)
             val loc =
               if (qd == Snapshots.qualify(conf, default.toString)) None
@@ -263,7 +301,17 @@ object Rollback {
           }
           else Nil
         store.updateTable(db, name) { c =>
-          c.copy(partitions = newParts,
+          val flipped =
+            if (genIdx < 0) c
+            else c.copy(provider = base.provider, location = base.location,
+              // the state rolled away from joins the history for redo;
+              // the SKIPPED intermediate generations (newer than the
+              // restored one) stay as redo material; the restored
+              // generation itself leaves the history — it is live again
+              history = (c.asGeneration(System.currentTimeMillis()) +:
+                (c.history.take(genIdx) ++ c.history.drop(genIdx + 1)))
+                .take(TableMeta.MaxHistory))
+          flipped.copy(partitions = newParts,
             stats = Some(TableStats(restoredParts.map(_._2).sum, None)),
             // the target snapshot's OWN deletion-vector list restores
             // with its files (q119): rolling back past a MOR DELETE
@@ -275,7 +323,11 @@ object Rollback {
         // records `token` so the retired extras stay resolvable
         Snapshots.maintain(spark, store, db, name, "rollback", token,
           resolved.dirs.map(_.dir) ++ currentDirs)
-        // COMMIT POINT: only now does the rollback "fully happen"
+        // COMMIT POINT: only now does the rollback "fully happen". (For
+        // a flip-crossing restore, a crash between the descriptor update
+        // and this delete orphans the manifest under the now-retired
+        // location — the completed rollback stands; the orphan is
+        // reclaimed with its generation.)
         manifest.getFileSystem(conf).delete(manifest, false)
       } catch { case scala.util.control.NonFatal(t) =>
         // eager in-JVM undo: reverse the executed moves and restore the
@@ -288,7 +340,7 @@ object Rollback {
       }
       plugin.invalidateTable(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array(db), name))
-      (cur.provider, cur.location)
+      (base.provider, base.location)
     } finally release()
   }
 }

@@ -1770,6 +1770,67 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("per-partition histograms: a pruned skewed partition's range selectivity flips the broadcast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, sf0001)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.pph_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // partition 'a' is HEAVILY skewed on v: 9990 rows in [0,100], 10
+    // outliers up to 1e6 — the min/max uniform assumption estimates
+    // v > 5e5 at ~50% (≈5000 rows); the partition's own equi-height
+    // bins put nearly all mass below 100 and estimate a few hundred.
+    // partition 'b' exists so pruning is real.
+    val rows =
+      (0 until 9990).map(i => (i.toLong % 97, (i % 100).toDouble, "a")) ++
+      (0 until 10).map(i => (i.toLong, 100000.0 * (i + 1), "a")) ++
+      (0 until 2000).map(i => (i.toLong % 97, i.toDouble, "b"))
+    rows.toDF("g", "v", "p").writeTo(t).partitionedBy($"p").create()
+    // per-partition stats WITH histograms (round 19): the grouped pass
+    // sketches per-partition equi-height boundaries in the same scan
+    spark.sql(s"CALL $cat.sys.analyze('$t', '*', 64)").collect()
+    val graftCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    def invalidate() = graftCat.invalidateTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("tmp"), "pph_dim"))
+    val aStats = graftCat.metaStore.loadTable("tmp", "pph_dim")
+      .partitions.find(_.spec("p") == "a").get.colStats
+    assert(aStats("v").histogram.exists(_._2.size == 64),
+      s"partition a must carry 64 equi-height bins for v: ${aStats("v").histogram}")
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // between the histogram estimate (a few hundred rows) and the
+      // uniform estimate (~5000 rows) in output bytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "20000")
+      invalidate()
+      def plan(): String = {
+        val dim = spark.table(t).filter($"p" === "a" && $"v" > 500000.0)
+        spark.table(t).join(dim, "g")
+          .agg(count(lit(1))).queryExecution.executedPlan.toString
+      }
+      assert(plan().contains("BroadcastHashJoin"),
+        "with the pruned partition's bins the v > 5e5 side must broadcast")
+      // strip ONLY the per-partition histograms (NDV/min/max stay): the
+      // estimate falls back to the uniform assumption over [0, 1e6] and
+      // the broadcast is lost — the flip was the histogram, nothing else
+      graftCat.metaStore.updateTable("tmp", "pph_dim")(m =>
+        m.copy(partitions = m.partitions.map(pm => pm.copy(
+          colStats = pm.colStats.map { case (c, cs) =>
+            c -> cs.copy(histogram = None) }))))
+      invalidate()
+      assert(!plan().contains("BroadcastHashJoin"),
+        "without the bins the uniform range estimate must keep the SMJ")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("per-partition column stats: a pruned scan's NDV flips the broadcast whole-table stats would not") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

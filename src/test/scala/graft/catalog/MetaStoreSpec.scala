@@ -72,6 +72,51 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(s.loadTable("db", "t").properties === Map("k" -> "v2"))
   }
 
+  test("cross-driver CAS: a concurrent driver's descriptor write is never lost (rebase + retry)") {
+    val s = freshStore()
+    s.createNamespace("db", Map.empty)
+    s.saveTable("db", meta("t"))
+    // a SECOND DRIVER over the same warehouse: separate MetaStore
+    // instance — in production a separate JVM, so no shared monitor
+    val s2 = new MetaStore(s.warehouse, new Configuration())
+    // interleave the other driver's commit between OUR load and OUR CAS
+    // claim — the classic lost-update window. Under last-wins this
+    // driver's save would silently erase driverB's property.
+    var fired = false
+    MetaStore.casTestHook = Some { attempts =>
+      if (!fired && attempts == 0) {
+        fired = true
+        // bypass our monitor like a foreign JVM would: raw CAS write via
+        // the second store's own updateTable (different monitor would be
+        // ideal; the JVM-global map shares it, so write directly)
+        val cur = s2.loadTable("db", "t")
+        val updated = cur.copy(
+          properties = cur.properties + ("driverB" -> "yes"),
+          seq = cur.seq + 1)
+        val markerPath = new Path(s2.warehouse, s"db/_meta/t.json.cas-${updated.seq}")
+        val fs = markerPath.getFileSystem(new Configuration())
+        val out = fs.create(markerPath, false)
+        try out.write(MetaStore.toJson(updated).getBytes("UTF-8"))
+        finally out.close()
+        // driverB dies between claim and publish — roll-forward must
+        // finish it AND our own update must rebase on top
+      }
+    }
+    try {
+      val merged = s.updateTable("db", "t")(m =>
+        m.copy(properties = m.properties + ("driverA" -> "yes")))
+      assert(merged.properties.get("driverA").contains("yes"))
+      assert(merged.properties.get("driverB").contains("yes"),
+        "the concurrent driver's write must survive (lost-update impossible)")
+      assert(merged.seq === 2L, "both commits must consume a sequence number")
+    } finally MetaStore.casTestHook = None
+    // markers are consumed/reclaimed
+    val fs = s.warehouse.getFileSystem(new Configuration())
+    assert(!fs.listStatus(new Path(s.warehouse, "db/_meta"))
+      .exists(_.getPath.getName.contains(".cas-")),
+      "no CAS markers may linger after publication")
+  }
+
   test("renameTable refuses an existing destination") {
     val s = freshStore()
     s.createNamespace("db", Map.empty)

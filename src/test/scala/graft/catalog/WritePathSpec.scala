@@ -1545,15 +1545,19 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"CALL $cat0.sys.rollback('$t', 9)").collect()
     }
     assert(e.getMessage.contains("not retained"), s"got: ${e.getMessage}")
-    // crossing a rewrite flip refuses (the intermediate snapshots'
-    // files live under the retired generation's location)
+    // crossing a rewrite flip COMPOSES (round 19): the descriptor
+    // re-points at the matching retired generation and the file-level
+    // restore runs within its frozen root — one call lands the
+    // pre-migrate parquet state exactly
     Seq((4L, "d")).toDF("id", "v").writeTo(t).append()
     graft.operators.Migrate.toProvider(spark, t, "orc")
     Seq((5L, "e")).toDF("id", "v").writeTo(t).append()
-    val e2 = intercept[Exception] {
-      spark.sql(s"CALL $cat0.sys.rollback('$t', 2)").collect()
-    }
-    assert(e2.getMessage.contains("crosses a rewrite"), s"got: ${e2.getMessage}")
+    val restored = spark.sql(s"CALL $cat0.sys.rollback('$t', 2)").collect()
+    assert(restored.head.getString(0) === "parquet",
+      "the cross-flip restore must land on the pre-migrate provider")
+    assert(spark.table(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 4L),
+      "rollback(2) across the migrate must restore the pre-flip rows")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
@@ -1650,6 +1654,58 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     Seq((3L, "b")).toDF("id", "p").writeTo(t).append()
     assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
       === Seq(1L, 2L, 3L))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("custom-LOCATION partition data retires: travel across its truncate serves the rows (round 19)") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val t = freshTable("t_custom_retire")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p)")
+    val custom = java.nio.file.Files
+      .createTempDirectory("t_custom_retire_loc").toString
+    spark.sql(s"ALTER TABLE $t ADD PARTITION (p = 'x') LOCATION '$custom'")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "p").writeTo(t).append()
+    assert(spark.table(t).count() === 2)
+    // truncate: the custom dir's data retires into ITS OWN
+    // _graft_retired_ext area instead of deleting (the former §7.4 gap)
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.table(t).count() === 0)
+    val fs = new Path(custom).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(custom, Snapshots.ExtRetiredDirName)),
+      "custom-location files must retire into the dir's own ext area")
+    assert(spark.sql(s"SELECT id FROM $t VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "travel across the truncate must serve the custom-location rows")
+    // and rollback restores them physically
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.rollback('$t')").collect()
+    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L), "rollback must restore the custom-location rows")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("deep rollback crosses a rewrite flip: append -> zorder -> append -> rollback(3)") {
+    import spark.implicits._
+    val t = freshTable("t_deep_flip")
+    Seq((3L, 1.0), (1L, 2.0)).toDF("k", "v").writeTo(t).create()   // v1 seed
+    Seq((2L, 3.0)).toDF("k", "v").writeTo(t).append()              // v2
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.zorder('$t', 'k,v', 1L)")
+      .collect()                                                    // v3 flip
+    Seq((9L, 9.0)).toDF("k", "v").writeTo(t).append()              // v4
+    assert(spark.table(t).count() === 4)
+    // one call crosses the flip: descriptor re-points at the pre-zorder
+    // generation, then the file-level restore lands the v1 seed exactly
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.rollback('$t', 3)")
+      .collect()
+    assert(spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 3L),
+      "rollback(3) across the zorder flip must restore the v1 seed")
+    // the rollback is itself a commit: versions_back 1 is the state
+    // rolled away from — the post-flip v4 state, served from the
+    // zorderd generation now sitting in the history as redo material
+    assert(spark.sql(s"SELECT k FROM $t VERSION AS OF 1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 9L),
+      "VERSION AS OF 1 must be the state rolled away from (post-flip)")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
