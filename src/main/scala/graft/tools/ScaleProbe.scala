@@ -114,7 +114,17 @@ object ScaleProbe {
     // writes) + two manifest set-differences whose planning is O(dirs +
     // changed files) metadata — the aggregates over the slices are the
     // only data terms
-    "q118_incremental_append")
+    "q118_incremental_append",
+    // round-19: q119's merge-on-read DML — the seed insert is the
+    // linear write term; the UPDATE/DELETE ship keys + replacement
+    // rows ∝ rows CHANGED (a fixed fraction here, so still linear in
+    // corpus) and the read-side anti-join broadcasts the key sets; the
+    // claim under test is that NOTHING pays a partition-rewrite term
+    "q119_mor_dml",
+    // q120's changelog read: four commits (linear writes/retirements)
+    // + a manifest walk whose planning is O(dirs + changed files); the
+    // changed-file scans are the only data terms
+    "q120_changelog")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:

@@ -162,6 +162,34 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
     assert(rows(t).contains((1L, 0.0, "a")))
   }
 
+  test("MOR MERGE: matched-update, matched-delete and not-matched-insert in one delta write") {
+    val t = freshTable("m_merge")
+    createMor(t)
+    val before = fileState(t)
+    spark.sql(
+      s"""MERGE INTO $t tgt
+         |USING (SELECT * FROM VALUES
+         |  (1L, 100.0, 'a'), (4L, 0.0, 'b'), (6L, 60.0, 'c')
+         |  AS s(id, v, p)) s
+         |ON tgt.id = s.id
+         |WHEN MATCHED AND s.v = 0.0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)
+         |""".stripMargin)
+    assert(rows(t) === Set(
+      (1L, 100.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"),
+      (5L, 50.0, "c"), (6L, 60.0, "c")))
+    val after = fileState(t)
+    before.foreach { case (path, fp) =>
+      assert(after.get(path).contains(fp),
+        s"pre-existing file $path must be untouched by a MOR MERGE")
+    }
+    // one DV batch for the update's old row + the delete; inserts append
+    assert(meta(t).deleteVectors.size === 1)
+    assert(meta(t).deleteVectors.head.keys === 2,
+      "the MERGE deleted two keys: the updated row's old version and id=4")
+  }
+
   test("refusal matrix: UPDATE/MERGE/COW on live DVs, nullable key, ALTER under live DVs") {
     val t = freshTable("m_refuse")
     createMor(t)
