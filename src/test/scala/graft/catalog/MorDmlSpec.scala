@@ -224,6 +224,64 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
       "a partition-spec DELETE takes the SupportsDelete metadata path")
   }
 
+  test("the delta scan statically prunes partitions: a one-partition DELETE scopes its DV to that partition") {
+    val t = freshTable("m_prune")
+    createMor(t)
+    // row-level predicate restricted to partition 'a': the delta scan's
+    // pushFilters prunes the other partitions BEFORE listing, so the
+    // batch's appliesTo (= the scan's read set) names only a's files —
+    // at 100 TB a partition-scoped UPDATE/DELETE reads one partition,
+    // not the table, and the read-side anti-join attaches only there
+    spark.sql(s"DELETE FROM $t WHERE p = 'a' AND id = 1")
+    assert(rows(t) === Set(
+      (2L, 20.0, "a"), (3L, 30.0, "b"), (4L, 40.0, "b"), (5L, 50.0, "c")))
+    val dv = meta(t).deleteVectors.head
+    val conf = spark.sessionState.newHadoopConf()
+    val (_, applies, _) =
+      graft.catalog.write.DvManifest.read(conf, dv.manifest).get
+    assert(applies.nonEmpty && applies.forall(_.contains("p=a")),
+      s"the DV must apply only to partition a's files, got: $applies")
+  }
+
+  test("changelog read (q120 surface) covers a MOR commit: the DV batch emits its deleted rows") {
+    val t = freshTable("m_cdc")
+    createMor(t)                                  // v1: seed (5 rows)
+    spark.sql(s"DELETE FROM $t WHERE id IN (2, 4)") // v2: MOR delete
+    spark.sql(s"INSERT INTO $t VALUES (6, 60.0, 'c')") // v3: append
+    val changes = graft.operators.ChangeFeed.changesBetween(spark, t, 2, 0)
+      .collect()
+      .map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Long]("_change_version"), r.getAs[Long]("id")))
+      .toSet
+    assert(changes === Set(
+      ("delete", 2L, 2L), ("delete", 2L, 4L), ("insert", 3L, 6L)),
+      s"got: $changes")
+  }
+
+  test("a MOR UPDATE killed between FS commit and catalog phase rolls back atomically at the next read") {
+    val t = freshTable("m_crash")
+    createMor(t)
+    val expect = rows(t)
+    // die right after the insert files publish and BEFORE the .delta
+    // marker — the worst window: without the protocol the new rows
+    // would be live while their delete-half never registered
+    // (permanent duplicates for an UPDATE)
+    graft.catalog.write.GraftBatchWrite.crashAfterFsCommit = Some(() =>
+      throw new RuntimeException("injected post-publish crash"))
+    try {
+      intercept[Exception](spark.sql(s"UPDATE $t SET v = 0 WHERE id = 1"))
+    } finally graft.catalog.write.GraftBatchWrite.crashAfterFsCommit = None
+    // the next READ repairs: marker absent -> the statement never
+    // happened (published inserts swept, DV batch dropped)
+    assert(rows(t) === expect,
+      "the crashed UPDATE must be invisible — no duplicates, no deletes")
+    assert(meta(t).deleteVectors.isEmpty)
+    // and the statement re-runs cleanly afterwards
+    spark.sql(s"UPDATE $t SET v = 0 WHERE id = 1")
+    assert(rows(t).contains((1L, 0.0, "a")))
+    assert(spark.table(t).count() === 5)
+  }
+
   test("unpartitioned MOR table: DELETE + re-insert round-trip") {
     val t = freshTable("m_unpart")
     spark.sql(
