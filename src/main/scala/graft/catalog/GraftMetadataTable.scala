@@ -65,6 +65,7 @@ class GraftMetadataTable(
     case "partitions" => PartitionsSchema
     case "history" => HistorySchema
     case "snapshots" => SnapshotsSchema
+    case "deletes" => DeletesSchema
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 
@@ -97,6 +98,20 @@ class GraftMetadataTable(
           UTF8String.fromString(g.location),
           g.retiredAtMs,
           live)).asInstanceOf[InternalRow]
+      }.toArray
+    }
+    if (kind == "deletes") {
+      // oldest first (registration order); applies_to_files from the
+      // batch manifest — one tiny JSON read per live batch
+      return meta.deleteVectors.map { dv =>
+        val applies = graft.catalog.write.DvManifest.read(conf, dv.manifest)
+          .map(_._2.size.toLong).getOrElse(-1L)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(dv.token),
+          UTF8String.fromString(dv.keyColumn),
+          dv.keys,
+          dv.createdAtMs,
+          applies)).asInstanceOf[InternalRow]
       }.toArray
     }
     if (kind == "snapshots") {
@@ -166,7 +181,8 @@ class GraftMetadataTable(
 
 object GraftMetadataTable {
 
-  val Kinds: Set[String] = Set("files", "partitions", "history", "snapshots")
+  val Kinds: Set[String] =
+    Set("files", "partitions", "history", "snapshots", "deletes")
 
   val FilesSchema: StructType = StructType(Seq(
     StructField("file_name", StringType, nullable = false),
@@ -185,6 +201,16 @@ object GraftMetadataTable {
     StructField("versions_back", LongType, nullable = false),
     StructField("committed_at_ms", LongType, nullable = false),
     StructField("kind", StringType, nullable = false)))
+
+  /** `t$deletes` (q119): one row per LIVE deletion-vector batch — the
+    * inspection surface for "how much unfolded delete debt does this
+    * merge-on-read table carry" (compaction folds batches away). */
+  val DeletesSchema: StructType = StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("key_column", StringType, nullable = false),
+    StructField("keys", LongType, nullable = false),
+    StructField("created_at_ms", LongType, nullable = false),
+    StructField("applies_to_files", LongType, nullable = false)))
 
   val HistorySchema: StructType = StructType(Seq(
     StructField("versions_back", LongType, nullable = false),

@@ -117,6 +117,28 @@ class MetaStoreSpec extends AnyFunSuite {
       "no CAS markers may linger after publication")
   }
 
+  test("CAS stress: 100 racing updates across 4 threads and 2 store instances all land") {
+    val s = freshStore()
+    s.createNamespace("db", Map.empty)
+    s.saveTable("db", meta("t"))
+    val s2 = new MetaStore(s.warehouse, new Configuration())
+    val stores = Seq(s, s2, s, s2)
+    val threads = (0 until 4).map { ti =>
+      new Thread(() => {
+        (0 until 25).foreach { i =>
+          stores(ti).updateTable("db", "t")(m =>
+            m.copy(properties = m.properties + (s"k-$ti-$i" -> "1")))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val fin = s.loadTable("db", "t")
+    val landed = fin.properties.keys.count(_.startsWith("k-"))
+    assert(landed === 100, s"every racing update must land, got $landed")
+    assert(fin.seq === 100L, "each update must consume exactly one sequence number")
+  }
+
   test("renameTable refuses an existing destination") {
     val s = freshStore()
     s.createNamespace("db", Map.empty)

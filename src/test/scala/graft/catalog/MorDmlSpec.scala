@@ -85,6 +85,12 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
     assert(m.deleteVectors.head.keyColumn === "id")
     val dvDir = new Path(m.location, Snapshots.DvDirName)
     assert(dvDir.getFileSystem(spark.sessionState.newHadoopConf()).exists(dvDir))
+    // the t$deletes inspection surface: one row per live batch
+    val dels = spark.table(s"$ns.`m_del$$deletes`").collect()
+    assert(dels.length === 1)
+    assert(dels.head.getAs[Long]("keys") === 3L)
+    assert(dels.head.getAs[String]("key_column") === "id")
+    assert(dels.head.getAs[Long]("applies_to_files") >= 1L)
   }
 
   test("MOR UPDATE = DV for the old row + appended new row; old files untouched") {
