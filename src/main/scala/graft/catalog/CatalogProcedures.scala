@@ -169,8 +169,10 @@ object CatalogProcedures {
       }),
     "compact" -> new GraftProcedure(
       "compact",
-      "rewrite a fragmented table in place (dynamic self-overwrite under " +
-        "the write-permit lease; honors graft.cluster.by sort layout)",
+      "rewrite a fragmented table: partitioned tables via dynamic " +
+        "self-overwrite in place, unpartitioned via a staged-rewrite " +
+        "generation flip (both under the write-permit lease, honoring " +
+        "graft.cluster.by); also FOLDS merge-on-read deletion vectors",
       Array(param("table", StringType)),
       StructType(Seq(StructField("table", StringType, nullable = false))),
       in => {

@@ -45,9 +45,24 @@ object Compaction {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       parts.slice(1, parts.length - 1), parts.last)
     val tbl = cat.loadTable(ident)
-    require(tbl.partitioning().nonEmpty,
-      s"compact($table): only partitioned tables can be compacted in place " +
-        "(dynamic overwrite is the only self-rewrite with no pre-delete window)")
+    if (tbl.partitioning().isEmpty) {
+      // UNPARTITIONED tables compact via a STAGED REWRITE (round 19):
+      // dynamic overwrite — the only safe IN-PLACE self-rewrite — needs
+      // partition dirs to swap, so the unpartitioned path writes a
+      // fresh generation and flips, exactly the zorder/migrate crash
+      // model (staging residue is vacuumable; the old generation stays
+      // for in-flight readers). This is also the unpartitioned FOLD for
+      // merge-on-read deletion vectors: the staging read applies them,
+      // the flip clears them — without it a one-DELETE unpartitioned
+      // MOR table could never UPDATE again.
+      cat match {
+        case g: graft.catalog.GraftCatalog =>
+          compactUnpartitioned(spark, g, parts(1), parts.last, table, ident)
+          return
+        case _ => throw new UnsupportedOperationException(
+          s"compact($table): unpartitioned compaction requires a graft catalog")
+      }
+    }
     val location = tbl.properties.get(
       org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION)
     require(location != null, s"compact($table): table reports no location")
@@ -91,6 +106,80 @@ object Compaction {
           g.invalidateTable(ident)
         case _ =>
       }
+    } finally release()
+  }
+
+  /** The unpartitioned staged-rewrite branch of [[compact]]: read the
+    * table through the catalog (deletion vectors applied), write a
+    * fresh generation sized to `spark.sql.files.maxPartitionBytes` per
+    * file — honoring `graft.cluster.by` with a range distribution +
+    * within-file sort, which also restores the sort-trust marker — and
+    * flip atomically (history prepend, lineage snapshot, dv list
+    * cleared). Refuses bucketed declarations: a V1 staged write cannot
+    * reproduce the hash-routed bucket file names, and silently
+    * unbucketing would corrupt every SPJ assumption. */
+  private def compactUnpartitioned(
+      spark: SparkSession,
+      plugin: graft.catalog.GraftCatalog,
+      db: String,
+      name: String,
+      table: String,
+      ident: org.apache.spark.sql.connector.catalog.Identifier): Unit = {
+    import org.apache.spark.sql.functions.col
+    val store = plugin.metaStore
+    val pre = store.loadTable(db, name)
+    require(!pre.external,
+      s"compact($table): EXTERNAL tables own their files; refusing to rewrite")
+    require(graft.catalog.GraftCatalog.writableBucketSpec(pre).isEmpty,
+      s"compact($table): a staged rewrite cannot reproduce the bucket " +
+        "layout; bucketed unpartitioned tables are already one file per " +
+        "bucket by construction")
+    val release = graft.catalog.write.GraftBatchWrite.leaseWritePermit(
+      spark, pre.location,
+      s"unpartitioned compaction of $table since ${java.time.Instant.now()}",
+      plugin.writeLockTimeoutSec)
+    try {
+      val meta = store.loadTable(db, name)
+      val conf = spark.sessionState.newHadoopConf()
+      val oldRoot = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = oldRoot.getFileSystem(conf)
+      val staging = new org.apache.hadoop.fs.Path(oldRoot.getParent,
+        s"${oldRoot.getName}__migrate_${java.util.UUID.randomUUID()}")
+      val bytes = meta.stats.map(_.sizeInBytes).filter(_ > 0).getOrElse(
+        if (fs.exists(oldRoot)) fs.getContentSummary(oldRoot).getLength else 0L)
+      val perFile = spark.sessionState.conf.filesMaxPartitionBytes
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / perFile).toInt)
+      val cluster = graft.catalog.GraftCatalog.clusterColumns(meta.properties)
+      val df = spark.table(table)
+      val shaped =
+        if (cluster.nonEmpty)
+          df.repartitionByRange(nFiles, cluster.map(col): _*)
+            .sortWithinPartitions(cluster.map(col): _*)
+        else df.repartition(nFiles)
+      shaped.write.format(meta.provider)
+        .options(graft.catalog.GraftCatalog.optionProps(meta.properties))
+        .mode("overwrite")
+        .save(staging.toString)
+      graft.catalog.SkipStats.maintainDir(spark, staging.toString,
+        meta.schema, meta.properties, meta.provider)
+      store.updateTable(db, name) { cur =>
+        cur.copy(location = staging.toString,
+          partitions = Nil,
+          stats = cur.stats.map(_.copy(
+            sizeInBytes = fs.getContentSummary(staging).getLength)),
+          history = (cur.asGeneration(System.currentTimeMillis()) +:
+            cur.history).take(graft.catalog.TableMeta.MaxHistory),
+          // every file is freshly engine-sorted when cluster columns are
+          // declared — the sort-trust marker restores with the rewrite
+          properties =
+            if (cluster.nonEmpty) cur.properties +
+              (graft.catalog.GraftCatalog.ClusterSortedProp -> "true")
+            else cur.properties,
+          // the staging read applied the deletion vectors — folded
+          deleteVectors = Nil)
+      }
+      graft.catalog.Snapshots.recordRewrite(spark, store, db, name)
+      plugin.invalidateTable(ident)
     } finally release()
   }
 

@@ -302,5 +302,16 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"INSERT INTO $t VALUES (3, 30.0)")
     assert(spark.table(t).where("id = 3").collect().map(_.getDouble(1)).toSeq
       === Seq(30.0))
+    // the unpartitioned FOLD (round 19): compact takes the staged-rewrite
+    // path, materializes the deletes into a fresh generation, and
+    // re-opens UPDATE — without it a one-DELETE unpartitioned MOR table
+    // could never UPDATE again
+    assert(meta(t).deleteVectors.nonEmpty)
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.compact('$t')")
+    assert(meta(t).deleteVectors.isEmpty,
+      "the staged rewrite must fold the vectors")
+    assert(spark.table(t).count() === 3) // 1, 2, re-inserted 3
+    spark.sql(s"UPDATE $t SET v = 7.0 WHERE id = 1")
+    assert(spark.table(t).where("id = 1").head().getDouble(1) === 7.0)
   }
 }

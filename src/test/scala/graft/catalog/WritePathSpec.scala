@@ -682,13 +682,26 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     assert(meta.partitions.map(_.spec).toSet === Set(Map("p" -> "x"), Map("p" -> "y")))
     assert(meta.stats.exists(_.sizeInBytes === meta.partitions.map(_.sizeInBytes).sum))
 
-    // unpartitioned tables are rejected (the self-rewrite would race the
-    // truncate pre-delete) — fail loudly instead
+    // unpartitioned tables compact via a STAGED-REWRITE generation flip
+    // (round 19 — dynamic overwrite needs partition dirs to swap, so the
+    // flat path writes a fresh generation like zorder/migrate): a
+    // fragmented flat table collapses, rows intact, and the flip is
+    // rollback-able like any rewrite
     val u = freshTable("t_compact_flat")
     Seq((1L, "x")).toDF("id", "p").writeTo(u).create()
-    val e = intercept[IllegalArgumentException](
-      graft.operators.Compaction.compact(spark, u))
-    assert(e.getMessage.contains("partitioned"))
+    (2 to 6).foreach(i => Seq((i.toLong, "x")).toDF("id", "p").writeTo(u).append())
+    val preLoc = cat.metaStore.loadTable("wtest", "t_compact_flat").location
+    graft.operators.Compaction.compact(spark, u)
+    val um = cat.metaStore.loadTable("wtest", "t_compact_flat")
+    assert(um.location !== preLoc, "flat compaction must flip to a new generation")
+    val uroot = new org.apache.hadoop.fs.Path(um.location)
+    val ufs = uroot.getFileSystem(spark.sessionState.newHadoopConf())
+    val ufiles = ufs.listStatus(uroot).count(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    assert(ufiles === 1, s"6 tiny appends must collapse, got $ufiles files")
+    assert(spark.table(u).collect().map(_.getLong(0)).sorted.toSeq
+      === (1L to 6L).toSeq)
   }
 
   test("graft.cluster.by: every write lands per-file sorted by the cluster key; bad declarations refuse") {
