@@ -498,6 +498,26 @@ class GraftWrite(
         }
     }
 
+    // DYNAMIC overwrite needs the task files to land under the commit
+    // protocol's `.spark-staging-<job>` dir. With a FileOutputCommitter
+    // the task path is the committer's WORK PATH, which hangs off the
+    // committer's OUTPUT path — and SQLHadoopMapReduceCommitProtocol
+    // only constructs the committer OVER THE STAGING DIR when a class is
+    // registered under spark.sql.sources.outputCommitterClass (its
+    // reflective (Path, TaskAttemptContext) branch). Parquet registers
+    // ParquetOutputCommitter in prepareWrite, which is why parquet
+    // dynamic overwrites always worked; orc/avro/csv/json register
+    // nothing, the default committer resolved over the TABLE ROOT, and
+    // the job died at commit renaming staging dirs that never existed.
+    // Registering the plain FileOutputCommitter here routes every
+    // provider through the staging-dir construction; parquet's
+    // prepareWrite below still overrides it with its own committer.
+    if (mode == DynamicOverwrite) {
+      hadoopConf.setClass("spark.sql.sources.outputCommitterClass",
+        classOf[org.apache.hadoop.mapreduce.lib.output.FileOutputCommitter],
+        classOf[org.apache.hadoop.mapreduce.OutputCommitter])
+    }
+
     val job = Job.getInstance(hadoopConf)
     job.setOutputKeyClass(classOf[Void])
     job.setOutputValueClass(classOf[InternalRow])

@@ -264,6 +264,29 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
       s"got: $changes")
   }
 
+  test("MOR works on every provider: orc and avro DELETE/UPDATE round-trip (DV sidecars stay parquet)") {
+    Seq("orc", "avro").foreach { provider =>
+      val t = freshTable(s"m_prov_$provider")
+      spark.sql(
+        s"""CREATE TABLE $t (id BIGINT NOT NULL, v DOUBLE, p STRING)
+           |USING $provider PARTITIONED BY (p)
+           |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+           |  'graft.dml.key'='id')""".stripMargin)
+      spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a'), (2, 20.0, 'a'), (3, 30.0, 'b')")
+      val before = fileState(t)
+      spark.sql(s"DELETE FROM $t WHERE id = 2")
+      assert(rows(t) === Set((1L, 10.0, "a"), (3L, 30.0, "b")),
+        s"$provider MOR DELETE")
+      assert(fileState(t) === before,
+        s"$provider MOR DELETE must not rewrite any data file")
+      spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.compact('$t')")
+      spark.sql(s"UPDATE $t SET v = v * 2 WHERE id = 1")
+      assert(rows(t) === Set((1L, 20.0, "a"), (3L, 30.0, "b")),
+        s"$provider MOR UPDATE after fold")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("a MOR UPDATE killed between FS commit and catalog phase rolls back atomically at the next read") {
     val t = freshTable("m_crash")
     createMor(t)
