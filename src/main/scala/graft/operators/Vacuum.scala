@@ -116,9 +116,17 @@ object Vacuum {
       val txnDir = new Path(root, GraftBatchWrite.TxnDirName)
       if (fs.exists(txnDir)) {
         val entries = fs.listStatus(txnDir)
+        // every intent-manifest class whose marker strips to its name:
+        // COW `<id>.pending` / `<id>.committed`, and merge-on-read
+        // `<tok>.delta` / `<tok>.delta.committed` (round 19) — a marker
+        // whose manifest still exists is REPAIR'S INPUT (it proves the
+        // statement committed; reclaiming it would make the next repair
+        // roll a committed statement BACK over live data)
         val pendingIds = entries.collect {
           case s if s.getPath.getName.endsWith(".pending") =>
             s.getPath.getName.stripSuffix(".pending")
+          case s if s.getPath.getName.endsWith(".delta") =>
+            s.getPath.getName
         }.toSet
         entries.foreach { s =>
           val n = s.getPath.getName

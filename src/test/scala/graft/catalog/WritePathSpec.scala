@@ -822,6 +822,12 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     // states vacuum's contract, not repair's
     junk(new Path(loc, "_graft_txn/live-txn-id.pending"), 10)
     junk(new Path(loc, "_graft_txn/live-txn-id.quarantine/0_part.parquet"), 10)
+    // a merge-on-read txn PAIR is repair's input too (round 19): the
+    // marker proves the statement committed — reclaiming it while its
+    // manifest stays would make the next repair roll a COMMITTED
+    // statement back over live data
+    junk(new Path(loc, "_graft_txn/live-mor-id.delta"), 10)
+    junk(new Path(loc, "_graft_txn/live-mor-id.delta.committed"), 0)
     val stats = graft.operators.Vacuum.vacuum(spark, t, retentionMs = 0L)
     assert(stats.reclaimedFiles === 3L, s"got $stats")
     assert(stats.reclaimedBytes === 510L, s"got $stats")
@@ -832,6 +838,10 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
       "pending manifests are repair's input, not garbage")
     assert(fs.exists(new Path(loc, "_graft_txn/live-txn-id.quarantine/0_part.parquet")),
       "quarantined files are restore evidence, not garbage")
+    assert(fs.exists(new Path(loc, "_graft_txn/live-mor-id.delta")) &&
+      fs.exists(new Path(loc, "_graft_txn/live-mor-id.delta.committed")),
+      "a MOR manifest+marker pair is repair's input — reclaiming the " +
+        "marker would roll a committed statement back")
     val liveAfter = listAll(loc).filterNot(p =>
       p.contains("_graft_txn") || p.contains("_temporary")).toSet
     assert(liveAfter === liveBefore.filterNot(p =>
