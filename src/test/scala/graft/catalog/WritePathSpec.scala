@@ -1584,6 +1584,33 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("changelog read: append-only ranges reduce to the incremental read; rewrite flips refuse") {
+    import spark.implicits._
+    val t = freshTable("t_cdc_reduce")
+    Seq((1L, 1.0)).toDF("k", "v").writeTo(t).create()
+    Seq((2L, 2.0), (3L, 3.0)).toDF("k", "v").writeTo(t).append()
+    Seq((4L, 4.0)).toDF("k", "v").writeTo(t).append()
+    // append-only range: the changelog is ALL inserts and row-for-row
+    // identical to the manifest set-difference read (the q118 contract)
+    val changes = graft.operators.ChangeFeed.changesBetween(spark, t, 2, 0)
+    assert(changes.where("_change_type = 'delete'").count() === 0)
+    val cdcRows = changes.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val incRows = graft.operators.IncrementalRead.appendedBetween(spark, t, 2)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cdcRows === incRows && cdcRows === Seq(2L, 3L, 4L),
+      s"append-only changelog must equal the incremental read: $cdcRows vs $incRows")
+    // the _change_version column names each commit
+    assert(changes.select("_change_version").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // a rewrite flip in the range refuses (representation, not content)
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.zorder('$t', 'k,v', 1L)")
+      .collect()
+    val e = intercept[Exception](
+      graft.operators.ChangeFeed.changesBetween(spark, t, 2, 0).collect())
+    assert(e.getMessage.contains("rewrite flip"), s"got: ${e.getMessage}")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("incremental append read: non-append ranges refuse; a later overwrite's displaced slice still resolves") {
     import spark.implicits._
     val t = freshTable("t_inc_read")
