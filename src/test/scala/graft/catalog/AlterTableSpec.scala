@@ -61,6 +61,88 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).filter(col("score").isNull).count() === 2)
   }
 
+  // --- populated-table evolution ladder (round 20): data files resolve
+  // columns BY NAME, so rename-over-data and re-ADD-of-a-dropped-name
+  // would silently corrupt history — both must refuse loudly, while the
+  // safe evolutions (ADD new name; DROP; everything on an empty table)
+  // keep working.
+
+  test("RENAME COLUMN over existing data refuses (history would read null)") {
+    import spark.implicits._
+    val t = freshTable("t_ren_data")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    Seq((1L, 42.0, "x"), (2L, 43.0, "x")).toDF("id", "score", "p")
+      .writeTo(t).append()
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN score TO grade"))
+    assert(e.getMessage.toLowerCase.contains("rename"), e.getMessage)
+    // the refusal preserved both schema and values
+    val rows = spark.table(t).orderBy($"id")
+      .selectExpr("score").collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(42.0, 43.0))
+  }
+
+  test("DROP then re-ADD of the same name over data refuses (values would resurrect)") {
+    import spark.implicits._
+    val t = freshTable("t_readd")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    Seq((1L, 42.0, "x"), (2L, 43.0, "x")).toDF("id", "score", "p")
+      .writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t DROP COLUMN score")
+    assert(!spark.table(t).schema.fieldNames.contains("score"))
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE"))
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // RENAME-to the dropped name is the same physical landing — refused too
+    spark.sql(s"ALTER TABLE $t ADD COLUMN quality DOUBLE")
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN quality TO score"))
+    assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+    // a FRESH name over the same data stays fine and reads null history
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score2 DOUBLE")
+    assert(spark.table(t).filter("score2 IS NULL").count() === 2)
+    // the ledger survives unrelated ALTERs (carried through the
+    // reserved-prop strip) — the refusal must still fire afterwards
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('note' = 'x')")
+    intercept[Exception](spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE"))
+  }
+
+  test("dropped-column ledger is reserved: never user-settable or visible") {
+    val t = freshTable("t_ledger")
+    intercept[Exception](spark.sql(
+      s"""ALTER TABLE $t SET TBLPROPERTIES ('graft.schema.dropped' = '["id"]')"""))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.schema.dropped')"))
+    intercept[Exception](spark.sql(
+      s"""CREATE TABLE $ns.t_ledger_create (id BIGINT) USING parquet
+         | TBLPROPERTIES ('graft.schema.dropped' = '["id"]')""".stripMargin))
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect().map(_.getString(0))
+    assert(!props.contains("graft.schema.dropped"))
+  }
+
+  test("rename/drop/re-add stay allowed while the table has no data and no lineage") {
+    val t = freshTable("t_empty_evo")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN score TO grade")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN grade")
+    // empty + no lineage: nothing physical to resurrect — re-add is fine
+    spark.sql(s"ALTER TABLE $t ADD COLUMN grade DOUBLE")
+    assert(spark.table(t).schema.fieldNames.contains("grade"))
+  }
+
+  test("RENAME refuses on an emptied table that still has restorable lineage") {
+    import spark.implicits._
+    val t = freshTable("t_lineage_evo")
+    Seq((1L, "x")).toDF("id", "p").writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE p = 'x'")
+    assert(spark.table(t).count() === 0)
+    // the pre-delete snapshot could be rolled back — files with the old
+    // name still exist in the retirement area, so rename must refuse
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN id TO docid"))
+    assert(e.getMessage.toLowerCase.contains("rename"), e.getMessage)
+  }
+
   test("SET LOCATION is refused, not silently ignored") {
     val t = freshTable("t_loc")
     val e = intercept[Exception](
