@@ -47,6 +47,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var autoSizeUpdateEnabled: Boolean = true
   private var writeLockTimeoutSeconds: Long =
     GraftConf.WriteLockTimeoutSec.default.get
+  private var dvBroadcastKeyLimit: Long =
+    GraftConf.DvBroadcastKeys.default.get
 
   private def spark: SparkSession = SparkSession.active
 
@@ -56,6 +58,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     defaultProvider = GraftConf.DefaultProvider.get(options, name)
     autoSizeUpdateEnabled = GraftConf.AutoSizeUpdate.get(options, name)
     writeLockTimeoutSeconds = GraftConf.WriteLockTimeoutSec.get(options, name)
+    dvBroadcastKeyLimit = GraftConf.DvBroadcastKeys.get(options, name)
     store = new MetaStore(new Path(warehouse),
       spark.sessionState.newHadoopConf())
   }
@@ -66,6 +69,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Per-catalog write-permit wait (GraftConf.WriteLockTimeoutSec). */
   private[graft] def writeLockTimeoutSec: Long = writeLockTimeoutSeconds
+
+  /** DV anti-join broadcast ceiling (GraftConf.DvBroadcastKeys). */
+  private[graft] def dvBroadcastKeys: Long = dvBroadcastKeyLimit
 
   override def name(): String = catalogName
 

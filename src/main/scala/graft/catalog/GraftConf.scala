@@ -74,4 +74,17 @@ object GraftConf {
   val WriteLockTimeoutSec: Entry[Long] = Entry("writeLockTimeoutSec",
     Some(600L), _.toLong, (_: Long) > 0L,
     "seconds a write waits for the per-table write lock before failing (> 0)")
+
+  /** Ceiling on the SUMMED deleted-key count of a deletion-vector batch
+    * group before the read-side anti-join stops hinting BROADCAST for
+    * its key side. Below it, every executor holds the keys once and the
+    * data side never shuffles (the MOR fast path). Above it — a broad
+    * MOR DELETE while compaction is behind — forcing the broadcast is a
+    * driver/executor OOM risk, so the planner is left free to pick a
+    * shuffled anti-join instead: same rows, scale-safe. 1M keys ≈ tens
+    * of MB broadcast for typical key types. */
+  val DvBroadcastKeys: Entry[Long] = Entry("dvBroadcastKeys",
+    Some(1000000L), _.toLong, (_: Long) > 0L,
+    "max summed deletion-vector keys per batch group that still " +
+      "broadcast-hints the read-side anti-join (> 0)")
 }

@@ -100,7 +100,10 @@ class GraftTable(
     // TABLE emit the bucket transform), so exposing the raw props here
     // would only invite a TBLPROPERTIES round-trip that CREATE refuses.
     val base = (meta.properties --
-      Seq(GraftCatalog.BucketCountProp, GraftCatalog.BucketColumnsProp))
+      Seq(GraftCatalog.BucketCountProp, GraftCatalog.BucketColumnsProp,
+        // the dropped-column ledger is resurrection-guard bookkeeping;
+        // exposing it would invite a TBLPROPERTIES round-trip ALTER refuses
+        GraftCatalog.DroppedColumnsProp))
       // the stream-epoch log is commit bookkeeping, not user metadata
       .filterNot { case (k, _) => GraftCatalog.isStreamEpochProp(k) } ++ Map(
       TableCatalog.PROP_PROVIDER -> meta.provider,
@@ -480,18 +483,19 @@ class GraftTable(
     // LIVE deletion vectors constrain what may run next (q119):
     //  - MOR DELETE stacks safely — re-deleting an already-hidden key is
     //    a no-op under the anti-join;
-    //  - MOR UPDATE / MERGE must not: their delta scan reads the raw
-    //    files (hidden rows included), so re-emitting rows would
-    //    RESURRECT previously deleted keys;
+    //  - MOR UPDATE / MERGE stack too (round 20): their delta read gets
+    //    the same plan-level anti-join split as any other read
+    //    (graft.plans.ResolveDeletionVectors rewrites the delta
+    //    relation), so hidden rows are never re-emitted — the hourly
+    //    MERGE-upsert workload needs no compaction between statements;
     //  - every COW rewrite must not: its group scan would carry hidden
     //    rows into the replacement files.
-    // Compaction folds the vectors and re-opens the full matrix.
-    if (meta.deleteVectors.nonEmpty &&
-        !(mor.isDefined && info.command == RowLevelOperation.Command.DELETE))
+    // Compaction folds the vectors and re-opens the COW matrix.
+    if (meta.deleteVectors.nonEmpty && mor.isEmpty)
       throw new UnsupportedOperationException(
         s"${info.command} on ${name()}: ${meta.deleteVectors.size} live " +
-          "deletion-vector batch(es) — only merge-on-read DELETE may stack " +
-          "on unfolded deletes; CALL sys.compact to fold them first")
+          "deletion-vector batch(es) — copy-on-write rewrites cannot run " +
+          "over unfolded deletes; CALL sys.compact to fold them first")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = mor match {
         case Some(key) =>

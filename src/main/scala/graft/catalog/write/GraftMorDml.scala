@@ -132,10 +132,49 @@ private[write] class GraftMorScanBuilder(
     required = requiredSchema
 
   /** Conservative spec evaluation of a V1 filter: Some(false) only when
-    * the partition provably contains no matching row. */
+    * the partition provably contains no matching row.
+    *
+    * TYPED comparison (round-20 ADVICE fix): the stored spec string is
+    * cast to the partition column's type and the filter's external value
+    * converted to the same Catalyst representation before comparing —
+    * raw-string equality was representation-sensitive (a timestamp spec
+    * '…00:00:00' vs `Timestamp.toString`'s '…00:00:00.0', a decimal's
+    * scale) and a false mismatch PRUNED a matching partition, silently
+    * skipping rows the DML should have changed. Any conversion that
+    * fails or is undecidable keeps the partition (pruning stays
+    * advisory — the delta query re-applies the full condition). */
   private def keepsPartition(spec: Map[String, String], f: V1Filter): Boolean = {
-    def specVal(col: String): Option[String] =
-      spec.find(_._1.equalsIgnoreCase(col)).map(_._2)
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    /** Some(matches) when the typed comparison is decidable. `nullSafe`
+      * distinguishes `<=>` (null value matches the Hive null marker)
+      * from `=` (null never matches). */
+    def specMatches(col: String, value: Any, nullSafe: Boolean): Option[Boolean] = {
+      val field = meta.partitionSchema.fields.find(_.name.equalsIgnoreCase(col))
+      val raw = spec.find(_._1.equalsIgnoreCase(col)).map(_._2)
+      (field, raw) match {
+        case (Some(fd), Some(rv)) =>
+          val specIsNull = rv == ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          if (value == null) {
+            if (nullSafe) Some(specIsNull) else None
+          } else if (specIsNull) Some(false)
+          else try {
+            val specV = Option(Cast(
+              Literal(UTF8String.fromString(rv), StringType), fd.dataType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+            val filtV = Option(
+              CatalystTypeConverters.createToCatalystConverter(fd.dataType)(value))
+            (specV, filtV) match {
+              case (Some(a), Some(b)) => Some(a == b)
+              case _ => None // un-castable spec / value: undecidable, keep
+            }
+          } catch { case NonFatal(_) => None }
+        case _ => None
+      }
+    }
     def eval(f: V1Filter): Option[Boolean] = f match {
       case V1And(l, r) => (eval(l), eval(r)) match {
         case (Some(false), _) | (_, Some(false)) => Some(false)
@@ -147,10 +186,13 @@ private[write] class GraftMorScanBuilder(
         case (Some(false), Some(false)) => Some(false)
         case _ => None
       }
-      case V1EqualTo(col, v) => specVal(col).map(_ == String.valueOf(v))
-      case V1EqualNullSafe(col, v) => specVal(col).map(_ == String.valueOf(v))
+      case V1EqualTo(col, v) => specMatches(col, v, nullSafe = false)
+      case V1EqualNullSafe(col, v) => specMatches(col, v, nullSafe = true)
       case V1In(col, vs) =>
-        specVal(col).map(sv => vs.exists(v => String.valueOf(v) == sv))
+        val per = vs.toSeq.map(v => specMatches(col, v, nullSafe = false))
+        if (per.exists(_.contains(true))) Some(true)
+        else if (per.nonEmpty && per.forall(_.contains(false))) Some(false)
+        else None
       case _ => None
     }
     // only filters that ONLY reference partition columns may prune
@@ -169,6 +211,21 @@ private[write] class GraftMorScanBuilder(
   override def pushedFilters(): Array[V1Filter] = Array.empty
 
   override def build(): Scan = {
+    // BACKSTOP, never the happy path (the GraftTable.newScanBuilder
+    // posture): an UPDATE/MERGE delta read over LIVE deletion vectors is
+    // only correct through the plan-level anti-join split
+    // (graft.plans.ResolveDeletionVectors rewrites the delta relation
+    // BEFORE pushdown builds this scan). Reaching here with live batches
+    // means the session lacks the rule — the raw files include hidden
+    // rows, and re-emitting them would resurrect deleted keys.
+    if (meta.deleteVectors.nonEmpty &&
+        op.command() != RowLevelOperation.Command.DELETE)
+      throw new IllegalStateException(
+        s"${op.command()} on ${meta.name}: ${meta.deleteVectors.size} live " +
+          "deletion-vector batch(es) — stacking UPDATE/MERGE requires the " +
+          "graft session extension (spark.sql.extensions=" +
+          "graft.GraftExtensions or GraftBootstrap.ensure) so the delta " +
+          "read filters hidden rows; refusing to scan raw files")
     op.scannedSpecs = Some(kept.map(_.spec))
     val (scan, files) = GraftCowScan.delegate(spark, meta, options, required, kept)
     op.scannedFiles = Some(files)

@@ -71,7 +71,7 @@ class GraftRowLevelOperation(
     * Read by the write's commit to decide which partitions to replace;
     * the operation instance is shared by scan and write builders, which
     * is exactly what `RowLevelOperationTable` guarantees. */
-  @volatile private[write] var scannedSpecs: Option[Seq[Map[String, String]]] = None
+  @volatile private[graft] var scannedSpecs: Option[Seq[Map[String, String]]] = None
 
   /** The exact data files the copy-on-write scan's file index resolved —
     * the rewrite's read snapshot. The write's commit re-lists the scanned
@@ -83,7 +83,7 @@ class GraftRowLevelOperation(
     * plan is built at analysis time and may never execute (EXPLAIN, a
     * DELETE downgraded to the metadata-only path) — a permit lease taken
     * that early could leak and wedge every writer on the table. */
-  @volatile private[write] var scannedFiles: Option[Set[String]] = None
+  @volatile private[graft] var scannedFiles: Option[Set[String]] = None
 
   override def command(): Command = cmd
 

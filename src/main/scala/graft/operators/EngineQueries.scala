@@ -1476,6 +1476,17 @@ object EngineQueries {
     spark.sql(s"INSERT INTO $t SELECT * FROM q119_src")
     spark.sql(s"UPDATE $t SET l_quantity = l_quantity + 1 WHERE k % 5 = 0")
     spark.sql(s"DELETE FROM $t WHERE k % 7 = 3")
+    // round 20: STACK an UPDATE and a MERGE over the live vectors (no
+    // intervening compaction) — the delta read itself goes through the
+    // anti-join split, so hidden keys must neither match nor resurrect
+    spark.sql(s"UPDATE $t SET l_quantity = l_quantity * 2 WHERE k % 11 = 1")
+    spark.sql(
+      s"""MERGE INTO $t tgt
+         |USING (SELECT DISTINCT k FROM q119_src WHERE k % 13 = 2) s
+         |ON tgt.k = s.k
+         |WHEN MATCHED AND s.k % 26 = 2 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET l_quantity = tgt.l_quantity + 100
+         |""".stripMargin)
     spark.table(t).groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
         r2(sum($"l_quantity")).as("sum_qty"),
@@ -1574,17 +1585,28 @@ object EngineQueries {
 
   val oracles: Map[String, String] = Map(
     // Merge-on-read DML restated over the source: key = orderkey*8 +
-    // linenumber (unique; linenumber ∈ 1..7), qty +1 where the UPDATE's
-    // predicate matched, rows gone where the DELETE's matched — the DV
-    // anti-join must reproduce the COW answer bit-for-bit.
+    // linenumber (unique; linenumber ∈ 1..7). The STACKED sequence
+    // (UPDATE, DELETE, then UPDATE and MERGE over the live vectors):
+    // qty +1 where the first UPDATE matched, rows gone where the DELETE
+    // matched, *2 where the stacked UPDATE matched a LIVE row, then the
+    // MERGE deletes live k%26=2 and adds 100 to the other live k%13=2 —
+    // hidden keys must neither match nor resurrect at any step.
     "q119_mor_dml" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-        |  round(sum(CASE WHEN k % 5 = 0 THEN l_quantity + 1
-        |                 ELSE l_quantity END) * 100) / 100 AS sum_qty,
+        |  round(sum(CASE WHEN k % 13 = 2 THEN q2 + 100 ELSE q2 END)
+        |        * 100) / 100 AS sum_qty,
         |  CAST(sum(k % 999983) AS BIGINT) AS key_checksum
-        | FROM (SELECT l_orderkey * 8 + l_linenumber AS k, l_quantity,
-        |         l_returnflag FROM lineitem) s
-        | WHERE k % 7 <> 3
+        | FROM (
+        |  SELECT k, l_returnflag,
+        |    CASE WHEN k % 11 = 1 THEN q1 * 2 ELSE q1 END AS q2
+        |  FROM (
+        |    SELECT l_orderkey * 8 + l_linenumber AS k,
+        |      CASE WHEN (l_orderkey * 8 + l_linenumber) % 5 = 0
+        |           THEN l_quantity + 1 ELSE l_quantity END AS q1,
+        |      l_returnflag
+        |    FROM lineitem) a
+        |  WHERE k % 7 <> 3) b
+        | WHERE k % 26 <> 2
         | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // The changelog restated: v2 inserted the odd orderkeys (every
     // flag), v3 deleted everything then in partition R (evens + odds),

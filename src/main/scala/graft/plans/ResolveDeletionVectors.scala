@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.StructType
 
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+
 import graft.catalog.{GraftTable, Snapshots}
-import graft.catalog.write.{DvManifest, GraftBatchWrite}
+import graft.catalog.write.{DvManifest, GraftBatchWrite, GraftMorOperation}
 
 /** DELETION-VECTOR APPLICATION (q119) — the read half of merge-on-read
   * DML, done the Spark-first way: not a per-row reader filter, but a
@@ -58,9 +60,33 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
           r.table.asInstanceOf[GraftTable].meta.deleteVectors.nonEmpty =>
         rewrite(r, r.table.asInstanceOf[GraftTable])
+      // MOR UPDATE / MERGE over LIVE deletion vectors (round 20): the
+      // delta operation's read gets the SAME anti-join split as any other
+      // read of the table, so hidden rows are never re-emitted (which
+      // would resurrect deleted keys) and the hourly-MERGE workload no
+      // longer needs a compaction between statements. The operation's
+      // scan builder is bypassed by this rewrite, so its read snapshot
+      // (the conflict check's expected set + the new batch's `appliesTo`)
+      // is recorded here from the same universe the fragments scan.
+      // DELETE keeps its raw-file delta scan: re-deleting an
+      // already-hidden key is a no-op under the anti-join, and skipping
+      // the split keeps the static partition pruning it already has.
+      case r: DataSourceV2Relation
+          if org.apache.spark.sql.graft.GraftSqlBridge
+            .rowLevelOperationTable(r.table).isDefined =>
+        org.apache.spark.sql.graft.GraftSqlBridge
+          .rowLevelOperationTable(r.table) match {
+          case Some((t: GraftTable, op: GraftMorOperation))
+              if op.command() != Command.DELETE &&
+                t.meta.deleteVectors.nonEmpty =>
+            rewrite(r, t, Some(op))
+          case _ => r
+        }
     }
 
-  private def rewrite(r: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
+  private def rewrite(
+      r: DataSourceV2Relation, t: GraftTable,
+      forOp: Option[GraftMorOperation] = None): LogicalPlan = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val meta = t.meta
@@ -71,15 +97,15 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
     // it applies to, and the dir holding its deleted-key parquet files.
     // A missing/torn manifest refuses the read — serving the rows would
     // resurrect the deleted keys.
-    val batches: Seq[(String, Set[String], String)] =
+    val batches: Seq[(String, Set[String], String, Long)] =
       meta.deleteVectors.map { dv =>
-        val (keyCol, applies, _) = DvManifest.read(conf, dv.manifest).getOrElse(
+        val (keyCol, applies, keys) = DvManifest.read(conf, dv.manifest).getOrElse(
           throw new IllegalStateException(
             s"deletion-vector manifest ${dv.manifest} of ${t.name()} is " +
               "missing or torn — refusing to read (deleted rows would " +
               "resurface); restore it or roll the table back"))
         (keyCol, applies.map(s => qualify(new Path(s))).toSet,
-          new Path(dv.manifest).getParent.toString)
+          new Path(dv.manifest).getParent.toString, keys)
       }
 
     // the file universe: the pinned snapshot's recorded set (travel
@@ -111,6 +137,16 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
             files.map(f => (qualify(f.getPath), d, spec, f))
           }
       }
+
+    // a delta operation's read snapshot: the write's commit re-lists and
+    // refuses on mismatch (conflict detection), and the committed DV
+    // batch applies to exactly these files — recorded here because the
+    // fragments' scans replace the operation's own scan builder
+    forOp.foreach { op =>
+      op.scannedFiles = Some(universe.map(_._1).toSet)
+      op.scannedSpecs =
+        if (meta.isPartitioned) Some(meta.partitions.map(_.spec)) else None
+    }
 
     // group files by the SET of batches that apply; clean group first so
     // the Union's output (= head child's) keeps the original exprIds
@@ -145,16 +181,24 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
           val keyField = meta.schema.fields
             .find(_.name.equalsIgnoreCase(keyCol)).get
           // the batch group's deleted keys: tiny parquet sidecars, read
-          // with an explicit schema (no inference round-trip) and
-          // BROADCAST — the data side never shuffles
+          // with an explicit schema (no inference round-trip) and —
+          // while the group stays under the dvBroadcastKeys ceiling —
+          // BROADCAST, so the data side never shuffles. An OVERSIZED
+          // group (a broad MOR DELETE with compaction behind) gets no
+          // hint: forcing a multi-GB broadcast is an OOM, and the
+          // planner's shuffled anti-join returns the same rows safely.
           val keysPlan: LogicalPlan = batchIdxs.map { bi =>
             spark.read.schema(StructType(Seq(keyField)))
               .parquet(batches(bi)._3)
               .queryExecution.analyzed
           }.reduce((a, b) => Union(Seq(a, b), false, false))
+          val groupKeys = batchIdxs.map(bi => batches(bi)._4).sum
+          val hint =
+            if (groupKeys <= t.graftCatalog.dvBroadcastKeys)
+              JoinHint(None, Some(HintInfo(Some(BROADCAST))))
+            else JoinHint.NONE
           Join(base, keysPlan, LeftAnti,
-            Some(EqualNullSafe(keyAttr, keysPlan.output.head)),
-            JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+            Some(EqualNullSafe(keyAttr, keysPlan.output.head)), hint)
         }
     }
     children match {

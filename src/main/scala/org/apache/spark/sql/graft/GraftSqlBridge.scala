@@ -1517,4 +1517,20 @@ object GraftSqlBridge {
 
   /** The inverse: unwrap a Column's Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unwrap a row-level rewrite's relation table
+    * (`RowLevelOperationTable` is `private[sql]`): the underlying
+    * catalog table and the live operation instance. Used by
+    * `graft.plans.ResolveDeletionVectors` to give a merge-on-read
+    * UPDATE/MERGE delta read the same deletion-vector anti-join split
+    * as any other read of the table. */
+  def rowLevelOperationTable(
+      t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[(org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations,
+                org.apache.spark.sql.connector.write.RowLevelOperation)] =
+    t match {
+      case r: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+        Some((r.table, r.operation))
+      case _ => None
+    }
 }

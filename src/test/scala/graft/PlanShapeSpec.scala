@@ -2152,4 +2152,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"DROP TABLE IF EXISTS $dimT")
   }
+
+  test("DV anti-join broadcast is size-guarded: small batch hints, oversized batch leaves the planner free") {
+    GraftBootstrap.ensure(spark, sf0001)
+    // a second catalog over its own warehouse with a 2-key ceiling, so
+    // the guard flips with tiny fixtures
+    val wh = java.nio.file.Files.createTempDirectory("graft_dvcap_wh").toString
+    spark.conf.set("spark.sql.catalog.graftdv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdv.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.graftdv.dvBroadcastKeys", "2")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftdv.t")
+    val t = "graftdv.t.dvcap"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+         |  'graft.dml.key'='id')""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    // auto-broadcast off: only the HINT can produce a broadcast join, so
+    // the two shapes below pin the guard itself, not the size estimator
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 2 deleted keys ≤ ceiling 2 → hinted broadcast despite threshold -1
+      spark.sql(s"DELETE FROM $t WHERE id IN (1, 2)")
+      val small = spark.table(t)
+      val p1 = small.queryExecution.executedPlan.toString
+      assert(p1.contains("BroadcastHashJoin") && p1.contains("LeftAnti"),
+        s"small DV batch must broadcast the key side:\n$p1")
+      assert(small.count() === 98)
+      // stack 3 more keys: the group now sums 5 > 2 → no hint → the
+      // planner (threshold -1) picks a shuffled anti-join — same rows
+      spark.sql(s"DELETE FROM $t WHERE id IN (3, 4, 5)")
+      val big = spark.table(t)
+      val p2 = big.queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"oversized DV group must not force a broadcast:\n$p2")
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"),
+        s"oversized DV group should anti-join via shuffle:\n$p2")
+      assert(big.count() === 95)
+      assert(big.selectExpr("min(id)").collect().head.getLong(0) === 0L)
+      assert(!big.collect().map(_.getLong(0)).toSet.exists(Set(1L, 2L, 3L, 4L, 5L)),
+        "both shapes must hide exactly the deleted keys")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }

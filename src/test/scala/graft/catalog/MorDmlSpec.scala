@@ -196,17 +196,15 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
       "the MERGE deleted two keys: the updated row's old version and id=4")
   }
 
-  test("refusal matrix: UPDATE/MERGE/COW on live DVs, nullable key, ALTER under live DVs") {
+  test("refusal matrix (narrowed, round 20): mode-ALTER and nullable key refuse; DML stacks") {
     val t = freshTable("m_refuse")
     createMor(t)
     spark.sql(s"DELETE FROM $t WHERE id = 1")
-    val up = intercept[Exception](spark.sql(s"UPDATE $t SET v = 0 WHERE id = 2"))
-    assert(up.getMessage.contains("deletion-vector"),
-      s"UPDATE on live DVs must refuse, got: ${up.getMessage}")
-    val mg = intercept[Exception](spark.sql(
-      s"MERGE INTO $t tgt USING (SELECT 2L AS id) s ON tgt.id = s.id " +
-        "WHEN MATCHED THEN DELETE"))
-    assert(mg.getMessage.contains("deletion-vector"))
+    // round 20: UPDATE stacks on the live DV (delta read is DV-aware) —
+    // and must NOT resurrect the hidden id=1 even though it matches
+    spark.sql(s"UPDATE $t SET v = 0 WHERE id <= 2")
+    assert(rows(t) === Set(
+      (2L, 0.0, "a"), (3L, 30.0, "b"), (4L, 40.0, "b"), (5L, 50.0, "c")))
     val alter = intercept[Exception](spark.sql(
       s"ALTER TABLE $t SET TBLPROPERTIES ('graft.dml.mode'='copy-on-write')"))
     assert(alter.getMessage.contains("deletion-vector"))
@@ -215,10 +213,54 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
       s"CREATE TABLE ${ns}.m_nullkey (id BIGINT, v DOUBLE) " +
         "TBLPROPERTIES ('graft.dml.mode'='merge-on-read', 'graft.dml.key'='id')"))
     assert(nk.getMessage.contains("NOT NULL"))
-    // second MOR DELETE stacks fine (re-deleting hidden keys is a no-op)
+    // a further MOR DELETE stacks too, hiding the UPDATE's new row
     spark.sql(s"DELETE FROM $t WHERE id = 2")
     assert(rows(t).size === 3)
-    assert(meta(t).deleteVectors.size === 2)
+    assert(meta(t).deleteVectors.size === 3)
+  }
+
+  test("stacked ladder: DELETE → UPDATE → MERGE with no intervening compaction") {
+    val t = freshTable("m_stack")
+    createMor(t)
+    val before = fileState(t)
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    // UPDATE over the live DV: id=1 matches the predicate but is hidden —
+    // a raw-file delta read would re-emit it (resurrection)
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE id <= 3")
+    assert(rows(t) === Set(
+      (2L, 21.0, "a"), (3L, 31.0, "b"), (4L, 40.0, "b"), (5L, 50.0, "c")))
+    // MERGE over two live batches: update 2 (its live version is the
+    // UPDATE's appended row), delete 4, insert 6
+    spark.sql(
+      s"""MERGE INTO $t tgt
+         |USING (SELECT * FROM VALUES
+         |  (1L, 111.0, 'a'), (2L, 200.0, 'a'), (4L, 0.0, 'b'), (6L, 60.0, 'c')
+         |  AS s(id, v, p)) s
+         |ON tgt.id = s.id
+         |WHEN MATCHED AND s.v = 0.0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED AND s.id != 1 THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)
+         |""".stripMargin)
+    assert(rows(t) === Set(
+      (2L, 200.0, "a"), (3L, 31.0, "b"), (5L, 50.0, "c"), (6L, 60.0, "c")),
+      "hidden id=1 must NOT match the MERGE; id=2 must match exactly once")
+    // write-amplification contract held through the whole stack
+    val after = fileState(t)
+    before.foreach { case (path, fp) =>
+      assert(after.get(path).contains(fp),
+        s"pre-existing file $path must be untouched by the stacked DML")
+    }
+    assert(meta(t).deleteVectors.size === 3)
+    // travel: each stacked version serves its own vector state
+    val v2 = spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(v2 === Set((2L, 21.0), (3L, 31.0), (4L, 40.0), (5L, 50.0)),
+      "VERSION AS OF 1 (post-UPDATE, pre-MERGE) must apply exactly two batches")
+    // compaction folds the whole stack, results unchanged
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.compact('$t')")
+    assert(meta(t).deleteVectors.isEmpty)
+    assert(rows(t) === Set(
+      (2L, 200.0, "a"), (3L, 31.0, "b"), (5L, 50.0, "c"), (6L, 60.0, "c")))
   }
 
   test("partition-predicate DELETE on a MOR table stays metadata-only (no DV)") {
@@ -247,6 +289,37 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
       graft.catalog.write.DvManifest.read(conf, dv.manifest).get
     assert(applies.nonEmpty && applies.forall(_.contains("p=a")),
       s"the DV must apply only to partition a's files, got: $applies")
+  }
+
+  test("typed partition pruning: timestamp/date-partitioned MOR DML matches its partition") {
+    // Timestamp.toString renders '…00:00:00.0' while the stored spec
+    // says '…00:00:00' — the old raw-string comparison pruned the
+    // MATCHING partition and the DELETE silently skipped its rows
+    // (round-20 ADVICE). Typed evaluation must both (a) still delete the
+    // matching rows and (b) still prune the non-matching partition.
+    val t = freshTable("m_typed_prune")
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT NOT NULL, v DOUBLE, ts TIMESTAMP)
+         |PARTITIONED BY (ts)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+         |  'graft.dml.key'='id')""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 10.0, TIMESTAMP'2024-01-01 00:00:00'), " +
+      "(2, 20.0, TIMESTAMP'2024-01-01 00:00:00'), " +
+      "(3, 30.0, TIMESTAMP'2024-01-02 00:00:00')")
+    spark.sql(
+      s"DELETE FROM $t WHERE ts = TIMESTAMP'2024-01-01 00:00:00' AND id = 1")
+    val left = spark.table(t).collect().map(_.getLong(0)).toSet
+    assert(left === Set(2L, 3L),
+      "the typed comparison must NOT prune the matching timestamp partition")
+    // and pruning still fires: the DV applies only to the matched
+    // partition's files (the 2024-01-02 partition never listed)
+    val dv = meta(t).deleteVectors.head
+    val conf = spark.sessionState.newHadoopConf()
+    val (_, applies, _) =
+      graft.catalog.write.DvManifest.read(conf, dv.manifest).get
+    assert(applies.nonEmpty && applies.forall(_.contains("ts=2024-01-01")),
+      s"the DV must apply only to the matching partition's files: $applies")
   }
 
   test("changelog read (q120 surface) covers a MOR commit: the DV batch emits its deleted rows") {
