@@ -124,13 +124,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val txn = new Path(meta.location,
         graft.catalog.write.GraftBatchWrite.TxnDirName)
       val fs = txn.getFileSystem(conf)
-      val residue = fs.exists(txn) && fs.listStatus(txn).exists { st =>
-        val n = st.getPath.getName
-        n.endsWith(".pending") || n.endsWith(".retire") ||
-          n.endsWith(graft.catalog.write.RollbackTxn.Suffix) ||
-          n.endsWith(".delta")
-      }
-      if (residue &&
+      val residueFiles =
+        (if (fs.exists(txn)) fs.listStatus(txn).toSeq else Nil).filter { st =>
+          val n = st.getPath.getName
+          n.endsWith(".pending") || n.endsWith(".retire") ||
+            n.endsWith(graft.catalog.write.RollbackTxn.Suffix) ||
+            n.endsWith(".delta")
+        }
+      // CROSS-DRIVER guard (round-20 ADVICE): the permit is per-JVM, so
+      // a reader here cannot see a LIVE writer in another driver — whose
+      // txn manifests exist BEFORE its FS commit. Consuming one would
+      // delete that writer's in-flight state out from under it. A fresh
+      // manifest is repairable from a read only when THIS JVM created it
+      // (writes are synchronous: owned + permit-free = crashed); foreign
+      // residue must age past the write-lease timeout first — the torn-
+      // CAS staleness rule. The next WRITE (real permit) repairs either
+      // way.
+      val now = System.currentTimeMillis()
+      val repairable = residueFiles.nonEmpty && residueFiles.forall(st =>
+        graft.catalog.write.GraftBatchWrite.ownsTxnFile(st.getPath.getName) ||
+          now - st.getModificationTime > writeLockTimeoutSec * 1000L)
+      if (repairable &&
           graft.catalog.write.GraftBatchWrite.readRepair(spark, store, db, meta)) {
         // the repair may have moved files — cached listings are stale
         FileStatusCache.getOrCreate(spark).invalidateAll()
@@ -248,10 +262,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val liveAtT = preSnapshotHistory.filter(_.retiredAtMs > tMs)
           // the generation live at t is the one with the EARLIEST
           // retirement after t — but only provably so if an OLDER
-          // retained entry (or the creation bound) pins its start
+          // retained entry (or the creation bound) pins its start, AND
+          // t lies above any deep-rollback lineage hole (below it the
+          // retained list is not contiguous and the proof is void)
           val candidate = liveAtT.sortBy(_.retiredAtMs).headOption
             .filter(_ => liveAtT.size < preSnapshotHistory.size ||
               meta.history.size < TableMeta.MaxHistory)
+            .filter(_ => tMs >= GraftCatalog.historyPrunedBelowMs(meta.properties))
           candidate match {
             case Some(g) => timeTravelTable(ident, meta, g)
             case None => throw new IllegalArgumentException(
@@ -279,6 +296,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"retained generation — older generations were evicted from " +
               s"the bounded history (${TableMeta.MaxHistory} deep; see " +
               s"${ident.name}$$history)")
+        // same lineage-hole guard as the snapshot fallback: below a deep
+        // rollback's removal point the retained list is not contiguous,
+        // so "earliest retirement after t" may not be the true owner
+        if (tMs < GraftCatalog.historyPrunedBelowMs(meta.properties))
+          throw new IllegalArgumentException(
+            s"time travel on ${ident.name}: TIMESTAMP AS OF " +
+              s"${java.time.Instant.ofEpochMilli(tMs)} falls below a deep " +
+              "rollback's lineage hole (a restored generation left the " +
+              "retained history) — the generation live at that instant is " +
+              "no longer provable; use VERSION AS OF against " +
+              s"${ident.name}$$snapshots / ${ident.name}$$history instead")
         timeTravelTable(ident, meta, retiredAfter.minBy(_.retiredAtMs))
     }
   }
@@ -537,7 +565,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // GraftWriteBuilder.build() / the resurrection guard below
         meta.properties.filter(kv =>
           kv._1 == BucketCountProp || kv._1 == BucketColumnsProp ||
-            kv._1 == DroppedColumnsProp)
+            kv._1 == DroppedColumnsProp || kv._1 == HistoryPrunedBelowProp)
       // sort-trust marker (catalog-managed, stripped with the reserved
       // props above): an ALTER that CHANGES the cluster columns leaves
       // the existing files sorted by the OLD key (or not at all) — the
@@ -995,10 +1023,27 @@ object GraftCatalog {
     org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
       org.json4s.JArray(cols.map(org.json4s.JString(_)).toList)))
 
+  /** Catalog-managed LINEAGE-HOLE marker: the largest `retiredAtMs` of
+    * any generation a deep (flip-crossing) rollback REMOVED from the
+    * middle of the bounded history (the restored generation leaves the
+    * list — it is live again). Below this instant the retained history
+    * is no longer a contiguous suffix, so the `TIMESTAMP AS OF` proof
+    * "the earliest retirement after t was live at t" can silently pick
+    * the WRONG generation (the true owner of t's window was removed) —
+    * timestamp resolution through generation history refuses for
+    * t < this bound instead. Snapshot-based resolution is unaffected
+    * (snapshots truncate from the newest side only). */
+  val HistoryPrunedBelowProp: String = "graft.history.prunedBelowMs"
+
+  private[graft] def historyPrunedBelowMs(props: Map[String, String]): Long =
+    props.get(HistoryPrunedBelowProp)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+
   /** Properties managed by the catalog itself, never stored verbatim. */
   val ReservedTableProps: Set[String] = Set(
     TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
-    BucketCountProp, BucketColumnsProp, ClusterSortedProp, DroppedColumnsProp)
+    BucketCountProp, BucketColumnsProp, ClusterSortedProp, DroppedColumnsProp,
+    HistoryPrunedBelowProp)
 
   /** Stored table properties that are metadata, NOT format options —
     * forwarding e.g. a table COMMENT as the CSV `comment` option (a
@@ -1010,7 +1055,7 @@ object GraftCatalog {
 
   val NonOptionProps: Set[String] = Set("comment", "owner",
     BucketCountProp, BucketColumnsProp, ClusterByProp, ClusterSortedProp, SpjProp,
-    DmlModeProp, DmlKeyProp, DroppedColumnsProp)
+    DmlModeProp, DmlKeyProp, DroppedColumnsProp, HistoryPrunedBelowProp)
 
   /** Per-streaming-query committed-epoch log: property
     * `graft.stream.epoch.<queryId>` holds the highest epoch id the named

@@ -101,9 +101,10 @@ class GraftTable(
     // would only invite a TBLPROPERTIES round-trip that CREATE refuses.
     val base = (meta.properties --
       Seq(GraftCatalog.BucketCountProp, GraftCatalog.BucketColumnsProp,
-        // the dropped-column ledger is resurrection-guard bookkeeping;
-        // exposing it would invite a TBLPROPERTIES round-trip ALTER refuses
-        GraftCatalog.DroppedColumnsProp))
+        // the dropped-column ledger and lineage-hole marker are
+        // catalog-internal guards; exposing them would invite a
+        // TBLPROPERTIES round-trip ALTER refuses
+        GraftCatalog.DroppedColumnsProp, GraftCatalog.HistoryPrunedBelowProp))
       // the stream-epoch log is commit bookkeeping, not user metadata
       .filterNot { case (k, _) => GraftCatalog.isStreamEpochProp(k) } ++ Map(
       TableCatalog.PROP_PROVIDER -> meta.provider,

@@ -281,11 +281,21 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
     writeAtomic(tableMetaFile(db, meta.name), toJson(meta))
     // a RAW save is an authoritative restore (create, rename, crash
     // undo) — any pending CAS claim describes a state that no longer
-    // follows from this one and must never be rolled forward over it
-    try fs.listStatus(metaDir(db)).toSeq
+    // follows from this one and must never be rolled forward over it.
+    // LOUD, not best-effort (round-20 ADVICE): a swallowed cleanup
+    // failure here would let a surviving higher-seq marker be rolled
+    // forward OVER the restored descriptor later — resurrecting exactly
+    // the state a rollback's undo just reversed, while the data files
+    // were moved back (descriptor/filesystem divergence).
+    fs.listStatus(metaDir(db)).toSeq
       .filter(_.getPath.getName.startsWith(s"${meta.name}.json.cas-"))
-      .foreach(st => fs.delete(st.getPath, false))
-    catch { case scala.util.control.NonFatal(_) => }
+      .foreach { st =>
+        if (!fs.delete(st.getPath, false) && fs.exists(st.getPath))
+          throw new java.io.IOException(
+            s"saveTable($db.${meta.name}): failed to clear pending CAS " +
+              s"marker ${st.getPath} — leaving it would roll a newer-seq " +
+              "state forward over this authoritative restore")
+      }
   }
 
   /** Qualified lock-key prefix: two catalogs pointing at the same
@@ -396,7 +406,13 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
     * writer died between claim and rename), and reclaim superseded or
     * stale-torn markers. Runs under the in-JVM monitor; cross-driver
     * concurrent roll-forwards are safe (rename of a vanished source is
-    * caught, publication is seq-checked). */
+    * caught, publication is seq-checked). Markers sort NUMERICALLY by
+    * parsed seq and the descriptor's seq is RE-READ before each publish
+    * (round-20 ADVICE): lexicographic order put 'cas-10' before 'cas-9',
+    * and the stale pre-loop seq let a lower marker processed later
+    * overwrite a just-published newer descriptor whenever two complete
+    * markers coexisted (a failed marker delete after a seq-regressing
+    * restore, rename-as-copy+delete stores). */
   private def rollForwardCas(db: String, table: String): Unit = {
     val dir = metaDir(db)
     val prefix = s"$table.json.cas-"
@@ -404,10 +420,15 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
       try fs.listStatus(dir).toSeq.filter(_.getPath.getName.startsWith(prefix))
       catch { case _: java.io.FileNotFoundException => return }
     if (markers.isEmpty) return
-    val curSeq = loadTable(db, table).seq
-    markers.sortBy(_.getPath.getName).foreach { st =>
+    markers.map { st =>
       val seq = try st.getPath.getName.stripPrefix(prefix).toLong
         catch { case _: NumberFormatException => -1L }
+      (seq, st)
+    }.sortBy(_._1).foreach { case (seq, st) =>
+      // re-read, not the pre-loop value: an earlier iteration (or a
+      // concurrent roll-forward) may have advanced the descriptor past
+      // this marker — publishing it anyway would regress the seq
+      val curSeq = loadTable(db, table).seq
       if (seq <= curSeq) {
         // superseded (already published or lost): reclaim
         fs.delete(st.getPath, false)

@@ -429,6 +429,7 @@ private[write] class GraftDeltaBatchWrite(
       finally out.close()
       if (!rootFs.rename(tmp, pending))
         throw new java.io.IOException(s"failed to persist $pending")
+      GraftBatchWrite.ownTxnFile(pending.getName)
 
       // the append commit does the rest: FS publish (marker right
       // after, via the hook — the COW marker point), partition

@@ -782,6 +782,7 @@ class GraftBatchWrite(
     } finally out.close()
     if (!fs.rename(tmp, pending))
       throw new java.io.IOException(s"failed to persist COW delete manifest $pending")
+    GraftBatchWrite.ownTxnFile(pending.getName)
     (pending, new Path(txnDir, s"$id.committed"))
   }
 
@@ -998,6 +999,7 @@ class GraftBatchWrite(
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, pending)) { fs.delete(tmp, false); return None }
+      GraftBatchWrite.ownTxnFile(pending.getName)
       val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
       val allOk = moves.forall { case (to, from) =>
         val ok = try {
@@ -1583,6 +1585,34 @@ object GraftBatchWrite {
       sem.release()
     }
   }
+
+  /** Txn-manifest NAMES created by THIS JVM's writers (UUID-tokened, so
+    * name matching is collision-free; bounded LRU — the registry is only
+    * consulted for residue still on disk, which is recent by
+    * construction). Repair-at-READ may consume a FRESH manifest only
+    * when its writer is provably this JVM: writes are synchronous, so an
+    * owned manifest still present while the permit is free means its
+    * writer crashed. A FOREIGN fresh manifest may belong to a LIVE
+    * writer in another driver (its txn files exist BEFORE its FS
+    * commit) — consuming it would delete that writer's in-flight state,
+    * so readers wait out the write-lease timeout instead (the torn-CAS
+    * staleness rule). Write-side repair, which holds the real permit, is
+    * unaffected. */
+  private val ownedTxn: java.util.Map[String, java.lang.Boolean] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > 10000
+      })
+
+  private[graft] def ownTxnFile(name: String): Unit = {
+    ownedTxn.put(name, java.lang.Boolean.TRUE)
+    ()
+  }
+
+  private[graft] def ownsTxnFile(name: String): Boolean =
+    ownedTxn.containsKey(name)
 
   /** REPAIR-AT-READ (VERDICT r18 "next" #4): heal crash residue from a
     * READ path — `loadTable` probes the table's `_graft_txn` dir (one

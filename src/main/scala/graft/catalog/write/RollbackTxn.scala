@@ -82,6 +82,7 @@ private[graft] object RollbackTxn extends Logging {
     val out = fs.create(tmp, false)
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    GraftBatchWrite.ownTxnFile(target.getName)
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new java.io.IOException(

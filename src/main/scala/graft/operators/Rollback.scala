@@ -310,7 +310,17 @@ object Rollback {
               // generation itself leaves the history — it is live again
               history = (c.asGeneration(System.currentTimeMillis()) +:
                 (c.history.take(genIdx) ++ c.history.drop(genIdx + 1)))
-                .take(TableMeta.MaxHistory))
+                .take(TableMeta.MaxHistory),
+              // removing a MIDDLE entry punches a hole in the retained
+              // timeline: record its retirement bound so TIMESTAMP AS OF
+              // refuses generation proofs below it instead of serving a
+              // generation that was not actually live at t (round-20
+              // ADVICE — the contiguity assumption no longer holds there)
+              properties = c.properties +
+                (graft.catalog.GraftCatalog.HistoryPrunedBelowProp ->
+                  math.max(
+                    graft.catalog.GraftCatalog.historyPrunedBelowMs(c.properties),
+                    c.history(genIdx).retiredAtMs).toString))
           flipped.copy(partitions = newParts,
             stats = Some(TableStats(restoredParts.map(_._2).sum, None)),
             // the target snapshot's OWN deletion-vector list restores

@@ -139,6 +139,52 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(fin.seq === 100L, "each update must consume exactly one sequence number")
   }
 
+  test("CAS roll-forward publishes markers in NUMERIC seq order with per-publish re-checks") {
+    val s = freshStore()
+    s.createNamespace("db", Map.empty)
+    s.saveTable("db", meta("t10").copy(seq = 8))
+    // two complete markers above the descriptor: 'cas-10' sorts BEFORE
+    // 'cas-9' lexicographically, so a name-ordered walk with a stale
+    // pre-loop seq would publish 10 first and then OVERWRITE it with 9
+    val dir = s.tableMetaFile("db", "t10").getParent
+    val fs = dir.getFileSystem(new Configuration())
+    def plant(m: TableMeta): Unit = {
+      val out = fs.create(new Path(dir, s"t10.json.cas-${m.seq}"), false)
+      try out.write(MetaStore.toJson(m).getBytes("UTF-8")) finally out.close()
+    }
+    plant(meta("t10").copy(properties = Map("v" -> "nine"), seq = 9))
+    plant(meta("t10").copy(properties = Map("v" -> "ten"), seq = 10))
+    // any updateTable rolls forward first; an unchanged return publishes
+    // nothing of its own
+    val rolled = s.updateTable("db", "t10")(m => m)
+    assert(rolled.seq === 10L, s"descriptor must end at the NEWEST marker")
+    assert(rolled.properties.get("v").contains("ten"),
+      "the seq-10 state must win, not the lexicographically-later cas-9")
+    // both markers reclaimed
+    assert(!fs.exists(new Path(dir, "t10.json.cas-9")) &&
+      !fs.exists(new Path(dir, "t10.json.cas-10")))
+  }
+
+  test("saveTable clears pending CAS markers (a restore must never be rolled over)") {
+    val s = freshStore()
+    s.createNamespace("db", Map.empty)
+    s.saveTable("db", meta("t11").copy(seq = 5))
+    val dir = s.tableMetaFile("db", "t11").getParent
+    val fs = dir.getFileSystem(new Configuration())
+    val marker = new Path(dir, "t11.json.cas-9")
+    val out = fs.create(marker, false)
+    try out.write(MetaStore.toJson(
+      meta("t11").copy(properties = Map("v" -> "stale"), seq = 9)).getBytes("UTF-8"))
+    finally out.close()
+    // the authoritative restore (seq REGRESSES to 3) must delete the
+    // pending higher-seq marker, or the next updateTable would roll the
+    // reversed state forward over it
+    s.saveTable("db", meta("t11").copy(properties = Map("v" -> "restored"), seq = 3))
+    assert(!fs.exists(marker), "restore must clear pending CAS markers")
+    val after = s.updateTable("db", "t11")(m => m)
+    assert(after.properties.get("v").contains("restored") && after.seq === 3L)
+  }
+
   test("renameTable refuses an existing destination") {
     val s = freshStore()
     s.createNamespace("db", Map.empty)

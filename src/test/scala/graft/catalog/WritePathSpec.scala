@@ -1759,6 +1759,63 @@ class WritePathSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("TIMESTAMP AS OF refuses below a deep rollback's lineage hole") {
+    import spark.implicits._
+    val t = freshTable("t_lineage_hole")
+    Seq((1L, 1.0)).toDF("k", "v").writeTo(t).create()
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val now = System.currentTimeMillis()
+    // graft the post-deep-rollback shape directly: a retained generation
+    // retired after t, NO snapshots (pre-snapshot era), and the hole
+    // marker a deep rollback records when it removes a MIDDLE entry
+    cat.metaStore.updateTable("wtest", "t_lineage_hole") { m =>
+      m.copy(snapshots = Nil,
+        history = Seq(GenerationMeta(m.provider, m.location, m.partitions,
+          None, retiredAtMs = now + 3600000L)),
+        properties = m.properties +
+          (GraftCatalog.HistoryPrunedBelowProp -> (now + 600000L).toString))
+    }
+    val tStr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(now + 2000L)) // past creation even after second-truncation
+    // pre-fix this served history.head — a generation NOT provably live
+    // at t (the true owner of t's window was removed by the rollback)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '$tStr'").collect())
+    assert(e.getMessage.contains("lineage hole"), e.getMessage)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("repair-at-read consumes own-JVM residue immediately but waits out FOREIGN fresh residue") {
+    import spark.implicits._
+    val t = freshTable("t_foreign_residue")
+    Seq((1L, 1.0)).toDF("k", "v").writeTo(t).create()
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+    val loc = cat.metaStore.loadTable("wtest", "t_foreign_residue").location
+    val conf = spark.sessionState.newHadoopConf()
+    val txn = new org.apache.hadoop.fs.Path(loc,
+      graft.catalog.write.GraftBatchWrite.TxnDirName)
+    val fs = txn.getFileSystem(conf)
+    fs.mkdirs(txn)
+    // a FOREIGN writer's manifest (not registered by this JVM's write
+    // paths): an empty uncommitted .delta — repair would delete it
+    val foreign = new org.apache.hadoop.fs.Path(txn,
+      s"${java.util.UUID.randomUUID()}.delta")
+    fs.create(foreign, false).close()
+    spark.table(t).collect()
+    assert(fs.exists(foreign),
+      "a reader must NOT consume a foreign writer's FRESH txn manifest — " +
+        "it may belong to a live cross-driver write")
+    // aged past the write-lease timeout it is crash residue: repaired
+    fs.setTimes(foreign, System.currentTimeMillis() - 700000L, -1L)
+    spark.table(t).collect()
+    assert(!fs.exists(foreign),
+      "stale foreign residue must repair at read (the crashed-writer case)")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("snapshot lineage survives DROP PARTITION and RENAME (round 19)") {
     import spark.implicits._
     val t = freshTable("t_ddl_lineage")
