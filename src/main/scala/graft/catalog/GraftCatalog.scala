@@ -425,7 +425,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "resurrection-by-re-ADD)")
     GraftCatalog.validateClusterBy(props, schema, partitionColumns, ident.name)
     GraftCatalog.validateDmlMode(
-      props ++ bucketSpec.map(b => GraftCatalog.BucketCountProp -> b._1.toString),
+      props ++ bucketSpec.map(b =>
+        GraftCatalog.BucketCountProp -> b._1.toString) ++
+        bucketSpec.map(b =>
+          GraftCatalog.BucketColumnsProp -> b._2.mkString(",")),
       schema, partitionColumns, ident.name)
     // bucketing a partition column is always a declaration mistake: the
     // value is constant within its directory, so every row of a
@@ -991,9 +994,22 @@ object GraftCatalog {
         require(!partitionColumns.exists(_.equalsIgnoreCase(key)),
           s"$DmlKeyProp on $table names partition column '$key' — the key " +
             "must identify a ROW; use a data column")
-        require(!props.contains(BucketCountProp),
-          s"$DmlModeProp=$MorMode on $table: bucketed tables stay " +
-            "copy-on-write (delta inserts do not mirror bucket routing)")
+        // Bucketed + merge-on-read COMPOSE (round 20): the delta write's
+        // insert half routes through the same bucket-clustered
+        // distribution as any append (shuffle partition id == bucket id
+        // == committer file name), and the DV sidecars are
+        // layout-independent. Only the WRITABLE bucket shape qualifies —
+        // a multi-column declaration is metadata-only and could not
+        // route the delta inserts.
+        if (props.contains(BucketCountProp)) {
+          val bCols = props.getOrElse(BucketColumnsProp, "")
+            .split(",").map(_.trim).filter(_.nonEmpty)
+          require(bCols.length == 1,
+            s"$DmlModeProp=$MorMode on $table: merge-on-read needs the " +
+              "WRITABLE bucket shape (single-column CLUSTERED BY) — " +
+              "multi-column bucket declarations are metadata-only and " +
+              "cannot route the delta inserts")
+        }
       }
     }
   }

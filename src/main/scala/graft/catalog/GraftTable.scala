@@ -154,12 +154,17 @@ class GraftTable(
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     // the V1 file-stream source lists raw files — it cannot apply
-    // deletion vectors, so a DV'd table must not stream until folded
+    // deletion vectors, so a DV'd table must not stream THIS way. The
+    // snapshot-lineage source (s23) serves exactly this case: its
+    // micro-batches are manifest diffs with the vectors applied.
     if (meta.deleteVectors.nonEmpty)
       throw new UnsupportedOperationException(
-        s"streaming read of ${name()} is not supported while " +
-          s"${meta.deleteVectors.size} deletion-vector batch(es) are live " +
-          "— CALL sys.compact to fold them first")
+        s"streaming read of ${name()} via readStream.table is not " +
+          s"supported while ${meta.deleteVectors.size} deletion-vector " +
+          "batch(es) are live (the file stream source lists raw files) — " +
+          "use spark.readStream.format(\"graft-cdc\")" +
+          s".option(\"table\", \"${name()}\") (snapshot-lineage micro-" +
+          "batches, vectors applied), or CALL sys.compact to fold them")
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     // FileStreamSource's basePath contract requires a DIRECTORY; an
     // external table registered on a single file would resolve through

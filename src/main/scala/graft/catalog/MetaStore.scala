@@ -507,6 +507,31 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
 
   // --- io helpers ------------------------------------------------------
   private def readFully(p: Path): String = {
+    var attempts = 0
+    while (true) {
+      try return readOnce(p)
+      catch {
+        // a reader racing writeAtomic's rename-replace on the LOCAL
+        // checksummed filesystem can pair the old data stream with the
+        // new crc sidecar (ChecksumException) or hit the delete-then-
+        // rename window ChecksumFs's OVERWRITE rename has
+        // (FileNotFoundException) — both transient by construction (the
+        // next open sees a consistent pair), observed from streaming-
+        // source threads reading descriptors under concurrent commits.
+        // Bounded retry; a persistent miss (real corruption, a genuinely
+        // dropped table) still throws the original exception.
+        case _: org.apache.hadoop.fs.ChecksumException if attempts < 5 =>
+          attempts += 1
+          Thread.sleep(5L * attempts)
+        case _: java.io.FileNotFoundException if attempts < 5 =>
+          attempts += 1
+          Thread.sleep(5L * attempts)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def readOnce(p: Path): String = {
     val in = fs.open(p)
     try {
       // read to EOF from the opened stream instead of trusting a

@@ -628,7 +628,12 @@ object Snapshots extends Logging {
       spark: SparkSession,
       meta: TableMeta,
       fromVersionsBack: Int,
-      toVersionsBack: Int): Resolved = {
+      toVersionsBack: Int,
+      // The streaming change source (s23) widens the window to
+      // merge-on-read DML commits: their file delta is still "files
+      // added" (the insert half), with the deletes carried separately as
+      // the range-end snapshot's DV list.
+      allowedKinds: Set[String] = Set("append")): Resolved = {
     require(fromVersionsBack > toVersionsBack && toVersionsBack >= 0,
       s"addedBetween(${meta.name}): need from > to >= 0 in versions_back, " +
         s"got from=$fromVersionsBack to=$toVersionsBack")
@@ -637,7 +642,7 @@ object Snapshots extends Logging {
         s"retained (${math.max(meta.snapshots.size - 1, 0)} prior " +
         s"snapshot(s); see ${meta.name}$$snapshots)")
     val range = meta.snapshots.slice(toVersionsBack, fromVersionsBack)
-    val nonAppend = range.filter(_.kind != "append")
+    val nonAppend = range.filter(s => !allowedKinds.contains(s.kind))
     require(nonAppend.isEmpty,
       s"addedBetween(${meta.name}): the range contains non-append commits " +
         s"(${nonAppend.map(s => s"v${s.version}:${s.kind}").mkString(", ")}) " +
@@ -662,6 +667,16 @@ object Snapshots extends Logging {
       rd.copy(files = rd.files.filterNot(f => base.contains(f.getPath.getName)))
     }.filter(_.files.nonEmpty))
   }
+
+  /** The deletion-vector batches LIVE at a retained snapshot — the
+    * manifest's recorded dv list alone, without resolving the file set
+    * (the streaming change source applies them to its incremental slice
+    * via the plan-level anti-join). */
+  def dvsAt(conf: Configuration, meta: TableMeta, target: SnapshotMeta): Seq[DvMeta] =
+    readSnap(conf, target.file).map(_.dvs).getOrElse(
+      throw new IllegalArgumentException(
+        s"${meta.name}: snapshot v${target.version}'s manifest is gone " +
+          "(expired by VACUUM or the lineage was cleared)"))
 
   // ---- travel-read resolution ------------------------------------------------
 

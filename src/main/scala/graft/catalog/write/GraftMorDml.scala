@@ -233,9 +233,13 @@ private[write] class GraftMorScanBuilder(
   }
 }
 
-/** The delta write: inserted rows cluster/sort by partition value (the
-  * append contract — few large files per partition); a DELETE-only plan
-  * has no row columns to reference, so it declares nothing. */
+/** The delta write: the INSERT half is a plain append, so it declares
+  * the append contract's OWN distribution and ordering — partition
+  * clustering (few large files per partition), bucket hash-routing with
+  * the pinned partition count (shuffle partition id == bucket id == the
+  * committer's file name, the invariant every bucket read relies on),
+  * and the declared cluster-column sort. A DELETE-only plan emits no
+  * row columns, so it declares nothing. */
 private[write] class GraftDeltaWrite(
     spark: SparkSession,
     store: MetaStore,
@@ -247,33 +251,36 @@ private[write] class GraftDeltaWrite(
     writeLockTimeoutSec: Long)
   extends DeltaWrite with RequiresDistributionAndOrdering {
 
-  private val partCols = meta.partitionColumns
-
-  override def requiredDistribution(): Distribution =
-    if (op.command() == Command.DELETE || partCols.isEmpty)
-      Distributions.unspecified()
-    else Distributions.clustered(partCols.map(c =>
-      Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
-
-  override def requiredOrdering(): Array[SortOrder] =
-    if (op.command() == Command.DELETE || partCols.isEmpty) Array.empty
-    else partCols.map(c =>
-      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
-
-  override def toBatch: DeltaBatchWrite = {
-    // the INSERT half is a plain append through the stock machinery —
-    // its batch write owns the permit, repairs, registration, skip-stats
-    // and snapshot maintenance; the delta wrapper adds the DV sidecar
-    // and the .delta crash protocol around it
+  // the INSERT half is a plain append through the stock machinery — its
+  // batch write owns the permit, repairs, registration, skip-stats and
+  // snapshot maintenance; the delta wrapper adds the DV sidecar and the
+  // .delta crash protocol around it. Constructed eagerly so the delta
+  // plan inherits the append's distribution/ordering verbatim (bucketed
+  // MOR tables route their inserts exactly like any bucketed append).
+  private val innerWrite: GraftWrite = {
     val innerInfo = LogicalWriteInfoImpl(
       info.queryId(), meta.schema, info.options(),
       java.util.Optional.empty[StructType](),
       java.util.Optional.empty[StructType]())
-    val innerWrite = new GraftWrite(spark, store, db, meta, innerInfo,
+    new GraftWrite(spark, store, db, meta, innerInfo,
       Append, autoSizeUpdate, writeLockTimeoutSec)
+  }
+
+  override def requiredDistribution(): Distribution =
+    if (op.command() == Command.DELETE) Distributions.unspecified()
+    else innerWrite.requiredDistribution()
+
+  override def requiredOrdering(): Array[SortOrder] =
+    if (op.command() == Command.DELETE) Array.empty
+    else innerWrite.requiredOrdering()
+
+  override def requiredNumPartitions(): Int =
+    if (op.command() == Command.DELETE) 0
+    else innerWrite.requiredNumPartitions()
+
+  override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(spark, store, db, meta, op,
       innerWrite.newEpochBatchWrite())
-  }
 }
 
 /** Per-task result: the inner append's commit message (absent when the

@@ -45,7 +45,14 @@ object Compaction {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       parts.slice(1, parts.length - 1), parts.last)
     val tbl = cat.loadTable(ident)
-    if (tbl.partitioning().isEmpty) {
+    // partitioning() includes the BUCKET transform — dispatch on the
+    // identity partition columns (an unpartitioned bucketed table has no
+    // partition dirs for dynamic overwrite to swap)
+    val identityPartitioned = tbl match {
+      case g: graft.catalog.GraftTable => g.meta.isPartitioned
+      case _ => tbl.partitioning().nonEmpty
+    }
+    if (!identityPartitioned) {
       // UNPARTITIONED tables compact via a STAGED REWRITE (round 19):
       // dynamic overwrite — the only safe IN-PLACE self-rewrite — needs
       // partition dirs to swap, so the unpartitioned path writes a
@@ -130,10 +137,32 @@ object Compaction {
     val pre = store.loadTable(db, name)
     require(!pre.external,
       s"compact($table): EXTERNAL tables own their files; refusing to rewrite")
-    require(graft.catalog.GraftCatalog.writableBucketSpec(pre).isEmpty,
-      s"compact($table): a staged rewrite cannot reproduce the bucket " +
-        "layout; bucketed unpartitioned tables are already one file per " +
-        "bucket by construction")
+    if (graft.catalog.GraftCatalog.writableBucketSpec(pre).isDefined) {
+      // BUCKET-PRESERVING compaction (round 20, the bucketed-MOR fold):
+      // the V1 staged rewrite below cannot reproduce hash-routed bucket
+      // file names, but the engine's own V2 writer is exactly the
+      // machinery every bucketed append uses (shuffle partition id ==
+      // bucket id == committer file name) — so the rewrite is a
+      // self-TRUNCATE-overwrite: read through the catalog (deletion
+      // vectors applied by the anti-join rewrite), replace every file
+      // hash-routed, then drop the now-inert DV batches. One file per
+      // bucket, sort-trust marker restored by the truncate commit
+      // itself, every SPJ assumption preserved.
+      val release = graft.catalog.write.GraftBatchWrite.leaseWritePermit(
+        spark, pre.location,
+        s"bucketed compaction of $table since ${java.time.Instant.now()}",
+        plugin.writeLockTimeoutSec)
+      try {
+        spark.table(table).writeTo(table)
+          .overwrite(org.apache.spark.sql.functions.lit(true))
+        foldInertDvs(spark, plugin, db, name)
+        plugin.invalidateTable(ident)
+      } finally release()
+      return
+    }
+    // (multi-column bucket declarations are metadata-only — no physical
+    // routing to preserve — so they take the staged rewrite like any
+    // unbucketed table)
     val release = graft.catalog.write.GraftBatchWrite.leaseWritePermit(
       spark, pre.location,
       s"unpartitioned compaction of $table since ${java.time.Instant.now()}",

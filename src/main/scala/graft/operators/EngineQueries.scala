@@ -1539,10 +1539,46 @@ object EngineQueries {
       .orderBy($"_change_type", $"_change_version", $"l_returnflag")
   }
 
+  // --------------------------------------------------------------- Q120b
+  /** ROW-GRANULAR CHANGELOG across a COW rewrite (q120's Delta-CDF gap
+    * closed): the q120 surface restates EVERY row of a rewritten file as
+    * delete + insert — valid, but a 2-row UPDATE in a large partition
+    * reads as whole-partition churn. `rowGranular` nets the two sides
+    * per commit (removed EXCEPT ALL added / added EXCEPT ALL removed,
+    * multiset full-row equality), so only the rows the UPDATE actually
+    * changed surface — computed at READ time from the same manifests,
+    * one extra shuffle over the CHANGED files only, no commit-time
+    * bookkeeping. The oracle restates exactly the matched rows' old and
+    * new versions. */
+  def q120b_changelog_row_granular(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q120b_cdc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity".cast("double").as("l_quantity"),
+        $"l_returnflag")
+      .writeTo(t).partitionedBy($"l_returnflag").create()       // v1 seed
+    // v2: a sparse COW UPDATE — rewrites every touched partition's files
+    // wholesale, but the row-granular feed must emit ONLY the matched
+    // rows (old version as delete, new as insert)
+    spark.sql(s"UPDATE $t SET l_quantity = l_quantity + 100 " +
+      "WHERE l_orderkey % 1000 = 7")
+    ChangeFeed.changesBetween(spark, t, 1, 0, rowGranular = true)
+      .groupBy($"_change_type", $"_change_version", $"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        r2(sum($"l_quantity")).as("sum_qty"),
+        sum($"l_orderkey" % 999983L).as("key_checksum"))
+      .orderBy($"_change_type", $"_change_version", $"l_returnflag")
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_mor_dml" -> (q119_mor_dml _),
     "q120_changelog" -> (q120_changelog _),
+    "q120b_changelog_row_granular" -> (q120b_changelog_row_granular _),
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
     "q51_delete" -> (q51_delete _),
     "q49_compaction" -> (q49_compaction _),
@@ -1637,6 +1673,22 @@ object EngineQueries {
         |    CAST(sum(l_orderkey % 999983) AS BIGINT)
         |  FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey % 3 = 0
         |  GROUP BY l_returnflag
+        |) ORDER BY _change_type, _change_version, l_returnflag""".stripMargin,
+    // Row-granular netting: the COW UPDATE rewrote whole partitions, but
+    // ONLY the matched rows may surface — old versions as deletes, new
+    // (+100) versions as inserts. Every carried row must cancel.
+    "q120b_changelog_row_granular" ->
+      """SELECT * FROM (
+        |  SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS _change_version,
+        |    l_returnflag, count(*) AS n_rows,
+        |    round(sum(l_quantity) * 100) / 100 AS sum_qty,
+        |    CAST(sum(l_orderkey % 999983) AS BIGINT) AS key_checksum
+        |  FROM lineitem WHERE l_orderkey % 1000 = 7 GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'insert', CAST(2 AS BIGINT), l_returnflag, count(*),
+        |    round(sum(l_quantity + 100) * 100) / 100,
+        |    CAST(sum(l_orderkey % 999983) AS BIGINT)
+        |  FROM lineitem WHERE l_orderkey % 1000 = 7 GROUP BY l_returnflag
         |) ORDER BY _change_type, _change_version, l_returnflag""".stripMargin,
     // The final table state is derivable from the source: untouched
     // partitions keep their rows, the overwritten partition carries the

@@ -55,6 +55,28 @@ import graft.catalog.write.{DvManifest, GraftBatchWrite, GraftMorOperation}
   */
 object ResolveDeletionVectors extends Rule[LogicalPlan] {
 
+  /** Diagnostic counter: PHYSICAL directory listings taken by the DV
+    * planner (cache misses). Tests pin one listing per (dir, cache
+    * epoch) across repeated reads of a DV'd table. */
+  private[graft] val physicalListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Directory listings keyed by (qualified dir, DESCRIPTOR SEQ): every
+    * commit bumps the table's seq, so an entry is valid exactly for the
+    * descriptor state that planned it — no invalidation hooks to miss
+    * (the session `FileStatusCache` namespaces entries per client and
+    * its per-client invalidation cannot be relied on across planners).
+    * Bounded LRU; repeated reads of a DV'd table between commits pay
+    * one physical listing per directory. */
+  private val listingCache: java.util.Map[(String, Long), Seq[org.apache.hadoop.fs.FileStatus]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Seq[org.apache.hadoop.fs.FileStatus]](
+        64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Seq[org.apache.hadoop.fs.FileStatus]]): Boolean =
+          size() > 4096
+      })
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformDownWithSubqueries {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
@@ -127,14 +149,26 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
                   GraftBatchWrite.partitionDir(meta, p.spec).toString),
                 p.spec))
             else Seq((meta.location, Map.empty[String, String]))
+          // dir listings ride the seq-keyed planner cache (round 20):
+          // repeated reads of a DV'd table between commits pay ONE
+          // physical listing per directory, not one per planning pass —
+          // a commit bumps the descriptor seq, so its readers key to
+          // fresh entries by construction.
           dirSpecs.flatMap { case (d, spec) =>
             val dir = new Path(d)
             val fs = dir.getFileSystem(conf)
-            val files =
-              if (fs.exists(dir)) fs.listStatus(dir).toSeq
-                .filter(s => s.isFile && !hidden(s.getPath.getName))
-              else Nil
-            files.map(f => (qualify(f.getPath), d, spec, f))
+            val q = fs.makeQualified(dir)
+            val key = (q.toString, meta.seq)
+            var listed = listingCache.get(key)
+            if (listed == null) {
+              physicalListings.incrementAndGet()
+              listed =
+                if (fs.exists(q)) fs.listStatus(q).toSeq
+                  .filter(s => s.isFile && !hidden(s.getPath.getName))
+                else Nil
+              listingCache.put(key, listed)
+            }
+            listed.map(f => (qualify(f.getPath), d, spec, f))
           }
       }
 

@@ -231,6 +231,66 @@ object EventStreams {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // ---------------------------------------------------------------- s23
+  /** S1 through the SNAPSHOT-LINEAGE streaming source
+    * ([[GraftChangeStream]] / `format("graft-cdc")`) over a table under
+    * live merge-on-read DML — the stream the V1 file-source fallback
+    * must refuse (raw listings cannot apply deletion vectors):
+    *
+    *  - v1 seeds 80% of the events into a MOR table; v2 MOR-DELETEs
+    *    `event_id % 10 = 1` (a DV batch, zero files rewritten);
+    *  - the stream starts: its initial batch is the full state AT the
+    *    current snapshot, vectors applied — the deleted rows are never
+    *    emitted;
+    *  - the query STOPS (checkpointed), v3 appends the remaining 20%,
+    *    v4 MOR-DELETEs `event_id % 10 = 5` (rows from v3, not yet
+    *    emitted), and the query RESTARTS from the checkpoint: offset
+    *    recovery replays against the same manifests, and the catch-up
+    *    batch `(v2, v4]` emits v3's rows MINUS the in-range deletes;
+    *  - the tumbling aggregate over everything emitted must equal the
+    *    batch answer over the surviving rows — stated in SQL for the
+    *    DuckDB hash gate.
+    *
+    * At 100 TB each trigger plans from manifest diffs (O(changed
+    * files)) and scans only the changed files — never re-lists or
+    * re-reads the processed corpus. */
+  def s23_stream_cdc_source(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftBootstrap.ensure(spark, dir)
+    val cat = graft.GraftBootstrap.CatalogName
+    val tgt = s"$cat.tmp.s23_events"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    spark.sql(
+      s"""CREATE TABLE $tgt (event_id BIGINT NOT NULL, ts TIMESTAMP_NTZ,
+         |  user_id BIGINT, event_type STRING, value DOUBLE)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+         |  'graft.dml.key'='event_id')""".stripMargin)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .createOrReplaceTempView("s23_src")
+    spark.sql(s"INSERT INTO $tgt SELECT * FROM s23_src WHERE event_id % 5 <> 0")
+    spark.sql(s"DELETE FROM $tgt WHERE event_id % 10 = 1") // v2: live DV
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("s23_ckpt").toString
+    def run(): Unit = withShufflePartitions(spark, 4) {
+      val src = spark.readStream.format("graft-cdc")
+        .option("table", tgt).load()
+      val q = tumblingAgg(src).writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // phase 1: initial snapshot, v2's deletes applied
+    spark.sql(s"INSERT INTO $tgt SELECT * FROM s23_src WHERE event_id % 5 = 0")
+    spark.sql(s"DELETE FROM $tgt WHERE event_id % 10 = 5") // v4: deletes v3 rows
+    run() // phase 2: checkpointed restart, catch-up batch (v2, v4]
+    val sink = spark.table(name)
+    val out = spark.createDataFrame(sink.collectAsList(), sink.schema)
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("window_start"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- s05
   /** S5 watermark/late-data: rows with `event_id % 20 == 0` older than
     * `max(ts) - 3h` are withheld from batch 1 and delivered late in
@@ -1780,6 +1840,7 @@ object EventStreams {
     "s01b_tumbling_stream" -> (s01b_tumbling_stream _),
     "s01c_tumbling_file_stream" -> (s01c_tumbling_file_stream _),
     "s01d_tumbling_catalog_stream" -> (s01d_tumbling_catalog_stream _),
+    "s23_stream_cdc_source" -> (s23_stream_cdc_source _),
     "s05_watermark_late" -> (s05_watermark_late _),
     "s06_stateful_throttle" -> (s06_stateful_throttle _),
     "s07_interval_join" -> (s07_interval_join _),
@@ -1853,6 +1914,17 @@ object EventStreams {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round((sum(value)) * 100) / 100 AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The snapshot-lineage stream's emissions restated: the seeded 80%
+    // minus v2's MOR delete, plus the appended 20% minus v4's in-range
+    // MOR delete — rows deleted before their slice streamed are NEVER
+    // emitted.
+    "s23_stream_cdc_source" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round((sum(value)) * 100) / 100 AS sum_value
+        | FROM events
+        | WHERE (event_id % 5 <> 0 AND event_id % 10 <> 1)
+        |    OR (event_id % 5 = 0 AND event_id % 10 <> 5)
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Every streamed event landed in the catalog table exactly once, so
     // the table's batch aggregate equals the plain events aggregate.
     "s11_stream_catalog_sink" ->

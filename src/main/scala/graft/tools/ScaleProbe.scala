@@ -124,7 +124,18 @@ object ScaleProbe {
     // q120's changelog read: four commits (linear writes/retirements)
     // + a manifest walk whose planning is O(dirs + changed files); the
     // changed-file scans are the only data terms
-    "q120_changelog")
+    "q120_changelog",
+    // round-20: q120b's row-granular netting — the COW UPDATE's
+    // partition rewrite is the linear term; the EXCEPT ALL pair
+    // shuffles only the CHANGED files' rows (the rewritten partitions),
+    // claimed linear in rewritten bytes with no whole-corpus term
+    "q120b_changelog_row_granular",
+    // s23's snapshot-lineage stream: the seed/append commits are the
+    // write-bound terms; each micro-batch plans from manifest diffs
+    // (O(dirs + changed files)) and scans only the changed files, with
+    // the DV anti-join ∝ deleted keys — the claim is nothing re-reads
+    // or re-lists the processed corpus across triggers
+    "s23_stream_cdc_source")
 
   def main(args: Array[String]): Unit = {
     // flags and positionals may mix in any order:

@@ -1533,4 +1533,107 @@ object GraftSqlBridge {
         Some((r.table, r.operation))
       case _ => None
     }
+
+  /** Mint a streaming-flagged DataFrame from a BATCH plan
+    * (`internalCreateDataFrame` is `private[sql]`): the V1 streaming
+    * engine asserts `isStreaming` on every `Source.getBatch` result, and
+    * the batch plan is compiled FIRST (full Catalyst + extension rules —
+    * pushdown, the deletion-vector anti-join split, codegen) so the
+    * streaming wrapper carries the already-optimized scan pipeline. */
+  def asStreamingDF(
+      spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = true)
+}
+
+// ---------------------------------------------------------------------------
+// SNAPSHOT-LINEAGE STREAMING SOURCE — the V1 `Source` adapter (s23).
+//
+// Spark's DSv2 file scans never implement `toMicroBatchStream`; the V1
+// micro-batch Source API is how every file-backed stream actually runs
+// (`FileStreamSource` included), and it is the one surface where a source
+// can hand the engine a DataFrame it planned itself — which is exactly
+// what the snapshot-lineage source needs (each batch is a manifest-planned
+// incremental read, not a file listing). `Source`, `Offset` and the
+// isStreaming DataFrame mint are spark-internal, so the adapter lives in
+// this declared bridge file; the engine-side logic is
+// `graft.streaming.GraftChangeStream`.
+// ---------------------------------------------------------------------------
+
+/** `spark.readStream.format("graft-cdc").option("table", "cat.ns.t")` —
+  * micro-batches from the snapshot lineage; `option("mode", "cdc")` for
+  * the changelog form. See [[graft.streaming.GraftChangeStream]]. */
+class GraftCdcSourceProvider
+  extends org.apache.spark.sql.sources.StreamSourceProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+
+  import graft.streaming.GraftChangeStream
+
+  override def shortName(): String = "graft-cdc"
+
+  private def feed(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String]): GraftChangeStream.VersionedChangeFeed = {
+    val table = parameters.getOrElse("table", throw new IllegalArgumentException(
+      "graft-cdc requires .option(\"table\", \"catalog.ns.table\")"))
+    GraftChangeStream.forTable(sqlContext.sparkSession, table,
+      parameters.getOrElse("mode", GraftChangeStream.AppendMode).toLowerCase)
+  }
+
+  override def sourceSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : (String, org.apache.spark.sql.types.StructType) =
+    (shortName(), feed(sqlContext, parameters).schema)
+
+  override def createSource(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftCdcSource(sqlContext.sparkSession, feed(sqlContext, parameters))
+}
+
+/** ABSOLUTE snapshot version as a streaming offset: monotonic per table
+  * (survives lineage clears), so checkpointed ranges replay against the
+  * same manifests byte-identically. */
+case class GraftVersionOffset(version: Long)
+  extends org.apache.spark.sql.execution.streaming.Offset {
+  override val json: String = version.toString
+}
+
+private[graft] class GraftCdcSource(
+    spark: org.apache.spark.sql.SparkSession,
+    feed: graft.streaming.GraftChangeStream.VersionedChangeFeed)
+  extends org.apache.spark.sql.execution.streaming.Source {
+
+  override def schema: org.apache.spark.sql.types.StructType = feed.schema
+
+  private def versionOf(
+      o: org.apache.spark.sql.execution.streaming.Offset): Long = o match {
+    case GraftVersionOffset(v) => v
+    case other => other.json.trim.toLong // restored from the checkpoint log
+  }
+
+  override def getOffset
+      : Option[org.apache.spark.sql.execution.streaming.Offset] =
+    feed.headVersion().map(GraftVersionOffset(_))
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset)
+      : org.apache.spark.sql.DataFrame =
+    GraftSqlBridge.asStreamingDF(spark,
+      feed.batch(start.map(versionOf), versionOf(end)))
+
+  override def commit(
+      end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }

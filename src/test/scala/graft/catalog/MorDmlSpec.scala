@@ -291,6 +291,60 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
       s"the DV must apply only to partition a's files, got: $applies")
   }
 
+  test("bucketed + MOR: DVs hide rows, delta inserts land hash-routed, SPJ zero-exchange after fold") {
+    import org.apache.spark.sql.functions.{expr, hash, lit, pmod}
+    val t = freshTable("m_bucketed")
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT NOT NULL, v DOUBLE)
+         |USING parquet CLUSTERED BY (id) INTO 4 BUCKETS
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+         |  'graft.dml.key'='id')""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    val before = fileState(t)
+    spark.sql(s"DELETE FROM $t WHERE id IN (1, 2)")
+    spark.sql(s"UPDATE $t SET v = -1.0 WHERE id IN (10, 11)") // stacks on the live DV
+    // write-amplification contract holds on the bucketed layout too
+    val after = fileState(t)
+    before.foreach { case (path, fp) =>
+      assert(after.get(path).contains(fp),
+        s"pre-existing bucket file $path must be untouched by MOR DML")
+    }
+    val got = spark.table(t).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size === 98 && !got.contains(1L) && !got.contains(2L))
+    assert(got(10L) === -1.0 && got(11L) === -1.0 && got(12L) === 12.0)
+    // per-file hash invariant INCLUDING the delta-insert files: every
+    // file's name-declared bucket id owns exactly its rows' hash bucket
+    val m = meta(t)
+    val loc = new Path(m.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    val files = fs.listStatus(loc).toSeq.collect {
+      case s if s.isFile && !hidden(s.getPath.getName) => s.getPath
+    }
+    val rx = "^part-(\\d+)-".r
+    files.foreach { f =>
+      val b = rx.findFirstMatchIn(f.getName).map(_.group(1).toInt).getOrElse(
+        fail(s"file ${f.getName} does not carry a bucket id"))
+      val bad = spark.read.schema(spark.table(t).schema).parquet(f.toString)
+        .where(pmod(hash(expr("id")), lit(4)) =!= b)
+      assert(bad.count() === 0, s"file ${f.getName}: rows hashed outside bucket $b")
+    }
+    // compaction folds the vectors through the bucket-preserving rewrite
+    spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.compact('$t')")
+    assert(meta(t).deleteVectors.isEmpty,
+      "bucketed compaction must fold the DV batches")
+    assert(spark.table(t).count() === 98)
+    // and SPJ runs zero-exchange again post-fold
+    graft.operators.EngineQueries.withSpjConfs(spark) {
+      val self = spark.table(t).as("x")
+        .join(spark.table(t).as("y"), expr("x.id = y.id"))
+      val p = self.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"post-fold bucketed self-join must be zero-exchange:\n$p")
+      assert(self.count() === 98)
+    }
+  }
+
   test("typed partition pruning: timestamp/date-partitioned MOR DML matches its partition") {
     // Timestamp.toString renders '…00:00:00.0' while the stored spec
     // says '…00:00:00' — the old raw-string comparison pruned the
@@ -320,6 +374,24 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
       graft.catalog.write.DvManifest.read(conf, dv.manifest).get
     assert(applies.nonEmpty && applies.forall(_.contains("ts=2024-01-01")),
       s"the DV must apply only to the matching partition's files: $applies")
+  }
+
+  test("DV planning lists each directory once per cache epoch, not once per query") {
+    val t = freshTable("m_dvcache")
+    createMor(t)
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    spark.table(t).count() // first read after the commit: cache misses
+    val after1 = graft.plans.ResolveDeletionVectors.physicalListings.get()
+    spark.table(t).count()
+    spark.table(t).count()
+    assert(graft.plans.ResolveDeletionVectors.physicalListings.get() === after1,
+      "repeated reads of a DV'd table must plan from the FileStatusCache, " +
+        "not re-list every partition directory per query")
+    // a commit invalidates: the next read pays fresh listings (bounded
+    // staleness — the same epoch rule as the catalog file index)
+    spark.sql(s"INSERT INTO $t VALUES (9, 90.0, 'c')")
+    spark.table(t).count()
+    assert(graft.plans.ResolveDeletionVectors.physicalListings.get() > after1)
   }
 
   test("changelog read (q120 surface) covers a MOR commit: the DV batch emits its deleted rows") {

@@ -12,6 +12,62 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(_.toSeq).toSeq
 
+  test("s23 snapshot-lineage stream: emissions equal the final live table; deletes never emitted") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows(EventStreams.s23_stream_cdc_source(spark, sf0001))
+    // the scenario's construction makes "everything the stream emitted"
+    // equal "the rows live at the end" — both MOR deletes landed before
+    // their targets' slices ever streamed
+    val tgt = s"${graft.GraftBootstrap.CatalogName}.tmp.s23_events"
+    val batch = rows(spark.table(tgt)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.RelationalQueries.r2(sum(col("value"))).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type")))
+    assert(streamed === batch)
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+  }
+
+  test("graft-cdc 'cdc' mode streams the changelog; readStream.table points DV'd tables here") {
+    import org.apache.spark.sql.functions.col
+    graft.GraftBootstrap.ensure(spark, sf0001)
+    val cat = graft.GraftBootstrap.CatalogName
+    val tgt = s"$cat.tmp.s23_cdcmode"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    spark.sql(
+      s"""CREATE TABLE $tgt (id BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+         |  'graft.dml.key'='id')""".stripMargin)
+    spark.sql(s"INSERT INTO $tgt SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+    spark.sql(s"DELETE FROM $tgt WHERE id IN (3, 7)")
+    // the V1 fallback refuses while DVs are live — and names the source
+    val e = intercept[Exception](spark.readStream.table(tgt))
+    assert(e.getMessage.contains("graft-cdc"), e.getMessage)
+    // the cdc stream serves it: initial snapshot at head (deletes
+    // applied) as inserts, then a live MOR DELETE arrives as deletes
+    val name = s"s23_cdcmode_sink_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-cdc")
+      .option("table", tgt).option("mode", "cdc").load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      spark.sql(s"DELETE FROM $tgt WHERE id = 4")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name)
+      .select(col("id"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    spark.catalog.dropTempView(name)
+    val inserts = (0L until 10L).filterNot(Set(3L, 7L)).map((_, "insert")).toSet
+    assert(out === inserts + ((4L, "delete")),
+      s"initial snapshot (3,7 never emitted) + the live delete of 4; got $out")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+  }
+
   test("streaming tumbling window converges to the batch answer") {
     val streamed = rows(EventStreams.s01b_tumbling_stream(spark, sf0001))
     val batch = rows(EventWindowQueries.s01_tumbling_window(spark, sf0001))
