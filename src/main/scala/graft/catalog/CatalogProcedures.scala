@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The catalog's SQL-invocable MAINTENANCE surface (DSv2
@@ -147,11 +147,14 @@ object CatalogProcedures {
         "table's columns plus _change_type (insert|delete) and " +
         "_change_version — a pure manifest walk; removed files read " +
         "from their retirement area, merge-on-read commits contribute " +
-        "their deletion-vector keys; refuses across rewrite flips",
+        "their deletion-vector keys; refuses across rewrite flips. " +
+        "row_granular nets each rewrite commit's carried rows away " +
+        "(EXCEPT ALL both ways) so only true churn surfaces (q120b)",
       Array(param("table", StringType),
         param("from_versions_back", LongType),
         paramDefault("to_versions_back", LongType, "0"),
-        paramDefault("view", StringType, "''")),
+        paramDefault("view", StringType, "''"),
+        paramDefault("row_granular", BooleanType, "false")),
       StructType(Seq(
         StructField("view", StringType, nullable = false))),
       in => {
@@ -163,7 +166,9 @@ object CatalogProcedures {
           if (v.nonEmpty) v
           else s"${t.split("\\.").last}_changes_${from}_$to"
         }
-        val df = graft.operators.ChangeFeed.changesBetween(spark, t, from, to)
+        val rowGranular = !in.isNullAt(4) && in.getBoolean(4)
+        val df = graft.operators.ChangeFeed.changesBetween(
+          spark, t, from, to, rowGranular = rowGranular)
         df.createOrReplaceTempView(view)
         InternalRow(utf8(view))
       }),

@@ -955,25 +955,29 @@ object GraftCatalog {
     * 100 TB write-amplification complaint) to deletion-vector sidecars:
     * the DML writes the affected row KEYS (plus, for UPDATE/MERGE, the
     * new rows as a plain append) and reads merge the vectors back via a
-    * plan-level anti-join. Requires [[DmlKeyProp]] naming a NOT NULL
-    * unique-key data column (Spark's delta-write contract refuses
-    * nullable row IDs; uniqueness is the standard equality-delete
+    * plan-level anti-join. Requires [[DmlKeyProp]] naming one or more
+    * (comma-separated, round 20) NOT NULL data columns whose TUPLE is
+    * the row identity (Spark's delta-write contract refuses nullable
+    * row IDs; tuple-uniqueness is the standard equality-delete
     * contract — a duplicated key would delete its duplicates too). */
   val DmlModeProp: String = "graft.dml.mode"
   val DmlKeyProp: String = "graft.dml.key"
   val MorMode: String = "merge-on-read"
 
-  /** The merge-on-read key column, when the table opts in. */
+  /** The merge-on-read key declaration (comma-separated columns), when
+    * the table opts in. */
   private[graft] def morSpec(meta: TableMeta): Option[String] =
     if (meta.properties.get(DmlModeProp).exists(_.equalsIgnoreCase(MorMode)))
       meta.properties.get(DmlKeyProp)
     else None
 
+  private[graft] def morKeyColumns(declared: String): Seq[String] =
+    declared.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Shared by createTable / alterTable: a merge-on-read declaration must
-    * name an existing NOT NULL data column, and bucketed layouts stay
-    * copy-on-write (a delta insert would have to mirror the bucket
-    * routing — undeclared for now). Refusing at DDL keeps the first
-    * failing UPDATE from being the place the user learns the rules. */
+    * name existing NOT NULL data columns. Refusing at DDL keeps the
+    * first failing UPDATE from being the place the user learns the
+    * rules. */
   private[graft] def validateDmlMode(
       props: Map[String, String], schema: org.apache.spark.sql.types.StructType,
       partitionColumns: Seq[String], table: String): Unit = {
@@ -981,19 +985,24 @@ object GraftCatalog {
       require(m.equalsIgnoreCase(MorMode) || m.equalsIgnoreCase("copy-on-write"),
         s"$DmlModeProp on $table must be 'copy-on-write' or '$MorMode', got '$m'")
       if (m.equalsIgnoreCase(MorMode)) {
-        val key = props.getOrElse(DmlKeyProp, throw new IllegalArgumentException(
+        val declared = props.getOrElse(DmlKeyProp, throw new IllegalArgumentException(
           s"$DmlModeProp=$MorMode on $table requires $DmlKeyProp naming the " +
-            "row-identity column"))
-        val field = schema.fields.find(_.name.equalsIgnoreCase(key)).getOrElse(
-          throw new IllegalArgumentException(
-            s"$DmlKeyProp on $table names unknown column '$key' " +
-              s"(schema: ${schema.fieldNames.mkString(", ")})"))
-        require(!field.nullable,
-          s"$DmlKeyProp on $table: column '$key' must be NOT NULL — " +
-            "Spark's delta-write contract refuses nullable row IDs")
-        require(!partitionColumns.exists(_.equalsIgnoreCase(key)),
-          s"$DmlKeyProp on $table names partition column '$key' — the key " +
-            "must identify a ROW; use a data column")
+            "row-identity column(s)"))
+        val keys = morKeyColumns(declared)
+        require(keys.nonEmpty,
+          s"$DmlKeyProp on $table is empty — name the row-identity column(s)")
+        keys.foreach { key =>
+          val field = schema.fields.find(_.name.equalsIgnoreCase(key)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$DmlKeyProp on $table names unknown column '$key' " +
+                s"(schema: ${schema.fieldNames.mkString(", ")})"))
+          require(!field.nullable,
+            s"$DmlKeyProp on $table: column '$key' must be NOT NULL — " +
+              "Spark's delta-write contract refuses nullable row IDs")
+          require(!partitionColumns.exists(_.equalsIgnoreCase(key)),
+            s"$DmlKeyProp on $table names partition column '$key' — the key " +
+              "must identify a ROW; use a data column")
+        }
         // Bucketed + merge-on-read COMPOSE (round 20): the delta write's
         // insert half routes through the same bucket-clustered
         // distribution as any append (shuffle partition id == bucket id

@@ -80,16 +80,25 @@ class GraftMorOperation(
     spark, store, db, meta, cmd, autoSizeUpdate, writeLockTimeoutSec)
   with SupportsDelta {
 
-  /** Schema-resolved key column (declaration may differ in case). */
-  private[write] val keyField: StructField =
-    meta.schema.fields.find(_.name.equalsIgnoreCase(key)).getOrElse(
-      throw new IllegalArgumentException(
-        s"merge-on-read key '$key' not in schema of ${meta.name}"))
+  /** Schema-resolved key columns in DECLARED order (the rowId
+    * projection, the sidecar schema and the read-side anti-join all
+    * follow this order; a composite declaration — round 20 — makes the
+    * TUPLE the row identity). */
+  private[write] val keyFields: Seq[StructField] =
+    graft.catalog.GraftCatalog.morKeyColumns(key).map(k =>
+      meta.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"merge-on-read key '$k' not in schema of ${meta.name}")))
+
+  /** Comma-joined schema-resolved names — the persisted `keyColumn`
+    * spelling in DvMeta and the batch manifest. */
+  private[write] def keyColumnSpelling: String =
+    keyFields.map(_.name).mkString(",")
 
   override def description(): String = s"GraftMor[$cmd ${db}.${meta.name}]"
 
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(keyField.name))
+    keyFields.map(f => Expressions.column(f.name): NamedReference).toArray
 
   /** UPDATE / MERGE-update split into DELETE + INSERT records — the
     * natural shape for equality-delete vectors (the delete half becomes
@@ -316,7 +325,7 @@ private[write] class GraftDeltaBatchWrite(
     val innerFactory = gbw.createBatchWriterFactory(pinfo)
     try {
       val hadoopConf = spark.sessionState.newHadoopConf()
-      val keySchema = StructType(Seq(op.keyField.copy(nullable = false)))
+      val keySchema = StructType(op.keyFields.map(_.copy(nullable = false)))
       val dvJob = Job.getInstance(hadoopConf)
       val dvFactory = new ParquetFileFormat().prepareWrite(
         spark, dvJob, Map.empty, keySchema)
@@ -390,8 +399,8 @@ private[write] class GraftDeltaBatchWrite(
         }
         val appliesTo = op.scannedFiles.getOrElse(Set.empty).toSeq.sorted
         val manifest = DvManifest.write(rootFs, finalDir,
-          op.keyField.name, appliesTo, deleted)
-        Some(DvMeta(token, op.keyField.name,
+          op.keyColumnSpelling, appliesTo, deleted)
+        Some(DvMeta(token, op.keyColumnSpelling,
           rootFs.makeQualified(manifest).toString, deleted,
           System.currentTimeMillis()))
       } else None

@@ -160,17 +160,24 @@ object ChangeFeed {
             }
             if (affected.isEmpty) None
             else {
-              val keyField = meta.schema.fields
-                .find(_.name.equalsIgnoreCase(keyCol)).get
-              val keys = spark.read
-                .schema(org.apache.spark.sql.types.StructType(Seq(keyField)))
+              // comma-separated composite keys semi-join on the TUPLE
+              val keyFields = keyCol.split(",").map(_.trim)
+                .filter(_.nonEmpty).toSeq
+                .map(kc => meta.schema.fields
+                  .find(_.name.equalsIgnoreCase(kc)).get)
+              var keys = spark.read
+                .schema(org.apache.spark.sql.types.StructType(keyFields))
                 .parquet(new org.apache.hadoop.fs.Path(dv.manifest)
                   .getParent.toString)
-                .withColumnRenamed(keyField.name, "__graft_dv_key")
+              keyFields.foreach { f =>
+                keys = keys.withColumnRenamed(f.name, s"__graft_dv_${f.name}")
+              }
               val base = pinnedDf(affected, older.dvs)
+              val cond = keyFields
+                .map(f => base(f.name) <=> keys(s"__graft_dv_${f.name}"))
+                .reduce(_ && _)
               Some(tagged(
-                base.join(keys,
-                  base(keyField.name) <=> keys("__graft_dv_key"), "left_semi"),
+                base.join(keys, cond, "left_semi"),
                 "delete", newerMeta.version))
             }
           }

@@ -1494,6 +1494,46 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  // --------------------------------------------------------------- Q119b
+  /** COMPOSITE-KEY merge-on-read (round 20): `graft.dml.key` names a
+    * comma-separated column TUPLE — the natural shape for fact tables
+    * whose business key is (order, line), not a surrogate. The DV
+    * sidecars carry all key columns; the read-side anti-join and the
+    * CDC semi-join match on the tuple. The stacked sequence (UPDATE →
+    * DELETE → stacked UPDATE, no compaction) exercises the composite
+    * key through every MOR surface; every predicate is key-functional,
+    * so the per-row DuckDB restatement is exact even over the
+    * fixture's duplicate (orderkey, linenumber) tuples (equality
+    * deletes hide all copies — the declared semantics). */
+  def q119b_mor_composite_key(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q119b_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(
+      s"""CREATE TABLE $t (l_orderkey BIGINT NOT NULL,
+         |  l_linenumber BIGINT NOT NULL, l_quantity DOUBLE,
+         |  l_returnflag STRING)
+         |PARTITIONED BY (l_returnflag)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+         |  'graft.dml.key'='l_orderkey,l_linenumber')""".stripMargin)
+    Tables(spark, dir, "lineitem")
+      .select($"l_orderkey".cast("bigint"), $"l_linenumber".cast("bigint"),
+        $"l_quantity".cast("double").as("l_quantity"), $"l_returnflag")
+      .createOrReplaceTempView("q119b_src")
+    spark.sql(s"INSERT INTO $t SELECT * FROM q119b_src")
+    spark.sql(s"UPDATE $t SET l_quantity = l_quantity + 1 WHERE l_orderkey % 5 = 0")
+    spark.sql(s"DELETE FROM $t WHERE (l_orderkey + l_linenumber) % 7 = 3")
+    spark.sql(s"UPDATE $t SET l_quantity = l_quantity * 2 WHERE l_linenumber % 3 = 1")
+    spark.table(t).groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        r2(sum($"l_quantity")).as("sum_qty"),
+        sum(($"l_orderkey" * 8 + $"l_linenumber") % 999983L).as("key_checksum"))
+      .orderBy($"l_returnflag")
+  }
+
   // ---------------------------------------------------------------- Q120
   /** CHANGELOG READ (CDC) — `Snapshots.addedBetween` extended past its
     * append-only refusal: the rows inserted AND deleted between two
@@ -1566,7 +1606,9 @@ object EngineQueries {
     // rows (old version as delete, new as insert)
     spark.sql(s"UPDATE $t SET l_quantity = l_quantity + 100 " +
       "WHERE l_orderkey % 1000 = 7")
-    ChangeFeed.changesBetween(spark, t, 1, 0, rowGranular = true)
+    spark.sql(
+      s"CALL $cat.sys.changes_view('$t', 1, 0, 'q120b_changes', true)")
+    spark.table("q120b_changes")
       .groupBy($"_change_type", $"_change_version", $"l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
         r2(sum($"l_quantity")).as("sum_qty"),
@@ -1577,6 +1619,7 @@ object EngineQueries {
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_mor_dml" -> (q119_mor_dml _),
+    "q119b_mor_composite_key" -> (q119b_mor_composite_key _),
     "q120_changelog" -> (q120_changelog _),
     "q120b_changelog_row_granular" -> (q120b_changelog_row_granular _),
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
@@ -1674,6 +1717,22 @@ object EngineQueries {
         |  FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey % 3 = 0
         |  GROUP BY l_returnflag
         |) ORDER BY _change_type, _change_version, l_returnflag""".stripMargin,
+    // Composite-key MOR restated per source row: every predicate is a
+    // function of (orderkey, linenumber), so tuple-equality deletes and
+    // the stacked updates reduce to the row-wise CASE/WHERE chain.
+    "q119b_mor_composite_key" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(CASE WHEN l_linenumber % 3 = 1 THEN q1 * 2 ELSE q1 END)
+        |        * 100) / 100 AS sum_qty,
+        |  CAST(sum((l_orderkey * 8 + l_linenumber) % 999983) AS BIGINT)
+        |    AS key_checksum
+        | FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CASE WHEN l_orderkey % 5 = 0 THEN l_quantity + 1
+        |         ELSE l_quantity END AS q1
+        |  FROM lineitem) a
+        | WHERE (l_orderkey + l_linenumber) % 7 <> 3
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Row-granular netting: the COW UPDATE rewrote whole partitions, but
     // ONLY the matched rows may surface — old versions as deletes, new
     // (+100) versions as inserts. Every carried row must cancel.

@@ -61,19 +61,22 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
   private[graft] val physicalListings =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Directory listings keyed by (qualified dir, DESCRIPTOR SEQ): every
-    * commit bumps the table's seq, so an entry is valid exactly for the
-    * descriptor state that planned it — no invalidation hooks to miss
-    * (the session `FileStatusCache` namespaces entries per client and
-    * its per-client invalidation cannot be relied on across planners).
-    * Bounded LRU; repeated reads of a DV'd table between commits pay
-    * one physical listing per directory. */
-  private val listingCache: java.util.Map[(String, Long), Seq[org.apache.hadoop.fs.FileStatus]] =
+  /** Directory listings keyed by (qualified dir, DESCRIPTOR SEQ, the
+    * live DV batch TOKENS): every commit bumps the table's seq, so an
+    * entry is valid exactly for the descriptor state that planned it —
+    * no invalidation hooks to miss (the session `FileStatusCache`
+    * namespaces entries per client and its per-client invalidation
+    * cannot be relied on across planners). The UUID tokens disambiguate
+    * TABLE INCARNATIONS: a DROP + re-CREATE under the same name replays
+    * the same (dir, seq) pairs, but can never mint the same batch
+    * token. Bounded LRU; repeated reads of a DV'd table between commits
+    * pay one physical listing per directory. */
+  private val listingCache: java.util.Map[(String, Long, String), Seq[org.apache.hadoop.fs.FileStatus]] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long), Seq[org.apache.hadoop.fs.FileStatus]](
+      new java.util.LinkedHashMap[(String, Long, String), Seq[org.apache.hadoop.fs.FileStatus]](
         64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long), Seq[org.apache.hadoop.fs.FileStatus]]): Boolean =
+            e: java.util.Map.Entry[(String, Long, String), Seq[org.apache.hadoop.fs.FileStatus]]): Boolean =
           size() > 4096
       })
 
@@ -154,11 +157,12 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
           // physical listing per directory, not one per planning pass —
           // a commit bumps the descriptor seq, so its readers key to
           // fresh entries by construction.
+          val incarnation = meta.deleteVectors.map(_.token).mkString(",")
           dirSpecs.flatMap { case (d, spec) =>
             val dir = new Path(d)
             val fs = dir.getFileSystem(conf)
             val q = fs.makeQualified(dir)
-            val key = (q.toString, meta.seq)
+            val key = (q.toString, meta.seq, incarnation)
             var listed = listingCache.get(key)
             if (listed == null) {
               physicalListings.incrementAndGet()
@@ -208,12 +212,18 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
           else DataSourceV2Relation.create(sub, None, None)
         if (batchIdxs.isEmpty) base
         else {
-          val keyCol = batches(batchIdxs.head)._1
-          val keyAttr = base.output.find(_.name.equalsIgnoreCase(keyCol))
-            .getOrElse(throw new IllegalStateException(
-              s"deletion-vector key '$keyCol' not in output of ${t.name()}"))
-          val keyField = meta.schema.fields
-            .find(_.name.equalsIgnoreCase(keyCol)).get
+          // the batch's key declaration: one or more comma-separated
+          // columns (a composite key anti-joins on the TUPLE, null-safe
+          // per column — all key columns are NOT NULL by the DDL gate,
+          // so <=> degrades to = for the planner)
+          val keyCols = batches(batchIdxs.head)._1.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val keyAttrs = keyCols.map(kc =>
+            base.output.find(_.name.equalsIgnoreCase(kc))
+              .getOrElse(throw new IllegalStateException(
+                s"deletion-vector key '$kc' not in output of ${t.name()}")))
+          val keyFields = keyCols.map(kc => meta.schema.fields
+            .find(_.name.equalsIgnoreCase(kc)).get)
           // the batch group's deleted keys: tiny parquet sidecars, read
           // with an explicit schema (no inference round-trip) and —
           // while the group stays under the dvBroadcastKeys ceiling —
@@ -222,7 +232,7 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
           // hint: forcing a multi-GB broadcast is an OOM, and the
           // planner's shuffled anti-join returns the same rows safely.
           val keysPlan: LogicalPlan = batchIdxs.map { bi =>
-            spark.read.schema(StructType(Seq(keyField)))
+            spark.read.schema(StructType(keyFields))
               .parquet(batches(bi)._3)
               .queryExecution.analyzed
           }.reduce((a, b) => Union(Seq(a, b), false, false))
@@ -231,8 +241,11 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
             if (groupKeys <= t.graftCatalog.dvBroadcastKeys)
               JoinHint(None, Some(HintInfo(Some(BROADCAST))))
             else JoinHint.NONE
-          Join(base, keysPlan, LeftAnti,
-            Some(EqualNullSafe(keyAttr, keysPlan.output.head)), hint)
+          val cond = keyAttrs.zip(keysPlan.output)
+            .map { case (a, k) =>
+              EqualNullSafe(a, k): org.apache.spark.sql.catalyst.expressions.Expression }
+            .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+          Join(base, keysPlan, LeftAnti, Some(cond), hint)
         }
     }
     children match {

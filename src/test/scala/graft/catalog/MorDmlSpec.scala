@@ -345,6 +345,39 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("composite key: tuple-equality DVs hide exactly the tuple; half-matching keys survive") {
+    val t = freshTable("m_composite")
+    spark.sql(
+      s"""CREATE TABLE $t (a BIGINT NOT NULL, b BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+         |  'graft.dml.key'='a,b')""".stripMargin)
+    // tuples chosen so single-column matching would over-delete: (1,1),
+    // (1,2), (2,1), (2,2) — deleting (1,1) must keep (1,2) and (2,1)
+    spark.sql(s"INSERT INTO $t VALUES (1,1,11.0), (1,2,12.0), (2,1,21.0), (2,2,22.0)")
+    val before = fileState(t)
+    spark.sql(s"DELETE FROM $t WHERE a = 1 AND b = 1")
+    assert(fileState(t) === before, "composite MOR DELETE rewrites nothing")
+    def rows2 = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows2 === Set((1L, 2L, 12.0), (2L, 1L, 21.0), (2L, 2L, 22.0)),
+      "only the exact TUPLE may hide — half-matching keys must survive")
+    // stacked UPDATE on the live DV: must not resurrect (1,1)
+    spark.sql(s"UPDATE $t SET v = v + 0.5 WHERE a = 1")
+    assert(rows2 === Set((1L, 2L, 12.5), (2L, 1L, 21.0), (2L, 2L, 22.0)))
+    // re-insert of the deleted tuple is visible (appliesTo scoping)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 99.0)")
+    assert(rows2.contains((1L, 1L, 99.0)))
+    // CDC emits the tuple delete exactly once
+    val changes = graft.operators.ChangeFeed.changesBetween(spark, t, 3, 2)
+      .collect().map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(changes === Set(("delete", 1L, 1L)), s"got: $changes")
+    // nullable / unknown / partition key columns still refuse at DDL
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE ${ns}.m_comp_bad (a BIGINT NOT NULL, b BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('graft.dml.mode'='merge-on-read', 'graft.dml.key'='a,b')"))
+  }
+
   test("typed partition pruning: timestamp/date-partitioned MOR DML matches its partition") {
     // Timestamp.toString renders '…00:00:00.0' while the stored spec
     // says '…00:00:00' — the old raw-string comparison pruned the
