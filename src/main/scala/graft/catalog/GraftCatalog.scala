@@ -429,7 +429,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftCatalog.BucketCountProp -> b._1.toString) ++
         bucketSpec.map(b =>
           GraftCatalog.BucketColumnsProp -> b._2.mkString(",")),
-      schema, partitionColumns, ident.name)
+      schema, partitionColumns, ident.name,
+      Some(props.getOrElse(
+        TableCatalog.PROP_PROVIDER, defaultProvider).toLowerCase))
     // bucketing a partition column is always a declaration mistake: the
     // value is constant within its directory, so every row of a
     // partition would land in ONE bucket and the layout degenerates
@@ -635,7 +637,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftCatalog.validateClusterBy(
         newProps, newSchema, meta.partitionColumns, meta.name)
       GraftCatalog.validateDmlMode(
-        newProps, newSchema, meta.partitionColumns, meta.name)
+        newProps, newSchema, meta.partitionColumns, meta.name,
+        Some(meta.provider))
       // LIVE deletion vectors are only applied (and only foldable) under
       // the merge-on-read declaration — changing the mode or the key out
       // from under them would silently resurrect the deleted rows
@@ -965,11 +968,21 @@ object GraftCatalog {
   val MorMode: String = "merge-on-read"
 
   /** The merge-on-read key declaration (comma-separated columns), when
-    * the table opts in. */
+    * the table opts in WITH a declared key. */
   private[graft] def morSpec(meta: TableMeta): Option[String] =
-    if (meta.properties.get(DmlModeProp).exists(_.equalsIgnoreCase(MorMode)))
-      meta.properties.get(DmlKeyProp)
-    else None
+    if (morEnabled(meta)) meta.properties.get(DmlKeyProp) else None
+
+  /** True when the table declares merge-on-read DML at all. */
+  private[graft] def morEnabled(meta: TableMeta): Boolean =
+    meta.properties.get(DmlModeProp).exists(_.equalsIgnoreCase(MorMode))
+
+  /** POSITIONAL merge-on-read (q121): `graft.dml.mode = merge-on-read`
+    * with NO `graft.dml.key` — the row identity is the
+    * (`_file`, `_pos`) metadata pair (Iceberg position deletes), for
+    * tables without any natural NOT NULL key tuple. Parquet-only (the
+    * `_pos` source is the parquet reader's native row index). */
+  private[graft] def morPositional(meta: TableMeta): Boolean =
+    morEnabled(meta) && !meta.properties.contains(DmlKeyProp)
 
   private[graft] def morKeyColumns(declared: String): Seq[String] =
     declared.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -980,17 +993,40 @@ object GraftCatalog {
     * rules. */
   private[graft] def validateDmlMode(
       props: Map[String, String], schema: org.apache.spark.sql.types.StructType,
-      partitionColumns: Seq[String], table: String): Unit = {
+      partitionColumns: Seq[String], table: String,
+      provider: Option[String] = None): Unit = {
     props.get(DmlModeProp).foreach { m =>
       require(m.equalsIgnoreCase(MorMode) || m.equalsIgnoreCase("copy-on-write"),
         s"$DmlModeProp on $table must be 'copy-on-write' or '$MorMode', got '$m'")
       if (m.equalsIgnoreCase(MorMode)) {
-        val declared = props.getOrElse(DmlKeyProp, throw new IllegalArgumentException(
-          s"$DmlModeProp=$MorMode on $table requires $DmlKeyProp naming the " +
-            "row-identity column(s)"))
-        val keys = morKeyColumns(declared)
-        require(keys.nonEmpty,
-          s"$DmlKeyProp on $table is empty — name the row-identity column(s)")
+        // NO key (round 20) = POSITIONAL merge-on-read: the row identity
+        // is the (_file, _pos) metadata pair. Parquet-only — `_pos` is
+        // the parquet reader's native row index; no other provider's
+        // reader generates one — and the two metadata names are reserved
+        // (a data column of the same name would make the identity
+        // ambiguous at the anti-join).
+        if (!props.contains(DmlKeyProp)) {
+          provider.foreach(p => require(p == "parquet",
+            s"$DmlModeProp=$MorMode on $table without $DmlKeyProp is " +
+              s"POSITIONAL merge-on-read, which is parquet-only (the row " +
+              s"position comes from the parquet reader's row index); " +
+              s"provider '$p' needs a declared $DmlKeyProp"))
+          schema.fields.filter(f =>
+            graft.catalog.write.PositionalRead.isReserved(f.name))
+            .foreach { f =>
+              throw new IllegalArgumentException(
+                s"$DmlModeProp=$MorMode on $table: column '${f.name}' " +
+                  "collides with the reserved positional metadata columns " +
+                  s"(${graft.catalog.write.PositionalRead.FileCol}, " +
+                  s"${graft.catalog.write.PositionalRead.PosCol}) — rename " +
+                  s"it or declare $DmlKeyProp")
+            }
+        }
+        val keys = props.get(DmlKeyProp).map(morKeyColumns).getOrElse(Nil)
+        require(keys.nonEmpty || !props.contains(DmlKeyProp),
+          s"$DmlKeyProp on $table is empty — name the row-identity " +
+            s"column(s), or drop $DmlKeyProp entirely for positional " +
+            "merge-on-read")
         keys.foreach { key =>
           val field = schema.fields.find(_.name.equalsIgnoreCase(key)).getOrElse(
             throw new IllegalArgumentException(

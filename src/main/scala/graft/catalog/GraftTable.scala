@@ -56,6 +56,7 @@ class GraftTable(
   with SupportsDelete
   with SupportsRowLevelOperations
   with SupportsAtomicPartitionManagement
+  with SupportsMetadataColumns
   with org.apache.spark.sql.graft.StreamingV1FallbackTable {
 
   private def spark: SparkSession = SparkSession.active
@@ -81,6 +82,27 @@ class GraftTable(
   override def name(): String = s"${catalog.name}.$db.${meta.name}"
 
   override def schema(): StructType = meta.schema
+
+  /** POSITIONAL merge-on-read tables (q121) expose the Iceberg-shaped
+    * (`_file`, `_pos`) metadata pair — the rowId of their delta
+    * operations, and a user-selectable inspection surface. Both are
+    * SERVED exclusively by the extension's plan rewrite
+    * ([[graft.plans.ResolveDeletionVectors]] replaces any relation whose
+    * output references them with the V1 `_metadata`-backed plan); the
+    * DSv2 scan below never produces them, and a session without the
+    * extension fails the reference loudly at analysis. Keyed/COW tables
+    * expose nothing — their reads are byte-identical to round 19.
+    * Fragments the rewrite mints (pinned subsets) never reference the
+    * columns, so the rule cannot re-match its own output. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (GraftCatalog.morPositional(meta))
+      Array(
+        GraftTable.metaCol(write.PositionalRead.FileCol, StringType,
+          "logical file identity (original dir + name) of the row"),
+        GraftTable.metaCol(write.PositionalRead.PosCol,
+          org.apache.spark.sql.types.LongType,
+          "row ordinal within its file (parquet row index)"))
+    else Array.empty
 
   override def partitioning(): Array[Transform] = {
     val idents = meta.partitionColumns.map(Expressions.identity(_): Transform)
@@ -485,7 +507,7 @@ class GraftTable(
     if (info.command == RowLevelOperation.Command.DELETE && meta.external)
       throw new UnsupportedOperationException(
         s"DELETE FROM is not supported on EXTERNAL table ${name()}")
-    val mor = GraftCatalog.morSpec(meta)
+    val morOn = GraftCatalog.morEnabled(meta)
     // LIVE deletion vectors constrain what may run next (q119):
     //  - MOR DELETE stacks safely — re-deleting an already-hidden key is
     //    a no-op under the anti-join;
@@ -497,21 +519,22 @@ class GraftTable(
     //  - every COW rewrite must not: its group scan would carry hidden
     //    rows into the replacement files.
     // Compaction folds the vectors and re-opens the COW matrix.
-    if (meta.deleteVectors.nonEmpty && mor.isEmpty)
+    if (meta.deleteVectors.nonEmpty && !morOn)
       throw new UnsupportedOperationException(
         s"${info.command} on ${name()}: ${meta.deleteVectors.size} live " +
           "deletion-vector batch(es) — copy-on-write rewrites cannot run " +
           "over unfolded deletes; CALL sys.compact to fold them first")
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = mor match {
-        case Some(key) =>
+      override def build(): RowLevelOperation =
+        if (morOn)
+          // key present ⇒ equality deletes on the declared tuple;
+          // absent ⇒ POSITIONAL deletes on (_file, _pos) (q121)
           new write.GraftMorOperation(spark, store, db, meta,
-            info.command, key, catalog.autoSizeUpdate,
+            info.command, GraftCatalog.morSpec(meta), catalog.autoSizeUpdate,
             catalog.writeLockTimeoutSec)
-        case None =>
+        else
           new write.GraftRowLevelOperation(spark, store, db, meta,
             info.command, catalog.autoSizeUpdate, catalog.writeLockTimeoutSec)
-      }
     }
   }
 
@@ -652,4 +675,19 @@ class GraftTable(
 
   private def defaultPartitionDir(current: TableMeta, spec: Map[String, String]): Path =
     graft.catalog.write.GraftBatchWrite.partitionDir(current, spec)
+}
+
+object GraftTable {
+  /** A non-null metadata column (positional merge-on-read's
+    * `_file`/`_pos`). */
+  private[catalog] def metaCol(
+      colName: String,
+      tpe: org.apache.spark.sql.types.DataType,
+      doc: String): MetadataColumn =
+    new MetadataColumn {
+      override def name(): String = colName
+      override def dataType(): org.apache.spark.sql.types.DataType = tpe
+      override def isNullable: Boolean = false
+      override def comment(): String = doc
+    }
 }

@@ -73,27 +73,43 @@ class GraftMorOperation(
     db: String,
     meta: TableMeta,
     cmd: Command,
-    key: String,
+    /** The declared `graft.dml.key` columns, or None for POSITIONAL
+      * merge-on-read (q121): the row identity is then the
+      * (`_file`, `_pos`) metadata pair served by
+      * [[PositionalRead]] / the plan-level rewrite. */
+    key: Option[String],
     autoSizeUpdate: Boolean,
     writeLockTimeoutSec: Long)
   extends GraftRowLevelOperation(
     spark, store, db, meta, cmd, autoSizeUpdate, writeLockTimeoutSec)
   with SupportsDelta {
 
+  /** True when the table declares no key — position-delete mode. */
+  private[graft] def positional: Boolean = key.isEmpty
+
   /** Schema-resolved key columns in DECLARED order (the rowId
     * projection, the sidecar schema and the read-side anti-join all
     * follow this order; a composite declaration — round 20 — makes the
-    * TUPLE the row identity). */
-  private[write] val keyFields: Seq[StructField] =
-    graft.catalog.GraftCatalog.morKeyColumns(key).map(k =>
-      meta.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
-        throw new IllegalArgumentException(
-          s"merge-on-read key '$k' not in schema of ${meta.name}")))
+    * TUPLE the row identity). Positional mode substitutes the reserved
+    * (`_file`, `_pos`) metadata fields — Spark resolves those through
+    * the relation's metadataOutput ([[graft.catalog.GraftTable]]
+    * exposes them via `SupportsMetadataColumns` on positional
+    * tables). */
+  private[write] val keyFields: Seq[StructField] = key match {
+    case Some(declared) =>
+      graft.catalog.GraftCatalog.morKeyColumns(declared).map(k =>
+        meta.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalArgumentException(
+            s"merge-on-read key '$k' not in schema of ${meta.name}")))
+    case None => PositionalRead.idFields
+  }
 
-  /** Comma-joined schema-resolved names — the persisted `keyColumn`
-    * spelling in DvMeta and the batch manifest. */
+  /** The persisted `keyColumn` spelling in DvMeta and the batch
+    * manifest: comma-joined schema-resolved names, or the reserved
+    * [[PositionalRead.Marker]] for positional batches. */
   private[write] def keyColumnSpelling: String =
-    keyFields.map(_.name).mkString(",")
+    if (positional) PositionalRead.Marker
+    else keyFields.map(_.name).mkString(",")
 
   override def description(): String = s"GraftMor[$cmd ${db}.${meta.name}]"
 
@@ -227,6 +243,19 @@ private[write] class GraftMorScanBuilder(
     // BEFORE pushdown builds this scan). Reaching here with live batches
     // means the session lacks the rule — the raw files include hidden
     // rows, and re-emitting them would resurrect deleted keys.
+    // A POSITIONAL operation (q121) can never use this scan at all: its
+    // rowId is the (_file, _pos) metadata pair, which only the rewrite's
+    // V1 `_metadata` plan can produce.
+    op match {
+      case mor: GraftMorOperation if mor.positional =>
+        throw new IllegalStateException(
+          s"${op.command()} on ${meta.name}: positional merge-on-read " +
+            "requires the graft session extension (spark.sql.extensions=" +
+            "graft.GraftExtensions or GraftBootstrap.ensure) — the delta " +
+            "read's (_file, _pos) row identity is planned by the " +
+            "extension's rewrite, not by a raw file scan")
+      case _ =>
+    }
     if (meta.deleteVectors.nonEmpty &&
         op.command() != RowLevelOperation.Command.DELETE)
       throw new IllegalStateException(

@@ -159,6 +159,36 @@ object ChangeFeed {
                 qualify(new org.apache.hadoop.fs.Path(dir)) + "/" + fname)
             }
             if (affected.isEmpty) None
+            else if (keyCol == graft.catalog.write.PositionalRead.Marker) {
+              // POSITIONAL batch (q121): deleted rows = the affected
+              // files read WITH their (_file, _pos) identities, older
+              // positional batches applied (rows already hidden before
+              // this commit are not re-deleted), SEMI-joined to this
+              // batch's recorded positions
+              import graft.catalog.write.PositionalRead
+              val dirs = affected.toSeq.groupBy(_._2._1.dir).map {
+                case (dir, entries) => Snapshots.ResolvedDir(
+                  dir, entries.head._2._1.spec, entries.map(_._2._2))
+              }.toSeq.sortBy(_.dir)
+              var base = PositionalRead.filesDf(spark, meta, dirs, withMeta = true)
+              val olderPosDirs = older.dvs
+                .filter(_.keyColumn == PositionalRead.Marker)
+                .map(d => new org.apache.hadoop.fs.Path(d.manifest)
+                  .getParent.toString)
+              if (olderPosDirs.nonEmpty)
+                base = PositionalRead.applyBatches(base,
+                  PositionalRead.keysDf(spark, olderPosDirs))
+              val k = PositionalRead.keysDf(spark,
+                Seq(new org.apache.hadoop.fs.Path(dv.manifest).getParent.toString))
+                .withColumnRenamed(PositionalRead.FileCol, "__graft_dv_file")
+                .withColumnRenamed(PositionalRead.PosCol, "__graft_dv_pos")
+              Some(tagged(
+                base.join(k,
+                  base(PositionalRead.FileCol) <=> k("__graft_dv_file") &&
+                    base(PositionalRead.PosCol) <=> k("__graft_dv_pos"),
+                  "left_semi"),
+                "delete", newerMeta.version))
+            }
             else {
               // comma-separated composite keys semi-join on the TUPLE
               val keyFields = keyCol.split(",").map(_.trim)

@@ -1534,6 +1534,58 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- Q121
+  /** POSITIONAL merge-on-read (round 20) — `graft.dml.mode =
+    * merge-on-read` with NO `graft.dml.key`: the row identity is the
+    * (`_file`, `_pos`) metadata pair (Iceberg position deletes), so
+    * tables WITHOUT any natural NOT NULL key — including tables with
+    * fully DUPLICATED rows, which equality deletes cannot even declare —
+    * get deletion-vector DML and its write-amplification fix. `_pos` is
+    * the parquet reader's native row index; `_file` is the file's
+    * LOGICAL identity (original dir + name), so positions keep applying
+    * after retirement moves the file (travel/CDC reads). The seed here
+    * is deliberately keyless and duplicate-heavy (quantity, price,
+    * flag), and every DML predicate is a row-wise function of the
+    * columns, so the multiset semantics — each OCCURRENCE updated or
+    * deleted independently, multiplicity preserved — restate exactly as
+    * DuckDB's CASE/WHERE chain. The stacked DELETE → UPDATE → MERGE
+    * runs with no intervening compaction (the delta reads anti-join the
+    * live positions). */
+  def q121_mor_positional(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val cat = GraftBootstrap.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tmp")
+    val t = s"$cat.tmp.q121_mor_pos"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(
+      s"""CREATE TABLE $t (l_quantity DOUBLE, l_extendedprice DOUBLE,
+         |  l_returnflag STRING)
+         |PARTITIONED BY (l_returnflag)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    Tables(spark, dir, "lineitem")
+      .select($"l_quantity".cast("double").as("l_quantity"),
+        $"l_extendedprice".cast("double").as("l_extendedprice"),
+        $"l_returnflag")
+      .createOrReplaceTempView("q121_src")
+    spark.sql(s"INSERT INTO $t SELECT * FROM q121_src")
+    spark.sql(s"DELETE FROM $t WHERE l_quantity < 5")
+    spark.sql(s"UPDATE $t SET l_extendedprice = l_extendedprice + 100 " +
+      "WHERE l_quantity > 45")
+    spark.sql(
+      s"""MERGE INTO $t tgt
+         |USING (SELECT DISTINCT l_quantity AS q FROM q121_src
+         |       WHERE l_quantity BETWEEN 20 AND 25) s
+         |ON tgt.l_quantity = s.q
+         |WHEN MATCHED THEN UPDATE SET l_extendedprice = tgt.l_extendedprice * 2
+         |""".stripMargin)
+    spark.table(t).groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        r2(sum($"l_quantity")).as("sum_qty"),
+        r2(sum($"l_extendedprice")).as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
   // ---------------------------------------------------------------- Q120
   /** CHANGELOG READ (CDC) — `Snapshots.addedBetween` extended past its
     * append-only refusal: the rows inserted AND deleted between two
@@ -1620,6 +1672,7 @@ object EngineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_mor_dml" -> (q119_mor_dml _),
     "q119b_mor_composite_key" -> (q119b_mor_composite_key _),
+    "q121_mor_positional" -> (q121_mor_positional _),
     "q120_changelog" -> (q120_changelog _),
     "q120b_changelog_row_granular" -> (q120b_changelog_row_granular _),
     "q24_write_roundtrip" -> (q24_write_roundtrip _),
@@ -1686,6 +1739,23 @@ object EngineQueries {
         |    FROM lineitem) a
         |  WHERE k % 7 <> 3) b
         | WHERE k % 26 <> 2
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Positional MOR restated row-wise: rows with quantity < 5 die,
+    // survivors with quantity > 45 gain +100 price, then the MERGE
+    // doubles the price of every (live) row whose quantity is in
+    // [20, 25] — each OCCURRENCE independently, multiplicity preserved
+    // (the semantics only position deletes can express over a
+    // duplicate-heavy keyless table).
+    "q121_mor_positional" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(l_quantity) * 100) / 100 AS sum_qty,
+        |  round(sum(CASE WHEN l_quantity BETWEEN 20 AND 25 THEN p1 * 2
+        |                 ELSE p1 END) * 100) / 100 AS sum_price
+        | FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    CASE WHEN l_quantity > 45 THEN l_extendedprice + 100
+        |         ELSE l_extendedprice END AS p1
+        |  FROM lineitem WHERE l_quantity >= 5) a
         | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // The changelog restated: v2 inserted the odd orderkeys (every
     // flag), v3 deleted everything then in partition R (evens + odds),

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 
 import graft.catalog.{GraftTable, Snapshots}
-import graft.catalog.write.{DvManifest, GraftBatchWrite, GraftMorOperation}
+import graft.catalog.write.{DvManifest, GraftBatchWrite, GraftMorOperation, PositionalRead}
 
 /** DELETION-VECTOR APPLICATION (q119) — the read half of merge-on-read
   * DML, done the Spark-first way: not a per-row reader filter, but a
@@ -82,9 +82,32 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformDownWithSubqueries {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
-          r.table.asInstanceOf[GraftTable].meta.deleteVectors.nonEmpty =>
+      // any read of a table with live DV batches, PLUS (q121) a read of
+      // a positional-MOR table whose output references the (_file, _pos)
+      // metadata columns — only the rewrite's V1 `_metadata` plan can
+      // produce them (fragments the rewrite mints never reference them,
+      // so the rule cannot re-match its own output)
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] && {
+          val t = r.table.asInstanceOf[GraftTable]
+          t.meta.deleteVectors.nonEmpty ||
+            (graft.catalog.GraftCatalog.morPositional(t.meta) &&
+              r.output.exists(a => PositionalRead.isReserved(a.name)))
+        } =>
         rewrite(r, r.table.asInstanceOf[GraftTable])
+      // POSITIONAL delta read under its DML predicate (q121): the
+      // rewrite rules put `Filter(cond, readRelation)` directly above
+      // the delta relation for DELETE and UPDATE. Capturing the
+      // condition here restores the STATIC partition pruning the keyed
+      // path gets from its scan builder — partition-column conjuncts
+      // that are provably false over a directory's spec values drop the
+      // directory from the delta universe (and so from the conflict
+      // check and the new batch's appliesTo), which is what keeps a
+      // one-partition DELETE from making every later read anti-join the
+      // whole table.
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if positionalDelta(f.child).isDefined =>
+        val (r, t, op) = positionalDelta(f.child).get
+        f.copy(child = rewrite(r, t, Some(op), Some(f.condition)))
       // MOR UPDATE / MERGE over LIVE deletion vectors (round 20): the
       // delta operation's read gets the SAME anti-join split as any other
       // read of the table, so hidden rows are never re-emitted (which
@@ -101,17 +124,91 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
             .rowLevelOperationTable(r.table).isDefined =>
         org.apache.spark.sql.graft.GraftSqlBridge
           .rowLevelOperationTable(r.table) match {
+          // a POSITIONAL operation's delta read is ALWAYS planned here
+          // (q121, any command, even with zero live batches): its rowId
+          // is the (_file, _pos) pair only the V1 `_metadata` plan can
+          // produce
           case Some((t: GraftTable, op: GraftMorOperation))
-              if op.command() != Command.DELETE &&
-                t.meta.deleteVectors.nonEmpty =>
+              if op.positional ||
+                (op.command() != Command.DELETE &&
+                  t.meta.deleteVectors.nonEmpty) =>
             rewrite(r, t, Some(op))
           case _ => r
         }
     }
 
+  /** The positional delta relation, when `p` is one (its Filter parent
+    * carries the DML condition the pruning below consumes). */
+  private def positionalDelta(p: LogicalPlan)
+      : Option[(DataSourceV2Relation, GraftTable, GraftMorOperation)] =
+    p match {
+      case r: DataSourceV2Relation =>
+        org.apache.spark.sql.graft.GraftSqlBridge
+          .rowLevelOperationTable(r.table) match {
+          case Some((t: GraftTable, op: GraftMorOperation)) if op.positional =>
+            Some((r, t, op))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Typed three-valued pruning of one directory under the delta
+    * condition: bind the spec's partition values as literals, then any
+    * DETERMINISTIC subquery-free conjunct that becomes reference-free
+    * and evaluates to false/null proves the directory holds no matching
+    * row. Anything undecidable (data-column conjuncts, failed casts,
+    * subqueries) keeps the directory — pruning is an optimization,
+    * never a correctness decision. */
+  private def keepsDir(
+      spark: SparkSession,
+      meta: graft.catalog.TableMeta,
+      spec: Map[String, String],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Literal, PredicateHelper}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    object Split extends PredicateHelper {
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        splitConjunctivePredicates(e)
+    }
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val partVals: Map[String, Option[Any]] =
+      meta.partitionSchema.fields.map { f =>
+        val raw = spec.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+        f.name.toLowerCase -> raw.flatMap {
+          case ExternalCatalogUtils.DEFAULT_PARTITION_NAME => Some(null)
+          case s =>
+            try Some(Cast(Literal(UTF8String.fromString(s), StringType),
+              f.dataType, tz).eval(null))
+            catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }.toMap
+    Split.conjuncts(cond).forall { c =>
+      try {
+        if (!c.deterministic || c.containsPattern(
+            org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION))
+          true // subqueries / nondeterminism: undecidable, keep
+        else {
+          val bound = c.transform {
+            case a: AttributeReference
+                if partVals.get(a.name.toLowerCase).exists(_.isDefined) =>
+              Literal.create(partVals(a.name.toLowerCase).get, a.dataType)
+          }
+          if (bound.references.nonEmpty) true // data columns involved: keep
+          else bound.eval(null) match {
+            case java.lang.Boolean.FALSE | null => false // provably no match
+            case _ => true
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => true }
+    }
+  }
+
   private def rewrite(
       r: DataSourceV2Relation, t: GraftTable,
-      forOp: Option[GraftMorOperation] = None): LogicalPlan = {
+      forOp: Option[GraftMorOperation] = None,
+      deltaCond: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None): LogicalPlan = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val meta = t.meta
@@ -147,10 +244,17 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
         case None =>
           val dirSpecs: Seq[(String, Map[String, String])] =
             if (meta.isPartitioned)
-              meta.partitions.map(p => (
-                p.location.getOrElse(
-                  GraftBatchWrite.partitionDir(meta, p.spec).toString),
-                p.spec))
+              meta.partitions
+                // delta-condition static pruning (positional DML): a dir
+                // whose spec provably fails the condition holds no
+                // matching row — out of the scan, the conflict check,
+                // and the new batch's appliesTo
+                .filter(p => deltaCond.forall(c =>
+                  keepsDir(spark, meta, p.spec, c)))
+                .map(p => (
+                  p.location.getOrElse(
+                    GraftBatchWrite.partitionDir(meta, p.spec).toString),
+                  p.spec))
             else Seq((meta.location, Map.empty[String, String]))
           // dir listings ride the seq-keyed planner cache (round 20):
           // repeated reads of a DV'd table between commits pay ONE
@@ -158,19 +262,29 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
           // a commit bumps the descriptor seq, so its readers key to
           // fresh entries by construction.
           val incarnation = meta.deleteVectors.map(_.token).mkString(",")
+          // the batch TOKENS are what disambiguate table INCARNATIONS
+          // (a DROP + re-CREATE under the same name replays the same
+          // (dir, seq) pairs) — so a ZERO-batch planning pass (q121: a
+          // positional delta read or metadata-column select before any
+          // DV exists) must NOT consult the cache at all: its key would
+          // alias the previous incarnation's listing and the DML would
+          // plan over deleted files. One uncached listing per such
+          // statement; DV'd reads (the repeated-read case the cache is
+          // for) keep paying one listing per (dir, seq, tokens).
           dirSpecs.flatMap { case (d, spec) =>
             val dir = new Path(d)
             val fs = dir.getFileSystem(conf)
             val q = fs.makeQualified(dir)
             val key = (q.toString, meta.seq, incarnation)
-            var listed = listingCache.get(key)
+            var listed =
+              if (meta.deleteVectors.isEmpty) null else listingCache.get(key)
             if (listed == null) {
               physicalListings.incrementAndGet()
               listed =
                 if (fs.exists(q)) fs.listStatus(q).toSeq
                   .filter(s => s.isFile && !hidden(s.getPath.getName))
                 else Nil
-              listingCache.put(key, listed)
+              if (meta.deleteVectors.nonEmpty) listingCache.put(key, listed)
             }
             listed.map(f => (qualify(f.getPath), d, spec, f))
           }
@@ -182,8 +296,17 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
     // fragments' scans replace the operation's own scan builder
     forOp.foreach { op =>
       op.scannedFiles = Some(universe.map(_._1).toSet)
+      // the PRUNED spec set (delta-condition pruning above): the
+      // commit's conflict re-listing must cover exactly the dirs whose
+      // files are in scannedFiles, or a pruned partition's files would
+      // read as a spurious concurrent write
       op.scannedSpecs =
-        if (meta.isPartitioned) Some(meta.partitions.map(_.spec)) else None
+        if (meta.isPartitioned)
+          Some(meta.partitions
+            .filter(p => deltaCond.forall(c =>
+              keepsDir(spark, meta, p.spec, c)))
+            .map(_.spec))
+        else None
     }
 
     // group files by the SET of batches that apply; clean group first so
@@ -201,6 +324,13 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
       }
 
     if (grouped.isEmpty) return LocalRelation(r.output)
+
+    // POSITIONAL tables (q121) take the V1 `_metadata` plan shape: the
+    // (_file, _pos) identity only exists there. Keyed tables keep the
+    // round-19 DSv2 split byte-for-byte.
+    val positional = graft.catalog.GraftCatalog.morPositional(meta) ||
+      batches.exists(_._1 == PositionalRead.Marker)
+    if (positional) return positionalUnion(spark, r, t, grouped, batches)
 
     val children: Seq[LogicalPlan] = grouped.zipWithIndex.map {
       case ((batchIdxs, dirs), i) =>
@@ -246,6 +376,54 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
               EqualNullSafe(a, k): org.apache.spark.sql.catalyst.expressions.Expression }
             .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
           Join(base, keysPlan, LeftAnti, Some(cond), hint)
+        }
+    }
+    children match {
+      case Seq(one) => one
+      case many => Union(many, false, false)
+    }
+  }
+
+  /** The POSITIONAL fragment union (q121): groups whose files no batch
+    * touches stay on the untouched DSv2 scan (vectorized, pruned) unless
+    * the read itself asked for the metadata columns; touched groups (and
+    * metadata-column reads) are served by [[PositionalRead.filesDf]] —
+    * the V1 parquet plan generating `_file`/`_pos` — anti-joined to the
+    * group's recorded positions. Each child projects to the relation's
+    * output by NAME; the head child is re-aliased onto the ORIGINAL
+    * attribute ids so the rewritten subtree is a drop-in replacement. */
+  private def positionalUnion(
+      spark: SparkSession,
+      r: DataSourceV2Relation,
+      t: GraftTable,
+      grouped: Seq[(Seq[Int], Seq[Snapshots.ResolvedDir])],
+      batches: Seq[(String, Set[String], String, Long)]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.functions.col
+    val meta = t.meta
+    val needMeta = r.output.exists(a => PositionalRead.isReserved(a.name))
+    def alignTo(out: Seq[Attribute], plan: LogicalPlan): LogicalPlan =
+      Project(out.map { a =>
+        val c = plan.output.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+          throw new IllegalStateException(
+            s"positional rewrite of ${t.name()} lost column '${a.name}'"))
+        Alias(c, a.name)(exprId = a.exprId): NamedExpression
+      }, plan)
+    val children: Seq[LogicalPlan] = grouped.zipWithIndex.map {
+      case ((batchIdxs, dirs), i) =>
+        if (batchIdxs.isEmpty && !needMeta) {
+          val sub = t.pinnedSubset(dirs)
+          if (i == 0) DataSourceV2Relation(sub, r.output, None, None, r.options)
+          else DataSourceV2Relation.create(sub, None, None)
+        } else {
+          var df = PositionalRead.filesDf(spark, meta, dirs, withMeta = true)
+          if (batchIdxs.nonEmpty)
+            df = PositionalRead.applyBatches(df,
+              PositionalRead.keysDf(spark, batchIdxs.map(bi => batches(bi)._3)))
+          val projected =
+            df.select(r.output.map(a => col(a.name)): _*).queryExecution.analyzed
+          if (i == 0) alignTo(r.output, projected) else projected
         }
     }
     children match {

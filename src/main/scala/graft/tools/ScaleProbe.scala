@@ -130,6 +130,13 @@ object ScaleProbe {
     // shuffles only the CHANGED files' rows (the rewritten partitions),
     // claimed linear in rewritten bytes with no whole-corpus term
     "q120b_changelog_row_granular",
+    // round-20: q121's positional merge-on-read — the keyless seed is
+    // the linear write term; DELETE/UPDATE/MERGE ship (file, pos)
+    // pairs + replacement rows ∝ rows changed; the V1 `_metadata`
+    // delta reads and the (file,pos) anti-joins are ∝ scanned bytes +
+    // positions, with condition pruning bounding the delta universe —
+    // the claim is the same no-partition-rewrite property as q119
+    "q121_mor_positional",
     // s23's snapshot-lineage stream: the seed/append commits are the
     // write-bound terms; each micro-batch plans from manifest diffs
     // (O(dirs + changed files)) and scans only the changed files, with
