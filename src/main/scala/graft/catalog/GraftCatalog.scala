@@ -423,6 +423,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "dropped-column ledger is maintained by the catalog (recorded " +
           "when DROP COLUMN runs over existing data, consulted to refuse " +
           "resurrection-by-re-ADD)")
+    if (props.contains(GraftCatalog.MaxFieldIdProp))
+      throw new UnsupportedOperationException(
+        s"table property '${GraftCatalog.MaxFieldIdProp}' is reserved: " +
+          "the field-id high-water mark is maintained by the catalog " +
+          "(assigned at managed parquet CREATE, bumped by ADD COLUMN)")
     GraftCatalog.validateClusterBy(props, schema, partitionColumns, ident.name)
     GraftCatalog.validateDmlMode(
       props ++ bucketSpec.map(b =>
@@ -454,9 +459,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val location = explicitLocation.getOrElse(
       store.defaultTableDir(db, ident.name).toString)
 
+    // FIELD-ID COLUMN MAPPING: managed parquet tables carry a
+    // `parquet.field.id` on every field from birth — the writer embeds
+    // the ids in every file, reads match by id, and the name-based
+    // evolution hazards (rename nulls history; re-ADD resurrects)
+    // disappear. EXTERNAL creates adopt foreign files that carry no ids,
+    // so they keep the refuse-loudly guards instead.
+    val (idSchema, maxId) =
+      if (provider == "parquet" && !external)
+        GraftCatalog.assignFieldIds(schema, 1)
+      else (schema, 0)
+
     val meta = TableMeta(
       name = ident.name,
-      schemaJson = schema.json,
+      schemaJson = idSchema.json,
       provider = provider,
       partitionColumns = partitionColumns,
       location = location,
@@ -475,6 +491,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // rewrite (compact / truncate overwrite) sets the marker.
         (if (GraftCatalog.clusterColumns(props).nonEmpty && !external)
            Map(ClusterSortedProp -> "true")
+         else Map.empty[String, String]) ++
+        (if (maxId > 0) Map(GraftCatalog.MaxFieldIdProp -> maxId.toString)
          else Map.empty[String, String]),
       stats = None,
       partitions = Nil,
@@ -570,7 +588,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // GraftWriteBuilder.build() / the resurrection guard below
         meta.properties.filter(kv =>
           kv._1 == BucketCountProp || kv._1 == BucketColumnsProp ||
-            kv._1 == DroppedColumnsProp || kv._1 == HistoryPrunedBelowProp)
+            kv._1 == DroppedColumnsProp || kv._1 == HistoryPrunedBelowProp ||
+            kv._1 == MaxFieldIdProp)
       // sort-trust marker (catalog-managed, stripped with the reserved
       // props above): an ALTER that CHANGES the cluster columns leaves
       // the existing files sorted by the OLD key (or not at all) — the
@@ -597,35 +616,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val renames = changes.collect { case c: TableChange.RenameColumn => c }
       val drops = changes.collect { case c: TableChange.DeleteColumn => c }
       val adds = changes.collect { case c: TableChange.AddColumn => c }
-      val ledger = GraftCatalog.droppedColumns(meta.properties)
-      def refuseLanding(path: String, verb: String): Unit =
-        if (ledger.exists(_.equalsIgnoreCase(path)))
+      val idMapped = GraftCatalog.fieldIdMapped(meta)
+      // NAME-ADDRESSED surfaces stay name-addressed even under field-id
+      // mapping: directory fragments and partition specs key partition
+      // columns by name, and the per-file skipping/bloom stat shards key
+      // their columns by name — renaming either would silently orphan
+      // the physical metadata, so both refuse regardless of mapping.
+      renames.foreach { r =>
+        val path = r.fieldNames.mkString(".")
+        if (meta.partitionColumns.exists(_.equalsIgnoreCase(path)))
           throw new UnsupportedOperationException(
-            s"ALTER TABLE ${meta.name}: cannot $verb column '$path' — that " +
-              "name was previously DROPPED while data existed, and data " +
-              "files resolve columns by name, so the dropped values would " +
-              "silently resurrect out of pre-drop files. Choose a different " +
-              "name, or rewrite the table (CREATE TABLE ... AS SELECT) to " +
-              "physically remove the old column")
-      adds.foreach(a => refuseLanding(a.fieldNames.mkString("."), "add"))
-      renames.foreach(r => refuseLanding(
-        (r.fieldNames.init :+ r.newName).mkString("."), "rename to"))
-      val hazard = (renames.nonEmpty || drops.nonEmpty) && evolutionHazard(meta)
-      if (renames.nonEmpty && hazard)
-        throw new UnsupportedOperationException(
-          s"ALTER TABLE ${meta.name}: RENAME COLUMN " +
-            s"'${renames.map(_.fieldNames.mkString(".")).mkString("', '")}' " +
-            "over existing data is not supported — data files resolve " +
-            "columns by name, so every pre-rename row would silently read " +
-            "NULL under the new name. Add a new column and backfill, or " +
-            "rewrite the table (CREATE TABLE ... AS SELECT ... AS newName)")
+            s"ALTER TABLE ${meta.name}: cannot rename partition column " +
+              s"'$path' — directory names and partition specs address it " +
+              "by name")
+        val statCols = SkipStats.skippingColumns(meta.properties) ++
+          SkipStats.bloomColumns(meta.properties)
+        if (statCols.exists(_.equalsIgnoreCase(path)))
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE ${meta.name}: cannot rename column '$path' while " +
+              "it is declared for file skipping / bloom filters — the " +
+              "per-file stat shards key it by name; change the declaration " +
+              "first, then rename")
+      }
+      if (!idMapped) {
+        // NO field ids (external parquet adopting foreign files, every
+        // non-parquet provider): data files resolve columns by name, so
+        // rename-over-data and re-ADD-of-a-dropped-name would silently
+        // corrupt history — the round-20 refuse-loudly guards.
+        val ledger = GraftCatalog.droppedColumns(meta.properties)
+        def refuseLanding(path: String, verb: String): Unit =
+          if (ledger.exists(_.equalsIgnoreCase(path)))
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE ${meta.name}: cannot $verb column '$path' — that " +
+                "name was previously DROPPED while data existed, and data " +
+                "files resolve columns by name, so the dropped values would " +
+                "silently resurrect out of pre-drop files. Choose a different " +
+                "name, or rewrite the table (CREATE TABLE ... AS SELECT) to " +
+                "physically remove the old column")
+        adds.foreach(a => refuseLanding(a.fieldNames.mkString("."), "add"))
+        renames.foreach(r => refuseLanding(
+          (r.fieldNames.init :+ r.newName).mkString("."), "rename to"))
+        if (renames.nonEmpty && evolutionHazard(meta))
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE ${meta.name}: RENAME COLUMN " +
+              s"'${renames.map(_.fieldNames.mkString(".")).mkString("', '")}' " +
+              "over existing data is not supported — data files resolve " +
+              "columns by name, so every pre-rename row would silently read " +
+              "NULL under the new name. Add a new column and backfill, or " +
+              "rewrite the table (CREATE TABLE ... AS SELECT ... AS newName)")
+      }
+      // id-mapped tables: RENAME keeps the field's id (pre-rename files
+      // keep serving their values via id matching) and a re-ADDED name
+      // gets a FRESH id below (the dropped values stay dead) — no ledger
+      // needed, the evolutions just WORK.
       val ledgerProp: Map[String, String] =
-        if (drops.nonEmpty && hazard)
+        if (!idMapped && drops.nonEmpty && evolutionHazard(meta))
           Map(GraftCatalog.DroppedColumnsProp -> GraftCatalog.renderDroppedColumns(
-            (ledger ++ drops.map(_.fieldNames.mkString("."))).distinct))
+            (GraftCatalog.droppedColumns(meta.properties) ++
+              drops.map(_.fieldNames.mkString("."))).distinct))
         else Map.empty
-      val newSchema = org.apache.spark.sql.graft.GraftSqlBridge.applySchemaChanges(
+      val alteredSchema = org.apache.spark.sql.graft.GraftSqlBridge.applySchemaChanges(
         meta.schema, changes.toSeq, Some(meta.provider), "ALTER TABLE")
+      // fresh ids for columns ADDed to an id-mapped table, from the
+      // never-reused high-water mark (the Iceberg last-column-id rule:
+      // dropping the max-id column must not recycle its id onto a new
+      // column, or pre-drop files would serve the dead values)
+      val (newSchema, idProp: Map[String, String]) =
+        if (idMapped) {
+          val (withIds, assignedMax) = GraftCatalog.assignFieldIds(
+            alteredSchema, GraftCatalog.maxFieldId(meta.properties) + 1)
+          val newMax = math.max(assignedMax,
+            GraftCatalog.maxFieldId(meta.properties))
+          (withIds, Map(GraftCatalog.MaxFieldIdProp -> newMax.toString))
+        } else (alteredSchema, Map.empty[String, String])
       meta.partitionColumns.foreach { c =>
         require(newSchema.fields.exists(_.name.equalsIgnoreCase(c)),
           s"cannot drop partition column $c")
@@ -649,7 +712,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"ALTER TABLE ${meta.name}: cannot change $DmlModeProp/$DmlKeyProp " +
             s"while ${meta.deleteVectors.size} deletion-vector batch(es) are " +
             "live — CALL sys.compact to fold them first")
-      meta.copy(schemaJson = newSchema.json, properties = newProps ++ ledgerProp)
+      meta.copy(schemaJson = newSchema.json,
+        properties = newProps ++ ledgerProp ++ idProp)
     } catch {
       case _: java.io.FileNotFoundException => throw new NoSuchTableException(ident)
     }
@@ -1084,6 +1148,112 @@ object GraftCatalog {
     org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
       org.json4s.JArray(cols.map(org.json4s.JString(_)).toList)))
 
+  /** FIELD-ID COLUMN MAPPING (round 20, the Iceberg/Delta schema-
+    * evolution fix): managed PARQUET tables get a `parquet.field.id`
+    * assigned to every struct field at CREATE, Spark's parquet writer
+    * embeds the ids in every file it writes, and every read of such a
+    * table enables the reader's id-based matching
+    * (`spark.sql.parquet.fieldId.read.enabled`, injected as a per-scan
+    * option — never a session-wide switch). Columns then resolve by ID,
+    * not name, so on id-mapped tables:
+    *  - RENAME COLUMN over data WORKS (the renamed field keeps its id;
+    *    pre-rename files keep serving their values) — no more refusal;
+    *  - DROP + re-ADD of the same name is SAFE (the re-added column
+    *    gets a FRESH id; the dropped values stay dead, reading NULL out
+    *    of pre-drop files) — no ledger needed.
+    * The high-water mark below is the Iceberg `last-column-id` pattern:
+    * ids are never reused, even after the max-id column is dropped.
+    * Tables without ids (EXTERNAL parquet adopting foreign files, every
+    * non-parquet provider, pre-mapping tables) keep the round-20
+    * refuse-loudly guards. */
+  val MaxFieldIdProp: String = "graft.schema.max.field.id"
+
+  /** The parquet field-id metadata key (the public Spark/parquet
+    * spelling, `ParquetUtils.FIELD_ID_METADATA_KEY`). */
+  val FieldIdKey: String = "parquet.field.id"
+
+  /** True when the table's columns resolve by parquet field id. */
+  private[graft] def fieldIdMapped(meta: TableMeta): Boolean =
+    meta.provider == "parquet" && meta.properties.contains(MaxFieldIdProp)
+
+  private[graft] def maxFieldId(props: Map[String, String]): Int =
+    props.get(MaxFieldIdProp)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+
+  /** Assign fresh ids (starting at `from`) to every struct field that
+    * lacks one, recursing into nested structs (including struct
+    * elements of arrays/maps — the granularity Spark's writer can
+    * embed). Returns the id-carrying schema and the new high-water
+    * mark. Existing ids are preserved untouched. */
+  private[graft] def assignFieldIds(
+      schema: org.apache.spark.sql.types.StructType,
+      from: Int): (org.apache.spark.sql.types.StructType, Int) = {
+    import org.apache.spark.sql.types._
+    var next = from
+    def dataType(dt: DataType): DataType = dt match {
+      case s: StructType => struct(s)
+      case a: ArrayType => a.copy(elementType = dataType(a.elementType))
+      case m: MapType => m.copy(keyType = dataType(m.keyType),
+        valueType = dataType(m.valueType))
+      case other => other
+    }
+    def struct(s: StructType): StructType = StructType(s.fields.map { f =>
+      val withId =
+        if (f.metadata.contains(FieldIdKey)) f
+        else {
+          val id = next; next += 1
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(FieldIdKey, id.toLong).build())
+        }
+      withId.copy(dataType = dataType(withId.dataType))
+    })
+    (struct(schema), next - 1)
+  }
+
+  /** Re-attach the table's field ids onto a WRITE schema: V2 output
+    * resolution delivers the query's schema with the table's names and
+    * types but the QUERY side's metadata — for an id-mapped table the
+    * physical writer needs the descriptor's ids (matched by name,
+    * recursing into nested structs). Non-id tables pass through. */
+  private[graft] def copyFieldIds(
+      meta: TableMeta,
+      writeSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    if (!fieldIdMapped(meta)) return writeSchema
+    def copyType(src: DataType, dst: DataType): DataType = (src, dst) match {
+      case (s: StructType, d: StructType) => copyStruct(s, d)
+      case (s: ArrayType, d: ArrayType) =>
+        d.copy(elementType = copyType(s.elementType, d.elementType))
+      case (s: MapType, d: MapType) =>
+        d.copy(keyType = copyType(s.keyType, d.keyType),
+          valueType = copyType(s.valueType, d.valueType))
+      case _ => dst
+    }
+    def copyStruct(src: StructType, dst: StructType): StructType =
+      StructType(dst.fields.map { f =>
+        src.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+          case Some(sf) if sf.metadata.contains(FieldIdKey) =>
+            f.copy(
+              metadata = new MetadataBuilder().withMetadata(f.metadata)
+                .putLong(FieldIdKey, sf.metadata.getLong(FieldIdKey)).build(),
+              dataType = copyType(sf.dataType, f.dataType))
+          case _ => f
+        }
+      })
+    copyStruct(meta.schema, writeSchema)
+  }
+
+  /** Scan-side options for a table read: the declared format options
+    * plus, for id-mapped tables, the parquet reader's id-matching
+    * switch (consumed from the scan's hadoopConf by ParquetReadSupport
+    * in both the V1 and DSv2 paths). */
+  private[graft] def readOptions(meta: TableMeta): Map[String, String] =
+    optionProps(meta.properties) ++
+      (if (fieldIdMapped(meta))
+        Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
+      else Map.empty)
+
   /** Catalog-managed LINEAGE-HOLE marker: the largest `retiredAtMs` of
     * any generation a deep (flip-crossing) rollback REMOVED from the
     * middle of the bounded history (the restored generation leaves the
@@ -1104,7 +1274,7 @@ object GraftCatalog {
   val ReservedTableProps: Set[String] = Set(
     TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
     BucketCountProp, BucketColumnsProp, ClusterSortedProp, DroppedColumnsProp,
-    HistoryPrunedBelowProp)
+    HistoryPrunedBelowProp, MaxFieldIdProp)
 
   /** Stored table properties that are metadata, NOT format options —
     * forwarding e.g. a table COMMENT as the CSV `comment` option (a
@@ -1116,7 +1286,8 @@ object GraftCatalog {
 
   val NonOptionProps: Set[String] = Set("comment", "owner",
     BucketCountProp, BucketColumnsProp, ClusterByProp, ClusterSortedProp, SpjProp,
-    DmlModeProp, DmlKeyProp, DroppedColumnsProp, HistoryPrunedBelowProp)
+    DmlModeProp, DmlKeyProp, DroppedColumnsProp, HistoryPrunedBelowProp,
+    MaxFieldIdProp)
 
   /** Per-streaming-query committed-epoch log: property
     * `graft.stream.epoch.<queryId>` holds the highest epoch id the named

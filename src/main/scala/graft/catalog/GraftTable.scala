@@ -123,10 +123,11 @@ class GraftTable(
     // would only invite a TBLPROPERTIES round-trip that CREATE refuses.
     val base = (meta.properties --
       Seq(GraftCatalog.BucketCountProp, GraftCatalog.BucketColumnsProp,
-        // the dropped-column ledger and lineage-hole marker are
-        // catalog-internal guards; exposing them would invite a
-        // TBLPROPERTIES round-trip ALTER refuses
-        GraftCatalog.DroppedColumnsProp, GraftCatalog.HistoryPrunedBelowProp))
+        // the dropped-column ledger, lineage-hole marker, and field-id
+        // high-water mark are catalog-internal guards; exposing them
+        // would invite a TBLPROPERTIES round-trip ALTER refuses
+        GraftCatalog.DroppedColumnsProp, GraftCatalog.HistoryPrunedBelowProp,
+        GraftCatalog.MaxFieldIdProp))
       // the stream-epoch log is commit bookkeeping, not user metadata
       .filterNot { case (k, _) => GraftCatalog.isStreamEpochProp(k) } ++ Map(
       TableCatalog.PROP_PROVIDER -> meta.provider,
@@ -212,8 +213,9 @@ class GraftTable(
       storage = CatalogStorageFormat.empty.copy(
         locationUri = Some(new Path(meta.location).toUri),
         // same option surface as the batch scan: format options (csv
-        // header/delimiter) flow through, pure-metadata props do not
-        properties = GraftCatalog.optionProps(meta.properties)),
+        // header/delimiter) flow through, pure-metadata props do not;
+        // id-mapped tables carry the field-id read switch here too
+        properties = GraftCatalog.readOptions(meta)),
       schema = meta.schema,
       provider = Some(meta.provider),
       partitionColumnNames = meta.partitionColumns)
@@ -277,8 +279,10 @@ class GraftTable(
     // Table properties (e.g. csv header/delimiter) flow into the scan as
     // read options, caller options win; pure-metadata properties
     // (comment/owner) are NOT options and must not reach the format.
+    // readOptions also injects the parquet field-id matching switch for
+    // id-mapped tables (rename-over-data correctness)
     val opts = new CaseInsensitiveStringMap(
-      (GraftCatalog.optionProps(meta.properties) ++ options.asScala).asJava)
+      (GraftCatalog.readOptions(meta) ++ options.asScala).asJava)
     // `graft.skipping.by` columns join the runtime-filter surface
     // (DYNAMIC FILE PRUNING, q111/q117): a selective dim join's runtime
     // IN-set is evaluated against the skip-stats shards so excluded

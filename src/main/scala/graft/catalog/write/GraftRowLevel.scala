@@ -227,8 +227,11 @@ private[write] object GraftCowScan {
         // same rule newScanBuilder/v1Table/prepareWrite apply)
         graft.catalog.GraftCatalog.optionProps(m.properties),
         Some(m.schema), cache)
+    // readOptions also injects the parquet field-id matching switch for
+    // id-mapped tables, so a rewrite after RENAME COLUMN carries the
+    // pre-rename files' values instead of nulls
     val opts = new CaseInsensitiveStringMap(
-      (graft.catalog.GraftCatalog.optionProps(m.properties) ++
+      (graft.catalog.GraftCatalog.readOptions(m) ++
         options.asScala).asJava)
     val builder: org.apache.spark.sql.connector.read.ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =

@@ -400,7 +400,13 @@ class GraftWrite(
   private[write] def newEpochBatchWrite(): GraftBatchWrite = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val conf = spark.sessionState.conf
-    val schema = info.schema()
+    // FIELD-ID MAPPING (round 20): the V2 output resolution delivers the
+    // query's schema with the TABLE's names and types but NOT the table
+    // fields' metadata — re-attach the descriptor's `parquet.field.id`s
+    // by name so the parquet writer embeds them in every file (the read
+    // side matches by id; a file written without ids would REFUSE to
+    // read on an id-mapped table)
+    val schema = graft.catalog.GraftCatalog.copyFieldIds(meta, info.schema())
     val fs = new Path(meta.location).getFileSystem(hadoopConf)
     // the retirement token of THIS job: every file this commit removes
     // (truncate/static-overwrite sweeps here, the COW delete phase in

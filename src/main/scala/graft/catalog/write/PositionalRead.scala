@@ -81,7 +81,10 @@ private[graft] object PositionalRead {
     require(meta.provider == "parquet",
       s"positional reads are parquet-only, got provider ${meta.provider}")
     val conf = spark.sessionState.newHadoopConf()
-    val readOpts = graft.catalog.GraftCatalog.optionProps(meta.properties)
+    // readOptions also injects the parquet field-id matching switch for
+    // id-mapped tables (positional tables are managed parquet, so
+    // renames compose with position deletes)
+    val readOpts = graft.catalog.GraftCatalog.readOptions(meta)
     val perDir = dirs.filter(_.files.nonEmpty).map { rd =>
       val dirIdentity = new Path(rd.dir).getFileSystem(conf)
         .makeQualified(new Path(rd.dir)).toString

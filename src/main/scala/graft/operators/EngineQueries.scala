@@ -202,6 +202,42 @@ object EngineQueries {
     spark.table(tgt).orderBy($"n_nationkey")
   }
 
+  // --------------------------------------------------------------- Q45b
+  /** FIELD-ID SCHEMA EVOLUTION over data (round 20) — managed parquet
+    * tables carry a `parquet.field.id` on every field from CREATE, the
+    * writer embeds the ids, and reads match by id instead of name, so
+    * the two name-resolution corruptions become correct behavior:
+    * RENAME COLUMN over existing data PRESERVES the values (the renamed
+    * field keeps its id), and DROP + re-ADD of the same name reads NULL
+    * (the re-added column takes a fresh never-reused id, so the dropped
+    * values stay dead). The sequence here seeds from nation, renames
+    * `n_name`, drops and re-adds `n_regionkey`, appends a second
+    * generation under the evolved schema, and reads the union — every
+    * step over LIVE data files, zero rewrites. */
+  def q45b_rename_over_data(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftBootstrap.ensure(spark, dir)
+    val tgt = s"${GraftBootstrap.CatalogName}.tmp.q45b_nation_fid"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${GraftBootstrap.CatalogName}.tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    val nation = Tables(spark, dir, "nation")
+    nation.select($"n_nationkey", $"n_name", $"n_regionkey")
+      .writeTo(tgt).create()
+    // rename over data: pre-rename files keep serving their values
+    spark.sql(s"ALTER TABLE $tgt RENAME COLUMN n_name TO nation_name")
+    // drop + re-add: the old regionkeys must stay dead (fresh id)
+    spark.sql(s"ALTER TABLE $tgt DROP COLUMN n_regionkey")
+    spark.sql(s"ALTER TABLE $tgt ADD COLUMN n_regionkey BIGINT")
+    // a second generation written under the evolved schema
+    nation.select(($"n_nationkey" + 100).as("n_nationkey"),
+      $"n_name".as("nation_name"),
+      ($"n_regionkey" + 50).cast("bigint").as("n_regionkey"))
+      .writeTo(tgt).append()
+    spark.table(tgt)
+      .select($"n_nationkey", $"nation_name", $"n_regionkey")
+      .orderBy($"n_nationkey")
+  }
+
   // ---------------------------------------------------------------- Q49
   /** Small-file compaction — the table-maintenance operator every
     * long-lived 100 TB table needs: streaming ingest and per-batch
@@ -1704,6 +1740,7 @@ object EngineQueries {
     "q50_multi_catalog_join" -> (q50_multi_catalog_join _),
     "q42_json_roundtrip" -> (q42_json_roundtrip _),
     "q45_schema_evolution" -> (q45_schema_evolution _),
+    "q45b_rename_over_data" -> (q45b_rename_over_data _),
     "q25_udaf_weighted_mean" -> (q25_udaf_weighted_mean _),
     "q26_udf_normalize" -> (q26_udf_normalize _),
     "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
@@ -1740,6 +1777,19 @@ object EngineQueries {
         |  WHERE k % 7 <> 3) b
         | WHERE k % 26 <> 2
         | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Field-id evolution restated: the first generation keeps its names
+    // (served under the rename) with a DEAD regionkey (dropped + re-added
+    // under a fresh id ⇒ NULL); the second generation carries the evolved
+    // values (+100 keys, +50 regions).
+    "q45b_rename_over_data" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name AS nation_name,
+        |    CAST(NULL AS BIGINT) AS n_regionkey
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name, CAST(n_regionkey + 50 AS BIGINT)
+        |  FROM nation
+        |) ORDER BY n_nationkey""".stripMargin,
     // Positional MOR restated row-wise: rows with quantity < 5 die,
     // survivors with quantity > 45 gain +100 price, then the MERGE
     // doubles the price of every (live) row whose quantity is in

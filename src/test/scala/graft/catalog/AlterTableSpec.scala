@@ -61,18 +61,34 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).filter(col("score").isNull).count() === 2)
   }
 
-  // --- populated-table evolution ladder (round 20): data files resolve
-  // columns BY NAME, so rename-over-data and re-ADD-of-a-dropped-name
-  // would silently corrupt history — both must refuse loudly, while the
-  // safe evolutions (ADD new name; DROP; everything on an empty table)
-  // keep working.
+  // --- populated-table evolution ladder (round 20): WITHOUT field ids
+  // (external parquet adopting foreign files, non-parquet providers)
+  // data files resolve columns BY NAME, so rename-over-data and
+  // re-ADD-of-a-dropped-name would silently corrupt history — both must
+  // refuse loudly, while the safe evolutions (ADD new name; DROP;
+  // everything on an empty table) keep working. MANAGED parquet tables
+  // carry field ids from CREATE and these evolutions just WORK —
+  // gated in FieldIdSpec.
 
-  test("RENAME COLUMN over existing data refuses (history would read null)") {
+  /** An EXTERNAL parquet table adopting foreign (id-less) files. */
+  private def externalTable(name: String, seed: Boolean): String = {
     import spark.implicits._
-    val t = freshTable("t_ren_data")
-    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
-    Seq((1L, 42.0, "x"), (2L, 43.0, "x")).toDF("id", "score", "p")
-      .writeTo(t).append()
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    val t = s"$ns.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val dir = java.nio.file.Files.createTempDirectory(s"alt_$name").toString
+    if (seed)
+      Seq((1L, 42.0), (2L, 43.0)).toDF("id", "score")
+        .write.mode("overwrite").parquet(dir)
+    spark.sql(s"CREATE TABLE $t (id BIGINT, score DOUBLE) USING parquet " +
+      s"LOCATION '$dir'")
+    t
+  }
+
+  test("RENAME COLUMN over existing id-less data refuses (history would read null)") {
+    import spark.implicits._
+    val t = externalTable("t_ren_data", seed = true)
     val e = intercept[Exception](
       spark.sql(s"ALTER TABLE $t RENAME COLUMN score TO grade"))
     assert(e.getMessage.toLowerCase.contains("rename"), e.getMessage)
@@ -82,12 +98,8 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getDouble(0)).toSeq === Seq(42.0, 43.0))
   }
 
-  test("DROP then re-ADD of the same name over data refuses (values would resurrect)") {
-    import spark.implicits._
-    val t = freshTable("t_readd")
-    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
-    Seq((1L, 42.0, "x"), (2L, 43.0, "x")).toDF("id", "score", "p")
-      .writeTo(t).append()
+  test("DROP then re-ADD of the same name over id-less data refuses (values would resurrect)") {
+    val t = externalTable("t_readd", seed = true)
     spark.sql(s"ALTER TABLE $t DROP COLUMN score")
     assert(!spark.table(t).schema.fieldNames.contains("score"))
     val e = intercept[Exception](
@@ -130,14 +142,18 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).schema.fieldNames.contains("grade"))
   }
 
-  test("RENAME refuses on an emptied table that still has restorable lineage") {
+  test("RENAME refuses on an emptied id-less table that still has restorable lineage") {
     import spark.implicits._
-    val t = freshTable("t_lineage_evo")
+    // managed CSV: no field ids (non-parquet), DELETE retires files —
+    // the pre-delete snapshot could be rolled back, so rename must refuse
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    val t = s"$ns.t_lineage_evo"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) USING csv PARTITIONED BY (p)")
     Seq((1L, "x")).toDF("id", "p").writeTo(t).append()
     spark.sql(s"DELETE FROM $t WHERE p = 'x'")
     assert(spark.table(t).count() === 0)
-    // the pre-delete snapshot could be rolled back — files with the old
-    // name still exist in the retirement area, so rename must refuse
     val e = intercept[Exception](
       spark.sql(s"ALTER TABLE $t RENAME COLUMN id TO docid"))
     assert(e.getMessage.toLowerCase.contains("rename"), e.getMessage)

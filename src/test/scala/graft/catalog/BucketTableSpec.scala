@@ -94,10 +94,17 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
     val t = freshTable("b_foreign")
     val src = Tables(spark, sf0001, "nation").select($"n_nationkey", $"n_name")
     src.writeTo(t).partitionedBy(bucket(4, $"n_nationkey")).create()
-    // plant a legitimate parquet file with a foreign name — rows in the
-    // wrong bucket file MUST force the scan off the bucket-aligned path
+    // plant an ENGINE-COMPATIBLE parquet file (field ids copied from the
+    // id-mapped table's schema — a manual copy of an engine file) under
+    // a FOREIGN name: rows in the wrong bucket file MUST force the scan
+    // off the bucket-aligned path, while the content still reads
     val loc = locationOf(t)
-    src.filter($"n_nationkey" === 0).limit(1)
+    val idSchema = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName).asInstanceOf[GraftCatalog]
+      .metaStore.loadTable("btest", "b_foreign").schema
+    val oneRow = src.filter($"n_nationkey" === 0).limit(1).collect().toSeq
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(oneRow).asJava, idSchema)
       .write.mode("overwrite").parquet(loc.toString + "__stage")
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     val staged = fs.listStatus(new Path(loc.toString + "__stage")).collectFirst {
@@ -117,6 +124,29 @@ class BucketTableSpec extends AnyFunSuite with SparkFixture {
       // foreign row: 24 keys match 1×1, key 0 matches 2×2
       assert(self.count() === 24L + 4L)
     }
+    // a fully FOREIGN file (no field ids at all) planted into an
+    // id-mapped managed dir refuses LOUDLY at read instead of serving
+    // name-matched rows that later evolutions would corrupt — managed
+    // dirs are engine-owned (round-20 field-id posture)
+    src.filter($"n_nationkey" === 1).limit(1)
+      .write.mode("overwrite").parquet(loc.toString + "__stage2")
+    val staged2 = fs.listStatus(new Path(loc.toString + "__stage2")).collectFirst {
+      case s if s.isFile && s.getPath.getName.endsWith(".parquet") => s.getPath
+    }.get
+    fs.rename(staged2, new Path(loc, "foreign-0001.parquet"))
+    fs.delete(new Path(loc.toString + "__stage2"), true)
+    spark.sessionState.catalogManager.catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[GraftCatalog]
+      .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("btest"), "b_foreign"))
+    // (a COLUMN-reading query — count(*) prunes to zero columns and so
+    // requests no ids at all)
+    val e = intercept[Exception](
+      spark.table(t).selectExpr("sum(n_nationkey)").collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("field Id")), messages(e).mkString("; "))
   }
 
   test("non-writable bucket declarations keep the record-but-refuse posture") {
