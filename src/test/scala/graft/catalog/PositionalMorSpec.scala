@@ -270,6 +270,37 @@ class PositionalMorSpec extends AnyFunSuite with SparkFixture {
       (4L, 40.0, "b"), (5L, 50.0, "c")))
   }
 
+  test("positional UPDATE killed between FS commit and catalog phase rolls back at the next read") {
+    val t = freshTable("p_crash")
+    createPos(t)
+    val expect = rows(t)
+    // the worst window: insert half published, the .delta marker (and
+    // the DvMeta registration) never happened — without repair the new
+    // rows would be live while their position-deletes are lost
+    // (permanent duplicates for an UPDATE)
+    graft.catalog.write.GraftBatchWrite.crashAfterFsCommit = Some(() =>
+      throw new RuntimeException("injected post-publish crash"))
+    try {
+      intercept[Exception](spark.sql(s"UPDATE $t SET v = 0 WHERE id = 2"))
+    } finally graft.catalog.write.GraftBatchWrite.crashAfterFsCommit = None
+    assert(rows(t) === expect,
+      "the crashed UPDATE must be invisible — no duplicates, no deletes")
+    assert(meta(t).deleteVectors.isEmpty)
+    spark.sql(s"UPDATE $t SET v = 0 WHERE id = 2")
+    assert(rows(t).contains((2L, 0.0, "a")))
+  }
+
+  test("rollback across a positional DV commit restores the pre-delete state") {
+    val t = freshTable("p_rollback")
+    createPos(t)
+    val expect = rows(t)
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    assert(rows(t).size === 4)
+    graft.operators.Rollback.rollback(spark, t)
+    assert(rows(t) === expect, "rollback must undo the positional DELETE")
+    assert(meta(t).deleteVectors.isEmpty)
+  }
+
   test("refusal matrix: provider, reserved names, key-mode changes") {
     GraftBootstrap.ensure(spark, sf0001)
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
