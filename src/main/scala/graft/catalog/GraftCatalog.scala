@@ -464,10 +464,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the ids in every file, reads match by id, and the name-based
     // evolution hazards (rename nulls history; re-ADD resurrects)
     // disappear. EXTERNAL creates adopt foreign files that carry no ids,
-    // so they keep the refuse-loudly guards instead.
+    // so they keep the refuse-loudly guards instead. Incoming ids are
+    // STRIPPED first: a CTAS from an id-mapped table carries the source
+    // table's ids on its attributes, and preserving them while assigning
+    // fresh ones from 1 would mint DUPLICATE ids (two columns sharing an
+    // id breaks every id-matched read) — a new table is a new identity
+    // space, numbered 1..n.
     val (idSchema, maxId) =
       if (provider == "parquet" && !external)
-        GraftCatalog.assignFieldIds(schema, 1)
+        GraftCatalog.assignFieldIds(GraftCatalog.stripFieldIds(schema), 1)
       else (schema, 0)
 
     val meta = TableMeta(
@@ -637,6 +642,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "it is declared for file skipping / bloom filters — the " +
               "per-file stat shards key it by name; change the declaration " +
               "first, then rename")
+        val bucketCols = meta.properties.get(BucketColumnsProp).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        if (bucketCols.exists(_.equalsIgnoreCase(path)))
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE ${meta.name}: cannot rename bucket column " +
+              s"'$path' — the CLUSTERED BY declaration, the write-side " +
+              "hash routing, and every bucket-file name address it by " +
+              "name; rewrite the table to change its bucket key")
       }
       if (!idMapped) {
         // NO field ids (external parquet adopting foreign files, every
@@ -1179,6 +1192,33 @@ object GraftCatalog {
   private[graft] def maxFieldId(props: Map[String, String]): Int =
     props.get(MaxFieldIdProp)
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+
+  /** Remove every `parquet.field.id` from a schema (recursively):
+    * CREATE strips incoming ids (a CTAS source's, a user copy's) before
+    * assigning the new table's own 1..n space. */
+  private[graft] def stripFieldIds(
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def dataType(dt: DataType): DataType = dt match {
+      case s: StructType => struct(s)
+      case a: ArrayType => a.copy(elementType = dataType(a.elementType))
+      case m: MapType => m.copy(keyType = dataType(m.keyType),
+        valueType = dataType(m.valueType))
+      case other => other
+    }
+    def struct(s: StructType): StructType = StructType(s.fields.map { f =>
+      val cleaned =
+        if (!f.metadata.contains(FieldIdKey)) f
+        else {
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          mb.remove(FieldIdKey)
+          f.copy(metadata = mb.build())
+        }
+      cleaned.copy(dataType = dataType(cleaned.dataType))
+    })
+    struct(schema)
+  }
 
   /** Assign fresh ids (starting at `from`) to every struct field that
     * lacks one, recursing into nested structs (including struct

@@ -124,18 +124,22 @@ private[graft] object PositionalRead {
   def keysDf(spark: SparkSession, keyDirs: Seq[String]): DataFrame =
     spark.read.schema(StructType(idFields)).parquet(keyDirs: _*)
 
-  /** Hide the deleted positions: LEFT ANTI on the (file, pos) pair.
-    * `base` must carry [[FileCol]]/[[PosCol]]; both sides are built by
-    * this helper so the identities compare byte-for-byte. Positions are
-    * unique per file, so a UNION of several batches' keys anti-joins
-    * identically to applying the batches in sequence. */
-  def applyBatches(base: DataFrame, keys: DataFrame): DataFrame = {
+  /** Join `base` to recorded positions on the (file, pos) pair —
+    * `left_anti` HIDES the deleted positions (the read path),
+    * `left_semi` SELECTS them (the CDC delete-image path). `base` must
+    * carry [[FileCol]]/[[PosCol]]; both sides are built by this helper
+    * so the identities compare byte-for-byte. Positions are unique per
+    * file, so a UNION of several batches' keys anti-joins identically
+    * to applying the batches in sequence. */
+  def applyBatches(
+      base: DataFrame, keys: DataFrame,
+      joinType: String = "left_anti"): DataFrame = {
     val k = keys
       .withColumnRenamed(FileCol, "__graft_dv_file")
       .withColumnRenamed(PosCol, "__graft_dv_pos")
     base.join(k,
       base(FileCol) <=> k("__graft_dv_file") &&
         base(PosCol) <=> k("__graft_dv_pos"),
-      "left_anti")
+      joinType)
   }
 }

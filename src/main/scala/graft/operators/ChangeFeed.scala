@@ -178,15 +178,12 @@ object ChangeFeed {
               if (olderPosDirs.nonEmpty)
                 base = PositionalRead.applyBatches(base,
                   PositionalRead.keysDf(spark, olderPosDirs))
-              val k = PositionalRead.keysDf(spark,
-                Seq(new org.apache.hadoop.fs.Path(dv.manifest).getParent.toString))
-                .withColumnRenamed(PositionalRead.FileCol, "__graft_dv_file")
-                .withColumnRenamed(PositionalRead.PosCol, "__graft_dv_pos")
               Some(tagged(
-                base.join(k,
-                  base(PositionalRead.FileCol) <=> k("__graft_dv_file") &&
-                    base(PositionalRead.PosCol) <=> k("__graft_dv_pos"),
-                  "left_semi"),
+                PositionalRead.applyBatches(base,
+                  PositionalRead.keysDf(spark, Seq(
+                    new org.apache.hadoop.fs.Path(dv.manifest)
+                      .getParent.toString)),
+                  joinType = "left_semi"),
                 "delete", newerMeta.version))
             }
             else {

@@ -230,6 +230,17 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
           new Path(dv.manifest).getParent.toString, keys)
       }
 
+    // delta-condition STATIC partition pruning (positional DML, q121): a
+    // dir whose spec provably fails the condition holds no matching
+    // row — out of the scan, the conflict check, and the new batch's
+    // appliesTo. Evaluated ONCE per partition; plain reads (no
+    // deltaCond) keep everything.
+    val keptPartitions: Seq[graft.catalog.PartitionMeta] =
+      if (meta.isPartitioned)
+        meta.partitions.filter(p => deltaCond.forall(c =>
+          keepsDir(spark, meta, p.spec, c)))
+      else Nil
+
     // the file universe: the pinned snapshot's recorded set (travel
     // reads — identity is the ORIGINAL dir + name even when the file now
     // lives in a retirement area), or the live listing per registered
@@ -244,17 +255,10 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
         case None =>
           val dirSpecs: Seq[(String, Map[String, String])] =
             if (meta.isPartitioned)
-              meta.partitions
-                // delta-condition static pruning (positional DML): a dir
-                // whose spec provably fails the condition holds no
-                // matching row — out of the scan, the conflict check,
-                // and the new batch's appliesTo
-                .filter(p => deltaCond.forall(c =>
-                  keepsDir(spark, meta, p.spec, c)))
-                .map(p => (
-                  p.location.getOrElse(
-                    GraftBatchWrite.partitionDir(meta, p.spec).toString),
-                  p.spec))
+              keptPartitions.map(p => (
+                p.location.getOrElse(
+                  GraftBatchWrite.partitionDir(meta, p.spec).toString),
+                p.spec))
             else Seq((meta.location, Map.empty[String, String]))
           // dir listings ride the seq-keyed planner cache (round 20):
           // repeated reads of a DV'd table between commits pay ONE
@@ -296,17 +300,12 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
     // fragments' scans replace the operation's own scan builder
     forOp.foreach { op =>
       op.scannedFiles = Some(universe.map(_._1).toSet)
-      // the PRUNED spec set (delta-condition pruning above): the
-      // commit's conflict re-listing must cover exactly the dirs whose
-      // files are in scannedFiles, or a pruned partition's files would
-      // read as a spurious concurrent write
+      // the SAME pruned spec set the universe listed: the commit's
+      // conflict re-listing must cover exactly the dirs whose files are
+      // in scannedFiles, or a pruned partition's files would read as a
+      // spurious concurrent write
       op.scannedSpecs =
-        if (meta.isPartitioned)
-          Some(meta.partitions
-            .filter(p => deltaCond.forall(c =>
-              keepsDir(spark, meta, p.spec, c)))
-            .map(_.spec))
-        else None
+        if (meta.isPartitioned) Some(keptPartitions.map(_.spec)) else None
     }
 
     // group files by the SET of batches that apply; clean group first so

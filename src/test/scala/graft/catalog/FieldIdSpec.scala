@@ -121,6 +121,44 @@ class FieldIdSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("skipping"))
   }
 
+  test("CTAS from an id-mapped table mints a FRESH id space — no duplicates") {
+    import spark.implicits._
+    val src = fresh("f_ctas_src")
+    spark.sql(s"CREATE TABLE $src (id BIGINT, score DOUBLE)")
+    spark.sql(s"INSERT INTO $src VALUES (1, 42.0), (2, 43.0)")
+    // the CTAS query schema carries the SOURCE's field ids on its
+    // attributes — createTable must strip them and renumber, or two
+    // columns could share an id and every id-matched read breaks
+    val dst = fresh("f_ctas_dst")
+    spark.sql(s"CREATE TABLE $dst AS SELECT id, score * 2 AS s2 FROM $src")
+    val m = meta(dst)
+    assert(GraftCatalog.fieldIdMapped(m))
+    val ids = m.schema.fields.map(_.metadata.getLong("parquet.field.id"))
+    assert(ids.toSeq === Seq(1L, 2L), s"fresh contiguous ids, got ${ids.toSeq}")
+    assert(spark.table(dst).orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 84.0), (2L, 86.0)))
+    // and the new table's own evolution surface works
+    spark.sql(s"ALTER TABLE $dst RENAME COLUMN s2 TO doubled")
+    assert(spark.table(dst).selectExpr("sum(doubled)").collect()
+      .head.getDouble(0) === 170.0)
+  }
+
+  test("renaming a bucket column refuses — hash routing addresses it by name") {
+    import spark.implicits._
+    val t = fresh("f_bucket")
+    spark.sql(
+      s"""CREATE TABLE $t (k BIGINT, v DOUBLE)
+         |CLUSTERED BY (k) INTO 4 BUCKETS""".stripMargin)
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").writeTo(t).append()
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO key2"))
+    assert(e.getMessage.contains("bucket column"), e.getMessage)
+    // the table still writes and reads after the refusal
+    Seq((3L, 3.0)).toDF("k", "v").writeTo(t).append()
+    assert(spark.table(t).count() === 3)
+  }
+
   test("EXTERNAL parquet (foreign files, no ids) keeps the refuse-loudly guards") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fid_ext").toString
