@@ -88,8 +88,11 @@ private[graft] object PositionalRead {
     val perDir = dirs.filter(_.files.nonEmpty).map { rd =>
       val dirIdentity = new Path(rd.dir).getFileSystem(conf)
         .makeQualified(new Path(rd.dir)).toString
-      val base = spark.read.options(readOpts).schema(meta.dataSchema)
-        .parquet(rd.files.map(_.getPath.toString): _*)
+      // the planner already holds these statuses (seq-keyed listing
+      // cache / pinned snapshot) — serve them through the pinned V1
+      // index instead of re-stat-ing every path per planning pass
+      val base = org.apache.spark.sql.graft.GraftSqlBridge.pinnedParquetDF(
+        spark, meta.dataSchema, rd.files, readOpts)
       val partCols: Map[String, Column] =
         meta.partitionSchema.fields.map { f =>
           val raw = rd.spec.find(_._1.equalsIgnoreCase(f.name)).map(_._2)

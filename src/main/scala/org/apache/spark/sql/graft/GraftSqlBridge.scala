@@ -1316,6 +1316,53 @@ object GraftSqlBridge {
       org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         .create(table, None, None))
 
+  /** A V1 parquet DataFrame over an EXPLICIT, ALREADY-LISTED file set —
+    * the positional merge-on-read read path's building block (q121).
+    * `spark.read.parquet(paths)` would re-`getFileStatus` every path on
+    * the driver at each planning pass; the planner already HOLDS the
+    * statuses (from the seq-keyed listing cache or a pinned snapshot),
+    * so this serves them through a pinned [[FileIndex]] with zero
+    * filesystem calls. The V1 relation keeps the whole standard surface:
+    * vectorized parquet, predicate pushdown into row groups, column
+    * pruning, and the `_metadata` struct (`file_path`/`row_index`) the
+    * positional identity is built from. */
+  def pinnedParquetDF(
+      spark: org.apache.spark.sql.SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      options: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+    import org.apache.spark.sql.types.StructType
+    val index = new FileIndex {
+      override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+        files.map(_.getPath)
+      override def listFiles(
+          partitionFilters: Seq[Expression],
+          dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+        Seq(PartitionDirectory(InternalRow.empty,
+          files.map(FileStatusWithMetadata(_))))
+      override def inputFiles: Array[String] =
+        files.map(_.getPath.toString).toArray
+      override def refresh(): Unit = ()
+      override def sizeInBytes: Long = files.map(_.getLen).sum
+      override def partitionSchema: StructType = StructType(Nil)
+    }
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = options)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      LogicalRelation(relation))
+  }
+
   /** BUCKET PRUNING's predicate → bucket-set translation, shared by the
     * columnar bucketed scan and the generic format scan: equality/IN on
     * the bucket column narrow to the literals' buckets (the math is THE
