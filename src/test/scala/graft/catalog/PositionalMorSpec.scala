@@ -270,6 +270,45 @@ class PositionalMorSpec extends AnyFunSuite with SparkFixture {
       (4L, 40.0, "b"), (5L, 50.0, "c")))
   }
 
+  test("positional UPDATE moving rows across partitions") {
+    val t = freshTable("p_move")
+    createPos(t)
+    spark.sql(s"UPDATE $t SET p = 'z' WHERE id = 5")
+    assert(rows(t) === Seq((1L, 10.0, "a"), (1L, 10.0, "a"), (2L, 20.0, "a"),
+      (3L, 30.0, "b"), (4L, 40.0, "b"), (5L, 50.0, "z")),
+      "the row must MOVE: hidden at its old position, appended in the new partition")
+    assert(meta(t).partitions.exists(_.spec.values.toSeq.contains("z")))
+  }
+
+  test("positional MOR composes with bucket routing") {
+    val t = freshTable("p_bucket")
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, v DOUBLE)
+         |CLUSTERED BY (id) INTO 4 BUCKETS
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1.0), (1, 1.0), (2, 2.0), (3, 3.0)")
+    val before = fileState(t)
+    spark.sql(s"DELETE FROM $t WHERE v < 1.5") // both duplicates of id 1
+    assert(fileState(t) === before, "DELETE must not touch bucket files")
+    spark.sql(s"UPDATE $t SET v = v * 10 WHERE id = 2")
+    assert(spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ===
+      Seq((2L, 20.0), (3L, 3.0)))
+    // the update's insert half hash-routed: every data file's name
+    // parses as a legal bucket id (the bucketed-append invariant)
+    val m = meta(t)
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(m.location)
+    val fs = dir.getFileSystem(conf)
+    val names = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    assert(names.nonEmpty && names.forall(_.matches("part-0000[0-3]-.*")),
+      s"bucket-routed names expected, got $names")
+  }
+
   test("positional UPDATE killed between FS commit and catalog phase rolls back at the next read") {
     val t = freshTable("p_crash")
     createPos(t)
