@@ -651,12 +651,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "hash routing, and every bucket-file name address it by " +
               "name; rewrite the table to change its bucket key")
       }
+      lazy val hazard = evolutionHazard(meta)
       if (!idMapped) {
         // NO field ids (external parquet adopting foreign files, every
         // non-parquet provider): data files resolve columns by name, so
         // rename-over-data and re-ADD-of-a-dropped-name would silently
-        // corrupt history — the round-20 refuse-loudly guards.
-        val ledger = GraftCatalog.droppedColumns(meta.properties)
+        // corrupt history — the round-20 refuse-loudly guards. The
+        // ledger consulted INCLUDES this statement's own drops: a
+        // connector-API caller bundling DeleteColumn + AddColumn of the
+        // same name in ONE alterTable is the same resurrection (the SQL
+        // surface can't express it, the TableCatalog API can).
+        val ledger = GraftCatalog.droppedColumns(meta.properties) ++
+          (if (drops.nonEmpty && hazard) drops.map(_.fieldNames.mkString("."))
+           else Nil)
         def refuseLanding(path: String, verb: String): Unit =
           if (ledger.exists(_.equalsIgnoreCase(path)))
             throw new UnsupportedOperationException(
@@ -669,7 +676,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         adds.foreach(a => refuseLanding(a.fieldNames.mkString("."), "add"))
         renames.foreach(r => refuseLanding(
           (r.fieldNames.init :+ r.newName).mkString("."), "rename to"))
-        if (renames.nonEmpty && evolutionHazard(meta))
+        if (renames.nonEmpty && hazard)
           throw new UnsupportedOperationException(
             s"ALTER TABLE ${meta.name}: RENAME COLUMN " +
               s"'${renames.map(_.fieldNames.mkString(".")).mkString("', '")}' " +
@@ -683,7 +690,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // gets a FRESH id below (the dropped values stay dead) — no ledger
       // needed, the evolutions just WORK.
       val ledgerProp: Map[String, String] =
-        if (!idMapped && drops.nonEmpty && evolutionHazard(meta))
+        if (!idMapped && drops.nonEmpty && hazard)
           Map(GraftCatalog.DroppedColumnsProp -> GraftCatalog.renderDroppedColumns(
             (GraftCatalog.droppedColumns(meta.properties) ++
               drops.map(_.fieldNames.mkString("."))).distinct))
@@ -1104,6 +1111,11 @@ object GraftCatalog {
           s"$DmlKeyProp on $table is empty — name the row-identity " +
             s"column(s), or drop $DmlKeyProp entirely for positional " +
             "merge-on-read")
+        require(keys.map(_.toLowerCase).distinct.size == keys.size,
+          s"$DmlKeyProp on $table names a column twice " +
+            s"('${props.getOrElse(DmlKeyProp, "")}') — the key tuple's " +
+            "columns must be distinct (the sidecar schema and the rowId " +
+            "projection would carry duplicate names)")
         keys.foreach { key =>
           val field = schema.fields.find(_.name.equalsIgnoreCase(key)).getOrElse(
             throw new IllegalArgumentException(

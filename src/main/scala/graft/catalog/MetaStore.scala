@@ -523,7 +523,21 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
         case _: org.apache.hadoop.fs.ChecksumException if attempts < 5 =>
           attempts += 1
           Thread.sleep(5L * attempts)
-        case _: java.io.FileNotFoundException if attempts < 5 =>
+        // FNFE retries only when a replace is demonstrably IN FLIGHT for
+        // this descriptor — a CAS marker (`<name>.cas-<seq>`, the
+        // rollForwardCas publish) or writeAtomic's tmp sibling
+        // (`.<name>.tmp`) is present. A GENUINELY missing descriptor
+        // (dropped/nonexistent table, the common not-found path) throws
+        // immediately instead of paying five opens and 75 ms of sleeps.
+        case e: java.io.FileNotFoundException if attempts < 5 =>
+          val inFlight = try {
+            val dir = p.getParent
+            fs.exists(dir) && fs.listStatus(dir).exists { st =>
+              val n = st.getPath.getName
+              n.startsWith(s"${p.getName}.cas-") || n == s".${p.getName}.tmp"
+            }
+          } catch { case scala.util.control.NonFatal(_) => false }
+          if (!inFlight) throw e
           attempts += 1
           Thread.sleep(5L * attempts)
       }

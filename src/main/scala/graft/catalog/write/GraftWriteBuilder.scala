@@ -678,6 +678,10 @@ class GraftBatchWrite(
       // ... and a crashed merge-on-read DML rolls forward (marker) or
       // back (no marker) before any new files land
       repairDeltaManifests()
+      // repairs move/delete files WITHOUT bumping the descriptor seq
+      // (the crashed commit never published) — listings cached before
+      // the repair would keep planning the swept files
+      graft.plans.ResolveDeletionVectors.invalidateListings()
       // truncate/static-overwrite deletes run HERE, now that no other
       // job's staged files can be under the table dir
       preWriteDeletes()
@@ -1647,6 +1651,9 @@ object GraftBatchWrite {
       w.repairPendingCowDeletes()
       w.repairRetireManifests()
       w.repairDeltaManifests()
+      // same rule as the write-side repair block: swept files may be
+      // sitting in listings cached under an unchanged (dir, seq, tokens)
+      graft.plans.ResolveDeletionVectors.invalidateListings()
       true
     } finally {
       writeLockHolders.remove(key)

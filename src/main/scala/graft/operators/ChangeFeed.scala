@@ -65,9 +65,30 @@ object ChangeFeed {
       case other => throw new IllegalArgumentException(
         s"changesBetween($table): not a graft catalog: ${other.name()}")
     }
-    val store = plugin.metaStore
     val (db, name) = (parts(1), parts(2))
-    val meta = store.loadTable(db, name)
+    val meta = plugin.metaStore.loadTable(db, name)
+    changesIn(spark, plugin, db, name, table, meta,
+      fromVersionsBack, toVersionsBack, rowGranular)
+  }
+
+  /** [[changesBetween]] against an ALREADY-LOADED descriptor: the
+    * versions-back indices are interpreted against `meta`'s snapshot
+    * list, never a re-load. The streaming source uses this — its
+    * offsets are ABSOLUTE versions it converts to indices against the
+    * descriptor IT loaded, and a writer committing between that load
+    * and a second one here would shift every index by one (a batch
+    * silently dropping one commit's changes and double-emitting
+    * another's). */
+  private[graft] def changesIn(
+      spark: SparkSession,
+      plugin: GraftCatalog,
+      db: String,
+      name: String,
+      table: String,
+      meta: TableMeta,
+      fromVersionsBack: Int,
+      toVersionsBack: Int,
+      rowGranular: Boolean): DataFrame = {
     require(meta.snapshots.size > fromVersionsBack,
       s"changesBetween($table): versions_back=$fromVersionsBack is not " +
         s"retained (${math.max(meta.snapshots.size - 1, 0)} prior " +
@@ -188,8 +209,7 @@ object ChangeFeed {
             }
             else {
               // comma-separated composite keys semi-join on the TUPLE
-              val keyFields = keyCol.split(",").map(_.trim)
-                .filter(_.nonEmpty).toSeq
+              val keyFields = GraftCatalog.morKeyColumns(keyCol)
                 .map(kc => meta.schema.fields
                   .find(_.name.equalsIgnoreCase(kc)).get)
               var keys = spark.read

@@ -153,10 +153,24 @@ object Compaction {
         s"bucketed compaction of $table since ${java.time.Instant.now()}",
         plugin.writeLockTimeoutSec)
       try {
-        spark.table(table).writeTo(table)
-          .overwrite(org.apache.spark.sql.functions.lit(true))
-        foldInertDvs(spark, plugin, db, name)
-        plugin.invalidateTable(ident)
+        // MATERIALIZE the self-read BEFORE the overwrite runs: truncate's
+        // pre-write retire fires at writer-factory time, and whether the
+        // scan tasks have already executed by then depends on AQE
+        // eagerly materializing the bucket-routing shuffle — with
+        // spark.sql.adaptive.enabled=false the factory would retire the
+        // very files the scan tasks are about to open. The eager local
+        // checkpoint (MEMORY_AND_DISK) cuts the lineage to the files and
+        // is config-independent; cost is one in-memory/disk copy of a
+        // table that is being fully rewritten anyway. (An executor lost
+        // mid-write fails the job — the commit protocol's abort/repair
+        // path handles it like any crashed compaction.)
+        val snapshot = spark.table(table).localCheckpoint(eager = true)
+        try {
+          snapshot.writeTo(table)
+            .overwrite(org.apache.spark.sql.functions.lit(true))
+          foldInertDvs(spark, plugin, db, name)
+          plugin.invalidateTable(ident)
+        } finally snapshot.unpersist()
       } finally release()
       return
     }

@@ -144,6 +144,9 @@ object Rollback {
       // the state below is always a consistent commit point
       graft.catalog.write.RollbackTxn.repair(
         conf, store, db, store.loadTable(db, name))
+      // a repair moves files without a seq bump — cached listings would
+      // keep planning the swept paths
+      graft.plans.ResolveDeletionVectors.invalidateListings()
       // fresh state + resolution INSIDE the permit: no writer can race
       val cur = store.loadTable(db, name)
       require(cur.snapshots.size >= versionsBack + 1,

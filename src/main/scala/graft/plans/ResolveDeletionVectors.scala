@@ -80,6 +80,14 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
           size() > 4096
       })
 
+  /** Drop every cached listing. Called by the crash-REPAIR paths: a
+    * repair moves or deletes data files WITHOUT bumping the descriptor
+    * seq (the crashed commit never published), so a listing cached
+    * before the repair would keep planning the swept files under an
+    * unchanged (dir, seq, tokens) key. Repairs are rare; clearing
+    * everything is the simple correct move. */
+  private[graft] def invalidateListings(): Unit = listingCache.clear()
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformDownWithSubqueries {
       // any read of a table with live DV batches, PLUS (q121) a read of
@@ -105,8 +113,8 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
       // one-partition DELETE from making every later read anti-join the
       // whole table.
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-          if positionalDelta(f.child).isDefined =>
-        val (r, t, op) = positionalDelta(f.child).get
+          if morDelta(f.child).isDefined =>
+        val (r, t, op) = morDelta(f.child).get
         f.copy(child = rewrite(r, t, Some(op), Some(f.condition)))
       // MOR UPDATE / MERGE over LIVE deletion vectors (round 20): the
       // delta operation's read gets the SAME anti-join split as any other
@@ -137,15 +145,22 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
         }
     }
 
-  /** The positional delta relation, when `p` is one (its Filter parent
-    * carries the DML condition the pruning below consumes). */
-  private def positionalDelta(p: LogicalPlan)
+  /** The merge-on-read delta relation THIS RULE plans (a positional
+    * operation always; a keyed UPDATE/MERGE while batches are live),
+    * when `p` is one — its Filter parent carries the DML condition the
+    * static partition pruning consumes, so a one-partition UPDATE on a
+    * 10k-partition table scans (and scopes its conflict check and its
+    * new batch's `appliesTo` to) one partition, not the table. */
+  private def morDelta(p: LogicalPlan)
       : Option[(DataSourceV2Relation, GraftTable, GraftMorOperation)] =
     p match {
       case r: DataSourceV2Relation =>
         org.apache.spark.sql.graft.GraftSqlBridge
           .rowLevelOperationTable(r.table) match {
-          case Some((t: GraftTable, op: GraftMorOperation)) if op.positional =>
+          case Some((t: GraftTable, op: GraftMorOperation))
+              if op.positional ||
+                (op.command() != Command.DELETE &&
+                  t.meta.deleteVectors.nonEmpty) =>
             Some((r, t, op))
           case _ => None
         }
@@ -345,8 +360,8 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
           // columns (a composite key anti-joins on the TUPLE, null-safe
           // per column — all key columns are NOT NULL by the DDL gate,
           // so <=> degrades to = for the planner)
-          val keyCols = batches(batchIdxs.head)._1.split(",")
-            .map(_.trim).filter(_.nonEmpty).toSeq
+          val keyCols =
+            graft.catalog.GraftCatalog.morKeyColumns(batches(batchIdxs.head)._1)
           val keyAttrs = keyCols.map(kc =>
             base.output.find(_.name.equalsIgnoreCase(kc))
               .getOrElse(throw new IllegalStateException(

@@ -132,7 +132,13 @@ object GraftChangeStream {
         case Some(s) =>
           val fromIdx = idxOf(s, "start")
           if (mode == CdcMode)
-            ChangeFeed.changesBetween(spark, table, fromIdx, endIdx)
+            // the indices were computed against THIS loaded descriptor —
+            // changesIn interprets them against the same one, so a
+            // writer committing mid-batch cannot shift the range (a
+            // re-load would drop one commit's changes and double-emit
+            // another's)
+            ChangeFeed.changesIn(spark, plugin, db, name, table, meta,
+              fromIdx, endIdx, rowGranular = false)
           else {
             val conf = spark.sessionState.newHadoopConf()
             val range = meta.snapshots.slice(endIdx, fromIdx)

@@ -119,6 +119,26 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     intercept[Exception](spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE"))
   }
 
+  test("same-statement DROP + re-ADD via the connector API refuses on id-less data") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    // SQL can't express it, but TableCatalog.alterTable accepts
+    // [DeleteColumn(c), AddColumn(c)] in ONE call — the landing check
+    // must consult the statement's OWN drops, or the values resurrect
+    val t = externalTable("t_onestmt", seed = true)
+    val cat = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val e = intercept[Exception](cat.alterTable(
+      Identifier.of(Array(ns.split("\\.")(1)), "t_onestmt"),
+      TableChange.deleteColumn(Array("score"), false),
+      TableChange.addColumn(Array("score"),
+        org.apache.spark.sql.types.DoubleType)))
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // the refused statement changed nothing
+    assert(spark.table(t).selectExpr("score").collect()
+      .map(_.getDouble(0)).sorted.toSeq === Seq(42.0, 43.0))
+  }
+
   test("dropped-column ledger is reserved: never user-settable or visible") {
     val t = freshTable("t_ledger")
     intercept[Exception](spark.sql(

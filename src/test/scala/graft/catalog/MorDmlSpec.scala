@@ -515,4 +515,53 @@ class MorDmlSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"UPDATE $t SET v = 7.0 WHERE id = 1")
     assert(spark.table(t).where("id = 1").head().getDouble(1) === 7.0)
   }
+
+  test("bucketed compaction survives spark.sql.adaptive.enabled=false") {
+    // the self-TRUNCATE-overwrite's pre-write retire fires at
+    // writer-factory time; without the eager checkpoint the scan tasks
+    // would open the just-retired files whenever AQE is not there to
+    // materialize the bucket shuffle first — this pins the
+    // config-independent fix
+    val t = freshTable("m_bucket_noaqe")
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT NOT NULL, v DOUBLE)
+         |CLUSTERED BY (id) INTO 4 BUCKETS
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read', 'graft.dml.key'='id')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)")
+    spark.sql(s"DELETE FROM $t WHERE id = 2")
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql(s"CALL ${GraftBootstrap.CatalogName}.sys.compact('$t')")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    assert(meta(t).deleteVectors.isEmpty)
+    assert(spark.table(t).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet === Set((1L, 1.0), (3L, 3.0), (4L, 4.0)))
+  }
+
+  test("stacked UPDATE's delta read prunes: the new batch applies only to matching partitions") {
+    val t = freshTable("m_upd_prune")
+    createMor(t)
+    spark.sql(s"DELETE FROM $t WHERE id = 1") // live batch -> UPDATE goes through the rewrite
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE p = 'b'")
+    val m = meta(t)
+    assert(m.deleteVectors.size === 2)
+    val (_, applies, _) = graft.catalog.write.DvManifest.read(
+      spark.sessionState.newHadoopConf(), m.deleteVectors.last.manifest).get
+    assert(applies.nonEmpty && applies.forall(_.contains("p=b")),
+      s"the UPDATE's batch must apply ONLY to partition b's files, got $applies")
+    assert(rows(t) === Set((2L, 20.0, "a"), (3L, 31.0, "b"),
+      (4L, 41.0, "b"), (5L, 50.0, "c")))
+  }
+
+  test("duplicate key columns refuse at DDL") {
+    GraftBootstrap.ensure(spark, sf0001)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE $ns.m_dupkey (id BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+         |  'graft.dml.key'='id,ID')""".stripMargin))
+    assert(e.getMessage.contains("twice"), e.getMessage)
+  }
 }
