@@ -340,6 +340,27 @@ class PositionalMorSpec extends AnyFunSuite with SparkFixture {
     assert(meta(t).deleteVectors.isEmpty)
   }
 
+  test("schema evolution composes with live positional vectors") {
+    val t = freshTable("p_evolve")
+    createPos(t)
+    spark.sql(s"DELETE FROM $t WHERE id = 1") // live batch
+    // ADD over live vectors: old files read NULL for the new column
+    // (field-id matching — positional tables are managed parquet),
+    // deleted positions stay hidden
+    spark.sql(s"ALTER TABLE $t ADD COLUMN w DOUBLE")
+    val afterAdd = spark.table(t).selectExpr("id", "v", "w").collect()
+    assert(afterAdd.length === 4 && afterAdd.forall(_.isNullAt(2)))
+    // RENAME over live vectors: values carry under the new name, the
+    // (file, pos) anti-join is untouched (identity is metadata, not data)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO value")
+    assert(spark.table(t).selectExpr("sum(value)").collect()
+      .head.getDouble(0) === 140.0) // 20+30+40+50
+    // DML keeps working against the evolved schema
+    spark.sql(s"UPDATE $t SET w = value / 10 WHERE id = 4")
+    assert(spark.table(t).where("id = 4").selectExpr("w").collect()
+      .head.getDouble(0) === 4.0)
+  }
+
   test("refusal matrix: provider, reserved names, key-mode changes") {
     GraftBootstrap.ensure(spark, sf0001)
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
