@@ -642,13 +642,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "it is declared for file skipping / bloom filters — the " +
               "per-file stat shards key it by name; change the declaration " +
               "first, then rename")
-        val bucketCols = meta.properties.get(BucketColumnsProp).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val bucketCols = GraftCatalog.bucketSpec(meta.properties)
+          .map(_._2).getOrElse(Nil)
         if (bucketCols.exists(_.equalsIgnoreCase(path)))
           throw new UnsupportedOperationException(
             s"ALTER TABLE ${meta.name}: cannot rename bucket column " +
               s"'$path' — the CLUSTERED BY declaration, the write-side " +
               "hash routing, and every bucket-file name address it by " +
+              "name; rewrite the table to change its bucket key")
+      }
+      // DROPPING a bucket column is the same wedge by another verb: the
+      // reserved BucketColumnsProp would name a nonexistent column and
+      // every later write fails far from the ALTER that caused it
+      drops.foreach { d =>
+        val path = d.fieldNames.mkString(".")
+        if (GraftCatalog.bucketSpec(meta.properties).map(_._2).getOrElse(Nil)
+            .exists(_.equalsIgnoreCase(path)))
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE ${meta.name}: cannot drop bucket column " +
+              s"'$path' — the CLUSTERED BY declaration addresses it by " +
               "name; rewrite the table to change its bucket key")
       }
       lazy val hazard = evolutionHazard(meta)
@@ -657,13 +669,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // non-parquet provider): data files resolve columns by name, so
         // rename-over-data and re-ADD-of-a-dropped-name would silently
         // corrupt history — the round-20 refuse-loudly guards. The
-        // ledger consulted INCLUDES this statement's own drops: a
-        // connector-API caller bundling DeleteColumn + AddColumn of the
-        // same name in ONE alterTable is the same resurrection (the SQL
-        // surface can't express it, the TableCatalog API can).
-        val ledger = GraftCatalog.droppedColumns(meta.properties) ++
-          (if (drops.nonEmpty && hazard) drops.map(_.fieldNames.mkString("."))
-           else Nil)
+        // ledger consulted is the PERSISTED one only: a delete + add of
+        // the same name WITHIN one statement is Spark's canonical
+        // encoding of `ALTER TABLE ... REPLACE COLUMNS` retaining the
+        // column — RETENTION intent, not resurrection (the name never
+        // leaves the schema, so the old values remaining visible is the
+        // statement's meaning). Only drops that COMMIT — names absent
+        // from the post-statement schema — enter the ledger below.
+        val ledger = GraftCatalog.droppedColumns(meta.properties)
         def refuseLanding(path: String, verb: String): Unit =
           if (ledger.exists(_.equalsIgnoreCase(path)))
             throw new UnsupportedOperationException(
@@ -689,11 +702,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // keep serving their values via id matching) and a re-ADDED name
       // gets a FRESH id below (the dropped values stay dead) — no ledger
       // needed, the evolutions just WORK.
+      // only COMMITTED drops enter the ledger — a name deleted and
+      // re-added (or renamed-to) in the SAME statement never leaves the
+      // schema (REPLACE COLUMNS retention), and recording it would make
+      // every LATER add/rename of that live column refuse spuriously
+      val readdedNow: Set[String] =
+        adds.map(_.fieldNames.mkString(".").toLowerCase).toSet ++
+          renames.map(r =>
+            (r.fieldNames.init :+ r.newName).mkString(".").toLowerCase)
+      val committedDrops = drops.map(_.fieldNames.mkString("."))
+        .filterNot(d => readdedNow.contains(d.toLowerCase))
       val ledgerProp: Map[String, String] =
-        if (!idMapped && drops.nonEmpty && hazard)
+        if (!idMapped && committedDrops.nonEmpty && hazard)
           Map(GraftCatalog.DroppedColumnsProp -> GraftCatalog.renderDroppedColumns(
             (GraftCatalog.droppedColumns(meta.properties) ++
-              drops.map(_.fieldNames.mkString("."))).distinct))
+              committedDrops).distinct))
         else Map.empty
       val alteredSchema = org.apache.spark.sql.graft.GraftSqlBridge.applySchemaChanges(
         meta.schema, changes.toSeq, Some(meta.provider), "ALTER TABLE")

@@ -531,10 +531,16 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
         // immediately instead of paying five opens and 75 ms of sleeps.
         case e: java.io.FileNotFoundException if attempts < 5 =>
           val inFlight = try {
-            val dir = p.getParent
-            fs.exists(dir) && fs.listStatus(dir).exists { st =>
-              val n = st.getPath.getName
-              n.startsWith(s"${p.getName}.cas-") || n == s".${p.getName}.tmp"
+            // the descriptor REAPPEARING is itself proof the miss was
+            // the replace window (the rename completed and may have
+            // already reclaimed its marker/tmp before the probe below
+            // ran) — retry unconditionally then
+            fs.exists(p) || {
+              val dir = p.getParent
+              fs.exists(dir) && fs.listStatus(dir).exists { st =>
+                val n = st.getPath.getName
+                n.startsWith(s"${p.getName}.cas-") || n == s".${p.getName}.tmp"
+              }
             }
           } catch { case scala.util.control.NonFatal(_) => false }
           if (!inFlight) throw e

@@ -153,24 +153,28 @@ object Compaction {
         s"bucketed compaction of $table since ${java.time.Instant.now()}",
         plugin.writeLockTimeoutSec)
       try {
-        // MATERIALIZE the self-read BEFORE the overwrite runs: truncate's
-        // pre-write retire fires at writer-factory time, and whether the
-        // scan tasks have already executed by then depends on AQE
-        // eagerly materializing the bucket-routing shuffle — with
-        // spark.sql.adaptive.enabled=false the factory would retire the
-        // very files the scan tasks are about to open. The eager local
-        // checkpoint (MEMORY_AND_DISK) cuts the lineage to the files and
-        // is config-independent; cost is one in-memory/disk copy of a
-        // table that is being fully rewritten anyway. (An executor lost
-        // mid-write fails the job — the commit protocol's abort/repair
-        // path handles it like any crashed compaction.)
-        val snapshot = spark.table(table).localCheckpoint(eager = true)
+        // truncate's pre-write retire fires at writer-factory time, and
+        // the scan tasks have already executed by then ONLY when AQE
+        // eagerly materializes the bucket-routing shuffle inside
+        // query.execute() — with spark.sql.adaptive.enabled=false the
+        // factory would retire the very files the scan tasks are about
+        // to open. Under AQE the write runs as-is (no extra copy); with
+        // AQE off the self-read is MATERIALIZED first by an eager local
+        // checkpoint (one memory/disk copy of a table that is being
+        // fully rewritten anyway; an executor lost mid-write fails the
+        // job and the commit protocol's abort/repair handles it like any
+        // crashed compaction).
+        val aqeOn = spark.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED)
+        val snapshot =
+          if (aqeOn) spark.table(table)
+          else spark.table(table).localCheckpoint(eager = true)
         try {
           snapshot.writeTo(table)
             .overwrite(org.apache.spark.sql.functions.lit(true))
           foldInertDvs(spark, plugin, db, name)
           plugin.invalidateTable(ident)
-        } finally snapshot.unpersist()
+        } finally if (!aqeOn) { snapshot.unpersist(); () }
       } finally release()
       return
     }

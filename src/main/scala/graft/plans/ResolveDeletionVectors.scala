@@ -69,14 +69,20 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
     * cannot be relied on across planners). The UUID tokens disambiguate
     * TABLE INCARNATIONS: a DROP + re-CREATE under the same name replays
     * the same (dir, seq) pairs, but can never mint the same batch
-    * token. Bounded LRU; repeated reads of a DV'd table between commits
-    * pay one physical listing per directory. */
-  private val listingCache: java.util.Map[(String, Long, String), Seq[org.apache.hadoop.fs.FileStatus]] =
+    * token. Entries carry their insertion time and EXPIRE past the
+    * write-lease timeout: crash REPAIRS move files without a seq bump,
+    * and while this JVM's repairs clear the cache explicitly
+    * ([[invalidateListings]]), a repair in ANOTHER DRIVER cannot — the
+    * TTL bounds that exposure to the same staleness window as every
+    * other cross-driver residue rule. Bounded LRU; repeated reads of a
+    * DV'd table between commits pay one physical listing per directory
+    * per TTL window. */
+  private val listingCache: java.util.Map[(String, Long, String), (Long, Seq[org.apache.hadoop.fs.FileStatus])] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long, String), Seq[org.apache.hadoop.fs.FileStatus]](
+      new java.util.LinkedHashMap[(String, Long, String), (Long, Seq[org.apache.hadoop.fs.FileStatus])](
         64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long, String), Seq[org.apache.hadoop.fs.FileStatus]]): Boolean =
+            e: java.util.Map.Entry[(String, Long, String), (Long, Seq[org.apache.hadoop.fs.FileStatus])]): Boolean =
           size() > 4096
       })
 
@@ -290,20 +296,28 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
           // plan over deleted files. One uncached listing per such
           // statement; DV'd reads (the repeated-read case the cache is
           // for) keep paying one listing per (dir, seq, tokens).
+          val ttlMs = t.graftCatalog.writeLockTimeoutSec * 1000L
           dirSpecs.flatMap { case (d, spec) =>
             val dir = new Path(d)
             val fs = dir.getFileSystem(conf)
             val q = fs.makeQualified(dir)
             val key = (q.toString, meta.seq, incarnation)
-            var listed =
-              if (meta.deleteVectors.isEmpty) null else listingCache.get(key)
+            val now = System.currentTimeMillis()
+            var listed: Seq[org.apache.hadoop.fs.FileStatus] =
+              if (meta.deleteVectors.isEmpty) null
+              else listingCache.get(key) match {
+                case null => null
+                case (at, _) if now - at > ttlMs => null // expired
+                case (_, l) => l
+              }
             if (listed == null) {
               physicalListings.incrementAndGet()
               listed =
                 if (fs.exists(q)) fs.listStatus(q).toSeq
                   .filter(s => s.isFile && !hidden(s.getPath.getName))
                 else Nil
-              if (meta.deleteVectors.nonEmpty) listingCache.put(key, listed)
+              if (meta.deleteVectors.nonEmpty)
+                listingCache.put(key, (now, listed))
             }
             listed.map(f => (qualify(f.getPath), d, spec, f))
           }

@@ -119,24 +119,35 @@ class AlterTableSpec extends AnyFunSuite with SparkFixture {
     intercept[Exception](spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE"))
   }
 
-  test("same-statement DROP + re-ADD via the connector API refuses on id-less data") {
+  test("same-statement DROP + re-ADD is REPLACE COLUMNS retention, not resurrection") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
-    // SQL can't express it, but TableCatalog.alterTable accepts
-    // [DeleteColumn(c), AddColumn(c)] in ONE call — the landing check
-    // must consult the statement's OWN drops, or the values resurrect
+    // `ALTER TABLE ... REPLACE COLUMNS` arrives as [DeleteColumn(each
+    // old), AddColumn(each new)] in ONE alterTable — a retained name
+    // never leaves the schema, so its values staying visible is the
+    // statement's MEANING (retention), and the name must NOT enter the
+    // dropped-column ledger (which would make every later add/rename of
+    // the live column refuse spuriously)
     val t = externalTable("t_onestmt", seed = true)
     val cat = spark.sessionState.catalogManager
       .catalog(GraftBootstrap.CatalogName)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-    val e = intercept[Exception](cat.alterTable(
+    cat.alterTable(
       Identifier.of(Array(ns.split("\\.")(1)), "t_onestmt"),
       TableChange.deleteColumn(Array("score"), false),
       TableChange.addColumn(Array("score"),
-        org.apache.spark.sql.types.DoubleType)))
-    assert(e.getMessage.contains("resurrect"), e.getMessage)
-    // the refused statement changed nothing
+        org.apache.spark.sql.types.DoubleType))
     assert(spark.table(t).selectExpr("score").collect()
-      .map(_.getDouble(0)).sorted.toSeq === Seq(42.0, 43.0))
+      .map(_.getDouble(0)).sorted.toSeq === Seq(42.0, 43.0),
+      "retained column keeps its values")
+    val m = cat.asInstanceOf[GraftCatalog]
+      .metaStore.loadTable(ns.split("\\.")(1), "t_onestmt")
+    assert(GraftCatalog.droppedColumns(m.properties).isEmpty,
+      "a retained name must not pollute the ledger")
+    // CROSS-statement drop + re-add stays the refused resurrection
+    spark.sql(s"ALTER TABLE $t DROP COLUMN score")
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE"))
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
   }
 
   test("dropped-column ledger is reserved: never user-settable or visible") {
