@@ -720,14 +720,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         else Map.empty
       val alteredSchema = org.apache.spark.sql.graft.GraftSqlBridge.applySchemaChanges(
         meta.schema, changes.toSeq, Some(meta.provider), "ALTER TABLE")
-      // fresh ids for columns ADDed to an id-mapped table, from the
-      // never-reused high-water mark (the Iceberg last-column-id rule:
-      // dropping the max-id column must not recycle its id onto a new
-      // column, or pre-drop files would serve the dead values)
+      // id-mapped id maintenance, in two steps:
+      //  1. RE-ATTACH the pre-statement id to every field whose dotted
+      //     name existed before and still exists — a same-statement
+      //     delete+add of one name (REPLACE COLUMNS retention) must
+      //     keep serving its values, and `applySchemaChanges` builds
+      //     the re-added field without metadata. Cross-statement
+      //     re-ADDs find no pre-statement match (the name left the
+      //     schema when its drop committed) and fall through to 2.
+      //  2. FRESH ids for genuinely new columns, from the never-reused
+      //     high-water mark (the Iceberg last-column-id rule: dropping
+      //     the max-id column must not recycle its id onto a new
+      //     column, or pre-drop files would serve the dead values).
       val (newSchema, idProp: Map[String, String]) =
         if (idMapped) {
           val (withIds, assignedMax) = GraftCatalog.assignFieldIds(
-            alteredSchema, GraftCatalog.maxFieldId(meta.properties) + 1)
+            GraftCatalog.copyFieldIds(meta, alteredSchema, onlyMissing = true),
+            GraftCatalog.maxFieldId(meta.properties) + 1)
           val newMax = math.max(assignedMax,
             GraftCatalog.maxFieldId(meta.properties))
           (withIds, Map(GraftCatalog.MaxFieldIdProp -> newMax.toString))
@@ -1292,7 +1301,13 @@ object GraftCatalog {
     * recursing into nested structs). Non-id tables pass through. */
   private[graft] def copyFieldIds(
       meta: TableMeta,
-      writeSchema: org.apache.spark.sql.types.StructType)
+      writeSchema: org.apache.spark.sql.types.StructType,
+      /** Fill-only mode (the ALTER path): a field that ALREADY carries
+        * an id keeps it — overwriting would let `DROP b; RENAME a TO b`
+        * in one statement stamp the dropped b's id onto the renamed
+        * column and resurrect b's values. The write path overwrites
+        * (query-side metadata never carries authoritative ids). */
+      onlyMissing: Boolean = false)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     if (!fieldIdMapped(meta)) return writeSchema
@@ -1308,11 +1323,13 @@ object GraftCatalog {
     def copyStruct(src: StructType, dst: StructType): StructType =
       StructType(dst.fields.map { f =>
         src.fields.find(_.name.equalsIgnoreCase(f.name)) match {
-          case Some(sf) if sf.metadata.contains(FieldIdKey) =>
+          case Some(sf) if sf.metadata.contains(FieldIdKey) &&
+              !(onlyMissing && f.metadata.contains(FieldIdKey)) =>
             f.copy(
               metadata = new MetadataBuilder().withMetadata(f.metadata)
                 .putLong(FieldIdKey, sf.metadata.getLong(FieldIdKey)).build(),
               dataType = copyType(sf.dataType, f.dataType))
+          case Some(sf) => f.copy(dataType = copyType(sf.dataType, f.dataType))
           case _ => f
         }
       })

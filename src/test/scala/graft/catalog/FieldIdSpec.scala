@@ -159,6 +159,37 @@ class FieldIdSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(t).count() === 3)
   }
 
+  test("REPLACE COLUMNS retains values for kept names; swaps never resurrect") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val t = fresh("f_replace")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, score DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 42.0), (2, 43.0)")
+    val cat2 = spark.sessionState.catalogManager
+      .catalog(GraftBootstrap.CatalogName)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    // REPLACE COLUMNS shape: delete+add of a RETAINED name in one call —
+    // the re-attached id keeps the values visible (retention intent)
+    cat2.alterTable(Identifier.of(Array("fid"), "f_replace"),
+      TableChange.deleteColumn(Array("score"), false),
+      TableChange.addColumn(Array("score"),
+        org.apache.spark.sql.types.DoubleType))
+    assert(spark.table(t).orderBy($"id").selectExpr("score").collect()
+      .map(_.getDouble(0)).toSeq === Seq(42.0, 43.0),
+      "a retained name keeps serving its values on an id-mapped table")
+    // DROP b + RENAME a TO b in ONE statement: the renamed column must
+    // keep ITS OWN id (a's values), never adopt the dropped b's
+    val t2 = fresh("f_swap")
+    spark.sql(s"CREATE TABLE $t2 (a DOUBLE, b DOUBLE)")
+    spark.sql(s"INSERT INTO $t2 VALUES (1.0, 100.0), (2.0, 200.0)")
+    cat2.alterTable(Identifier.of(Array("fid"), "f_swap"),
+      TableChange.deleteColumn(Array("b"), false),
+      TableChange.renameColumn(Array("a"), "b"))
+    assert(spark.table(t2).selectExpr("b").collect()
+      .map(_.getDouble(0)).sorted.toSeq === Seq(1.0, 2.0),
+      "the renamed column serves a's values, not the dropped b's")
+  }
+
   test("EXTERNAL parquet (foreign files, no ids) keeps the refuse-loudly guards") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fid_ext").toString
