@@ -373,7 +373,10 @@ object Dedup {
     * DuckDB oracle. */
   def embeddingNearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
-    val n = Similarity.normalized(vecs, idCol, vecCol)
+    // Spread before the pair join (Similarity.spread — guide §2.5): the
+    // nested-loop join streams one side, and a single-file scan would
+    // leave the whole O(n²) cosine pass on one core. Output unchanged.
+    val n = Similarity.spread(Similarity.normalized(vecs, idCol, vecCol))
     n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
@@ -437,7 +440,11 @@ object Dedup {
     // plus BOTH verify joins, and `coded` feeds both sides of the
     // candidate self-join — without the cut each side re-evaluates the
     // tables × bits codegen'd plane dots and re-scans the corpus.
-    val n = Similarity.normalized(vecs, idCol, vecCol).localCheckpoint()
+    // spread first (guide §2.5): the tables×bits plane projections in
+    // lshBucketed and the checkpoint itself parallelize instead of
+    // running on the single scan partition
+    val n = Similarity.spread(Similarity.normalized(vecs, idCol, vecCol))
+      .localCheckpoint()
     val dim = Similarity.derivedDim(n).getOrElse(
       return n.sparkSession.emptyDataFrame
         .select(lit(0L).as("d1"), lit(0L).as("d2"), lit(0.0).as("cos4"))

@@ -161,10 +161,25 @@ object Similarity {
     * their recall is measured AGAINST. Output: (q_id, n_id, rank, sim4)
     * with one row per (vector, rank ≤ k). */
   def knnGraph(corpus: DataFrame, k: Int): DataFrame = {
-    val c = corpus.localCheckpoint() // both sides of the self-join
+    // Spread the corpus across the cluster BEFORE checkpointing (guide
+    // §2.5 "input skew": a single-file scan is one partition, and the
+    // nested-loop pair join streams THIS side — unpartitioned, the whole
+    // O(n²) scoring pass lands on one core). Scale-adaptive: sized from
+    // defaultParallelism, not a constant; hash on vec_id (deterministic,
+    // no round-robin pre-sort). Results are unchanged — row_number
+    // orders totally by (sim desc, n_id).
+    val c = spread(corpus).localCheckpoint() // both sides of the self-join
     rankTopK(c, c.select(
       col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), k)
   }
+
+  /** Hash-repartition a [[normalized]]-layout frame across the cluster
+    * (defaultParallelism — scale-adaptive, never a constant) so the
+    * per-row compute that follows (pair scoring, plane projections)
+    * parallelizes even when the upstream scan produced few partitions. */
+  private[llm] def spread(norm: DataFrame): DataFrame =
+    norm.repartition(
+      norm.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
 
   /** Vector dimensionality of a [[normalized]]-layout frame, derived
     * from its first row — None for an empty frame. Derived, never

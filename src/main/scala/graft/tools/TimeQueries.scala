@@ -1,0 +1,80 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Builder-side isolated timing probe (optimization-round inner loop):
+  * run ONLY the named inventory entries with the bench's exact method
+  * (noop sink, warm-up, min-of-N) in a fresh JVM, and report per query:
+  * wall seconds, job/stage/task counts, summed task time, and (with
+  * SPARK_GRAFT_PROBE_PLANS=dir) the `explain("formatted")` text.
+  *
+  * Args: sfDir name1 name2 ...  Env: SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_PROBE_PASSES (default 3), SPARK_GRAFT_PROBE_PLANS,
+  * SPARK_GRAFT_RAW=1 for the raw side of a paired probe.
+  *
+  * This is a diagnosis tool, never the measurement of record — the
+  * bench contract stays in [[graft.Bench]]. */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(sc.stageInfo.numTasks)
+        taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+      }
+    })
+
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "3").toInt
+    val plansDir = sys.env.get("SPARK_GRAFT_PROBE_PLANS")
+    plansDir.foreach(d => new java.io.File(d).mkdirs())
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+      def run(): Unit =
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      run() // warm-up
+      plansDir.foreach { d =>
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$d/$name.txt"), plan)
+      }
+      var best = Double.MaxValue
+      var bestStats = (0, 0, 0L)
+      for (_ <- 1 to passes) {
+        stages.set(0); tasks.set(0); taskMs.set(0)
+        val t0 = System.nanoTime()
+        run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best) {
+          best = sec
+          // listener is async; small grace so stage events land
+          Thread.sleep(100)
+          bestStats = (stages.get, tasks.get, taskMs.get)
+        }
+      }
+      println(f"[probe] $name%-36s ${best}%7.2f s  stages=${bestStats._1}%3d " +
+        f"tasks=${bestStats._2}%5d taskTime=${bestStats._3 / 1000.0}%8.2f s")
+    }
+    spark.stop()
+  }
+}
