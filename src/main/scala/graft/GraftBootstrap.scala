@@ -29,6 +29,14 @@ object GraftBootstrap {
   def setSessionConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    // Fork-free local chmod (see GraftLocalFileSystem). Advisory when set
+    // this late — FileSystem instances are cached per scheme, so a JVM
+    // that already resolved `file:` keeps the stock binding; the session
+    // builders (Bench/Verify) set the same key before first use.
+    spark.conf.set("spark.hadoop.fs.file.impl",
+      classOf[graft.catalog.GraftLocalFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration.setIfUnset("fs.file.impl",
+      classOf[graft.catalog.GraftLocalFileSystem].getName)
     // Imperative twin of GraftExtensions' optimizer-rule injection, for
     // sessions built without spark.sql.extensions (a static conf): the
     // V2TableReference re-resolver that makes MERGE-from-a-temp-view

@@ -24,6 +24,52 @@ import scala.concurrent.duration._
   */
 private[graft] object GraftIO {
 
+  /** Create-and-write a small driver-side metadata file (descriptor
+    * tmp, CAS marker, snapshot/skip-stats shard, txn manifest).
+    *
+    * On a LOCAL filesystem, `FileSystem.create` is a fork bomb in slow
+    * motion: without the native Hadoop library every create runs
+    * `RawLocalFileSystem.setPermission` → `Shell.execCommand` — a
+    * fork+exec of the multi-GB driver JVM per file (measured by
+    * thread-dump sampling as a double-digit share of commit wall time,
+    * guide §7.3), plus a checksum sidecar that doubles the file count.
+    * The java.nio path is one open(2): CREATE_NEW preserves the atomic
+    * exclusive-create the CAS claim relies on, and any stale checksum
+    * sidecar is dropped so a later checksummed reader can never pair
+    * old crc bytes with new data (an absent crc reads unverified).
+    * Non-local filesystems keep `FileSystem.create` unchanged.
+    *
+    * nio's FileAlreadyExistsException is rethrown as Hadoop's, so
+    * exclusive-create callers keep one catch clause. */
+  def writeSmallFile(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
+      bytes: Array[Byte], overwrite: Boolean): Unit = {
+    if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]) {
+      import java.nio.file.{Files, Paths, StandardOpenOption => O}
+      val local = Paths.get(p.toUri.getPath)
+      val crc = Paths.get(new org.apache.hadoop.fs.Path(
+        p.getParent, s".${p.getName}.crc").toUri.getPath)
+      Option(local.getParent).foreach(Files.createDirectories(_))
+      if (overwrite) {
+        // drop the stale sidecar BEFORE the bytes land: readers in the
+        // window fall back to unverified reads, never old-crc/new-data
+        Files.deleteIfExists(crc)
+        Files.write(local, bytes, O.CREATE, O.TRUNCATE_EXISTING, O.WRITE)
+      } else {
+        try Files.write(local, bytes, O.CREATE_NEW, O.WRITE)
+        catch { case e: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"$p already exists: ${e.getMessage}")
+        }
+        // the path did not exist, so a sidecar here is orphaned residue
+        Files.deleteIfExists(crc)
+      }
+    } else {
+      val out = fs.create(p, overwrite)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
   private val poolSize: Int =
     math.min(32, math.max(8, Runtime.getRuntime.availableProcessors()))
 

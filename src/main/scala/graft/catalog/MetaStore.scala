@@ -232,6 +232,36 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
   private lazy val fs: FileSystem = warehouse.getFileSystem(conf)
   private lazy val fc: FileContext = FileContext.getFileContext(warehouse.toUri, conf)
 
+  /** Atomic replace-rename — the publish primitive of every descriptor
+    * write ([[writeAtomic]], the CAS publish, [[rollForwardCas]]).
+    *
+    * On a LOCAL warehouse, `FileContext.rename(OVERWRITE)` is a
+    * surprisingly expensive call: without the native Hadoop library,
+    * `AbstractFileSystem.renameInternal` resolves the destination's link
+    * status by FORKING a `readlink` subprocess (`FileUtil.readLink` →
+    * `Shell.execCommand`), and `ChecksumFs` repeats it for the crc
+    * sidecar — two fork+execs of a multi-GB JVM per descriptor publish,
+    * measured as ~25% of the driver's commit wall time on the bench
+    * (thread-dump sampling, guide §7.3). `java.nio.file.Files.move`
+    * with ATOMIC_MOVE|REPLACE_EXISTING is the same OS-atomic rename(2)
+    * with no subprocess; the crc sidecar is republished around it
+    * (stale sidecar dropped FIRST, so a reader in the window falls back
+    * to an unverified read — ChecksumFileSystem tolerates an absent
+    * crc — rather than ever pairing the new data with the old crc).
+    * Non-local warehouses (HDFS/object stores, where rename is a
+    * metadata RPC) keep the FileContext primitive unchanged. */
+  private def renameOverwrite(src: Path, dst: Path): Unit = {
+    if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]) {
+      import java.nio.file.{Files, Paths, StandardCopyOption => O}
+      def local(p: Path) = Paths.get(p.toUri.getPath)
+      def crc(p: Path) = local(new Path(p.getParent, s".${p.getName}.crc"))
+      Files.deleteIfExists(crc(dst))
+      Files.move(local(src), local(dst), O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+      if (Files.exists(crc(src)))
+        Files.move(crc(src), crc(dst), O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+    } else fc.rename(src, dst, Options.Rename.OVERWRITE)
+  }
+
   def namespaceDir(db: String): Path = new Path(warehouse, db)
   private def nsFile(db: String): Path = new Path(namespaceDir(db), "_namespace.json")
   private def metaDir(db: String): Path = new Path(namespaceDir(db), "_meta")
@@ -375,9 +405,8 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
         val updated = updated0.copy(seq = current.seq + 1)
         val marker = new Path(metaDir(db), s"$table.json.cas-${updated.seq}")
         val claimed = try {
-          val out = fs.create(marker, false)
-          try out.write(toJson(updated).getBytes("UTF-8"))
-          finally out.close()
+          GraftIO.writeSmallFile(fs, marker,
+            toJson(updated).getBytes("UTF-8"), overwrite = false)
           true
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
@@ -386,7 +415,7 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
             false
         }
         if (claimed) {
-          try fc.rename(marker, tableMetaFile(db, table), Options.Rename.OVERWRITE)
+          try renameOverwrite(marker, tableMetaFile(db, table))
           catch { case e: java.io.IOException =>
             // a concurrent roll-forward may have published our marker
             // for us — success iff the descriptor now carries our seq
@@ -437,8 +466,7 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
           catch { case scala.util.control.NonFatal(_) => None }
         parsed match {
           case Some(m) if m.seq == seq =>
-            try fc.rename(st.getPath, tableMetaFile(db, table),
-              Options.Rename.OVERWRITE)
+            try renameOverwrite(st.getPath, tableMetaFile(db, table))
             catch { case _: java.io.IOException => /* raced; re-checked below */ }
           case _ =>
             // torn marker: the claimant died mid-write. Fresh ones may
@@ -569,12 +597,11 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
 
   private def writeAtomic(p: Path, content: String): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    GraftIO.writeSmallFile(fs, tmp, content.getBytes("UTF-8"), overwrite = true)
     // FileContext.rename(OVERWRITE) is the atomic-replace primitive —
     // unlike delete-then-FileSystem.rename there is no window where the
     // descriptor is missing, and failures raise instead of returning false.
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    renameOverwrite(tmp, p)
   }
 }
 

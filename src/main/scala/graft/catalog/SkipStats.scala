@@ -540,9 +540,8 @@ object SkipStats extends Logging {
     // rename leaves a file the table VACUUM's draft sweep already
     // classifies as residue
     val tmp = new Path(root, s".graft_skipstats-${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    GraftIO.writeSmallFile(fs, tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8), overwrite = true)
     val target = new Path(root, name)
     fs.delete(target, false)
     if (!fs.rename(tmp, target)) { fs.delete(tmp, false); sys.error(s"rename to $target failed") }

@@ -141,9 +141,8 @@ object Snapshots extends Logging {
   private def writeFile(fs: FileSystem, target: Path, body: String): Unit = {
     val tmp = new Path(target.getParent,
       s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    GraftIO.writeSmallFile(fs, tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8), overwrite = true)
     fs.delete(target, false)
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false); sys.error(s"rename to $target failed")

@@ -781,15 +781,14 @@ class GraftBatchWrite(
     val tmp = new Path(txnDir, s".$id.tmp")
     val dirs =
       if (cs.dirs.nonEmpty) cs.dirs.map(_._2) else Seq(new Path(meta.location))
-    val out = fs.create(tmp, false)
-    try {
-      val sb = new StringBuilder
-      dirs.foreach(d => sb.append("D\t").append(d.toString).append('\n'))
-      cs.oldFiles.foreach(f => sb.append("F\t").append(f.toString).append('\n'))
-      cs.writeDirs.foreach(d => sb.append("W\t").append(d.toString).append('\n'))
-      cs.keepFiles.foreach(f => sb.append("K\t").append(f.toString).append('\n'))
-      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally out.close()
+    val sb = new StringBuilder
+    dirs.foreach(d => sb.append("D\t").append(d.toString).append('\n'))
+    cs.oldFiles.foreach(f => sb.append("F\t").append(f.toString).append('\n'))
+    cs.writeDirs.foreach(d => sb.append("W\t").append(d.toString).append('\n'))
+    cs.keepFiles.foreach(f => sb.append("K\t").append(f.toString).append('\n'))
+    graft.catalog.GraftIO.writeSmallFile(fs, tmp,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      overwrite = false)
     if (!fs.rename(tmp, pending))
       throw new java.io.IOException(s"failed to persist COW delete manifest $pending")
     GraftBatchWrite.ownTxnFile(pending.getName)
