@@ -35,8 +35,13 @@ object GraftBootstrap {
     // builders (Bench/Verify) set the same key before first use.
     spark.conf.set("spark.hadoop.fs.file.impl",
       classOf[graft.catalog.GraftLocalFileSystem].getName)
+    spark.conf.set("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      classOf[graft.catalog.GraftLocalFs].getName)
     spark.sparkContext.hadoopConfiguration.setIfUnset("fs.file.impl",
       classOf[graft.catalog.GraftLocalFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration.setIfUnset(
+      "fs.AbstractFileSystem.file.impl",
+      classOf[graft.catalog.GraftLocalFs].getName)
     // Imperative twin of GraftExtensions' optimizer-rule injection, for
     // sessions built without spark.sql.extensions (a static conf): the
     // V2TableReference re-resolver that makes MERGE-from-a-temp-view

@@ -27,6 +27,20 @@ import org.apache.hadoop.fs.permission.FsPermission
   * session builders): local deployments get fork-free metadata I/O;
   * cluster filesystems (hdfs/s3/...) are untouched by construction. */
 class GraftRawLocalFileSystem extends RawLocalFileSystem {
+
+  /** Link status without the subprocess: stock `getFileLinkStatus`
+    * resolves symlinks through `FileUtil.readLink` — a fork+exec of
+    * `readlink` per call — and `AbstractFileSystem.renameInternal`
+    * calls it on EVERY FileContext rename (twice per streaming
+    * state-store commit: the delta file and its checksum). For the
+    * overwhelmingly common non-symlink case one lstat answers the same
+    * question; true symlinks keep the stock path. */
+  override def getFileLinkStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    val nio = pathToFile(f).toPath
+    if (java.nio.file.Files.isSymbolicLink(nio)) super.getFileLinkStatus(f)
+    else getFileStatus(f)
+  }
+
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     if (permission == null) return
     if (permission.getStickyBit) { super.setPermission(p, permission); return }
@@ -57,3 +71,21 @@ class GraftRawLocalFileSystem extends RawLocalFileSystem {
 /** The checksummed wrapper Hadoop serves for `file:` — identical to
   * [[LocalFileSystem]] but backed by [[GraftRawLocalFileSystem]]. */
 class GraftLocalFileSystem extends LocalFileSystem(new GraftRawLocalFileSystem)
+
+/** The FileContext-side twin (`fs.AbstractFileSystem.file.impl`) —
+  * stock `LocalFs` is `ChecksumFs(RawLocalFs)` where `RawLocalFs`
+  * instantiates `RawLocalFileSystem` DIRECTLY (never consulting
+  * `fs.file.impl`), so structured streaming's checkpoint/state-store
+  * manager — `FileContextBasedCheckpointFileManager`, a create +
+  * rename per state partition per micro-batch — kept forking after the
+  * FileSystem-side swap. Same checksummed semantics, fork-free raw. */
+class GraftLocalFs(uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.ChecksumFs(
+    new GraftLocalFs.Raw(uri, conf))
+
+object GraftLocalFs {
+  private[GraftLocalFs] class Raw(
+      uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      uri, new GraftRawLocalFileSystem, conf, "file", false)
+}

@@ -20,6 +20,8 @@ object CheckQueries {
       .master(s"local[$cpus]")
       .config("spark.hadoop.fs.file.impl",
         classOf[graft.catalog.GraftLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.catalog.GraftLocalFs].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
