@@ -52,11 +52,22 @@ object TimeQueries {
     val plansDir = sys.env.get("SPARK_GRAFT_PROBE_PLANS")
     plansDir.foreach(d => new java.io.File(d).mkdirs())
 
+    // Experiment knob for the Bench suite-state hygiene fix: what (if
+    // anything) to do between queries. none|async|blocking|gc|blockinggc
+    val resetMode = sys.env.getOrElse("SPARK_GRAFT_PROBE_RESET", "none")
+    def reset(): Unit = {
+      if (resetMode.startsWith("async") || resetMode.startsWith("blocking"))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = resetMode.startsWith("blocking")))
+      if (resetMode.endsWith("gc")) System.gc()
+    }
+
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
       def run(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       run() // warm-up
+      reset()
       plansDir.foreach { d =>
         val plan = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
@@ -75,6 +86,7 @@ object TimeQueries {
           Thread.sleep(100)
           bestStats = (stages.get, tasks.get, taskMs.get)
         }
+        reset()
       }
       println(f"[probe] $name%-36s ${best}%7.2f s  stages=${bestStats._1}%3d " +
         f"tasks=${bestStats._2}%5d taskTime=${bestStats._3 / 1000.0}%8.2f s")
