@@ -24,6 +24,36 @@ object GraftBootstrap {
 
   @volatile private var current: Set[(SparkSession, String)] = Set.empty
 
+  /** Strip per-property SOURCE attribution from the root Hadoop conf.
+    *
+    * `Configuration.write` gzip-compresses each property's source array
+    * (the "loaded from core-default.xml" diagnostic) — one single-use
+    * Deflater stream per property, ~1,100 per serialization — and every
+    * job that scans or writes files serializes the conf at least once
+    * (`SerializableConfiguration` broadcast / task binary). Driver
+    * thread-dump sampling during the q119 DML loop landed ~25% of
+    * driver wall inside exactly this serialization. The sources feed
+    * only `getPropertySources` (log diagnostics); with the map cleared,
+    * write() emits a -1 vint per property instead of a gzip stream, and
+    * readFields() on the task side skips the matching gunzip. Every
+    * conf Spark derives per scan/write copies this map, so clearing the
+    * ROOT once fixes all of them. Best-effort by reflection: a Hadoop
+    * upgrade that renames the field skips the optimization, never
+    * breaks. */
+  private def stripConfSources(conf: org.apache.hadoop.conf.Configuration): Unit =
+    try {
+      if (sys.env.get("SPARK_GRAFT_KEEP_CONF_SOURCES").contains("1")) return
+      conf.size() // force default resources into `properties` first — a
+                  // later lazy load would repopulate the source map
+      val f = classOf[org.apache.hadoop.conf.Configuration]
+        .getDeclaredField("updatingResource")
+      f.setAccessible(true)
+      f.get(conf) match {
+        case m: java.util.Map[_, _] => m.clear()
+        case _ =>
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+
   /** Dynamic confs every session needs for these fixtures (naive
     * timestamps + int64-ns `events.ts`, see Tables's scaladoc). */
   def setSessionConfs(spark: SparkSession): Unit = {
@@ -42,6 +72,7 @@ object GraftBootstrap {
     spark.sparkContext.hadoopConfiguration.setIfUnset(
       "fs.AbstractFileSystem.file.impl",
       classOf[graft.catalog.GraftLocalFs].getName)
+    stripConfSources(spark.sparkContext.hadoopConfiguration)
     // Imperative twin of GraftExtensions' optimizer-rule injection, for
     // sessions built without spark.sql.extensions (a static conf): the
     // V2TableReference re-resolver that makes MERGE-from-a-temp-view

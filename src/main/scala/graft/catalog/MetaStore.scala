@@ -467,7 +467,14 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
         parsed match {
           case Some(m) if m.seq == seq =>
             try renameOverwrite(st.getPath, tableMetaFile(db, table))
-            catch { case _: java.io.IOException => /* raced; re-checked below */ }
+            catch { case _: java.io.IOException =>
+              // raced by a concurrent roll-forward/writer. NOT re-verified
+              // here: if this was the last (newest) marker, it simply
+              // survives for the NEXT roll-forward pass to publish or
+              // reclaim — nothing regresses, publication is only delayed.
+              // (Markers earlier in this loop are re-checked by the next
+              // iteration's descriptor re-read above.)
+            }
           case _ =>
             // torn marker: the claimant died mid-write. Fresh ones may
             // still be in flight — reclaim only once stale.

@@ -402,4 +402,36 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $centT")
     spark.sql(s"DROP TABLE IF EXISTS $idxT")
   }
+
+  test("spread parallelizes a single-partition corpus without changing rows (r21 #1)") {
+    // The r21 optimization: pair joins stream the corpus side, so a
+    // single-file scan (one partition) serialized the whole O(n²) pass.
+    // spread must (a) raise the partition count to defaultParallelism,
+    // (b) be a pure repartition — same rows, nothing dropped or dup'd.
+    val one = norm.coalesce(1)
+    assert(one.rdd.getNumPartitions === 1)
+    val sp = Similarity.spread(one)
+    assert(sp.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
+    val before = one.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val after = sp.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before)
+    // and the operator that rides it is unchanged by the partitioning:
+    // kNN over the spread corpus ≡ kNN computed from the 1-partition
+    // corpus (row_number's (sim desc, n_id) order is total, so the
+    // result is partitioning-invariant by construction — assert it)
+    val spreadRes = Similarity.knnGraph(norm, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    val c = one.localCheckpoint()
+    val baseline = c.as("a")
+      .join(c.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted.toSeq
+    assert(spreadRes === baseline)
+  }
 }
