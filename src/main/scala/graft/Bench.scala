@@ -70,17 +70,36 @@ object Bench {
       * Unpersisting all persistent RDDs between queries is safe here
       * by construction (each execute() builds its plans from scratch;
       * nothing spans queries except the temp-view REGISTRY, which
-      * holds logical plans, not blocks). A periodic System.gc() lets
-      * ContextCleaner reclaim accumulated shuffle files and broadcast
-      * blocks the same way. Runs OUTSIDE the timed window — this is a
-      * measurement-validity fix (each query is timed against a clean
-      * session, as the per-query isolated probes measure), not a
-      * change of what is timed; see OPTIMIZATION_r21.md. */
-    val sinceGc = new java.util.concurrent.atomic.AtomicInteger(0)
-    def resetSuiteState(): Unit = {
+      * holds logical plans, not blocks). Runs OUTSIDE the timed window
+      * — this is a measurement-validity fix (each query is timed
+      * against a clean session, as the per-query isolated probes
+      * measure), not a change of what is timed; see OPTIMIZATION_r21.md.
+      *
+      * SYNCHRONOUS since round 22 (r21 verdict "Next round" #1): the
+      * r21 form used `unpersist(blocking = false)` plus a System.gc()
+      * every 25 slots, which queued 25 queries' worth of shuffle-file
+      * and broadcast removal on the ASYNC ContextCleaner — work that
+      * then ran concurrently with whichever queries followed, the
+      * prime suspect for the driver bench's unexplained q69-q73
+      * blowup (3-12× at 32 cores, right after a GC slot, in no
+      * isolated or 8-core run). Hygiene before a timed window must be
+      * COMPLETE, not fast: blocking unpersist, then a synchronous
+      * per-slot drain of dead shuffles/broadcasts through the cleaner
+      * ([[org.apache.spark.graft.SuiteHygiene]]), then a bounded
+      * listener-bus settle — no async residue can bleed into the next
+      * window, and no 25-slot cleanup burst ever forms. */
+    // Diagnosis aid (round-21 verdict "Next round" #1): per-slot stderr
+    // trace, env-gated, zero effect on the timed window or stdout JSON.
+    val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
+    val slotNo = new java.util.concurrent.atomic.AtomicInteger(0)
+    def resetSuiteState(): Double = {
+      val t0 = System.nanoTime()
+      slotNo.incrementAndGet()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      if (sinceGc.incrementAndGet() % 25 == 0) System.gc()
+        .foreach(_.unpersist(blocking = true))
+      org.apache.spark.graft.SuiteHygiene.drain(spark.sparkContext)
+      org.apache.spark.graft.SuiteHygiene.settle(spark.sparkContext)
+      (System.nanoTime() - t0) / 1e9
     }
 
     val allNames = SparkEntry.queries.keys.toSeq.sorted
@@ -101,21 +120,27 @@ object Bench {
       val tag = if (raw) "raw" else "engine"
       val broken = collection.mutable.LinkedHashMap.empty[String, String]
       allNames.foreach { name =>
+        val w0 = System.nanoTime()
         try execute(name)
         catch { case scala.util.control.NonFatal(e) =>
           broken(name) = describe(e)
           System.err.println(s"[bench] $tag $name failed in warm-up: ${broken(name)}")
         }
-        resetSuiteState()
+        val wSec = (System.nanoTime() - w0) / 1e9
+        val rSec = resetSuiteState()
+        if (trace) System.err.println(
+          f"[trace] $tag warmup slot=${slotNo.get}%d $name%s q=$wSec%.2f reset=$rSec%.2f")
       }
       val names = allNames.filterNot(broken.contains)
       val best = collection.mutable.Map.empty[String, Double]
-      for (_ <- 1 to passes; name <- names if !broken.contains(name)) {
+      for (p <- 1 to passes; name <- names if !broken.contains(name)) {
         val t0 = System.nanoTime()
         try {
           execute(name)
           val sec = (System.nanoTime() - t0) / 1e9
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+          if (trace) System.err.println(
+            f"[trace] $tag pass=$p%d slot=${slotNo.get + 1}%d $name%s q=$sec%.2f")
         } catch { case scala.util.control.NonFatal(e) =>
           // a query that survives warm-up but breaks on re-execution
           // (stateful write paths) is just as broken — drop its timing
@@ -123,7 +148,9 @@ object Bench {
           broken(name) = describe(e)
           System.err.println(s"[bench] $tag $name failed in measured pass: ${broken(name)}")
         }
-        resetSuiteState() // outside the timed window — see scaladoc
+        val rSec = resetSuiteState() // outside the timed window — see scaladoc
+        if (trace) System.err.println(
+          f"[trace] $tag pass=$p%d slot=${slotNo.get}%d $name%s reset=$rSec%.2f")
       }
       (names.filter(best.contains).map(n => n -> best(n)), broken)
     }

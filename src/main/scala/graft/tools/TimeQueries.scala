@@ -82,8 +82,10 @@ object TimeQueries {
         val sec = (System.nanoTime() - t0) / 1e9
         if (sec < best) {
           best = sec
-          // listener is async; small grace so stage events land
-          Thread.sleep(100)
+          // listener is async; drain the bus deterministically so the
+          // just-finished pass's stage events are all counted (r21
+          // ADVICE: a fixed sleep under-counted on busy runs)
+          org.apache.spark.graft.SuiteHygiene.settle(spark.sparkContext)
           bestStats = (stages.get, tasks.get, taskMs.get)
         }
         reset()
