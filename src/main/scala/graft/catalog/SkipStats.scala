@@ -807,21 +807,8 @@ object SkipStats extends Logging {
     if (cols.isEmpty && bloomCols.isEmpty) return dirs
     val byName = cols.map(f => f.name -> f.dataType).toMap
     val bloomNames = bloomCols.map(_.name).toSet
-    // the heavy bloom shard is read ONLY when a pushed equality/IN
-    // actually targets a bloom column — a range-or-null query plans
-    // against the small main shard alone
-    def wantsBloom(e: Expression): Boolean = e match {
-      case EqualTo(a: AttributeReference, _: Literal) =>
-        bloomNames.exists(SQLConf.get.resolver(_, a.name))
-      case EqualTo(_: Literal, a: AttributeReference) =>
-        bloomNames.exists(SQLConf.get.resolver(_, a.name))
-      case In(a: AttributeReference, _) =>
-        bloomNames.exists(SQLConf.get.resolver(_, a.name))
-      case And(l, r) => wantsBloom(l) || wantsBloom(r)
-      case Or(l, r) => wantsBloom(l) || wantsBloom(r)
-      case _ => false
-    }
-    val needBlooms = bloomNames.nonEmpty && dataFilters.exists(wantsBloom)
+    val needBlooms = bloomNames.nonEmpty &&
+      dataFilters.exists(wantsBloom(_, bloomNames))
     lazy val conf = spark.sessionState.newHadoopConf()
     val shards = scala.collection.mutable.Map.empty[Path, Map[String, FileSkip]]
     val colTypes = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -835,6 +822,58 @@ object SkipStats extends Logging {
           case None => true
         }
       })
+    }
+  }
+
+  /** Whether a predicate targets a bloom column with equality/IN — the
+    * heavy bloom shard is read ONLY then; a range-or-null query plans
+    * against the small main shard alone. */
+  private def wantsBloom(e: Expression, bloomNames: Set[String]): Boolean = e match {
+    case EqualTo(a: AttributeReference, _: Literal) =>
+      bloomNames.exists(SQLConf.get.resolver(_, a.name))
+    case EqualTo(_: Literal, a: AttributeReference) =>
+      bloomNames.exists(SQLConf.get.resolver(_, a.name))
+    case In(a: AttributeReference, _) =>
+      bloomNames.exists(SQLConf.get.resolver(_, a.name))
+    case And(l, r) => wantsBloom(l, bloomNames) || wantsBloom(r, bloomNames)
+    case Or(l, r) => wantsBloom(l, bloomNames) || wantsBloom(r, bloomNames)
+    case _ => false
+  }
+
+  /** [[applySkipping]] over ONE directory's explicit file list — the
+    * entry point for planners that hold their own resolved listings
+    * (the positional merge-on-read rewrite, r21 verdict "Next round"
+    * #2): a file is dropped only when some conjunct PROVABLY excludes
+    * its recorded range/bloom/null tallies; files without an entry (or
+    * a dir without a shard) always survive. Same advisory posture as
+    * the scan path — pruning can cost nothing but I/O, never rows. */
+  def filterFiles(
+      spark: SparkSession,
+      schema: StructType,
+      props: Map[String, String],
+      dir: Path,
+      files: Seq[FileStatus],
+      dataFilters: Seq[Expression]): Seq[FileStatus] = {
+    if (dataFilters.isEmpty || files.isEmpty) return files
+    val cols = resolvedCols(props, schema)
+    val bloomCols = resolvedBloomCols(props, schema)
+    if (cols.isEmpty && bloomCols.isEmpty) return files
+    val byName = cols.map(f => f.name -> f.dataType).toMap
+    val bloomNames = bloomCols.map(_.name).toSet
+    val needBlooms = bloomNames.nonEmpty &&
+      dataFilters.exists(wantsBloom(_, bloomNames))
+    val shard = loadDir(spark.sessionState.newHadoopConf(), dir,
+      byName, bloomNames, needBlooms)
+    if (shard.isEmpty) files
+    else {
+      val colTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+      files.filter { f =>
+        shard.get(f.getPath.getName) match {
+          case Some(skip) =>
+            !dataFilters.exists(e => excludes(e, skip, colTypes))
+          case None => true
+        }
+      }
     }
   }
 

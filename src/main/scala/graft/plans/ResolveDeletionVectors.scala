@@ -61,6 +61,13 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
   private[graft] val physicalListings =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Diagnostic counter: files the delta-condition SKIP-STATS pruning
+    * removed from a DML delta scan (round 22). Tests pin that a
+    * selective MERGE/DELETE condition scans fewer files, and that an
+    * unsound shape (not-matched-by-source) prunes nothing. */
+  private[graft] val skippedDeltaFiles =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Directory listings keyed by (qualified dir, DESCRIPTOR SEQ, the
     * live DV batch TOKENS): every commit bumps the table's seq, so an
     * entry is valid exactly for the descriptor state that planned it —
@@ -122,6 +129,39 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
           if morDelta(f.child).isDefined =>
         val (r, t, op) = morDelta(f.child).get
         f.copy(child = rewrite(r, t, Some(op), Some(f.condition)))
+      // MERGE delta read under its join (round 22, r21 verdict "Next
+      // round" #2): MERGE's rewrite puts no Filter above the target
+      // relation — the condition lives in the JOIN against the source —
+      // so the positional-MERGE delta scan planned the FULL table
+      // universe while DELETE/UPDATE (the Filter case above) pruned.
+      // Capturing the join here derives the target-side implications of
+      // the merge condition (target-only conjuncts, plus source-side
+      // constraints carried across the equi-join columns — the same
+      // inference InferFiltersFromConstraints performs, done eagerly
+      // because this rewrite replaces the relation before that batch
+      // sees it) and hands them to the SAME static partition pruning +
+      // skip-stats file pruning the other delta reads use. Gated on
+      // join types where every AFFECTED target row is a MATCHED row
+      // (a not-matched-by-source MERGE preserves the target side —
+      // no pruning there, ever).
+      case j: Join if deltaInJoin(j).isDefined =>
+        val (r, t, op, targetLeft) = deltaInJoin(j).get
+        import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
+        val safe = j.joinType match {
+          case Inner => true
+          case RightOuter => targetLeft // source side preserved, target matched-only
+          case LeftOuter => !targetLeft
+          case FullOuter => false
+          case _ => false
+        }
+        val srcPlan = if (targetLeft) j.right else j.left
+        val cond =
+          if (safe) deriveTargetCond(j.condition, r, srcPlan) else None
+        val newSide = (if (targetLeft) j.left else j.right).transformUp {
+          case rel: DataSourceV2Relation if rel eq r =>
+            rewrite(rel, t, Some(op), cond)
+        }
+        if (targetLeft) j.copy(left = newSide) else j.copy(right = newSide)
       // MOR UPDATE / MERGE over LIVE deletion vectors (round 20): the
       // delta operation's read gets the SAME anti-join split as any other
       // read of the table, so hidden rows are never re-emitted (which
@@ -172,6 +212,62 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+
+  /** The delta relation inside one side of a MERGE join, with which
+    * side holds it. Matches only a BARE relation (the rewrite's initial
+    * plan shape) — a relation already wrapped by this rule's output
+    * never re-matches ([[morDelta]] rejects fragment tables). */
+  private def deltaInJoin(j: Join)
+      : Option[(DataSourceV2Relation, GraftTable, GraftMorOperation, Boolean)] = {
+    def find(p: LogicalPlan) = p.collectFirst(Function.unlift(morDelta))
+    find(j.left).map { case (r, t, op) => (r, t, op, true) }
+      .orElse(find(j.right).map { case (r, t, op) => (r, t, op, false) })
+  }
+
+  /** Target-column implications of a merge join's condition: the
+    * condition's own target-only conjuncts, plus every source-side
+    * CONSTRAINT (Catalyst's upward-propagated filter set — e.g. the
+    * `q BETWEEN 20 AND 25` under `USING (... WHERE q BETWEEN 20 AND
+    * 25) s ON tgt.k = s.q`) rewritten onto the target column its source
+    * column is equated with. Sound for matched rows by transitivity:
+    * an EqualTo match requires both sides non-null and equal, and an
+    * EqualNullSafe match against a constrained (hence non-null-proven)
+    * source value degrades to equality. Anything non-deterministic or
+    * subquery-bearing is skipped — the result only ever PRUNES
+    * provably-unmatchable storage, never filters rows. */
+  private def deriveTargetCond(
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      r: DataSourceV2Relation,
+      src: LogicalPlan): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, ExprId, PredicateHelper}
+    import org.apache.spark.sql.catalyst.trees.TreePattern
+    object Split extends PredicateHelper {
+      def conjuncts(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
+    }
+    val conjs = cond.toSeq.flatMap(Split.conjuncts)
+    val tgtSet = r.outputSet
+    def usable(c: Expression): Boolean =
+      c.deterministic && !c.containsPattern(TreePattern.PLAN_EXPRESSION)
+    val direct = conjs.filter(c => usable(c) &&
+      c.references.nonEmpty && c.references.subsetOf(tgtSet))
+    val srcToTgt: Map[ExprId, AttributeReference] = conjs.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        Seq(a -> b, b -> a)
+      case EqualNullSafe(a: AttributeReference, b: AttributeReference) =>
+        Seq(a -> b, b -> a)
+    }.flatten.collect {
+      case (tgt, s) if tgtSet.contains(tgt) && src.outputSet.contains(s) &&
+          tgt.dataType == s.dataType =>
+        s.exprId -> tgt
+    }.toMap
+    val derived = src.constraints.toSeq.flatMap { c =>
+      if (usable(c) && c.references.nonEmpty &&
+          c.references.forall(a => srcToTgt.contains(a.exprId)))
+        Some(c.transform { case a: AttributeReference => srcToTgt(a.exprId) })
+      else None
+    }
+    (direct ++ derived).reduceOption(And)
+  }
 
   /** Typed three-valued pruning of one directory under the delta
     * condition: bind the spec's partition values as literals, then any
@@ -326,7 +422,14 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
     // a delta operation's read snapshot: the write's commit re-lists and
     // refuses on mismatch (conflict detection), and the committed DV
     // batch applies to exactly these files — recorded here because the
-    // fragments' scans replace the operation's own scan builder
+    // fragments' scans replace the operation's own scan builder.
+    // Recorded from the FULL (partition-pruned) universe, BEFORE the
+    // skip-stats file pruning below: the conflict check compares a live
+    // re-listing of whole directories against this set, so a file-level
+    // subset would read as a spurious concurrent write — and keeping
+    // the batch's appliesTo at the full universe is byte-identical to
+    // the pre-pruning behavior (a provably-unmatched file contributes
+    // no keys, so anti-joining it removes nothing).
     forOp.foreach { op =>
       op.scannedFiles = Some(universe.map(_._1).toSet)
       // the SAME pruned spec set the universe listed: the commit's
@@ -337,9 +440,38 @@ object ResolveDeletionVectors extends Rule[LogicalPlan] {
         if (meta.isPartitioned) Some(keptPartitions.map(_.spec)) else None
     }
 
+    // skip-stats FILE pruning under the delta condition (round 22, r21
+    // verdict "Next round" #2): a DML read whose condition provably
+    // excludes a file's recorded min/max range (or bloom) never scans
+    // it — the same per-file manifest evaluation the keyed scan path
+    // gets from GraftFileIndex, applied to the delta universe. Rows in
+    // a pruned file cannot satisfy the condition, so the DML could
+    // never have affected them (for MERGE the condition is derived
+    // only on matched-row-affecting join shapes — see deriveTargetCond)
+    // — pruning here is scan-cost only, never a semantic change.
+    // Delta operations only: plain reads keep their own scan pruning.
+    val scanUniverse: Seq[(String, String, Map[String, String], org.apache.hadoop.fs.FileStatus)] =
+      deltaCond match {
+        case Some(c) if forOp.isDefined =>
+          object Split extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+            def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+              splitConjunctivePredicates(e)
+          }
+          val conjs = Split.conjuncts(c)
+          val kept = universe.groupBy(_._2).toSeq.flatMap { case (dir, files) =>
+            val keep = graft.catalog.SkipStats.filterFiles(spark, meta.schema,
+              meta.properties, new Path(dir), files.map(_._4), conjs)
+              .map(_.getPath).toSet
+            files.filter(f => keep.contains(f._4.getPath))
+          }
+          skippedDeltaFiles.addAndGet((universe.size - kept.size).toLong)
+          kept
+        case _ => universe
+      }
+
     // group files by the SET of batches that apply; clean group first so
     // the Union's output (= head child's) keeps the original exprIds
-    val grouped: Seq[(Seq[Int], Seq[Snapshots.ResolvedDir])] = universe
+    val grouped: Seq[(Seq[Int], Seq[Snapshots.ResolvedDir])] = scanUniverse
       .groupBy { case (id, _, _, _) =>
         batches.indices.filter(i => batches(i)._2.contains(id))
       }

@@ -390,4 +390,67 @@ class PositionalMorSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e3.getMessage.contains("live"))
   }
+
+  /** Skip-stats file pruning of the DML delta scan (round 22): with
+    * `graft.skipping.by` declared, a DELETE/UPDATE condition — and a
+    * MERGE condition's target-side implications, derived across the
+    * equi-join from the source's constraints — drop files whose
+    * recorded min/max range provably excludes any match. Pruning is
+    * scan-cost only: results, DV manifests (appliesTo = the full
+    * partition-pruned universe) and the conflict check are unchanged. */
+  test("skip-stats file pruning scopes the positional DELETE/MERGE delta scan") {
+    val t = freshTable("p_skipdml")
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, v DOUBLE, p STRING)
+         |PARTITIONED BY (p)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+         |  'graft.skipping.by'='id')
+         |""".stripMargin)
+    // disjoint id ranges per INSERT: every file of a commit is bounded
+    // by that commit's values, whatever the file count
+    spark.sql(s"INSERT INTO $t VALUES (1, 1.0, 'a'), (2, 2.0, 'a')")
+    spark.sql(s"INSERT INTO $t VALUES (100, 10.0, 'a'), (101, 11.0, 'a')")
+    spark.sql(s"INSERT INTO $t VALUES (3, 3.0, 'b'), (4, 4.0, 'b')")
+    val skipped = graft.plans.ResolveDeletionVectors.skippedDeltaFiles
+
+    // DELETE: id >= 100 excludes the low-range files of BOTH partitions
+    skipped.set(0)
+    spark.sql(s"DELETE FROM $t WHERE id >= 100 AND v < 11.0")
+    assert(skipped.get >= 2,
+      s"low-range files must be pruned from the DELETE scan, got ${skipped.get}")
+    // the batch still applies to the FULL partition-pruned universe
+    val m1 = meta(t)
+    val (_, applies1, _) = graft.catalog.write.DvManifest.read(
+      spark.sessionState.newHadoopConf(), m1.deleteVectors.head.manifest).get
+    assert(applies1.exists(_.contains("p=b")),
+      "appliesTo stays the full universe (pruning is scan-only)")
+
+    // MERGE: the source's id range carries across ON tgt.id = s.sid,
+    // so only the high-range files are scanned
+    skipped.set(0)
+    spark.sql(
+      s"""MERGE INTO $t USING (
+         |  SELECT id AS sid, v AS sv FROM $t WHERE id BETWEEN 100 AND 200) s
+         |ON $t.id = s.sid
+         |WHEN MATCHED THEN UPDATE SET v = $t.v + 1000.0
+         |""".stripMargin)
+    assert(skipped.get >= 2,
+      s"MERGE must prune low-range files via derived bounds, got ${skipped.get}")
+    assert(rows(t) === Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"),
+      (4L, 4.0, "b"), (101L, 1011.0, "a")))
+
+    // NOT MATCHED BY SOURCE affects UNMATCHED target rows — the derived
+    // bounds are unsound there and must not prune anything
+    skipped.set(0)
+    spark.sql(
+      s"""MERGE INTO $t USING (
+         |  SELECT id AS sid FROM $t WHERE id BETWEEN 100 AND 200) s
+         |ON $t.id = s.sid
+         |WHEN NOT MATCHED BY SOURCE AND id = 3 THEN DELETE
+         |""".stripMargin)
+    assert(skipped.get === 0,
+      s"not-matched-by-source must never prune, got ${skipped.get}")
+    assert(rows(t) === Seq((1L, 1.0, "a"), (2L, 2.0, "a"),
+      (4L, 4.0, "b"), (101L, 1011.0, "a")))
+  }
 }
