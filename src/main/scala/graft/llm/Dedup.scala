@@ -120,10 +120,11 @@ object Dedup {
     val prefix = prefixIndex(hashed, tau)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          lengthCompatible(col("a.n_sh"), col("b.n_sh"), tau))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyPairsExact(lengthFilter(cands, pruned, tau), pruned, tau)
+    verifyPairsExact(cands, pruned, tau)
   }
 
   /** The `maxShingleDf` cap, shared by q28 and q69: shingles above the
@@ -155,23 +156,53 @@ object Dedup {
     *
     * `hashed` is (doc_id, h [, carry…]); `carry` columns (one value per
     * doc, e.g. q59's is_prev tag) ride through the aggregation via
-    * first(). Returns (doc_id [, carry…], h) prefix rows. */
+    * first(). Returns (doc_id [, carry…], n_sh, h) prefix rows — n_sh
+    * (the doc's total shingle count, already computed by this
+    * aggregation) rides along so the q28/q59 length filter can run
+    * INSIDE the candidate join instead of re-aggregating per-doc sizes
+    * and joining them back (guide §2.4: two operations keyed the same
+    * way share one pass — the r22 fusion removed one aggregation and
+    * two joins from the candidate pipeline). */
   private def prefixIndex(
-      hashed: DataFrame, tau: Double, carry: Seq[String] = Nil): DataFrame = {
+      hashed: DataFrame, tau: Double, carry: Seq[String] = Nil): DataFrame =
+    explodePrefix(perDocSorted(hashed, carry), tau, carry)
+
+  /** The per-doc frequency-sorted shingle list — prefixIndex's
+    * aggregation, exposed so [[containmentPairs]] can materialize it
+    * ONCE and explode it twice (sliced prefix + full probe side):
+    * (doc_id [, carry…], n_sh, sorted[(df, h)]). */
+  private def perDocSorted(hashed: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
     val aggs = carry.map(c => first(c).as(c)) ++ Seq(
       count(lit(1)).as("n_sh"),
       sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
+    hashed.join(dfreq, "h").groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The per-doc prefix rows of [[perDocSorted]]'s output: the
+    * (1−τ)·n_sh+1 rarest shingles (see the prefix-length guard note in
+    * the scaladoc above). */
+  private def explodePrefix(
+      perDoc: DataFrame, tau: Double, carry: Seq[String] = Nil): DataFrame = {
     val keep = col("doc_id") +: carry.map(col)
-    hashed.join(dfreq, "h")
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(keep :+
+    perDoc
+      .select(keep ++ Seq(col("n_sh"),
         explode(slice(col("sorted"), lit(1),
           (col("n_sh") - ceil(lit(tau) * col("n_sh") - 1e-9) + 1).cast("int")))
-          .as("e"): _*)
-      .select(keep :+ col("e.h").as("h"): _*)
+          .as("e")): _*)
+      .select(keep ++ Seq(col("n_sh"), col("e.h").as("h")): _*)
   }
+
+  /** The q28/q59 length-filter predicate, fused into the candidate
+    * join: J(A,B) ≥ τ forces τ·|B| ≤ |A| (for |A| ≤ |B|), evaluated on
+    * the n_sh counts the prefix rows already carry — identical rows to
+    * the former sizes-table join (n_sh counts the same shingle rows),
+    * with the filter applied BEFORE the candidate distinct so
+    * size-mismatched pairs never shuffle. The 1e-9 errs toward KEEPING
+    * a borderline pair (exactness is decided by verification, never
+    * here). */
+  private def lengthCompatible(a: Column, b: Column, tau: Double): Column =
+    least(a, b).cast("double") >= lit(tau) * greatest(a, b) - 1e-9
 
   /** Containment near-dup pairs: unordered (d1, d2) where the SMALLER
     * shingle set is mostly inside the larger — `|A∩B| / min(|A|,|B|) ≥
@@ -204,18 +235,37 @@ object Dedup {
     val sh = capShingles(shingleRows(docs, idCol, textCol, n), maxShingleDf)
       .localCheckpoint()
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val prefix = prefixIndex(hashed, tau)
+    // ONE materialized per-doc aggregation serves both candidate-join
+    // sides: the sliced prefix AND the full probe list (which thereby
+    // carries n_sh for free). The join is then restricted to the ONE
+    // direction the asymmetric prefix lemma needs — a's set no larger
+    // than b's (ids break ties) — instead of generating each qualifying
+    // pair from both directions and deduplicating: half the candidate
+    // rows ever shuffle into the distinct (r22; guide §2.3 shuffle
+    // fewer bytes). Sound because shingle sets are duplicate-free
+    // (TextOps.shingles array_distinct), so n_sh = |A| exactly and
+    // |A∩B| ≥ τ·min(|A|,|B|) forces a hit in the SMALLER set's prefix.
+    val perDoc = perDocSorted(hashed).localCheckpoint()
+    val prefix = explodePrefix(perDoc, tau)
+    val full = perDoc
+      .select(col("doc_id"), col("n_sh"), explode(col("sorted")).as("e"))
+      .select(col("doc_id"), col("n_sh"), col("e.h").as("h"))
     val cands = prefix.as("a")
-      .join(hashed.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .join(full.as("b"),
+        col("a.h") === col("b.h") && (col("a.n_sh") < col("b.n_sh") ||
+          (col("a.n_sh") === col("b.n_sh") &&
+            col("a.doc_id") < col("b.doc_id"))))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .distinct()
       .localCheckpoint() // feeds candDocs twice + the verify join (q28's cut)
     val candDocs = cands.select(col("d1").as("doc_id"))
       .union(cands.select(col("d2"))).distinct()
+    // sets checkpointed for the same two-consumer reason as
+    // verifyPairsExact's (both pair-join sides read it)
     val sets = sh.join(candDocs, "doc_id")
       .groupBy("doc_id").agg(collect_set("s").as("set"))
+      .localCheckpoint()
     cands
       .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
@@ -224,23 +274,6 @@ object Dedup {
         least(size(col("s1.set")), size(col("s2.set"))))
       .filter(col("containment") >= tau)
       .select(col("d1"), col("d2"), (r4(col("containment"))).as("containment"))
-  }
-
-  /** Length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| (for |A| ≤ |B|), so
-    * size-mismatched candidate pairs can be discarded before the
-    * expensive set verification. `sizes` is one row per doc (SF-scaled)
-    * — no broadcast hint; AQE picks the join strategy from runtime
-    * sizes. The 1e-9 errs toward KEEPING a borderline pair (exactness
-    * is decided by verification, never here). */
-  private def lengthFilter(
-      cands: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    cands
-      .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
-      .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
-      .filter(least(col("z1.n_sh"), col("z2.n_sh")).cast("double") >=
-        lit(tau) * greatest(col("z1.n_sh"), col("z2.n_sh")) - 1e-9)
-      .select(col("d1"), col("d2"))
   }
 
   /** Exact-Jaccard verification of candidate pairs against the full
@@ -258,8 +291,14 @@ object Dedup {
     val cands = cands0.localCheckpoint()
     val candDocs = cands.select(col("d1").as("doc_id"))
       .union(cands.select(col("d2"))).distinct()
+    // `sets` feeds BOTH pair-join sides; without a cut the whole
+    // union→semi-join→collect_set subtree plans (and largely runs)
+    // TWICE — measured as the two heaviest stages of the q28 probe
+    // (guide §2.4 shared-pass rule, the same reasoning as the cands
+    // cut above). Candidate-doc sets only: small by the same argument.
     val sets = sh.join(candDocs, "doc_id")
       .groupBy("doc_id").agg(collect_set("s").as("set"))
+      .localCheckpoint()
     cands
       .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
@@ -301,11 +340,13 @@ object Dedup {
     // d1 = new doc, d2 = prev doc; the shared length-filter +
     // exact-verification pipeline is direction-agnostic.
     val cands = prefix.filter(!col("is_prev")).as("a")
-      .join(prefix.filter(col("is_prev")).as("b"), col("a.h") === col("b.h"))
+      .join(prefix.filter(col("is_prev")).as("b"),
+        col("a.h") === col("b.h") &&
+          lengthCompatible(col("a.n_sh"), col("b.n_sh"), tau))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val shPlain = sh.select("doc_id", "s")
-    verifyPairsExact(lengthFilter(cands, shPlain, tau), shPlain, tau)
+    verifyPairsExact(cands, shPlain, tau)
       .select(col("d1").as("doc_id"), col("d2").as("prev_id"), col("jaccard"))
   }
 

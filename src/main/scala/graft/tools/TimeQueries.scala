@@ -40,11 +40,26 @@ object TimeQueries {
     val stages = new java.util.concurrent.atomic.AtomicInteger(0)
     val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // SPARK_GRAFT_PROBE_STAGES=1: per-stage breakdown (callsite, task
+    // count, summed task time, shuffle bytes) — finds WHERE a query's
+    // task time goes, since eager localCheckpoints hide phases from the
+    // final explain (guide §1.1 empirical loop)
+    val stageTrace = sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(sc.stageInfo.numTasks)
         taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+        if (stageTrace) {
+          val m = sc.stageInfo.taskMetrics
+          System.err.println(f"[stage] id=${sc.stageInfo.stageId}%4d " +
+            f"tasks=${sc.stageInfo.numTasks}%4d " +
+            f"taskTime=${m.executorRunTime / 1000.0}%7.2f s " +
+            f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1048576.0}%8.2f MB " +
+            f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1048576.0}%8.2f MB " +
+            f"rowsOut=${m.shuffleWriteMetrics.recordsWritten}%9d  " +
+            sc.stageInfo.name.takeWhile(_ != '\n').take(90))
+        }
       }
     })
 
