@@ -35,6 +35,10 @@ object ScaleProbe {
     // pair (q86 one sketch aggregate, q87 sketch build + probe — both
     // should be ~linear in corpus bytes with constant-size state)
     "q84_dedup_substrings", "q78b_ann_ivfadc_topk",
+    // round-22 (r21 verdict #5): the post-spread kNN pair join — the
+    // family the Similarity.spread fix made able to use extra cores;
+    // its core-scaling is what the 8-vs-32-core capture demonstrates
+    "q74_knn_graph",
     "q86_hll_snapshot_stats", "q87_cms_heavy_hitters",
     // continued-session additions over the replicable tables: q90's
     // one-pass bucket scoring, q92's broadcast-probe span surgery and
