@@ -494,8 +494,13 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
     }
   }
 
-  def loadTable(db: String, table: String): TableMeta =
-    fromJson(readFully(tableMetaFile(db, table)))
+  def loadTable(db: String, table: String): TableMeta = {
+    val t0 = System.nanoTime()
+    val m = fromJson(readFully(tableMetaFile(db, table)))
+    MetaStore.descriptorReads.incrementAndGet()
+    MetaStore.descriptorReadNanos.addAndGet(System.nanoTime() - t0)
+    m
+  }
 
   /** Descriptor read under the same monitor as [[updateTable]] — for
     * callers whose read must not observe a concurrent `writeAtomic`
@@ -622,6 +627,14 @@ class MetaStore(val warehouse: Path, conf: Configuration) {
 }
 
 object MetaStore {
+  /** Diagnostic counters: PHYSICAL descriptor reads (file read + JSON
+    * parse) and their summed nanos — the per-statement catalog cost the
+    * r22 descriptor cache attacks; tests pin cache behavior on them. */
+  private[graft] val descriptorReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val descriptorReadNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Test-only failpoint: invoked inside [[MetaStore.updateTable]]'s CAS
     * loop right after the fresh load (arg = retry count so far) — a spec
     * simulates a SECOND DRIVER's descriptor write landing between this
