@@ -688,19 +688,35 @@ object Dedup {
       .select(col("id"), col("id").as("rep")))
     var labels = current
     var converged = false
+    var iter = 0
     while (!converged) {
+      iter += 1
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("nbr_rep"))
-      // one job per iteration: the checkpoint materializes the join, and
-      // `changed` is then a scan-only count over the checkpointed rows
-      // (old label carried alongside — no second join)
-      val next = cp(labels
+      // ONE job per iteration, convergence included: the change count
+      // rides the checkpoint job itself as an observed metric
+      // (CollectMetrics accumulates during the materialization pass), so
+      // the per-iteration scan-only count JOB the r21 shape still paid
+      // (~one driver job round-trip per iteration) disappears. The
+      // metric is the same `rep < old_rep` tally over the same rows;
+      // sum-of-0/1 with a 0 seed so an EMPTY iteration reads 0, and the
+      // old count stays as the fallback if the metric is unavailable.
+      val next0 = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("rep").as("old_rep"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep")))
-      val changed = next.filter(col("rep") < col("old_rep")).count()
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .observe(s"graft_cc_changed_$iter",
+          coalesce(sum(when(col("rep") < col("old_rep"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+      val next = cp(next0)
+      val changed: Long = next0.queryExecution.observedMetrics
+        .get(s"graft_cc_changed_$iter") match {
+          case Some(row) if !row.isNullAt(row.fieldIndex("changed")) =>
+            row.getAs[Long]("changed")
+          case _ => next.filter(col("rep") < col("old_rep")).count()
+        }
       release(current)
       current = next
       labels = next.select(col("id"), col("rep"))
